@@ -1,0 +1,225 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{Catalog, Companda, KeyedTable, WriteMode}
+
+/** Correctness-gate queries for the keyed-table store (SURVEY.md §2 #1-12).
+  *
+  * Each query exercises a real store write/read cycle against a throwaway
+  * warehouse directory, and returns a DataFrame whose content is
+  * SQL-expressible over the source tables so DuckDB can oracle it.
+  */
+object PbQueries {
+
+  private def tempWarehouse(): String =
+    Files.createTempDirectory("graft-wh-").toString
+
+  /** #1 create_only + full read roundtrip. */
+  def createRead(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #2 append of disjoint key ranges reassembles the full table. */
+  def append(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    KeyedTable.toSql(orders.filter(col("o_orderkey") % 2 === 0), wh, "orders",
+      pk = Seq("o_orderkey"))
+    KeyedTable.toSql(orders.filter(col("o_orderkey") % 2 === 1), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append)
+    KeyedTable.readSql(spark, wh, "orders")
+  }
+
+  /** #3 upsert: full-row update of existing keys + insert of new keys. */
+  def upsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"))
+    val modified = orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_orderstatus", lit("X"))
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val inserted = orders.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    KeyedTable.toSql(modified.unionByName(inserted), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Upsert)
+    KeyedTable.readSql(spark, wh, "orders")
+  }
+
+  /** #4 inclusive PK range read (filters push to parquet stats). */
+  def readRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders", pk = Seq("o_orderkey"))
+    KeyedTable.readSql(spark, wh, "orders", lowest = Seq(100L), highest = Seq(500L))
+  }
+
+  /** Lineitem rolled up to a (l_orderkey, l_linenumber) grain — the
+    * synthetic data has no 2-column unique key, so build one. */
+  private def lineGrain(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+           count(lit(1)).as("n_rows"))
+
+  /** #5 composite PK, per-dimension range (null skips a dimension). */
+  def readRangeMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(lineGrain(spark, sfDir), wh, "line_grain",
+      pk = Seq("l_orderkey", "l_linenumber"))
+    KeyedTable.readSql(spark, wh, "line_grain",
+      lowest = Seq(100L, 2), highest = Seq(1000L, null))
+  }
+
+  /** #6 upsert on a composite PK. */
+  def upsertMulti(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val grain = lineGrain(spark, sfDir)
+    KeyedTable.toSql(grain, wh, "line_grain", pk = Seq("l_orderkey", "l_linenumber"))
+    val delta = grain.filter(col("l_orderkey") % 13 === 0)
+      .withColumn("sum_qty", col("sum_qty") + 100)
+    KeyedTable.toSql(delta, wh, "line_grain",
+      pk = Seq("l_orderkey", "l_linenumber"), how = WriteMode.Upsert)
+    KeyedTable.readSql(spark, wh, "line_grain")
+  }
+
+  /** #7 synthetic auto-index PK over a deterministic ordering. */
+  def autoIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val ordered = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").orderBy("o_orderkey")
+    KeyedTable.toSql(ordered, wh, "orders_auto", autoIndex = true)
+    KeyedTable.readSql(spark, wh, "orders_auto")
+  }
+
+  /** #8 addNewColumns schema evolution: old rows read NULL for the new
+    * column without any rewrite (metadata-only evolution). */
+  def addColumns(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 2 === 0), wh, "customer",
+      pk = Seq("c_custkey"))
+    val withExtra = customer.filter(col("c_custkey") % 2 === 1)
+      .withColumn("c_extra", floor(col("c_acctbal")).cast("double"))
+    KeyedTable.toSql(withExtra, wh, "customer",
+      pk = Seq("c_custkey"), how = WriteMode.Upsert, addNewColumns = true)
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #9 identifier cleaning: dirty incoming names land as clean ones. */
+  def cleanNames(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val dirty = Tables.customer(spark, sfDir)
+      .withColumnRenamed("c_custkey", "C CustKey")
+      .withColumnRenamed("c_name", "C.Name")
+      .withColumnRenamed("c_acctbal", "c acct-bal")
+    KeyedTable.toSql(dirty, wh, "customer", pk = Seq("C CustKey"))
+    KeyedTable.readSql(spark, wh, "customer")
+      .withColumnRenamed("c_acct_bal", "c_acctbal")
+      .withColumnRenamed("cname", "c_name")
+  }
+
+  /** #10 describe_database over a small warehouse. */
+  def describe(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.toSql(Tables.nation(spark, sfDir), wh, "nation", pk = Seq("n_nationkey"))
+    KeyedTable.toSql(Tables.supplier(spark, sfDir), wh, "supplier", pk = Seq("s_suppkey"))
+    Catalog.describe(spark, wh)
+  }
+
+  /** #12 companda: per-column inequality counts with epsilon tolerance. */
+  def companda(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val modified = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+          .when(col("o_orderkey") % 5 === 1, col("o_totalprice") + 0.0005) // within epsilon
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 3 === 0, lit("XXX")).otherwise(col("o_orderpriority")))
+    Companda.diff(orders, modified, pk = Seq("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pb_create_read" -> createRead,
+    "pb_append" -> append,
+    "pb_upsert" -> upsert,
+    "pb_read_range" -> readRange,
+    "pb_read_range_multi" -> readRangeMulti,
+    "pb_upsert_multi" -> upsertMulti,
+    "pb_auto_index" -> autoIndex,
+    "pb_add_columns" -> addColumns,
+    "pb_clean_names" -> cleanNames,
+    "pb_describe" -> describe,
+    "pb_companda" -> companda,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pb_create_read" -> "SELECT * FROM customer",
+    "pb_append" -> "SELECT * FROM orders",
+    "pb_upsert" -> """
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    """.trim,
+    "pb_read_range" ->
+      "SELECT * FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500",
+    "pb_read_range_multi" -> """
+      SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+      HAVING l_orderkey >= 100 AND l_linenumber >= 2 AND l_orderkey <= 1000
+    """.trim,
+    "pb_upsert_multi" -> """
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey % 13 = 0 THEN round(sum(l_quantity), 2) + 100
+                  ELSE round(sum(l_quantity), 2) END AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_orderkey, l_linenumber
+    """.trim,
+    "pb_auto_index" -> """
+      SELECT row_number() OVER (ORDER BY o_orderkey) - 1 AS pandabase_auto_generated_index,
+             o_orderkey, o_totalprice
+      FROM orders
+    """.trim,
+    "pb_add_columns" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+             CASE WHEN c_custkey % 2 = 1 THEN CAST(floor(c_acctbal) AS DOUBLE) END AS c_extra
+      FROM customer
+    """.trim,
+    "pb_clean_names" -> "SELECT * FROM customer",
+    "pb_describe" -> """
+      SELECT * FROM (
+        SELECT 'customer' AS table_name, CAST(min(c_custkey) AS VARCHAR) AS pk_min,
+               CAST(max(c_custkey) AS VARCHAR) AS pk_max, count(*) AS n_rows FROM customer
+        UNION ALL
+        SELECT 'nation', CAST(min(n_nationkey) AS VARCHAR), CAST(max(n_nationkey) AS VARCHAR), count(*) FROM nation
+        UNION ALL
+        SELECT 'supplier', CAST(min(s_suppkey) AS VARCHAR), CAST(max(s_suppkey) AS VARCHAR), count(*) FROM supplier
+      ) ORDER BY table_name
+    """.trim,
+    "pb_companda" -> """
+      SELECT * FROM (
+        SELECT 'o_custkey' AS column_name, CAST(0 AS BIGINT) AS n_unequal
+        UNION ALL
+        SELECT 'o_orderdate', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'o_orderpriority', (SELECT count(*) FROM orders WHERE o_orderkey % 3 = 0)
+        UNION ALL
+        SELECT 'o_orderstatus', CAST(0 AS BIGINT)
+        UNION ALL
+        SELECT 'o_totalprice', (SELECT count(*) FROM orders WHERE o_orderkey % 5 = 0)
+      ) ORDER BY column_name
+    """.trim,
+  )
+}

@@ -1,0 +1,63 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse-level catalog utilities — mirrors the reference's
+  * util.py (has_table, get_db_table_names, get_table_column_names,
+  * drop_db_table, describe_database; /root/reference/pandabase/util.py).
+  * A "database" is a warehouse directory; a "table" is a KeyedTable dir.
+  */
+object Catalog {
+
+  def hasTable(spark: SparkSession, warehouse: String, table: String): Boolean =
+    TableMeta.exists(spark, KeyedTable.tableDir(warehouse, table))
+
+  /** Reference: util.py:23 get_db_table_names. */
+  def tableNames(spark: SparkSession, warehouse: String): Seq[String] = {
+    val p = new Path(warehouse)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, TableMeta.FileName)))
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Reference: util.py:31 get_table_column_names. */
+  def columnNames(spark: SparkSession, warehouse: String, table: String): Seq[String] =
+    TableMeta.read(spark, KeyedTable.tableDir(warehouse, table)).schema.fieldNames.toSeq
+
+  def primaryKey(spark: SparkSession, warehouse: String, table: String): Seq[String] =
+    TableMeta.read(spark, KeyedTable.tableDir(warehouse, table)).pk
+
+  /** Reference: util.py:5 drop_db_table. */
+  def dropTable(spark: SparkSession, warehouse: String, table: String): Unit = {
+    val p = new Path(KeyedTable.tableDir(warehouse, table))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new StoreException(s"no such table: $table")
+    fs.delete(p, true)
+  }
+
+  /** Per-table PK min/max + row count, one row per table — the
+    * reference's describe_database (util.py:45). min/max rendered as
+    * strings so heterogeneous PK types fit one frame; composite-PK
+    * tables report min/max of the leading PK column (the reference
+    * reports only 'multi' for those — we do strictly more).
+    */
+  def describe(spark: SparkSession, warehouse: String): DataFrame = {
+    val frames = tableNames(spark, warehouse).map { t =>
+      val meta = TableMeta.read(spark, KeyedTable.tableDir(warehouse, t))
+      val head = meta.pk.head
+      KeyedTable.readSql(spark, warehouse, t)
+        .agg(
+          min(col(head)).cast("string").as("pk_min"),
+          max(col(head)).cast("string").as("pk_max"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+    }
+    frames.reduce(_ unionByName _).orderBy("table_name")
+  }
+}

@@ -1,0 +1,307 @@
+package graft.store
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** How to write into an existing table — mirrors the reference's
+  * `how` parameter (/root/reference/pandabase/sql.py:61-70). */
+sealed trait WriteMode
+object WriteMode {
+  /** Fail if the table already exists. */
+  case object CreateOnly extends WriteMode
+  /** Add rows; fail if any incoming PK already exists. */
+  case object Append extends WriteMode
+  /** Insert-or-fully-replace by PK (NULLs in the incoming row win too). */
+  case object Upsert extends WriteMode
+}
+
+/** A primary-keyed parquet table — the Spark-native re-expression of the
+  * reference's pandas↔SQL table (/root/reference/pandabase/sql.py).
+  *
+  * Layout: `<warehouse>/<table>/data/pb_bucket=<i>/...parquet` with
+  * `i = pmod(xxhash64(pk...), buckets)`, plus `_graft_meta.json`.
+  *
+  * Scale design (SURVEY.md §4): upsert/append only ever read and rewrite
+  * the hash buckets actually touched by the incoming keys, so a small
+  * delta against a huge table does proportionally small IO. Commits are
+  * write-to-staging + per-bucket directory swap, so a reader never sees
+  * a half-written bucket and the source is never overwritten while being
+  * read. PK range reads push down to parquet row-group min/max stats.
+  */
+object KeyedTable {
+
+  /** Internal hash-bucket partition column. */
+  val BucketCol = "pb_bucket"
+
+  val DefaultBuckets = 32
+
+  def tableDir(warehouse: String, table: String) = s"$warehouse/$table"
+  private def dataDir(warehouse: String, table: String) = s"$warehouse/$table/data"
+
+  private def fs(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def withBucket(df: DataFrame, pk: Seq[String], buckets: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong)).cast(IntegerType))
+
+  /** Write `df` into `<warehouse>/<tableName>` keyed by `pk`.
+    *
+    * Mirrors reference `to_sql` (/root/reference/pandabase/sql.py:40):
+    * identifier cleaning, PK validation (non-null, unique), create /
+    * append-with-overlap-check / full-row upsert, `autoIndex` synthetic
+    * PK, `addNewColumns` schema evolution (metadata-only here), and
+    * coercion of incoming types toward the table schema
+    * ("database is the source of truth", sql.py:213-254).
+    */
+  def toSql(df: DataFrame,
+            warehouse: String,
+            tableName: String,
+            pk: Seq[String] = Nil,
+            how: WriteMode = WriteMode.CreateOnly,
+            autoIndex: Boolean = false,
+            addNewColumns: Boolean = false,
+            buckets: Int = DefaultBuckets,
+            validate: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    if (Names.cleanName(tableName) != tableName)
+      throw new IllegalNameException(
+        s"Illegal characters in table name: $tableName. try: ${Names.cleanName(tableName)}")
+    if (autoIndex && pk.nonEmpty)
+      throw new StoreException("pass either pk or autoIndex=true, not both")
+
+    // clean column names (reference silently cleans; helpers.py:228)
+    val cleaned = df.columns.foldLeft(df) { (d, c) =>
+      val cc = Names.cleanName(c)
+      if (cc == c) d else d.withColumnRenamed(c, cc)
+    }
+    val pkClean = pk.map(Names.cleanName)
+    pkClean.foreach { k =>
+      if (!cleaned.columns.contains(k))
+        throw new StoreException(s"pk column $k not in DataFrame columns ${cleaned.columns.toSeq}")
+    }
+
+    val dir = tableDir(warehouse, tableName)
+    val exists = TableMeta.exists(spark, dir)
+
+    if (!exists) {
+      if (!autoIndex && pkClean.isEmpty)
+        throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
+      create(cleaned, warehouse, tableName, pkClean, autoIndex, buckets, validate)
+    } else {
+      how match {
+        case WriteMode.CreateOnly =>
+          throw new StoreException(
+            s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
+        case WriteMode.Append => append(cleaned, warehouse, tableName, addNewColumns, validate)
+        case WriteMode.Upsert => upsert(cleaned, warehouse, tableName, addNewColumns, validate)
+      }
+    }
+  }
+
+  private def validatePk(df: DataFrame, pk: Seq[String]): Unit = {
+    val keyNullCond = pk.map(col(_).isNull).reduce(_ || _)
+    val Row(nulls: Long, total: Long, distinct: Long) = df.agg(
+      sum(when(keyNullCond, 1L).otherwise(0L)).as("nulls"),
+      count(lit(1)).as("total"),
+      count_distinct(struct(pk.map(col): _*)).as("distinct")).head(): @unchecked
+    if (nulls > 0)
+      throw new StoreException(s"PK has $nulls NULL values and cannot be used (reference: sql.py:119)")
+    if (distinct != total)
+      throw new StoreException(
+        s"PK is not unique: $total rows, $distinct distinct keys (reference: sql.py:97)")
+  }
+
+  private def create(df0: DataFrame, warehouse: String, tableName: String,
+                     pk: Seq[String], autoIndex: Boolean, buckets: Int,
+                     validate: Boolean): Unit = {
+    val spark = df0.sparkSession
+    val (df, pkCols) =
+      if (autoIndex) (assignAutoIndex(df0, 0L), Seq(Names.AutoIndex))
+      else (df0, pk)
+    if (validate && !autoIndex) validatePk(df, pkCols)
+
+    // PK columns first, non-null in the logical schema
+    val order = pkCols ++ df.columns.filterNot(pkCols.contains)
+    val ordered = df.select(order.map(col): _*)
+    val schema = StructType(ordered.schema.fields.map(f =>
+      if (pkCols.contains(f.name)) f.copy(nullable = false) else f))
+
+    val dir = tableDir(warehouse, tableName)
+    withBucket(ordered, pkCols, buckets)
+      .write.partitionBy(BucketCol).mode(SaveMode.ErrorIfExists)
+      .parquet(dataDir(warehouse, tableName))
+    TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema))
+  }
+
+  /** Contiguous integer ids in current row order (deterministic iff the
+    * input ordering is — e.g. after orderBy). Mirrors auto_index
+    * (reference: sql.py:122-128). Two narrow passes, no shuffle. */
+  private def assignAutoIndex(df: DataFrame, offset: Long): DataFrame = {
+    val spark = df.sparkSession
+    val schema = df.schema
+    val withId = df.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq((i + offset) +: r.toSeq)
+    }
+    spark.createDataFrame(withId,
+      StructType(StructField(Names.AutoIndex, LongType, nullable = false) +: schema.fields))
+  }
+
+  /** Coerce `df` toward the table's logical schema; returns the aligned
+    * frame (all table columns, table types, missing → NULL) plus the
+    * possibly-evolved schema when `addNewColumns` is set. */
+  private def align(df: DataFrame, meta: TableMeta, addNewColumns: Boolean)
+      : (DataFrame, StructType) = {
+    val tableTypes = meta.schema.fields.map(f => f.name -> f).toMap
+    val newCols = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
+    if (newCols.nonEmpty && !addNewColumns)
+      throw new StoreException(
+        s"New data has columns not in table: ${newCols.map(_.name).mkString(", ")}. " +
+        "Set addNewColumns=true to evolve the schema (reference: sql.py:196)")
+    val evolved = StructType(meta.schema.fields ++ newCols.map(_.copy(nullable = true)))
+
+    val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val aligned = evolved.fields.map { f =>
+      dfTypes.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(dt) if dt == f.dataType => col(f.name)
+        case Some(dt) if coercible(dt, f.dataType) => col(f.name).cast(f.dataType).as(f.name)
+        case Some(dt) =>
+          throw new TypeMismatchException(
+            s"Inconsistent type for column ${f.name}: table=${f.dataType} df=$dt (reference: sql.py:250)")
+      }
+    }
+    (df.select(aligned.toIndexedSeq: _*), evolved)
+  }
+
+  /** Numeric/boolean coercions the reference allows (sql.py:230-248). */
+  private def coercible(from: DataType, to: DataType): Boolean = {
+    def integral(t: DataType) = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def fractional(t: DataType) = t == DoubleType || t == FloatType
+    (integral(from) && integral(to)) ||
+    (integral(from) && fractional(to)) || (fractional(from) && integral(to)) ||
+    (fractional(from) && fractional(to)) ||
+    (from == BooleanType && (integral(to) || fractional(to))) ||
+    (integral(from) && to == BooleanType)
+  }
+
+  /** Raw bucket-partitioned read with the evolved logical schema (old
+    * files lacking evolved columns yield NULLs). */
+  private def readRaw(spark: SparkSession, warehouse: String, table: String,
+                      meta: TableMeta): DataFrame = {
+    val withBucketField = StructType(
+      meta.schema.fields :+ StructField(BucketCol, IntegerType, nullable = true))
+    spark.read.schema(withBucketField).parquet(dataDir(warehouse, table))
+  }
+
+  private def append(df: DataFrame, warehouse: String, table: String,
+                     addNewColumns: Boolean, validate: Boolean): Unit = {
+    val spark = df.sparkSession
+    val dir = tableDir(warehouse, table)
+    val meta = TableMeta.read(spark, dir)
+
+    val (aligned0, evolved) =
+      if (meta.autoIndex) {
+        // continue the synthetic PK from the current max
+        val cur = readRaw(spark, warehouse, table, meta)
+          .agg(max(col(Names.AutoIndex))).head().getLong(0)
+        align(assignAutoIndex(df, cur + 1L), meta, addNewColumns)
+      } else align(df, meta, addNewColumns)
+
+    if (validate && !meta.autoIndex) validatePk(aligned0, meta.pk)
+    val newB = withBucket(aligned0, meta.pk, meta.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      if (!meta.autoIndex) {
+        val old = readRaw(spark, warehouse, table, meta)
+          .filter(col(BucketCol).isin(touched: _*))
+        val overlap = newB.join(old, meta.pk, "left_semi").limit(5)
+          .select(meta.pk.map(col): _*).collect()
+        if (overlap.nonEmpty)
+          throw new StoreException(
+            s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
+            "(reference: sql.py:264 append raises on repeated index)")
+      }
+      newB.write.partitionBy(BucketCol).mode(SaveMode.Append)
+        .parquet(dataDir(warehouse, table))
+      if (evolved != meta.schema)
+        TableMeta.write(spark, dir, meta.copy(schema = evolved))
+    } finally newB.unpersist()
+  }
+
+  private def upsert(df: DataFrame, warehouse: String, table: String,
+                     addNewColumns: Boolean, validate: Boolean): Unit = {
+    val spark = df.sparkSession
+    val dir = tableDir(warehouse, table)
+    val meta = TableMeta.read(spark, dir)
+    if (meta.autoIndex)
+      throw new StoreException(
+        "Cannot upsert into a table with an automatically generated index (reference: sql.py:177)")
+
+    val (aligned, evolved) = align(df, meta, addNewColumns)
+    if (validate) validatePk(aligned, meta.pk)
+
+    val newB = withBucket(aligned, meta.pk, meta.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Only the buckets the delta hashes into are read or rewritten.
+      val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      // read with the evolved schema: old files yield NULL for new columns
+      val oldTouched = readRaw(spark, warehouse, table, meta.copy(schema = evolved))
+        .filter(col(BucketCol).isin(touched: _*))
+      // survivors: old rows whose PK is not being replaced
+      val survivors = oldTouched.join(newB.select(meta.pk.map(col): _*), meta.pk, "left_anti")
+      val outCols = (evolved.fieldNames :+ BucketCol).toIndexedSeq.map(col)
+      val out = survivors.select(outCols: _*).unionByName(newB.select(outCols: _*))
+
+      // Commit: write to staging, then swap touched bucket dirs. Avoids
+      // overwriting a path that is being read, and is per-bucket atomic.
+      val staging = s"$dir/.staging-${UUID.randomUUID()}"
+      out.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
+      val f = fs(spark, dir)
+      try {
+        touched.foreach { b =>
+          val target = new Path(dataDir(warehouse, table), s"$BucketCol=$b")
+          val src = new Path(staging, s"$BucketCol=$b")
+          if (f.exists(target)) f.delete(target, true)
+          if (f.exists(src)) f.rename(src, target)
+        }
+      } finally f.delete(new Path(staging), true)
+      if (evolved != meta.schema)
+        TableMeta.write(spark, dir, meta.copy(schema = evolved))
+    } finally newB.unpersist()
+  }
+
+  /** Read a table back, optionally restricted to an inclusive PK range.
+    *
+    * Mirrors reference `read_sql` (/root/reference/pandabase/sql.py:349):
+    * `lowest`/`highest` filter each PK dimension independently
+    * (sql.py:406-426 for MultiIndex); `null` entries skip a dimension.
+    * Filters push down to parquet row-group stats.
+    */
+  def readSql(spark: SparkSession,
+              warehouse: String,
+              tableName: String,
+              lowest: Seq[Any] = Nil,
+              highest: Seq[Any] = Nil): DataFrame = {
+    val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
+    for (s <- Seq(lowest, highest) if s.nonEmpty && s.size != meta.pk.size)
+      throw new StoreException(
+        s"lowest/highest must have one entry per PK column (${meta.pk.size}); " +
+        "use null to skip a dimension (reference: sql.py:415)")
+    val conds: Seq[Column] =
+      lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
+      highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }
+    val raw = readRaw(spark, warehouse, tableName, meta)
+    val filtered = conds.foldLeft(raw)(_ filter _)
+    filtered.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+}

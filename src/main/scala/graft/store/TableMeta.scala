@@ -1,0 +1,75 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** Table metadata persisted as `_graft_meta.json` inside the table dir.
+  *
+  * The logical schema lives here (not only in the parquet footers) so
+  * that `add_new_columns`-style evolution is a metadata-only operation:
+  * old files simply lack the new column and read back as NULL
+  * (the Spark-native replacement for the reference's ALTER TABLE,
+  * /root/reference/pandabase/sql.py:509).
+  *
+  * @param pk       primary-key column names (the reference's index / MultiIndex)
+  * @param buckets  hash-bucket count for the `pb_bucket` partition layout
+  * @param autoIndex true when the PK is the synthetic Names.AutoIndex column
+  * @param schema   logical schema (PK columns first), JSON-serialized Spark StructType
+  */
+final case class TableMeta(
+    pk: Seq[String],
+    buckets: Int,
+    autoIndex: Boolean,
+    schema: StructType) {
+
+  def toJson: String = compact(render(JObject(
+    "pk" -> JArray(pk.map(JString(_)).toList),
+    "buckets" -> JInt(buckets),
+    "autoIndex" -> JBool(autoIndex),
+    "schema" -> JString(schema.json))))
+}
+
+object TableMeta {
+  val FileName = "_graft_meta.json"
+
+  def fromJson(s: String): TableMeta = {
+    val j = JsonMethods.parse(s)
+    val JArray(pks) = (j \ "pk"): @unchecked
+    val JInt(buckets) = (j \ "buckets"): @unchecked
+    val JBool(auto) = (j \ "autoIndex"): @unchecked
+    val JString(schemaJson) = (j \ "schema"): @unchecked
+    TableMeta(
+      pks.map { case JString(x) => x; case o => o.toString },
+      buckets.toInt, auto,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+  }
+
+  def path(tableDir: String): Path = new Path(tableDir, FileName)
+
+  def write(spark: SparkSession, tableDir: String, meta: TableMeta): Unit = {
+    val p = path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(meta.toJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  def read(spark: SparkSession, tableDir: String): TableMeta = {
+    val p = path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      fromJson(new String(bytes, "UTF-8"))
+    } finally in.close()
+  }
+
+  def exists(spark: SparkSession, tableDir: String): Boolean = {
+    val p = path(tableDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

@@ -1,0 +1,217 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Store semantics incl. the reference's error cases
+  * (/root/reference/pandabase/tests — duplicate index, overlap append,
+  * upsert on autoindex, illegal names, type coercion). */
+class KeyedTableSpec extends SparkSpec {
+
+  private def wh(): String = Files.createTempDirectory("graft-spec-wh-").toString
+
+  private def sample(n: Int): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"name_$i", i * 1.5, i % 2 == 0))
+      .toDF("id", "name", "score", "flag")
+  }
+
+  test("create + read roundtrip preserves rows and schema") {
+    val w = wh()
+    KeyedTable.toSql(sample(100), w, "t", pk = Seq("id"))
+    val back = KeyedTable.readSql(spark, w, "t")
+    assert(back.count() === 100)
+    assert(back.columns.toSeq === Seq("id", "name", "score", "flag"))
+    assert(back.filter(col("id") === 7).head().getString(1) === "name_7")
+  }
+
+  test("create_only on existing table fails") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    val e = intercept[StoreException] {
+      KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("duplicate PK rejected on create") {
+    val dup = sample(10).withColumn("id", lit(1L))
+    intercept[StoreException] {
+      KeyedTable.toSql(dup, wh(), "t", pk = Seq("id"))
+    }
+  }
+
+  test("NULL PK rejected on create") {
+    val withNull = sample(10)
+      .withColumn("id", when(col("id") === 3, lit(null)).otherwise(col("id")))
+    intercept[StoreException] {
+      KeyedTable.toSql(withNull, wh(), "t", pk = Seq("id"))
+    }
+  }
+
+  test("append with overlapping PK fails; disjoint append succeeds") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    intercept[StoreException] {
+      KeyedTable.toSql(sample(5), w, "t", pk = Seq("id"), how = WriteMode.Append)
+    }
+    val more = sample(5).withColumn("id", col("id") + 100L)
+    KeyedTable.toSql(more, w, "t", pk = Seq("id"), how = WriteMode.Append)
+    assert(KeyedTable.readSql(spark, w, "t").count() === 15)
+  }
+
+  test("upsert replaces full rows (incoming NULLs win) and inserts new keys") {
+    import spark.implicits._
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    val delta = Seq((3L, null.asInstanceOf[String], 99.0, false),
+                    (11L, "new", 1.0, true))
+      .toDF("id", "name", "score", "flag")
+    KeyedTable.toSql(delta, w, "t", pk = Seq("id"), how = WriteMode.Upsert)
+    val back = KeyedTable.readSql(spark, w, "t").cache()
+    assert(back.count() === 11)
+    val r3 = back.filter(col("id") === 3).head()
+    assert(r3.isNullAt(1) && r3.getDouble(2) === 99.0)
+    assert(back.filter(col("id") === 11).head().getString(1) === "new")
+    back.unpersist()
+  }
+
+  test("upsert into auto-index table fails") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", autoIndex = true)
+    intercept[StoreException] {
+      KeyedTable.toSql(sample(3), w, "t", how = WriteMode.Upsert)
+    }
+  }
+
+  test("auto-index append continues the sequence") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", autoIndex = true)
+    KeyedTable.toSql(sample(5), w, "t", how = WriteMode.Append)
+    val idx = KeyedTable.readSql(spark, w, "t")
+      .select(Names.AutoIndex).collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq === (0L until 15L))
+  }
+
+  test("illegal table names rejected; column names are cleaned") {
+    intercept[IllegalNameException] {
+      KeyedTable.toSql(sample(3), wh(), "9lives", pk = Seq("id"))
+    }
+    intercept[IllegalNameException] { Names.cleanName("email@domain") }
+    assert(Names.cleanName("My Col.Name (x)") === "my_colname__x_")
+    val w = wh()
+    val dirty = sample(3).withColumnRenamed("name", "The Name")
+    KeyedTable.toSql(dirty, w, "t", pk = Seq("id"))
+    assert(KeyedTable.readSql(spark, w, "t").columns.contains("the_name"))
+  }
+
+  test("incoming types coerce toward table schema; incompatible types fail") {
+    import spark.implicits._
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    // int score coerces to the table's double
+    val intScore = Seq((20L, "x", 5, true)).toDF("id", "name", "score", "flag")
+    KeyedTable.toSql(intScore, w, "t", pk = Seq("id"), how = WriteMode.Append)
+    assert(KeyedTable.readSql(spark, w, "t")
+      .filter(col("id") === 20).head().getDouble(2) === 5.0)
+    // string into double is not coercible
+    val strScore = Seq((21L, "x", "bad", true)).toDF("id", "name", "score", "flag")
+    intercept[TypeMismatchException] {
+      KeyedTable.toSql(strScore, w, "t", pk = Seq("id"), how = WriteMode.Append)
+    }
+  }
+
+  test("new columns require addNewColumns=true; old rows read NULL after evolution") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    val withExtra = sample(5).withColumn("id", col("id") + 50L)
+      .withColumn("extra", col("score") * 2)
+    intercept[StoreException] {
+      KeyedTable.toSql(withExtra, w, "t", pk = Seq("id"), how = WriteMode.Append)
+    }
+    KeyedTable.toSql(withExtra, w, "t", pk = Seq("id"),
+      how = WriteMode.Append, addNewColumns = true)
+    val back = KeyedTable.readSql(spark, w, "t").cache()
+    assert(back.columns.contains("extra"))
+    assert(back.filter(col("id") <= 10 && col("extra").isNull).count() === 10)
+    assert(back.filter(col("id") === 51).head().getAs[Double]("extra") === 1.5 * 2)
+    back.unpersist()
+  }
+
+  test("read range: inclusive bounds, per-dimension for composite PK") {
+    import spark.implicits._
+    val w = wh()
+    KeyedTable.toSql(sample(100), w, "t", pk = Seq("id"))
+    assert(KeyedTable.readSql(spark, w, "t", lowest = Seq(10L), highest = Seq(20L))
+      .count() === 11)
+    val multi = (1 to 10).flatMap(a => (1 to 5).map(b => (a.toLong, b, a * b)))
+      .toDF("a", "b", "v")
+    KeyedTable.toSql(multi, w, "m", pk = Seq("a", "b"))
+    // each dimension filtered independently; null skips a dimension
+    assert(KeyedTable.readSql(spark, w, "m",
+      lowest = Seq(3L, 2), highest = Seq(5L, null)).count() === 3 * 4)
+    intercept[StoreException] {
+      KeyedTable.readSql(spark, w, "m", lowest = Seq(3L))
+    }
+  }
+
+  test("catalog: hasTable / tableNames / columnNames / dropTable / primaryKey") {
+    val w = wh()
+    KeyedTable.toSql(sample(5), w, "aaa", pk = Seq("id"))
+    KeyedTable.toSql(sample(5), w, "bbb", pk = Seq("id", "name"))
+    assert(Catalog.hasTable(spark, w, "aaa"))
+    assert(!Catalog.hasTable(spark, w, "zzz"))
+    assert(Catalog.tableNames(spark, w) === Seq("aaa", "bbb"))
+    assert(Catalog.columnNames(spark, w, "aaa") === Seq("id", "name", "score", "flag"))
+    assert(Catalog.primaryKey(spark, w, "bbb") === Seq("id", "name"))
+    Catalog.dropTable(spark, w, "aaa")
+    assert(!Catalog.hasTable(spark, w, "aaa"))
+    assert(Catalog.tableNames(spark, w) === Seq("bbb"))
+    intercept[StoreException] { Catalog.dropTable(spark, w, "aaa") }
+  }
+
+  test("companda: equal, epsilon tolerance, column-set and length mismatches") {
+    val a = sample(50)
+    assert(Companda(a, a, pk = Seq("id")).equal)
+    // within-epsilon numeric drift is equal
+    val drift = a.withColumn("score", col("score") + 0.0005)
+    assert(Companda(a, drift, pk = Seq("id"), epsilon = 0.001).equal)
+    assert(!Companda(a, drift, pk = Seq("id"), epsilon = 0.0001).equal)
+    // different column set
+    val r1 = Companda(a, a.drop("flag"), pk = Seq("id"))
+    assert(!r1.equal && !r1.columnsEqual)
+    // different length
+    val r2 = Companda(a, a.filter(col("id") <= 25), pk = Seq("id"))
+    assert(!r2.equal && r2.columnsEqual)
+    // ignore_all_nan_columns
+    val withNullCol = a.withColumn("empty", lit(null).cast("double"))
+    assert(Companda(a, withNullCol, pk = Seq("id"),
+      ignoreAllNanColumns = true).equal)
+    // checkDtype
+    val intScore = a.withColumn("score", col("score").cast("long"))
+    assert(!Companda(a, intScore, pk = Seq("id"), checkDtype = true).equal)
+  }
+
+  test("upsert only rewrites touched buckets") {
+    import spark.implicits._
+    val w = wh()
+    KeyedTable.toSql(sample(1000), w, "t", pk = Seq("id"), buckets = 16)
+    val dataDir = new java.io.File(s"$w/t/data")
+    def mtimes: Map[String, Long] = dataDir.listFiles()
+      .filter(_.getName.startsWith("pb_bucket="))
+      .map(f => f.getName ->
+        f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.lastModified).max)
+      .toMap
+    val before = mtimes
+    Thread.sleep(1100)
+    val delta = Seq((1L, "upd", 0.0, false)).toDF("id", "name", "score", "flag")
+    KeyedTable.toSql(delta, w, "t", pk = Seq("id"), how = WriteMode.Upsert)
+    val after = mtimes
+    val changed = after.filter { case (k, v) => before.get(k) != Some(v) }
+    assert(changed.size === 1, s"expected exactly 1 rewritten bucket, got ${changed.keys}")
+  }
+}
