@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Knn}
+
+/** LLM-data-pipeline correctness queries (SURVEY.md §2 #21-32): text
+  * analysis, dedup family, ANN. Oracles replicate the same deterministic
+  * algorithms in DuckDB SQL (md5-based hashing keeps them engine-
+  * portable); `dedup_simhash`/`ann_lsh` use xxhash64 and are rows-only
+  * (spec-covered instead).
+  */
+object LlmQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** #29 */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+
+  /** #30 */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      nTokens(col("text")).as("n_tokens"),
+      round(meanTokenLen(col("text")), 4).as("mean_token_len"),
+      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+      round(punctRatio(col("text")), 4).as("punct_ratio"),
+      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      round(qualityScore(col("text")), 4).as("quality"))
+
+  /** #31 */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      tokenCountWs(col("text")).as("ws_tokens"),
+      tokenCountBpe(col("text")).as("bpe_tokens"),
+      tokenCountEstimate(col("text")).as("est_tokens"))
+
+  /** #32 */
+  def docFingerprintQ(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      docFingerprint(col("text")).as("fingerprint"),
+      size(wordShingles(col("text"), 5)).as("n_shingles"))
+
+  /** #21 */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(docs(s, d), "doc_id", "text")
+
+  /** #24 */
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+
+  /** #22 */
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4, threshold = 0.5)
+
+  /** #23 [rows] */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text", bands = 4, maxHamming = 3)
+
+  /** #25 */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
+      threshold = 0.35, exact = true)
+
+  /** #26 */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Knn.bruteForce(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  /** #27 [rows] */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Knn.lsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid" -> textLangid,
+    "text_quality" -> textQuality,
+    "token_count" -> tokenCount,
+    "doc_fingerprint" -> docFingerprintQ,
+    "dedup_exact" -> dedupExact,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "ann_bruteforce" -> annBruteforce,
+    "ann_lsh" -> annLsh,
+  )
+
+  // Shared oracle fragments (DuckDB dialect).
+  private val shingleCte = """
+    d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+    sh AS (SELECT doc_id,
+      list_distinct(CASE WHEN len(w) >= 5
+        THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
+        ELSE [array_to_string(w, ' ')] END) AS sset
+      FROM d)"""
+
+  private val cosCte = """
+    e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+
+  private def cos(a: String, b: String) =
+    s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  private val enList = LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> {
+      val scores = LangMarkers.map { case (l, m) =>
+        s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+      }.mkString(",\n        ")
+      s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+                 FROM documents),
+      s AS (SELECT doc_id, cjk, $scores FROM t)
+      SELECT doc_id,
+        CASE WHEN cjk THEN 'zh'
+             WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+             WHEN s_fr >= s_de THEN 'fr'
+             ELSE 'de' END AS lang_pred
+      FROM s""".trim
+    },
+    "text_quality" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      m AS (SELECT doc_id,
+        len(toks) AS n_tokens,
+        list_sum(list_transform(toks, x -> length(x))) / len(toks) AS mtl,
+        length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) AS alpha,
+        length(regexp_replace(text, '[^.,;:!?''"-]', '', 'g')) / length(text) AS punct,
+        len(list_filter(toks, x -> x IN ($enList))) / len(toks) AS stop
+        FROM t)
+      SELECT doc_id, n_tokens,
+        round(mtl, 4) AS mean_token_len,
+        round(alpha, 4) AS alpha_ratio,
+        round(punct, 4) AS punct_ratio,
+        round(stop, 4) AS stopword_ratio,
+        round(least(n_tokens/100.0, 1.0)*0.4 + least(stop*4.0, 1.0)*0.3 + alpha*0.3, 4) AS quality
+      FROM m""".trim,
+    "token_count" -> """
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS ws_tokens,
+        len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens,
+        CAST(ceil(length(text)/4.0) AS BIGINT) AS est_tokens
+      FROM documents""".trim,
+    "doc_fingerprint" -> s"""
+      WITH $shingleCte
+      SELECT doc_id, list_min(list_transform(sset, s -> md5(s))) AS fingerprint,
+             len(sset) AS n_shingles
+      FROM sh""".trim,
+    "dedup_exact" -> """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1""".trim,
+    "dedup_ngram_jaccard" -> s"""
+      WITH $shingleCte,
+      inv AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+                 FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(sset) n FROM sh),
+      j AS (SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 4) jaccard
+            FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
+    "dedup_minhash_lsh" -> s"""
+      WITH $shingleCte,
+      sig AS (SELECT doc_id, sset,
+        list_transform(range(16), i -> list_min(list_transform(sset, s -> md5(i::VARCHAR || ':' || s)))) mh
+        FROM sh),
+      bandkeys AS (SELECT doc_id, t.b band, md5(array_to_string(mh[t.b*4+1 : t.b*4+4], '|')) bkey
+        FROM sig, (SELECT unnest(range(4)) b) t),
+      cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+        FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+        round(len(list_intersect(sa.sset, sb.sset)) /
+              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
+    "dedup_embedding" -> s"""
+      WITH $cosCte,
+      p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos
+            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
+    "ann_bruteforce" -> s"""
+      WITH $cosCte,
+      q AS (SELECT * FROM e WHERE vec_id < 20),
+      scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, round(${cos("q.v", "c.v")}, 4) cos
+                 FROM q JOIN e c ON c.vec_id != q.vec_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                 FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+  )
+}

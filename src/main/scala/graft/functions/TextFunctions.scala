@@ -1,0 +1,159 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for LLM-data pipelines (SURVEY.md §2
+  * #29-32). All are pure narrow `Column` expressions built from
+  * `org.apache.spark.sql.functions` higher-order functions — codegen'd,
+  * null-safe, no shuffle, no UDFs — so they stay inside whole-stage
+  * codegen and scale linearly with the scan.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split; input corpora are
+    * pre-normalized single-spaced lowercase). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles. Documents shorter than `n` tokens
+    * collapse to one whole-text shingle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** MinHash signature of a shingle set: `k` independent hash functions
+    * h_i(s) = md5(i || ':' || s), each minimized over the set
+    * (lexicographic min over lowercase hex = min over the hash space).
+    * md5 keeps the signature reproducible in any engine (the DuckDB
+    * oracle recomputes it exactly). One narrow pass, k*|shingles| hashes.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles,
+        s => md5(concat(i.cast("string"), lit(":"), s)))))
+
+  /** LSH band keys over a minhash signature: `bands` keys, each an md5
+    * of `rowsPerBand` consecutive signature entries. Two docs sharing
+    * any band key become a candidate pair. */
+  def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws("|", slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
+
+  /** Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  // --- language ID (#29) -------------------------------------------------
+
+  /** Marker stopwords per language — the classic closed-class-word
+    * heuristic (function words are the highest-frequency, most
+    * language-distinctive tokens). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "de", "que", "los", "un", "una", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "et", "un", "une", "des", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "eine", "nicht", "ist"),
+  )
+
+  /** Occurrence count of `markers` tokens in `text`. */
+  def markerScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(markers)))
+
+  /** Heuristic language ID: CJK characters → zh; otherwise argmax of
+    * marker-token occurrence counts in the fixed order en/es/fr/de
+    * (deterministic tie-break); all-zero → 'und'. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val scores = LangMarkers.map { case (l, m) => l -> markerScore(text, m) }
+    // argmax with first-wins tie-break
+    def argmax(rem: Seq[(String, Column)]): Column = rem match {
+      case (l, s) +: tail if tail.nonEmpty =>
+        when(tail.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(l)).otherwise(argmax(tail))
+      case Seq((l, _)) => lit(l)
+    }
+    val total = scores.map(_._2).reduce(_ + _)
+    when(cjk, lit("zh")).when(total === 0, lit("und")).otherwise(argmax(scores))
+  }
+
+  // --- quality scoring (#30) ---------------------------------------------
+
+  def nTokens(text: Column): Column = size(tokens(text))
+
+  /** Ratio of [a-z] characters. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^a-z]", "")).cast("double") / length(text)
+
+  /** Ratio of punctuation characters. */
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?'\"-]", "")).cast("double") / length(text)
+
+  /** Ratio of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column =
+    markerScore(text, LangMarkers.head._2).cast("double") / nTokens(text)
+
+  def meanTokenLen(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t)).cast("double") / nTokens(text)
+
+  /** Composite [0,1] quality score: length saturation + stopword signal
+    * + alphabetic cleanliness (Gopher-rules-style shape). */
+  def qualityScore(text: Column): Column =
+    least(nTokens(text).cast("double") / 100.0, lit(1.0)) * 0.4 +
+      least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.3 +
+      alphaRatio(text) * 0.3
+
+  // --- token counting (#31) ----------------------------------------------
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column = nTokens(text)
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric marks each count as one token. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  /** chars/4 rule-of-thumb token estimate. */
+  def tokenCountEstimate(text: Column): Column = ceil(length(text).cast("double") / 4.0)
+
+  // --- fingerprinting (#32) ----------------------------------------------
+
+  /** Document fingerprint: the minimum md5 over the doc's distinct
+    * `n`-gram shingles (a 1-hash MinHash — equal fingerprints ⇒ the docs
+    * share their rarest shingle; stable under row order). */
+  def docFingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(wordShingles(text, n), s => md5(s)))
+
+  // --- SimHash (#23) -----------------------------------------------------
+
+  /** 64-bit SimHash of the token multiset: bit j of xxhash64(token)
+    * votes ±1; result bit j is 1 iff the vote sum is positive. One
+    * narrow pass; 64 aggregates fused by codegen. */
+  def simhash64(text: Column): Column = {
+    val toks = tokens(text)
+    val bits = (0 until 64).map { j =>
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << j)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** `bands` equal bit-slices of a 64-bit simhash — pigeonhole: two
+    * signatures within hamming distance < bands share at least one
+    * exact band. */
+  def simhashBands(sig: Column, bands: Int): Column = {
+    val width = 64 / bands
+    val mask = (1L << width) - 1
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), shiftright(sig, b * width).bitwiseAND(mask).as("key"))): _*)
+  }
+}

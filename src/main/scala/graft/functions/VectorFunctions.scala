@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector column functions over `array<float|double>` embedding
+  * columns (SURVEY.md §2 #25-27). Pure higher-order-function
+  * expressions — codegen'd, no UDFs, run inside the scan.
+  *
+  * Doubles throughout: inputs are cast element-wise to double before the
+  * fold so results are reproducible bit-for-bit in other engines (the
+  * DuckDB oracle does the same cast).
+  */
+object VectorFunctions {
+
+  private def d(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Σ aᵢ·bᵢ via a single sequential fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity dot/(‖a‖·‖b‖). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /** Random-hyperplane LSH signature: `planes` sign bits packed into a
+    * long. Plane p's component for dimension i is a deterministic
+    * pseudo-random value in [-1, 1) derived from xxhash64(p, i) — no
+    * RNG state, so every executor (and every engine) derives the same
+    * planes. Vectors with small angle share sign bits with high
+    * probability (SimHash for the unit sphere).
+    */
+  def hyperplaneLshSignature(v: Column, planes: Int): Column = {
+    val proj = (0 until planes).map { p =>
+      // fold over dimensions: acc + v[i] * w(p, i)
+      val weighted = zip_with(d(v), sequence(lit(0), size(v) - 1),
+        (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0))
+      aggregate(weighted, lit(0.0), (acc, x) => acc + x)
+    }
+    proj.zipWithIndex.map { case (s, p) => when(s > 0, lit(1L << p)).otherwise(0L) }
+      .reduce(_ + _)
+  }
+}

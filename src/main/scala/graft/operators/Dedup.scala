@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY.md §2 #21-25).
+  * All are DataFrame→DataFrame, shuffle only on hash/bucket keys, and
+  * never materialize an all-pairs product — candidate generation is
+  * hash-bucketed (exact hash, LSH bands, simhash bands), so cost scales
+  * with Σ bucket² over near-dup buckets, not n².
+  */
+object Dedup {
+
+  /** #21 Exact dedup: group identical content by md5, keep the lowest
+    * id as canonical. One shuffle on the 128-bit content hash —
+    * at 100 TB this is the standard "hash-partition by digest" pass;
+    * no row content moves, only (hash, id). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(col(textCol)).as("content_hash"), col(idCol))
+      .groupBy("content_hash")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct-shingle prep: (id, shingles). */
+  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+    docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
+
+  /** #24 n-gram Jaccard near-dup pairs: candidate pairs share ≥1
+    * shingle (inverted-index join — the only shuffle is on the shingle
+    * string); pairs are then verified with exact Jaccard ≥ `threshold`.
+    * Returns (id_a, id_b, jaccard). Scale note: frequency of a shingle
+    * bounds its join fan-out; for web-scale corpora drop ultra-common
+    * shingles first (df cut) — the synthetic corpus doesn't need it.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    val inv = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .withColumn("jaccard",
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
+    * (narrow) → `bands` band keys (narrow) → explode band keys and
+    * self-join on (band, key) for candidates (the only wide op; shuffle
+    * keys are 16-byte digests) → exact-Jaccard verify on candidates
+    * only. Returns (id_a, id_b, jaccard) for verified pairs.
+    * At 100 TB: signatures are 16 md5s/doc; candidate volume is
+    * controlled by band geometry (b=4, r=4 ⇒ collision prob j⁴ per
+    * band), so the verify join touches a tiny fraction of pairs.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingled(docs, idCol, textCol, n)
+    val withBands = sh.select(col("id"), col("shingles"),
+      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
+        .as(Seq("band", "key")))
+    val cand = withBands.as("a").join(withBands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** #23 SimHash near-dup pairs: 64-bit simhash per doc (narrow), band
+    * the bits into `bands` slices, candidates share an exact slice
+    * (pigeonhole: hamming < bands ⇒ ≥1 equal slice), verify
+    * hamming ≤ maxHamming. Returns (id_a, id_b, hamming). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(simhashBands(col("sig"), bands)).as("b"))
+      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** #25 Embedding cosine near-dup pairs above `threshold`.
+    * `exact=true` scores all n²/2 pairs (broadcast nested-loop — only
+    * for modest n or verification); default goes through hyperplane-LSH
+    * buckets so the all-pairs product never materializes: vectors
+    * sharing a `planes`-bit sign signature are near-angle candidates.
+    */
+  def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, exact: Boolean = false,
+                     planes: Int = 8): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val pairs =
+      if (exact)
+        v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      else {
+        val sig = v.withColumn("sig", hyperplaneLshSignature(col("vec"), planes))
+        sig.as("a").join(sig.as("b"),
+          col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      }
+    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(cosine(col("a.vec"), col("b.vec")), 4).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}
