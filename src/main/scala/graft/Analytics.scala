@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+/** Analytics headline queries (SURVEY.md §2 #15-20): multi-join + agg,
+  * windows, event-time buckets, as-of join, latest-per-key.
+  *
+  * Scale notes (100 TB): tiny dims (region/nation) are broadcast; the
+  * fact-fact joins (lineitem⋈orders⋈customer/supplier) shuffle on their
+  * keys and rely on AQE for skew splitting. Top-k uses a rounded sort key
+  * so ordering is deterministic across engines.
+  */
+object Analytics {
+
+  private val cutoff = "1998-03-15"
+
+  /** #15 TPC-H Q3-style shipping priority: segment-filtered customer ⋈
+    * orders ⋈ lineitem, revenue per order, top 10. */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+  }
+
+  /** #16 TPC-H Q5-style local-supplier volume: 6-way join with broadcast
+    * region/nation dims, revenue per nation for one region + year. */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val dims = broadcast(
+      Tables.nation(s, d).join(
+        Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+                  col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #17 window functions: per-customer order sequence + running spend. */
+  def wRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).as("order_seq"),
+      round(sum(col("o_totalprice"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+        .as("running_spend"))
+  }
+
+  /** #18 event-time tumbling window aggregation (1h buckets). */
+  def eventsWindowed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+              col("n_events"), col("sum_value"))
+
+  /** #19 as-of join: latest order state per user at each event time. */
+  def asofJoinQ(s: SparkSession, d: String): DataFrame =
+    AsOf.asofJoin(
+      left = Tables.events(s, d).select("event_id", "user_id", "ts"),
+      right = Tables.orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = "o_orderkey")
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
+  /** #20 latest-row-per-key: most recent event per user. */
+  def latestPerKeyQ(s: SparkSession, d: String): DataFrame =
+    AsOf.latestPerKey(Tables.events(s, d),
+        key = Seq("user_id"), time = "ts", tieBreak = "event_id")
+      .select("user_id", "event_id", "event_type", "value")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "w_running_sum" -> (wRunningSum _),
+    "events_windowed" -> (eventsWindowed _),
+    "asof_join" -> (asofJoinQ _),
+    "latest_per_key" -> (latestPerKeyQ _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q3_shipping_priority" -> s"""
+      SELECT l_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+        AND l_shipdate > TIMESTAMP '$cutoff 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""".trim,
+    "q5_local_supplier" -> """
+      SELECT n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""".trim,
+    "w_running_sum" -> """
+      SELECT o_orderkey, o_custkey,
+             row_number() OVER w AS order_seq,
+             round(sum(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".trim,
+    "events_windowed" -> """
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1, 2""".trim,
+    "asof_join" -> """
+      WITH od AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders)
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      FROM events e
+      ASOF LEFT JOIN (SELECT * FROM od WHERE rn = 1) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".trim,
+    "latest_per_key" -> """
+      SELECT user_id, event_id, event_type, value
+      FROM (SELECT user_id, event_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""".trim,
+  )
+}

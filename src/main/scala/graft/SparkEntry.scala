@@ -19,13 +19,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    PbQueries.queries ++ LlmQueries.queries ++ Map(
+    PbQueries.queries ++ LlmQueries.queries ++ Analytics.queries ++ Map(
       "q1_pricing_summary" -> (Queries.q1PricingSummary _),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = PbQueries.oracles ++ LlmQueries.oracles ++ Map(
+  def oracleSql: Map[String, String] = PbQueries.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++ Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2)                                          AS sum_qty,

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join and latest-row-per-key (SURVEY.md §2 #19-20).
+  *
+  * The as-of join uses the union+window formulation: tag both sides, union,
+  * then one window pass per key ordered by event time carries the most
+  * recent right-side row forward onto each left row. ONE shuffle (on the
+  * join key), no range cross-product, no per-key collect — at 100 TB this
+  * is a single sort-merge-shaped pass, vs. the O(|L|·|R|) range join a
+  * naive `l.t >= r.t` join would plan.
+  */
+object AsOf {
+
+  /** For each left row, attach the latest right row with
+    * `right.timeCol <= left.timeCol`, matching on `keyCol` (inclusive,
+    * left-outer: unmatched left rows keep null right columns).
+    *
+    * Right-side ties on (key, time) are broken deterministically by
+    * `rightTieBreak` descending (e.g. the PK) before the join.
+    *
+    * @param rightCols the right columns to carry onto the left (must not
+    *                  collide with left column names)
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTieBreak: String): DataFrame = {
+
+    // Deduplicate right to one row per (key, time): keep max tie-break.
+    val dedupW = Window
+      .partitionBy(col(rightKey), col(rightTime))
+      .orderBy(col(rightTieBreak).desc)
+    val rightDedup = right
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val leftCols = left.columns.toSeq
+    // tag=0 sorts right-side rows before a left row with the same
+    // timestamp → inclusive (right.t <= left.t) semantics.
+    val rTagged = rightDedup.select(
+      Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag")) ++
+        rightCols.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.map(col): _*)
+
+    val carryW = Window
+      .partitionBy(col("_k"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = rTagged.unionByName(lTagged)
+      .select(
+        col("*") +: rightCols.map(c =>
+          last(col(c), ignoreNulls = true).over(carryW).as(s"_asof_$c")): _*)
+
+    carried
+      .filter(col("_tag") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map(c => col(s"_asof_$c").as(c)): _*)
+  }
+
+  /** Latest row per key: dedup-by-recency. Ties on the time column break
+    * by `tieBreak` descending so the result is deterministic. Single
+    * shuffle on the key; map-side nothing to combine (row-level top-1 via
+    * window). */
+  def latestPerKey(df: DataFrame, key: Seq[String], time: String,
+                   tieBreak: String): DataFrame = {
+    val w = Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(col(time).desc, col(tieBreak).desc)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+}

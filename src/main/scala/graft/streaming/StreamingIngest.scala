@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.store.{KeyedTable, WriteMode}
+
+/** Structured Streaming ingest (SURVEY.md §2 #33): event stream →
+  * watermarked tumbling-window aggregation → foreachBatch upsert into a
+  * keyed table.
+  *
+  * The batch-mode equivalent of the windowed agg is
+  * `Analytics.eventsWindowed` (#18) — same plan, so correctness is
+  * cross-checked there by the DuckDB oracle; the spec checks the
+  * streaming path converges to the same rows.
+  *
+  * Scale notes: the window agg carries partial aggregates per
+  * (window, type) key, so state is bounded by key cardinality, and the
+  * watermark evicts closed windows. The upsert sink only rewrites the
+  * hash buckets touched by each micro-batch (see KeyedTable.upsert).
+  */
+object StreamingIngest {
+
+  /** Watermarked tumbling-window aggregation over a (possibly streaming)
+    * events frame with columns (ts timestamp, event_type string,
+    * value double). */
+  def windowedAgg(events: DataFrame,
+                  windowLen: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n_events"), col("sum_value"),
+        // string PK dimension: KeyedTable PKs are scalar columns
+        concat(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+               lit("|"), col("event_type")).as("win_key"))
+
+  /** Start the ingest: every micro-batch upserts its (re)computed windows
+    * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
+    * idempotent per window — late data below the watermark re-emits the
+    * window and the upsert replaces the old row. */
+  def start(events: DataFrame,
+            warehouse: String,
+            table: String,
+            checkpoint: String,
+            windowLen: String = "1 hour",
+            watermark: String = "2 hours"): StreamingQuery =
+    windowedAgg(events, windowLen, watermark)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val exists = graft.store.Catalog.hasTable(batch.sparkSession, warehouse, table)
+          KeyedTable.toSql(batch, warehouse, table, pk = Seq("win_key"),
+            how = if (exists) WriteMode.Upsert else WriteMode.CreateOnly,
+            buckets = 8)
+        }
+      }
+      .start()
+}
