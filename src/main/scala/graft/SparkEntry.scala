@@ -21,6 +21,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     PbQueries.queries ++ LlmQueries.queries ++ Analytics.queries ++ Map(
       "q1_pricing_summary" -> (Queries.q1PricingSummary _),
+      "multimodal_meta" -> ((s: SparkSession, d: String) =>
+        graft.operators.Multimodal.pipeline(Tables.documents(s, d))),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -41,6 +43,32 @@ object SparkEntry {
       GROUP BY l_returnflag, l_linestatus
       ORDER BY l_returnflag, l_linestatus
     """.stripMargin.trim,
+    // Mirrors Multimodal.StubDecoder: features derived from payload MD5,
+    // aspect-preserving resize into 256x256, every-10th frame sampling.
+    "multimodal_meta" -> """
+      WITH p AS (
+        SELECT doc_id,
+               (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS media_type,
+               octet_length(encode(text)) AS byte_len,
+               md5(text) AS h
+        FROM documents),
+      f AS (
+        SELECT doc_id, media_type, byte_len, h AS content_md5,
+               ('0x' || substr(h, 1, 4))::BIGINT % 1280 + 1 AS width,
+               ('0x' || substr(h, 5, 4))::BIGINT % 720 + 1 AS height,
+               CASE WHEN media_type = 'video'
+                    THEN ('0x' || substr(h, 9, 2))::BIGINT % 60 + 1
+                    ELSE 1 END AS n_frames
+        FROM p),
+      r AS (
+        SELECT *, least(256.0 / width, 256.0 / height, 1.0) AS scale
+        FROM f)
+      SELECT doc_id, media_type, byte_len, content_md5, width, height, n_frames,
+             CAST(greatest(floor(width * scale), 1) AS BIGINT) AS resized_w,
+             CAST(greatest(floor(height * scale), 1) AS BIGINT) AS resized_h,
+             CAST(floor((n_frames - 1) / 10) + 1 AS BIGINT) AS n_sampled,
+             CAST((floor((n_frames - 1) / 10)) * 10 AS BIGINT) AS last_frame
+      FROM r""".trim,
   )
 }
 

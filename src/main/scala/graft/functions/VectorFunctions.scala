@@ -31,11 +31,18 @@ object VectorFunctions {
     * planes. Vectors with small angle share sign bits with high
     * probability (SimHash for the unit sphere).
     */
-  def hyperplaneLshSignature(v: Column, planes: Int): Column = {
+  def hyperplaneLshSignature(v: Column, planes: Int): Column =
+    hyperplaneLshSignature(v, planes, seed = 0)
+
+  /** Seeded variant: `seed` selects an independent set of hyperplanes,
+    * so L seeds give the L independent hash tables classic LSH needs
+    * for recall (a neighbor missed by one table is caught by another). */
+  def hyperplaneLshSignature(v: Column, planes: Int, seed: Int): Column = {
     val proj = (0 until planes).map { p =>
-      // fold over dimensions: acc + v[i] * w(p, i)
+      // fold over dimensions: acc + v[i] * w(seed, p, i)
       val weighted = zip_with(d(v), sequence(lit(0), size(v) - 1),
-        (x, i) => x * (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0))
+        (x, i) => x * (pmod(xxhash64(lit(seed.toLong * 100003L + p), i), lit(2000001L))
+          .cast("double") / 1000000.0 - 1.0))
       aggregate(weighted, lit(0.0), (acc, x) => acc + x)
     }
     proj.zipWithIndex.map { case (s, p) => when(s > 0, lit(1L << p)).otherwise(0L) }

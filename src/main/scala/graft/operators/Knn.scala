@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -30,29 +30,37 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** #27 LSH-bucketed ANN: corpus and queries are both signed with the
-    * same deterministic random-hyperplane signature; candidates are
-    * corpus rows whose signature is within `maxBitDiff` bits of the
-    * query's (probing all masks at distance ≤1 keeps recall high while
-    * touching only a few buckets). Top-k among candidates only — the
-    * 1-executor-per-bucket shape IVF/LSH indexes use at scale.
+  /** #27 LSH-bucketed ANN: `tables` independent random-hyperplane hash
+    * tables of `planes` sign bits each; a corpus row is a candidate if
+    * it shares a (table, signature) bucket with the query — plus
+    * multi-probe at hamming distance 1 on the query side. Top-k among
+    * candidates only, so the corpus↔query product never materializes:
+    * work is Σ|bucket| over probed buckets, the 1-executor-per-bucket
+    * shape IVF/LSH indexes use at scale (tune planes↑ as |corpus|
+    * grows to keep buckets O(1/2^planes) of the data).
     * Returns (query_id, neighbor_id, rank, cos).
     */
   def lsh(corpus: DataFrame, queries: DataFrame,
           idCol: String, vecCol: String, k: Int,
-          planes: Int = 8): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      hyperplaneLshSignature(col(vecCol), planes).as("csig"))
+          planes: Int = 6, tables: Int = 4): DataFrame = {
+    def sigs(vec: Column) = array((0 until tables).map(t =>
+      struct(lit(t).as("tbl"), hyperplaneLshSignature(vec, planes, t).as("sig"))): _*)
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        explode(sigs(col(vecCol))).as("s"))
+      .select(col("neighbor_id"), col("cv"), col("s.tbl").as("ctbl"), col("s.sig").as("csig"))
     // multi-probe: each query also probes every signature at hamming
-    // distance 1 (flip one bit) — planes+1 probe keys per query
+    // distance 1 (flip one bit) — tables*(planes+1) probe keys per query
     val probes = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          hyperplaneLshSignature(col(vecCol), planes).as("sig"))
-        .select(col("query_id"), col("qv"),
-          explode(transform(probes, m => col("sig").bitwiseXOR(m))).as("qsig"))
-        .dropDuplicates("query_id", "qsig"))
-    val scored = c.join(q, col("csig") === col("qsig") && col("query_id") =!= col("neighbor_id"))
+          explode(sigs(col(vecCol))).as("s"))
+        .select(col("query_id"), col("qv"), col("s.tbl").as("qtbl"),
+          explode(transform(probes, m => col("s.sig").bitwiseXOR(m))).as("qsig"))
+        .dropDuplicates("query_id", "qtbl", "qsig"))
+    val scored = c.join(q,
+        col("ctbl") === col("qtbl") && col("csig") === col("qsig") &&
+          col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Specs for the rows-only operators (SURVEY.md §2 #23 simhash, #27
+  * ann_lsh) plus the as-of join / latest-per-key / multimodal pipeline. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("simhash: near-identical docs pair up, disjoint docs don't") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+      (3L, "completely different content about distributed query engines at scale"),
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhash on corpus: only verified low-hamming pairs, no self/dup pairs") {
+    val out = Dedup.simhashPairs(Tables.documents(spark, sfDir), "doc_id", "text")
+      .collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(out.forall(_.getInt(2) <= 3))
+    val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length)
+  }
+
+  test("ann_lsh: subset of brute-force candidates with decent recall@5") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Knn.bruteForce(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Knn.lsh(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // every approx hit is a real (query, corpus) pair scored identically,
+    // and multi-probe LSH should recover a good share of the true top-5
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("asof join: picks latest right row at or before left time, per key") {
+    val right = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 10.0),
+      (1L, ts("2024-01-01 12:00:00"), 101L, 20.0),
+      (2L, ts("2024-01-01 11:00:00"), 200L, 30.0),
+    ).toDF("k", "t", "ord", "amt")
+    val left = Seq(
+      (1000L, 1L, ts("2024-01-01 09:00:00")), // before any order → null
+      (1001L, 1L, ts("2024-01-01 10:00:00")), // exactly at → inclusive
+      (1002L, 1L, ts("2024-01-01 13:00:00")), // after both → latest
+      (1003L, 2L, ts("2024-01-01 11:30:00")),
+      (1004L, 3L, ts("2024-01-01 11:30:00")), // key with no right rows
+    ).toDF("event_id", "k", "t")
+    val out = AsOf.asofJoin(left, right, "k", "k", "t", "t",
+        rightCols = Seq("ord", "amt"), rightTieBreak = "ord")
+      .select("event_id", "ord").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map(1000L -> -1L, 1001L -> 100L, 1002L -> 101L,
+                      1003L -> 200L, 1004L -> -1L))
+  }
+
+  test("latest per key: recency winner with deterministic tie-break") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (1L, ts("2024-01-01 11:00:00"), 11L),
+      (1L, ts("2024-01-01 11:00:00"), 12L), // tie on ts → higher id wins
+      (2L, ts("2024-01-01 09:00:00"), 20L),
+    ).toDF("k", "t", "id")
+    val out = AsOf.latestPerKey(df, Seq("k"), "t", "id")
+      .select("k", "id").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 12L, 2L -> 20L))
+  }
+
+  test("multimodal: stub decode features are deterministic md5 math") {
+    val docs = Seq((0L, "hello world"), (1L, "abc"), (2L, "video payload bytes"))
+      .toDF("doc_id", "text")
+    val out = Multimodal.pipeline(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 0 → image, 1 → audio, 2 → video
+    assert(out(0L).getString(1) == "image")
+    assert(out(1L).getString(1) == "audio")
+    assert(out(2L).getString(1) == "video")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("hello world".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0L).getAs[String]("content_md5") == hex)
+    assert(out(0L).getAs[Long]("width") ==
+      java.lang.Long.parseLong(hex.substring(0, 4), 16) % 1280 + 1)
+    // non-video assets have exactly one frame, one sample
+    assert(out(0L).getAs[Long]("n_frames") == 1L)
+    assert(out(0L).getAs[Long]("n_sampled") == 1L)
+    // resize stays inside the box and preserves >0 dims
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("resized_w") <= 256 && r.getAs[Long]("resized_w") >= 1)
+      assert(r.getAs[Long]("resized_h") <= 256 && r.getAs[Long]("resized_h") >= 1)
+    }
+  }
+
+  test("multimodal decode is a narrow transform (partitioning preserved)") {
+    val docs = Tables.documents(spark, sfDir).repartition(7)
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.withPayload(docs, "doc_id", "text"))
+    assert(decoded.rdd.getNumPartitions == 7)
+  }
+
+  private def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+}

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.store.KeyedTable
+
+/** SURVEY.md §2 #33: streaming ingest converges to the batch windowed
+  * aggregation (#18), including an incremental second run that updates
+  * already-written windows through the upsert sink. */
+class StreamingIngestSpec extends SparkSpec {
+
+  test("file-stream → windowed agg → foreachBatch upsert matches batch; late data updates windows") {
+    val root = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$root/in"
+    val wh = s"$root/wh"
+    val ckpt = s"$root/ckpt"
+
+    // Large watermark: this corpus spans a month and files arrive in
+    // arbitrary ts order, so nothing may be state-evicted mid-test.
+    val wm = "90 days"
+
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "event_type", "value")
+    val (first, second) = (events.filter(col("event_id") % 5 =!= 0),
+                           events.filter(col("event_id") % 5 === 0))
+
+    first.repartition(4).write.parquet(inDir)
+    def stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+
+    val q1 = StreamingIngest.start(stream, wh, "win_agg", ckpt, watermark = wm)
+    q1.awaitTermination()
+
+    def stored() = KeyedTable.readSql(spark, wh, "win_agg")
+      .select("win_start", "event_type", "n_events", "sum_value")
+      .collect().map(_.toSeq).toSet
+    def batchExpected(df: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.windowedAgg(df, watermark = wm)
+        .select("win_start", "event_type", "n_events", "sum_value")
+        .collect().map(_.toSeq).toSet
+
+    assert(stored() == batchExpected(first))
+
+    // second wave lands in already-written windows → upsert must replace
+    second.repartition(2).write.mode("append").parquet(inDir)
+    val q2 = StreamingIngest.start(stream, wh, "win_agg", ckpt, watermark = wm)
+    q2.awaitTermination()
+
+    assert(stored() == batchExpected(events))
+  }
+}
