@@ -15,9 +15,14 @@ object VectorFunctions {
 
   private def d(v: Column): Column = transform(v, x => x.cast("double"))
 
-  /** Σ aᵢ·bᵢ via a single sequential fold (deterministic order). */
+  /** Σ aᵢ·bᵢ — native codegen'd expression (sequential double sum, same
+    * element order and therefore same result as the interpreted
+    * `aggregate(zip_with(...))` fold it replaced). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.ArrayDotProduct(
+        org.apache.spark.sql.GraftBridge.expression(a),
+        org.apache.spark.sql.GraftBridge.expression(b)))
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

@@ -108,7 +108,10 @@ object Dedup {
                      threshold: Double, exact: Boolean = false,
                      planes: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions._
-    val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // norm precomputed once per ROW, not once per PAIR — the pair-level
+    // work is a single dot-product fold (3× less lambda work in the join)
+    val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2(col(vecCol)).as("nrm"))
     val pairs =
       if (exact)
         v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
@@ -118,7 +121,8 @@ object Dedup {
           col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       }
     pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(cosine(col("a.vec"), col("b.vec")), 4).as("cos"))
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -21,10 +21,13 @@ object Knn {
     */
   def bruteForce(corpus: DataFrame, queries: DataFrame,
                  idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // norms once per row; per-pair work inside the join is one dot fold
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -47,22 +50,23 @@ object Knn {
       struct(lit(t).as("tbl"), hyperplaneLshSignature(vec, planes, t).as("sig"))): _*)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        explode(sigs(col(vecCol))).as("s"))
-      .select(col("neighbor_id"), col("cv"), col("s.tbl").as("ctbl"), col("s.sig").as("csig"))
+        norm2(col(vecCol)).as("cn"), explode(sigs(col(vecCol))).as("s"))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        col("s.tbl").as("ctbl"), col("s.sig").as("csig"))
     // multi-probe: each query also probes every signature at hamming
     // distance 1 (flip one bit) — tables*(planes+1) probe keys per query
     val probes = array((lit(0L) +: (0 until planes).map(p => lit(1L << p))): _*)
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          explode(sigs(col(vecCol))).as("s"))
-        .select(col("query_id"), col("qv"), col("s.tbl").as("qtbl"),
+          norm2(col(vecCol)).as("qn"), explode(sigs(col(vecCol))).as("s"))
+        .select(col("query_id"), col("qv"), col("qn"), col("s.tbl").as("qtbl"),
           explode(transform(probes, m => col("s.sig").bitwiseXOR(m))).as("qsig"))
         .dropDuplicates("query_id", "qtbl", "qsig"))
     val scored = c.join(q,
         col("ctbl") === col("qtbl") && col("csig") === col("qsig") &&
           col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))

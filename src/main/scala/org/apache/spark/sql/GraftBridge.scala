@@ -1,0 +1,17 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ↔ catalyst Expression bridge for graft's native expressions.
+  *
+  * Spark 4 wraps Columns around ColumnNodes; converting to/from raw
+  * catalyst Expressions is `private[sql]` (`classic.ExpressionUtils`),
+  * so this one-file shim lives in the sql package — the standard
+  * pattern for libraries that ship custom codegen expressions without
+  * forking Spark.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -46,6 +46,20 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 = $recall")
   }
 
+  test("ArrayDotProduct codegen expression matches the interpreted fold bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val interp = aggregate(
+      zip_with(transform(col("embedding"), x => x.cast("double")),
+               transform(col("embedding"), x => x.cast("double")),
+               (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = e.select(
+      VectorFunctions.dot(col("embedding"), col("embedding")).as("native"),
+      interp.as("interp")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("asof join: picks latest right row at or before left time, per key") {
     val right = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, 10.0),
