@@ -173,10 +173,14 @@ object LlmQueries {
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
     "dedup_minhash_lsh" -> s"""
       WITH $shingleCte,
+      -- same hash family as TextFunctions.minhashFromBase: base 32-bit
+      -- hash from the md5-hex prefix, then h_i(x) = ((2i+3)x + 7919i) % p
       sig AS (SELECT doc_id, sset,
-        list_transform(range(16), i -> list_min(list_transform(sset, s -> md5(i::VARCHAR || ':' || s)))) mh
+        list_transform(range(16), i -> list_min(list_transform(sset,
+          s -> ((2*i+3) * ('0x' || substr(md5(s), 1, 8))::BIGINT + 7919*i) % 1000000007))) mh
         FROM sh),
-      bandkeys AS (SELECT doc_id, t.b band, md5(array_to_string(mh[t.b*4+1 : t.b*4+4], '|')) bkey
+      bandkeys AS (SELECT doc_id, t.b band,
+        array_to_string(mh[t.b*4+1 : t.b*4+4], '|') bkey
         FROM sig, (SELECT unnest(range(4)) b) t),
       cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
         FROM bandkeys a JOIN bandkeys b

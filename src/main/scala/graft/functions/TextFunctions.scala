@@ -26,23 +26,44 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
-  /** MinHash signature of a shingle set: `k` independent hash functions
-    * h_i(s) = md5(i || ':' || s), each minimized over the set
-    * (lexicographic min over lowercase hex = min over the hash space).
-    * md5 keeps the signature reproducible in any engine (the DuckDB
-    * oracle recomputes it exactly). One narrow pass, k*|shingles| hashes.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles,
-        s => md5(concat(i.cast("string"), lit(":"), s)))))
+  /** Base 32-bit integer hash per shingle (md5-hex prefix → int): ONE
+    * cryptographic hash per shingle, engine-portable. Materialize this
+    * as a column before building signatures so the k minhash functions
+    * reuse it instead of re-hashing strings k times. */
+  def shingleBaseHashes(shingles: Column): Column =
+    transform(shingles, s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
 
-  /** LSH band keys over a minhash signature: `bands` keys, each an md5
-    * of `rowsPerBand` consecutive signature entries. Two docs sharing
-    * any band key become a candidate pair. */
+  private val MinhashPrime = 1000000007L
+
+  /** MinHash signature from base hashes: k universal-hash functions
+    * h_i(x) = ((2i+3)·x + 7919·i) mod p, each minimized over the set —
+    * the same (a·x + b) mod p family spark.ml's MinHashLSH uses, but
+    * with fixed deterministic coefficients so the DuckDB oracle can
+    * replay it exactly. Arithmetic stays < 2^38, safe in any engine's
+    * signed 64-bit.
+    *
+    * Folded as ONE aggregate carrying the k running minima, so the base
+    * array (and its md5s) is evaluated once per row no matter how the
+    * optimizer collapses projections. */
+  def minhashFromBase(baseHashes: Column, k: Int): Column =
+    aggregate(baseHashes,
+      array_repeat(lit(MinhashPrime), k), // p > every h_i value ⇒ +∞ seed
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (m, i) => least(m, pmod((i * 2 + 3) * h + i * lit(7919L), lit(MinhashPrime)))))
+
+  /** MinHash signature of a shingle set: one md5 per shingle, then the
+    * k-function universal-hash fold. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromBase(shingleBaseHashes(shingles), k)
+
+  /** LSH band keys over a minhash signature: `bands` keys, each the
+    * joined text of `rowsPerBand` consecutive signature entries. Two
+    * docs sharing any band key become a candidate pair. */
   def lshBandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      b => md5(concat_ws("|", slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)))))
+      b => concat_ws("|",
+        transform(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          x => x.cast("string"))))
 
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
