@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.expr.{ArrayDotProduct, SimHash64}
+
+/** Registers graft's native expressions as SQL functions.
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`; then
+  * `spark.sql("SELECT graft_array_dot(a, b)")` /
+  * `graft_simhash64(hashes)` plan the codegen'd expressions directly.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_array_dot(arrayA, arrayB)")
+        ArrayDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash64(arrayOfTokenHashes)")
+        SimHash64(args.head)
+      }))
+  }
+}

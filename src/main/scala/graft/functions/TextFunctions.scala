@@ -154,15 +154,13 @@ object TextFunctions {
 
   /** 64-bit SimHash of the token multiset: bit j of xxhash64(token)
     * votes ±1; result bit j is 1 iff the vote sum is positive. One
-    * narrow pass; 64 aggregates fused by codegen. */
+    * xxhash64 per token, then a single codegen'd voting pass
+    * ([[graft.functions.expr.SimHash64]]). */
   def simhash64(text: Column): Column = {
-    val toks = tokens(text)
-    val bits = (0 until 64).map { j =>
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << j)).otherwise(0L)
-    }
-    bits.reduce(_ + _)
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.SimHash64(
+        org.apache.spark.sql.GraftBridge.expression(hashes)))
   }
 
   /** Hamming distance between two 64-bit signatures. */

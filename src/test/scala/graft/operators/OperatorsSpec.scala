@@ -60,6 +60,21 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("GraftExtensions: native expressions callable from SQL") {
+    val dot = spark.sql(
+      "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(dot == 11.0)
+    val sig = spark.sql(
+      "SELECT graft_simhash64(transform(split('a b c', ' '), t -> xxhash64(t)))")
+      .head().getLong(0)
+    val viaColumn = Tables.documents(spark, sfDir).sparkSession
+      .createDataFrame(Seq(Tuple1("a b c"))).toDF("text")
+      .select(graft.functions.TextFunctions.simhash64(col("text")))
+      .head().getLong(0)
+    assert(sig == viaColumn)
+  }
+
   test("asof join: picks latest right row at or before left time, per key") {
     val right = Seq(
       (1L, ts("2024-01-01 10:00:00"), 100L, 10.0),
