@@ -66,7 +66,8 @@ object KeyedTable {
             autoIndex: Boolean = false,
             addNewColumns: Boolean = false,
             buckets: Int = DefaultBuckets,
-            validate: Boolean = true): Unit = {
+            validate: Boolean = true,
+            inferBool: Boolean = true): Unit = {
     val spark = df.sparkSession
     if (Names.cleanName(tableName) != tableName)
       throw new IllegalNameException(
@@ -91,7 +92,8 @@ object KeyedTable {
     if (!exists) {
       if (!autoIndex && pkClean.isEmpty)
         throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
-      create(cleaned, warehouse, tableName, pkClean, autoIndex, buckets, validate)
+      create(cleaned, warehouse, tableName, pkClean, autoIndex, buckets,
+        validate, inferBool)
     } else {
       how match {
         case WriteMode.CreateOnly =>
@@ -118,11 +120,17 @@ object KeyedTable {
 
   private def create(df0: DataFrame, warehouse: String, tableName: String,
                      pk: Seq[String], autoIndex: Boolean, buckets: Int,
-                     validate: Boolean): Unit = {
+                     validate: Boolean, inferBool: Boolean = false): Unit = {
     val spark = df0.sparkSession
-    val (df, pkCols) =
+    val (df1, pkCols) =
       if (autoIndex) (assignAutoIndex(df0, 0L), Seq(Names.AutoIndex))
       else (df0, pk)
+    // reference to_sql maps {0,1}-valued columns to Boolean on create
+    // (helpers.py:35 series_is_boolean); PK columns are never inferred
+    val df =
+      if (inferBool)
+        BoolInference.applyInference(df1, df1.columns.toSet -- pkCols)
+      else df1
     if (validate && !autoIndex) validatePk(df, pkCols)
 
     // PK columns first, non-null in the logical schema

@@ -1,0 +1,46 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{BooleanType, DoubleType, LongType}
+
+import graft.SparkSpec
+
+/** Reference helpers.py:35 series_is_boolean semantics. */
+class BoolInferenceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df = Seq(
+    (1L, 0L, 1.0, 0L, 1L, Option.empty[Double], "x"),
+    (2L, 1L, 0.0, 0L, 1L, Option.empty[Double], "y"),
+    (3L, 0L, 1.0, 0L, 1L, Option.empty[Double], "z"),
+  ).toDF("id", "int01", "dbl01", "all_zero", "all_one", "all_null", "s")
+
+  test("series_is_boolean: {0,1} numerics true; all-zero/all-one/all-null/other false or none") {
+    val v = BoolInference.columnsAreBoolean(df)
+    assert(v("int01").contains(true))
+    assert(v("dbl01").contains(true))
+    assert(v("all_zero").contains(false)) // reference caveat
+    assert(v("all_one").contains(false))  // reference caveat
+    assert(v("all_null").isEmpty)         // None for all-NULL
+    assert(v("s").contains(false))
+    assert(v("id").contains(false))       // 1,2,3 not boolean-shaped
+  }
+
+  test("create with inferBool maps {0,1} columns to Boolean, never the PK") {
+    val wh = Files.createTempDirectory("graft-bool").toString
+    KeyedTable.toSql(df, wh, "t", pk = Seq("id"))
+    val back = KeyedTable.readSql(spark, wh, "t")
+    assert(back.schema("int01").dataType == BooleanType)
+    assert(back.schema("dbl01").dataType == BooleanType)
+    assert(back.schema("all_zero").dataType == LongType)
+    assert(back.schema("all_null").dataType == DoubleType)
+    assert(back.schema("id").dataType == LongType)
+    assert(back.filter(back("int01") === true).count() == 1)
+
+    // opt-out keeps raw types
+    KeyedTable.toSql(df, wh, "t_raw", pk = Seq("id"), inferBool = false)
+    assert(KeyedTable.readSql(spark, wh, "t_raw").schema("int01").dataType == LongType)
+  }
+}
