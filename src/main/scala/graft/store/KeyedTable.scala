@@ -127,10 +127,18 @@ object KeyedTable {
       else (df0, pk)
     // reference to_sql maps {0,1}-valued columns to Boolean on create
     // (helpers.py:35 series_is_boolean); PK columns are never inferred
-    val df =
+    val df2 =
       if (inferBool)
         BoolInference.applyInference(df1, df1.columns.toSet -- pkCols)
       else df1
+    // reference requires datetimes to be UTC (sql.py:100,133-136); the
+    // Spark mirror: naive (NTZ) timestamps are pinned to UTC instants on
+    // write — the session TZ is UTC, so the wall-clock is unchanged
+    val df = df2.schema.fields.foldLeft(df2) { (d, f) =>
+      if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast(TimestampType))
+      else d
+    }
     if (validate && !autoIndex) validatePk(df, pkCols)
 
     // PK columns first, non-null in the logical schema
@@ -197,7 +205,10 @@ object KeyedTable {
     (integral(from) && fractional(to)) || (fractional(from) && integral(to)) ||
     (fractional(from) && fractional(to)) ||
     (from == BooleanType && (integral(to) || fractional(to))) ||
-    (integral(from) && to == BooleanType)
+    (integral(from) && to == BooleanType) ||
+    // naive timestamps pin to the table's UTC instants (create does the
+    // same normalization; session TZ is UTC so wall-clock is preserved)
+    (from == TimestampNTZType && to == TimestampType)
   }
 
   /** Raw bucket-partitioned read with the evolved logical schema (old

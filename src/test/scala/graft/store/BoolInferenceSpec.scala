@@ -43,4 +43,25 @@ class BoolInferenceSpec extends SparkSpec {
     KeyedTable.toSql(df, wh, "t_raw", pk = Seq("id"), inferBool = false)
     assert(KeyedTable.readSql(spark, wh, "t_raw").schema("int01").dataType == LongType)
   }
+
+  test("naive (NTZ) timestamps are pinned to UTC instants on create and append") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val wh = Files.createTempDirectory("graft-ntz").toString
+    val d = Seq((1L, "2024-01-01 10:30:00"), (2L, "2024-02-01 00:00:00"))
+      .toDF("id", "s")
+      .withColumn("t", expr("cast(s AS timestamp_ntz)")).drop("s")
+    assert(d.schema("t").dataType == TimestampNTZType)
+    KeyedTable.toSql(d, wh, "ntz", pk = Seq("id"))
+    val back = KeyedTable.readSql(spark, wh, "ntz")
+    assert(back.schema("t").dataType == TimestampType)
+    // UTC session ⇒ wall clock preserved
+    assert(back.filter(col("id") === 1L).select(col("t").cast("string"))
+      .head().getString(0) == "2024-01-01 10:30:00")
+    // append with naive input coerces toward the UTC table schema
+    val more = Seq((3L, "2024-03-01 12:00:00")).toDF("id", "s")
+      .withColumn("t", expr("cast(s AS timestamp_ntz)")).drop("s")
+    KeyedTable.toSql(more, wh, "ntz", pk = Seq("id"), how = WriteMode.Append)
+    assert(KeyedTable.readSql(spark, wh, "ntz").count() == 3)
+  }
 }
