@@ -52,6 +52,20 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders")
   }
 
+  /** #3b partial-column upsert: only columns present in the incoming
+    * frame are overwritten; absent columns keep stored values
+    * (reference tests/test_sql.py:533). */
+  def upsertPartial(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"))
+    val delta = orders.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice"))
+    KeyedTable.toSql(delta, wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Upsert)
+    KeyedTable.readSql(spark, wh, "orders")
+  }
+
   /** #4 inclusive PK range read (filters push to parquet stats). */
   def readRange(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
@@ -150,6 +164,7 @@ object PbQueries {
     "pb_create_read" -> createRead,
     "pb_append" -> append,
     "pb_upsert" -> upsert,
+    "pb_upsert_partial" -> upsertPartial,
     "pb_read_range" -> readRange,
     "pb_read_range_multi" -> readRangeMulti,
     "pb_upsert_multi" -> upsertMulti,
@@ -172,6 +187,13 @@ object PbQueries {
       UNION ALL
       SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
       FROM orders WHERE o_orderkey % 97 = 0
+    """.trim,
+    "pb_upsert_partial" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 3
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
     """.trim,
     "pb_read_range" ->
       "SELECT * FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500",

@@ -265,6 +265,12 @@ object KeyedTable {
       throw new StoreException(
         "Cannot upsert into a table with an automatically generated index (reference: sql.py:177)")
 
+    // Reference upsert overwrites ONLY the columns present in the
+    // incoming frame (including with NULLs/NaNs); columns absent from it
+    // keep their stored values (sql.py:299 "overwrites ALL VALUES that
+    // are present in source DataFrame"; tests/test_sql.py:533
+    // test_upsert_individual_values2 upserts a single column).
+    val incomingCols = df.columns.toSet
     val (aligned, evolved) = align(df, meta, addNewColumns)
     if (validate) validatePk(aligned, meta.pk)
 
@@ -276,10 +282,20 @@ object KeyedTable {
       // read with the evolved schema: old files yield NULL for new columns
       val oldTouched = readRaw(spark, warehouse, table, meta.copy(schema = evolved))
         .filter(col(BucketCol).isin(touched: _*))
-      // survivors: old rows whose PK is not being replaced
-      val survivors = oldTouched.join(newB.select(meta.pk.map(col): _*), meta.pk, "left_anti")
-      val outCols = (evolved.fieldNames :+ BucketCol).toIndexedSeq.map(col)
-      val out = survivors.select(outCols: _*).unionByName(newB.select(outCols: _*))
+      // One full-outer merge per touched bucket: survivors keep old rows,
+      // matches take incoming values for incoming columns (old otherwise),
+      // inserts take incoming values. Single shuffle, no union.
+      val marked = newB.withColumn("_graft_new", lit(true))
+      val nonPk = evolved.fieldNames.filterNot(meta.pk.contains)
+      val out = oldTouched.as("o")
+        .join(marked.as("n"), meta.pk.toIndexedSeq, "full_outer")
+        .select(meta.pk.map(col) ++ nonPk.map { c =>
+          val merged =
+            if (incomingCols.contains(c))
+              when(col("n._graft_new").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c"))
+            else col(s"o.$c")
+          merged.as(c)
+        } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol")).as(BucketCol): _*)
 
       // Commit: write to staging, then swap touched bucket dirs. Avoids
       // overwriting a path that is being read, and is per-bucket atomic.
