@@ -332,6 +332,24 @@ object KeyedTable {
       throw new StoreException(
         s"lowest/highest must have one entry per PK column (${meta.pk.size}); " +
         "use null to skip a dimension (reference: sql.py:415)")
+    // reference raises when a bound's type can't be compared to the PK
+    // column (sql.py:443); mirror that instead of silently coercing
+    def boundComparable(v: Any, dt: DataType): Boolean = (v, dt) match {
+      case (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double,
+            ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType) => true
+      case (_: String, StringType) => true
+      case (_: Boolean, BooleanType) => true
+      case (_: java.sql.Timestamp | _: java.time.Instant | _: java.time.LocalDateTime,
+            TimestampType | TimestampNTZType) => true
+      case (_: java.sql.Date | _: java.time.LocalDate, DateType) => true
+      case _ => false
+    }
+    for (bounds <- Seq(lowest, highest); (v, i) <- bounds.zipWithIndex
+         if v != null && !boundComparable(v, meta.schema(meta.pk(i)).dataType))
+      throw new StoreException(
+        s"Select range value $v (${v.getClass.getSimpleName}) is not comparable " +
+        s"to PK column ${meta.pk(i)}: ${meta.schema(meta.pk(i)).dataType.catalogString} " +
+        "(reference: sql.py:443)")
     val conds: Seq[Column] =
       lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
       highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }

@@ -39,4 +39,14 @@ class UpsertPartialSpec extends SparkSpec {
     val r1 = KeyedTable.readSql(spark, wh, "t").filter(col("id") === 1L).head()
     assert(r1.isNullAt(2) && r1.getString(1) == "a" && r1.getLong(3) == 100L)
   }
+
+  test("range read with incomparable bound type fails (reference sql.py:443)") {
+    val wh = Files.createTempDirectory("graft-range-type").toString
+    KeyedTable.toSql(Seq((1L, "a")).toDF("id", "s"), wh, "t", pk = Seq("id"))
+    intercept[StoreException] {
+      KeyedTable.readSql(spark, wh, "t", lowest = Seq("not-a-number"), highest = Seq(null))
+    }
+    // comparable numeric bound works and can be empty without error
+    assert(KeyedTable.readSql(spark, wh, "t", lowest = Seq(100L), highest = Seq(200L)).isEmpty)
+  }
 }
