@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expr.{ArrayDotProduct, SimHash64}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.expr.{ArrayDotProduct, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -23,6 +26,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_array_dot(arrayA, arrayB)")
         ArrayDotProduct(args.head, args(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_word_shingles"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_word_shingles(text, n)")
+        val n = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_word_shingles: n must be an integer literal, got $other")
+        }
+        WordShingles(args.head, n)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),

@@ -15,16 +15,13 @@ object TextFunctions {
     * pre-normalized single-spaced lowercase). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles. Documents shorter than `n` tokens
-    * collapse to one whole-text shingle. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) >= n,
-      array_distinct(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Distinct n-word shingles (native expression — see
+    * [[graft.functions.expr.WordShingles]]). Documents shorter than `n`
+    * tokens collapse to one whole-text shingle. */
+  def wordShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(text), n))
 
   /** Base 32-bit integer hash per shingle (md5-hex prefix → int): ONE
     * cryptographic hash per shingle, engine-portable. Materialize this

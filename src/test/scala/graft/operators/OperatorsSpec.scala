@@ -60,6 +60,21 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("WordShingles native expression matches the composed HOF form exactly") {
+    val composed = {
+      val toks = split(col("text"), " ")
+      when(size(toks) >= 5,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - lit(4)),
+          i => concat_ws(" ", slice(toks, i, lit(5))))))
+        .otherwise(array(concat_ws(" ", toks)))
+    }
+    val rows = Tables.documents(spark, sfDir).limit(200).select(
+      graft.functions.TextFunctions.wordShingles(col("text"), 5).as("native"),
+      composed.as("composed")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     val dot = spark.sql(
       "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
