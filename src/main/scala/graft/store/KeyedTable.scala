@@ -49,6 +49,13 @@ object KeyedTable {
     df.withColumn(BucketCol,
       pmod(xxhash64(pk.map(col): _*), lit(buckets.toLong)).cast(IntegerType))
 
+  /** Cluster rows by bucket before a partitionBy write: one writer task
+    * (→ one file) per bucket instead of up-to `inputPartitions × buckets`
+    * small files — the small-files problem is the first thing that kills
+    * a 100 TB table. The shuffle this adds is the write's only wide op. */
+  private def clusterByBucket(df: DataFrame, buckets: Int): DataFrame =
+    df.repartition(buckets, col(BucketCol))
+
   /** Write `df` into `<warehouse>/<tableName>` keyed by `pk`.
     *
     * Mirrors reference `to_sql` (/root/reference/pandabase/sql.py:40):
@@ -148,7 +155,7 @@ object KeyedTable {
       if (pkCols.contains(f.name)) f.copy(nullable = false) else f))
 
     val dir = tableDir(warehouse, tableName)
-    withBucket(ordered, pkCols, buckets)
+    clusterByBucket(withBucket(ordered, pkCols, buckets), buckets)
       .write.partitionBy(BucketCol).mode(SaveMode.ErrorIfExists)
       .parquet(dataDir(warehouse, tableName))
     TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema))
@@ -249,7 +256,8 @@ object KeyedTable {
             s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
             "(reference: sql.py:264 append raises on repeated index)")
       }
-      newB.write.partitionBy(BucketCol).mode(SaveMode.Append)
+      clusterByBucket(newB, meta.buckets)
+        .write.partitionBy(BucketCol).mode(SaveMode.Append)
         .parquet(dataDir(warehouse, table))
       if (evolved != meta.schema)
         TableMeta.write(spark, dir, meta.copy(schema = evolved))
@@ -300,7 +308,8 @@ object KeyedTable {
       // Commit: write to staging, then swap touched bucket dirs. Avoids
       // overwriting a path that is being read, and is per-bucket atomic.
       val staging = s"$dir/.staging-${UUID.randomUUID()}"
-      out.write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
+      clusterByBucket(out, meta.buckets)
+        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
       val f = fs(spark, dir)
       try {
         touched.foreach { b =>
