@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, MinHashSignature, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -38,6 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_word_shingles: n must be an integer literal, got $other")
         }
         WordShingles(args.head, n)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_minhash(shingles, k)")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash: k must be an integer literal, got $other")
+        }
+        MinHashSignature(args.head, k)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),

@@ -49,9 +49,13 @@ object TextFunctions {
         (m, i) => least(m, pmod((i * 2 + 3) * h + i * lit(7919L), lit(MinhashPrime)))))
 
   /** MinHash signature of a shingle set: one md5 per shingle, then the
-    * k-function universal-hash fold. */
+    * k-function universal-hash fold — as a single native pass
+    * ([[graft.functions.expr.MinHashSignature]]; bit-identical to
+    * `minhashFromBase(shingleBaseHashes(shingles), k)`). */
   def minhashSignature(shingles: Column, k: Int): Column =
-    minhashFromBase(shingleBaseHashes(shingles), k)
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.MinHashSignature(
+        org.apache.spark.sql.GraftBridge.expression(shingles), k))
 
   /** LSH band keys over a minhash signature: `bands` keys, each the
     * joined text of `rowsPerBand` consecutive signature entries. Two

@@ -65,16 +65,23 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
-    val withBands = sh.select(col("id"), col("shingles"),
+    // band keys travel WITHOUT the shingle arrays: the candidate join
+    // shuffles only (id, band, key) — at 100 TB the shingle sets are the
+    // bulk of the row, and re-deriving them from the (narrow, codegen'd)
+    // scan for the verify join is far cheaper than pushing bands×|set|
+    // copies through the exchange.
+    val banded = sh.select(col("id"),
       posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
         .as(Seq("band", "key")))
-    val cand = withBands.as("a").join(withBands.as("b"),
+    val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.shingles").as("sh_a"), col("b.shingles").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

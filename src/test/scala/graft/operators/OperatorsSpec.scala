@@ -75,6 +75,20 @@ class OperatorsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("MinHashSignature native expression matches the composed HOF fold exactly") {
+    import graft.functions.TextFunctions
+    val sh = TextFunctions.wordShingles(col("text"), 5)
+    val rows = Tables.documents(spark, sfDir).limit(200).select(
+      TextFunctions.minhashSignature(sh, 16).as("native"),
+      TextFunctions.minhashFromBase(TextFunctions.shingleBaseHashes(sh), 16)
+        .as("composed")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+    // empty set → seed array, matching the fold's identity
+    val empty = spark.sql(
+      "SELECT graft_minhash(cast(array() AS array<string>), 4)").head().getSeq[Long](0)
+    assert(empty == Seq.fill(4)(1000000007L))
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     val dot = spark.sql(
       "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
