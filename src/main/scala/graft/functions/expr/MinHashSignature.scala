@@ -21,6 +21,7 @@ import org.apache.spark.sql.types._
   * pass (the dedup_minhash_lsh hot loop).
   *
   * Empty input yields the seed array `[p, p, …]`, matching the fold.
+  * Null elements are skipped (least() ignores nulls in the fold).
   */
 case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
@@ -64,18 +65,22 @@ object MinHashSignature {
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(shingles.getUTF8String(i).getBytes)
-      // first 4 digest bytes as an unsigned 32-bit value == the
-      // composed form's conv(substring(md5(s), 1, 8), 16, 10)
-      val x = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
-        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
-      var j = 0
-      while (j < k) {
-        // (2j+3)·x + 7919·j < 2^38 for practical k — no overflow, no pmod
-        val h = ((2L * j + 3L) * x + 7919L * j) % Prime
-        if (h < minima(j)) minima(j) = h
-        j += 1
+      // null shingles are skipped, matching the composed form where
+      // least() ignores null hash values
+      if (!shingles.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(shingles.getUTF8String(i).getBytes)
+        // first 4 digest bytes as an unsigned 32-bit value == the
+        // composed form's conv(substring(md5(s), 1, 8), 16, 10)
+        val x = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        var j = 0
+        while (j < k) {
+          // (2j+3)·x + 7919·j < 2^38 for practical k — no overflow, no pmod
+          val h = ((2L * j + 3L) * x + 7919L * j) % Prime
+          if (h < minima(j)) minima(j) = h
+          j += 1
+        }
       }
       i += 1
     }

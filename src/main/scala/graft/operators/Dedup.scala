@@ -84,6 +84,10 @@ object Dedup {
       .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // final uniqueness guard: if `docs` carried duplicate ids the two
+      // verify joins above fan out; this dedup runs on the (tiny)
+      // verified-pair set, so the extra exchange is negligible
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** #23 SimHash near-dup pairs: 64-bit simhash per doc (narrow), band

@@ -87,6 +87,16 @@ class OperatorsSpec extends SparkSpec {
     val empty = spark.sql(
       "SELECT graft_minhash(cast(array() AS array<string>), 4)").head().getSeq[Long](0)
     assert(empty == Seq.fill(4)(1000000007L))
+    // null elements are skipped (least() ignores nulls in the fold):
+    // array('a', null) must hash like array('a'), not NPE
+    val withNull = spark.sql(
+      "SELECT graft_minhash(array('a', cast(null AS string)), 4)," +
+        "       graft_minhash(array('a'), 4)").head()
+    assert(withNull.getSeq[Long](0) == withNull.getSeq[Long](1))
+    // all-null input → seed array, like the empty set
+    val allNull = spark.sql(
+      "SELECT graft_minhash(array(cast(null AS string)), 4)").head().getSeq[Long](0)
+    assert(allNull == Seq.fill(4)(1000000007L))
   }
 
   test("GraftExtensions: native expressions callable from SQL") {
