@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, LangMarkerCounts, MinHashSignature, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -50,6 +50,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_minhash: k must be an integer literal, got $other")
         }
         MinHashSignature(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_lang_stats"),
+      new ExpressionInfo(classOf[LangMarkerCounts].getName, "graft_lang_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_lang_stats(text)")
+        LangMarkerCounts(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_simhash64"),

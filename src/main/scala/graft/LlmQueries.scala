@@ -17,9 +17,14 @@ object LlmQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embs(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
-  /** #29 */
+  /** #29 — marker stats materialized as their own projection so the
+    * argmax when-chain reads array elements; the text is scanned once
+    * per row (CollapseProject won't inline a non-cheap expression
+    * referenced by every branch of the chain). */
   def textLangid(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(col("doc_id"), langId(col("text")).as("lang_pred"))
+    docs(s, d)
+      .select(col("doc_id"), langMarkerStats(col("text")).as("_stats"))
+      .select(col("doc_id"), langIdFromStats(col("_stats")).as("lang_pred"))
 
   /** #30 */
   def textQuality(s: SparkSession, d: String): DataFrame =

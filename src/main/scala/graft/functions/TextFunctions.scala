@@ -88,13 +88,19 @@ object TextFunctions {
   def markerScore(text: Column, markers: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(markers)))
 
-  /** Heuristic language ID: CJK characters → zh; otherwise argmax of
-    * marker-token occurrence counts in the fixed order en/es/fr/de
-    * (deterministic tie-break); all-zero → 'und'. */
-  def langId(text: Column): Column = {
-    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
-    val scores = LangMarkers.map { case (l, m) => l -> markerScore(text, m) }
-    // argmax with first-wins tie-break
+  /** Per-language marker counts + CJK flag in ONE text pass
+    * ([[graft.functions.expr.LangMarkerCounts]]): `[s_en, s_es, s_fr,
+    * s_de, cjk]`. Materialize as its own column before branching on the
+    * scores so the argmax when-chain reads array elements instead of
+    * re-scanning the text. */
+  def langMarkerStats(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.LangMarkerCounts(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** argmax(scores) with first-wins tie-break; all-zero → 'und',
+    * cjk → 'zh'. Shared by the native and composed langId forms. */
+  private def langIdDecide(cjk: Column, scores: Seq[(String, Column)]): Column = {
     def argmax(rem: Seq[(String, Column)]): Column = rem match {
       case (l, s) +: tail if tail.nonEmpty =>
         when(tail.map { case (_, s2) => s >= s2 }.reduce(_ && _), lit(l)).otherwise(argmax(tail))
@@ -102,6 +108,24 @@ object TextFunctions {
     }
     val total = scores.map(_._2).reduce(_ + _)
     when(cjk, lit("zh")).when(total === 0, lit("und")).otherwise(argmax(scores))
+  }
+
+  /** Language ID from a [[langMarkerStats]] array — cheap element_at
+    * reads, no text re-scan. */
+  def langIdFromStats(stats: Column): Column =
+    langIdDecide(element_at(stats, LangMarkers.size + 1) === 1L,
+      LangMarkers.zipWithIndex.map { case ((l, _), i) => l -> element_at(stats, i + 1) })
+
+  /** Heuristic language ID: CJK characters → zh; otherwise argmax of
+    * marker-token occurrence counts in the fixed order en/es/fr/de
+    * (deterministic tie-break); all-zero → 'und'. Single native pass. */
+  def langId(text: Column): Column = langIdFromStats(langMarkerStats(text))
+
+  /** Composed-HOF reference form of [[langId]] — kept for the
+    * equivalence spec (the oracle SQL mirrors this formulation). */
+  def langIdComposed(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    langIdDecide(cjk, LangMarkers.map { case (l, m) => l -> markerScore(text, m) })
   }
 
   // --- quality scoring (#30) ---------------------------------------------

@@ -99,6 +99,22 @@ class OperatorsSpec extends SparkSpec {
     assert(allNull == Seq.fill(4)(1000000007L))
   }
 
+  test("LangMarkerCounts native langId matches the composed HOF form exactly") {
+    import graft.functions.TextFunctions
+    val rows = Tables.documents(spark, sfDir).select(
+      TextFunctions.langId(col("text")).as("native"),
+      TextFunctions.langIdComposed(col("text")).as("composed")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // edge cases: CJK wins, empty → und, multi-lang markers tally per language
+    val edge = Seq("金 学 据", "", "xyz qqq", "the la the le und la de de")
+      .toDF("text").select(
+        TextFunctions.langId(col("text")).as("native"),
+        TextFunctions.langIdComposed(col("text")).as("composed")).collect()
+    edge.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // "la"×2 + "de"×2 give es 4 vs en 2 / fr 3 / de 1
+    assert(edge.map(_.getString(0)).toSeq == Seq("zh", "und", "und", "es"))
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     val dot = spark.sql(
       "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
