@@ -11,6 +11,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: run every query once at the smallest available SF so the
+    // timed pass measures steady-state throughput (JIT, codegen cache,
+    // parquet reader machinery) instead of first-query JVM warmup.
+    val warmDir = {
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val small = if (parent != null) parent.resolve("sf0.001") else null
+      if (small != null && java.nio.file.Files.isDirectory(small)) small.toString else sfDir
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full row materialization (no count() column pruning)

@@ -41,8 +41,18 @@ object VectorFunctions {
 
   /** Seeded variant: `seed` selects an independent set of hyperplanes,
     * so L seeds give the L independent hash tables classic LSH needs
-    * for recall (a neighbor missed by one table is caught by another). */
-  def hyperplaneLshSignature(v: Column, planes: Int, seed: Int): Column = {
+    * for recall (a neighbor missed by one table is caught by another).
+    * Native single pass ([[graft.functions.expr.HyperplaneLsh]]): the
+    * xxhash64-derived weight matrix is cached per executor, so per row
+    * this is `planes` dot products, no hashing. */
+  def hyperplaneLshSignature(v: Column, planes: Int, seed: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.HyperplaneLsh(
+        org.apache.spark.sql.GraftBridge.expression(v), planes, seed))
+
+  /** Composed-HOF reference form of [[hyperplaneLshSignature]] — kept
+    * for the equivalence spec. */
+  def hyperplaneLshSignatureComposed(v: Column, planes: Int, seed: Int): Column = {
     val proj = (0 until planes).map { p =>
       // fold over dimensions: acc + v[i] * w(seed, p, i)
       val weighted = zip_with(d(v), sequence(lit(0), size(v) - 1),

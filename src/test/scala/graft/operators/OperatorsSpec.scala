@@ -99,6 +99,17 @@ class OperatorsSpec extends SparkSpec {
     assert(allNull == Seq.fill(4)(1000000007L))
   }
 
+  test("HyperplaneLsh native expression matches the composed HOF form exactly") {
+    import graft.functions.VectorFunctions
+    for (seed <- Seq(0, 3)) {
+      val rows = Tables.embeddings(spark, sfDir).limit(200).select(
+        VectorFunctions.hyperplaneLshSignature(col("embedding"), 6, seed).as("native"),
+        VectorFunctions.hyperplaneLshSignatureComposed(col("embedding"), 6, seed).as("composed"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    }
+  }
+
   test("LangMarkerCounts native langId matches the composed HOF form exactly") {
     import graft.functions.TextFunctions
     val rows = Tables.documents(spark, sfDir).select(
