@@ -7,10 +7,10 @@ import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Knn}
 
 /** LLM-data-pipeline correctness queries (SURVEY.md §2 #21-32): text
-  * analysis, dedup family, ANN. Oracles replicate the same deterministic
-  * algorithms in DuckDB SQL (md5-based hashing keeps them engine-
-  * portable); `dedup_simhash`/`ann_lsh` use xxhash64 and are rows-only
-  * (spec-covered instead).
+  * analysis, dedup family, ANN. Every query has a DuckDB oracle that
+  * replays the same deterministic algorithm in SQL — md5-based hashing
+  * (simhash token hashes, hyperplane LSH weights, minhash base hashes)
+  * keeps them engine-portable.
   */
 object LlmQueries {
 
@@ -65,7 +65,7 @@ object LlmQueries {
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
       n = 5, numHashes = 16, bands = 4, threshold = 0.5)
 
-  /** #23 [rows] */
+  /** #23 */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(docs(s, d), "doc_id", "text", bands = 4, maxHamming = 3)
 
@@ -80,7 +80,7 @@ object LlmQueries {
     Knn.bruteForce(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
-  /** #27 [rows] */
+  /** #27 */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
     Knn.lsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
@@ -205,6 +205,47 @@ object LlmQueries {
       q AS (SELECT * FROM e WHERE vec_id < 20),
       scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, round(${cos("q.v", "c.v")}, 4) cos
                  FROM q JOIN e c ON c.vec_id != q.vec_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                 FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+    // portable simhash: token hash = first 8 md5 bytes (Md5Prefix64);
+    // voting, 16-bit bands and hamming verify replayed bit-for-bit
+    "dedup_simhash" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      h AS (SELECT doc_id, list_transform(toks, s -> ('0x' || substr(md5(s), 1, 16))::UBIGINT) hs FROM t),
+      sig AS (SELECT doc_id,
+        list_sum(list_transform(range(64), j ->
+          CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN (1::UBIGINT << j) ELSE 0::UBIGINT END))::UBIGINT s
+        FROM h),
+      banded AS (SELECT doc_id, s, t.b band, (s >> (t.b * 16)) & 65535 bkey
+                 FROM sig, (SELECT unnest(range(4)) b) t),
+      pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b,
+                       bit_count(xor(a.s, b.s)) hamming
+                FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+      SELECT id_a, id_b, CAST(hamming AS INT) hamming FROM pairs WHERE hamming <= 3""".trim,
+    // hyperplane weights are md5-derived (HyperplaneLsh.weights), so the
+    // 4 hash tables, hamming-1 multi-probe and top-k replay exactly
+    "ann_lsh" -> s"""
+      WITH $cosCte,
+      w AS (SELECT t.t, p.p,
+              list_transform(range(64), i ->
+                ((('0x' || substr(md5((t.t*100003+p.p)::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2000001)
+                 / 1000000.0 - 1.0)) wv
+            FROM (SELECT unnest(range(4)) t) t, (SELECT unnest(range(6)) p) p),
+      sigs AS (SELECT e.vec_id, t,
+                 sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT sig
+               FROM e CROSS JOIN w GROUP BY e.vec_id, t),
+      nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) n, v FROM e),
+      probes AS (SELECT DISTINCT s.vec_id query_id, s.t, xor(s.sig, m.m) qsig
+                 FROM sigs s, (VALUES (0),(1),(2),(4),(8),(16),(32)) m(m)
+                 WHERE s.vec_id < 20),
+      cand AS (SELECT DISTINCT p.query_id, c.vec_id neighbor_id
+               FROM probes p JOIN sigs c ON c.t = p.t AND c.sig = p.qsig AND c.vec_id != p.query_id),
+      scored AS (SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                 FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
       SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,

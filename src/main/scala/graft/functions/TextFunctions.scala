@@ -188,6 +188,22 @@ object TextFunctions {
         org.apache.spark.sql.GraftBridge.expression(hashes)))
   }
 
+  /** Engine-portable 64-bit SimHash: token hash = first 8 md5 digest
+    * bytes ([[graft.functions.expr.Md5Prefix64]]), so a SQL oracle can
+    * replay signatures exactly via
+    * `('0x'||substr(md5(t),1,16))::UBIGINT`. Slightly more per-token
+    * work than [[simhash64]] (cryptographic hash) — use the xxhash64
+    * variant when portability doesn't matter. */
+  def simhash64Portable(text: Column): Column = {
+    val hashes = transform(tokens(text), t =>
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.Md5Prefix64(
+          org.apache.spark.sql.GraftBridge.expression(t))))
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.SimHash64(
+        org.apache.spark.sql.GraftBridge.expression(hashes)))
+  }
+
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

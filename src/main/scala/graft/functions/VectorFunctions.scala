@@ -51,13 +51,15 @@ object VectorFunctions {
         org.apache.spark.sql.GraftBridge.expression(v), planes, seed))
 
   /** Composed-HOF reference form of [[hyperplaneLshSignature]] — kept
-    * for the equivalence spec. */
+    * for the equivalence spec (and mirrored by the DuckDB oracle). */
   def hyperplaneLshSignatureComposed(v: Column, planes: Int, seed: Int): Column = {
     val proj = (0 until planes).map { p =>
+      val sp = seed.toLong * 100003L + p
       // fold over dimensions: acc + v[i] * w(seed, p, i)
       val weighted = zip_with(d(v), sequence(lit(0), size(v) - 1),
-        (x, i) => x * (pmod(xxhash64(lit(seed.toLong * 100003L + p), i), lit(2000001L))
-          .cast("double") / 1000000.0 - 1.0))
+        (x, i) => x * (
+          (conv(substring(md5(concat(lit(s"$sp:"), i.cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 2000001L).cast("double") / 1000000.0 - 1.0))
       aggregate(weighted, lit(0.0), (acc, x) => acc + x)
     }
     proj.zipWithIndex.map { case (s, p) => when(s > 0, lit(1L << p)).otherwise(0L) }

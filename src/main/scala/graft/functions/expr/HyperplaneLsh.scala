@@ -3,23 +3,26 @@ package graft.functions.expr
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Random-hyperplane LSH signature: `planes` sign bits packed into a
   * long, bit p = 1 iff Σᵢ v[i]·w(seed,p,i) > 0 with the deterministic
-  * pseudo-random weight w = pmod(xxhash64(seed·100003+p, i), 2000001)/1e6 − 1.
+  * pseudo-random weight
+  * `w = (md5_32("{seed·100003+p}:{i}") mod 2000001)/1e6 − 1` where
+  * md5_32 is the first 8 md5 hex chars as an unsigned 32-bit value —
+  * engine-portable, so a SQL oracle can replay the exact planes
+  * (`('0x'||substr(md5(sp||':'||i),1,8))::BIGINT`).
   *
   * Bit-identical to the composed HOF form in
-  * `VectorFunctions.hyperplaneLshSignature` (same xxhash64 chain — seed
-  * 42, long literal then int index — same double arithmetic in the same
-  * order, any-null element ⇒ 0L), but the weight matrix depends only on
-  * (seed, planes, dims): it is derived ONCE per executor and cached, so
-  * the per-row work drops from planes×dims interpreted xxhash64 folds to
-  * `planes` fused dot products — the ann_lsh / embedding-near-dup
-  * candidate-generation hot loop.
+  * `VectorFunctions.hyperplaneLshSignatureComposed` (same md5 chain,
+  * same double arithmetic in the same order, any-null element ⇒ 0L),
+  * but the weight matrix depends only on (seed, planes, dims): it is
+  * derived ONCE per executor and cached, so the per-row work drops from
+  * planes×dims interpreted md5 folds to `planes` fused dot products —
+  * the ann_lsh / embedding-near-dup candidate-generation hot loop.
   */
 case class HyperplaneLsh(child: Expression, planes: Int, seed: Int)
     extends UnaryExpression {
@@ -59,17 +62,18 @@ object HyperplaneLsh {
   private val cache = new ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
 
   /** Same value chain as the composed form's
-    * `pmod(xxhash64(lit(seed*100003L+p), i), 2000001) / 1e6 - 1.0`:
-    * Spark's xxhash64 starts at seed 42, hashes the long literal, then
-    * the int index. */
+    * `conv(substring(md5("{sp}:{i}"), 1, 8), 16, 10) % 2000001 / 1e6 - 1`
+    * with sp = seed·100003 + p: first 4 md5 digest bytes as an unsigned
+    * 32-bit value, mod, scale to [-1, 1). */
   private def weights(seed: Int, planes: Int, dims: Int): Array[Array[Double]] =
     cache.computeIfAbsent((seed, planes, dims), _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
       Array.tabulate(planes, dims) { (p, i) =>
-        val h1 = XXH64.hashLong(seed.toLong * 100003L + p, 42L)
-        val h = XXH64.hashInt(i, h1)
-        val m = h % 2000001L
-        val pm = if (m < 0) m + 2000001L else m
-        pm.toDouble / 1000000.0 - 1.0
+        md.reset()
+        val d = md.digest(s"${seed.toLong * 100003L + p}:$i".getBytes("UTF-8"))
+        val x = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        (x % 2000001L).toDouble / 1000000.0 - 1.0
       }
     })
 

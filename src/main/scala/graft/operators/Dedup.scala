@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -93,10 +93,14 @@ object Dedup {
   /** #23 SimHash near-dup pairs: 64-bit simhash per doc (narrow), band
     * the bits into `bands` slices, candidates share an exact slice
     * (pigeonhole: hamming < bands ⇒ ≥1 equal slice), verify
-    * hamming ≤ maxHamming. Returns (id_a, id_b, hamming). */
+    * hamming ≤ maxHamming. Returns (id_a, id_b, hamming).
+    * Uses the md5-based portable signature so the DuckDB oracle can
+    * replay it; pass `portable = false` for the xxhash64 fast path. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 4, maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+                   bands: Int = 4, maxHamming: Int = 3,
+                   portable: Boolean = true): DataFrame = {
+    val sigFn: Column => Column = if (portable) simhash64Portable else simhash64
+    val sigs = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(simhashBands(col("sig"), bands)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
