@@ -17,7 +17,9 @@ class OperatorsSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
       (3L, "completely different content about distributed query engines at scale"),
     ).toDF("doc_id", "text")
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bands = 4, maxHamming = 3)
+    // md5-portable signatures put this near-dup pair at hamming 4; with
+    // 8 bands the pigeonhole guarantee covers hamming ≤ 7
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", bands = 8, maxHamming = 5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
