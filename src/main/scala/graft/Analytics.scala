@@ -18,6 +18,20 @@ object Analytics {
 
   private val cutoff = "1998-03-15"
 
+  /** Order-exact revenue sum: TPC-H money/discount/tax columns carry at
+    * most 6 true decimal digits, so casting each product to
+    * DECIMAL(18,6) recovers its exact decimal value (double error
+    * ~1e-10 ≪ 5e-7) and the sum becomes exact integer arithmetic —
+    * independent of Spark's nondeterministic partial-aggregate merge
+    * order, and therefore stable against the oracle's sequential sum.
+    * A plain double sum can land on a round-half boundary and flip the
+    * rounded output between runs (observed on q10 at sf0.01). */
+  private[graft] def moneySum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+
+  private[graft] def moneyAvg(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    avg(c.cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+
   /** #15 TPC-H Q3-style shipping priority: segment-filtered customer ⋈
     * orders ⋈ lineitem, revenue per order, top 10. */
   def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
@@ -33,7 +47,7 @@ object Analytics {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("double")
         .as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -62,9 +76,48 @@ object Analytics {
                   col("c_nationkey") === col("s_nationkey"))
       .join(dims, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("double")
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** #15b TPC-H Q6-style forecast revenue change: tight filter + global
+    * agg. The whole query is one scan — predicate pushdown reaches the
+    * parquet row groups (shipdate/discount/quantity min-max pruning) and
+    * the aggregation is a two-stage partial/final with no groupBy
+    * shuffle at all. */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(moneySum(col("l_extendedprice") * col("l_discount")), 2).cast("double").as("revenue"))
+
+  /** #15c TPC-H Q10-style returned-item reporting: lineitem ⋈ orders ⋈
+    * customer with broadcast nation dim, revenue per customer, top 20.
+    * Top-k goes through TakeOrderedAndProject (per-partition heap +
+    * driver merge), never a full sort. */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val cust = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("double")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+      .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
   }
 
   /** #17 window functions: per-customer order sequence + running spend. */
@@ -109,6 +162,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q10_returned_items" -> (q10ReturnedItems _),
     "w_running_sum" -> (wRunningSum _),
     "events_windowed" -> (eventsWindowed _),
     "asof_join" -> (asofJoinQ _),
@@ -118,7 +173,7 @@ object Analytics {
   val oracles: Map[String, String] = Map(
     "q3_shipping_priority" -> s"""
       SELECT l_orderkey,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
              o_orderdate, o_orderpriority
       FROM customer
       JOIN orders ON c_custkey = o_custkey
@@ -131,7 +186,7 @@ object Analytics {
       LIMIT 10""".trim,
     "q5_local_supplier" -> """
       SELECT n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -141,6 +196,27 @@ object Analytics {
         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
       GROUP BY n_name
       ORDER BY revenue DESC, n_name""".trim,
+    "q6_forecast_revenue" -> """
+      SELECT round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""".trim,
+    "q10_returned_items" -> """
+      SELECT c_custkey, c_name,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+             c_acctbal, n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""".trim,
     "w_running_sum" -> """
       SELECT o_orderkey, o_custkey,
              row_number() OVER w AS order_seq,

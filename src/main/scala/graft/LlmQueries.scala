@@ -52,6 +52,36 @@ object LlmQueries {
       docFingerprint(col("text")).as("fingerprint"),
       size(wordShingles(col("text"), 5)).as("n_shingles"))
 
+  /** #30b Gopher-style repetition signals, derived from the integer
+    * counts of one RepetitionStats pass (own projection → single text
+    * scan per row, like langid). */
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), repetitionStats(col("text")).as("_r"))
+      .select(col("doc_id"),
+        element_at(col("_r"), 1).as("n_tokens"),
+        round(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
+          .as("dup_token_frac"),
+        round(element_at(col("_r"), 3).cast("double") / element_at(col("_r"), 1), 4)
+          .as("top_token_frac"),
+        round(when(element_at(col("_r"), 4) === 0, lit(0.0))
+          .otherwise(element_at(col("_r"), 6).cast("double") / element_at(col("_r"), 4)), 4)
+          .as("top_bigram_frac"))
+
+  /** #30c PII masking. The corpus has no natural PII, so deterministic
+    * synthetic contact strings are appended per doc (in the oracle too)
+    * and then detected + masked — exercising the regexes on real text. */
+  def textPii(s: SparkSession, d: String): DataFrame = {
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-0"), (col("doc_id") % 100).cast("string"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    docs(s, d).select(col("doc_id"),
+      regexp_count(aug, lit(EmailRe)).as("n_emails"),
+      regexp_count(aug, lit(PhoneRe)).as("n_phones"),
+      regexp_count(aug, lit(Ipv4Re)).as("n_ips"),
+      maskPii(aug).as("masked"))
+  }
+
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
@@ -74,6 +104,16 @@ object LlmQueries {
     Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
       threshold = 0.35, exact = true)
 
+  /** #25c near-dup clusters: MinHash-LSH pairs → connected components →
+    * canonical member per cluster. */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4, threshold = 0.5)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"))
+  }
+
   /** #26 */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -86,9 +126,18 @@ object LlmQueries {
     Knn.lsh(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
   }
 
+  /** #27b */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Knn.ivf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, cells = 16, nprobe = 4)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprintQ,
     "dedup_exact" -> dedupExact,
@@ -96,8 +145,10 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_cluster" -> dedupCluster,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
+    "ann_ivf" -> annIvf,
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -111,6 +162,26 @@ object LlmQueries {
 
   private val cosCte = """
     e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
+
+  /** MinHash-LSH verified-pair CTE chain (shared by dedup_minhash_lsh
+    * and dedup_cluster): same hash family as
+    * TextFunctions.minhashFromBase — base 32-bit hash from the md5-hex
+    * prefix, then h_i(x) = ((2i+3)x + 7919i) % p. */
+  private lazy val minhashCtes = s"""$shingleCte,
+      sig AS (SELECT doc_id, sset,
+        list_transform(range(16), i -> list_min(list_transform(sset,
+          s -> ((2*i+3) * ('0x' || substr(md5(s), 1, 8))::BIGINT + 7919*i) % 1000000007))) mh
+        FROM sh),
+      bandkeys AS (SELECT doc_id, t.b band,
+        array_to_string(mh[t.b*4+1 : t.b*4+4], '|') bkey
+        FROM sig, (SELECT unnest(range(4)) b) t),
+      cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+        FROM bandkeys a JOIN bandkeys b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+      j AS (SELECT id_a, id_b,
+        round(len(list_intersect(sa.sset, sb.sset)) /
+              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)"""
 
   private def cos(a: String, b: String) =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
@@ -176,25 +247,8 @@ object LlmQueries {
       j AS (SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 4) jaccard
             FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
-    "dedup_minhash_lsh" -> s"""
-      WITH $shingleCte,
-      -- same hash family as TextFunctions.minhashFromBase: base 32-bit
-      -- hash from the md5-hex prefix, then h_i(x) = ((2i+3)x + 7919i) % p
-      sig AS (SELECT doc_id, sset,
-        list_transform(range(16), i -> list_min(list_transform(sset,
-          s -> ((2*i+3) * ('0x' || substr(md5(s), 1, 8))::BIGINT + 7919*i) % 1000000007))) mh
-        FROM sh),
-      bandkeys AS (SELECT doc_id, t.b band,
-        array_to_string(mh[t.b*4+1 : t.b*4+4], '|') bkey
-        FROM sig, (SELECT unnest(range(4)) b) t),
-      cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
-        FROM bandkeys a JOIN bandkeys b
-        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-      j AS (SELECT id_a, id_b,
-        round(len(list_intersect(sa.sset, sb.sset)) /
-              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
-        FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
-      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
+    "dedup_minhash_lsh" ->
+      s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
     "dedup_embedding" -> s"""
       WITH $cosCte,
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos
@@ -205,6 +259,79 @@ object LlmQueries {
       q AS (SELECT * FROM e WHERE vec_id < 20),
       scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, round(${cos("q.v", "c.v")}, 4) cos
                  FROM q JOIN e c ON c.vec_id != q.vec_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                 FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+    "text_repetition" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
+      c AS (SELECT doc_id, toks, len(toks) nt, len(list_distinct(toks)) nd,
+              list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) tt,
+              greatest(len(toks) - 1, 0) nb,
+              CASE WHEN len(toks) > 1
+                   THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+                   ELSE []::VARCHAR[] END bgs
+            FROM t),
+      c2 AS (SELECT doc_id, nt, nd, tt, nb,
+               CASE WHEN nb = 0 THEN 0
+                    ELSE list_max(list_transform(list_distinct(bgs),
+                           u -> len(list_filter(bgs, x -> x = u)))) END tb
+             FROM c)
+      SELECT doc_id, nt AS n_tokens,
+             round(1.0 - nd::DOUBLE / nt, 4) AS dup_token_frac,
+             round(tt::DOUBLE / nt, 4) AS top_token_frac,
+             round(CASE WHEN nb = 0 THEN 0.0 ELSE tb::DOUBLE / nb END, 4) AS top_bigram_frac
+      FROM c2""".trim,
+    "text_pii" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+[0-9]+-[0-9]+-[0-9]+"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""
+      WITH a AS (SELECT doc_id,
+        text || ' contact user' || doc_id || '@mail.example.com or +1-555-0' ||
+          (doc_id % 100) || ' ip 10.0.' || (doc_id % 256) || '.7' aug
+        FROM documents)
+      SELECT doc_id,
+        len(regexp_extract_all(aug, '$email')) AS n_emails,
+        len(regexp_extract_all(aug, '$phone')) AS n_phones,
+        len(regexp_extract_all(aug, '$ip')) AS n_ips,
+        regexp_replace(regexp_replace(regexp_replace(aug,
+          '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS masked
+      FROM a""".trim
+    },
+    // connected components over the verified LSH pairs: min reachable
+    // label per node via a recursive label-spread, same fixpoint the
+    // Spark min-label propagation converges to
+    "dedup_cluster" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
+      SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // IVF: centroids = 16 lowest-id vectors; assignment/probing replay
+    // the same cosine argmax with (sim DESC, cid) tie-break
+    "ann_ivf" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims) WHERE rn = 1),
+      probes AS (SELECT vec_id query_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims WHERE vec_id < 20) WHERE rn <= 4),
+      nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) n, v FROM e),
+      cand AS (SELECT p.query_id, a.vec_id neighbor_id
+               FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id),
+      scored AS (SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                 FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
       SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,

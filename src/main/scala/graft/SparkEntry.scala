@@ -23,6 +23,16 @@ object SparkEntry {
       "q1_pricing_summary" -> (Queries.q1PricingSummary _),
       "multimodal_meta" -> ((s: SparkSession, d: String) =>
         graft.operators.Multimodal.pipeline(Tables.documents(s, d))),
+      // per-frame explode of the sampled frames: row-fanout stage of the
+      // media pipeline (frame extraction as rows, one deterministic
+      // stub-feature hash per sampled frame)
+      "multimodal_frames" -> ((s: SparkSession, d: String) =>
+        graft.operators.Multimodal.pipeline(Tables.documents(s, d))
+          .select(col("doc_id"), col("content_md5"),
+            explode(sequence(lit(0L), col("n_frames") - 1, lit(10L))).as("frame_idx"))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(concat(col("content_md5"), lit(":"), col("frame_idx").cast("string")))
+              .as("frame_md5"))),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,13 +40,13 @@ object SparkEntry {
   def oracleSql: Map[String, String] = PbQueries.oracles ++ LlmQueries.oracles ++ Analytics.oracles ++ Map(
     "q1_pricing_summary" -> """
       SELECT l_returnflag, l_linestatus,
-             round(sum(l_quantity), 2)                                          AS sum_qty,
-             round(sum(l_extendedprice), 2)                                     AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2)                  AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)    AS sum_charge,
-             round(avg(l_quantity), 4)                                          AS avg_qty,
-             round(avg(l_extendedprice), 4)                                     AS avg_price,
-             round(avg(l_discount), 4)                                          AS avg_disc,
+             round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE           AS sum_qty,
+             round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2)::DOUBLE      AS sum_base_price,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS sum_disc_price,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2)::DOUBLE AS sum_charge,
+             round(avg(CAST(l_quantity AS DECIMAL(18,6))), 4)::DOUBLE           AS avg_qty,
+             round(avg(CAST(l_extendedprice AS DECIMAL(18,6))), 4)::DOUBLE      AS avg_price,
+             round(avg(CAST(l_discount AS DECIMAL(18,6))), 4)::DOUBLE           AS avg_disc,
              count(*)                                                           AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -69,25 +79,38 @@ object SparkEntry {
              CAST(floor((n_frames - 1) / 10) + 1 AS BIGINT) AS n_sampled,
              CAST((floor((n_frames - 1) / 10)) * 10 AS BIGINT) AS last_frame
       FROM r""".trim,
+    "multimodal_frames" -> """
+      WITH p AS (SELECT doc_id, md5(text) h,
+                   (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] mt
+                 FROM documents),
+      f AS (SELECT doc_id, h,
+              CASE WHEN mt = 'video' THEN ('0x' || substr(h, 9, 2))::BIGINT % 60 + 1
+                   ELSE 1 END nf
+            FROM p)
+      SELECT doc_id, fr.frame_idx, md5(h || ':' || fr.frame_idx) AS frame_md5
+      FROM f, LATERAL (SELECT unnest(range(0, nf, 10)) frame_idx) fr""".trim,
   )
 }
 
 /** Analytics headline queries (SURVEY.md §2 #14-20). */
 object Queries {
 
-  /** TPC-H Q1 pricing summary (agg pipeline; map-side partial agg). */
+  /** TPC-H Q1 pricing summary (agg pipeline; map-side partial agg).
+    * Sums/avgs go through DECIMAL(18,6) — order-exact, see
+    * [[Analytics.moneySum]]. */
   def q1PricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    import Analytics.{moneyAvg, moneySum}
     Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_extendedprice")), 4).as("avg_price"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        round(moneySum(col("l_quantity")), 2).cast("double").as("sum_qty"),
+        round(moneySum(col("l_extendedprice")), 2).cast("double").as("sum_base_price"),
+        round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).cast("double").as("sum_disc_price"),
+        round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).cast("double").as("sum_charge"),
+        round(moneyAvg(col("l_quantity")), 4).cast("double").as("avg_qty"),
+        round(moneyAvg(col("l_extendedprice")), 4).cast("double").as("avg_price"),
+        round(moneyAvg(col("l_discount")), 4).cast("double").as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }

@@ -154,6 +154,36 @@ object TextFunctions {
       least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.3 +
       alphaRatio(text) * 0.3
 
+  // --- repetition signals (#30b) -----------------------------------------
+
+  /** Raw repetition counts in ONE text pass
+    * ([[graft.functions.expr.RepetitionStats]]): `[n_tokens,
+    * n_distinct_tokens, top_token_count, n_bigrams, n_distinct_bigrams,
+    * top_bigram_count]`. Derive the Gopher-style fractions from these
+    * integers so any engine reproduces them exactly. */
+  def repetitionStats(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.RepetitionStats(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  // --- PII masking (#30c) ------------------------------------------------
+
+  /** Conservative PII patterns (shared with the SQL oracle — keep to
+    * the regex subset Java and RE2 agree on). */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+[0-9]+-[0-9]+-[0-9]+"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Replace emails, then phones, then IPv4 addresses with typed mask
+    * tokens (order matters: the email pattern would otherwise eat into
+    * already-masked hosts). Narrow, codegen'd regexp_replace chain. */
+  def maskPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
   // --- token counting (#31) ----------------------------------------------
 
   /** Whitespace token count. */

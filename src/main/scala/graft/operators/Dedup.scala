@@ -113,6 +113,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** #25b Connected components over an undirected near-dup pair list —
+    * turns pairwise matches into dedup CLUSTERS so a pipeline can keep
+    * one canonical doc per group (the member with the minimum id).
+    * Returns (id, cluster_id) for every id appearing in `pairs`.
+    *
+    * Min-label propagation: each round every node takes the minimum of
+    * its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds. Near-dup clusters are shallow (most
+    * are pairs/triangles), so this is 2-4 rounds in practice; `maxIter`
+    * caps pathological chains. Each round is one shuffle join on the
+    * (tiny, pairs-only) edge list — the full corpus is never touched,
+    * which is what makes clustering viable at 100 TB: |pairs| ≪ |docs|.
+    * The per-round convergence check is a `limit(1)` probe, not a full
+    * count. Labels are localCheckpointed every few rounds to keep the
+    * lineage from growing with the iteration count.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+                          bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var iter = 0
+    var converged = false
+    try {
+      while (iter < maxIter && !converged) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        val next = labels.as("l")
+          .join(nbrMin, col("l.id") === nbrMin("src"), "left")
+          .select(col("l.id").as("id"),
+            least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
+          .localCheckpoint() // materializes + truncates lineage per round
+        converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).isEmpty
+        labels = next
+        iter += 1
+      }
+    } finally edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
   /** #25 Embedding cosine near-dup pairs above `threshold`.
     * `exact=true` scores all n²/2 pairs (broadcast nested-loop — only
     * for modest n or verification); default goes through hyperplane-LSH

@@ -33,6 +33,77 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** #27b IVF (inverted-file) ANN: a coarse quantizer of `cells`
+    * centroids partitions the corpus into cells; a query probes only
+    * its `nprobe` nearest cells and ranks candidates there — the
+    * classic FAISS-style scale path where scored candidates are
+    * ~`nprobe/cells` of the corpus.
+    *
+    * Centroids here are the `cells` lowest-id vectors (deterministic,
+    * so the SQL oracle replays them; at 100 TB you'd sample + Lloyd-
+    * refine — the assignment/probe machinery is identical). They are
+    * collected to the driver (cells × dims doubles — tiny) and inlined
+    * as literals, so corpus cell assignment is a NARROW argmax over
+    * `cells` codegen'd dot products: no shuffle, no join, scales with
+    * the scan. Returns (query_id, neighbor_id, rank, cos).
+    */
+  def ivf(corpus: DataFrame, queries: DataFrame,
+          idCol: String, vecCol: String, k: Int,
+          cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(cells).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        }
+        (r.getLong(0), v)
+      }
+    require(cents.nonEmpty, "corpus is empty")
+    // per-centroid cosine, materialized once as an array column so the
+    // argmax when-chain reads elements instead of recomputing dots
+    def simsArray(vec: Column, nrm: Column): Column = array(cents.map {
+      case (_, cv) =>
+        val cn = math.sqrt(cv.map(x => x * x).sum)
+        dot(vec, typedLit(cv)) / (nrm * cn)
+    }: _*)
+    // first-wins argmax == ORDER BY sim DESC, cid in the oracle
+    def argmaxCell(sims: Column): Column = {
+      val n = cents.length
+      (0 until n - 1).foldRight(lit(cents(n - 1)._1)) { (i, rest) =>
+        val beatsAll = (i + 1 until n)
+          .map(j => element_at(sims, i + 1) >= element_at(sims, j + 1))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        when(beatsAll, lit(cents(i)._1)).otherwise(rest)
+      }
+    }
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        norm2(col(vecCol)).as("cn"))
+      .withColumn("_sims", simsArray(col("cv"), col("cn")))
+      .withColumn("cell", argmaxCell(col("_sims")))
+      .drop("_sims")
+    // queries probe their nprobe nearest cells (tiny side: explode + rank)
+    val wq = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
+    val probes = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          norm2(col(vecCol)).as("qn"))
+        .withColumn("_sims", simsArray(col("qv"), col("qn")))
+        .select(col("query_id"), col("qv"), col("qn"),
+          posexplode(col("_sims")).as(Seq("pos", "sim")))
+        .withColumn("cid", element_at(typedLit(cents.map(_._1).toSeq), col("pos") + 1))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell")))
+    val scored = c.join(probes,
+        c("cell") === probes("cell") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** #27 LSH-bucketed ANN: `tables` independent random-hyperplane hash
     * tables of `planes` sign bits each; a corpus row is a candidate if
     * it shares a (table, signature) bucket with the query — plus

@@ -35,6 +35,27 @@ class OperatorsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("connectedComponents: chains, triangles and singletons get min-id labels") {
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("ann_ivf: exact scores, decent recall@5, fewer candidates than brute force") {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Knn.bruteForce(e, q, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Knn.ivf(e, q, "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
   test("ann_lsh: subset of brute-force candidates with decent recall@5") {
     val e = Tables.embeddings(spark, sfDir)
     val q = e.filter(col("vec_id") < 20)
