@@ -41,6 +41,22 @@ object StreamingIngest {
         concat(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss"),
                lit("|"), col("event_type")).as("win_key"))
 
+  /** Streaming exact dedup (SURVEY.md §2 #34): emit only the FIRST
+    * document seen per content hash — the streaming form of
+    * Dedup.exact for continuous corpus ingestion. State is one tiny
+    * row per distinct hash and is evicted once the event-time
+    * watermark passes (`dropDuplicatesWithinWatermark`), so state
+    * stays bounded on an unbounded stream; at 100 TB/day the state
+    * store holds only the active horizon's hashes, hash-partitioned
+    * across executors. */
+  def dedupStream(docs: DataFrame,
+                  tsCol: String = "ts",
+                  textCol: String = "text",
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
     * idempotent per window — late data below the watermark re-emits the

@@ -51,4 +51,28 @@ class StreamingIngestSpec extends SparkSpec {
 
     assert(stored() == batchExpected(events))
   }
+
+  test("streaming exact dedup: first doc per content hash survives, state bounded by watermark") {
+    val root = Files.createTempDirectory("graft-sdedup").toString
+    val inDir = s"$root/in"
+    // events table as a stand-in corpus stream: props is the "text";
+    // duplicate texts exist across event_ids (same props string)
+    val docs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("event_type").as("text"))
+    docs.repartition(4).write.parquet(inDir)
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val deduped = StreamingIngest.dedupStream(stream, watermark = "90 days")
+    val q = deduped.writeStream.format("memory").queryName("sdedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val out = spark.table("sdedup").select("content_hash").collect().map(_.getString(0))
+    // exactly one surviving row per distinct content hash
+    assert(out.length == out.distinct.length)
+    assert(out.toSet == docs.select(md5(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet)
+  }
 }
