@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Dev-only: SPARK_GRAFT_ONLY=q1,q2 restricts the run (driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    def selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warmup: run every query once at the smallest available SF so the
     // timed pass measures steady-state throughput (JIT, codegen cache,
     // parquet reader machinery) instead of first-query JVM warmup.
@@ -19,11 +23,11 @@ object Bench {
       val small = if (parent != null) parent.resolve("sf0.001") else null
       if (small != null && java.nio.file.Files.isDirectory(small)) small.toString else sfDir
     }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $name failed: $e") }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: full row materialization (no count() column pruning)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

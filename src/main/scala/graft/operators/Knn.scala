@@ -62,40 +62,25 @@ object Knn {
         (r.getLong(0), v)
       }
     require(cents.nonEmpty, "corpus is empty")
-    // per-centroid cosine, materialized once as an array column so the
-    // argmax when-chain reads elements instead of recomputing dots
-    def simsArray(vec: Column, nrm: Column): Column = array(cents.map {
-      case (_, cv) =>
-        val cn = math.sqrt(cv.map(x => x * x).sum)
-        dot(vec, typedLit(cv)) / (nrm * cn)
-    }: _*)
-    // first-wins argmax == ORDER BY sim DESC, cid in the oracle
-    def argmaxCell(sims: Column): Column = {
-      val n = cents.length
-      (0 until n - 1).foldRight(lit(cents(n - 1)._1)) { (i, rest) =>
-        val beatsAll = (i + 1 until n)
-          .map(j => element_at(sims, i + 1) >= element_at(sims, j + 1))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        when(beatsAll, lit(cents(i)._1)).otherwise(rest)
-      }
-    }
+    // nearest/top-nprobe centroid ids in ONE native call per row
+    // (graft.functions.expr.IvfCells; centroids ride as a codegen
+    // reference object, so the generated code stays tiny and cheap to
+    // recompile). Centroids are in ascending-cid order, which makes the
+    // expression's first-wins tie-break equal to ORDER BY sim DESC, cid.
+    def topCells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.IvfCells(
+          org.apache.spark.sql.GraftBridge.expression(vec),
+          cents.map(_._1).toSeq, cents.map(_._2).toSeq, n))
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        norm2(col(vecCol)).as("cn"))
-      .withColumn("_sims", simsArray(col("cv"), col("cn")))
-      .withColumn("cell", argmaxCell(col("_sims")))
-      .drop("_sims")
-    // queries probe their nprobe nearest cells (tiny side: explode + rank)
-    val wq = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
+        norm2(col(vecCol)).as("cn"),
+        element_at(topCells(col(vecCol), 1), 1).as("cell"))
+    // queries probe their nprobe nearest cells (tiny side, broadcast)
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          norm2(col(vecCol)).as("qn"))
-        .withColumn("_sims", simsArray(col("qv"), col("qn")))
-        .select(col("query_id"), col("qv"), col("qn"),
-          posexplode(col("_sims")).as(Seq("pos", "sim")))
-        .withColumn("cid", element_at(typedLit(cents.map(_._1).toSeq), col("pos") + 1))
-        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= nprobe)
-        .select(col("query_id"), col("qv"), col("qn"), col("cid").as("cell")))
+          norm2(col(vecCol)).as("qn"),
+          explode(topCells(col(vecCol), nprobe)).as("cell")))
     val scored = c.join(probes,
         c("cell") === probes("cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
