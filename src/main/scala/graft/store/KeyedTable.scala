@@ -132,33 +132,65 @@ object KeyedTable {
     val (df1, pkCols) =
       if (autoIndex) (assignAutoIndex(df0, 0L), Seq(Names.AutoIndex))
       else (df0, pk)
-    // reference to_sql maps {0,1}-valued columns to Boolean on create
-    // (helpers.py:35 series_is_boolean); PK columns are never inferred
-    val df2 =
-      if (inferBool)
-        BoolInference.applyInference(df1, df1.columns.toSet -- pkCols)
-      else df1
     // reference requires datetimes to be UTC (sql.py:100,133-136); the
     // Spark mirror: naive (NTZ) timestamps are pinned to UTC instants on
     // write — the session TZ is UTC, so the wall-clock is unchanged
-    val df = df2.schema.fields.foldLeft(df2) { (d, f) =>
+    val df = df1.schema.fields.foldLeft(df1) { (d, f) =>
       if (f.dataType == TimestampNTZType)
         d.withColumn(f.name, col(f.name).cast(TimestampType))
       else d
     }
-    if (validate && !autoIndex) validatePk(df, pkCols)
-
-    // PK columns first, non-null in the logical schema
+    // PK columns first
     val order = pkCols ++ df.columns.filterNot(pkCols.contains)
     val ordered = df.select(order.map(col): _*)
-    val schema = StructType(ordered.schema.fields.map(f =>
-      if (pkCols.contains(f.name)) f.copy(nullable = false) else f))
 
     val dir = tableDir(warehouse, tableName)
-    clusterByBucket(withBucket(ordered, pkCols, buckets), buckets)
-      .write.partitionBy(BucketCol).mode(SaveMode.ErrorIfExists)
-      .parquet(dataDir(warehouse, tableName))
-    TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema))
+    val data = new Path(dataDir(warehouse, tableName))
+    val f = fs(spark, dir)
+    if (f.exists(data))
+      throw new StoreException(s"Table data already exists at $data")
+
+    // The input may be an arbitrarily expensive pipeline, so it runs
+    // exactly ONCE: one bucket-partitioned staging write. PK validation
+    // and {0,1}→bool inference (reference helpers.py:35, applied on
+    // create) then run as column-pruned scans of the staged parquet —
+    // at 100 TB those read only the PK / numeric columns' pages, not
+    // the whole table, and nothing upstream is recomputed.
+    val staging = s"$dir/.staging-create-${UUID.randomUUID()}"
+    try {
+      clusterByBucket(withBucket(ordered, pkCols, buckets), buckets)
+        .write.partitionBy(BucketCol).parquet(staging)
+      val staged = spark.read.schema(
+          StructType(ordered.schema.fields :+
+            StructField(BucketCol, IntegerType, nullable = true)))
+        .parquet(staging)
+      if (validate && !autoIndex) validatePk(staged, pkCols)
+      val toBool: Set[String] =
+        if (inferBool)
+          BoolInference.columnsAreBoolean(staged.drop(BucketCol)).collect {
+            case (c, Some(true)) if !pkCols.contains(c) &&
+              ordered.schema(c).dataType != BooleanType => c
+          }.toSet
+        else Set.empty
+
+      val schema = StructType(ordered.schema.fields.map { fl =>
+        val dt = if (toBool.contains(fl.name)) BooleanType else fl.dataType
+        if (pkCols.contains(fl.name)) fl.copy(dataType = dt, nullable = false)
+        else fl.copy(dataType = dt)
+      })
+      if (toBool.isEmpty) {
+        // common case: staging IS the final layout — pure rename commit
+        if (!f.rename(new Path(staging), data))
+          throw new StoreException(s"Could not commit $staging -> $data")
+      } else {
+        // bool columns flip type: one columnar rewrite of the staged
+        // files (still cheaper than re-running the input pipeline)
+        val casted = toBool.foldLeft(staged)((d, c) => d.withColumn(c, col(c) =!= 0))
+        casted.repartition(buckets, col(BucketCol))
+          .write.partitionBy(BucketCol).parquet(data.toString)
+      }
+      TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema))
+    } finally f.delete(new Path(staging), true)
   }
 
   /** Contiguous integer ids in current row order (deterministic iff the
@@ -241,10 +273,12 @@ object KeyedTable {
         align(assignAutoIndex(df, cur + 1L), meta, addNewColumns)
       } else align(df, meta, addNewColumns)
 
-    if (validate && !meta.autoIndex) validatePk(aligned0, meta.pk)
     val newB = withBucket(aligned0, meta.pk, meta.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // validate AFTER persist so the (possibly expensive) incoming
+      // pipeline is computed once and the check reads the cache
+      if (validate && !meta.autoIndex) validatePk(newB, meta.pk)
       val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
       if (!meta.autoIndex) {
         val old = readRaw(spark, warehouse, table, meta)
@@ -280,11 +314,12 @@ object KeyedTable {
     // test_upsert_individual_values2 upserts a single column).
     val incomingCols = df.columns.toSet
     val (aligned, evolved) = align(df, meta, addNewColumns)
-    if (validate) validatePk(aligned, meta.pk)
 
     val newB = withBucket(aligned, meta.pk, meta.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // validate off the cache — one computation of the delta pipeline
+      if (validate) validatePk(newB, meta.pk)
       // Only the buckets the delta hashes into are read or rewritten.
       val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
       // read with the evolved schema: old files yield NULL for new columns
