@@ -142,14 +142,16 @@ object Dedup {
       while (iter < maxIter && !converged) {
         val nbrMin = edges.join(labels, edges("dst") === labels("id"))
           .groupBy(col("src")).agg(min(col("lbl")).as("nbr_lbl"))
+        // carry the previous label so materialization + convergence
+        // check are ONE action on the checkpointed frame per round
         val next = labels.as("l")
           .join(nbrMin, col("l.id") === nbrMin("src"), "left")
           .select(col("l.id").as("id"),
-            least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"))
+            least(col("l.lbl"), coalesce(col("nbr_lbl"), col("l.lbl"))).as("lbl"),
+            col("l.lbl").as("prev"))
           .localCheckpoint() // materializes + truncates lineage per round
-        converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.lbl") =!= col("o.lbl")).limit(1).isEmpty
-        labels = next
+        converged = next.filter(col("lbl") =!= col("prev")).limit(1).isEmpty
+        labels = next.select(col("id"), col("lbl"))
         iter += 1
       }
     } finally edges.unpersist()
