@@ -82,6 +82,56 @@ object LlmQueries {
       maskPii(aug).as("masked"))
   }
 
+  /** #30d deterministic train/val/test split: hash-bucket the doc id
+    * into 1000 bins (md5-based so any engine replays the assignment);
+    * 98/1/1 split. Narrow, no shuffle — at 100 TB the split is a free
+    * column on the scan, stable across runs/engines/backfills. */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 1000L).as("bucket")
+    docs(s, d).select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 980, "train")
+          .when(col("bucket") < 990, "val")
+          .otherwise("test"))
+  }
+
+  /** #30e corpus token statistics: top-20 tokens by occurrence with
+    * document frequency — explode → two-level aggregate (map-side
+    * partial agg on the token, then a top-k TakeOrdered; the full
+    * vocabulary never sorts globally). */
+  def corpusStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(20)
+
+  /** #30f composite quality filter: language + length + cleanliness +
+    * repetition rules fused into keep/drop with a first-failing-rule
+    * reason — the end-to-end training-data filter, one narrow pass. */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val withStats = docs(s, d).select(col("doc_id"),
+      langMarkerStats(col("text")).as("_l"),
+      repetitionStats(col("text")).as("_r"),
+      round(alphaRatio(col("text")), 4).as("_alpha"))
+    withStats.select(col("doc_id"),
+        langIdFromStats(col("_l")).as("lang_pred"),
+        element_at(col("_r"), 1).as("n_tokens"),
+        round(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
+          .as("dup_frac"),
+        col("_alpha").as("alpha_ratio"))
+      .withColumn("reason",
+        when(col("lang_pred") =!= "en", "lang")
+          .when(col("n_tokens") < 10 || col("n_tokens") > 1000, "length")
+          .when(col("alpha_ratio") < 0.45, "alpha")
+          .when(col("dup_frac") > 0.3, "repetition")
+          .otherwise("ok"))
+      .withColumn("keep", col("reason") === "ok")
+  }
+
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
@@ -138,6 +188,9 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
+    "sample_split" -> sampleSplit,
+    "corpus_stats" -> corpusStats,
+    "quality_filter" -> qualityFilter,
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprintQ,
     "dedup_exact" -> dedupExact,
@@ -188,25 +241,64 @@ object LlmQueries {
 
   private val enList = LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
 
-  val oracles: Map[String, String] = Map(
-    "text_langid" -> {
-      val scores = LangMarkers.map { case (l, m) =>
-        s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
-      }.mkString(",\n        ")
-      s"""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') toks,
-                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
-                 FROM documents),
-      s AS (SELECT doc_id, cjk, $scores FROM t)
-      SELECT doc_id,
+  /** Per-language marker-count projections over a `toks` list column. */
+  private val langScoresSql = LangMarkers.map { case (l, m) =>
+    s"len(list_filter(toks, x -> x IN (${m.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+  }.mkString(",\n        ")
+
+  /** argmax CASE over s_en/s_es/s_fr/s_de + cjk, mirroring langIdDecide. */
+  private val langCaseSql = """
         CASE WHEN cjk THEN 'zh'
              WHEN s_en + s_es + s_fr + s_de = 0 THEN 'und'
              WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
              WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
              WHEN s_fr >= s_de THEN 'fr'
-             ELSE 'de' END AS lang_pred
-      FROM s""".trim
-    },
+             ELSE 'de' END"""
+
+  val oracles: Map[String, String] = Map(
+    "text_langid" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') toks,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+                 FROM documents),
+      s AS (SELECT doc_id, cjk, $langScoresSql FROM t)
+      SELECT doc_id, $langCaseSql AS lang_pred
+      FROM s""".trim,
+    "sample_split" -> """
+      SELECT doc_id, bucket,
+             CASE WHEN bucket < 980 THEN 'train'
+                  WHEN bucket < 990 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000 AS bucket
+            FROM documents)""".trim,
+    "corpus_stats" -> """
+      SELECT w AS token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+      GROUP BY 1
+      ORDER BY n_occurrences DESC, token
+      LIMIT 20""".trim,
+    "quality_filter" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+                 FROM documents),
+      s AS (SELECT doc_id, cjk, $langScoresSql,
+              len(toks) nt, len(list_distinct(toks)) nd,
+              round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) alpha
+            FROM t),
+      m AS (SELECT doc_id, $langCaseSql AS lang_pred,
+              nt AS n_tokens, round(1.0 - nd::DOUBLE / nt, 4) AS dup_frac,
+              alpha AS alpha_ratio
+            FROM s),
+      r AS (SELECT *,
+              CASE WHEN lang_pred != 'en' THEN 'lang'
+                   WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length'
+                   WHEN alpha_ratio < 0.45 THEN 'alpha'
+                   WHEN dup_frac > 0.3 THEN 'repetition'
+                   ELSE 'ok' END AS reason
+            FROM m)
+      SELECT doc_id, lang_pred, n_tokens, dup_frac, alpha_ratio, reason,
+             reason = 'ok' AS keep
+      FROM r""".trim,
     "text_quality" -> s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       m AS (SELECT doc_id,
