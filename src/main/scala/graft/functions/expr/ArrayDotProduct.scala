@@ -18,8 +18,9 @@ import org.apache.spark.sql.types._
   * Accumulation is a sequential double sum in element order — the exact
   * result the interpreted fold (and the DuckDB oracle's
   * `list_dot_product`) produces, so swapping implementations cannot
-  * change rounded outputs. Array NULL elements are treated as an error
-  * (embeddings are dense); mismatched lengths use the shorter.
+  * change rounded outputs. A NULL array element nulls the whole result,
+  * matching the composed fold (null propagates through `*` and `+`);
+  * mismatched lengths use the shorter.
   */
 case class ArrayDotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,6 +41,8 @@ case class ArrayDotProduct(left: Expression, right: Expression)
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -49,6 +52,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -68,6 +72,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |final int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $getX * $getY;
          |}
          |${ev.value} = $acc;

@@ -72,7 +72,10 @@ object IvfCells {
     val x = new Array[Double](dims)
     var i = 0
     while (i < dims) {
-      x(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      // null elements contribute 0 (deterministic; dense embeddings
+      // never carry nulls, but SQL callers might)
+      x(i) = if (v.isNullAt(i)) 0.0
+             else if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
       i += 1
     }
     var vv = 0.0

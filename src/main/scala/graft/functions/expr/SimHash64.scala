@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   * array) with one codegen'd pass: per token, 64 shift/mask vote
   * updates in a tight primitive loop. Semantics are bit-identical to
   * the composed form `when(shiftright(h, j) & 1 === 1, 1, -1)` summed
-  * per bit.
+  * per bit. Null hashes contribute no votes (SQL callers may pass
+  * containsNull arrays).
   */
 case class SimHash64(child: Expression) extends UnaryExpression {
 
@@ -32,11 +33,15 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = arr.getLong(i)
-      var j = 0
-      while (j < 64) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      // null hashes are skipped (SQL callers may pass containsNull
+      // arrays; a null token contributes no votes)
+      if (!arr.isNullAt(i)) {
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       i += 1
     }
@@ -61,6 +66,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
          |final int $n = $x.numElements();
          |final int[] $votes = new int[64];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) continue;
          |  final long $h = $x.getLong($i);
          |  for (int $j = 0; $j < 64; $j++) {
          |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;

@@ -149,6 +149,17 @@ class OperatorsSpec extends SparkSpec {
     assert(edge.map(_.getString(0)).toSeq == Seq("zh", "und", "und", "es"))
   }
 
+  test("native expressions are null-element safe from SQL") {
+    // dot: null element nulls the result (composed-fold semantics)
+    val dotNull = spark.sql(
+      "SELECT graft_array_dot(array(1.0D, cast(null AS double)), array(1.0D, 2.0D))").head()
+    assert(dotNull.isNullAt(0))
+    // simhash: null hashes contribute no votes
+    val sh = spark.sql(
+      "SELECT graft_simhash64(array(7L, cast(null AS bigint))), graft_simhash64(array(7L))").head()
+    assert(sh.getLong(0) == sh.getLong(1))
+  }
+
   test("GraftExtensions: native expressions callable from SQL") {
     val dot = spark.sql(
       "SELECT graft_array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
