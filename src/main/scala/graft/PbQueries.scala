@@ -147,6 +147,21 @@ object PbQueries {
     Catalog.describe(spark, wh)
   }
 
+  /** #11b shuffle-free co-partitioned PK join of two stores sharing a
+    * bucket count: customer ⋈ per-customer order rollup, zero exchange
+    * of either table (see PkJoin). */
+  def pkJoinQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer", pk = Seq("c_custkey"))
+    val rollup = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double")
+          .as("total_spend"))
+    KeyedTable.toSql(rollup, wh, "cust_orders", pk = Seq("c_custkey"))
+    graft.store.PkJoin.pkJoin(spark, wh, "customer", "cust_orders")
+  }
+
   /** #12 companda: per-column inequality counts with epsilon tolerance. */
   def companda(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
@@ -172,6 +187,7 @@ object PbQueries {
     "pb_add_columns" -> addColumns,
     "pb_clean_names" -> cleanNames,
     "pb_describe" -> describe,
+    "pb_pk_join" -> pkJoinQ,
     "pb_companda" -> companda,
   )
 
@@ -230,6 +246,14 @@ object PbQueries {
         SELECT 'supplier', CAST(min(s_suppkey) AS VARCHAR), CAST(max(s_suppkey) AS VARCHAR), count(*) FROM supplier
       ) ORDER BY table_name
     """.trim,
+    "pb_pk_join" -> """
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+             o.n_orders, o.total_spend
+      FROM customer c
+      JOIN (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_spend
+            FROM orders GROUP BY 1) o
+      USING (c_custkey)""".trim,
     "pb_companda" -> """
       SELECT * FROM (
         SELECT 'o_custkey' AS column_name, CAST(0 AS BIGINT) AS n_unequal

@@ -214,4 +214,22 @@ class KeyedTableSpec extends SparkSpec {
     val changed = after.filter { case (k, v) => before.get(k) != Some(v) }
     assert(changed.size === 1, s"expected exactly 1 rewritten bucket, got ${changed.keys}")
   }
+
+  test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
+    val w = wh()
+    val cust = graft.Tables.customer(spark, sfDir)
+    val roll = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    KeyedTable.toSql(cust, w, "c", pk = Seq("c_custkey"))
+    KeyedTable.toSql(roll, w, "o", pk = Seq("c_custkey"))
+    val got = PkJoin.pkJoin(spark, w, "c", "o")
+    val want = cust.join(roll, "c_custkey")
+    assert(got.columns.toSeq == want.columns.toSeq)
+    assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
+    // inner-join semantics: customers without orders drop out
+    assert(got.count() == roll.count())
+    // the physical plan is the zipPartitions RDD scan — no Exchange anywhere
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
