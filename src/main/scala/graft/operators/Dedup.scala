@@ -49,6 +49,9 @@ object Dedup {
         round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // uniqueness guard against duplicate input ids fanning out the
+      // size joins (same contract as minhashLshPairs)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
