@@ -141,6 +141,31 @@ object Analytics {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** #18b gap-based sessionization: a new session starts when a user's
+    * inter-event gap exceeds 30 min. One shuffle (by user) feeds both
+    * windows — the lag-based session-break flag and the running count
+    * that numbers sessions — then a per-session aggregate. The batch
+    * twin of Structured Streaming's session_window. */
+  def eventsSessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        col("ts").cast("long") - lag(col("ts").cast("long"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      // second-truncated start: the parquet carries ns timestamps that
+      // Spark reads at µs — emitting raw ts would hash-diverge from an
+      // ns-precision engine, so both sides floor to seconds (floor is
+      // monotonic, so trunc(min) == min(trunc))
+      .agg(date_trunc("second", min(col("ts"))).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(moneySum(col("value")), 2).cast("double").as("sum_value"))
+      .select(col("user_id"), col("session_no"), col("session_start"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -166,6 +191,7 @@ object Analytics {
     "q10_returned_items" -> (q10ReturnedItems _),
     "w_running_sum" -> (wRunningSum _),
     "events_windowed" -> (eventsWindowed _),
+    "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
   )
@@ -230,6 +256,28 @@ object Analytics {
              count(*) AS n_events, round(sum(value), 2) AS sum_value
       FROM events
       GROUP BY 1, 2""".trim,
+    // ns→µs truncation note: the window ORDER BY uses epoch_ns // 1000
+    // (µs — what Spark reads), gaps use epoch_ns // 1e9 (whole seconds,
+    // same floor Spark's cast-to-long takes), session_start re-builds a
+    // second-floored timestamp
+    "events_sessionized" -> """
+      WITH e AS (SELECT event_id, user_id, value,
+                   epoch_ns(ts) // 1000 AS us,
+                   epoch_ns(ts) // 1000000000 AS s
+                 FROM events),
+      g AS (SELECT *,
+              CASE WHEN s - lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      n AS (SELECT *, sum(new_session) OVER
+              (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+              AS session_no
+            FROM g)
+      SELECT user_id, session_no,
+             make_timestamp(min(s) * 1000000) AS session_start,
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+      FROM n GROUP BY user_id, session_no""".trim,
     "asof_join" -> """
       WITH od AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
