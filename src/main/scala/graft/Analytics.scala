@@ -120,6 +120,68 @@ object Analytics {
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
   }
 
+  /** #14b pandas-style pivot_table: order counts + revenue by priority
+    * (rows) × status (columns). `groupBy(...).pivot(col, values)` with
+    * EXPLICIT pivot values — at 100 TB, never let pivot run its
+    * distinct-values discovery job. */
+  def pivotOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"), col("F").as("n_f"), col("O").as("n_o"),
+        col("P").as("n_p"))
+
+  /** #14c pandas-style melt/unpivot: lineitem measures to long format
+    * (narrow row-fanout, no shuffle). */
+  def unpivotLineitem(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax")
+      .unpivot(
+        ids = Array(col("l_orderkey"), col("l_linenumber")),
+        values = Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        variableColumnName = "metric", valueColumnName = "value")
+
+  /** #14d pandas describe(): count/mean/std/min/max per measure, long
+    * format. Sums (and sums of squares) go through decimal so the
+    * moments are independent of partial-agg merge order; std uses the
+    * n−1 sample formula from those exact sums. */
+  def describeLineitem(s: SparkSession, d: String): DataFrame = {
+    val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val frames = metrics.map { m =>
+      val x = col(m)
+      val sum1 = moneySum(x).cast("double")
+      val sum2 = sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+        .cast("double")
+      val n = count(lit(1)).cast("double")
+      li.agg(
+        n.as("_n"), sum1.as("_s"), sum2.as("_s2"),
+        min(x).cast("double").as("min_val"), max(x).cast("double").as("max_val"))
+        .select(lit(m).as("metric"), col("_n").cast("long").as("n"),
+          round(col("_s") / col("_n"), 4).as("mean"),
+          round(sqrt((col("_s2") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1)), 4)
+            .as("std"),
+          col("min_val"), col("max_val"))
+    }
+    frames.reduce(_ unionByName _)
+  }
+
+  /** #17b rolling mean (pandas rolling(7).mean()): 7-row trailing
+    * average of spend per customer. Window frames evaluate in order, so
+    * the decimal sum / count quotient is deterministic. */
+  def wRollingAvg(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      round(moneySum(col("o_totalprice")).over(w).cast("double")
+        / count(lit(1)).over(w), 4).as("rolling_avg_spend"))
+  }
+
   /** #17 window functions: per-customer order sequence + running spend. */
   def wRunningSum(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
@@ -189,6 +251,10 @@ object Analytics {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "pivot_orders" -> (pivotOrders _),
+    "unpivot_lineitem" -> (unpivotLineitem _),
+    "describe_lineitem" -> (describeLineitem _),
+    "w_rolling_avg" -> (wRollingAvg _),
     "w_running_sum" -> (wRunningSum _),
     "events_windowed" -> (eventsWindowed _),
     "events_sessionized" -> (eventsSessionized _),
@@ -243,6 +309,40 @@ object Analytics {
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""".trim,
+    "pivot_orders" -> """
+      SELECT o_orderpriority,
+             count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+             count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      FROM orders GROUP BY o_orderpriority""".trim,
+    "unpivot_lineitem" -> """
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".trim,
+    "describe_lineitem" -> {
+      def one(m: String) = s"""
+        SELECT '$m' AS metric, count(*) AS n,
+               round(sum(CAST($m AS DECIMAL(18,6)))::DOUBLE / count(*), 4) AS mean,
+               round(sqrt((sum(CAST($m * $m AS DECIMAL(38,6)))::DOUBLE
+                           - sum(CAST($m AS DECIMAL(18,6)))::DOUBLE
+                             * sum(CAST($m AS DECIMAL(18,6)))::DOUBLE / count(*))
+                          / (count(*) - 1)), 4) AS std,
+               min($m)::DOUBLE AS min_val, max($m)::DOUBLE AS max_val
+        FROM lineitem"""
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .map(one).mkString(" UNION ALL ")
+    },
+    "w_rolling_avg" -> """
+      SELECT o_orderkey, o_custkey,
+             round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w::DOUBLE
+                   / count(*) OVER w, 4) AS rolling_avg_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".trim,
     "w_running_sum" -> """
       SELECT o_orderkey, o_custkey,
              row_number() OVER w AS order_seq,
