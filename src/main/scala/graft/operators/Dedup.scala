@@ -176,9 +176,13 @@ object Dedup {
     val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm2(col(vecCol)).as("nrm"))
     val pairs =
-      if (exact)
-        v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      else {
+      if (exact) {
+        // the corpus often arrives as one parquet file = one partition;
+        // spread the streamed side so the broadcast nested-loop join
+        // parallelizes across all cores instead of one task
+        val spread = v.repartition(v.sparkSession.sparkContext.defaultParallelism)
+        spread.as("a").join(broadcast(v).as("b"), col("a.id") < col("b.id"))
+      } else {
         val sig = v.withColumn("sig", hyperplaneLshSignature(col("vec"), planes))
         sig.as("a").join(sig.as("b"),
           col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
