@@ -199,7 +199,7 @@ object Analytics {
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"))
+           round(moneySum(col("value")), 2).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
@@ -353,7 +353,8 @@ object Analytics {
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".trim,
     "events_windowed" -> """
       SELECT date_trunc('hour', ts) AS win_start, event_type,
-             count(*) AS n_events, round(sum(value), 2) AS sum_value
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
       FROM events
       GROUP BY 1, 2""".trim,
     // ns→µs truncation note: the window ORDER BY uses epoch_ns // 1000

@@ -32,7 +32,10 @@ object StreamingIngest {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum(col("value")), 2).as("sum_value"))
+           // decimal sum: exact regardless of micro-batch arrival order,
+           // so streaming converges bit-identically to the batch twin
+           round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+             .as("sum_value"))
       .select(
         col("window.start").as("win_start"),
         col("event_type"),

@@ -149,6 +149,17 @@ class OperatorsSpec extends SparkSpec {
     assert(edge.map(_.getString(0)).toSeq == Seq("zh", "und", "und", "es"))
   }
 
+  test("RepetitionStats edge cases: empty text, single token, repeated bigrams") {
+    import graft.functions.TextFunctions.repetitionStats
+    val rows = Seq("", "one", "a a a", "x y x y x").toDF("text")
+      .select(repetitionStats(col("text"))).collect().map(_.getSeq[Long](0))
+    // [n_tokens, n_distinct, top_token, n_bigrams, n_distinct_bigrams, top_bigram]
+    assert(rows(0) == Seq(1L, 1L, 1L, 0L, 0L, 0L)) // "" -> one empty token
+    assert(rows(1) == Seq(1L, 1L, 1L, 0L, 0L, 0L))
+    assert(rows(2) == Seq(3L, 1L, 3L, 2L, 1L, 2L))
+    assert(rows(3) == Seq(5L, 2L, 3L, 4L, 2L, 2L)) // "x y" x2, "y x" x2
+  }
+
   test("native expressions are null-element safe from SQL") {
     // dot: null element nulls the result (composed-fold semantics)
     val dotNull = spark.sql(
