@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, LangMarkerCounts, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, RepetitionStats, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -64,6 +64,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_simhash64(arrayOfTokenHashes)")
         SimHash64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_md5_64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "graft_md5_64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_md5_64(str)")
+        Md5Prefix64(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_repetition_stats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_repetition_stats(text)")
+        RepetitionStats(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_hyperplane_lsh"),
+      new ExpressionInfo(classOf[HyperplaneLsh].getName, "graft_hyperplane_lsh"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_hyperplane_lsh(vec, planes, seed)")
+        val Seq(planes, seed) = args.tail.map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_hyperplane_lsh: planes/seed must be integer literals, got $other")
+        }
+        HyperplaneLsh(args.head, planes, seed)
       }))
   }
 }
