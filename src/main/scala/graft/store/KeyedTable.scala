@@ -359,6 +359,41 @@ object KeyedTable {
     } finally newB.unpersist()
   }
 
+  /** Compact buckets that have accumulated many small files (each
+    * append adds one file per touched bucket — the small-files problem
+    * at 100 TB). Buckets with at least `minFiles` parquet files are
+    * rewritten to a single file via staging + per-bucket swap (same
+    * commit protocol as upsert, so readers never see a half state);
+    * buckets below the threshold are untouched. Returns the number of
+    * buckets compacted. */
+  def compact(spark: SparkSession, warehouse: String, tableName: String,
+              minFiles: Int = 4): Int = {
+    val dir = tableDir(warehouse, tableName)
+    val meta = TableMeta.read(spark, dir)
+    val data = dataDir(warehouse, tableName)
+    val f = fs(spark, dir)
+    val crowded = (0 until meta.buckets).filter { b =>
+      val p = new Path(data, s"$BucketCol=$b")
+      f.exists(p) &&
+        f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >= minFiles
+    }
+    if (crowded.isEmpty) return 0
+    val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
+    try {
+      readRaw(spark, warehouse, tableName, meta)
+        .filter(col(BucketCol).isin(crowded: _*))
+        .repartition(crowded.size, col(BucketCol))
+        .write.partitionBy(BucketCol).parquet(staging)
+      crowded.foreach { b =>
+        val target = new Path(data, s"$BucketCol=$b")
+        val src = new Path(staging, s"$BucketCol=$b")
+        if (f.exists(target)) f.delete(target, true)
+        if (f.exists(src)) f.rename(src, target)
+      }
+    } finally f.delete(new Path(staging), true)
+    crowded.size
+  }
+
   /** Read a table back, optionally restricted to an inclusive PK range.
     *
     * Mirrors reference `read_sql` (/root/reference/pandabase/sql.py:349):

@@ -215,6 +215,29 @@ class KeyedTableSpec extends SparkSpec {
     assert(changed.size === 1, s"expected exactly 1 rewritten bucket, got ${changed.keys}")
   }
 
+  test("compact: crowded buckets collapse to one file each, content unchanged") {
+    import spark.implicits._
+    val w = wh()
+    // 4 appends of disjoint key ranges -> up to 4 files per bucket
+    KeyedTable.toSql(sample(250), w, "t", pk = Seq("id"), buckets = 4)
+    (1 to 3).foreach { k =>
+      // sample ids are 1-based: create wrote 1..250, appends are disjoint
+      val part = sample(1000).filter(col("id") > k * 250 && col("id") <= (k + 1) * 250)
+      KeyedTable.toSql(part, w, "t", pk = Seq("id"), how = WriteMode.Append)
+    }
+    val before = KeyedTable.readSql(spark, w, "t").collect().map(_.toSeq).toSet
+    def fileCounts: Seq[Int] = new java.io.File(s"$w/t/data").listFiles()
+      .filter(_.getName.startsWith("pb_bucket="))
+      .map(_.listFiles().count(_.getName.endsWith(".parquet"))).toSeq
+    assert(fileCounts.exists(_ >= 4))
+    val n = KeyedTable.compact(spark, w, "t", minFiles = 4)
+    assert(n >= 1)
+    assert(fileCounts.forall(_ <= 3))
+    assert(KeyedTable.readSql(spark, w, "t").collect().map(_.toSeq).toSet == before)
+    // already-compacted table: no-op
+    assert(KeyedTable.compact(spark, w, "t", minFiles = 4) == 0)
+  }
+
   test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
     val w = wh()
     val cust = graft.Tables.customer(spark, sfDir)
