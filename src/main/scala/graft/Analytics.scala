@@ -120,6 +120,65 @@ object Analytics {
       .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
   }
 
+  /** #15d TPC-H Q14-style promo revenue share: lineitem ⋈ broadcast
+    * part, a month of shipments, conditional/total revenue ratio. */
+  def q14PromoRevenue(s: SparkSession, d: String): DataFrame = {
+    val part = broadcast(Tables.part(s, d).select("p_partkey", "p_type"))
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))).cast("double")
+        / sum(rev).cast("double")).as("promo_share"))
+      .select(round(col("promo_share"), 4).as("promo_share"))
+  }
+
+  /** #15e TPC-H Q18-style large-volume customers: orders whose line
+    * quantity total exceeds a threshold, with customer detail. The
+    * HAVING subquery is a groupBy + semi-join — both shuffles are on
+    * l_orderkey/o_orderkey, and the big-order set is tiny so it
+    * broadcasts into the detail join. */
+  def q18LargeVolume(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(round(moneySum(col("l_quantity")), 2).cast("double").as("total_qty"))
+      .filter(col("total_qty") > 150)
+    val ord = Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(s, d).select("c_custkey", "c_name")
+    ord.join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** #15f TPC-H Q19-style disjunctive predicate revenue: OR-of-ANDs
+    * over brand/size/quantity after a broadcast part join — the
+    * filter-pushdown stress case (the common `p_partkey = l_partkey`
+    * conjunct stays in the join; the disjunction evaluates post-join
+    * inside codegen). */
+  def q19DiscountedRevenue(s: SparkSession, d: String): DataFrame = {
+    val part = broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size"))
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val cond =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#13" && col("p_size").between(10, 30) &&
+        col("l_quantity").between(10, 30)) ||
+      (col("p_brand") === "Brand#20" && col("p_size").between(20, 50) &&
+        col("l_quantity").between(20, 50))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .cast("double").as("revenue"))
+  }
+
   /** #14b pandas-style pivot_table: order counts + revenue by priority
     * (rows) × status (columns). `groupBy(...).pivot(col, values)` with
     * EXPLICIT pivot values — at 100 TB, never let pivot run its
@@ -251,6 +310,9 @@ object Analytics {
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q10_returned_items" -> (q10ReturnedItems _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q18_large_volume" -> (q18LargeVolume _),
+    "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "pivot_orders" -> (pivotOrders _),
     "unpivot_lineitem" -> (unpivotLineitem _),
     "describe_lineitem" -> (describeLineitem _),
@@ -309,6 +371,31 @@ object Analytics {
       GROUP BY c_custkey, c_name, c_acctbal, n_name
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""".trim,
+    "q14_promo_revenue" -> """
+      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
+                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE,
+                   4) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".trim,
+    "q18_large_volume" -> """
+      WITH big AS (SELECT l_orderkey,
+                     round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS total_qty
+                   FROM lineitem GROUP BY 1 HAVING total_qty > 150)
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+      FROM orders
+      JOIN big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""".trim,
+    "q19_discounted_revenue" -> """
+      SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".trim,
     "pivot_orders" -> """
       SELECT o_orderpriority,
              count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
