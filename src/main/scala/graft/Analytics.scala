@@ -179,6 +179,18 @@ object Analytics {
         .cast("double").as("revenue"))
   }
 
+  /** #14e rollup with subtotals + grand total (grouping sets): revenue
+    * by (returnflag, linestatus) plus per-flag and overall margins,
+    * disambiguated by grouping_id. One shuffle; Spark expands the
+    * grouping sets map-side. */
+  def rollupRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"),
+        grouping_id().as("gid"))
+
   /** #14b pandas-style pivot_table: order counts + revenue by priority
     * (rows) × status (columns). `groupBy(...).pivot(col, values)` with
     * EXPLICIT pivot values — at 100 TB, never let pivot run its
@@ -313,6 +325,7 @@ object Analytics {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "rollup_revenue" -> (rollupRevenue _),
     "pivot_orders" -> (pivotOrders _),
     "unpivot_lineitem" -> (unpivotLineitem _),
     "describe_lineitem" -> (describeLineitem _),
@@ -396,6 +409,13 @@ object Analytics {
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".trim,
+    "rollup_revenue" -> """
+      SELECT l_returnflag, l_linestatus,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
+             count(*) AS n_rows,
+             GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid
+      FROM lineitem
+      GROUP BY ROLLUP(l_returnflag, l_linestatus)""".trim,
     "pivot_orders" -> """
       SELECT o_orderpriority,
              count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,

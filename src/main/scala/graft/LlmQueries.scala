@@ -132,6 +132,27 @@ object LlmQueries {
       .withColumn("keep", col("reason") === "ok")
   }
 
+  /** #35 the end-to-end corpus cleaning pipeline: a document survives
+    * iff it (a) passes the composite quality filter, (b) is the
+    * canonical copy of its exact-content group, and (c) is not a
+    * non-canonical member of a MinHash-LSH near-dup cluster. This is
+    * the query a training-data pipeline actually ships: three dedup/
+    * filter stages composed as joins against the raw corpus, each
+    * stage's intermediate being tiny relative to the corpus. */
+  def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs0 = docs(s, d)
+    val qualityPass = qualityFilter(s, d).filter(col("keep")).select("doc_id")
+    val exactCanonical = Dedup.exact(docs0, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val clusterDrop = dedupCluster(s, d)
+      .filter(!col("is_canonical")).select("doc_id")
+    docs0
+      .join(qualityPass, "doc_id")
+      .join(exactCanonical, "doc_id")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
@@ -202,6 +223,7 @@ object LlmQueries {
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "corpus_clean" -> corpusClean,
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -255,6 +277,28 @@ object LlmQueries {
              WHEN s_fr >= s_de THEN 'fr'
              ELSE 'de' END"""
 
+  /** Quality-filter CTE chain ending in `qr` (doc_id, lang_pred,
+    * n_tokens, dup_frac, alpha_ratio, reason) — shared by
+    * quality_filter and corpus_clean. */
+  private lazy val qualityCtes = s"""qt AS (SELECT doc_id, text, string_split(text, ' ') toks,
+                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+                 FROM documents),
+      qs AS (SELECT doc_id, cjk, $langScoresSql,
+              len(toks) nt, len(list_distinct(toks)) nd,
+              round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) alpha
+            FROM qt),
+      qm AS (SELECT doc_id, $langCaseSql AS lang_pred,
+              nt AS n_tokens, round(1.0 - nd::DOUBLE / nt, 4) AS dup_frac,
+              alpha AS alpha_ratio
+            FROM qs),
+      qr AS (SELECT *,
+              CASE WHEN lang_pred != 'en' THEN 'lang'
+                   WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length'
+                   WHEN alpha_ratio < 0.45 THEN 'alpha'
+                   WHEN dup_frac > 0.3 THEN 'repetition'
+                   ELSE 'ok' END AS reason
+            FROM qm)"""
+
   val oracles: Map[String, String] = Map(
     "text_langid" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks,
@@ -278,27 +322,28 @@ object LlmQueries {
       ORDER BY n_occurrences DESC, token
       LIMIT 20""".trim,
     "quality_filter" -> s"""
-      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks,
-                   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
-                 FROM documents),
-      s AS (SELECT doc_id, cjk, $langScoresSql,
-              len(toks) nt, len(list_distinct(toks)) nd,
-              round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) alpha
-            FROM t),
-      m AS (SELECT doc_id, $langCaseSql AS lang_pred,
-              nt AS n_tokens, round(1.0 - nd::DOUBLE / nt, 4) AS dup_frac,
-              alpha AS alpha_ratio
-            FROM s),
-      r AS (SELECT *,
-              CASE WHEN lang_pred != 'en' THEN 'lang'
-                   WHEN n_tokens < 10 OR n_tokens > 1000 THEN 'length'
-                   WHEN alpha_ratio < 0.45 THEN 'alpha'
-                   WHEN dup_frac > 0.3 THEN 'repetition'
-                   ELSE 'ok' END AS reason
-            FROM m)
+      WITH $qualityCtes
       SELECT doc_id, lang_pred, n_tokens, dup_frac, alpha_ratio, reason,
              reason = 'ok' AS keep
-      FROM r""".trim,
+      FROM qr""".trim,
+    // all three cleaning stages composed: quality pass AND canonical of
+    // the exact-hash group AND not a non-canonical near-dup cluster member
+    "corpus_clean" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id),
+      $qualityCtes,
+      ek AS (SELECT md5(text) h, min(doc_id) keep FROM documents GROUP BY 1)
+      SELECT doc.doc_id, doc.lang, doc.source, doc.n_chars
+      FROM documents doc
+      JOIN (SELECT doc_id FROM qr WHERE reason = 'ok') q ON q.doc_id = doc.doc_id
+      JOIN ek ON ek.keep = doc.doc_id
+      WHERE doc.doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)""".trim,
     "text_quality" -> s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       m AS (SELECT doc_id,
