@@ -60,6 +60,23 @@ object StreamingIngest {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming gap-based sessionization (SURVEY.md §2 #33b): Structured
+    * Streaming's native `session_window` merges events whose gaps stay
+    * under `gap` — the same 30-min-inactivity rule as the batch
+    * `Analytics.eventsSessionized`. Session state is per (user,
+    * open-session) and merges/evicts as watermark advances. */
+  def sessionizedAgg(events: DataFrame,
+                     gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+          .as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
     * idempotent per window — late data below the watermark re-emits the

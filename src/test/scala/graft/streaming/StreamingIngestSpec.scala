@@ -52,6 +52,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert(stored() == batchExpected(events))
   }
 
+  test("streaming session_window matches batch gap-based sessionization") {
+    val root = Files.createTempDirectory("graft-sess").toString
+    val inDir = s"$root/in"
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "value")
+    events.repartition(4).write.parquet(inDir)
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = StreamingIngest.sessionizedAgg(stream, watermark = "90 days")
+      .writeStream.format("memory").queryName("sess").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // streaming sessions per user must equal the batch lag-based count,
+    // and per-session event totals must agree
+    val streamed = spark.table("sess")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.Analytics.eventsSessionized(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch)
+  }
+
   test("streaming exact dedup: first doc per content hash survives, state bounded by watermark") {
     val root = Files.createTempDirectory("graft-sdedup").toString
     val inDir = s"$root/in"
