@@ -240,6 +240,36 @@ object Analytics {
     frames.reduce(_ unionByName _)
   }
 
+  /** #14f pandas merge(indicator=True): full-outer customer ↔ order
+    * rollup with a _merge provenance column (left_only/right_only/
+    * both). */
+  def mergeIndicator(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    val roll = Tables.orders(s, d)
+      .filter(col("o_orderkey") % 3 === 0) // keep some customers order-less
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    cust.join(roll, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name"), col("n_orders"),
+        when(col("c_custkey").isNull, "right_only")
+          .when(col("o_custkey").isNull, "left_only")
+          .otherwise("both").as("merge_side"))
+  }
+
+  /** #14g pandas cut(): fixed-edge binning of order value into labeled
+    * buckets + per-bin histogram. Bin assignment is a narrow when-chain
+    * on the scan; the histogram is one partial-agg shuffle. */
+  def cutOrderValue(s: SparkSession, d: String): DataFrame = {
+    val p = col("o_totalprice")
+    val bin = when(p < 50000, "lt_50k")
+      .when(p < 150000, "50k_150k")
+      .when(p < 300000, "150k_300k")
+      .otherwise("ge_300k")
+    Tables.orders(s, d).select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_orders"))
+  }
+
   /** #17b rolling mean (pandas rolling(7).mean()): 7-row trailing
     * average of spend per customer. Window frames evaluate in order, so
     * the decimal sum / count quotient is deterministic. */
@@ -326,6 +356,8 @@ object Analytics {
     "q18_large_volume" -> (q18LargeVolume _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
     "rollup_revenue" -> (rollupRevenue _),
+    "merge_indicator" -> (mergeIndicator _),
+    "cut_order_value" -> (cutOrderValue _),
     "pivot_orders" -> (pivotOrders _),
     "unpivot_lineitem" -> (unpivotLineitem _),
     "describe_lineitem" -> (describeLineitem _),
@@ -409,6 +441,22 @@ object Analytics {
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
          OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 30)
          OR (p_brand = 'Brand#20' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".trim,
+    "merge_indicator" -> """
+      SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name, n_orders,
+             CASE WHEN c_custkey IS NULL THEN 'right_only'
+                  WHEN o_custkey IS NULL THEN 'left_only'
+                  ELSE 'both' END AS merge_side
+      FROM customer
+      FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders
+                       FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1) r
+        ON c_custkey = o_custkey""".trim,
+    "cut_order_value" -> """
+      SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+                  WHEN o_totalprice < 150000 THEN '50k_150k'
+                  WHEN o_totalprice < 300000 THEN '150k_300k'
+                  ELSE 'ge_300k' END AS bin,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1""".trim,
     "rollup_revenue" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
