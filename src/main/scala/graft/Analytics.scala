@@ -318,11 +318,13 @@ object Analytics {
         when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
       .withColumn("session_no", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_no"))
-      // second-truncated start: the parquet carries ns timestamps that
-      // Spark reads at µs — emitting raw ts would hash-diverge from an
-      // ns-precision engine, so both sides floor to seconds (floor is
-      // monotonic, so trunc(min) == min(trunc))
-      .agg(date_trunc("second", min(col("ts"))).as("session_start"),
+      // epoch-second BIGINT start: the parquet carries ns timestamps that
+      // Spark reads at µs — any TIMESTAMP output risks a representation
+      // (precision) mismatch against an ns-precision engine even when the
+      // logical instants agree, so both sides emit whole seconds as a
+      // plain integer (cast-to-long floors; floor is monotonic, so
+      // floor(min) == min(floor))
+      .agg(min(col("ts")).cast("long").as("session_start"),
         count(lit(1)).as("n_events"),
         round(moneySum(col("value")), 2).cast("double").as("sum_value"))
       .select(col("user_id"), col("session_no"), col("session_start"),
@@ -514,8 +516,9 @@ object Analytics {
       GROUP BY 1, 2""".trim,
     // ns→µs truncation note: the window ORDER BY uses epoch_ns // 1000
     // (µs — what Spark reads), gaps use epoch_ns // 1e9 (whole seconds,
-    // same floor Spark's cast-to-long takes), session_start re-builds a
-    // second-floored timestamp
+    // same floor Spark's cast-to-long takes), session_start is the
+    // epoch-second BIGINT itself — no TIMESTAMP reconstruction, so no
+    // µs-vs-ns representation gap for the driver's hash
     "events_sessionized" -> """
       WITH e AS (SELECT event_id, user_id, value,
                    epoch_ns(ts) // 1000 AS us,
@@ -530,7 +533,7 @@ object Analytics {
               AS session_no
             FROM g)
       SELECT user_id, session_no,
-             make_timestamp(min(s) * 1000000) AS session_start,
+             min(s) AS session_start,
              count(*) AS n_events,
              round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
       FROM n GROUP BY user_id, session_no""".trim,

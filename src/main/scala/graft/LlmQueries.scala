@@ -157,9 +157,13 @@ object LlmQueries {
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
 
-  /** #24 */
+  /** #24 — df cut active (maxDf = 100): at sf0.01 that is any shingle
+    * in >20% of the 500 docs; the gated run exercises the same plan
+    * shape a web corpus needs (df agg + semi-join before the
+    * inverted-index self-join). */
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5)
+    Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5,
+      maxDf = 100)
 
   /** #22 */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
@@ -170,10 +174,19 @@ object LlmQueries {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(docs(s, d), "doc_id", "text", bands = 4, maxHamming = 3)
 
-  /** #25 */
+  /** #25 exact (O(n²) broadcast product) — kept as the recall
+    * cross-check for the LSH path; the scale path is
+    * [[dedupEmbeddingLsh]]. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
       threshold = 0.35, exact = true)
+
+  /** #25 scale path: hyperplane-LSH bucketed candidates (vectors
+    * sharing an 8-bit sign signature), so the all-pairs product never
+    * materializes — the variant that survives 100 TB. */
+  def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
+      threshold = 0.35, exact = false, planes = 8)
 
   /** #25c near-dup clusters: MinHash-LSH pairs → connected components →
     * canonical member per cluster. */
@@ -219,6 +232,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_cluster" -> dedupCluster,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
@@ -374,9 +388,13 @@ object LlmQueries {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""".trim,
+    // df cut mirrored: shingles in >100 docs leave the inverted index
+    // before the self-join; denominators keep full set sizes
     "dedup_ngram_jaccard" -> s"""
       WITH $shingleCte,
-      inv AS (SELECT doc_id, unnest(sset) s FROM sh),
+      inv0 AS (SELECT doc_id, unnest(sset) s FROM sh),
+      inv AS (SELECT doc_id, s FROM inv0
+              WHERE s IN (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100)),
       common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
@@ -391,6 +409,22 @@ object LlmQueries {
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
+    // seed-0 hyperplane weights replayed (HyperplaneLsh.weights with
+    // sp = 0·100003 + p = p); candidates share the full 8-bit signature
+    "dedup_embedding_lsh" -> s"""
+      WITH $cosCte,
+      w AS (SELECT p.p,
+              list_transform(range(64), i ->
+                ((('0x' || substr(md5(p.p::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2000001)
+                 / 1000000.0 - 1.0)) wv
+            FROM (SELECT unnest(range(8)) p) p),
+      sigs AS (SELECT e.vec_id,
+                 sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT sig
+               FROM e CROSS JOIN w GROUP BY e.vec_id),
+      pr AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("ea.v", "eb.v")}, 4) cos
+             FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+             JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
+      SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.35""".trim,
     "ann_bruteforce" -> s"""
       WITH $cosCte,
       q AS (SELECT * FROM e WHERE vec_id < 20),

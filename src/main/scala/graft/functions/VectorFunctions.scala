@@ -31,8 +31,9 @@ object VectorFunctions {
 
   /** Random-hyperplane LSH signature: `planes` sign bits packed into a
     * long. Plane p's component for dimension i is a deterministic
-    * pseudo-random value in [-1, 1) derived from xxhash64(p, i) — no
-    * RNG state, so every executor (and every engine) derives the same
+    * pseudo-random value in [-1, 1) derived from the first 8 md5 hex
+    * chars of "{seed·100003+p}:{i}" — no RNG state, so every executor
+    * (and every engine, incl. the DuckDB oracle) derives the same
     * planes. Vectors with small angle share sign bits with high
     * probability (SimHash for the unit sphere).
     */
@@ -43,7 +44,7 @@ object VectorFunctions {
     * so L seeds give the L independent hash tables classic LSH needs
     * for recall (a neighbor missed by one table is caught by another).
     * Native single pass ([[graft.functions.expr.HyperplaneLsh]]): the
-    * xxhash64-derived weight matrix is cached per executor, so per row
+    * md5-derived weight matrix is cached per executor, so per row
     * this is `planes` dot products, no hashing. */
   def hyperplaneLshSignature(v: Column, planes: Int, seed: Int): Column =
     org.apache.spark.sql.GraftBridge.column(

@@ -29,14 +29,35 @@ object Dedup {
   /** #24 n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * shingle (inverted-index join — the only shuffle is on the shingle
     * string); pairs are then verified with exact Jaccard ≥ `threshold`.
-    * Returns (id_a, id_b, jaccard). Scale note: frequency of a shingle
-    * bounds its join fan-out; for web-scale corpora drop ultra-common
-    * shingles first (df cut) — the synthetic corpus doesn't need it.
+    * Returns (id_a, id_b, jaccard).
+    *
+    * `maxDf` is the document-frequency cut that makes this survive a
+    * real corpus: a shingle appearing in d documents fans out to d²/2
+    * candidate rows, so one piece of boilerplate ("all rights reserved
+    * …") in a web crawl turns the self-join quadratic. Shingles with
+    * df > maxDf are dropped from the inverted index BEFORE the join —
+    * one extra narrow agg (map-side combined count on the shingle) plus
+    * a semi-join on the key the index was already shuffled by, bounding
+    * every shingle's fan-out by maxDf²/2. Denominators keep the FULL
+    * set sizes, so the cut only ever lowers a pair's jaccard (common
+    * boilerplate stops counting as similarity — it never invents a
+    * near-dup, and true near-dups still share their rare shingles).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 5, threshold: Double = 0.5): DataFrame = {
+                        n: Int = 5, threshold: Double = 0.5,
+                        maxDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
-    val inv = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val invAll = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val inv =
+      if (maxDf == Int.MaxValue) invAll
+      else {
+        // shingle arrays are distinct per doc, so count(*) == doc freq
+        val keep = invAll.groupBy(col("s"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf)
+          .select(col("s"))
+        invAll.join(keep, Seq("s"), "left_semi")
+      }
     val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
