@@ -181,12 +181,14 @@ object LlmQueries {
     Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
       threshold = 0.35, exact = true)
 
-  /** #25 scale path: hyperplane-LSH bucketed candidates (vectors
-    * sharing an 8-bit sign signature), so the all-pairs product never
-    * materializes — the variant that survives 100 TB. */
+  /** #25 scale path: hyperplane-LSH bucketed candidates (4 seeded
+    * tables of 8-bit sign signatures, hamming-1 multi-probe), so the
+    * all-pairs product never materializes — the variant that survives
+    * 100 TB. The exact twin above doubles as its recall cross-check
+    * (OperatorsSpec). */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
-      threshold = 0.35, exact = false, planes = 8)
+      threshold = 0.35, exact = false, planes = 8, tables = 4)
 
   /** #25c near-dup clusters: MinHash-LSH pairs → connected components →
     * canonical member per cluster. */
@@ -409,21 +411,26 @@ object LlmQueries {
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
-    // seed-0 hyperplane weights replayed (HyperplaneLsh.weights with
-    // sp = 0·100003 + p = p); candidates share the full 8-bit signature
+    // hyperplane weights replayed for 4 seeded tables × 8 planes
+    // (HyperplaneLsh.weights, sp = t·100003 + p); candidates agree
+    // within hamming ≤ 1 in any table (the masks are the multi-probe)
     "dedup_embedding_lsh" -> s"""
       WITH $cosCte,
-      w AS (SELECT p.p,
+      w AS (SELECT t.t, p.p,
               list_transform(range(64), i ->
-                ((('0x' || substr(md5(p.p::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2000001)
+                ((('0x' || substr(md5((t.t*100003+p.p)::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2000001)
                  / 1000000.0 - 1.0)) wv
-            FROM (SELECT unnest(range(8)) p) p),
-      sigs AS (SELECT e.vec_id,
+            FROM (SELECT unnest(range(4)) t) t, (SELECT unnest(range(8)) p) p),
+      sigs AS (SELECT e.vec_id, t,
                  sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT sig
-               FROM e CROSS JOIN w GROUP BY e.vec_id),
-      pr AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("ea.v", "eb.v")}, 4) cos
-             FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
-             JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id)
+               FROM e CROSS JOIN w GROUP BY e.vec_id, t),
+      cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+               FROM sigs a JOIN sigs b
+                 ON b.t = a.t AND a.vec_id < b.vec_id,
+                 (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
+               WHERE b.sig = xor(a.sig, m.m::BIGINT)),
+      pr AS (SELECT id_a, id_b, round(${cos("ea.v", "eb.v")}, 4) cos
+             FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
       SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.35""".trim,
     "ann_bruteforce" -> s"""
       WITH $cosCte,

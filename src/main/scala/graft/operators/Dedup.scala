@@ -184,33 +184,56 @@ object Dedup {
 
   /** #25 Embedding cosine near-dup pairs above `threshold`.
     * `exact=true` scores all n²/2 pairs (broadcast nested-loop — only
-    * for modest n or verification); default goes through hyperplane-LSH
-    * buckets so the all-pairs product never materializes: vectors
-    * sharing a `planes`-bit sign signature are near-angle candidates.
+    * for modest n or recall verification); default is hyperplane-LSH:
+    * `tables` independent `planes`-bit sign signatures per vector
+    * (seeded hyperplane sets), candidates are pairs whose signatures
+    * agree within hamming ≤ 1 in ANY table (hamming-1 multi-probe —
+    * the probe side explodes each signature into planes+1 bit-flip
+    * variants). Same recipe as [[Knn.lsh]], so recall at moderate
+    * angles comes from table/probe union while per-bucket candidate
+    * cost stays bounded by bucket geometry — the all-pairs product
+    * never materializes. Only (id, table, signature) rows move through
+    * the candidate shuffle; vectors are re-joined narrowly for the
+    * verify scoring. At larger corpus sizes raise `planes`
+    * (bucket occupancy ~ n/2^planes per table).
     */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, exact: Boolean = false,
-                     planes: Int = 8): DataFrame = {
+                     planes: Int = 8, tables: Int = 4): DataFrame = {
     import graft.functions.VectorFunctions._
     // norm precomputed once per ROW, not once per PAIR — the pair-level
     // work is a single dot-product fold (3× less lambda work in the join)
     val v = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm2(col(vecCol)).as("nrm"))
-    val pairs =
-      if (exact) {
-        // the corpus often arrives as one parquet file = one partition;
-        // spread the streamed side so the broadcast nested-loop join
-        // parallelizes across all cores instead of one task
-        val spread = v.repartition(v.sparkSession.sparkContext.defaultParallelism)
-        spread.as("a").join(broadcast(v).as("b"), col("a.id") < col("b.id"))
-      } else {
-        val sig = v.withColumn("sig", hyperplaneLshSignature(col("vec"), planes))
-        sig.as("a").join(sig.as("b"),
-          col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
-      }
-    pairs.select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
-          .as("cos"))
-      .filter(col("cos") >= threshold)
+    def score(pairs: DataFrame): DataFrame =
+      pairs.select(col("id_a"), col("id_b"),
+          round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
+            .as("cos"))
+        .filter(col("cos") >= threshold)
+    if (exact) {
+      // the corpus often arrives as one parquet file = one partition;
+      // spread the streamed side so the broadcast nested-loop join
+      // parallelizes across all cores instead of one task
+      val spread = v.repartition(v.sparkSession.sparkContext.defaultParallelism)
+      score(spread.as("a").join(broadcast(v).as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.vec").as("vec_a"), col("b.vec").as("vec_b"),
+          col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b")))
+    } else {
+      val sigs = v.select(col("id"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneLshSignature(col("vec"), planes, t)): _*)).as(Seq("t", "sig")))
+      val masks = 0L +: (0 until planes).map(p => 1L << p)
+      val probes = sigs.select(col("id"), col("t"),
+        explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("psig"))
+      val cand = probes.as("a").join(sigs.as("b"),
+          col("a.t") === col("b.t") && col("a.psig") === col("b.sig") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+      score(cand
+        .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), "id_a")
+        .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b"))
+    }
   }
 }

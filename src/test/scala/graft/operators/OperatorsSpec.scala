@@ -35,6 +35,46 @@ class OperatorsSpec extends SparkSpec {
     assert(keys.distinct.length == keys.length)
   }
 
+  test("ngram jaccard df-cut: ubiquitous boilerplate doesn't explode the pair count") {
+    // every doc carries the same 8-word footer (4 shared internal
+    // 5-shingles, df = 30); bodies are unique except docs 1/2 which are
+    // near-dups sharing one rare shingle
+    val boiler = "all rights reserved contact support for terms today"
+    val docs = (1 to 30).map { i =>
+      val body =
+        if (i <= 2) s"alpha beta gamma delta epsilon zeta$i"
+        else s"u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f"
+      (i.toLong, s"$body $boiler")
+    }.toDF("doc_id", "text")
+    // without the cut the boilerplate shingles pair EVERY doc with every
+    // other doc: the inverted-index self-join goes quadratic (435 pairs)
+    val noCut = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.01).count()
+    assert(noCut == 30L * 29 / 2)
+    // with df ≤ 10 the boilerplate leaves the index before the join:
+    // only the genuinely-similar pair survives
+    val cut = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5,
+      threshold = 0.01, maxDf = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cut == Set((1L, 2L)))
+  }
+
+  test("embedding LSH near-dup: subset of exact pairs, recall from table/probe union") {
+    val e = Tables.embeddings(spark, sfDir)
+    val exact = Dedup.embeddingPairs(e, "vec_id", "embedding", threshold = 0.35,
+        exact = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingPairs(e, "vec_id", "embedding", threshold = 0.35,
+        exact = false, planes = 8, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every LSH pair is a true above-threshold pair (verify step is exact)
+    assert(lsh.subsetOf(exact))
+    // corpus pairs here are wide-angle (cos 0.35-0.51), the hardest LSH
+    // regime — 4 tables × hamming-1 probes must still recover a chunk
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.2, s"recall = $recall (${lsh.size}/${exact.size})")
+  }
+
   test("connectedComponents: chains, triangles and singletons get min-id labels") {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
