@@ -30,10 +30,13 @@ object PbQueries {
   def append(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     val orders = Tables.orders(spark, sfDir)
+    // o_orderdate is stored un-annotated (timestamp[ms] → NTZ in Spark);
+    // the driver testdata is semantically UTC, so opt into the pin
+    // instead of the default naive-datetime rejection
     KeyedTable.toSql(orders.filter(col("o_orderkey") % 2 === 0), wh, "orders",
-      pk = Seq("o_orderkey"))
+      pk = Seq("o_orderkey"), strictUtc = false)
     KeyedTable.toSql(orders.filter(col("o_orderkey") % 2 === 1), wh, "orders",
-      pk = Seq("o_orderkey"), how = WriteMode.Append)
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false)
     KeyedTable.readSql(spark, wh, "orders")
   }
 
@@ -41,14 +44,15 @@ object PbQueries {
   def upsert(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     val orders = Tables.orders(spark, sfDir)
-    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"))
+    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"),
+      strictUtc = false) // NTZ testdata is semantically UTC
     val modified = orders.filter(col("o_orderkey") % 7 === 0)
       .withColumn("o_orderstatus", lit("X"))
       .withColumn("o_totalprice", col("o_totalprice") * 2)
     val inserted = orders.filter(col("o_orderkey") % 97 === 0)
       .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
     KeyedTable.toSql(modified.unionByName(inserted), wh, "orders",
-      pk = Seq("o_orderkey"), how = WriteMode.Upsert)
+      pk = Seq("o_orderkey"), how = WriteMode.Upsert, strictUtc = false)
     KeyedTable.readSql(spark, wh, "orders")
   }
 
@@ -58,18 +62,20 @@ object PbQueries {
   def upsertPartial(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     val orders = Tables.orders(spark, sfDir)
-    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"))
+    KeyedTable.toSql(orders, wh, "orders", pk = Seq("o_orderkey"),
+      strictUtc = false) // NTZ testdata is semantically UTC
     val delta = orders.filter(col("o_orderkey") % 11 === 0)
       .select(col("o_orderkey"), (col("o_totalprice") * 3).as("o_totalprice"))
     KeyedTable.toSql(delta, wh, "orders",
-      pk = Seq("o_orderkey"), how = WriteMode.Upsert)
+      pk = Seq("o_orderkey"), how = WriteMode.Upsert, strictUtc = false)
     KeyedTable.readSql(spark, wh, "orders")
   }
 
   /** #4 inclusive PK range read (filters push to parquet stats). */
   def readRange(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
-    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders", pk = Seq("o_orderkey"))
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
     KeyedTable.readSql(spark, wh, "orders", lowest = Seq(100L), highest = Seq(500L))
   }
 

@@ -56,13 +56,28 @@ object Companda {
       .orderBy("column_name")
   }
 
+  /** @param ignoreIndex positional compare (reference companda.py:46):
+    *   each frame is sorted by its own index columns (`pk` for df1,
+    *   `df2Pk` — default `pk` — for df2), the index columns are then
+    *   IGNORED (dropped), and the remaining shared columns compare row
+    *   i against row i. This is what the reference's auto-index tests
+    *   use, where the synthetic PK and the original frame's index
+    *   don't line up (test_sql.py:104, 841). Costs one global sort +
+    *   row-numbering pass per side — inherent to positional semantics.
+    */
   def apply(df1: DataFrame, df2: DataFrame, pk: Seq[String],
             epsilon: Double = 0.001,
             checkDtype: Boolean = false,
-            ignoreAllNanColumns: Boolean = false): CompandaResult = {
-    var (a, b) = (df1, df2)
+            ignoreAllNanColumns: Boolean = false,
+            ignoreIndex: Boolean = false,
+            df2Pk: Seq[String] = null): CompandaResult = {
+    val pk2 = Option(df2Pk).getOrElse(pk)
+    var (a, b) =
+      if (ignoreIndex) (sortAndNumber(df1, pk), sortAndNumber(df2, pk2))
+      else (df1, df2)
+    val key = if (ignoreIndex) Seq(PosCol) else pk
     if (ignoreAllNanColumns) {
-      a = dropAllNullColumns(a, pk); b = dropAllNullColumns(b, pk)
+      a = dropAllNullColumns(a, key); b = dropAllNullColumns(b, key)
     }
     val cols1 = a.columns.toSet; val cols2 = b.columns.toSet
     if (cols1 != cols2)
@@ -80,13 +95,27 @@ object Companda {
     if (n1 != n2)
       return CompandaResult(equal = false, columnsEqual = true,
         s"len(df1) = $n1, len(df2) = $n2")
-    val d = diff(a, b, pk, epsilon).filter(col("n_unequal") > 0)
+    val d = diff(a, b, key, epsilon).filter(col("n_unequal") > 0)
       .collect().map { case Row(c: String, n: Long) => s"$c($n)" }
     if (d.nonEmpty)
       CompandaResult(equal = false, columnsEqual = true,
         s"values not equal in columns: ${d.mkString(", ")}")
     else CompandaResult(equal = true, columnsEqual = true,
       s"EQUAL, checked_dtype=$checkDtype")
+  }
+
+  private val PosCol = "__companda_pos"
+
+  /** Sort by the frame's own index columns, drop them, append a
+    * contiguous position column. `sort` range-partitions, so
+    * zipWithIndex numbers rows in global order (same machinery as the
+    * store's auto_index — contiguous ids genuinely need the extra
+    * serialize pass). */
+  private def sortAndNumber(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    val sorted = df.sort(sortCols.map(col): _*).drop(sortCols: _*)
+    val schema = sorted.schema.add(PosCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   private def dropAllNullColumns(df: DataFrame, pk: Seq[String]): DataFrame = {

@@ -65,6 +65,15 @@ object KeyedTable {
     * coercion of incoming types toward the table schema
     * ("database is the source of truth", sql.py:213-254).
     */
+  /** @param strictUtc reference fail-fast contract (default): any naive
+    *   (TimestampNTZ) datetime column — PK or value — is rejected, like
+    *   the reference's ValueError on naive / non-UTC datetimes
+    *   (sql.py:100, 133-136; tests/test_sql.py:273, 807). Spark's
+    *   TimestampType is already a UTC instant, so "tz-aware but not
+    *   UTC" cannot reach us as a type — NTZ is the one expressible
+    *   violation. Pass `strictUtc = false` to opt into the previous
+    *   behavior: NTZ is pinned to the same wall-clock UTC instant
+    *   (session TZ is UTC). */
   def toSql(df: DataFrame,
             warehouse: String,
             tableName: String,
@@ -74,13 +83,22 @@ object KeyedTable {
             addNewColumns: Boolean = false,
             buckets: Int = DefaultBuckets,
             validate: Boolean = true,
-            inferBool: Boolean = true): Unit = {
+            inferBool: Boolean = true,
+            strictUtc: Boolean = true): Unit = {
     val spark = df.sparkSession
     if (Names.cleanName(tableName) != tableName)
       throw new IllegalNameException(
         s"Illegal characters in table name: $tableName. try: ${Names.cleanName(tableName)}")
     if (autoIndex && pk.nonEmpty)
       throw new StoreException("pass either pk or autoIndex=true, not both")
+    if (strictUtc) {
+      val naive = df.schema.fields.filter(_.dataType == TimestampNTZType)
+      if (naive.nonEmpty)
+        throw new StoreException(
+          s"Column(s) ${naive.map(_.name).mkString(", ")} timezone must be set " +
+          "(naive TimestampNTZ rejected; convert to a UTC instant, or pass " +
+          "strictUtc=false to pin the wall-clock to UTC) (reference: sql.py:133)")
+    }
 
     // clean column names (reference silently cleans; helpers.py:228)
     val cleaned = df.columns.foldLeft(df) { (d, c) =>

@@ -44,7 +44,7 @@ class BoolInferenceSpec extends SparkSpec {
     assert(KeyedTable.readSql(spark, wh, "t_raw").schema("int01").dataType == LongType)
   }
 
-  test("naive (NTZ) timestamps are pinned to UTC instants on create and append") {
+  test("naive (NTZ) timestamps are rejected by default, pinned to UTC on opt-in") {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val wh = Files.createTempDirectory("graft-ntz").toString
@@ -52,16 +52,30 @@ class BoolInferenceSpec extends SparkSpec {
       .toDF("id", "s")
       .withColumn("t", expr("cast(s AS timestamp_ntz)")).drop("s")
     assert(d.schema("t").dataType == TimestampNTZType)
-    KeyedTable.toSql(d, wh, "ntz", pk = Seq("id"))
-    val back = KeyedTable.readSql(spark, wh, "ntz")
-    assert(back.schema("t").dataType == TimestampType)
-    // UTC session ⇒ wall clock preserved
-    assert(back.filter(col("id") === 1L).select(col("t").cast("string"))
-      .head().getString(0) == "2024-01-01 10:30:00")
-    // append with naive input coerces toward the UTC table schema
+    // reference fail-fast contract: naive datetime column → error on
+    // create (test_sql.py:273) …
+    val e = intercept[StoreException](KeyedTable.toSql(d, wh, "ntz", pk = Seq("id")))
+    assert(e.getMessage.contains("timezone must be set"))
+    // … and on append/upsert into an existing table (test_sql.py:807)
+    KeyedTable.toSql(d.withColumn("t", col("t").cast(TimestampType)), wh, "ntz",
+      pk = Seq("id"))
     val more = Seq((3L, "2024-03-01 12:00:00")).toDF("id", "s")
       .withColumn("t", expr("cast(s AS timestamp_ntz)")).drop("s")
-    KeyedTable.toSql(more, wh, "ntz", pk = Seq("id"), how = WriteMode.Append)
-    assert(KeyedTable.readSql(spark, wh, "ntz").count() == 3)
+    intercept[StoreException](
+      KeyedTable.toSql(more, wh, "ntz", pk = Seq("id"), how = WriteMode.Append))
+    intercept[StoreException](
+      KeyedTable.toSql(more, wh, "ntz", pk = Seq("id"), how = WriteMode.Upsert))
+
+    // explicit opt-in (strictUtc=false): naive pins to the same
+    // wall-clock UTC instant (session TZ is UTC), on create and append
+    val wh2 = Files.createTempDirectory("graft-ntz2").toString
+    KeyedTable.toSql(d, wh2, "ntz", pk = Seq("id"), strictUtc = false)
+    val back = KeyedTable.readSql(spark, wh2, "ntz")
+    assert(back.schema("t").dataType == TimestampType)
+    assert(back.filter(col("id") === 1L).select(col("t").cast("string"))
+      .head().getString(0) == "2024-01-01 10:30:00")
+    KeyedTable.toSql(more, wh2, "ntz", pk = Seq("id"), how = WriteMode.Append,
+      strictUtc = false)
+    assert(KeyedTable.readSql(spark, wh2, "ntz").count() == 3)
   }
 }

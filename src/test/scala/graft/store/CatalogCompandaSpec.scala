@@ -78,6 +78,38 @@ class CatalogCompandaSpec extends SparkSpec {
     assert(!strict.equal)
   }
 
+  test("companda ignoreIndex: positional compare after each side sorts by its own index (companda.py:46)") {
+    import spark.implicits._
+    // the reference's auto-index scenario (test_sql.py:104): same rows,
+    // but df2's synthetic PK shares no values with df1's — positionally
+    // equal once each side is sorted by its own index
+    val df1 = Seq((10L, "a", 1.0), (20L, "b", 2.0), (30L, "c", 3.0))
+      .toDF("pk", "name", "x")
+    val df2 = Seq((100L, "a", 1.0), (200L, "b", 2.0), (300L, "c", 3.0))
+      .toDF("auto_pk", "name", "x")
+    assert(!Companda(df1, df1.withColumnRenamed("pk", "auto_pk"),
+      pk = Seq("pk")).equal) // column sets differ without ignoreIndex
+    assert(Companda(df1, df2, pk = Seq("pk"), ignoreIndex = true,
+      df2Pk = Seq("auto_pk")).equal)
+    // sorting is per-side: rows arriving in different physical order
+    // still line up positionally
+    assert(Companda(df1.orderBy(col("pk").desc), df2, pk = Seq("pk"),
+      ignoreIndex = true, df2Pk = Seq("auto_pk")).equal)
+    // a genuine value difference is still caught
+    val df2bad = Seq((100L, "a", 1.0), (200L, "b", 2.0), (300L, "c", 99.0))
+      .toDF("auto_pk", "name", "x")
+    val r = Companda(df1, df2bad, pk = Seq("pk"), ignoreIndex = true,
+      df2Pk = Seq("auto_pk"))
+    assert(!r.equal && r.columnsEqual && r.message.contains("x"))
+    // doubled frame vs doubled frame (test_sql.py:841): lengths match
+    val r2 = Companda(df1.union(df1), df2.union(df2), pk = Seq("pk"),
+      ignoreIndex = true, df2Pk = Seq("auto_pk"))
+    assert(r2.equal)
+    // length mismatch still reported first
+    assert(Companda(df1.union(df1), df2, pk = Seq("pk"), ignoreIndex = true,
+      df2Pk = Seq("auto_pk")).message.contains("len"))
+  }
+
   test("companda ignoreAllNanColumns drops empty columns (companda.py:64)") {
     val orders = Tables.orders(spark, sfDir)
     val extraNull = orders.withColumn("empty", lit(null).cast("double"))
