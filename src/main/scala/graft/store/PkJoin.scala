@@ -1,26 +1,25 @@
 package graft.store
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Shuffle-free inner PK join of two keyed tables that share a bucket
   * count (and PK column types): rows of bucket `i` on both sides are
   * guaranteed co-located because both tables cluster by
-  * `pmod(xxhash64(pk...), buckets)`, so the join is `buckets`
-  * independent partition-local hash joins — NO exchange of either
-  * table, the property that makes repeated fact↔fact joins on the
-  * same key affordable at 100 TB.
+  * `pmod(xxhash64(pk...), buckets)`, so the join needs NO exchange of
+  * either table — the property that makes repeated fact↔fact joins on
+  * the same key affordable at 100 TB.
   *
-  * Spark's planner cannot see file-layout co-partitioning on plain
-  * parquet paths (that needs a DataSource V2 reporting
-  * KeyGroupedPartitioning for storage-partitioned join), so this is
-  * the documented `mapPartitions`-tier operator: one RDD partition per
-  * bucket per side, aligned by index, zipPartitions with an in-memory
-  * hash build of the right bucket (right buckets must fit an
-  * executor's memory — size the bucket count at create time
-  * accordingly).
+  * Planned as a Catalyst storage-partitioned join: both sides read
+  * through [[KeyedTableSource]], whose scan reports
+  * `KeyGroupedPartitioning(identity(pb_bucket))`, and the join
+  * condition includes `pb_bucket` equality (implied by PK equality —
+  * the bucket is a deterministic function of the PK), so
+  * EnsureRequirements zips the bucket partitions directly. Unlike the
+  * previous RDD `zipPartitions` tier this stays inside normal physical
+  * planning: whole-stage codegen, AQE, and a spillable sort-merge join
+  * (no in-memory hash build of a whole right bucket — the `merge` hint
+  * keeps the plan spill-safe for skewed/large buckets).
   *
   * Output: left columns + right non-PK columns (right-side name
   * collisions suffixed `_r`).
@@ -40,49 +39,28 @@ object PkJoin {
     require(lTypes == rTypes,
       s"PK types differ ($lTypes vs $rTypes) — xxhash64 bucketing is type-sensitive")
 
-    val n = lm.buckets
-    val lIdx = lm.pk.map(lm.schema.fieldIndex)
-    val rIdx = rm.pk.map(rm.schema.fieldIndex)
-    val rKeep = rm.schema.fields.indices.filterNot(rIdx.contains)
+    // storage-partitioned join is gated off by default; the sets are
+    // idempotent and session-scoped. The second relaxes the exact-match
+    // rule so a partition key that is a SUBSET of the join keys
+    // ([pb_bucket] ⊂ [pk…, pb_bucket]) still co-partitions.
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
 
-    val leftRdd = bucketAlignedRdd(spark, warehouse, leftTable, lm, n)
-    val rightRdd = bucketAlignedRdd(spark, warehouse, rightTable, rm, n)
-
-    val joined: RDD[Row] = leftRdd.zipPartitions(rightRdd) { (ls, rs) =>
-      // build on the right bucket, stream the left
-      val built = new scala.collection.mutable.HashMap[List[Any], List[Row]]()
-      rs.foreach { r =>
-        val k = rIdx.map(r.get).toList
-        built.update(k, r :: built.getOrElse(k, Nil))
-      }
-      ls.flatMap { l =>
-        built.getOrElse(lIdx.map(l.get).toList, Nil).reverse.map { r =>
-          Row.fromSeq(l.toSeq ++ rKeep.map(r.get))
-        }
-      }
-    }
+    val l = KeyedTableSource.read(spark, warehouse, leftTable)
+    val r = KeyedTableSource.read(spark, warehouse, rightTable)
+    val cond: Column = lm.pk.zip(rm.pk)
+      .map { case (a, b) => l(a) === r(b) }
+      .reduce(_ && _) && l(KeyedTable.BucketCol) === r(KeyedTable.BucketCol)
+    val joined = l.hint("merge").join(r, cond, "inner")
 
     val leftNames = lm.schema.fieldNames.toSet
-    val outFields = lm.schema.fields ++ rKeep.map { i =>
-      val f = rm.schema.fields(i)
-      if (leftNames.contains(f.name)) f.copy(name = f.name + "_r") else f
-    }
-    spark.createDataFrame(joined, StructType(outFields))
-  }
-
-  /** One RDD partition per bucket, in bucket order (empty bucket dirs →
-    * empty partitions, keeping both sides index-aligned). */
-  private def bucketAlignedRdd(spark: SparkSession, warehouse: String,
-                               table: String, meta: TableMeta, n: Int): RDD[Row] = {
-    val dataDir = s"${KeyedTable.tableDir(warehouse, table)}/data"
-    val fs = new Path(dataDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = (0 until n).map { b =>
-      val dir = new Path(dataDir, s"${KeyedTable.BucketCol}=$b")
-      if (fs.exists(dir))
-        spark.read.schema(meta.schema).parquet(dir.toString).rdd.coalesce(1)
-      else
-        spark.sparkContext.parallelize(Seq.empty[Row], 1)
-    }
-    spark.sparkContext.union(parts)
+    val outCols: Seq[Column] =
+      lm.schema.fieldNames.toIndexedSeq.map(n => l(n)) ++
+        rm.schema.fields.toIndexedSeq
+          .filterNot(f => rm.pk.contains(f.name))
+          .map { f =>
+            if (leftNames.contains(f.name)) r(f.name).as(f.name + "_r") else r(f.name)
+          }
+    joined.select(outCols: _*)
   }
 }

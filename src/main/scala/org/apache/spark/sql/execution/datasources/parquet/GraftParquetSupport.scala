@@ -1,0 +1,54 @@
+package org.apache.spark.sql.execution.datasources.parquet
+
+import org.apache.parquet.hadoop.ParquetInputFormat
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.read.PartitionReaderFactory
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** Builds a vectorized [[ParquetPartitionReaderFactory]] for graft's
+  * keyed-table V2 source, mirroring the hadoopConf setup that Spark's
+  * own `ParquetScan.createReaderFactory` performs (read-support class,
+  * requested schema, converter flags). Those helpers
+  * (`ParquetReadSupport`/`ParquetWriteSupport` objects) are
+  * package-private, so this shim lives in the parquet package — same
+  * pattern as [[org.apache.spark.sql.GraftBridge]].
+  */
+object GraftParquetSupport {
+
+  def readerFactory(spark: SparkSession,
+                    dataSchema: StructType,
+                    readDataSchema: StructType,
+                    readPartitionSchema: StructType): PartitionReaderFactory = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = session.sessionState.conf
+    val hadoopConf = session.sessionState.newHadoopConf()
+
+    val readDataSchemaAsJson = readDataSchema.json
+    hadoopConf.set(ParquetInputFormat.READ_SUPPORT_CLASS, classOf[ParquetReadSupport].getName)
+    hadoopConf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(ParquetWriteSupport.SPARK_ROW_SCHEMA, readDataSchemaAsJson)
+    hadoopConf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hadoopConf.setBoolean(SQLConf.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hadoopConf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    ParquetWriteSupport.setSchema(readDataSchema, hadoopConf)
+    // flags for ParquetToSparkSchemaConverter
+    hadoopConf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hadoopConf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    hadoopConf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.parquetInferTimestampNTZEnabled)
+
+    val broadcasted = session.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
+    ParquetPartitionReaderFactory(
+      sqlConf, broadcasted, dataSchema, readDataSchema, readPartitionSchema,
+      Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+}

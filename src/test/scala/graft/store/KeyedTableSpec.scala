@@ -252,7 +252,11 @@ class KeyedTableSpec extends SparkSpec {
     assert(got.collect().map(_.toSeq).toSet == want.collect().map(_.toSeq).toSet)
     // inner-join semantics: customers without orders drop out
     assert(got.count() == roll.count())
-    // the physical plan is the zipPartitions RDD scan — no Exchange anywhere
-    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+    // storage-partitioned join: V2 bucket scans zip directly — a real
+    // Catalyst join (codegen/AQE/spillable sort-merge), zero Exchange
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    assert(plan.contains("SortMergeJoin"), s"expected sort-merge join in:\n$plan")
+    assert(plan.contains("BatchScan"), s"expected V2 batch scan in:\n$plan")
   }
 }
