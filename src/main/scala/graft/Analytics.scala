@@ -308,7 +308,19 @@ object Analytics {
     * inter-event gap exceeds 30 min. One shuffle (by user) feeds both
     * windows — the lag-based session-break flag and the running count
     * that numbers sessions — then a per-session aggregate. The batch
-    * twin of Structured Streaming's session_window. */
+    * twin of Structured Streaming's session_window.
+    *
+    * Skew note: window partitioning puts ALL of one key's rows in one
+    * task, and AQE does not split window skew — a bot user with 10⁸
+    * events becomes a straggler. Per-task input here is bounded by the
+    * hottest key, acceptable for user-keyed events (humans cap out);
+    * for genuinely unbounded keys the fix is salted two-phase
+    * sessionization: partition by (key, time-chunk) so each task
+    * sessionizes a bounded slice, then a second, pairs-only pass over
+    * chunk boundaries merges sessions that straddle a chunk edge
+    * (boundary rows per key = 2 × chunks, not |events|). Same recipe
+    * applies to any lag/running-count window, e.g. [[AsOf.asofJoin]].
+    */
   def eventsSessionized(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables.events(s, d)

@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * join key), no range cross-product, no per-key collect — at 100 TB this
   * is a single sort-merge-shaped pass, vs. the O(|L|·|R|) range join a
   * naive `l.t >= r.t` join would plan.
+  *
+  * Skew note: one window task holds one key's full (left ∪ right)
+  * timeline and AQE does not split window skew; per-task input is
+  * bounded by the hottest key. For unbounded-key workloads use the
+  * salted two-phase recipe described at
+  * [[graft.Analytics.eventsSessionized]]: window over (key, time-chunk)
+  * then patch chunk boundaries by carrying each chunk's last right row
+  * into the next chunk (one extra pairs-only pass).
   */
 object AsOf {
 
