@@ -79,6 +79,19 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders", lowest = Seq(100L), highest = Seq(500L))
   }
 
+  /** #4b point lookup (lowest == highest): bucket-pruned — the scan
+    * lists ONE bucket directory (see KeyedTable.readSql). Several keys
+    * unioned so the result isn't a single row. */
+  def readPoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
+    Seq(1L, 7L, 500L, 1000L)
+      .map(k => KeyedTable.readSql(spark, wh, "orders",
+        lowest = Seq(k), highest = Seq(k)))
+      .reduce(_ unionByName _)
+  }
+
   /** Lineitem rolled up to a (l_orderkey, l_linenumber) grain — the
     * synthetic data has no 2-column unique key, so build one. */
   private def lineGrain(spark: SparkSession, sfDir: String): DataFrame =
@@ -187,6 +200,7 @@ object PbQueries {
     "pb_upsert" -> upsert,
     "pb_upsert_partial" -> upsertPartial,
     "pb_read_range" -> readRange,
+    "pb_read_point" -> readPoint,
     "pb_read_range_multi" -> readRangeMulti,
     "pb_upsert_multi" -> upsertMulti,
     "pb_auto_index" -> autoIndex,
@@ -219,6 +233,8 @@ object PbQueries {
     """.trim,
     "pb_read_range" ->
       "SELECT * FROM orders WHERE o_orderkey >= 100 AND o_orderkey <= 500",
+    "pb_read_point" ->
+      "SELECT * FROM orders WHERE o_orderkey IN (1, 7, 500, 1000)",
     "pb_read_range_multi" -> """
       SELECT l_orderkey, l_linenumber, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_rows
       FROM lineitem GROUP BY l_orderkey, l_linenumber

@@ -451,7 +451,27 @@ object KeyedTable {
       lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
       highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }
     val raw = readRaw(spark, warehouse, tableName, meta)
-    val filtered = conds.foldLeft(raw)(_ filter _)
+    // point lookup (every PK dimension pinned to a single value): the
+    // touched bucket is known, so add a partition filter on pb_bucket —
+    // directory-level pruning reads ONE bucket's files instead of
+    // opening every footer in the table (the range predicates still
+    // prune row groups within it)
+    val pruned =
+      if (lowest.nonEmpty && lowest == highest && !lowest.contains(null))
+        raw.filter(col(BucketCol) === bucketOf(spark, meta, lowest))
+      else raw
+    val filtered = conds.foldLeft(pruned)(_ filter _)
     filtered.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Bucket of a concrete PK tuple — the same typed xxhash64 the write
+    * path uses (withBucket), evaluated on a literal row. */
+  private def bucketOf(spark: SparkSession, meta: TableMeta, values: Seq[Any]): Int = {
+    val typed = meta.pk.zip(values).map { case (c, v) =>
+      lit(v).cast(meta.schema(c).dataType)
+    }
+    spark.range(1)
+      .select(pmod(xxhash64(typed: _*), lit(meta.buckets.toLong)).cast(IntegerType))
+      .head().getInt(0)
   }
 }

@@ -238,6 +238,24 @@ class KeyedTableSpec extends SparkSpec {
     assert(KeyedTable.compact(spark, w, "t", minFiles = 4) == 0)
   }
 
+  test("point lookup prunes to one bucket directory") {
+    val w = wh()
+    KeyedTable.toSql(sample(500), w, "t", pk = Seq("id"))
+    val point = KeyedTable.readSql(spark, w, "t", lowest = Seq(7L), highest = Seq(7L))
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // the partition filter on pb_bucket reaches the scan: exactly one
+    // of the 32 bucket dirs is listed/read
+    val scan = point.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.relation.partitionSchema.fieldNames.contains("pb_bucket"))
+    assert(scan.metadata("PartitionFilters").contains("pb_bucket"))
+    // range reads (not a point) keep the full-table scan + stats pruning
+    val range = KeyedTable.readSql(spark, w, "t", lowest = Seq(5L), highest = Seq(9L))
+    assert(range.count() == 5)
+  }
+
   test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
     val w = wh()
     val cust = graft.Tables.customer(spark, sfDir)
