@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -35,13 +36,17 @@ object Dedup {
     * real corpus: a shingle appearing in d documents fans out to d²/2
     * candidate rows, so one piece of boilerplate ("all rights reserved
     * …") in a web crawl turns the self-join quadratic. Shingles with
-    * df > maxDf are dropped from the inverted index BEFORE the join —
-    * one extra narrow agg (map-side combined count on the shingle) plus
-    * a semi-join on the key the index was already shuffled by, bounding
-    * every shingle's fan-out by maxDf²/2. Denominators keep the FULL
-    * set sizes, so the cut only ever lowers a pair's jaccard (common
-    * boilerplate stops counting as similarity — it never invents a
-    * near-dup, and true near-dups still share their rare shingles).
+    * df > maxDf are dropped from the inverted index BEFORE the join,
+    * via a count window over the shingle: ONE exchange, and the
+    * filtered index comes out hash-partitioned on exactly the
+    * self-join key, so the join adds no further shuffle of the index
+    * (counting a hot shingle's d rows is O(d) in one task — the very
+    * fan-out the cut then removes would have been O(d²)). Every
+    * surviving shingle's fan-out is bounded by maxDf²/2. Denominators
+    * keep the FULL set sizes, so the cut only ever lowers a pair's
+    * jaccard (common boilerplate stops counting as similarity — it
+    * never invents a near-dup, and true near-dups still share their
+    * rare shingles).
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 5, threshold: Double = 0.5,
@@ -50,14 +55,12 @@ object Dedup {
     val invAll = sh.select(col("id"), explode(col("shingles")).as("s"))
     val inv =
       if (maxDf == Int.MaxValue) invAll
-      else {
+      else
         // shingle arrays are distinct per doc, so count(*) == doc freq
-        val keep = invAll.groupBy(col("s"))
-          .agg(count(lit(1)).as("df"))
+        invAll
+          .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
           .filter(col("df") <= maxDf)
-          .select(col("s"))
-        invAll.join(keep, Seq("s"), "left_semi")
-      }
+          .drop("df")
     val common = inv.as("a").join(inv.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
