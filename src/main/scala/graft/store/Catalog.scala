@@ -46,18 +46,48 @@ object Catalog {
     * strings so heterogeneous PK types fit one frame; composite-PK
     * tables report min/max of the leading PK column (the reference
     * reports only 'multi' for those — we do strictly more).
+    *
+    * Planned under the V2 parquet source with aggregate pushdown, so
+    * for stat-friendly PK types the per-table min/max/count come from
+    * FOOTER METADATA (`PushedAggregation` in the plan) — describing a
+    * warehouse of 1,000 100 TB tables is a metadata job, O(files) not
+    * O(rows). Types the footer can't answer exactly (e.g. strings,
+    * which parquet may truncate) silently fall back to a normal scan —
+    * same values either way. The result is materialized inside the
+    * conf window (it's ≤ one row per table) so the returned frame is
+    * plain local data and the session confs are restored.
     */
   def describe(spark: SparkSession, warehouse: String): DataFrame = {
-    val frames = tableNames(spark, warehouse).map { t =>
-      val meta = TableMeta.read(spark, KeyedTable.tableDir(warehouse, t))
-      val head = meta.pk.head
-      KeyedTable.readSql(spark, warehouse, t)
-        .agg(
-          min(col(head)).cast("string").as("pk_min"),
-          max(col(head)).cast("string").as("pk_max"),
-          count(lit(1)).as("n_rows"))
-        .select(lit(t).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
-    }
-    frames.reduce(_ unionByName _).orderBy("table_name")
+    val confs = Map(
+      // V2 parquet (aggregate pushdown is a DSv2-only feature)…
+      "spark.sql.sources.useV1SourceList" -> "",
+      // …with MIN/MAX/COUNT answered from footer statistics
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val rows =
+      try {
+        val frames = tableNames(spark, warehouse).map { t =>
+          val meta = TableMeta.read(spark, KeyedTable.tableDir(warehouse, t))
+          val head = meta.pk.head
+          KeyedTable.readSql(spark, warehouse, t)
+            .agg(
+              min(col(head)).cast("string").as("pk_min"),
+              max(col(head)).cast("string").as("pk_max"),
+              count(lit(1)).as("n_rows"))
+            .select(lit(t).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+        }
+        frames.reduce(_ unionByName _).orderBy("table_name").collect().toIndexedSeq
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("table_name", org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pk_min", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("pk_max", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false))))
   }
 }

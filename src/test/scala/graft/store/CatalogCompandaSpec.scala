@@ -34,6 +34,27 @@ class CatalogCompandaSpec extends SparkSpec {
       d(0).getString(2) == "24" && d(0).getLong(3) == 25L)
   }
 
+  test("describe answers from parquet footer stats (V2 aggregate pushdown)") {
+    val w = wh()
+    KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
+    val saved = Seq("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try {
+      // the same shape describe plans per table
+      val agg = KeyedTable.readSql(spark, w, "nation")
+        .agg(min(col("n_nationkey")), max(col("n_nationkey")), count(lit(1)))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(n_nationkey), MAX(n_nationkey), COUNT(*)]"),
+        s"aggregate not pushed to footers:\n$plan")
+      assert(agg.head().toSeq == Seq(0L, 24L, 25L))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("companda equal frames (reference companda.py:40)") {
     val orders = Tables.orders(spark, sfDir)
     val r = Companda(orders, orders.select(orders.columns.reverse.map(col): _*),
