@@ -96,6 +96,25 @@ object LlmQueries {
           .otherwise("test"))
   }
 
+  /** #30g deterministic corpus mixing: per-source acceptance rates (in
+    * basis points of 10000) applied via the same md5 hash-bucket trick
+    * as [[sampleSplit]] — a narrow filter on the scan, no shuffle, no
+    * RNG state, stable across runs/engines/backfills. This is how a
+    * training mixture ("50% of src1, 25% of src2, 10% of the tail")
+    * is hit reproducibly at 100 TB: acceptance is a pure function of
+    * (doc_id), so backfills and re-runs keep identical samples. */
+  def corpusMix(s: SparkSession, d: String): DataFrame = {
+    val ratesBp: Seq[(String, Int)] = Seq("src0" -> 10000, "src1" -> 5000, "src2" -> 2500)
+    val defaultBp = 1000
+    val bucket = (conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L).as("mix_bucket")
+    val rateBp = ratesBp.foldRight(lit(defaultBp)) { case ((src, bp), acc) =>
+      when(col("source") === src, lit(bp)).otherwise(acc)
+    }
+    docs(s, d).select(col("doc_id"), col("source"), bucket, rateBp.as("rate_bp"))
+      .filter(col("mix_bucket") < col("rate_bp"))
+  }
+
   /** #30e corpus token statistics: top-20 tokens by occurrence with
     * document frequency — explode → two-level aggregate (map-side
     * partial agg on the token, then a top-k TakeOrdered; the full
@@ -156,6 +175,20 @@ object LlmQueries {
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
+
+  /** #21b incremental (new-batch-vs-seen-corpus) exact dedup. The
+    * synthetic corpus has no natural exact dups, so the "incoming
+    * batch" is doc_id % 5 == 0 PLUS re-ingested copies of seen docs
+    * (doc_id % 7 == 1, re-keyed +1000000) — the latter must all flag
+    * is_dup. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val seen = all.filter(col("doc_id") % 5 =!= 0)
+    val reingested = seen.filter(col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val incoming = all.filter(col("doc_id") % 5 === 0).unionByName(reingested)
+    Dedup.incrementalExact(incoming, seen, "doc_id", "text")
+  }
 
   /** #24 — df cut active (maxDf = 100): at sf0.01 that is any shingle
     * in >20% of the 500 docs; the gated run exercises the same plan
@@ -230,6 +263,8 @@ object LlmQueries {
     "token_count" -> tokenCount,
     "doc_fingerprint" -> docFingerprintQ,
     "dedup_exact" -> dedupExact,
+    "dedup_incremental" -> dedupIncremental,
+    "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
@@ -390,6 +425,24 @@ object LlmQueries {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""".trim,
+    "dedup_incremental" -> """
+      WITH seen AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 5 != 0),
+      incoming AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 5 != 0 AND doc_id % 7 = 1)
+      SELECT i.doc_id AS id, md5(i.text) AS content_hash,
+             md5(i.text) IN (SELECT h FROM seen) AS is_dup
+      FROM incoming i""".trim,
+    "corpus_mix" -> """
+      WITH m AS (SELECT doc_id, source,
+                   ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS mix_bucket,
+                   CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                               WHEN 'src2' THEN 2500 ELSE 1000 END AS rate_bp
+                 FROM documents)
+      SELECT doc_id, source, mix_bucket, rate_bp FROM m
+      WHERE mix_bucket < rate_bp""".trim,
     // df cut mirrored: shingles in >100 docs leave the inverted index
     // before the self-join; denominators keep full set sizes
     "dedup_ngram_jaccard" -> s"""

@@ -23,6 +23,27 @@ object Dedup {
       .groupBy("content_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** #21b incremental exact dedup: flag which `incoming` docs' content
+    * already exists in a `seen` reference corpus — the batch-over-batch
+    * form of exact dedup a continuously-ingesting pipeline runs (new
+    * crawl vs everything ingested so far). Both sides collapse to
+    * 16-byte digests before the join, so only (hash, id) shuffles,
+    * never text; the seen side additionally dedups its hashes first,
+    * bounding the join build by |distinct seen|. At 100 TB the next
+    * rung is a bloom filter over seen hashes broadcast into the
+    * incoming scan as a prefilter — the exact join below stays the
+    * source of truth either way (bloom false positives settle here).
+    * Returns (id, content_hash, is_dup). */
+  def incrementalExact(incoming: DataFrame, seen: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seenHashes = seen.select(md5(col(textCol)).as("content_hash"))
+      .distinct().withColumn("_seen", lit(true))
+    incoming.select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"))
+      .join(seenHashes, Seq("content_hash"), "left")
+      .select(col("id"), col("content_hash"),
+        coalesce(col("_seen"), lit(false)).as("is_dup"))
+  }
+
   /** Distinct-shingle prep: (id, shingles). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
