@@ -238,6 +238,28 @@ class KeyedTableSpec extends SparkSpec {
     assert(KeyedTable.compact(spark, w, "t", minFiles = 4) == 0)
   }
 
+  test("range read with wrong bound arity fails (reference sql.py:415)") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    val e = intercept[StoreException] {
+      KeyedTable.readSql(spark, w, "t", lowest = Seq(1L, 2L), highest = Seq(5L, 6L))
+    }
+    assert(e.getMessage.contains("one entry per PK column"))
+  }
+
+  test("append under a renamed PK column fails (reference test_add_fails_wrong_index_name)") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
+    // incoming frame indexes by a different name: the table PK aligns
+    // to NULL and the non-null PK contract rejects the write
+    val renamed = sample(5).withColumnRenamed("id", "other_id")
+      .withColumn("other_id", col("other_id") + 100)
+    intercept[StoreException] {
+      KeyedTable.toSql(renamed, w, "t", pk = Seq("id"), how = WriteMode.Append,
+        addNewColumns = true)
+    }
+  }
+
   test("point lookup prunes to one bucket directory") {
     val w = wh()
     KeyedTable.toSql(sample(500), w, "t", pk = Seq("id"))
