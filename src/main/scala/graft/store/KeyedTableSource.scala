@@ -133,18 +133,23 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     val spark = SparkSession.active
     val root = new Path(dataDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // ONE listing of the data dir (not an exists() RPC per bucket —
+    // thousands of buckets would mean thousands of driver round-trips)
+    val bucketDirs = fs.listStatus(root).filter(_.isDirectory)
+      .map(st => st.getPath.getName -> st.getPath).toMap
     (0 until meta.buckets).map { b =>
-      val dir = new Path(root, s"${KeyedTable.BucketCol}=$b")
       val key = new GenericInternalRow(Array[Any](b))
       val files: Array[PartitionedFile] =
-        if (fs.exists(dir))
-          fs.listStatus(dir)
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-            .sortBy(_.getPath.getName)
-            .map(st => new PartitionedFile(key, SparkPath.fromPath(st.getPath),
-              0L, st.getLen, Array.empty[String], st.getModificationTime,
-              st.getLen, Map.empty[String, Any]))
-        else Array.empty[PartitionedFile]
+        bucketDirs.get(s"${KeyedTable.BucketCol}=$b") match {
+          case Some(dir) =>
+            fs.listStatus(dir)
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+              .sortBy(_.getPath.getName)
+              .map(st => new PartitionedFile(key, SparkPath.fromPath(st.getPath),
+                0L, st.getLen, Array.empty[String], st.getModificationTime,
+                st.getLen, Map.empty[String, Any]))
+          case None => Array.empty[PartitionedFile]
+        }
       new KeyedFilePartition(b, files, key): InputPartition
     }.toArray
   }
