@@ -52,9 +52,17 @@ object KeyedTable {
   /** Cluster rows by bucket before a partitionBy write: one writer task
     * (→ one file) per bucket instead of up-to `inputPartitions × buckets`
     * small files — the small-files problem is the first thing that kills
-    * a 100 TB table. The shuffle this adds is the write's only wide op. */
-  private def clusterByBucket(df: DataFrame, buckets: Int): DataFrame =
+    * a 100 TB table. The shuffle this adds is the write's only wide op.
+    *
+    * Rows additionally sort by PK within each bucket: hashing destroys
+    * range locality (every bucket samples the full PK range, so file
+    * min/max stats are useless), but a within-bucket sort makes each
+    * ROW GROUP's stats tight — range reads then skip most row groups
+    * of every file instead of scanning the table. Map-side, spillable,
+    * no extra shuffle; also compresses PK-correlated columns better. */
+  private def clusterByBucket(df: DataFrame, buckets: Int, pk: Seq[String]): DataFrame =
     df.repartition(buckets, col(BucketCol))
+      .sortWithinPartitions((BucketCol +: pk).map(col): _*)
 
   /** Write `df` into `<warehouse>/<tableName>` keyed by `pk`.
     *
@@ -176,7 +184,7 @@ object KeyedTable {
     // the whole table, and nothing upstream is recomputed.
     val staging = s"$dir/.staging-create-${UUID.randomUUID()}"
     try {
-      clusterByBucket(withBucket(ordered, pkCols, buckets), buckets)
+      clusterByBucket(withBucket(ordered, pkCols, buckets), buckets, pkCols)
         .write.partitionBy(BucketCol).parquet(staging)
       val staged = spark.read.schema(
           StructType(ordered.schema.fields :+
@@ -308,7 +316,7 @@ object KeyedTable {
             s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
             "(reference: sql.py:264 append raises on repeated index)")
       }
-      clusterByBucket(newB, meta.buckets)
+      clusterByBucket(newB, meta.buckets, meta.pk)
         .write.partitionBy(BucketCol).mode(SaveMode.Append)
         .parquet(dataDir(warehouse, table))
       if (evolved != meta.schema)
@@ -361,7 +369,7 @@ object KeyedTable {
       // Commit: write to staging, then swap touched bucket dirs. Avoids
       // overwriting a path that is being read, and is per-bucket atomic.
       val staging = s"$dir/.staging-${UUID.randomUUID()}"
-      clusterByBucket(out, meta.buckets)
+      clusterByBucket(out, meta.buckets, meta.pk)
         .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
       val f = fs(spark, dir)
       try {
@@ -401,6 +409,7 @@ object KeyedTable {
       readRaw(spark, warehouse, tableName, meta)
         .filter(col(BucketCol).isin(crowded: _*))
         .repartition(crowded.size, col(BucketCol))
+        .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
         .write.partitionBy(BucketCol).parquet(staging)
       crowded.foreach { b =>
         val target = new Path(data, s"$BucketCol=$b")
