@@ -276,6 +276,18 @@ class KeyedTableSpec extends SparkSpec {
     // range reads (not a point) keep the full-table scan + stats pruning
     val range = KeyedTable.readSql(spark, w, "t", lowest = Seq(5L), highest = Seq(9L))
     assert(range.count() == 5)
+    // composite-PK point lookups prune the same way
+    import spark.implicits._
+    val multi = (1 to 50).flatMap(i => Seq(1, 2).map(g => (i.toLong, g, i * g * 1.0)))
+      .toDF("k1", "k2", "v")
+    KeyedTable.toSql(multi, w, "m", pk = Seq("k1", "k2"))
+    val mp = KeyedTable.readSql(spark, w, "m", lowest = Seq(17L, 2), highest = Seq(17L, 2))
+    assert(mp.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((17L, 2)))
+    val mScan = mp.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(mScan.metadata("PartitionFilters").contains("pb_bucket"))
   }
 
   test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
