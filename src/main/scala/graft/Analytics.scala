@@ -218,24 +218,29 @@ object Analytics {
   /** #14d pandas describe(): count/mean/std/min/max per measure, long
     * format. Sums (and sums of squares) go through decimal so the
     * moments are independent of partial-agg merge order; std uses the
-    * n−1 sample formula from those exact sums. */
+    * n−1 sample formula from those exact sums. All measures' moments
+    * come from ONE aggregate over one scan (4 scans before — pandas
+    * describes every column in a single pass and so do we); the
+    * one-row wide result then unpivots to long form. */
   def describeLineitem(s: SparkSession, d: String): DataFrame = {
     val metrics = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = Tables.lineitem(s, d)
-    val frames = metrics.map { m =>
+    val aggs = metrics.flatMap { m =>
       val x = col(m)
-      val sum1 = moneySum(x).cast("double")
-      val sum2 = sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
-        .cast("double")
-      val n = count(lit(1)).cast("double")
-      li.agg(
-        n.as("_n"), sum1.as("_s"), sum2.as("_s2"),
-        min(x).cast("double").as("min_val"), max(x).cast("double").as("max_val"))
-        .select(lit(m).as("metric"), col("_n").cast("long").as("n"),
-          round(col("_s") / col("_n"), 4).as("mean"),
-          round(sqrt((col("_s2") - col("_s") * col("_s") / col("_n")) / (col("_n") - 1)), 4)
-            .as("std"),
-          col("min_val"), col("max_val"))
+      Seq(
+        moneySum(x).cast("double").as(s"_s_$m"),
+        sum((x * x).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+          .cast("double").as(s"_s2_$m"),
+        min(x).cast("double").as(s"_min_$m"),
+        max(x).cast("double").as(s"_max_$m"))
+    } :+ count(lit(1)).cast("double").as("_n")
+    val wide = li.agg(aggs.head, aggs.tail: _*)
+    val frames = metrics.map { m =>
+      wide.select(lit(m).as("metric"), col("_n").cast("long").as("n"),
+        round(col(s"_s_$m") / col("_n"), 4).as("mean"),
+        round(sqrt((col(s"_s2_$m") - col(s"_s_$m") * col(s"_s_$m") / col("_n")) / (col("_n") - 1)), 4)
+          .as("std"),
+        col(s"_min_$m").as("min_val"), col(s"_max_$m").as("max_val"))
     }
     frames.reduce(_ unionByName _)
   }
