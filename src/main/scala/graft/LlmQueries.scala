@@ -115,6 +115,50 @@ object LlmQueries {
       .filter(col("mix_bucket") < col("rate_bp"))
   }
 
+  /** #30h corpus-frequency rarity score: mean corpus frequency of a
+    * doc's tokens — low means rare/unusual text, a corpus-STATISTICAL
+    * quality signal (the other text signals are per-doc local). Two
+    * integer aggregates (token occurrence counts; per-doc sum of its
+    * tokens' counts) and ONE double division at the end:
+    * `(Σ_t cnt_t) / (n_tokens · N_total)`. Integer sums are exact and
+    * merge-order-independent, and IEEE division is exactly rounded, so
+    * any engine reproduces the score bit-for-bit — no
+    * float-accumulation ordering hazard. Shuffles: explode→count by
+    * token, join back on token, aggregate by doc. */
+  def textRarity(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total_tokens"))
+    tok.join(freq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_token_cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"), col("sum_token_cnt"),
+        round(col("sum_token_cnt") / (col("n_tokens") * col("total_tokens")), 8)
+          .as("mean_token_freq"))
+  }
+
+  /** #30i TF-IDF keyword extraction: top-3 tokens per doc by
+    * `tf · N_docs / df` (the log-free tf-idf variant, so the score is
+    * one exactly-rounded double division of exact integers —
+    * engine-portable), ties broken lexicographically. Shuffle shape:
+    * tf agg by (doc, token), df agg by token, join on token, window
+    * top-k by doc — the corpus-wide vocabulary never sorts globally. */
+  def textKeywords(s: SparkSession, d: String): DataFrame = {
+    val nd = docs(s, d).agg(count(lit(1)).as("n_docs"))
+    val tok = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("token")).agg(count_distinct(col("doc_id")).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(nd))
+      .withColumn("score", round((col("tf") * col("n_docs")) / col("df"), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("token"), col("score"))
+  }
+
   /** #30e corpus token statistics: top-20 tokens by occurrence with
     * document frequency — explode → two-level aggregate (map-side
     * partial agg on the token, then a top-k TakeOrdered; the full
@@ -258,6 +302,8 @@ object LlmQueries {
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "sample_split" -> sampleSplit,
+    "text_rarity" -> textRarity,
+    "text_keywords" -> textKeywords,
     "corpus_stats" -> corpusStats,
     "quality_filter" -> qualityFilter,
     "token_count" -> tokenCount,
@@ -372,6 +418,28 @@ object LlmQueries {
       GROUP BY 1
       ORDER BY n_occurrences DESC, token
       LIMIT 20""".trim,
+    // integer sums + one exactly-rounded double division (see textRarity)
+    "text_rarity" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+      freq AS (SELECT token, count(*) cnt FROM tok GROUP BY 1),
+      tot AS (SELECT sum(cnt) total_tokens FROM freq)
+      SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_token_cnt,
+             round(sum(f.cnt) / (count(*) * (SELECT total_tokens FROM tot)), 8)
+               AS mean_token_freq
+      FROM tok t JOIN freq f ON f.token = t.token
+      GROUP BY t.doc_id""".trim,
+    "text_keywords" -> """
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) tf FROM tok GROUP BY 1, 2),
+      df AS (SELECT token, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
+      nd AS (SELECT count(*) n_docs FROM documents),
+      scored AS (SELECT tf.doc_id, tf.token,
+                   round((tf.tf * (SELECT n_docs FROM nd)) / df.df, 6) score
+                 FROM tf JOIN df ON df.token = tf.token),
+      ranked AS (SELECT *, row_number() OVER
+                   (PARTITION BY doc_id ORDER BY score DESC, token) rank
+                 FROM scored)
+      SELECT doc_id, rank, token, score FROM ranked WHERE rank <= 3""".trim,
     "quality_filter" -> s"""
       WITH $qualityCtes
       SELECT doc_id, lang_pred, n_tokens, dup_frac, alpha_ratio, reason,
