@@ -290,6 +290,26 @@ class KeyedTableSpec extends SparkSpec {
     assert(mScan.metadata("PartitionFilters").contains("pb_bucket"))
   }
 
+  test("pkJoin: multi-file buckets (after append) and composite PKs stay exchange-free") {
+    import spark.implicits._
+    val w = wh()
+    // left accumulates two files per bucket via append — partitions are
+    // per-file sorted but not globally sorted, so the plan must re-sort
+    val l1 = (1 to 200).map(i => (i.toLong, i % 3, s"l$i")).toDF("k1", "k2", "lv")
+    val l2 = (201 to 400).map(i => (i.toLong, i % 3, s"l$i")).toDF("k1", "k2", "lv")
+    val r0 = (1 to 400).filter(_ % 2 == 0)
+      .map(i => (i.toLong, i % 3, i * 1.5)).toDF("k1", "k2", "rv")
+    KeyedTable.toSql(l1, w, "l", pk = Seq("k1", "k2"))
+    KeyedTable.toSql(l2, w, "l", pk = Seq("k1", "k2"), how = WriteMode.Append)
+    KeyedTable.toSql(r0, w, "r", pk = Seq("k1", "k2"))
+    val got = PkJoin.pkJoin(spark, w, "l", "r")
+    assert(got.columns.toSeq == Seq("k1", "k2", "lv", "rv"))
+    val want = l1.union(l2).join(r0, Seq("k1", "k2"))
+      .collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == want)
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
     val w = wh()
     val cust = graft.Tables.customer(spark, sfDir)
