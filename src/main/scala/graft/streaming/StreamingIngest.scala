@@ -77,6 +77,24 @@ object StreamingIngest {
       .select(col("session_window.start").as("session_start"), col("user_id"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-static enrichment (SURVEY.md §2 #33c): join each
+    * micro-batch of an event stream against a static dimension frame
+    * (e.g. a keyed table read via `KeyedTable.readSql`), carrying
+    * `rightCols` onto the stream. Left-outer so unmatched events pass
+    * through with NULLs — an enrichment must never drop events.
+    * The dim side is broadcast: stream-static joins re-plan the static
+    * side per micro-batch, so a dimension that fits in memory costs no
+    * stream-side shuffle at all; for a huge dimension drop the
+    * broadcast hint and Spark shuffles the BATCH side only (the stream
+    * partitioning is preserved by the micro-batch planner). */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+                   leftKey: String, rightKey: String,
+                   rightCols: Seq[String]): DataFrame =
+    events.join(
+      broadcast(dim.select((rightKey +: rightCols).map(col): _*)),
+      col(leftKey) === col(rightKey), "left_outer")
+      .drop(rightKey)
+
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
     * idempotent per window — late data below the watermark re-emits the

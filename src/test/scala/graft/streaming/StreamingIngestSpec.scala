@@ -79,6 +79,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment joins each micro-batch against a keyed-table dim") {
+    val root = Files.createTempDirectory("graft-enrich").toString
+    val inDir = s"$root/in"
+    val wh = s"$root/wh"
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "value")
+    events.repartition(4).write.parquet(inDir)
+    // dimension: the customer table stored as a keyed table
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+      pk = Seq("c_custkey"))
+    val dim = KeyedTable.readSql(spark, wh, "customer")
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = StreamingIngest.enrichStream(stream, dim,
+        leftKey = "user_id", rightKey = "c_custkey",
+        rightCols = Seq("c_mktsegment", "c_name"))
+      .writeStream.format("memory").queryName("enriched").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("enriched")
+    assert(got.count() == events.count()) // left-outer: no event dropped
+    val want = events.join(dim.select("c_custkey", "c_mktsegment", "c_name"),
+        col("user_id") === col("c_custkey"), "left_outer")
+      .drop("c_custkey").collect().map(_.toSeq).toSet
+    assert(got.collect().map(_.toSeq).toSet == want)
+    // matched rows exist (user ids draw from the customer key space)
+    assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
+  }
+
   test("streaming exact dedup: first doc per content hash survives, state bounded by watermark") {
     val root = Files.createTempDirectory("graft-sdedup").toString
     val inDir = s"$root/in"
