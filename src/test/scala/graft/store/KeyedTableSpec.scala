@@ -308,6 +308,20 @@ class KeyedTableSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(got.collect().map(_.toSeq).toSet == want)
     assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+
+    // schema evolution: the V2 scan must serve NULL for the evolved
+    // column from old files that lack it
+    val rNew = Seq((1000L, 0, 9.9, "tagged")).toDF("k1", "k2", "rv", "tag")
+    KeyedTable.toSql(rNew, w, "r", pk = Seq("k1", "k2"),
+      how = WriteMode.Upsert, addNewColumns = true)
+    KeyedTable.toSql(Seq((1000L, 0, "lnew")).toDF("k1", "k2", "lv"), w, "l",
+      pk = Seq("k1", "k2"), how = WriteMode.Append)
+    val evolved = PkJoin.pkJoin(spark, w, "l", "r")
+    assert(evolved.columns.toSeq == Seq("k1", "k2", "lv", "rv", "tag"))
+    val tags = evolved.select("k1", "tag").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(tags(1000L) == "tagged")
+    assert(tags.filter(_._1 != 1000L).values.forall(_ == null))
   }
 
   test("pkJoin: co-partitioned bucket join equals a plain PK join, no exchange in the plan") {
