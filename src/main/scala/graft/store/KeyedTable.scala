@@ -460,15 +460,22 @@ object KeyedTable {
       lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
       highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }
     val raw = readRaw(spark, warehouse, tableName, meta)
-    // point lookup (every PK dimension pinned to a single value): the
-    // touched bucket is known, so add a partition filter on pb_bucket —
-    // directory-level pruning reads ONE bucket's files instead of
-    // opening every footer in the table (the range predicates still
-    // prune row groups within it)
+    // Bucket pruning: hash layout can't prune an arbitrary range, but
+    // two shapes enumerate their touched buckets exactly:
+    //  - point lookup (every dimension pinned): one bucket;
+    //  - a NARROW integral range on a single-column PK: the keys in
+    //    [lo, hi] are enumerable, so the bucket set is their hashes —
+    //    a handful of dirs instead of all of them. At thousands of
+    //    buckets (100 TB tables) this is the difference between
+    //    listing 4 directories and listing 4,096.
+    // The range predicates still prune row groups within survivors.
     val pruned =
       if (lowest.nonEmpty && lowest == highest && !lowest.contains(null))
         raw.filter(col(BucketCol) === bucketOf(spark, meta, lowest))
-      else raw
+      else narrowRangeBuckets(spark, meta, lowest, highest) match {
+        case Some(bs) => raw.filter(col(BucketCol).isin(bs: _*))
+        case None => raw
+      }
     val filtered = conds.foldLeft(pruned)(_ filter _)
     filtered.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
@@ -482,5 +489,30 @@ object KeyedTable {
     spark.range(1)
       .select(pmod(xxhash64(typed: _*), lit(meta.buckets.toLong)).cast(IntegerType))
       .head().getInt(0)
+  }
+
+  /** Keys a narrow range can possibly hold are enumerable for an
+    * integral single-column PK; cap enumeration at 1024 keys (one tiny
+    * local job — hashing must use the PK's exact type, xxhash64 is
+    * type-sensitive). Returns the distinct buckets those keys hash to,
+    * or None when the shape doesn't qualify. */
+  private def narrowRangeBuckets(spark: SparkSession, meta: TableMeta,
+                                 lowest: Seq[Any], highest: Seq[Any]): Option[Seq[Int]] = {
+    if (meta.pk.size != 1 || lowest.size != 1 || highest.size != 1) return None
+    val dt = meta.schema(meta.pk.head).dataType
+    val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+    val bounds = (lowest.head, highest.head) match {
+      case (lo: Number, hi: Number)
+        if integral && lo.longValue() <= hi.longValue() &&
+          hi.longValue() - lo.longValue() < 1024 =>
+        Some((lo.longValue(), hi.longValue()))
+      case _ => None
+    }
+    bounds.map { case (lo, hi) =>
+      spark.range(lo, hi + 1)
+        .select(pmod(xxhash64(col("id").cast(dt)), lit(meta.buckets.toLong))
+          .cast(IntegerType).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+    }
   }
 }

@@ -273,9 +273,18 @@ class KeyedTableSpec extends SparkSpec {
       }.get
     assert(scan.relation.partitionSchema.fieldNames.contains("pb_bucket"))
     assert(scan.metadata("PartitionFilters").contains("pb_bucket"))
-    // range reads (not a point) keep the full-table scan + stats pruning
+    // a NARROW integral range enumerates its keys: ≤5 of the 32 bucket
+    // dirs are listed, and the partition filter reaches the scan
     val range = KeyedTable.readSql(spark, w, "t", lowest = Seq(5L), highest = Seq(9L))
-    assert(range.count() == 5)
+    assert(range.collect().map(_.getLong(0)).sorted.toSeq == Seq(5L, 6L, 7L, 8L, 9L))
+    val rScan = range.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(rScan.metadata("PartitionFilters").contains("pb_bucket"))
+    // a WIDE range (not enumerable) keeps the full scan + stats pruning
+    val wide = KeyedTable.readSql(spark, w, "t", lowest = Seq(1L), highest = Seq(5000L))
+    assert(wide.count() == 500)
     // composite-PK point lookups prune the same way
     import spark.implicits._
     val multi = (1 to 50).flatMap(i => Seq(1, 2).map(g => (i.toLong, g, i * g * 1.0)))
