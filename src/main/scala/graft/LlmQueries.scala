@@ -242,6 +242,16 @@ object LlmQueries {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5,
       maxDf = 100)
 
+  /** #21c eval decontamination: the "eval set" is doc_id % 17 == 3;
+    * training candidates are the rest. A near-dup of an eval doc (and
+    * nothing else) must drop. */
+  def corpusDecontaminate(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 17 === 3)
+    val train = all.filter(col("doc_id") % 17 =!= 3)
+    Dedup.decontaminate(train, eval, "doc_id", "text", n = 5, minHits = 1)
+  }
+
   /** #22 */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
@@ -310,6 +320,7 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprintQ,
     "dedup_exact" -> dedupExact,
     "dedup_incremental" -> dedupIncremental,
+    "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -493,6 +504,15 @@ object LlmQueries {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""".trim,
+    // same 5-gram shingle definition as shingleCte (wordShingles is
+    // per-doc distinct); minHits=1 → contamination is join existence
+    "corpus_decontaminate" -> s"""
+      WITH $shingleCte,
+      ev AS (SELECT DISTINCT unnest(sset) s FROM sh WHERE doc_id % 17 = 3),
+      tr AS (SELECT doc_id, unnest(sset) s FROM sh WHERE doc_id % 17 != 3),
+      bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s)
+      SELECT doc_id AS id FROM documents
+      WHERE doc_id % 17 != 3 AND doc_id NOT IN (SELECT doc_id FROM bad)""".trim,
     "dedup_incremental" -> """
       WITH seen AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 5 != 0),
       incoming AS (

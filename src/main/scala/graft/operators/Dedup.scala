@@ -44,6 +44,29 @@ object Dedup {
         coalesce(col("_seen"), lit(false)).as("is_dup"))
   }
 
+  /** #21c eval-set decontamination: drop training docs sharing ≥
+    * `minHits` word n-gram(s) with an evaluation corpus — the GPT-3
+    * style n-gram overlap rule that keeps benchmark text out of
+    * training data. Eval shingles collapse to a DISTINCT set first
+    * (eval corpora are small — typically broadcast), the training side
+    * explodes to an inverted index and left-anti joins survivors, so
+    * the shuffle carries only (id, shingle) rows that actually match.
+    * Returns the KEPT training rows (id column only). */
+  def decontaminate(docs: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String,
+                    n: Int = 5, minHits: Int = 1): DataFrame = {
+    val evalShingles = eval
+      .select(explode(wordShingles(col(textCol), n)).as("s")).distinct()
+    val inv = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("s"))
+    val contaminated = inv.join(evalShingles, "s")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minHits)
+      .select(col("id"))
+    docs.select(col(idCol).as("id"))
+      .join(contaminated, Seq("id"), "left_anti")
+  }
+
   /** Distinct-shingle prep: (id, shingles). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
