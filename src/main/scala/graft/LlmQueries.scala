@@ -159,6 +159,26 @@ object LlmQueries {
       .select(col("doc_id"), col("rank"), col("token"), col("score"))
   }
 
+  /** #30j sequence-length bucketing: assign each doc to a power-of-2
+    * token-length bucket and report per-bucket doc/token totals — the
+    * histogram a training pipeline uses to pick packing/batching
+    * geometry (and to spot truncation loss at a given context length).
+    * Narrow per-doc math + one tiny agg. The bucket floor-power-of-2
+    * is integer-exact via the binary-string length (`bin`), NOT
+    * floor(log2(n)) — float log2 at exact powers of two rounds
+    * differently across engines. */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val n = nTokens(col("text"))
+    docs(s, d)
+      .select(n.as("n"),
+        // 2^k via pow: exact for k ≤ 52 (the double represents it)
+        pow(lit(2.0), (length(bin(n)) - 1).cast("double")).cast("long")
+          .as("bucket_min_tokens"))
+      .groupBy(col("bucket_min_tokens"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("sum_tokens"))
+      .orderBy(col("bucket_min_tokens"))
+  }
+
   /** #30e corpus token statistics: top-20 tokens by occurrence with
     * document frequency — explode → two-level aggregate (map-side
     * partial agg on the token, then a top-k TakeOrdered; the full
@@ -314,6 +334,7 @@ object LlmQueries {
     "sample_split" -> sampleSplit,
     "text_rarity" -> textRarity,
     "text_keywords" -> textKeywords,
+    "length_buckets" -> lengthBuckets,
     "corpus_stats" -> corpusStats,
     "quality_filter" -> qualityFilter,
     "token_count" -> tokenCount,
@@ -429,6 +450,12 @@ object LlmQueries {
       GROUP BY 1
       ORDER BY n_occurrences DESC, token
       LIMIT 20""".trim,
+    // bin()-length floor-power-of-2, integer sums — fully exact
+    "length_buckets" -> """
+      WITH t AS (SELECT len(string_split(text, ' ')) n FROM documents)
+      SELECT (1::BIGINT << (length(bin(n)) - 1)) AS bucket_min_tokens,
+             count(*) AS n_docs, sum(n)::BIGINT AS sum_tokens
+      FROM t GROUP BY 1 ORDER BY 1""".trim,
     // integer sums + one exactly-rounded double division (see textRarity)
     "text_rarity" -> """
       WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) token FROM documents),
