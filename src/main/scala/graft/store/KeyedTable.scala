@@ -503,8 +503,10 @@ object KeyedTable {
     val integral = dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
     val bounds = (lowest.head, highest.head) match {
       case (lo: Number, hi: Number)
+        // BigInt: hi - lo overflows Long for extreme bounds (e.g. a
+        // caller passing MinValue..MaxValue as "everything")
         if integral && lo.longValue() <= hi.longValue() &&
-          hi.longValue() - lo.longValue() < 1024 =>
+          BigInt(hi.longValue()) - BigInt(lo.longValue()) < 1024 =>
         Some((lo.longValue(), hi.longValue()))
       case _ => None
     }

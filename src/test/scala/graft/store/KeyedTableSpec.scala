@@ -285,6 +285,10 @@ class KeyedTableSpec extends SparkSpec {
     // a WIDE range (not enumerable) keeps the full scan + stats pruning
     val wide = KeyedTable.readSql(spark, w, "t", lowest = Seq(1L), highest = Seq(5000L))
     assert(wide.count() == 500)
+    // extreme bounds must not overflow the narrowness check
+    val all = KeyedTable.readSql(spark, w, "t",
+      lowest = Seq(Long.MinValue), highest = Seq(Long.MaxValue))
+    assert(all.count() == 500)
     // composite-PK point lookups prune the same way
     import spark.implicits._
     val multi = (1 to 50).flatMap(i => Seq(1, 2).map(g => (i.toLong, g, i * g * 1.0)))
