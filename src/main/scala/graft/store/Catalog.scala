@@ -58,6 +58,10 @@ object Catalog {
     * plain local data and the session confs are restored.
     */
   def describe(spark: SparkSession, warehouse: String): DataFrame = {
+    if (tableNames(spark, warehouse).isEmpty)
+      // reference describe_database returns an empty mapping (util.py:45)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], describeSchema)
     val confs = Map(
       // V2 parquet (aggregate pushdown is a DSv2-only feature)…
       "spark.sql.sources.useV1SourceList" -> "",
@@ -82,12 +86,15 @@ object Catalog {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("table_name", org.apache.spark.sql.types.StringType, nullable = false),
-        org.apache.spark.sql.types.StructField("pk_min", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("pk_max", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("n_rows", org.apache.spark.sql.types.LongType, nullable = false))))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), describeSchema)
+  }
+
+  private val describeSchema = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("table_name", StringType, nullable = false),
+      StructField("pk_min", StringType),
+      StructField("pk_max", StringType),
+      StructField("n_rows", LongType, nullable = false)))
   }
 }

@@ -89,11 +89,14 @@ object StreamingIngest {
     * partitioning is preserved by the micro-batch planner). */
   def enrichStream(events: DataFrame, dim: DataFrame,
                    leftKey: String, rightKey: String,
-                   rightCols: Seq[String]): DataFrame =
+                   rightCols: Seq[String]): DataFrame = {
+    require(leftKey != rightKey,
+      "leftKey and rightKey must differ (alias the dim key before joining)")
     events.join(
       broadcast(dim.select((rightKey +: rightCols).map(col): _*)),
       col(leftKey) === col(rightKey), "left_outer")
       .drop(rightKey)
+  }
 
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
