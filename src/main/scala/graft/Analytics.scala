@@ -179,6 +179,112 @@ object Analytics {
         .cast("double").as("revenue"))
   }
 
+  /** #15g TPC-H Q4-style priority counts via EXISTS: orders in a
+    * quarter having at least one line shipped ≥ 90 days after the
+    * order date (late-shipment proxy — the testdata carries no
+    * commit/receipt dates), counted by priority. The EXISTS plans as a
+    * LEFT-SEMI join on the order key — the lineitem side never
+    * duplicates orders, so the count needs no distinct. */
+  def q4PriorityCount(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val late = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    ord.join(late,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= date_add(col("o_orderdate"), 90),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** #15h TPC-H Q12-style shipping-delay buckets: line ships join their
+    * orders; per delay bucket (≥60 days = late), count high- vs
+    * low-priority orders as conditional sums — Q12's ship-mode split
+    * re-expressed on the available columns. One shuffle (the join);
+    * the bucket agg rides map-side. */
+  def q12ShippingDelay(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("delay_bucket",
+        when(datediff(col("l_shipdate"), col("o_orderdate")) >= 60, "late")
+          .otherwise("ontime"))
+      .groupBy(col("delay_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_priority_lines"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("low_priority_lines"))
+      .orderBy(col("delay_bucket"))
+  }
+
+  /** #15i TPC-H Q13-style customer order-count distribution: LEFT OUTER
+    * customer→orders (keeping zero-order customers), count per
+    * customer, then the distribution of those counts. Two shuffles by
+    * construction (join/agg on custkey, then agg on the count). The
+    * priority filter stands in for Q13's comment pattern. */
+  def q13OrderDistribution(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the NULLs
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** #15j TPC-H Q17-style small-quantity revenue: lines of one brand
+    * whose quantity is under 20% of that part's average quantity. The
+    * correlated AVG subquery becomes a per-part aggregate joined back —
+    * both sides shuffle on partkey once; the brand filter prunes
+    * before either shuffle. */
+  def q17SmallQuantity(s: SparkSession, d: String): DataFrame = {
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    // the avg comparison stated exactly: qty < 0.5·(sum/cnt) ⇔
+    // qty·cnt·2 < sum — decimal/integer arithmetic is exact in both
+    // engines, so boundary rows can't flip between Spark and the oracle
+    val avgQ = li.groupBy(col("l_partkey"))
+      .agg(moneySum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(avgQ, "l_partkey")
+      .filter(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        * col("cnt") * 2 < col("sum_qty"))
+      .agg(round(moneySum(col("l_extendedprice")) / 7, 2).cast("double")
+        .as("avg_yearly"))
+  }
+
+  /** #15k TPC-H Q22-style dormant high-balance customers: customers
+    * with above-average positive balance and no orders since 2001 —
+    * the global scalar subquery broadcasts as a literal-sized frame,
+    * the NOT EXISTS is a LEFT-ANTI join, and the final agg groups by
+    * nation (the testdata's stand-in for Q22's phone country code). */
+  def q22DormantCustomers(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+    // exact-comparison form of "balance above average" (see q17)
+    val avgBal = cust.filter(col("c_acctbal") > 0)
+      .agg(moneySum(col("c_acctbal")).as("sum_bal"), count(lit(1)).as("cnt"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+        * col("cnt") > col("sum_bal"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        round(moneySum(col("c_acctbal")), 2).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
   /** #14e rollup with subtotals + grand total (grouping sets): revenue
     * by (returnflag, linestatus) plus per-flag and overall margins,
     * disambiguated by grouping_id. One shuffle; Spark expands the
@@ -374,6 +480,11 @@ object Analytics {
     "q14_promo_revenue" -> (q14PromoRevenue _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q19_discounted_revenue" -> (q19DiscountedRevenue _),
+    "q4_priority_count" -> (q4PriorityCount _),
+    "q12_shipping_delay" -> (q12ShippingDelay _),
+    "q13_order_distribution" -> (q13OrderDistribution _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
     "rollup_revenue" -> (rollupRevenue _),
     "merge_indicator" -> (mergeIndicator _),
     "cut_order_value" -> (cutOrderValue _),
@@ -389,6 +500,55 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    "q4_priority_count" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey
+                      AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""".trim,
+    "q12_shipping_delay" -> """
+      SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
+                  THEN 'late' ELSE 'ontime' END AS delay_bucket,
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""".trim,
+    "q13_order_distribution" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) c_count
+            FROM customer LEFT OUTER JOIN
+              (SELECT o_orderkey, o_custkey FROM orders
+               WHERE o_orderpriority != '1-URGENT') o
+              ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""".trim,
+    "q17_small_quantity" -> """
+      WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_brand = 'Brand#13'),
+      a AS (SELECT l_partkey,
+              sum(CAST(l_quantity AS DECIMAL(18,6))) sum_qty, count(*) cnt
+            FROM li GROUP BY 1)
+      SELECT round(sum(CAST(l_extendedprice AS DECIMAL(18,6))) / 7, 2)::DOUBLE AS avg_yearly
+      FROM li JOIN a USING (l_partkey)
+      WHERE CAST(l_quantity AS DECIMAL(18,6)) * cnt * 2 < sum_qty""".trim,
+    "q22_dormant_customers" -> """
+      WITH a AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,6))) sum_bal, count(*) cnt
+                 FROM customer WHERE c_acctbal > 0)
+      SELECT c_nationkey, count(*) AS numcust,
+             round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS totacctbal
+      FROM customer, a
+      WHERE CAST(c_acctbal AS DECIMAL(18,6)) * cnt > sum_bal
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""".trim,
     "q3_shipping_priority" -> s"""
       SELECT l_orderkey,
              round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
