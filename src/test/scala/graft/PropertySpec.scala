@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.store.Names
+
+/** Property-based invariants for the deterministic building blocks the
+  * oracle gate can't stress (it only sees corpus-shaped inputs):
+  * identifier cleaning, the native-vs-composed hashing equivalences,
+  * and the bucket function's frame-independence. Samples are drawn
+  * from scalacheck generators under FIXED seeds so failures reproduce
+  * exactly. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private val legalName: Gen[String] = for {
+    head <- Gen.alphaChar
+    tail <- Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '(', ')', '+', '-', '/', '*', '=',
+        '&', '|', '#', '>', '<', '^', '%', '{', '}', '.', ',', '_')))
+  } yield (head :: tail).mkString
+
+  test("cleanName is idempotent and emits only legal identifier chars") {
+    samples(legalName, 200).foreach { name =>
+      val once = Names.cleanName(name)
+      if (once.nonEmpty) {
+        assert(Names.cleanName(once) == once, s"not idempotent for: $name")
+        assert(once.forall(c => (c.isLetterOrDigit && !c.isUpper) || c == '_'),
+          s"illegal output char in: $once")
+      }
+    }
+  }
+
+  test("minhash native == composed fold on arbitrary ASCII token lists") {
+    import graft.functions.TextFunctions._
+    import spark.implicits._
+    val textGen = Gen.listOfN(8,
+      Gen.listOf(Gen.asciiPrintableChar).map(_.mkString.replace(" ", "_")))
+      .map(_.mkString(" "))
+    val docs = samples(textGen, 60)
+    val rows = docs.map(Tuple1(_)).toDF("text").select(
+      minhashSignature(wordShingles(col("text"), 3), 8).as("native"),
+      minhashFromBase(shingleBaseHashes(wordShingles(col("text"), 3)), 8)
+        .as("composed")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("bucket function: same key same bucket regardless of frame shape") {
+    import spark.implicits._
+    val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200).distinct
+    val b1 = keys.toDF("k")
+      .select(col("k"), pmod(xxhash64(col("k")), lit(32L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val b2 = keys.reverse.toDF("k").repartition(5)
+      .select(col("k"), pmod(xxhash64(col("k")), lit(32L)).as("b"))
+      .as[(Long, Long)].collect().toMap
+    keys.foreach(k => assert(b1(k) == b2(k) && b1(k) >= 0 && b1(k) < 32))
+  }
+}
