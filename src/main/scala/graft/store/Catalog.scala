@@ -41,6 +41,19 @@ object Catalog {
     fs.delete(p, true)
   }
 
+  /** Register every table of a warehouse as a session temp view (named
+    * after the table), so the whole store is queryable from
+    * `spark.sql` — the SQL face of `readSql`. Views are lazy plans over
+    * the bucket layout: filters and pruning behave exactly as through
+    * `readSql` (range pushdown, column pruning). Returns the names. */
+  def registerViews(spark: SparkSession, warehouse: String): Seq[String] = {
+    val names = tableNames(spark, warehouse)
+    names.foreach { t =>
+      KeyedTable.readSql(spark, warehouse, t).createOrReplaceTempView(t)
+    }
+    names
+  }
+
   /** Per-table PK min/max + row count, one row per table — the
     * reference's describe_database (util.py:45). min/max rendered as
     * strings so heterogeneous PK types fit one frame; composite-PK

@@ -34,6 +34,20 @@ class CatalogCompandaSpec extends SparkSpec {
       d(0).getString(2) == "24" && d(0).getLong(3) == 25L)
   }
 
+  test("registerViews: the warehouse is queryable from spark.sql") {
+    val w = wh()
+    KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
+    KeyedTable.toSql(Tables.region(spark, sfDir), w, "region", pk = Seq("r_regionkey"))
+    assert(Catalog.registerViews(spark, w) == Seq("nation", "region"))
+    val joined = spark.sql(
+      """SELECT r_name, count(*) AS n FROM nation
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""").collect()
+    assert(joined.length == 5 && joined.map(_.getLong(1)).sum == 25)
+    spark.catalog.dropTempView("nation")
+    spark.catalog.dropTempView("region")
+  }
+
   test("describe answers from parquet footer stats (V2 aggregate pushdown)") {
     val w = wh()
     KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
