@@ -48,6 +48,27 @@ class CatalogCompandaSpec extends SparkSpec {
     spark.catalog.dropTempView("region")
   }
 
+  test("GraftCatalog: SQL over graft.<table> without registration; writes rejected") {
+    val w = wh()
+    KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
+    spark.conf.set("spark.sql.catalog.graft_t", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_t.warehouse", w)
+    try {
+      val rows = spark.sql(
+        "SELECT n_name FROM graft_t.nation WHERE n_nationkey = 3").collect()
+      assert(rows.length == 1)
+      assert(spark.sql("SHOW TABLES IN graft_t").collect().map(_.getString(1))
+        .contains("nation"))
+      intercept[Exception](
+        spark.sql("CREATE TABLE graft_t.newtbl (id BIGINT) USING parquet"))
+      // the catalog table carries the bucket column for SPJ joins
+      assert(spark.sql("SELECT * FROM graft_t.nation").columns.contains("pb_bucket"))
+    } finally {
+      spark.conf.unset("spark.sql.catalog.graft_t")
+      spark.conf.unset("spark.sql.catalog.graft_t.warehouse")
+    }
+  }
+
   test("describe answers from parquet footer stats (V2 aggregate pushdown)") {
     val w = wh()
     KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
