@@ -69,6 +69,31 @@ class CatalogCompandaSpec extends SparkSpec {
     }
   }
 
+  test("GraftCatalog: SQL join on pk + pb_bucket plans storage-partitioned (no exchange)") {
+    val w = wh()
+    val cust = Tables.customer(spark, sfDir)
+    val roll = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    KeyedTable.toSql(cust, w, "c", pk = Seq("c_custkey"))
+    KeyedTable.toSql(roll, w, "o", pk = Seq("c_custkey"))
+    spark.conf.set("spark.sql.catalog.graft_j", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_j.warehouse", w)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    try {
+      val joined = spark.sql(
+        """SELECT /*+ MERGE(l) */ l.c_custkey, l.c_name, r.n_orders
+           FROM graft_j.c l JOIN graft_j.o r
+           ON l.c_custkey = r.c_custkey AND l.pb_bucket = r.pb_bucket""")
+      assert(joined.count() == roll.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+    } finally Seq("spark.sql.catalog.graft_j", "spark.sql.catalog.graft_j.warehouse")
+      .foreach(spark.conf.unset)
+  }
+
   test("describe answers from parquet footer stats (V2 aggregate pushdown)") {
     val w = wh()
     KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
