@@ -110,6 +110,28 @@ class StreamingIngestSpec extends SparkSpec {
     assert(got.filter(col("c_mktsegment").isNotNull).count() > 0)
   }
 
+  test("text-analysis functions run unchanged on a stream (stateless narrow ops)") {
+    import graft.functions.TextFunctions._
+    val root = Files.createTempDirectory("graft-stext").toString
+    val inDir = s"$root/in"
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    docs.repartition(4).write.parquet(inDir)
+
+    def score(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id"), langId(col("text")).as("lang_pred"),
+      round(qualityScore(col("text")), 4).as("quality"))
+
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "2").parquet(inDir)
+    val q = score(stream)
+      .writeStream.format("memory").queryName("stext").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    assert(spark.table("stext").collect().map(_.toSeq).toSet ==
+      score(docs).collect().map(_.toSeq).toSet)
+  }
+
   test("streaming exact dedup: first doc per content hash survives, state bounded by watermark") {
     val root = Files.createTempDirectory("graft-sdedup").toString
     val inDir = s"$root/in"
