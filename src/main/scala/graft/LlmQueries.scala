@@ -179,6 +179,28 @@ object LlmQueries {
       .orderBy(col("bucket_min_tokens"))
   }
 
+  /** #30k concat-and-chunk packing assignment: docs are sharded into
+    * deterministic pack groups, concatenated in doc_id order within
+    * each group, and chunked at a fixed token budget — each doc learns
+    * its training-sequence id, its offset in the concatenated stream,
+    * and whether it straddles a chunk boundary (truncation-loss
+    * accounting). This is the GPT-style packing layout computed as
+    * metadata only: one window cumsum of exact integers per group (the
+    * shards are the unit of parallelism at 100 TB — each group's
+    * stream is independent). */
+  def packChunks(s: SparkSession, d: String, budget: Long = 2048L): DataFrame = {
+    val grp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group")).orderBy(col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), (col("doc_id") % 8).as("pack_group"),
+        nTokens(col("text")).as("n_tokens"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(grp.rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .withColumn("seq_id", floor(col("start_offset") / budget).cast("long"))
+      .withColumn("crosses_boundary",
+        col("start_offset") % budget + col("n_tokens") > budget)
+  }
+
   /** #30e corpus token statistics: top-20 tokens by occurrence with
     * document frequency — explode → two-level aggregate (map-side
     * partial agg on the token, then a top-k TakeOrdered; the full
@@ -335,6 +357,7 @@ object LlmQueries {
     "text_rarity" -> textRarity,
     "text_keywords" -> textKeywords,
     "length_buckets" -> lengthBuckets,
+    "pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "corpus_stats" -> corpusStats,
     "quality_filter" -> qualityFilter,
     "token_count" -> tokenCount,
@@ -450,6 +473,21 @@ object LlmQueries {
       GROUP BY 1
       ORDER BY n_occurrences DESC, token
       LIMIT 20""".trim,
+    // window cumsum of exact integers; budget 2048
+    "pack_chunks" -> """
+      WITH t AS (SELECT doc_id, doc_id % 8 AS pack_group,
+                   len(string_split(text, ' ')) AS n_tokens
+                 FROM documents),
+      o AS (SELECT *,
+              coalesce(sum(n_tokens) OVER
+                (PARTITION BY pack_group ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                AS start_offset
+            FROM t)
+      SELECT doc_id, pack_group, n_tokens, start_offset,
+             (start_offset // 2048)::BIGINT AS seq_id,
+             start_offset % 2048 + n_tokens > 2048 AS crosses_boundary
+      FROM o""".trim,
     // bin()-length floor-power-of-2, integer sums — fully exact
     "length_buckets" -> """
       WITH t AS (SELECT len(string_split(text, ' ')) n FROM documents)
