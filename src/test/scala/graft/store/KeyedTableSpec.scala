@@ -303,6 +303,21 @@ class KeyedTableSpec extends SparkSpec {
     assert(mScan.metadata("PartitionFilters").contains("pb_bucket"))
   }
 
+  test("pkJoin: mismatched bucket counts or PK types are rejected up front") {
+    import spark.implicits._
+    val w = wh()
+    val df = (1 to 20).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    KeyedTable.toSql(df, w, "a32", pk = Seq("k"))
+    KeyedTable.toSql(df, w, "a8", pk = Seq("k"), buckets = 8)
+    val e1 = intercept[IllegalArgumentException](PkJoin.pkJoin(spark, w, "a32", "a8"))
+    assert(e1.getMessage.contains("bucket counts differ"))
+    // same bucket count, different PK type: xxhash64 is type-sensitive,
+    // so co-location cannot be assumed
+    KeyedTable.toSql(df.withColumn("k", col("k").cast("int")), w, "aint", pk = Seq("k"))
+    val e2 = intercept[IllegalArgumentException](PkJoin.pkJoin(spark, w, "a32", "aint"))
+    assert(e2.getMessage.contains("PK types differ"))
+  }
+
   test("pkJoin: multi-file buckets (after append) and composite PKs stay exchange-free") {
     import spark.implicits._
     val w = wh()
