@@ -513,8 +513,8 @@ object Analytics {
     "q12_shipping_delay" -> """
       SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) >= 60
                   THEN 'late' ELSE 'ontime' END AS delay_bucket,
-             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_priority_lines,
-             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_priority_lines
+             sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_priority_lines,
+             sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS low_priority_lines
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY 1 ORDER BY 1""".trim,
     "q13_order_distribution" -> """
@@ -707,7 +707,7 @@ object Analytics {
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
       n AS (SELECT *, sum(new_session) OVER
               (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
-              AS session_no
+              ::BIGINT AS session_no
             FROM g)
       SELECT user_id, session_no,
              min(s) AS session_start,

@@ -39,6 +39,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols {list(got.columns)} vs {list(want.columns)}"); n_fail += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_fail += 1; continue
+        # the driver hashes exact values incl. type, so dtype-kind drift
+        # (e.g. DuckDB HUGEINT -> object/float vs Spark BIGINT -> int64)
+        # must fail here even though assert_frame_equal coerces past it
+        kind_bad = [c for c in got.columns
+                    if got[c].dtype.kind != want[c].dtype.kind]
+        if kind_bad:
+            print(f"FAIL {name}: dtype kind mismatch "
+                  f"{[(c, str(got[c].dtype), str(want[c].dtype)) for c in kind_bad]}")
+            n_fail += 1; continue
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, rtol=1e-9, atol=1e-9)
