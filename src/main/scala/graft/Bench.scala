@@ -38,10 +38,15 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Compact per-query times (10 ms resolution) and put the headline
+    // metric/value at the END of the line: the harness captures a
+    // 2000-char tail of the output (plus sbt's trailing [success]
+    // line), and a 68-query line at full double precision overflowed
+    // it head-first, truncating the total out of the capture.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 100) / 100) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = math.rint(results.map(_._2).sum * 100) / 100
+    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }
