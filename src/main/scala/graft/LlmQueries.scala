@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Curation, Dedup, Knn}
 
 /** LLM-data-pipeline correctness queries (SURVEY.md §2 #21-32): text
   * analysis, dedup family, ANN. Every query has a DuckDB oracle that
@@ -329,6 +329,33 @@ object LlmQueries {
         (col("id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** #21d segment-level corpus dedup: 8-token segments, drop any
+    * segment shared by ≥2 docs (maxDf = 1 — the strictest CCNet-style
+    * boilerplate rule; at sf0.01 that removes ~9% of segments, all of
+    * them near-dup payload). */
+  def dedupSegments(s: SparkSession, d: String): DataFrame =
+    Dedup.segmentDedupCorpus(docs(s, d), "doc_id", "text", segTokens = 8, maxDf = 1)
+      .withColumnRenamed("id", "doc_id")
+
+  /** #21e intra-doc segment dedup at 2-token granularity (the corpus's
+    * word-soup docs repeat short spans, not long ones — ~180 of 500
+    * docs at sf0.01 have a repeated 2-token segment). */
+  def dedupIntradoc(s: SparkSession, d: String): DataFrame =
+    Dedup.segmentDedupIntra(docs(s, d), "doc_id", "text", segTokens = 2)
+      .withColumnRenamed("id", "doc_id")
+
+  /** #30l token-budget curation: best-quality docs per source until
+    * 1000 tokens fill (the corpus carries ~2500 tokens/source at
+    * sf0.01, so the budget genuinely selects). */
+  def budgetSampleQ(s: SparkSession, d: String): DataFrame =
+    Curation.budgetSample(docs(s, d), "doc_id", "text", "source", budgetTokens = 1000L)
+      .withColumnRenamed("id", "doc_id")
+
+  /** #30m per-doc n-gram novelty. */
+  def textNovelty(s: SparkSession, d: String): DataFrame =
+    Curation.noveltyScores(docs(s, d), "doc_id", "text", n = 5)
+      .withColumnRenamed("id", "doc_id")
+
   /** #26 */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -372,6 +399,10 @@ object LlmQueries {
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "dedup_cluster" -> dedupCluster,
+    "dedup_segments" -> dedupSegments,
+    "dedup_intradoc" -> dedupIntradoc,
+    "budget_sample" -> budgetSampleQ,
+    "text_novelty" -> textNovelty,
     "ann_bruteforce" -> annBruteforce,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
@@ -569,6 +600,56 @@ object LlmQueries {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""".trim,
+    // 8-token segments; drop df>1 (count DISTINCT docs — a segment
+    // repeated within one doc is not boilerplate); reassemble in order
+    "dedup_segments" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      s AS (SELECT doc_id, unnest(range(CAST(ceil(len(w)/8.0) AS BIGINT))) AS i, w FROM t),
+      seg AS (SELECT doc_id, i, array_to_string(w[i*8+1:(i+1)*8], ' ') AS seg FROM s),
+      df AS (SELECT seg, count(DISTINCT doc_id) seg_df FROM seg GROUP BY 1),
+      kept AS (SELECT g.doc_id, g.i, g.seg FROM seg g JOIN df USING(seg) WHERE seg_df <= 1),
+      reb AS (SELECT doc_id, count(*)::BIGINT n_kept,
+                     string_agg(seg, ' ' ORDER BY i) clean_text
+              FROM kept GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*)::BIGINT n_segs FROM seg GROUP BY doc_id)
+      SELECT t.doc_id, t.n_segs, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+             coalesce(r.clean_text, '') AS clean_text
+      FROM tot t LEFT JOIN reb r USING(doc_id)""".trim,
+    // 2-token segments; keep each segment's FIRST occurrence per doc
+    "dedup_intradoc" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      s AS (SELECT doc_id, unnest(range(CAST(ceil(len(w)/2.0) AS BIGINT))) AS i, w FROM t),
+      seg AS (SELECT doc_id, i, array_to_string(w[i*2+1:(i+1)*2], ' ') AS seg FROM s),
+      f AS (SELECT doc_id, i, seg,
+              row_number() OVER (PARTITION BY doc_id, seg ORDER BY i) rn FROM seg)
+      SELECT doc_id, count(*)::BIGINT AS n_segs,
+             count(*) FILTER (WHERE rn = 1)::BIGINT AS n_unique,
+             string_agg(seg, ' ' ORDER BY i) FILTER (WHERE rn = 1) AS clean_text
+      FROM f GROUP BY doc_id""".trim,
+    // quality formula mirrors text_quality; rank (quality DESC, doc_id),
+    // keep while the running token total fits the 1000-token budget
+    "budget_sample" -> s"""
+      WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') toks FROM documents),
+      m AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+              round(least(len(toks)/100.0, 1.0)*0.4 +
+                    least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                    length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3, 4)
+                AS quality
+            FROM t),
+      o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+            FROM m)
+      SELECT doc_id, source, n_tokens, quality, cum_tokens
+      FROM o WHERE cum_tokens <= 1000""".trim,
+    "text_novelty" -> s"""
+      WITH $shingleCte,
+      inv AS (SELECT doc_id, unnest(sset) s FROM sh),
+      d2 AS (SELECT doc_id, count(*) OVER (PARTITION BY s) df FROM inv)
+      SELECT doc_id, count(*)::BIGINT AS n_shingles,
+             sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+             round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
+      FROM d2 GROUP BY doc_id""".trim,
     // same 5-gram shingle definition as shingleCte (wordShingles is
     // per-doc distinct); minHits=1 → contamination is join existence
     "corpus_decontaminate" -> s"""

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Corpus curation operators for LLM-data pipelines (SURVEY.md §2
+  * #30l/#30m): selecting WHICH documents make the training mixture
+  * once the per-doc signals exist. Deterministic by construction —
+  * rankings order by (rounded score, id), so every engine and every
+  * re-run picks the same sample.
+  */
+object Curation {
+
+  /** #30l token-budget curation: per source, keep the highest-quality
+    * docs until a token budget fills — "give me the best N tokens of
+    * each source", the selection step between scoring and mixing.
+    * Ranking is (quality score rounded to 4 decimals desc, id asc);
+    * a doc is kept while the running token total INCLUDING it fits the
+    * budget. Returns kept rows (id, source, n_tokens, quality,
+    * cum_tokens).
+    *
+    * Scale shape: one shuffle, on the source key (the window). Sources
+    * are few and large, so this window is the textbook skew case — at
+    * real scale run the documented two-phase form: per-partition
+    * partial sums first, then a per-source prefix over the (tiny)
+    * partial totals decides a score THRESHOLD, and a narrow filter
+    * applies it; the windowed form below is exact and fine wherever a
+    * single source fits one task's scan rate. */
+  def budgetSample(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol).as("id"), col(sourceCol).as("source"),
+        nTokens(col(textCol)).cast("long").as("n_tokens"),
+        round(qualityScore(col(textCol)), 4).as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetTokens)
+  }
+
+  /** #30m n-gram novelty score: the fraction of a doc's distinct
+    * shingles that appear in NO other document — high novelty marks
+    * unique content worth keeping, near-zero novelty marks docs that
+    * are entirely assembled from corpus-common text (templates, spam,
+    * near-dups that slipped band thresholds). Exact integer counts +
+    * one final double division, so the score is engine-portable.
+    *
+    * Scale shape: shingle document frequency rides a count window over
+    * the shingle (one exchange, same fusion as the ngram-jaccard df
+    * cut — shingle arrays are distinct per doc so count(*) == df),
+    * then one groupBy(id) aggregates the flags; only (id, shingle)
+    * rows ever shuffle. Returns (id, n_shingles, n_novel, novelty).
+    */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val inv = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("s"))
+    inv
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+  }
+}

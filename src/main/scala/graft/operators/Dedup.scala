@@ -229,6 +229,75 @@ object Dedup {
     labels.select(col("id"), col("lbl").as("cluster_id"))
   }
 
+  /** Fixed-size token segments of a document: consecutive `segTokens`
+    * word windows (last one possibly shorter). The unit of sub-document
+    * dedup — the Spark twin of CCNet/Gopher paragraph hashing, adapted
+    * to the corpus's single-line documents. Narrow (pure array math on
+    * the scan). */
+  private[graft] def segmentArray(text: Column, segTokens: Int): Column = {
+    val toks = split(text, " ")
+    val nSeg = floor((size(toks) + lit(segTokens - 1)) / lit(segTokens.toDouble)).cast("int")
+    transform(sequence(lit(0), nSeg - 1),
+      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
+  }
+
+  /** #21d segment-level corpus dedup (CCNet-style boilerplate removal):
+    * split every doc into `segTokens`-token segments, drop segments
+    * whose document frequency exceeds `maxDf` (shared boilerplate /
+    * near-dup payload), reassemble the survivors in order. Returns
+    * (id, n_segs, n_kept, clean_text) for EVERY input doc (docs whose
+    * segments are all boilerplate come back with an empty clean_text).
+    *
+    * Scale shape: the df count runs on 16-byte md5 digests — only
+    * (id, digest) rows shuffle for counting, never segment text — and
+    * the drop-set it produces (df > maxDf) is the boilerplate
+    * vocabulary, tiny relative to the corpus, so AQE turns the
+    * anti-join into a broadcast at runtime. Segment text itself moves
+    * through exactly one exchange: the per-doc reassembly groupBy,
+    * which any doc-rewriting operator pays. */
+  def segmentDedupCorpus(docs: DataFrame, idCol: String, textCol: String,
+                         segTokens: Int = 8, maxDf: Int = 1): DataFrame = {
+    val segs = docs
+      .select(col(idCol).as("id"), posexplode(segmentArray(col(textCol), segTokens))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val dropSet = segs.select(col("id"), col("h")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("seg_df"))
+      .filter(col("seg_df") > maxDf)
+      .select(col("h"))
+    val rebuilt = segs.join(dropSet, Seq("h"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")), " ").as("clean_text"))
+    docs.select(col(idCol).as("id"),
+        size(segmentArray(col(textCol), segTokens)).cast("long").as("n_segs"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** #21e intra-document segment dedup: drop repeated segments WITHIN a
+    * doc, keeping each segment's first occurrence (self-plagiarism /
+    * generation-loop cleanup). Completely narrow — first-occurrence
+    * selection is array math on the scan (`array_position(segs, s) ==
+    * i+1` keeps exactly the first copy), so at 100 TB this costs one
+    * codegen'd pass with zero shuffles; per-doc O(segs²) array probing
+    * is bounded by document length, not corpus size. Returns
+    * (id, n_segs, n_unique, clean_text). */
+  def segmentDedupIntra(docs: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int = 8): DataFrame =
+    docs
+      .select(col(idCol).as("id"), segmentArray(col(textCol), segTokens).as("segs"))
+      .select(col("id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        filter(col("segs"), (s, i) => array_position(col("segs"), s) === i + 1).as("uniq"))
+      .select(col("id"), col("n_segs"),
+        size(col("uniq")).cast("long").as("n_unique"),
+        array_join(col("uniq"), " ").as("clean_text"))
+
   /** #25 Embedding cosine near-dup pairs above `threshold`.
     * `exact=true` scores all n²/2 pairs (broadcast nested-loop — only
     * for modest n or recall verification); default is hyperplane-LSH:
