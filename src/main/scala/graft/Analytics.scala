@@ -285,6 +285,148 @@ object Analytics {
       .orderBy(col("c_nationkey"))
   }
 
+  /** #15l TPC-H Q7-style nation-pair volume: revenue shipped between
+    * two nations (both directions), by ship year. Supplier and
+    * customer dims are pre-filtered to the two nations and broadcast —
+    * the nation filter therefore prunes the fact scan through the
+    * broadcast hash joins, and only the lineitem↔orders join
+    * shuffles; the pair-validity filter (A→B or B→A) runs after both
+    * dims have attached. */
+  def q7NationVolume(s: SparkSession, d: String): DataFrame = {
+    val natA = "NATION_2"
+    val natB = "NATION_7"
+    val nat = Tables.nation(s, d)
+      .filter(col("n_name").isin(natA, natB)).select("n_nationkey", "n_name")
+    val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === natA && col("cust_nation") === natB) ||
+              (col("supp_nation") === natB && col("cust_nation") === natA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** #15m TPC-H Q8-style market share: of PROMO-part revenue sold into
+    * EUROPE-region customers over two years, the fraction supplied by
+    * NATION_2, per year. Part/supplier/customer-region dims broadcast;
+    * the conditional/total ratio follows q14's exact-decimal-sums +
+    * one-double-division recipe. */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val euroNat = broadcast(Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey")))
+    val cust = broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(euroNat, col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey"))
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_type") === "PROMO").select("p_partkey"))
+    val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec)
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(year(col("l_shipdate")).cast("long").as("o_year"),
+        rev.as("volume"), col("s_nationkey"))
+      .groupBy(col("o_year"))
+      .agg((sum(when(col("s_nationkey") === 2, col("volume"))
+            .otherwise(lit(0).cast(dec))).cast("double")
+          / sum(col("volume")).cast("double")).as("share"))
+      .select(col("o_year"), round(col("share"), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** #15n TPC-H Q15-style top supplier: revenue per supplier over a
+    * quarter, return the supplier(s) matching the maximum. The max is
+    * a scalar aggregate over the (already tiny) per-supplier rollup,
+    * broadcast back as a cross join — no global window, no second
+    * scan of the fact table; the equality compare runs on exact
+    * decimal sums so ties are engine-stable. */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val revBySup = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_rev"))
+    val mx = revBySup.agg(max(col("total_rev")).as("max_rev"))
+    revBySup.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_rev"), 2).cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** #15o TPC-H Q16-style supplier variety: distinct suppliers per
+    * (brand, type) — lineitem is the part↔supplier bridge (the
+    * testdata has no partsupp) — excluding one brand and any supplier
+    * with a negative balance (Q16's complaints list re-expressed on
+    * available columns). The exclusion list is a tiny broadcast
+    * anti-join; the distinct count shuffles once on (brand, type). */
+  def q16PartVariety(s: SparkSession, d: String): DataFrame = {
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#13")
+      .select("p_partkey", "p_brand", "p_type"))
+    val excl = broadcast(Tables.supplier(s, d)
+      .filter(col("s_acctbal") < 0).select("s_suppkey"))
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(excl, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(count_distinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  /** #15p TPC-H Q21-style waiting suppliers: on multi-supplier orders,
+    * the supplier who was the ONLY one to ship late (≥ 90 days after
+    * the order date — the testdata's lateness proxy, as in q4), counted
+    * per supplier, top 10. The EXISTS/NOT-EXISTS pair becomes
+    * per-order window counts OVER the (order, supplier) rollup — not
+    * a self-join against a second aggregate of it, which would scan
+    * and shuffle the fact table twice. One fact scan, two exchanges
+    * (the rollup's, then the order-level window's). */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+    val byOrd = Window.partitionBy(col("l_orderkey"))
+    Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") >= date_add(col("o_orderdate"), 90), 1L)
+        .otherwise(0L)).as("is_late"))
+      .withColumn("n_supp", count(lit(1)).over(byOrd))
+      .withColumn("n_late", sum(col("is_late")).over(byOrd))
+      .filter(col("is_late") === 1L && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+      .select("s_name", "numwait")
+  }
+
   /** #14e rollup with subtotals + grand total (grouping sets): revenue
     * by (returnflag, linestatus) plus per-flag and overall margins,
     * disambiguated by grouping_id. One shuffle; Spark expands the
@@ -497,9 +639,80 @@ object Analytics {
     "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
+    "q7_nation_volume" -> (q7NationVolume _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q16_part_variety" -> (q16PartVariety _),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
   )
 
   val oracles: Map[String, String] = Map(
+    "q7_nation_volume" -> """
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(l_shipdate)::BIGINT AS l_year,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND ((sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_7') OR
+             (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_2'))
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".trim,
+    "q8_market_share" -> """
+      SELECT year(l_shipdate)::BIGINT AS o_year,
+             round(sum(CASE WHEN s_nationkey = 2
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                       ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
+                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE,
+                   4) AS mkt_share
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region ON cn.n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1 ORDER BY 1""".trim,
+    "q15_top_supplier" -> """
+      WITH r AS (SELECT l_suppkey,
+                   sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) total_rev
+                 FROM lineitem
+                 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+                 GROUP BY 1)
+      SELECT s_suppkey, s_name, round(total_rev, 2)::DOUBLE AS total_revenue
+      FROM r JOIN supplier ON l_suppkey = s_suppkey
+      WHERE total_rev = (SELECT max(total_rev) FROM r)
+      ORDER BY s_suppkey""".trim,
+    "q16_part_variety" -> """
+      SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand != 'Brand#13'
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2
+      ORDER BY supplier_cnt DESC, p_brand, p_type""".trim,
+    "q21_waiting_suppliers" -> """
+      WITH j AS (SELECT l_orderkey, l_suppkey,
+                   max(CASE WHEN l_shipdate >= o_orderdate + INTERVAL 90 DAY
+                       THEN 1 ELSE 0 END) AS is_late
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                 GROUP BY 1, 2),
+      o AS (SELECT l_orderkey FROM j GROUP BY 1
+            HAVING count(*) >= 2 AND sum(is_late) = 1)
+      SELECT s_name, count(*) AS numwait
+      FROM j JOIN o USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+      WHERE is_late = 1
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10""".trim,
     "q4_priority_count" -> """
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders o
