@@ -596,6 +596,17 @@ object Analytics {
         col("n_events"), col("sum_value"))
   }
 
+  /** #18c the salted two-phase sessionization ([[operators.Sessionize
+    * .gapSessionsSalted]]) — skew-proof twin of #18b, day-chunked
+    * against the 30-min gap. Oracle-gated against the PLAIN
+    * sessionization SQL: producing identical sessions is exactly the
+    * operator's correctness claim. */
+  def eventsSessionizedSalted(s: SparkSession, d: String): DataFrame =
+    operators.Sessionize.gapSessionsSalted(
+      Tables.events(s, d).select("event_id", "user_id", "ts"),
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+      gapSeconds = 1800L, chunkSeconds = 86400L)
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -639,6 +650,7 @@ object Analytics {
     "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
+    "events_sessionized_salted" -> (eventsSessionizedSalted _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
     "q15_top_supplier" -> (q15TopSupplier _),
@@ -926,6 +938,26 @@ object Analytics {
              min(s) AS session_start,
              count(*) AS n_events,
              round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+      FROM n GROUP BY user_id, session_no""".trim,
+    // the PLAIN sessionization in SQL — the salted two-phase operator
+    // must reproduce it exactly (that equality IS its contract)
+    "events_sessionized_salted" -> """
+      WITH e AS (SELECT event_id, user_id,
+                   epoch_ns(ts) // 1000 AS us,
+                   epoch_ns(ts) // 1000000000 AS s
+                 FROM events),
+      g AS (SELECT *,
+              CASE WHEN s - lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800
+                   THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      n AS (SELECT *, sum(new_session) OVER
+              (PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)
+              ::BIGINT AS session_no
+            FROM g)
+      SELECT user_id, session_no,
+             min(s) AS session_start,
+             max(s) AS session_end,
+             count(*) AS n_events
       FROM n GROUP BY user_id, session_no""".trim,
     "asof_join" -> """
       WITH od AS (
