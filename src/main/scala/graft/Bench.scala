@@ -46,7 +46,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + (math.rint(v * 100) / 100) }
       .mkString("{", ",", "}")
     val total = math.rint(results.map(_._2).sum * 100) / 100
-    println(s"""{"queries":$qs,"sf":"$sfDir","metric":"total","value":$total,"unit":"sec"}""")
+    val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
+    println(s"""{"queries":$qs,"sf":"$sfShort","metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -294,6 +294,17 @@ object LlmQueries {
     Dedup.decontaminate(train, eval, "doc_id", "text", n = 5, minHits = 1)
   }
 
+  /** #22b incremental near-dup: incoming batch is doc_id % 5 == 0, the
+    * seen corpus is everything else — near-dup pairs in the synthetic
+    * corpus are random, so ~2/5 of the pair mass crosses the cohorts
+    * and must flag. */
+  def dedupIncrementalLsh(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalMinhashLsh(
+      all.filter(col("doc_id") % 5 === 0), all.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", n = 5, numHashes = 16, bands = 4, threshold = 0.5)
+  }
+
   /** #22 */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
@@ -356,6 +367,10 @@ object LlmQueries {
     Curation.noveltyScores(docs(s, d), "doc_id", "text", n = 5)
       .withColumnRenamed("id", "doc_id")
 
+  /** #27c per-label embedding centroids. */
+  def embeddingCentroids(s: SparkSession, d: String): DataFrame =
+    Knn.centroids(embs(s, d), "label", "embedding")
+
   /** #26 */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -395,6 +410,7 @@ object LlmQueries {
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_incremental_lsh" -> dedupIncrementalLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
@@ -404,6 +420,7 @@ object LlmQueries {
     "budget_sample" -> budgetSampleQ,
     "text_novelty" -> textNovelty,
     "ann_bruteforce" -> annBruteforce,
+    "embedding_centroids" -> embeddingCentroids,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
@@ -693,6 +710,38 @@ object LlmQueries {
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
+    // same signature/band chain, cohorts split across the candidate
+    // join; best match = (jaccard DESC, id_seen ASC) per incoming doc
+    "dedup_incremental_lsh" -> s"""
+      WITH $shingleCte,
+      sig AS (SELECT doc_id, sset,
+        list_transform(range(16), i -> list_min(list_transform(sset,
+          s -> ((2*i+3) * ('0x' || substr(md5(s), 1, 8))::BIGINT + 7919*i) % 1000000007))) mh
+        FROM sh),
+      bandkeys AS (SELECT doc_id, t.b band,
+        array_to_string(mh[t.b*4+1 : t.b*4+4], '|') bkey
+        FROM sig, (SELECT unnest(range(4)) b) t),
+      cand AS (SELECT DISTINCT a.doc_id id_new, b.doc_id id_seen
+        FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
+      v AS (SELECT id_new, id_seen,
+        round(len(list_intersect(sa.sset, sb.sset)) /
+              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
+        FROM cand JOIN sh sa ON sa.doc_id = id_new JOIN sh sb ON sb.doc_id = id_seen),
+      best AS (SELECT id_new, id_seen AS matched_id, jaccard,
+        row_number() OVER (PARTITION BY id_new ORDER BY jaccard DESC, id_seen) rn
+        FROM v WHERE jaccard >= 0.5)
+      SELECT d.doc_id AS id, b.id_new IS NOT NULL AS is_dup, b.matched_id, b.jaccard
+      FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id_new""".trim,
+    // explicit FLOAT→DOUBLE→DECIMAL widening mirrors the Spark casts
+    "embedding_centroids" -> """
+      WITH x AS (SELECT label, t.i AS dim,
+                   CAST(embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) AS v
+                 FROM embeddings, (SELECT unnest(range(64)) i) t)
+      SELECT label, dim, count(*) AS n_vectors,
+             round(sum(v)::DOUBLE / count(*), 6) AS centroid
+      FROM x GROUP BY 1, 2""".trim,
     "dedup_embedding" -> s"""
       WITH $cosCte,
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos

@@ -161,6 +161,56 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** #22b incremental MinHash-LSH near-dup: flag which `incoming` docs
+    * are near-dups of a `seen` reference corpus — the LSH twin of
+    * [[incrementalExact]], for continuous ingestion where yesterday's
+    * corpus is the reference and today's crawl is the delta. Band keys
+    * for both cohorts join across (the only wide op; no id ordering
+    * constraint since the cohorts are disjoint), candidates verify
+    * with exact Jaccard, and each incoming doc reports its BEST match
+    * (highest jaccard, lowest seen id on ties — deterministic).
+    * Returns one row per incoming doc: (id, is_dup, matched_id,
+    * jaccard) with NULL match columns for clean docs.
+    *
+    * At 100 TB the seen side's band keys are computed once and stored
+    * (they are 16-byte digests per band — a tiny index table); each
+    * daily delta joins its own bands against that index, so
+    * incremental cost scales with |delta|, not |corpus|. */
+  def incrementalMinhashLsh(incoming: DataFrame, seen: DataFrame,
+                            idCol: String, textCol: String,
+                            n: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                            threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def banded(df: DataFrame, as: String) = {
+      val sh = shingled(df, idCol, textCol, n)
+      sh.select(col("id").as(as),
+        posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
+          .as(Seq("band", "key")))
+    }
+    val shNew = shingled(incoming, idCol, textCol, n)
+    val shSeen = shingled(seen, idCol, textCol, n)
+    val cand = banded(incoming, "id_new").join(banded(seen, "id_seen"),
+        Seq("band", "key"))
+      .select(col("id_new"), col("id_seen"))
+      .dropDuplicates("id_new", "id_seen")
+    val verified = cand
+      .join(shNew.select(col("id").as("id_new"), col("shingles").as("sh_n")), "id_new")
+      .join(shSeen.select(col("id").as("id_seen"), col("shingles").as("sh_s")), "id_seen")
+      .withColumn("jaccard", round(jaccard(col("sh_n"), col("sh_s")), 4))
+      .filter(col("jaccard") >= threshold)
+    // best match per incoming doc: struct max orders by (jaccard, -id)
+    // so ties resolve to the LOWEST seen id
+    val best = verified
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("jaccard"), (-col("id_seen")).as("neg_id"))).as("b"))
+      .select(col("id_new"),
+        (-col("b.neg_id")).as("matched_id"), col("b.jaccard").as("jaccard"))
+    incoming.select(col(idCol).as("id"))
+      .join(best, col("id") === col("id_new"), "left")
+      .select(col("id"), col("id_new").isNotNull.as("is_dup"),
+        col("matched_id"), col("jaccard"))
+  }
+
   /** #23 SimHash near-dup pairs: 64-bit simhash per doc (narrow), band
     * the bits into `bands` slices, candidates share an exact slice
     * (pigeonhole: hamming < bands ⇒ ≥1 equal slice), verify

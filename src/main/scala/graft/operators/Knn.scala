@@ -127,4 +127,22 @@ object Knn {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
+
+  /** #27c per-label centroids in long format (label, dim, n_vectors,
+    * centroid) — the training half of IVF/k-means-style indexing and
+    * the summary a dedup/clustering pass reports per group. Element
+    * sums go through DECIMAL(18,6) (after an explicit double widening,
+    * mirrored by the oracle) so the mean is independent of Spark's
+    * partial-aggregate merge order; ONE double division at the end.
+    * The dim explode fans rows ×dims but map-side partial aggregation
+    * collapses them to labels×dims per partition before the (only)
+    * shuffle. */
+  def centroids(embs: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    embs
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("v").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("centroid"))
 }
