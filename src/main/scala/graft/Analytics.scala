@@ -523,6 +523,28 @@ object Analytics {
       .groupBy("bin").agg(count(lit(1)).as("n_orders"))
   }
 
+  /** #14h pandas qcut(): quantile binning — equal-POPULATION bins
+    * (ntile) rather than cut()'s fixed edges, with per-bin stats.
+    * Deterministic via the (value, key) tie-break.
+    *
+    * Scale note: exact ntile needs a global order — one task hosts the
+    * window, the known Spark wart for global ranks. The 100 TB path is
+    * two-pass: approx_percentile (or exact rank edges from a
+    * distributed sort + count) picks the bin EDGES, then a narrow
+    * when-chain assigns bins like cut() — trading exact equal
+    * population for full parallelism. The gate query keeps the exact
+    * form: bins must match the oracle row-for-row. */
+  def qcutOrderValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_totalprice")).as("min_value"),
+        max(col("o_totalprice")).as("max_value"))
+      .orderBy(col("bin"))
+  }
+
   /** #17b rolling mean (pandas rolling(7).mean()): 7-row trailing
     * average of spend per customer. Window frames evaluate in order, so
     * the decimal sum / count quotient is deterministic. */
@@ -641,6 +663,7 @@ object Analytics {
     "rollup_revenue" -> (rollupRevenue _),
     "merge_indicator" -> (mergeIndicator _),
     "cut_order_value" -> (cutOrderValue _),
+    "qcut_order_value" -> (qcutOrderValue _),
     "pivot_orders" -> (pivotOrders _),
     "unpivot_lineitem" -> (unpivotLineitem _),
     "describe_lineitem" -> (describeLineitem _),
@@ -861,6 +884,13 @@ object Analytics {
                   ELSE 'ge_300k' END AS bin,
              count(*) AS n_orders
       FROM orders GROUP BY 1""".trim,
+    "qcut_order_value" -> """
+      SELECT bin, count(*) AS n_orders,
+             min(o_totalprice) AS min_value, max(o_totalprice) AS max_value
+      FROM (SELECT o_totalprice,
+              ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS bin
+            FROM orders)
+      GROUP BY bin ORDER BY bin""".trim,
     "rollup_revenue" -> """
       SELECT l_returnflag, l_linestatus,
              round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue,
