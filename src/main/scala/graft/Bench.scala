@@ -48,6 +48,10 @@ object Bench {
     val total = math.rint(results.map(_._2).sum * 100) / 100
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(s"""{"queries":$qs,"sf":"$sfShort","metric":"total","value":$total,"unit":"sec"}""")
+    // the full line above is ~the tail-capture size; repeat the headline
+    // WITHOUT the per-query map so the capture always ends with one
+    // complete, parseable JSON summary even if the big line truncates
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfShort","n_queries":${results.size}}""")
     spark.stop()
   }
 }
