@@ -629,6 +629,20 @@ object Analytics {
       keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
       gapSeconds = 1800L, chunkSeconds = 86400L)
 
+  /** #20b pandas ffill() over the events stream: the corpus has no
+    * natural NULLs, so every 7th event's value is nulled
+    * deterministically (oracle too), then forward-filled per user in
+    * event order. Leading NULLs (no predecessor) stay NULL on both
+    * sides. */
+  def ffillEvents(s: SparkSession, d: String): DataFrame =
+    AsOf.ffill(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("value_filled")),
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      cols = Seq("value_filled"))
+      .select("event_id", "user_id", "value_filled")
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -673,6 +687,7 @@ object Analytics {
     "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
+    "ffill_events" -> (ffillEvents _),
     "events_sessionized_salted" -> (eventsSessionizedSalted _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
@@ -1006,5 +1021,17 @@ object Analytics {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1""".trim,
+    // every 7th value nulled then forward-filled; window orders by the
+    // µs timestamp (what Spark sees) with the event_id tie-break
+    "ffill_events" -> """
+      WITH e AS (SELECT event_id, user_id,
+                   epoch_ns(ts) // 1000 AS us,
+                   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+                 FROM events)
+      SELECT event_id, user_id,
+             last_value(v IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+      FROM e""".trim,
   )
 }

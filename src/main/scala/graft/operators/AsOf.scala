@@ -93,4 +93,23 @@ object AsOf {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** #20b pandas ffill(): forward-fill NULLs in `cols` per key in
+    * (time, tieBreak) order — gap repair for sensor/event streams
+    * before aggregation. One shuffle (the key window); each filled
+    * column is `last(ignoreNulls)` over the unbounded-preceding frame,
+    * all columns share the single sort. Skew note as for
+    * sessionization: a hot key serializes into one task — the salted
+    * two-phase recipe (operators.Sessionize) applies when keys are
+    * unbounded. */
+  def ffill(df: DataFrame, key: Seq[String], time: String,
+            tieBreak: String, cols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(col(time), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
 }
