@@ -201,6 +201,29 @@ object LlmQueries {
         col("start_offset") % budget + col("n_tokens") > budget)
   }
 
+  /** #30n exact token-length percentiles (p25/50/75/90/99) by rank
+    * selection — `value at row ceil(q·N)` in (length, doc_id) order —
+    * NOT an interpolating percentile, so any engine reproduces it
+    * bit-for-bit. The corpus-geometry summary behind context-length
+    * and packing-budget decisions. Scale note: exact global selection
+    * needs the global row_number; at 100 TB swap in a two-pass rank
+    * edge (count, then per-partition offsets) or approx_percentile —
+    * the gate keeps the exact form. */
+  def lengthPercentiles(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = docs(s, d)
+      .select(col("doc_id"), nTokens(col("text")).cast("long").as("n_tokens"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val total = ranked.agg(count(lit(1)).as("n_docs"))
+    val qs = typedLit(Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+    total.select(explode(qs).as("quantile"), col("n_docs"))
+      .withColumn("pos", ceil(col("quantile") * col("n_docs")).cast("long"))
+      .join(ranked, col("rn") === col("pos"))
+      .select(col("quantile"), col("n_tokens"))
+      .orderBy(col("quantile"))
+  }
+
   /** #30e corpus token statistics: top-20 tokens by occurrence with
     * document frequency — explode → two-level aggregate (map-side
     * partial agg on the token, then a top-k TakeOrdered; the full
@@ -399,6 +422,7 @@ object LlmQueries {
     "text_rarity" -> textRarity,
     "text_keywords" -> textKeywords,
     "length_buckets" -> lengthBuckets,
+    "length_percentiles" -> lengthPercentiles,
     "pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
     "corpus_stats" -> corpusStats,
     "quality_filter" -> qualityFilter,
@@ -536,6 +560,17 @@ object LlmQueries {
              (start_offset // 2048)::BIGINT AS seq_id,
              start_offset % 2048 + n_tokens > 2048 AS crosses_boundary
       FROM o""".trim,
+    "length_percentiles" -> """
+      WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+                 FROM documents),
+      r AS (SELECT n_tokens,
+              row_number() OVER (ORDER BY n_tokens, doc_id)::BIGINT AS rn
+            FROM t),
+      n AS (SELECT count(*) AS n_docs FROM t),
+      q AS (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS quantile)
+      SELECT quantile, n_tokens
+      FROM q, n JOIN r ON r.rn = CAST(ceil(quantile * n_docs) AS BIGINT)
+      ORDER BY quantile""".trim,
     // bin()-length floor-power-of-2, integer sums — fully exact
     "length_buckets" -> """
       WITH t AS (SELECT len(string_split(text, ' ')) n FROM documents)
