@@ -281,6 +281,34 @@ object LlmQueries {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** #35b the FULL curation pipeline — what a training-data team ships
+    * end-to-end: a doc makes the mixture iff it (a) passes the quality
+    * filter, (b) is its exact-content group's canonical, (c) is not a
+    * non-canonical near-dup cluster member, (d) is not an eval doc and
+    * shares no 5-gram with the eval set (decontamination), and then
+    * (e) wins per-source token-budget selection over the survivors.
+    * Five stages, each an operator proven green on its own gate,
+    * composed as corpus joins whose intermediates are id-only. */
+  def corpusCurate(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 17 === 3)
+    val train = all.filter(col("doc_id") % 17 =!= 3)
+    val decontamKeep = Dedup.decontaminate(train, eval, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id")
+    val qualityPass = qualityFilter(s, d).filter(col("keep")).select("doc_id")
+    val exactCanonical = Dedup.exact(all, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val clusterDrop = dedupCluster(s, d)
+      .filter(!col("is_canonical")).select("doc_id")
+    val surviving = all
+      .join(qualityPass, "doc_id")
+      .join(exactCanonical, "doc_id")
+      .join(decontamKeep, "doc_id")
+      .join(clusterDrop, Seq("doc_id"), "left_anti")
+    Curation.budgetSample(surviving, "doc_id", "text", "source", budgetTokens = 800L)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
@@ -448,6 +476,7 @@ object LlmQueries {
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
+    "corpus_curate" -> corpusCurate,
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -622,6 +651,42 @@ object LlmQueries {
       JOIN (SELECT doc_id FROM qr WHERE reason = 'ok') q ON q.doc_id = doc.doc_id
       JOIN ek ON ek.keep = doc.doc_id
       WHERE doc.doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)""".trim,
+    // corpus_clean's stages + decontamination + per-source 800-token
+    // budget selection over the survivors (budget_sample's formula)
+    "corpus_curate" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id),
+      $qualityCtes,
+      ek AS (SELECT md5(text) h, min(doc_id) keep FROM documents GROUP BY 1),
+      ev AS (SELECT DISTINCT unnest(sset) s FROM sh WHERE doc_id % 17 = 3),
+      tr AS (SELECT doc_id, unnest(sset) s FROM sh WHERE doc_id % 17 != 3),
+      bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s),
+      surv AS (SELECT doc.doc_id, doc.source, doc.text
+        FROM documents doc
+        JOIN (SELECT doc_id FROM qr WHERE reason = 'ok') q ON q.doc_id = doc.doc_id
+        JOIN ek ON ek.keep = doc.doc_id
+        WHERE doc.doc_id % 17 != 3
+          AND doc.doc_id NOT IN (SELECT doc_id FROM bad)
+          AND doc.doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)),
+      sm AS (SELECT doc_id, source, text, string_split(text, ' ') toks FROM surv),
+      sq AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+              round(least(len(toks)/100.0, 1.0)*0.4 +
+                    least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                    length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3, 4)
+                AS quality
+            FROM sm),
+      so AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+            FROM sq)
+      SELECT doc_id, source, n_tokens, quality, cum_tokens
+      FROM so WHERE cum_tokens <= 800""".trim,
     "text_quality" -> s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       m AS (SELECT doc_id,

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Contract specs for the round-4 operators: incremental LSH dedup and
+  * embedding centroids. */
+class OperatorsSpec2 extends SparkSpec {
+
+  import spark.implicits._
+
+  test("incremental minhash-lsh: exact copies flag at jaccard 1.0 with the right match") {
+    val seen = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (11L, "one two three four five six seven eight nine ten eleven"),
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (20L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 10
+      (21L, "completely unrelated content about storage partitioned joins"),
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashLsh(incoming, seen, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(out(20L) == ((true, Some(10L), Some(1.0))))
+    assert(out(21L) == ((false, None, None)))
+  }
+
+  test("incremental minhash-lsh: one row per incoming doc even with multiple seen matches") {
+    val text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val seen = Seq((10L, text), (11L, text)).toDF("doc_id", "text")
+    val incoming = Seq((20L, text)).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashLsh(incoming, seen, "doc_id", "text").collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 10L) // ties pick the lowest seen id
+  }
+
+  test("centroids: per-label element-wise mean in long format") {
+    val embs = Seq(
+      (1L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 6.0f), 0),
+      (3L, Seq(10.0f, 20.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val out = Knn.centroids(embs, "label", "embedding")
+      .select("label", "dim", "n_vectors", "centroid")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(out == Set((0, 0L, 2L, 2.0), (0, 1L, 2L, 4.0),
+      (1, 0L, 1L, 10.0), (1, 1L, 1L, 20.0)))
+  }
+
+  test("centroids on the embeddings table: labels x 64 dims, counts match label sizes") {
+    val e = Tables.embeddings(spark, sfDir)
+    val out = Knn.centroids(e, "label", "embedding")
+    val labels = e.select("label").distinct().count()
+    assert(out.count() == labels * 64)
+    val sizes = e.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nv = out.select("label", "n_vectors").distinct()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(nv == sizes)
+  }
+}
