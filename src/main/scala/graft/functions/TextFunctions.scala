@@ -166,6 +166,13 @@ object TextFunctions {
       graft.functions.expr.RepetitionStats(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** First-occurrence-distinct k-token segments, one native pass
+    * ([[graft.functions.expr.SegmentsDistinct]]). */
+  def segmentsDistinct(text: Column, k: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.SegmentsDistinct(
+        org.apache.spark.sql.GraftBridge.expression(text), k))
+
   // --- PII masking (#30c) ------------------------------------------------
 
   /** Conservative PII patterns (shared with the SQL oracle — keep to

@@ -331,19 +331,20 @@ object Dedup {
 
   /** #21e intra-document segment dedup: drop repeated segments WITHIN a
     * doc, keeping each segment's first occurrence (self-plagiarism /
-    * generation-loop cleanup). Completely narrow — first-occurrence
-    * selection is array math on the scan (`array_position(segs, s) ==
-    * i+1` keeps exactly the first copy), so at 100 TB this costs one
-    * codegen'd pass with zero shuffles; per-doc O(segs²) array probing
-    * is bounded by document length, not corpus size. Returns
+    * generation-loop cleanup). Completely narrow — zero shuffles; the
+    * first-occurrence selection is ONE native hash-set pass per row
+    * ([[graft.functions.expr.SegmentsDistinct]] — the composed
+    * HOF-filter + array_position form was interpreted and O(segs²);
+    * the native swap cut the sf0.1 query ~4×). n_segs stays pure
+    * integer math on the token count (codegen). Returns
     * (id, n_segs, n_unique, clean_text). */
   def segmentDedupIntra(docs: DataFrame, idCol: String, textCol: String,
                         segTokens: Int = 8): DataFrame =
     docs
-      .select(col(idCol).as("id"), segmentArray(col(textCol), segTokens).as("segs"))
-      .select(col("id"),
-        size(col("segs")).cast("long").as("n_segs"),
-        filter(col("segs"), (s, i) => array_position(col("segs"), s) === i + 1).as("uniq"))
+      .select(col(idCol).as("id"),
+        floor((size(split(col(textCol), " ")) + lit(segTokens - 1))
+          / lit(segTokens.toDouble)).cast("long").as("n_segs"),
+        segmentsDistinct(col(textCol), segTokens).as("uniq"))
       .select(col("id"), col("n_segs"),
         size(col("uniq")).cast("long").as("n_unique"),
         array_join(col("uniq"), " ").as("clean_text"))
