@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, RepetitionStats, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, RepetitionStats, Segments, SegmentsDistinct, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -78,6 +78,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_repetition_stats(text)")
         RepetitionStats(args.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_segments"),
+      new ExpressionInfo(classOf[Segments].getName, "graft_segments"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_segments(text, k)")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_segments: k must be an integer literal, got $other")
+        }
+        Segments(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_segments_distinct"),
+      new ExpressionInfo(classOf[SegmentsDistinct].getName, "graft_segments_distinct"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_segments_distinct(text, k)")
+        val k = args(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_segments_distinct: k must be an integer literal, got $other")
+        }
+        SegmentsDistinct(args.head, k)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_lsh"),

@@ -75,3 +75,59 @@ object SegmentsDistinct {
     new GenericArrayData(arr)
   }
 }
+
+/** ALL non-overlapping `k`-token segments of a text, in order,
+  * duplicates kept — the corpus-level segment dedup's explode input
+  * ([[graft.operators.Dedup.segmentDedupCorpus]]). Same single-pass
+  * replacement for the interpreted transform + slice + array_join
+  * composition as [[SegmentsDistinct]], without the distinct. */
+case class Segments(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, s"segment width must be >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"segments requires a string input, got ${t.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Segments.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.expr.Segments.compute($x, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Segments =
+    copy(child = newChild)
+
+  override def prettyName: String = "segments"
+}
+
+object Segments {
+
+  /** Static entry point shared by eval and generated code. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val n = (toks.length + k - 1) / k
+    val arr = new Array[Any](n)
+    var s = 0
+    var i = 0
+    while (i < toks.length) {
+      val end = math.min(i + k, toks.length)
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      arr(s) = UTF8String.fromString(sb.toString)
+      s += 1
+      i += k
+    }
+    new GenericArrayData(arr)
+  }
+}

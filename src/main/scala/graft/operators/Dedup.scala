@@ -282,14 +282,14 @@ object Dedup {
   /** Fixed-size token segments of a document: consecutive `segTokens`
     * word windows (last one possibly shorter). The unit of sub-document
     * dedup — the Spark twin of CCNet/Gopher paragraph hashing, adapted
-    * to the corpus's single-line documents. Narrow (pure array math on
-    * the scan). */
-  private[graft] def segmentArray(text: Column, segTokens: Int): Column = {
-    val toks = split(text, " ")
-    val nSeg = floor((size(toks) + lit(segTokens - 1)) / lit(segTokens.toDouble)).cast("int")
-    transform(sequence(lit(0), nSeg - 1),
-      i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " "))
-  }
+    * to the corpus's single-line documents. Narrow, and native
+    * ([[graft.functions.expr.Segments]] — one JVM pass; the composed
+    * transform/slice/array_join form is interpreted, HOFs never enter
+    * whole-stage codegen). */
+  private[graft] def segmentArray(text: Column, segTokens: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.Segments(
+        org.apache.spark.sql.GraftBridge.expression(text), segTokens))
 
   /** #21d segment-level corpus dedup (CCNet-style boilerplate removal):
     * split every doc into `segTokens`-token segments, drop segments
