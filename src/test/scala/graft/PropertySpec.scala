@@ -50,6 +50,26 @@ class PropertySpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("segment kernels: join reconstructs text; distinct == first-occurrence reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen = Gen.listOfN(11,
+      // tiny vocabulary so repeated segments actually occur; empty
+      // tokens exercise split's keep-empties contract (double spaces)
+      Gen.oneOf("a", "b", "c", "ab", "")).map(_.mkString(" "))
+    for ((text, k) <- samples(textGen, 80).zipWithIndex.map { case (t, i) => (t, i % 3 + 1) }) {
+      val segs = graft.functions.expr.Segments
+        .compute(UTF8String.fromString(text), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      // non-overlapping cover: joining the segments restores the text
+      assert(segs.mkString(" ") == text, s"k=$k text='$text'")
+      // reference first-occurrence distinct
+      val distinct = graft.functions.expr.SegmentsDistinct
+        .compute(UTF8String.fromString(text), k)
+        .toArray[UTF8String](org.apache.spark.sql.types.StringType).map(_.toString)
+      assert(distinct.toSeq == segs.toSeq.distinct, s"k=$k text='$text'")
+    }
+  }
+
   test("bucket function: same key same bucket regardless of frame shape") {
     import spark.implicits._
     val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200).distinct

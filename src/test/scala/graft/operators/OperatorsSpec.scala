@@ -224,6 +224,12 @@ class OperatorsSpec extends SparkSpec {
       .select(graft.functions.TextFunctions.simhash64(col("text")))
       .head().getLong(0)
     assert(sig == viaColumn)
+    val segs = spark.sql("SELECT graft_segments('a b c d e', 2)")
+      .head().getSeq[String](0)
+    assert(segs == Seq("a b", "c d", "e"))
+    val segsD = spark.sql("SELECT graft_segments_distinct('a b a b c', 2)")
+      .head().getSeq[String](0)
+    assert(segsD == Seq("a b", "c"))
   }
 
   test("asof join: picks latest right row at or before left time, per key") {

@@ -48,6 +48,28 @@ class OperatorsSpec2 extends SparkSpec {
       (1, 0L, 1L, 10.0), (1, 1L, 1L, 20.0)))
   }
 
+  test("ffill: fills from the last non-null per key, leading nulls stay null, multi-column") {
+    val df = Seq(
+      (1L, 1L, Some(10.0), None: Option[String]),
+      (1L, 2L, None, Some("x")),
+      (1L, 3L, None, None),
+      (1L, 4L, Some(40.0), Some("y")),
+      (2L, 1L, None, None), // leading nulls: no predecessor to fill from
+      (2L, 2L, Some(5.0), Some("z")),
+    ).toDF("k", "t", "v", "s")
+    val out = AsOf.ffill(df, key = Seq("k"), time = "t", tieBreak = "t",
+        cols = Seq("v", "s"))
+      .orderBy("k", "t")
+      .as[(Long, Long, Option[Double], Option[String])].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, Some(10.0), None),
+      (1L, 2L, Some(10.0), Some("x")),
+      (1L, 3L, Some(10.0), Some("x")),
+      (1L, 4L, Some(40.0), Some("y")),
+      (2L, 1L, None, None),
+      (2L, 2L, Some(5.0), Some("z"))))
+  }
+
   test("centroids on the embeddings table: labels x 64 dims, counts match label sizes") {
     val e = Tables.embeddings(spark, sfDir)
     val out = Knn.centroids(e, "label", "embedding")
