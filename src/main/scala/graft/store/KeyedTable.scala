@@ -222,6 +222,16 @@ object KeyedTable {
   /** Contiguous integer ids in current row order (deterministic iff the
     * input ordering is — e.g. after orderBy). Mirrors auto_index
     * (reference: sql.py:122-128). Two narrow passes, no shuffle. */
+  /** CONTIGUOUS ids need a global row numbering, which no narrow
+    * columnar construct provides: monotonically_increasing_id leaves
+    * gaps, and a global row_number window coalesces to one task.
+    * zipWithIndex is the two-job form (count partitions, then add
+    * partition offset + local index) — the one RDD drop in the store,
+    * paid only on autoIndex writes. A columnar twin (groupBy
+    * spark_partition_id for counts + per-partition row_number) would
+    * save the Tungsten→Row round-trip but adds a per-partition window
+    * sort and the same two-job re-read determinism assumption, for a
+    * path that is write-time-only and dominated by parquet IO. */
   private def assignAutoIndex(df: DataFrame, offset: Long): DataFrame = {
     val spark = df.sparkSession
     val schema = df.schema
