@@ -309,6 +309,27 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** #36 JSONL ingestion, gate-tested as a roundtrip: the parquet
+    * corpus is written out as JSON-lines (the corpus interchange
+    * format) and read back through [[graft.sources.Ingest.jsonl]] with
+    * an explicit schema + corrupt-line quarantine; the oracle is the
+    * identity SELECT, so any parse/type drift in the reader fails the
+    * hash. */
+  def ingestJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val src = docs(s, d)
+    src.write.mode("overwrite").json(dir)
+    graft.sources.Ingest.split(graft.sources.Ingest.jsonl(s, dir, src.schema))._1
+  }
+
+  /** #36b CSV ingestion roundtrip, same contract as [[ingestJsonl]]. */
+  def ingestCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val src = docs(s, d)
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    graft.sources.Ingest.split(graft.sources.Ingest.csv(s, dir, src.schema))._1
+  }
+
   /** #21 */
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exact(docs(s, d), "doc_id", "text")
@@ -477,6 +498,8 @@ object LlmQueries {
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
     "corpus_curate" -> corpusCurate,
+    "ingest_jsonl" -> ingestJsonl,
+    "ingest_csv" -> ingestCsv,
   )
 
   // Shared oracle fragments (DuckDB dialect).
@@ -717,6 +740,12 @@ object LlmQueries {
     "dedup_exact" -> """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1""".trim,
+    // roundtrip identities: the Spark side re-reads its own JSONL/CSV
+    // export of `documents`; parse or type drift breaks the hash
+    "ingest_jsonl" -> """
+      SELECT doc_id, text, lang, source, n_chars FROM documents""".trim,
+    "ingest_csv" -> """
+      SELECT doc_id, text, lang, source, n_chars FROM documents""".trim,
     // 8-token segments; drop df>1 (count DISTINCT docs — a segment
     // repeated within one doc is not boilerplate); reassemble in order
     "dedup_segments" -> """
