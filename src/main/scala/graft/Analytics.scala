@@ -643,6 +643,17 @@ object Analytics {
       cols = Seq("value_filled"))
       .select("event_id", "user_id", "value_filled")
 
+  /** #37 linear-counting distinct sketch: per event type, distinct
+    * users both exactly and as the bounded-memory sketch (md5
+    * positions, m = 4096). The oracle compares the exact-integer
+    * sketch state; the estimator's accuracy is spec-gated
+    * (OperatorsSpec2). */
+  def distinctSketchQ(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.distinctSketch(
+      Tables.events(s, d), keys = Seq("event_type"), valueCol = "user_id",
+      m = 4096)
+      .orderBy(col("event_type"))
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -688,6 +699,7 @@ object Analytics {
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
+    "distinct_sketch" -> (distinctSketchQ _),
     "events_sessionized_salted" -> (eventsSessionizedSalted _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
@@ -1021,6 +1033,15 @@ object Analytics {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1""".trim,
+    // exact-integer sketch state only: the float estimator stays out
+    // of the oracle hash (libm ln differs across engines)
+    "distinct_sketch" -> """
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_exact,
+             4096 AS sketch_m,
+             count(DISTINCT ('0x' || substr(md5('lc:' || user_id::VARCHAR), 1, 8))::BIGINT % 4096)
+               AS sketch_occupied
+      FROM events GROUP BY 1 ORDER BY 1""".trim,
     // every 7th value nulled then forward-filled; window orders by the
     // µs timestamp (what Spark sees) with the event_id tie-break
     "ffill_events" -> """

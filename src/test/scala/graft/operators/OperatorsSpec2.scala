@@ -48,6 +48,28 @@ class OperatorsSpec2 extends SparkSpec {
       (1, 0L, 1L, 10.0), (1, 1L, 1L, 20.0)))
   }
 
+  test("distinct sketch: estimator within 5% of exact at low load factor") {
+    val out = Sketch.distinctSketch(
+        graft.Tables.events(spark, sfDir), Seq("event_type"), "user_id", m = 4096)
+      .as[(String, Long, Int, Long)].collect()
+    assert(out.nonEmpty)
+    for ((et, exact, m, occ) <- out) {
+      val est = Sketch.estimate(occ, m)
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"$et: estimate $est vs exact $exact")
+      assert(occ <= exact) // positions can only collide, never split
+    }
+  }
+
+  test("distinct sketch: occupied count is partitioning-invariant") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val a = Sketch.distinctSketch(ev, Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val b = Sketch.distinctSketch(ev.repartition(17), Seq("event_type"), "user_id")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a == b)
+  }
+
   test("ffill: fills from the last non-null per key, leading nulls stay null, multi-column") {
     val df = Seq(
       (1L, 1L, Some(10.0), None: Option[String]),
