@@ -434,6 +434,22 @@ object LlmQueries {
     Curation.budgetSample(docs(s, d), "doc_id", "text", "source", budgetTokens = 1000L)
       .withColumnRenamed("id", "doc_id")
 
+  /** #30o inverse-size balanced source sampling. The synthetic corpus
+    * is perfectly source-balanced, so the gate runs over a
+    * deliberately imbalanced subset (src0 keeps all docs, other
+    * sources only even ids) — the acceptance rates must then flatten
+    * src0 down to the others' size. */
+  def corpusBalance(s: SparkSession, d: String): DataFrame =
+    Curation.balancedSample(
+      docs(s, d).filter(col("source") === "src0" || col("doc_id") % 2 === 0),
+      "doc_id", "source")
+      .withColumnRenamed("id", "doc_id")
+
+  /** #30p deterministic 5-doc inspection sample per source. */
+  def groupSampleQ(s: SparkSession, d: String): DataFrame =
+    Curation.groupSample(docs(s, d), "doc_id", "source", k = 5)
+      .withColumnsRenamed(Map("id" -> "doc_id", "grp" -> "source"))
+
   /** #30m per-doc n-gram novelty. */
   def textNovelty(s: SparkSession, d: String): DataFrame =
     Curation.noveltyScores(docs(s, d), "doc_id", "text", n = 5)
@@ -492,6 +508,8 @@ object LlmQueries {
     "dedup_intradoc" -> dedupIntradoc,
     "budget_sample" -> budgetSampleQ,
     "text_novelty" -> textNovelty,
+    "corpus_balance" -> corpusBalance,
+    "group_sample" -> groupSampleQ,
     "ann_bruteforce" -> annBruteforce,
     "embedding_centroids" -> embeddingCentroids,
     "ann_lsh" -> annLsh,
@@ -612,6 +630,22 @@ object LlmQueries {
              (start_offset // 2048)::BIGINT AS seq_id,
              start_offset % 2048 + n_tokens > 2048 AS crosses_boundary
       FROM o""".trim,
+    "corpus_balance" -> """
+      WITH t AS (SELECT doc_id, source FROM documents
+                 WHERE source = 'src0' OR doc_id % 2 = 0),
+      c AS (SELECT source, count(*) cnt FROM t GROUP BY 1),
+      mn AS (SELECT min(cnt) min_cnt FROM c)
+      SELECT doc_id, d.source
+      FROM t d JOIN c ON d.source = c.source, mn
+      WHERE ('0x' || substr(md5('bal:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000
+            < min_cnt / cnt * 10000""".trim,
+    "group_sample" -> """
+      SELECT doc_id, source, rank
+      FROM (SELECT doc_id, source,
+              row_number() OVER (PARTITION BY source
+                ORDER BY md5('samp:' || doc_id::VARCHAR), doc_id)::BIGINT AS rank
+            FROM documents)
+      WHERE rank <= 5""".trim,
     "length_percentiles" -> """
       WITH t AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
                  FROM documents),

@@ -42,6 +42,44 @@ object Curation {
       .filter(col("cum_tokens") <= budgetTokens)
   }
 
+  /** #30o inverse-size balanced sampling: per-source acceptance rate
+    * `min_count / count` flattens the source distribution to ~min_count
+    * docs each — the data-DEPENDENT cousin of the fixed-rate
+    * corpus_mix, for when the mixture spec is "equal representation"
+    * rather than hand-picked rates. Acceptance stays a pure md5
+    * hash-bucket function of the id (reproducible across runs,
+    * engines, backfills); the per-source counts are a tiny broadcast.
+    * One count agg + one narrow filtered scan — no shuffle of the
+    * corpus itself. */
+  def balancedSample(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("cnt"))
+    val minCnt = counts.agg(min(col("cnt")).as("min_cnt"))
+    val bucket = (conv(substring(md5(concat(lit("bal:"), col(idCol).cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 10000L).as("mix_bucket")
+    docs.select(col(idCol).as("id"), col(sourceCol).as("source"), bucket)
+      .join(broadcast(counts.withColumnRenamed(sourceCol, "source")), "source")
+      .crossJoin(broadcast(minCnt))
+      .filter(col("mix_bucket") < col("min_cnt") / col("cnt") * 10000)
+      .select(col("id"), col("source"))
+  }
+
+  /** #30p deterministic per-group k-sample: the k docs with the
+    * smallest md5 rank per group — a uniform-at-random-looking sample
+    * that is a pure function of the ids, so every engine, run, and
+    * backfill draws the SAME sample (the inspection/eyeball set a
+    * pipeline attaches to each source). One window shuffle on the
+    * group key. */
+  def groupSample(docs: DataFrame, idCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("smp_rank"), col("id"))
+    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+        md5(concat(lit("samp:"), col(idCol).cast("string"))).as("smp_rank"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("id"), col("grp"), col("rank"))
+  }
+
   /** #30m n-gram novelty score: the fraction of a doc's distinct
     * shingles that appear in NO other document — high novelty marks
     * unique content worth keeping, near-zero novelty marks docs that

@@ -82,6 +82,41 @@ class CurationSpec extends SparkSpec {
     assert(kept == Set(1L, 2L))
   }
 
+  test("balanced sample: smallest source keeps everything, larger sources flatten toward it") {
+    // src S: 4 docs (the floor), src L: 40 docs → L's acceptance rate is 4/40
+    val docs = ((1L to 4L).map(i => (i, "S")) ++ (101L to 140L).map(i => (i, "L")))
+      .toDF("doc_id", "source")
+    val out = Curation.balancedSample(docs, "doc_id", "source")
+      .as[(Long, String)].collect()
+    val byGrp = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byGrp("S") == Set(1L, 2L, 3L, 4L)) // rate 1.0: all kept
+    // L keeps ~10% — md5 buckets are deterministic, so the exact set is
+    // stable; bound it loosely and re-run to pin reproducibility
+    assert(byGrp("L").size < 20 && byGrp("L").subsetOf((101L to 140L).toSet))
+    val again = Curation.balancedSample(docs, "doc_id", "source")
+      .as[(Long, String)].collect().toSet
+    assert(again == out.toSet)
+  }
+
+  test("balanced sample on an already-balanced corpus is the identity") {
+    val docs = (1L to 30L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val out = Curation.balancedSample(docs, "doc_id", "source")
+    assert(out.count() == 30L) // every rate is min/cnt = 1 → nothing drops
+  }
+
+  test("group sample: exactly k per group, short groups return whole, ranks contiguous") {
+    val docs = ((1L to 20L).map(i => (i, "big")) ++ Seq((31L, "tiny"), (32L, "tiny")))
+      .toDF("doc_id", "source")
+    val out = Curation.groupSample(docs, "doc_id", "source", k = 5)
+      .as[(Long, String, Long)].collect()
+    val byGrp = out.groupBy(_._2)
+    assert(byGrp("big").length == 5 && byGrp("tiny").length == 2)
+    assert(byGrp("big").map(_._3).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    val again = Curation.groupSample(docs, "doc_id", "source", k = 5)
+      .as[(Long, String, Long)].collect().toSet
+    assert(again == out.toSet) // pure function of the ids
+  }
+
   test("novelty: a doc cloned elsewhere scores 0, unique content scores 1") {
     val clone = "p q r s t u v w x y z p2 q2 r2 s2"
     val docs = Seq(
