@@ -643,6 +643,41 @@ object Analytics {
       cols = Seq("value_filled"))
       .select("event_id", "user_id", "value_filled")
 
+  /** #20c pandas shift()/diff() over events: previous value, value
+    * delta, and inter-event gap per user in event order. The value
+    * delta runs in DECIMAL(9,2) — events carry 2 true decimals — then
+    * lands as double (exact, engine-portable); the gap is whole
+    * seconds (epoch floor, the same floor both engines take). */
+  def eventsDiff(s: SparkSession, d: String): DataFrame =
+    operators.AsOf.shiftDiff(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        col("value").cast("decimal(9,2)").as("val_d"),
+        col("ts").cast("long").as("ts_s")),
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      cols = Seq("val_d", "ts_s"))
+      .select(col("event_id"), col("user_id"),
+        col("prev_val_d").cast("double").as("prev_value"),
+        col("delta_val_d").cast("double").as("delta_value"),
+        col("delta_ts_s").as("gap_seconds"))
+
+  /** #18d pandas resample('1h').ohlc() per user: bucketed
+    * open/high/low/close/count over event values. Open/close are pure
+    * SELECTION of existing doubles via (time, id)-ordered
+    * min_by/max_by — no float arithmetic to drift — and the bucket
+    * lands as epoch-second BIGINT (no TIMESTAMP reconstruction). One
+    * shuffle on (user, bucket), partial-aggregated map-side. */
+  def eventsResample(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close_v"))
+      .select(col("user_id"), col("window.start").cast("long").as("bucket_s"),
+        col("n_events"), col("open_v"), col("high_v"), col("low_v"),
+        col("close_v"))
+
   /** #37 linear-counting distinct sketch: per event type, distinct
     * users both exactly and as the bounded-memory sketch (md5
     * positions, m = 4096). The oracle compares the exact-integer
@@ -699,6 +734,8 @@ object Analytics {
     "asof_join" -> (asofJoinQ _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
+    "events_diff" -> (eventsDiff _),
+    "events_resample" -> (eventsResample _),
     "distinct_sketch" -> (distinctSketchQ _),
     "events_sessionized_salted" -> (eventsSessionizedSalted _),
     "q7_nation_volume" -> (q7NationVolume _),
@@ -1033,6 +1070,39 @@ object Analytics {
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events)
       WHERE rn = 1""".trim,
+    // deltas in DECIMAL(9,2) then ::DOUBLE (exact — values carry two
+    // true decimals); gap in whole seconds; window orders by the µs
+    // timestamp (what Spark reads) with the event_id tie-break
+    "events_diff" -> """
+      WITH e AS (SELECT event_id, user_id, value::DECIMAL(9,2) AS v,
+                   epoch_ns(ts) // 1000 AS us,
+                   epoch_ns(ts) // 1000000000 AS s
+                 FROM events)
+      SELECT event_id, user_id,
+             (lag(v) OVER w)::DOUBLE AS prev_value,
+             (v - lag(v) OVER w)::DOUBLE AS delta_value,
+             s - lag(s) OVER w AS gap_seconds
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)""".trim,
+    // open/close picked by (µs, event_id) row_number — the same total
+    // order Spark's min_by/max_by struct keys impose; raw doubles are
+    // selected, never computed on
+    "events_resample" -> """
+      WITH e AS (SELECT user_id, event_id, value,
+                   epoch_ns(date_trunc('hour', ts)) // 1000000000 AS bucket_s,
+                   epoch_ns(ts) // 1000 AS us
+                 FROM events),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id, bucket_s
+                                 ORDER BY us, event_id) AS rn_a,
+              row_number() OVER (PARTITION BY user_id, bucket_s
+                                 ORDER BY us DESC, event_id DESC) AS rn_d
+            FROM e)
+      SELECT user_id, bucket_s, count(*) AS n_events,
+             max(value) FILTER (WHERE rn_a = 1) AS open_v,
+             max(value) AS high_v,
+             min(value) AS low_v,
+             max(value) FILTER (WHERE rn_d = 1) AS close_v
+      FROM r GROUP BY 1, 2""".trim,
     // exact-integer sketch state only: the float estimator stays out
     // of the oracle hash (libm ln differs across engines)
     "distinct_sketch" -> """

@@ -348,6 +348,28 @@ object LlmQueries {
     Dedup.incrementalExact(incoming, seen, "doc_id", "text")
   }
 
+  /** #21f bloom-prefiltered incremental dedup, same cohorts as
+    * [[dedupIncremental]] — every re-ingested copy must flag both
+    * maybe_seen and is_dup; every definitively-new doc skips the
+    * exact join (maybe_seen = false ⇒ is_dup = false). */
+  def dedupBloom(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val seen = all.filter(col("doc_id") % 5 =!= 0)
+    val reingested = seen.filter(col("doc_id") % 7 === 1)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    val incoming = all.filter(col("doc_id") % 5 === 0).unionByName(reingested)
+    Dedup.bloomPrefilter(incoming, seen, "doc_id", "text", m = 1 << 16, k = 4)
+  }
+
+  /** #37b count-min token-frequency sketch over the corpus: 4 rows ×
+    * 1024 columns of occurrence counts — bounded state whatever the
+    * vocabulary size. The oracle compares every cell exactly; the
+    * point-estimator contract (never underestimates) is spec-gated. */
+  def countminSketch(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.countMin(
+      docs(s, d).select(explode(split(col("text"), " ")).as("tok")),
+      "tok", w = 1024, d = 4)
+
   /** #24 — df cut active (maxDf = 100): at sf0.01 that is any shingle
     * in >20% of the 500 docs; the gated run exercises the same plan
     * shape a web corpus needs (df agg + semi-join before the
@@ -495,6 +517,8 @@ object LlmQueries {
     "doc_fingerprint" -> docFingerprintQ,
     "dedup_exact" -> dedupExact,
     "dedup_incremental" -> dedupIncremental,
+    "dedup_bloom" -> dedupBloom,
+    "countmin_sketch" -> countminSketch,
     "corpus_decontaminate" -> corpusDecontaminate,
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
@@ -849,6 +873,37 @@ object LlmQueries {
       SELECT i.doc_id AS id, md5(i.text) AS content_hash,
              md5(i.text) IN (SELECT h FROM seen) AS is_dup
       FROM incoming i""".trim,
+    // bloom positions replayed: k=4 md5 hashes of each digest mod
+    // 2^16, deduped per doc; maybe_seen = ALL positions present in
+    // the seen set; is_dup settles at the exact digest membership
+    "dedup_bloom" -> """
+      WITH seen AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 5 != 0),
+      incoming AS (
+        SELECT doc_id, md5(text) h FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT doc_id + 1000000, md5(text) FROM documents
+        WHERE doc_id % 5 != 0 AND doc_id % 7 = 1),
+      sj AS (SELECT h, unnest(range(4)) j FROM seen),
+      spos AS (SELECT DISTINCT
+                 ('0x' || substr(md5('bloom:' || j::VARCHAR || ':' || h), 1, 8))::BIGINT % 65536 AS pos
+               FROM sj),
+      ij AS (SELECT doc_id, h, unnest(range(4)) j FROM incoming),
+      ipos AS (SELECT DISTINCT doc_id, h,
+                 ('0x' || substr(md5('bloom:' || j::VARCHAR || ':' || h), 1, 8))::BIGINT % 65536 AS pos
+               FROM ij),
+      v AS (SELECT doc_id, h,
+              count(*) = count(*) FILTER (WHERE pos IN (SELECT pos FROM spos)) AS maybe_seen
+            FROM ipos GROUP BY doc_id, h)
+      SELECT doc_id AS id, maybe_seen,
+             maybe_seen AND h IN (SELECT h FROM seen) AS is_dup
+      FROM v""".trim,
+    "countmin_sketch" -> """
+      WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      r AS (SELECT tok, unnest(range(4)) AS j FROM toks)
+      SELECT j AS sketch_row,
+             ('0x' || substr(md5('cm:' || j::VARCHAR || ':' || tok), 1, 8))::BIGINT % 1024 AS sketch_col,
+             count(*) AS cnt
+      FROM r GROUP BY 1, 2""".trim,
     "corpus_mix" -> """
       WITH m AS (SELECT doc_id, source,
                    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 8))::BIGINT % 10000 AS mix_bucket,

@@ -112,4 +112,22 @@ object AsOf {
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
   }
+
+  /** #20c pandas shift()/diff(): each row gains `prev_<col>` (the
+    * previous row's value per key in time order) and `delta_<col>`
+    * (row minus previous). One window shuffle on the key; the first
+    * row per key gets NULLs, matching pandas. Same skew caveat as any
+    * key-partitioned window (see Analytics.eventsSessionized). Pass
+    * exact-typed columns (integers / decimals) when deltas must hash
+    * identically across engines. */
+  def shiftDiff(df: DataFrame, key: Seq[String], time: String,
+                tieBreak: String, cols: Seq[String]): DataFrame = {
+    val w = Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(col(time), col(tieBreak))
+    cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(s"prev_$c", lag(col(c), 1).over(w))
+        .withColumn(s"delta_$c", col(c) - lag(col(c), 1).over(w))
+    }
+  }
 }

@@ -44,6 +44,53 @@ object Dedup {
         coalesce(col("_seen"), lit(false)).as("is_dup"))
   }
 
+  /** #21f bloom prefilter for incremental exact dedup — the "next
+    * rung" [[incrementalExact]]'s doc names. The seen corpus collapses
+    * to the SET of its md5-derived bloom bit positions: at most `m`
+    * distinct ints REGARDLESS of corpus size, so the broadcast into
+    * the incoming scan is bounded by filter geometry, not |seen| — at
+    * 100 TB the daily delta never joins the full corpus, only the
+    * ≤m-row position set. `maybe_seen = false` is definitive (bloom
+    * filters have no false negatives — those docs skip the exact
+    * digest join entirely); only `maybe_seen = true` docs reach the
+    * exact join, whose verdict rides along as `is_dup` (false
+    * positives settle there). Positions are md5-derived, so the
+    * filter is deterministic across engines, runs, and partitionings.
+    * Returns (id, maybe_seen, is_dup). */
+  def bloomPrefilter(incoming: DataFrame, seen: DataFrame,
+                     idCol: String, textCol: String,
+                     m: Int = 1 << 16, k: Int = 4): DataFrame = {
+    // k md5 positions of a digest, deduped (two hash functions of one
+    // digest may collide on a position; each position counts once)
+    def positions(h: Column): Column =
+      array_distinct(transform(sequence(lit(0L), lit(k - 1L)), j =>
+        conv(substring(md5(concat(lit("bloom:"), j.cast("string"), lit(":"), h)),
+          1, 8), 16, 10).cast("long") % m))
+    val seenPos = seen.select(explode(positions(md5(col(textCol)))).as("pos"))
+      .distinct().withColumn("_hit", lit(true))
+    val inc = incoming
+      .select(col(idCol).as("id"), md5(col(textCol)).as("content_hash"),
+        positions(md5(col(textCol))).as("ps"))
+    val verdict = inc
+      .select(col("id"), size(col("ps")).as("n_pos"), explode(col("ps")).as("pos"))
+      .join(broadcast(seenPos), Seq("pos"), "left")
+      .groupBy(col("id"), col("n_pos"))
+      .agg(sum(when(col("_hit"), 1L).otherwise(0L)).as("n_hit"))
+      .select(col("id"), (col("n_hit") === col("n_pos")).as("maybe_seen"))
+    val flagged = inc.select(col("id"), col("content_hash")).join(verdict, "id")
+    // only the maybe-seen slice pays the digest join; the rest is new
+    // by construction
+    val seenHashes = seen.select(md5(col(textCol)).as("content_hash"))
+      .distinct().withColumn("_seen", lit(true))
+    val checked = flagged.filter(col("maybe_seen"))
+      .join(seenHashes, Seq("content_hash"), "left")
+      .select(col("id"), col("maybe_seen"),
+        coalesce(col("_seen"), lit(false)).as("is_dup"))
+    val fresh = flagged.filter(!col("maybe_seen"))
+      .select(col("id"), col("maybe_seen"), lit(false).as("is_dup"))
+    checked.unionByName(fresh)
+  }
+
   /** #21c eval-set decontamination: drop training docs sharing ≥
     * `minHits` word n-gram(s) with an evaluation corpus — the GPT-3
     * style n-gram overlap rule that keeps benchmark text out of

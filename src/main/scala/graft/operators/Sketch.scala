@@ -42,4 +42,43 @@ object Sketch {
   /** Linear-counting estimate from an occupied-position count. */
   def estimate(occupied: Long, m: Int): Double =
     -m.toDouble * math.log(1.0 - occupied.toDouble / m)
+
+  /** The value's column in count-min row `j`: md5 of (row, value),
+    * mod the sketch width. */
+  def cmColumn(j: Column, value: Column, w: Int): Column =
+    conv(substring(md5(concat(lit("cm:"), j.cast("string"), lit(":"),
+      value.cast("string"))), 1, 8), 16, 10).cast("long") % w
+
+  /** #37b count-min frequency sketch over an item stream: `d` hash
+    * rows × `w` columns of occurrence counts. Where an exact per-item
+    * frequency table shuffles one row PER DISTINCT ITEM (unbounded —
+    * think token counts over a 100 TB corpus), the sketch state is
+    * capped at d·w cells end to end: map-side partial aggregation,
+    * the shuffle, and the merge all carry ≤ d·w rows, whatever the
+    * true vocabulary size. A point estimate reads one cell per row
+    * and takes the min ([[cmEstimate]]) — an overestimate by at most
+    * the collision mass (ε = e/w of total count w.h.p.), NEVER an
+    * underestimate. md5-derived columns keep the state deterministic
+    * across engines — the gate compares cells exactly; the estimator
+    * contract is spec-gated. Returns (sketch_row, sketch_col, cnt). */
+  def countMin(items: DataFrame, valueCol: String,
+               w: Int = 1024, d: Int = 4): DataFrame =
+    items.select(col(valueCol).as("v"),
+        explode(sequence(lit(0L), lit(d - 1L))).as("sketch_row"))
+      .select(col("sketch_row"), cmColumn(col("sketch_row"), col("v"), w).as("sketch_col"))
+      .groupBy(col("sketch_row"), col("sketch_col"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimate for one value from collected sketch state (driver
+    * side — the state is ≤ d·w rows by construction). */
+  def cmEstimate(state: Map[(Long, Long), Long], value: String,
+                 w: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until d).map { j =>
+      val hex = md.digest(s"cm:$j:$value".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      val colIdx = java.lang.Long.parseLong(hex, 16) % w
+      state.getOrElse((j.toLong, colIdx), 0L)
+    }.min
+  }
 }
