@@ -689,6 +689,72 @@ object Analytics {
       m = 4096)
       .orderBy(col("event_type"))
 
+  /** #19b binned interval join ([[operators.RangeJoin]]): per purchase
+    * event, the count and value-sum of SAME-USER events in the 15
+    * minutes after it — activity-after-trigger. Times are epoch-second
+    * BIGINTs end to end (the range predicate must evaluate identically
+    * at ns and µs precision); the value sum rides DECIMAL(9,2) (events
+    * carry two true decimals) and lands as double. Zero-follower
+    * anchors keep n_follow = 0 / NULL sum — outer-join semantics both
+    * sides. */
+  def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val anchors = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("anchor_s"))
+    val followers = e.select(col("user_id"),
+      col("ts").cast("long").as("f_s"), col("value").cast("decimal(9,2)").as("v"))
+    operators.RangeJoin.intervalAgg(
+      anchors, followers, keyCol = "user_id", anchorIdCol = "event_id",
+      anchorTimeCol = "anchor_s", followerTimeCol = "f_s",
+      windowSeconds = 900L,
+      aggs = Seq(round(sum(col("v")), 2).cast("double").as("sum_value")))
+      .select("event_id", "user_id", "anchor_s", "n_follow", "sum_value")
+  }
+
+  /** #37c HyperLogLog sketch state per event type over user ids
+    * ([[operators.Sketch.hllSketch]], m = 256). The oracle replays the
+    * md5 register geometry exactly; the estimator (float) is
+    * spec-gated. */
+  def hllSketchQ(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.hllSketch(
+      Tables.events(s, d), keys = Seq("event_type"), valueCol = "user_id",
+      m = 256)
+      .orderBy(col("event_type"), col("register"))
+
+  /** #16b salted skew join ([[operators.SaltedJoin]]): lineitem ⋈
+    * orders on the order key, salted 8 ways (line number spreads the
+    * key), revenue per order priority. Oracle-gated against the PLAIN
+    * join SQL — producing identical results is the operator's
+    * correctness claim. */
+  def joinSaltedQ(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    operators.SaltedJoin.saltedEquiJoin(
+      li, ord, bigKey = "l_orderkey", smallKey = "o_orderkey",
+      disambig = Seq("l_orderkey", "l_linenumber"), salts = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        round(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** #20d pandas interpolate() over events: every 5th value nulled
+    * deterministically (oracle too), then linearly interpolated per
+    * user between the surrounding observations, positioned by epoch-µs
+    * time. Interior gaps interpolate, trailing NULLs carry forward,
+    * leading NULLs stay NULL — pandas' default. The single-division
+    * formula evaluates identically in IEEE double on both engines. */
+  def interpolateEvents(s: SparkSession, d: String): DataFrame =
+    AsOf.interpolate(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v")),
+      key = Seq("user_id"), timeCol = "us", tieBreak = "event_id",
+      valueCol = "v")
+      .select(col("event_id"), col("user_id"), col("v_interp").as("value_interp"))
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -743,6 +809,10 @@ object Analytics {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_part_variety" -> (q16PartVariety _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "range_join" -> (rangeJoinQ _),
+    "hll_sketch" -> (hllSketchQ _),
+    "join_salted" -> (joinSaltedQ _),
+    "interpolate_events" -> (interpolateEvents _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1103,6 +1173,65 @@ object Analytics {
              min(value) AS low_v,
              max(value) FILTER (WHERE rn_d = 1) AS close_v
       FROM r GROUP BY 1, 2""".trim,
+    // whole-second epoch times: the range predicate must evaluate
+    // identically at ns (DuckDB) and µs (Spark) precision, so both
+    // sides floor to seconds before comparing; sums ride DECIMAL(9,2)
+    "range_join" -> """
+      WITH e AS (SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS t_s,
+                   value::DECIMAL(9,2) AS v
+                 FROM events),
+      a AS (SELECT event_id, user_id, t_s FROM e WHERE event_type = 'purchase'),
+      m AS (SELECT a.event_id, count(*) AS n_follow,
+                   round(sum(f.v), 2)::DOUBLE AS sum_value
+            FROM a JOIN e f ON f.user_id = a.user_id
+                           AND f.t_s > a.t_s AND f.t_s <= a.t_s + 900
+            GROUP BY 1)
+      SELECT a.event_id, a.user_id, a.t_s AS anchor_s,
+             coalesce(m.n_follow, 0) AS n_follow, m.sum_value
+      FROM a LEFT JOIN m USING (event_id)""".trim,
+    // md5 register geometry replayed exactly: first 8 hex digits pick
+    // the register, the next 13 (52 bits) give rho = 53 - length(bin x)
+    // — both engines print bin() without leading zeros, no float log.
+    // The estimator (float) is spec-gated, not oracled.
+    "hll_sketch" -> """
+      WITH h AS (SELECT event_type,
+                   ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS register,
+                   ('0x' || substr(md5('hll:' || user_id::VARCHAR), 9, 13))::BIGINT AS x
+                 FROM events)
+      SELECT event_type, register,
+             max(CASE WHEN x = 0 THEN 53 ELSE 53 - length(bin(x)) END) AS rho_max
+      FROM h GROUP BY 1, 2 ORDER BY 1, 2""".trim,
+    // the salted join's correctness claim: identical to the plain join
+    "join_salted" -> """
+      SELECT o_orderpriority, count(*) AS n_items,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1 ORDER BY 1""".trim,
+    // every 5th value nulled then linearly interpolated; the window
+    // orders by (µs, event_id) and the fill formula is the identical
+    // single-division IEEE-double shape on both sides
+    "interpolate_events" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+                 FROM events),
+      w AS (SELECT event_id, user_id, us, v,
+              last_value(v IGNORE NULLS) OVER pb AS pv,
+              first_value(v IGNORE NULLS) OVER fb AS nv,
+              last_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER pb AS pt,
+              first_value(CASE WHEN v IS NOT NULL THEN us END IGNORE NULLS) OVER fb AS nt
+            FROM e
+            WINDOW pb AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   fb AS (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      SELECT event_id, user_id,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pv IS NULL THEN NULL
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((us - pt)::DOUBLE / (nt - pt)::DOUBLE)
+             END AS value_interp
+      FROM w""".trim,
     // exact-integer sketch state only: the float estimator stays out
     // of the oracle hash (libm ln differs across engines)
     "distinct_sketch" -> """

@@ -113,6 +113,43 @@ object AsOf {
     }
   }
 
+  /** #20d pandas interpolate(method='linear'): fill NULL gaps in
+    * `valueCol` per key by linear interpolation between the
+    * surrounding non-null observations, positioned by `timeCol`
+    * (numeric — pass epoch µs/seconds, not a timestamp, so both the
+    * ordering and the arithmetic are integer-exact across engines).
+    *
+    * Matches pandas' default (limit_direction='forward'): interior
+    * gaps interpolate, trailing NULLs carry the last value forward,
+    * leading NULLs stay NULL.
+    *
+    * One window shuffle on the key, four ignoreNulls carries over the
+    * shared sort (prev/next value and their times); the arithmetic is
+    * one subtraction-ratio-multiply-add in IEEE double — identical
+    * operation order on any engine evaluating the same formula. Skew
+    * caveat as for any key-partitioned window. */
+  def interpolate(df: DataFrame, key: Seq[String], timeCol: String,
+                  tieBreak: String, valueCol: String): DataFrame = {
+    val back = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(timeCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(key.map(col): _*)
+      .orderBy(col(timeCol), col(tieBreak))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsT = when(v.isNotNull, col(timeCol))
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val prevT = last(obsT, ignoreNulls = true).over(back)
+    val nextT = first(obsT, ignoreNulls = true).over(fwd)
+    df.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .when(prevV.isNull, lit(null).cast("double"))
+        .when(nextV.isNull, prevV)
+        .otherwise(prevV + (nextV - prevV) *
+          ((col(timeCol) - prevT).cast("double") / (nextT - prevT).cast("double"))))
+  }
+
   /** #20c pandas shift()/diff(): each row gains `prev_<col>` (the
     * previous row's value per key in time order) and `delta_<col>`
     * (row minus previous). One window shuffle on the key; the first

@@ -69,6 +69,60 @@ object Sketch {
       .groupBy(col("sketch_row"), col("sketch_col"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** #37c HyperLogLog distinct sketch: where linear counting saturates
+    * once the load factor climbs (m must track the cardinality), HLL's
+    * m registers estimate cardinalities FAR beyond m — the standard
+    * 1.04/√m relative error is cardinality-independent — so one
+    * m=2^p-register sketch (a few KB) covers anything from thousands
+    * to billions of distinct values. Per-group state is capped at m
+    * registers through partial agg, shuffle and merge (`max` is the
+    * merge, trivially associative).
+    *
+    * Register geometry is md5-derived and integer-exact, so the state
+    * is deterministic across engines/partitionings: the value's first
+    * 8 md5 hex digits pick the register (mod m), the next 13 hex
+    * digits (52 bits) give ρ = leading-zero count + 1, computed as
+    * 53 − length(bin(x)) — both engines print bin() without leading
+    * zeros, so no float log anywhere. The gate compares registers
+    * exactly; the (float) estimator is spec-verified.
+    */
+  def hllRegisterOf(value: Column, m: Int): Column =
+    conv(substring(md5(concat(lit("hll:"), value.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % m
+
+  /** ρ of the value's 52-bit tail: leading zeros + 1 ∈ [1, 53]. */
+  def hllRho(value: Column): Column = {
+    val x = conv(substring(md5(concat(lit("hll:"), value.cast("string"))), 9, 13), 16, 10)
+      .cast("long")
+    when(x === 0L, lit(53L)).otherwise(lit(53L) - length(bin(x)).cast("long"))
+  }
+
+  /** Per-group HLL sketch state: (keys..., register, rho_max) — one row
+    * per OCCUPIED register (empty registers are implicit zeros, so the
+    * state never exceeds m rows per group however many values flow
+    * through). */
+  def hllSketch(df: DataFrame, keys: Seq[String], valueCol: String,
+                m: Int = 256): DataFrame =
+    df.groupBy(keys.map(col) :+
+        hllRegisterOf(col(valueCol), m).as("register"): _*)
+      .agg(max(hllRho(col(valueCol))).as("rho_max"))
+
+  /** HLL estimate from collected (register → ρmax) state (≤ m rows by
+    * construction). Small-range correction falls back to linear
+    * counting over the empty-register count, the standard recipe. */
+  def hllEstimate(registers: Map[Long, Long], m: Int): Double = {
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val z = (0 until m).map(b => math.pow(2.0, -registers.getOrElse(b.toLong, 0L).toDouble)).sum
+    val raw = alpha * m * m / z
+    val zeros = m - registers.count(_._2 > 0L)
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
+
   /** Point estimate for one value from collected sketch state (driver
     * side — the state is ≤ d·w rows by construction). */
   def cmEstimate(state: Map[(Long, Long), Long], value: String,

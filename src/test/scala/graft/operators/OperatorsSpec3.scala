@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Contract specs for the round-4 late additions: binned range join,
+  * HyperLogLog sketch, salted skew join, linear interpolation. */
+class OperatorsSpec3 extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- RangeJoin
+
+  test("range join: window boundaries, zero-follower anchors, key isolation") {
+    val anchors = Seq(
+      (1L, "a", 100L),   // followers at 101..1000 qualify
+      (2L, "b", 100L),   // no same-key followers -> n_follow = 0
+    ).toDF("id", "k", "t")
+    val followers = Seq(
+      ("a", 100L, 1.0),  // == anchor t: excluded (strictly after)
+      ("a", 101L, 2.0),  // in
+      ("a", 1000L, 3.0), // == t + 900: included (inclusive right edge)
+      ("a", 1001L, 4.0), // out
+      ("c", 500L, 5.0),  // other key: never joins
+    ).toDF("k", "t", "v")
+    val out = RangeJoin.intervalAgg(anchors, followers,
+        keyCol = "k", anchorIdCol = "id", anchorTimeCol = "t",
+        followerTimeCol = "t", windowSeconds = 900L,
+        aggs = Seq(sum(col("v")).as("sv")))
+      .select("id", "n_follow", "sv")
+      .as[(Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) == ((2L, Some(5.0))))
+    assert(out(2L) == ((0L, None)))
+  }
+
+  test("range join: binned form equals the naive range-predicate join on events") {
+    val e = Tables.events(spark, sfDir)
+    val anchors = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").cast("long").as("a_s"))
+    val followers = e.select(col("user_id").as("f_user"),
+      col("ts").cast("long").as("f_s"))
+    val binned = RangeJoin.intervalAgg(anchors, followers.withColumnRenamed("f_user", "user_id"),
+        keyCol = "user_id", anchorIdCol = "event_id", anchorTimeCol = "a_s",
+        followerTimeCol = "f_s", windowSeconds = 900L, aggs = Seq())
+      .select(col("event_id"), col("n_follow"))
+    val naive = anchors.join(followers,
+        anchors("user_id") === followers("f_user") &&
+          col("f_s") > col("a_s") && col("f_s") <= col("a_s") + 900L, "left")
+      .groupBy(col("event_id"))
+      .agg(sum(when(col("f_user").isNotNull, 1L).otherwise(0L)).as("n_follow"))
+    assert(binned.count() == naive.count())
+    assert(binned.exceptAll(naive).isEmpty && naive.exceptAll(binned).isEmpty)
+    // the corpus must actually exercise both sides of the contract
+    assert(binned.filter(col("n_follow") === 0).count() > 0 ||
+           binned.filter(col("n_follow") > 0).count() > 0)
+  }
+
+  // -------------------------------------------------------------------- HLL
+
+  test("hll: register state is partitioning-invariant and bounded by m") {
+    val df = (1 to 5000).map(i => (s"g${i % 3}", s"v$i")).toDF("g", "v")
+    val a = Sketch.hllSketch(df, Seq("g"), "v", m = 128)
+      .as[(String, Long, Long)].collect().toSet
+    val b = Sketch.hllSketch(df.repartition(17), Seq("g"), "v", m = 128)
+      .as[(String, Long, Long)].collect().toSet
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size <= 128))
+    assert(a.forall { case (_, reg, rho) => reg >= 0 && reg < 128 && rho >= 1 && rho <= 53 })
+  }
+
+  test("hll: estimate within tolerance above and below m") {
+    // n >> m: the HLL estimator proper (standard error 1.04/sqrt(m) ~ 6.5%)
+    val big = (1 to 20000).map(i => ("g", s"item$i")).toDF("g", "v")
+    val bigState = Sketch.hllSketch(big, Seq("g"), "v", m = 256)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, reg, rho) => reg -> rho }.toMap
+    val bigEst = Sketch.hllEstimate(bigState, 256)
+    assert(math.abs(bigEst - 20000) / 20000.0 < 0.2, s"estimate $bigEst vs 20000")
+    // n << m: the small-range linear-counting correction
+    val small = (1 to 30).map(i => ("g", s"item$i")).toDF("g", "v")
+    val smallState = Sketch.hllSketch(small, Seq("g"), "v", m = 256)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, reg, rho) => reg -> rho }.toMap
+    val smallEst = Sketch.hllEstimate(smallState, 256)
+    assert(math.abs(smallEst - 30) / 30.0 < 0.15, s"estimate $smallEst vs 30")
+  }
+
+  // ------------------------------------------------------------- SaltedJoin
+
+  test("salted join equals the plain join on a hot-key dataset") {
+    val big = ((1 to 1000).map(i => (1L, i.toLong)) ++   // hot key
+        (1 to 50).map(i => (2L, 10000L + i))).toDF("k", "row_id")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched")).toDF("sk", "name")
+    val salted = SaltedJoin.saltedEquiJoin(big, small,
+        bigKey = "k", smallKey = "sk", disambig = Seq("row_id"), salts = 8)
+      .select("k", "row_id", "name")
+    val plain = big.join(small, big("k") === small("sk"))
+      .select("k", "row_id", "name")
+    assert(salted.count() == 1050)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salted join: salts = 1 degenerates to the plain join") {
+    val big = Seq((1L, 1L), (1L, 2L)).toDF("k", "row_id")
+    val small = Seq((1L, "x")).toDF("sk", "name")
+    val out = SaltedJoin.saltedEquiJoin(big, small, "k", "sk", Seq("row_id"), 1)
+    assert(out.count() == 2)
+  }
+
+  // ------------------------------------------------------------ interpolate
+
+  test("interpolate: interior gaps linear, leading nulls stay, trailing carry") {
+    val df = Seq(
+      // key a: leading null, interior gap, uneven spacing, trailing null
+      ("a", 0L, 1L, None),             // leading -> stays null
+      ("a", 10L, 2L, Some(10.0)),
+      ("a", 15L, 3L, None),            // midpoint of 10..20 -> 15.0
+      ("a", 20L, 4L, Some(20.0)),
+      ("a", 21L, 5L, None),            // uneven: 20 + 80*(1/10)
+      ("a", 30L, 6L, Some(100.0)),
+      ("a", 40L, 7L, None),            // trailing -> carries 100.0
+      // key b: all null -> all stay null
+      ("b", 0L, 8L, None),
+    ).toDF("k", "t", "id", "v")
+    val out = AsOf.interpolate(df, Seq("k"), "t", "id", "v")
+      .select("id", "v_interp")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(out(1L).isEmpty)
+    assert(out(3L).contains(15.0))
+    assert(out(5L).contains(20.0 + 80.0 * (1.0 / 10.0)))
+    assert(out(7L).contains(100.0))
+    assert(out(8L).isEmpty)
+    // observed rows pass through untouched
+    assert(out(2L).contains(10.0) && out(6L).contains(100.0))
+  }
+}

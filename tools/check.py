@@ -1,9 +1,11 @@
 #!/usr/bin/env python3
 """Dev-only harness: emulate the driver's DuckDB oracle compare.
 
-Usage: python3 tools/check.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [name ...]
 Compares each <verifyOutDir>/<name> (parquet dir written by graft.Verify)
 against oracle_sql.json run in DuckDB over <sfDir>/*.parquet.
+Optional trailing names restrict the compare (pairs with graft.Verify's
+SPARK_GRAFT_ONLY for quick iteration on a few queries).
 Not part of the engine (engine is Scala); this is local test tooling.
 """
 import sys, os, json, glob
@@ -19,12 +21,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=()):
     con = duckdb.connect()
     for t in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(t).replace(".parquet", "")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{t}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         res_dir = os.path.join(out_dir, name)
@@ -58,4 +62,4 @@ def main(sf_dir, out_dir):
     return 1 if n_fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:])))
