@@ -98,6 +98,34 @@ object StreamingIngest {
       .drop(rightKey)
   }
 
+  /** Stream-stream interval join (SURVEY.md §2 #33e): the streaming twin
+    * of [[graft.operators.RangeJoin]] — pair each anchor with the
+    * follower rows of the same key whose event time falls in
+    * (anchor.t, anchor.t + windowSeconds]. Spark's stream-stream join
+    * machinery needs BOTH watermarks plus the time-range condition to
+    * bound its state: each side buffers only rows inside
+    * watermark + window, then evicts — state is O(rate × horizon), not
+    * O(stream). Column names must differ across sides (rename before
+    * calling); inner join, Append mode.
+    *
+    * At 100 TB/day this is the shape that works: the join state is
+    * hash-partitioned by key across executors and the range condition
+    * gives the planner the eviction bound. Without it (a bare equi
+    * stream-stream join in Append) state grows forever. */
+  def intervalJoinStream(anchors: DataFrame, followers: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTime: String, rightTime: String,
+                         windowSeconds: Long,
+                         watermark: String = "1 minute"): DataFrame = {
+    require(Set(leftKey, leftTime).intersect(Set(rightKey, rightTime)).isEmpty,
+      "anchor and follower column names must differ")
+    anchors.withWatermark(leftTime, watermark)
+      .join(followers.withWatermark(rightTime, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTime) > col(leftTime) &&
+          col(rightTime) <= col(leftTime) + expr(s"INTERVAL $windowSeconds seconds"))
+  }
+
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
     * idempotent per window — late data below the watermark re-emits the
