@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, RepetitionStats, Segments, SegmentsDistinct, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, NormalizeText, RepetitionStats, Segments, SegmentsDistinct, SimHash64, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_segments_distinct: k must be an integer literal, got $other")
         }
         SegmentsDistinct(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize_text"),
+      new ExpressionInfo(classOf[NormalizeText].getName, "graft_normalize_text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_normalize_text(text)")
+        NormalizeText(args.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_hyperplane_lsh"),

@@ -37,6 +37,20 @@ object LlmQueries {
       round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
       round(qualityScore(col("text")), 4).as("quality"))
 
+  /** #30q unicode normalization pass ([[graft.functions.expr
+    * .NormalizeText]], one codegen'd call per row): accent strip + NFC
+    * + lowercase + control/whitespace collapse — the pre-dedup cleanup
+    * every corpus runs first. The oracle composes DuckDB's
+    * strip_accents/nfc_normalize/lower/regexp_replace; the unicode
+    * edges where engine libs could disagree are spec-gated on the
+    * expression itself (the corpus here is ASCII, where the engines
+    * provably agree). */
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
+      col("doc_id"),
+      normalizeText(col("text")).as("norm_text"),
+      length(normalizeText(col("text"))).as("n_norm_chars"))
+
   /** #31 */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
@@ -503,6 +517,7 @@ object LlmQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
+    "text_normalize" -> textNormalize,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "sample_split" -> sampleSplit,
@@ -994,6 +1009,17 @@ object LlmQueries {
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
       SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+    // same pipeline composed from DuckDB's unicode functions; the
+    // corpus is ASCII (both engines provably agree there) — non-ASCII
+    // parity is spec-gated on the NormalizeText expression directly
+    "text_normalize" -> """
+      WITH n AS (SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                     lower(strip_accents(nfc_normalize(text))),
+                     '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+                 FROM documents)
+      SELECT doc_id, norm_text, length(norm_text)::INT AS n_norm_chars
+      FROM n""".trim,
     "text_repetition" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       c AS (SELECT doc_id, toks, len(toks) nt, len(list_distinct(toks)) nd,

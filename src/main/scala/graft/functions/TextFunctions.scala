@@ -23,6 +23,16 @@ object TextFunctions {
       graft.functions.expr.WordShingles(
         org.apache.spark.sql.GraftBridge.expression(text), n))
 
+  /** Unicode normalization (native expression — see
+    * [[graft.functions.expr.NormalizeText]]): accent strip (NFD −
+    * marks), NFC recompose, ROOT-locale lowercase, control chars and
+    * whitespace runs collapsed to single spaces, trimmed. Run FIRST in
+    * a dedup pipeline so near-identical spellings shingle identically. */
+  def normalizeText(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.NormalizeText(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Base 32-bit integer hash per shingle (md5-hex prefix → int): ONE
     * cryptographic hash per shingle, engine-portable. Materialize this
     * as a column before building signatures so the k minhash functions

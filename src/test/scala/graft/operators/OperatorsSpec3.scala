@@ -109,6 +109,33 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ---------------------------------------------------------- NormalizeText
+
+  test("normalize_text: accents, case, controls, whitespace runs, NFC/NFD input parity") {
+    val composed = "Caf\u00e9  D\u00c9J\u00c0\tVu"          // precomposed e-acute etc.
+    val decomposed = "Cafe\u0301  DE\u0301JA\u0300\tVu"     // same text, NFD
+    val out = Seq(
+      composed,
+      decomposed,
+      "hello\u0007world",        // control char becomes a separator
+      "  already normal  ",
+    ).toDF("text")
+      .select(graft.functions.TextFunctions.normalizeText(col("text")))
+      .as[String].collect()
+    assert(out(0) == "cafe deja vu")
+    assert(out(1) == out(0)) // composed and decomposed inputs converge
+    assert(out(2) == "hello world")
+    assert(out(3) == "already normal")
+    // SQL registration plans the same expression
+    val viaSql = spark.sql("SELECT graft_normalize_text('Caf\u00e9  D\u00c9J\u00c0')")
+      .head().getString(0)
+    assert(viaSql == "cafe deja")
+    // null-safe
+    assert(Seq(Option.empty[String]).toDF("text")
+      .select(graft.functions.TextFunctions.normalizeText(col("text")))
+      .head().isNullAt(0))
+  }
+
   // ------------------------------------------------------------ interpolate
 
   test("interpolate: interior gaps linear, leading nulls stay, trailing carry") {
