@@ -495,6 +495,10 @@ object LlmQueries {
   def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Knn.centroids(embs(s, d), "label", "embedding")
 
+  /** #27d int8 scalar quantization of the embeddings table. */
+  def embeddingQuantize(s: SparkSession, d: String): DataFrame =
+    Knn.quantizeInt8(embs(s, d), "vec_id", "embedding")
+
   /** #26 */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -551,6 +555,7 @@ object LlmQueries {
     "group_sample" -> groupSampleQ,
     "ann_bruteforce" -> annBruteforce,
     "embedding_centroids" -> embeddingCentroids,
+    "embedding_quantize" -> embeddingQuantize,
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
@@ -975,6 +980,17 @@ object LlmQueries {
       SELECT label, dim, count(*) AS n_vectors,
              round(sum(v)::DOUBLE / count(*), 6) AS centroid
       FROM x GROUP BY 1, 2""".trim,
+    // same affine map, identical parenthesization so floor() sees the
+    // same IEEE double on both engines; constant dims -> code -128
+    "embedding_quantize" -> """
+      WITH x AS (SELECT vec_id, t.i AS dim, embedding[t.i + 1]::DOUBLE AS v
+                 FROM embeddings, (SELECT unnest(range(64)) i) t),
+      s AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM x GROUP BY 1)
+      SELECT vec_id, dim,
+             (CASE WHEN mx = mn THEN 0
+                   ELSE least(255, greatest(0, floor((v - mn) / (mx - mn) * 256)))
+              END - 128)::INT AS q
+      FROM x JOIN s USING (dim)""".trim,
     "dedup_embedding" -> s"""
       WITH $cosCte,
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos

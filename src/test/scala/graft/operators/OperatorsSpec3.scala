@@ -109,6 +109,36 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ------------------------------------------------------------ quantizeInt8
+
+  test("int8 quantization: exact codes on a known range, full int8 span") {
+    val embs = Seq(
+      (1L, Seq(0.0f, 10.0f)),
+      (2L, Seq(5.0f, 20.0f)),
+      (3L, Seq(10.0f, 30.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Knn.quantizeInt8(embs, "vec_id", "embedding")
+      .as[(Long, Long, Int)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((1L, 0L)) == -128 && got((1L, 1L)) == -128) // at min
+    assert(got((2L, 0L)) == 0 && got((2L, 1L)) == 0)       // midpoint
+    assert(got((3L, 0L)) == 127 && got((3L, 1L)) == 127)   // at max clamps
+  }
+
+  test("int8 quantization: reconstruction error bounded by the bucket width") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+    val long = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("v").cast("double").as("v"))
+    val stats = long.groupBy("dim").agg(min("v").as("mn"), max("v").as("mx"))
+    val q = Knn.quantizeInt8(e, "vec_id", "embedding")
+    val bad = q.join(long, Seq("vec_id", "dim")).join(stats, "dim")
+      .withColumn("vhat", col("mn") + (col("q") + lit(128.5)) * (col("mx") - col("mn")) / 256.0)
+      .filter(abs(col("v") - col("vhat")) > (col("mx") - col("mn")) / 256.0)
+      .count()
+    assert(bad == 0)
+    // codes stay in int8 range
+    assert(q.filter(col("q") < -128 || col("q") > 127).count() == 0)
+  }
+
   // ---------------------------------------------------------- NormalizeText
 
   test("normalize_text: accents, case, controls, whitespace runs, NFC/NFD input parity") {
