@@ -755,6 +755,44 @@ object Analytics {
       valueCol = "v")
       .select(col("event_id"), col("user_id"), col("v_interp").as("value_interp"))
 
+  /** #20e time-weighted average per key (the sensor/telemetry mean
+    * where observations arrive irregularly): each value is weighted by
+    * the seconds until the NEXT observation — ∫v·dt / (t_last −
+    * t_first) — so a value held for an hour counts 3600× a one-second
+    * blip, which a plain avg() gets wrong. One lead() window pass;
+    * weights are whole seconds × DECIMAL(9,2) values, so the weighted
+    * sum is exact integer arithmetic and only the final division is
+    * float. Single-event keys (no interval) emit NULL. */
+  def eventsTwa(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("ts_s"),
+        col("value").cast("decimal(9,2)").as("v"))
+      .withColumn("dt_s", lead(col("ts_s"), 1).over(byUser) - col("ts_s"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("ts_s")).as("t_first"),
+        max(col("ts_s")).as("t_last"),
+        count(lit(1)).as("n_events"),
+        sum(col("v") * col("dt_s")).as("_wsum"))
+      .select(col("user_id"), col("t_first"), col("t_last"), col("n_events"),
+        when(col("t_last") > col("t_first"),
+          col("_wsum").cast("double") / (col("t_last") - col("t_first")).cast("double"))
+          .as("twa"))
+  }
+
+  /** #37d cumulative-HLL rollup ([[operators.Sketch.hllCumulative]]):
+    * running distinct-users-to-date register state per day over the
+    * events stream — daily sketches merged by max-per-register, no
+    * history rescan. Registers are integer-exact; the per-day
+    * cumulative estimate is spec-gated. */
+  def hllCumulativeQ(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.hllCumulative(
+      Tables.events(s, d), timeCol = "ts", valueCol = "user_id",
+      bucketSeconds = 86400L, m = 256)
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -813,6 +851,8 @@ object Analytics {
     "hll_sketch" -> (hllSketchQ _),
     "join_salted" -> (joinSaltedQ _),
     "interpolate_events" -> (interpolateEvents _),
+    "events_twa" -> (eventsTwa _),
+    "hll_cumulative" -> (hllCumulativeQ _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1232,6 +1272,41 @@ object Analytics {
                   ELSE pv + (nv - pv) * ((us - pt)::DOUBLE / (nt - pt)::DOUBLE)
              END AS value_interp
       FROM w""".trim,
+    // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
+    // exact integer arithmetic, one final double division
+    "events_twa" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS ts_s,
+                   value::DECIMAL(9,2) AS v
+                 FROM events),
+      w AS (SELECT user_id, ts_s, v,
+              lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) - ts_s AS dt_s
+            FROM e)
+      SELECT user_id, min(ts_s) AS t_first, max(ts_s) AS t_last,
+             count(*) AS n_events,
+             CASE WHEN max(ts_s) > min(ts_s)
+                  THEN sum(v * dt_s)::DOUBLE / (max(ts_s) - min(ts_s))::DOUBLE
+                  ELSE NULL END AS twa
+      FROM w GROUP BY 1""".trim,
+    // daily register states merged by running max per register — the
+    // dense day×register frame is bounded by the sketch geometry
+    "hll_cumulative" -> """
+      WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS t_s, user_id FROM events),
+      d AS (SELECT t_s - (t_s % 86400) AS bucket_s,
+              ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS register,
+              ('0x' || substr(md5('hll:' || user_id::VARCHAR), 9, 13))::BIGINT AS x
+            FROM e),
+      daily AS (SELECT bucket_s, register,
+                  max(CASE WHEN x = 0 THEN 53 ELSE 53 - length(bin(x)) END) AS rho_day
+                FROM d GROUP BY 1, 2),
+      dense AS (SELECT ds.bucket_s, r.register, daily.rho_day
+                FROM (SELECT DISTINCT bucket_s FROM daily) ds
+                CROSS JOIN (SELECT unnest(range(256)) AS register) r
+                LEFT JOIN daily USING (bucket_s, register)),
+      cum AS (SELECT bucket_s, register,
+                max(rho_day) OVER (PARTITION BY register ORDER BY bucket_s
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rho_max
+              FROM dense)
+      SELECT bucket_s, register, rho_max FROM cum WHERE rho_max IS NOT NULL""".trim,
     // exact-integer sketch state only: the float estimator stays out
     // of the oracle hash (libm ln differs across engines)
     "distinct_sketch" -> """

@@ -123,6 +123,37 @@ object Sketch {
     if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
   }
 
+  /** #37d cumulative HLL rollup — the MERGEABILITY story, which is the
+    * whole point of sketching at 100 TB: per-bucket (e.g. daily) HLL
+    * states merge into any larger window by `max` per register, with
+    * NO rescan of history. "Distinct users to date, per day" as an
+    * exact count needs the full history under each day; as a sketch
+    * it's a running `max` over ≤ m rows per bucket. Output is the
+    * running register state per bucket — integer-exact, oracle-gated;
+    * feed any bucket's slice to [[hllEstimate]] for the cumulative
+    * cardinality (spec-gated).
+    *
+    * The dense bucket×register frame costs buckets·m rows — bounded by
+    * the sketch geometry, not the data. */
+  def hllCumulative(df: DataFrame, timeCol: String, valueCol: String,
+                    bucketSeconds: Long = 86400L, m: Int = 256): DataFrame = {
+    val ts = col(timeCol).cast("long")
+    val daily = df
+      .withColumn("bucket_s", ts - pmod(ts, lit(bucketSeconds)))
+      .groupBy(col("bucket_s"), hllRegisterOf(col(valueCol), m).as("register"))
+      .agg(max(hllRho(col(valueCol))).as("rho_day"))
+    val dense = daily.select("bucket_s").distinct()
+      .select(col("bucket_s"), explode(sequence(lit(0L), lit(m - 1L))).as("register"))
+      .join(daily, Seq("bucket_s", "register"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("register")).orderBy(col("bucket_s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dense.withColumn("rho_max", max(col("rho_day")).over(w))
+      .filter(col("rho_max").isNotNull)
+      .select("bucket_s", "register", "rho_max")
+  }
+
   /** Point estimate for one value from collected sketch state (driver
     * side — the state is ≤ d·w rows by construction). */
   def cmEstimate(state: Map[(Long, Long), Long], value: String,

@@ -109,6 +109,55 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ---------------------------------------------------------- hllCumulative
+
+  test("hll cumulative: register state merges monotonically and estimates the running distinct") {
+    val e = Tables.events(spark, sfDir)
+    val cum = Sketch.hllCumulative(e, "ts", "user_id", 86400L, m = 256)
+      .as[(Long, Long, Long)].collect()
+    val byDay = cum.groupBy(_._1)
+    val days = byDay.keys.toSeq.sorted
+    // registers never decrease day over day (merge = max)
+    for ((d1, d2) <- days.zip(days.tail)) {
+      val r1 = byDay(d1).map(t => t._2 -> t._3).toMap
+      val r2 = byDay(d2).map(t => t._2 -> t._3).toMap
+      assert(r1.forall { case (reg, rho) => r2.getOrElse(reg, 0L) >= rho },
+        s"register state shrank between $d1 and $d2")
+    }
+    // the last day's state estimates the whole corpus' distinct users
+    val exact = e.select("user_id").distinct().count()
+    val est = Sketch.hllEstimate(
+      byDay(days.last).map(t => t._2 -> t._3).toMap, 256)
+    assert(math.abs(est - exact) / exact < 0.2, s"estimate $est vs exact $exact")
+  }
+
+  // ------------------------------------------------------------ eventsTwa
+
+  test("time-weighted average: holds dominate blips; single-event keys are NULL") {
+    val df = Seq(
+      // key a: v=10 held 100s, then v=1000 for the final instant -> twa = 10
+      ("a", 0L, 1L, 10.0),
+      ("a", 100L, 2L, 1000.0),
+      // key b: one event -> no interval -> NULL
+      ("b", 0L, 3L, 50.0),
+    ).toDF("user", "t", "id", "v")
+    // mirror of Analytics.eventsTwa over a synthetic frame
+    val byKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user")).orderBy(col("t"), col("id"))
+    val out = df.select(col("user"), col("t"), col("id"),
+        col("v").cast("decimal(9,2)").as("vd"))
+      .withColumn("dt", lead(col("t"), 1).over(byKey) - col("t"))
+      .groupBy("user")
+      .agg(min("t").as("t0"), max("t").as("t1"),
+        sum(col("vd") * col("dt")).as("ws"))
+      .select(col("user"),
+        when(col("t1") > col("t0"),
+          col("ws").cast("double") / (col("t1") - col("t0")).cast("double")).as("twa"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(10.0))
+    assert(out("b").isEmpty)
+  }
+
   // ------------------------------------------------------------ quantizeInt8
 
   test("int8 quantization: exact codes on a known range, full int8 span") {
