@@ -793,6 +793,46 @@ object Analytics {
       Tables.events(s, d), timeCol = "ts", valueCol = "user_id",
       bucketSeconds = 86400L, m = 256)
 
+  /** #19c merge_asof(direction='forward'): the next same-user purchase
+    * at-or-after each event (inclusive, like pandas
+    * allow_exact_matches) — one union+window pass, times in epoch µs.
+    * Events whose user never purchases again get NULLs. */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    AsOf.asofJoinDirected(
+      left = e.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("e_us")),
+      right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us")),
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "e_us", rightTime = "p_us",
+      rightCols = Seq("p_id"), rightTieBreak = "p_id",
+      direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("next_purchase_id"),
+        (col("asof_t") - col("e_us")).as("gap_us"))
+  }
+
+  /** #19d merge_asof(direction='nearest'): the closest same-user
+    * purchase in either direction; exact-distance ties prefer the
+    * backward match (pandas semantics). Signed gap (negative = the
+    * purchase came before the event). */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    AsOf.asofJoinDirected(
+      left = e.select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("e_us")),
+      right = e.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+          unix_micros(col("ts")).as("p_us")),
+      leftKey = "user_id", rightKey = "p_user",
+      leftTime = "e_us", rightTime = "p_us",
+      rightCols = Seq("p_id"), rightTieBreak = "p_id",
+      direction = "nearest")
+      .select(col("event_id"), col("user_id"),
+        col("p_id").as("nearest_purchase_id"),
+        (col("asof_t") - col("e_us")).as("gap_us"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -853,6 +893,8 @@ object Analytics {
     "interpolate_events" -> (interpolateEvents _),
     "events_twa" -> (eventsTwa _),
     "hll_cumulative" -> (hllCumulativeQ _),
+    "asof_forward" -> (asofForward _),
+    "asof_nearest" -> (asofNearest _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1272,6 +1314,30 @@ object Analytics {
                   ELSE pv + (nv - pv) * ((us - pt)::DOUBLE / (nt - pt)::DOUBLE)
              END AS value_interp
       FROM w""".trim,
+    // inclusive forward match; right (key,time) ties dedup by max id —
+    // ORDER BY p_us ASC, p_id DESC replays the union+window pick
+    "asof_forward" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS e_us FROM events),
+      p AS (SELECT user_id AS p_user, event_id AS p_id, epoch_ns(ts) // 1000 AS p_us
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT e.event_id, p.p_id, p.p_us - e.e_us AS gap_us,
+              row_number() OVER (PARTITION BY e.event_id
+                                 ORDER BY p.p_us, p.p_id DESC) AS rn
+            FROM e JOIN p ON p.p_user = e.user_id AND p.p_us >= e.e_us)
+      SELECT e.event_id, e.user_id, j.p_id AS next_purchase_id, j.gap_us
+      FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".trim,
+    // global min |gap|; ties prefer the earlier (backward) candidate —
+    // ORDER BY abs, p_us, p_id DESC mirrors the nearest pick
+    "asof_nearest" -> """
+      WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS e_us FROM events),
+      p AS (SELECT user_id AS p_user, event_id AS p_id, epoch_ns(ts) // 1000 AS p_us
+            FROM events WHERE event_type = 'purchase'),
+      j AS (SELECT e.event_id, p.p_id, p.p_us - e.e_us AS gap_us,
+              row_number() OVER (PARTITION BY e.event_id
+                                 ORDER BY abs(p.p_us - e.e_us), p.p_us, p.p_id DESC) AS rn
+            FROM e JOIN p ON p.p_user = e.user_id)
+      SELECT e.event_id, e.user_id, j.p_id AS nearest_purchase_id, j.gap_us
+      FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".trim,
     // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
     // exact integer arithmetic, one final double division
     "events_twa" -> """

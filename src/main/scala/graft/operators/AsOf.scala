@@ -80,6 +80,89 @@ object AsOf {
         rightCols.map(c => col(s"_asof_$c").as(c)): _*)
   }
 
+  /** #19c pandas merge_asof direction parity: 'backward' (latest right
+    * at-or-before), 'forward' (earliest right at-or-after) and
+    * 'nearest' (closer of the two; exact ties prefer backward, like
+    * pandas) — all as ONE union+window pass, the same single-shuffle
+    * shape as [[asofJoin]].
+    *
+    * The trick that keeps it one sort: each right row enters the union
+    * TWICE, tagged to sort before (-1) and after (2) the left rows (1)
+    * of the same timestamp. The backward carry (`last ignoreNulls` over
+    * the preceding frame) can only see the before-copy at equal times —
+    * inclusive backward; the forward carry (`first ignoreNulls` over
+    * the following frame) can only see the after-copy — inclusive
+    * forward. Copies of strictly earlier/later rows are visible to both
+    * carries, harmlessly (identical values).
+    *
+    * `timeCol`s must be numeric (epoch seconds/µs) — the gap arithmetic
+    * needs subtraction. The matched right time lands in `asof_t` so
+    * callers can emit gaps. Right-side (key, time) ties dedup by max
+    * `rightTieBreak` first, as in [[asofJoin]]. */
+  def asofJoinDirected(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTieBreak: String,
+      direction: String): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward/forward/nearest, got $direction")
+
+    val dedupW = Window
+      .partitionBy(col(rightKey), col(rightTime))
+      .orderBy(col(rightTieBreak).desc)
+    val rightDedup = right
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val leftCols = left.columns.toSeq
+    val carried = rightCols :+ "_rt"
+    def rTagged(tag: Int) = rightDedup
+      .withColumn("_rt", col(rightTime).cast("long"))
+      .select(
+        Seq(col(rightKey).as("_k"), col(rightTime).cast("long").as("_t"),
+          lit(tag).as("_tag")) ++
+          carried.map(col) ++
+          leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).cast("long").as("_t"),
+        lit(1).as("_tag")) ++
+        carried.map(c => lit(null).cast(
+          if (c == "_rt") org.apache.spark.sql.types.LongType
+          else right.schema(c).dataType).as(c)) ++
+        leftCols.map(col): _*)
+
+    val back = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(col("_k")).orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val unioned = rTagged(-1).unionByName(rTagged(2)).unionByName(lTagged)
+    val both = unioned.select(
+      col("*") +:
+        (carried.map(c => last(col(c), ignoreNulls = true).over(back).as(s"_b_$c")) ++
+         carried.map(c => first(col(c), ignoreNulls = true).over(fwd).as(s"_f_$c"))): _*)
+      .filter(col("_tag") === 1)
+
+    val picked = direction match {
+      case "backward" => carried.map(c => col(s"_b_$c").as(c))
+      case "forward"  => carried.map(c => col(s"_f_$c").as(c))
+      case "nearest"  =>
+        // prefer backward on exact-distance ties (pandas semantics)
+        val useB = col("_f__rt").isNull ||
+          (col("_b__rt").isNotNull &&
+            (col("_t") - col("_b__rt")) <= (col("_f__rt") - col("_t")))
+        carried.map(c => when(useB, col(s"_b_$c")).otherwise(col(s"_f_$c")).as(c))
+    }
+    both.select(leftCols.map(col) ++ picked: _*)
+      .withColumnRenamed("_rt", "asof_t")
+  }
+
   /** Latest row per key: dedup-by-recency. Ties on the time column break
     * by `tieBreak` descending so the result is deterministic. Single
     * shuffle on the key; map-side nothing to combine (row-level top-1 via

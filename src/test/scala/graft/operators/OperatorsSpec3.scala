@@ -109,6 +109,44 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ------------------------------------------------------- asofJoinDirected
+
+  test("directed as-of: forward inclusive, nearest prefers backward on ties, no-match NULLs") {
+    val left = Seq(
+      (1L, "k", 100L),  // right row at exactly 100 -> gap 0 in every direction
+      (2L, "k", 95L),   // equidistant: back @90 gap 5, fwd @100 gap 5 -> tie
+      (3L, "k", 300L),  // nothing after -> forward NULL, nearest backward
+      (4L, "z", 50L),   // keyless -> all NULL
+      (5L, "k", 103L),  // back @100 gap 3, fwd @105 gap 2 -> nearest forward
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("k", 90L, 900L),
+      ("k", 100L, 901L),
+      ("k", 105L, 902L),
+    ).toDF("rk", "rt", "rid")
+    def run(dir: String) = AsOf.asofJoinDirected(left, right,
+        "k", "rk", "t", "rt", Seq("rid"), "rid", dir)
+      .select("id", "rid", "asof_t")
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val fwd = run("forward")
+    assert(fwd(1L) == ((Some(901L), Some(100L)))) // inclusive at equal time
+    assert(fwd(2L) == ((Some(901L), Some(100L))))
+    assert(fwd(3L) == ((None, None)))
+    assert(fwd(4L) == ((None, None)))
+    assert(fwd(5L) == ((Some(902L), Some(105L))))
+    val near = run("nearest")
+    assert(near(1L) == ((Some(901L), Some(100L)))) // gap 0
+    // id 2: back @90 gap 5, fwd @100 gap 5 -> tie prefers backward
+    assert(near(2L) == ((Some(900L), Some(90L))))
+    assert(near(3L) == ((Some(902L), Some(105L)))) // only backward exists
+    assert(near(4L) == ((None, None)))
+    assert(near(5L) == ((Some(902L), Some(105L)))) // gap 2 fwd beats 3 back
+    val back = run("backward")
+    assert(back(1L) == ((Some(901L), Some(100L))))
+    assert(back(5L) == ((Some(901L), Some(100L))))
+  }
+
   // ---------------------------------------------------------- hllCumulative
 
   test("hll cumulative: register state merges monotonically and estimates the running distinct") {
