@@ -33,6 +33,10 @@ object SparkEntry {
           .select(col("doc_id"), col("frame_idx"),
             md5(concat(col("content_md5"), lit(":"), col("frame_idx").cast("string")))
               .as("frame_md5"))),
+      // ViT-style patch-grid fanout over the resized image dims (#28c)
+      "multimodal_patches" -> ((s: SparkSession, d: String) =>
+        graft.operators.Multimodal.patchGrid(
+          graft.operators.Multimodal.pipeline(Tables.documents(s, d)), patch = 32)),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,6 +93,25 @@ object SparkEntry {
             FROM p)
       SELECT doc_id, fr.frame_idx, md5(h || ':' || fr.frame_idx) AS frame_md5
       FROM f, LATERAL (SELECT unnest(range(0, nf, 10)) frame_idx) fr""".trim,
+    // resize replay as in multimodal_meta, then the ceil-div patch grid
+    "multimodal_patches" -> """
+      WITH p AS (SELECT doc_id, md5(text) AS h,
+                   (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS mt
+                 FROM documents),
+      f AS (SELECT doc_id, h,
+              ('0x' || substr(h, 1, 4))::BIGINT % 1280 + 1 AS width,
+              ('0x' || substr(h, 5, 4))::BIGINT % 720 + 1 AS height
+            FROM p WHERE mt = 'image'),
+      r AS (SELECT doc_id, h,
+              CAST(greatest(floor(width * least(256.0 / width, 256.0 / height, 1.0)), 1) AS BIGINT) AS rw,
+              CAST(greatest(floor(height * least(256.0 / width, 256.0 / height, 1.0)), 1) AS BIGINT) AS rh
+            FROM f),
+      g AS (SELECT doc_id, h, (rw + 31) // 32 AS nx, (rh + 31) // 32 AS ny FROM r)
+      SELECT doc_id, gx.px, gy.py,
+             md5(h || ':' || gx.px || ':' || gy.py) AS patch_md5
+      FROM g,
+           LATERAL (SELECT unnest(range(nx)) AS px) gx,
+           LATERAL (SELECT unnest(range(ny)) AS py) gy""".trim,
   )
 }
 

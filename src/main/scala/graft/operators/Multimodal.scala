@@ -105,4 +105,28 @@ object Multimodal {
         col("content_md5"), col("width"), col("height"), col("n_frames"),
         col("resized_w"), col("resized_h"), col("n_sampled"), col("last_frame"))
   }
+
+  /** #28c ViT-style patch grid: each image explodes into its
+    * ⌈w/p⌉×⌈h/p⌉ grid of patch rows over the RESIZED dims — the
+    * row-fanout stage that feeds patch embedding. Edge patches
+    * (partial at the right/bottom) are included, as ViT pads them. The
+    * per-patch feature is the deterministic stub hash (no image libs
+    * in-container); the Spark plumbing — grid arithmetic, double
+    * explode, per-patch keys — is the real, tested part. Fan-out is
+    * bounded by (target/p)² per image, so the stage is a pure narrow
+    * map — no shuffle. */
+  def patchGrid(pipelineOut: DataFrame, patch: Int = 32): DataFrame =
+    pipelineOut
+      .filter(col("media_type") === "image")
+      .withColumn("nx", floor((col("resized_w") + patch - 1) / patch))
+      .withColumn("ny", floor((col("resized_h") + patch - 1) / patch))
+      .select(col("doc_id"), col("nx"), col("ny"),
+        col("content_md5"),
+        explode(sequence(lit(0L), col("nx") - 1)).as("px"))
+      .select(col("doc_id"), col("nx"), col("ny"), col("content_md5"), col("px"),
+        explode(sequence(lit(0L), col("ny") - 1)).as("py"))
+      .select(col("doc_id"), col("px"), col("py"),
+        md5(concat(col("content_md5"), lit(":"),
+          col("px").cast("string"), lit(":"), col("py").cast("string")))
+          .as("patch_md5"))
 }

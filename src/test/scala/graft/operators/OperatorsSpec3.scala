@@ -109,6 +109,21 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ------------------------------------------------------------- patchGrid
+
+  test("patch grid: ceil-div fanout per image, unique patch keys, zero shuffle") {
+    val pipe = Multimodal.pipeline(graft.Tables.documents(spark, sfDir))
+    val patches = Multimodal.patchGrid(pipe, patch = 32)
+    val expected = pipe.filter(col("media_type") === "image")
+      .select((ceil(col("resized_w") / 32.0) * ceil(col("resized_h") / 32.0)).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(patches.count() == expected)
+    assert(patches.select("patch_md5").distinct().count() == expected)
+    // narrow plan: no Exchange anywhere
+    val hasExchange = patches.queryExecution.executedPlan.toString.contains("Exchange")
+    assert(!hasExchange)
+  }
+
   // ------------------------------------------------------- asofJoinDirected
 
   test("directed as-of: forward inclusive, nearest prefers backward on ties, no-match NULLs") {
