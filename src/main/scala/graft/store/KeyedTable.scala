@@ -431,6 +431,41 @@ object KeyedTable {
     crowded.size
   }
 
+  /** #11e rebucket: rewrite the table under a new bucket count — the
+    * operational fix when a table outgrows its create-time bucket
+    * choice (buckets sized for 1 TB are hotspots at 100 TB) or when
+    * two tables must co-partition for the storage-partitioned PK join
+    * (equal bucket counts are its precondition). Necessarily a full
+    * rewrite — rehashing moves every row — but it's ONE shuffle
+    * (repartition on the new bucket) + one write, via staging + swap
+    * so readers never observe a half state; the meta updates last, so
+    * a reader that raced the swap still sees a consistent (old-count)
+    * view resolve to the new files only with the new meta. */
+  def rebucket(spark: SparkSession, warehouse: String, tableName: String,
+               newBuckets: Int): Unit = {
+    require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
+    val dir = tableDir(warehouse, tableName)
+    val meta = TableMeta.read(spark, dir)
+    if (meta.buckets == newBuckets) return
+    val data = dataDir(warehouse, tableName)
+    val f = fs(spark, dir)
+    val staging = s"$dir/.staging-rebucket-${UUID.randomUUID()}"
+    val retired = s"$dir/.retired-rebucket-${UUID.randomUUID()}"
+    try {
+      withBucket(readRaw(spark, warehouse, tableName, meta).drop(BucketCol),
+          meta.pk, newBuckets)
+        .repartition(newBuckets, col(BucketCol))
+        .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+        .write.partitionBy(BucketCol).parquet(staging)
+      f.rename(new Path(data), new Path(retired))
+      f.rename(new Path(staging), new Path(data))
+      TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
+    } finally {
+      f.delete(new Path(staging), true)
+      f.delete(new Path(retired), true)
+    }
+  }
+
   /** Read a table back, optionally restricted to an inclusive PK range.
     *
     * Mirrors reference `read_sql` (/root/reference/pandabase/sql.py:349):
