@@ -833,6 +833,69 @@ object Analytics {
         (col("asof_t") - col("e_us")).as("gap_us"))
   }
 
+  /** #18e retention cohort analysis: users grouped by first-active day
+    * (their cohort), counted per (cohort, day offset) they return —
+    * the classic triangle retention matrix. All-integer arithmetic
+    * (epoch-day buckets, integer day offsets). Plan shape: one
+    * distinct (user, day) shuffle, a per-user min for the cohort, one
+    * join back, one final count — at 100 TB the (user, day) distinct
+    * is the only wide pass over raw events. */
+  def eventsRetention(s: SparkSession, d: String): DataFrame = {
+    val ts = col("ts").cast("long")
+    val active = Tables.events(s, d)
+      .select(col("user_id"), (ts - pmod(ts, lit(86400L))).as("day_s"))
+      .distinct()
+    val cohort = active.groupBy(col("user_id")).agg(min(col("day_s")).as("cohort_s"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_s"),
+        ((col("day_s") - col("cohort_s")) / lit(86400L)).cast("long").as("offset_days"))
+      // rows are distinct (user, day), so a plain count IS distinct users
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** #18f funnel (sequential-pattern) analysis: for each purchase, the
+    * latest same-user click at-or-before it within 1 h, then the
+    * latest view at-or-before THAT click within 1 h — two chained
+    * backward as-of joins ([[operators.AsOf.asofJoinDirected]]), each
+    * one shuffle, never a range product. Emits the completed stage
+    * (1 = purchase only, 2 = click→purchase, 3 = view→click→purchase)
+    * and the matched step events. */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = Tables.events(s, d)
+    def slice(t: String, key: String, id: String, us: String) =
+      e.filter(col("event_type") === t).select(
+        col("user_id").as(key), col("event_id").as(id), unix_micros(col("ts")).as(us))
+    val buys = slice("purchase", "user_id", "buy_id", "buy_us")
+    val clicks = slice("click", "c_user", "click_id", "click_us")
+    val views = slice("view", "v_user", "view_id", "view_us")
+
+    val s1 = AsOf.asofJoinDirected(buys, clicks,
+        "user_id", "c_user", "buy_us", "click_us",
+        rightCols = Seq("click_id"), rightTieBreak = "click_id",
+        direction = "backward")
+      .withColumnRenamed("asof_t", "click_t")
+      .withColumn("click_ok",
+        col("click_t").isNotNull && col("buy_us") - col("click_t") <= hourUs)
+    val s2 = AsOf.asofJoinDirected(
+        s1.filter(col("click_ok")), views,
+        "user_id", "v_user", "click_t", "view_us",
+        rightCols = Seq("view_id"), rightTieBreak = "view_id",
+        direction = "backward")
+      .withColumnRenamed("asof_t", "view_t")
+      .withColumn("view_ok",
+        col("view_t").isNotNull && col("click_t") - col("view_t") <= hourUs)
+      .select(col("buy_id"), col("user_id"), col("click_id"),
+        when(col("view_ok"), col("view_id")).as("view_id"),
+        when(col("view_ok"), lit(3)).otherwise(lit(2)).as("funnel_stage"))
+    val s1only = s1.filter(!col("click_ok"))
+      .select(col("buy_id"), col("user_id"),
+        lit(null).cast("long").as("click_id"),
+        lit(null).cast("long").as("view_id"),
+        lit(1).as("funnel_stage"))
+    s2.unionByName(s1only)
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -895,6 +958,8 @@ object Analytics {
     "hll_cumulative" -> (hllCumulativeQ _),
     "asof_forward" -> (asofForward _),
     "asof_nearest" -> (asofNearest _),
+    "events_retention" -> (eventsRetention _),
+    "events_funnel" -> (eventsFunnel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1338,6 +1403,49 @@ object Analytics {
             FROM e JOIN p ON p.p_user = e.user_id)
       SELECT e.event_id, e.user_id, j.p_id AS nearest_purchase_id, j.gap_us
       FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".trim,
+    // all-integer: epoch-day buckets, integer offsets, distinct-row counts
+    "events_retention" -> """
+      WITH a AS (SELECT DISTINCT user_id,
+                   (epoch_ns(ts) // 1000000000) - ((epoch_ns(ts) // 1000000000) % 86400) AS day_s
+                 FROM events),
+      c AS (SELECT user_id, min(day_s) AS cohort_s FROM a GROUP BY 1)
+      SELECT c.cohort_s, (a.day_s - c.cohort_s) // 86400 AS offset_days,
+             count(*) AS n_users
+      FROM a JOIN c USING (user_id)
+      GROUP BY 1, 2""".trim,
+    // two chained backward as-of picks, each replayed as a
+    // row_number-over-candidates; 1-hour windows in epoch µs
+    "events_funnel" -> """
+      WITH b AS (SELECT event_id AS buy_id, user_id, epoch_ns(ts) // 1000 AS buy_us
+                 FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT user_id AS c_user, event_id AS click_id, epoch_ns(ts) // 1000 AS click_us
+            FROM events WHERE event_type = 'click'),
+      v AS (SELECT user_id AS v_user, event_id AS view_id, epoch_ns(ts) // 1000 AS view_us
+            FROM events WHERE event_type = 'view'),
+      s1 AS (SELECT b.buy_id, b.user_id, b.buy_us, c.click_id, c.click_us,
+               row_number() OVER (PARTITION BY b.buy_id
+                                  ORDER BY c.click_us DESC, c.click_id DESC) AS rn
+             FROM b LEFT JOIN c ON c.c_user = b.user_id AND c.click_us <= b.buy_us),
+      s1p AS (SELECT buy_id, user_id,
+                CASE WHEN click_us IS NOT NULL AND buy_us - click_us <= 3600000000
+                     THEN click_id END AS click_id,
+                CASE WHEN click_us IS NOT NULL AND buy_us - click_us <= 3600000000
+                     THEN click_us END AS click_us
+              FROM s1 WHERE rn = 1),
+      s2 AS (SELECT s1p.buy_id, s1p.user_id, s1p.click_id, s1p.click_us,
+               v.view_id, v.view_us,
+               row_number() OVER (PARTITION BY s1p.buy_id
+                                  ORDER BY v.view_us DESC, v.view_id DESC) AS rn2
+             FROM s1p LEFT JOIN v
+               ON s1p.click_id IS NOT NULL AND v.v_user = s1p.user_id
+                  AND v.view_us <= s1p.click_us)
+      SELECT buy_id, user_id, click_id,
+             CASE WHEN view_us IS NOT NULL AND click_us - view_us <= 3600000000
+                  THEN view_id END AS view_id,
+             CASE WHEN click_id IS NULL THEN 1
+                  WHEN view_us IS NULL OR click_us - view_us > 3600000000 THEN 2
+                  ELSE 3 END AS funnel_stage
+      FROM s2 WHERE rn2 = 1""".trim,
     // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
     // exact integer arithmetic, one final double division
     "events_twa" -> """

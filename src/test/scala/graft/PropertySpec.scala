@@ -35,6 +35,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("normalize_text is idempotent and emits no uppercase/controls/runs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val unicodeish: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', '\u0007'),
+      Gen.oneOf('\u00e9', '\u00c0', '\u00fc', '\u00f1', '\u00df',
+        '\u4e2d', '\u6587', '\u0301', '\u0300')))
+      .map(_.mkString)
+    samples(unicodeish, 300).foreach { s =>
+      val once = graft.functions.expr.NormalizeText
+        .compute(UTF8String.fromString(s)).toString
+      val twice = graft.functions.expr.NormalizeText
+        .compute(UTF8String.fromString(once)).toString
+      assert(twice == once, s"not idempotent for: ${s.getBytes("UTF-8").toList}")
+      assert(!once.exists(_.isUpper), s"uppercase survived in: $once")
+      assert(!once.exists(_.isControl), s"control char survived in: $once")
+      assert(!once.contains("  "), s"whitespace run survived in: $once")
+      assert(once == once.trim, s"untrimmed: '$once'")
+    }
+  }
+
   test("minhash native == composed fold on arbitrary ASCII token lists") {
     import graft.functions.TextFunctions._
     import spark.implicits._

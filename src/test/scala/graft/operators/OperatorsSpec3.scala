@@ -109,6 +109,35 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ---------------------------------------------------------------- funnel
+
+  test("funnel stages: full chain, stale click, stale view, missing steps") {
+    // Build a tiny events frame shaped like the corpus and run the real
+    // operator end to end via a temp parquet dir.
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    val rows = Seq(
+      // user 1: view @0s, click @100s, buy @200s -> stage 3
+      (1L, 0L, 1L, "view"), (2L, 100L, 1L, "click"), (3L, 200L, 1L, "purchase"),
+      // user 2: click 2h before buy -> stale click -> stage 1
+      (4L, 0L, 2L, "click"), (5L, 7200L, 2L, "purchase"),
+      // user 3: view 2h before click -> stage 2
+      (6L, 0L, 3L, "view"), (7L, 7300L, 3L, "click"), (8L, 7400L, 3L, "purchase"),
+      // user 4: purchase only -> stage 1
+      (9L, 500L, 4L, "purchase"),
+    )
+    rows.toDF("event_id", "t_s", "user_id", "event_type")
+      .select(col("event_id"), expr("timestamp_micros(t_s * 1000000)").as("micro_ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .select(col("event_id"), expr("CAST(unix_micros(micro_ts) * 1000 AS LONG)").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.Analytics.eventsFunnel(spark, dir)
+      .select("buy_id", "funnel_stage")
+      .as[(Long, Int)].collect().toMap
+    assert(out == Map(3L -> 3, 5L -> 1, 8L -> 2, 9L -> 1))
+  }
+
   // ------------------------------------------------------------- patchGrid
 
   test("patch grid: ceil-div fanout per image, unique patch keys, zero shuffle") {
