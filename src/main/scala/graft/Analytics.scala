@@ -896,6 +896,18 @@ object Analytics {
     s2.unionByName(s1only)
   }
 
+  /** #20f pandas ewm(alpha=0.3).mean() over events per user
+    * ([[operators.AsOf.ewmMean]]). Rows-only driver gate — the float
+    * recursion is not engine-portable — with the closed form
+    * spec-gated. */
+  def eventsEwm(s: SparkSession, d: String): DataFrame =
+    AsOf.ewmMean(
+      Tables.events(s, d).select(col("user_id"),
+        unix_micros(col("ts")).as("us"), col("event_id"), col("value")),
+      keyCol = "user_id", timeCol = "us", tieCol = "event_id",
+      valueCol = "value", alpha = 0.3)
+      .select(col("id").as("event_id"), col("key").as("user_id"), col("ewm"))
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -960,6 +972,7 @@ object Analytics {
     "asof_nearest" -> (asofNearest _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
+    "events_ewm" -> (eventsEwm _),
   )
 
   val oracles: Map[String, String] = Map(

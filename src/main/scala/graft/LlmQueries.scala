@@ -51,6 +51,26 @@ object LlmQueries {
       normalizeText(col("text")).as("norm_text"),
       length(normalizeText(col("text"))).as("n_norm_chars"))
 
+  /** #30r vocabulary growth (Heaps-law curve): tokens first seen per
+    * ingestion batch + the running vocabulary size — the curve that
+    * budgets tokenizer vocab and predicts dedup headroom as a corpus
+    * grows. All-integer: batch = doc_id (arrival order; the synthetic
+    * corpus' vocabulary saturates within a handful of docs, so finer
+    * batches would all be empty), per-token min-batch, count per
+    * batch, running sum. The per-token min is the only wide pass; the
+    * running sum runs over ≤ #batches rows. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firstSeen = docs(s, d)
+      .select(col("doc_id").as("batch"),
+        explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("batch")).as("batch"))
+    firstSeen.groupBy(col("batch")).agg(count(lit(1)).as("new_tokens"))
+      .withColumn("vocab_size",
+        sum(col("new_tokens")).over(Window.orderBy(col("batch"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
   /** #31 */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
@@ -522,6 +542,7 @@ object LlmQueries {
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_normalize" -> textNormalize,
+    "vocab_growth" -> vocabGrowth,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "sample_split" -> sampleSplit,
@@ -1036,6 +1057,18 @@ object LlmQueries {
                  FROM documents)
       SELECT doc_id, norm_text, length(norm_text)::INT AS n_norm_chars
       FROM n""".trim,
+    // all-integer Heaps curve: per-token min batch, counts, running sum
+    "vocab_growth" -> """
+      WITH f AS (SELECT doc_id AS b, string_split(text, ' ') AS toks
+                 FROM documents),
+      t AS (SELECT u.tok, min(b) AS batch
+            FROM f, LATERAL (SELECT unnest(toks) AS tok) u
+            GROUP BY 1),
+      g AS (SELECT batch, count(*) AS new_tokens FROM t GROUP BY 1)
+      SELECT batch, new_tokens,
+             (sum(new_tokens) OVER (ORDER BY batch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS vocab_size
+      FROM g""".trim,
     "text_repetition" -> """
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks FROM documents),
       c AS (SELECT doc_id, toks, len(toks) nt, len(list_distinct(toks)) nd,

@@ -233,6 +233,46 @@ object AsOf {
           ((col(timeCol) - prevT).cast("double") / (nextT - prevT).cast("double"))))
   }
 
+  /** #20f pandas ewm(alpha).mean() (adjust=true) per key in time
+    * order: y_t = Σᵢ(1−α)^i·x_{t−i} / Σᵢ(1−α)^i. The recursion
+    * (num_t = x_t + (1−α)·num_{t−1}) is inherently sequential per key
+    * — no window frame expresses it without an O(n²) pow() fan-out —
+    * so this is the one place the engine drops to the secondary-sort
+    * pattern: repartition by key, sortWithinPartitions by (key, time,
+    * tie), then a single mapPartitions pass carrying O(1) state that
+    * resets at each key boundary. Still fully distributed (keys spread
+    * across partitions, one streaming pass, nothing collected); the
+    * float recursion isn't engine-portable, so the gate is rows-only +
+    * spec (closed-form comparison), not an oracle hash.
+    *
+    * Input contract: (key: Long, t: Long, id: Long, v: Double) rows.
+    * Returns (id, key, ewm). */
+  def ewmMean(df: DataFrame, keyCol: String, timeCol: String,
+              tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val decay = 1.0 - alpha
+    df.select(col(keyCol).cast("long"), col(timeCol).cast("long"),
+        col(tieCol).cast("long"), col(valueCol).cast("double"))
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(timeCol), col(tieCol))
+      .as[(Long, Long, Long, Double)]
+      .mapPartitions { it =>
+        var curKey = 0L
+        var started = false
+        var num = 0.0
+        var den = 0.0
+        it.map { case (k, _, id, v) =>
+          if (!started || k != curKey) { curKey = k; started = true; num = 0.0; den = 0.0 }
+          num = v + decay * num
+          den = 1.0 + decay * den
+          (id, k, num / den)
+        }
+      }
+      .toDF("id", "key", "ewm")
+  }
+
   /** #20c pandas shift()/diff(): each row gains `prev_<col>` (the
     * previous row's value per key in time order) and `delta_<col>`
     * (row minus previous). One window shuffle on the key; the first

@@ -109,6 +109,28 @@ class OperatorsSpec3 extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  // ------------------------------------------------------------------ ewm
+
+  test("ewm mean: closed form, key reset inside one partition, time order") {
+    // alpha = 0.5 over [1, 2, 3]: 1, 5/3, 17/7 (pandas adjust=true)
+    val df = Seq(
+      (1L, 10L, 1L, 1.0), (1L, 20L, 2L, 2.0), (1L, 30L, 3L, 3.0),
+      // second key forces a state reset when it lands in the same partition
+      (2L, 10L, 4L, 100.0),
+      // out-of-order input: the sort must run it at its time position
+      (3L, 20L, 6L, 4.0), (3L, 10L, 5L, 8.0),
+    ).toDF("k", "t", "id", "v").repartition(1)
+    val out = AsOf.ewmMean(df, "k", "t", "id", "v", alpha = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(out(1L) == 1.0)
+    assert(math.abs(out(2L) - 5.0 / 3.0) < 1e-12)
+    assert(math.abs(out(3L) - 17.0 / 7.0) < 1e-12)
+    assert(out(4L) == 100.0)       // fresh state for key 2
+    assert(out(5L) == 8.0)         // time-ordered: id 5 (t=10) runs first
+    assert(math.abs(out(6L) - (4.0 + 0.5 * 8.0) / 1.5) < 1e-12)
+  }
+
   // ---------------------------------------------------------------- funnel
 
   test("funnel stages: full chain, stale click, stale view, missing steps") {
