@@ -71,6 +71,21 @@ object LlmQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** #30s per-source top-k tokens (grouped heavy hitters): one explode
+    * + grouped count + per-group rank window. The rank partitions by
+    * source, so the window state per task is one source's token
+    * counts — already aggregated, NOT raw tokens. Deterministic
+    * tie-break (count desc, token asc) keeps the pick engine-portable. */
+  def sourceTopTokens(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+  }
+
   /** #31 */
   def tokenCount(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
@@ -543,6 +558,7 @@ object LlmQueries {
     "text_quality" -> textQuality,
     "text_normalize" -> textNormalize,
     "vocab_growth" -> vocabGrowth,
+    "source_top_tokens" -> sourceTopTokens,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "sample_split" -> sampleSplit,
@@ -1057,6 +1073,15 @@ object LlmQueries {
                  FROM documents)
       SELECT doc_id, norm_text, length(norm_text)::INT AS n_norm_chars
       FROM n""".trim,
+    // deterministic tie-break: count desc, token asc
+    "source_top_tokens" -> """
+      WITH c AS (SELECT source, u.tok, count(*) AS n
+                 FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS tok) u
+                 GROUP BY 1, 2),
+      r AS (SELECT source, tok, n,
+              row_number() OVER (PARTITION BY source ORDER BY n DESC, tok) AS rank
+            FROM c)
+      SELECT source, tok, n, rank::INT AS rank FROM r WHERE rank <= 3""".trim,
     // all-integer Heaps curve: per-token min batch, counts, running sum
     "vocab_growth" -> """
       WITH f AS (SELECT doc_id AS b, string_split(text, ' ') AS toks
