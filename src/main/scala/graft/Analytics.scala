@@ -908,6 +908,58 @@ object Analytics {
       valueCol = "value", alpha = 0.3)
       .select(col("id").as("event_id"), col("key").as("user_id"), col("ewm"))
 
+  /** #14i pandas df.corr()/df.cov() (Pearson, sample covariance) on
+    * lineitem quantity × extendedprice — from the five exact DECIMAL
+    * moment sums (the inputs carry ≤2 true decimals, so Sx/Sy/Sxx/Syy/
+    * Sxy are exact integers under the hood and independent of
+    * partial-aggregate merge order), each cast to double ONCE, then
+    * one shared arithmetic shape on both engines: IEEE +,×,÷,sqrt are
+    * all correctly rounded, so the same formula over the same doubles
+    * is bit-identical. One scan, no groupBy shuffle (global two-stage
+    * agg). */
+  def corrPriceQty(s: SparkSession, d: String): DataFrame = {
+    // DECIMAL(18,2) is exact for these inputs (quantity is integral,
+    // price carries 2 decimals) and keeps the products inside both
+    // engines' 38-digit multiply bound ((18,2)x(18,2) -> (37,4))
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val x = col("l_quantity").cast(dec)
+    val y = col("l_extendedprice").cast(dec)
+    Tables.lineitem(s, d)
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+           sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("pearson_r"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("sample_cov"))
+  }
+
+  /** #14j grouped exact median (pandas groupby().median()): median
+    * order value per priority by rank selection — the lower and upper
+    * middle rows picked by row_number against the group size, averaged
+    * as (a+b)/2 in double (exact: the picks are 2-decimal values).
+    * Engine-portable by replaying the SAME selection in the oracle
+    * instead of trusting any engine's median() interpolation. One
+    * window pass over already-shuffled groups. */
+  def medianOrderValue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+              col("rn") === floor((col("cnt") + 2) / 2))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_mid"),
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
+          .as("median_value"))
+      .select("o_orderpriority", "median_value")
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -973,6 +1025,8 @@ object Analytics {
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "events_ewm" -> (eventsEwm _),
+    "corr_price_qty" -> (corrPriceQty _),
+    "median_order_value" -> (medianOrderValue _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1416,6 +1470,34 @@ object Analytics {
             FROM e JOIN p ON p.p_user = e.user_id)
       SELECT e.event_id, e.user_id, j.p_id AS nearest_purchase_id, j.gap_us
       FROM e LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (event_id)""".trim,
+    // five exact DECIMAL moment sums cast to double once, then the
+    // identical IEEE formula (+,x,/,sqrt are all correctly rounded)
+    "corr_price_qty" -> """
+      WITH m AS (SELECT count(*) AS n,
+                   sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sx,
+                   sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sy,
+                   sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2))::DOUBLE AS sxx,
+                   sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS syy,
+                   sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2))::DOUBLE AS sxy
+                 FROM lineitem)
+      SELECT n,
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS pearson_r,
+             (sxy - sx * sy / n) / (n - 1) AS sample_cov
+      FROM m""".trim,
+    // same rank-selected middle rows as the Spark side — never an
+    // engine's own median() interpolation
+    "median_order_value" -> """
+      WITH r AS (SELECT o_orderpriority, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rn,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                 FROM orders)
+      SELECT o_orderpriority,
+             sum(o_totalprice::DECIMAL(18,2))::DOUBLE / count(*) AS median_value
+      FROM r
+      WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+      GROUP BY 1""".trim,
     // all-integer: epoch-day buckets, integer offsets, distinct-row counts
     "events_retention" -> """
       WITH a AS (SELECT DISTINCT user_id,
