@@ -36,6 +36,23 @@ class RebucketSpec extends SparkSpec {
     assert(bucketsSeen > 4) // the data really spread into the wider layout
   }
 
+  test("rebucket aligns mismatched tables for the storage-partitioned PK join") {
+    val wh = freshWh()
+    val left = (1L to 300L).map(i => (i, s"l$i")).toDF("id", "lv")
+    val right = (1L to 300L).filter(_ % 2 == 0).map(i => (i, s"r$i")).toDF("id", "rv")
+    KeyedTable.toSql(left, wh, "l", pk = Seq("id"), how = WriteMode.CreateOnly, buckets = 8)
+    KeyedTable.toSql(right, wh, "r", pk = Seq("id"), how = WriteMode.CreateOnly, buckets = 4)
+    // mismatched counts are rejected...
+    intercept[IllegalArgumentException](PkJoin.pkJoin(spark, wh, "l", "r"))
+    // ...and rebucket is the documented fix
+    KeyedTable.rebucket(spark, wh, "r", newBuckets = 8)
+    val joined = PkJoin.pkJoin(spark, wh, "l", "r")
+    assert(joined.count() == 150)
+    // the SPJ contract holds on the rebucketed layout: no exchange
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+  }
+
   test("rebucket to the same count is a no-op; writes after rebucket keep working") {
     val wh = freshWh()
     val df = (1L to 50L).map(i => (i, i.toString)).toDF("id", "s")
