@@ -155,9 +155,11 @@ object KeyedTable {
                      pk: Seq[String], autoIndex: Boolean, buckets: Int,
                      validate: Boolean, inferBool: Boolean = false): Unit = {
     val spark = df0.sparkSession
-    val (df1, pkCols) =
-      if (autoIndex) (assignAutoIndex(df0, 0L), Seq(Names.AutoIndex))
-      else (df0, pk)
+    val (df1, pkCols, maxIdx) =
+      if (autoIndex) {
+        val (d, n) = assignAutoIndex(df0, 0L)
+        (d, Seq(Names.AutoIndex), Some(n - 1L))
+      } else (df0, pk, None)
     // reference requires datetimes to be UTC (sql.py:100,133-136); the
     // Spark mirror: naive (NTZ) timestamps are pinned to UTC instants on
     // write — the session TZ is UTC, so the wall-clock is unchanged
@@ -215,31 +217,61 @@ object KeyedTable {
         casted.repartition(buckets, col(BucketCol))
           .write.partitionBy(BucketCol).parquet(data.toString)
       }
-      TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema))
+      TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema, maxIdx))
     } finally f.delete(new Path(staging), true)
   }
 
   /** Contiguous integer ids in current row order (deterministic iff the
     * input ordering is — e.g. after orderBy). Mirrors auto_index
-    * (reference: sql.py:122-128). Two narrow passes, no shuffle. */
-  /** CONTIGUOUS ids need a global row numbering, which no narrow
-    * columnar construct provides: monotonically_increasing_id leaves
-    * gaps, and a global row_number window coalesces to one task.
-    * zipWithIndex is the two-job form (count partitions, then add
-    * partition offset + local index) — the one RDD drop in the store,
-    * paid only on autoIndex writes. A columnar twin (groupBy
-    * spark_partition_id for counts + per-partition row_number) would
-    * save the Tungsten→Row round-trip but adds a per-partition window
-    * sort and the same two-job re-read determinism assumption, for a
-    * path that is write-time-only and dominated by parquet IO. */
-  private def assignAutoIndex(df: DataFrame, offset: Long): DataFrame = {
-    val spark = df.sparkSession
-    val schema = df.schema
-    val withId = df.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq((i + offset) +: r.toSeq)
+    * (reference: sql.py:122-128).
+    *
+    * CONTIGUOUS ids need a global row numbering, which no single narrow
+    * columnar construct provides: monotonically_increasing_id alone
+    * leaves gaps between partitions, and a global row_number window
+    * coalesces to one task. This is the partition-offset form, fully in
+    * Tungsten (no RDD round-trip): job 1 collects one row-count PER
+    * PARTITION (bounded: numPartitions rows); job 2 computes
+    * `offset + partitionStart + localRowNumber`, where the local row
+    * number is the low 33 bits of monotonically_increasing_id (its
+    * documented layout: partitionId << 33 | consecutive local count) —
+    * so the id pass is narrow, codegen'd, and shuffle-free. Both jobs
+    * assume the input recomputes deterministically (same assumption
+    * zipWithIndex made). Paid only on autoIndex writes. */
+  private def assignAutoIndex(df: DataFrame, offset: Long): (DataFrame, Long) = {
+    val counts = df.select(spark_partition_id().as("p")).groupBy("p").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pids = counts.keys.toSeq.sorted
+    val starts = pids.zip(pids.scanLeft(0L)((acc, p) => acc + counts(p)).init).toMap
+    val partitionStart =
+      if (starts.isEmpty) lit(0L)
+      else element_at(typedlit(starts), spark_partition_id())
+    val localRow = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
+    val id = (lit(offset) + partitionStart + localRow).as(Names.AutoIndex)
+    (df.select(id +: df.columns.map(col).toIndexedSeq: _*), counts.values.sum)
+  }
+
+  /** Recover the auto-index high-water mark for a pre-`maxAutoIndex`
+    * meta file: MAX over the id column answered from parquet FOOTER
+    * stats (same V2 + aggregate-pushdown window Catalog.describe uses)
+    * — O(files), not O(rows). Taken together with the meta field this
+    * is the documented recovery rule: effective max = the meta value
+    * when present (written before data, so never too low), else the
+    * footer max. */
+  private def footerMaxAutoIndex(spark: SparkSession, warehouse: String,
+                                 table: String, meta: TableMeta): Long = {
+    val confs = Map(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val m = spark.read.parquet(dataDir(warehouse, table))
+        .agg(max(col(Names.AutoIndex))).head()
+      if (m.isNullAt(0)) -1L else m.getLong(0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
-    spark.createDataFrame(withId,
-      StructType(StructField(Names.AutoIndex, LongType, nullable = false) +: schema.fields))
   }
 
   /** Coerce `df` toward the table's logical schema; returns the aligned
@@ -299,15 +331,26 @@ object KeyedTable {
                      addNewColumns: Boolean, validate: Boolean): Unit = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
-    val meta = TableMeta.read(spark, dir)
+    val meta0 = TableMeta.read(spark, dir)
 
-    val (aligned0, evolved) =
-      if (meta.autoIndex) {
-        // continue the synthetic PK from the current max
-        val cur = readRaw(spark, warehouse, table, meta)
-          .agg(max(col(Names.AutoIndex))).head().getLong(0)
-        align(assignAutoIndex(df, cur + 1L), meta, addNewColumns)
-      } else align(df, meta, addNewColumns)
+    val (aligned0, evolved, meta) =
+      if (meta0.autoIndex) {
+        // continue the synthetic PK from the stored high-water mark —
+        // no table scan; pre-field tables recover via footer stats
+        val cur = meta0.maxAutoIndex
+          .getOrElse(footerMaxAutoIndex(spark, warehouse, table, meta0))
+        val (withIds, n) = assignAutoIndex(df, cur + 1L)
+        val m = meta0.copy(maxAutoIndex = Some(cur + n))
+        // the mark commits BEFORE the data write: a crash between the
+        // two leaves it too high (harmless id gap), never too low
+        // (duplicate ids on the next append)
+        TableMeta.write(spark, dir, m)
+        val (a, e) = align(withIds, m, addNewColumns)
+        (a, e, m)
+      } else {
+        val (a, e) = align(df, meta0, addNewColumns)
+        (a, e, meta0)
+      }
 
     val newB = withBucket(aligned0, meta.pk, meta.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -457,13 +500,35 @@ object KeyedTable {
         .repartition(newBuckets, col(BucketCol))
         .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
         .write.partitionBy(BucketCol).parquet(staging)
-      f.rename(new Path(data), new Path(retired))
-      f.rename(new Path(staging), new Path(data))
-      TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
-    } finally {
-      f.delete(new Path(staging), true)
+      // The swap. Hadoop renames report failure by returning false, not
+      // by throwing — every result is checked, and `retired` (the only
+      // complete old copy once data is moved aside) is deleted ONLY
+      // after the new layout is fully committed (rename + meta). Any
+      // failure in between rolls the old copy back into place, so the
+      // worst outcome of a crashed rebucket is "nothing happened" plus
+      // leftover staging/retired dirs — never a lost or half table.
+      if (!f.rename(new Path(data), new Path(retired)))
+        throw new StoreException(s"rebucket: could not retire $data -> $retired")
+      var swapped = false
+      try {
+        if (!f.rename(new Path(staging), new Path(data)))
+          throw new StoreException(s"rebucket: could not commit $staging -> $data")
+        swapped = true
+        // meta last: until it names the new bucket count, the new data
+        // dir must not be visible either (bucket pruning math would use
+        // the stale count against the new layout → wrong results)
+        TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
+      } catch {
+        case e: Throwable =>
+          if (swapped) f.delete(new Path(data), true) // discard the new copy
+          if (!f.rename(new Path(retired), new Path(data)))
+            throw new StoreException(
+              s"rebucket rollback failed after: ${e.getMessage}; " +
+              s"old data preserved at $retired — restore it manually")
+          throw e
+      }
       f.delete(new Path(retired), true)
-    }
+    } finally f.delete(new Path(staging), true)
   }
 
   /** Read a table back, optionally restricted to an inclusive PK range.

@@ -19,18 +19,25 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * @param buckets  hash-bucket count for the `pb_bucket` partition layout
   * @param autoIndex true when the PK is the synthetic Names.AutoIndex column
   * @param schema   logical schema (PK columns first), JSON-serialized Spark StructType
+  * @param maxAutoIndex high-water mark of assigned auto-index ids, so an
+  *   append never scans the table to find `max(id)`. Updated BEFORE the
+  *   data write (a crash mid-append leaves it too high → a harmless id
+  *   gap, never a duplicate). `None` on pre-field tables → the reader
+  *   recovers via a footer-stats max (O(files), not O(rows)).
   */
 final case class TableMeta(
     pk: Seq[String],
     buckets: Int,
     autoIndex: Boolean,
-    schema: StructType) {
+    schema: StructType,
+    maxAutoIndex: Option[Long] = None) {
 
   def toJson: String = compact(render(JObject(
-    "pk" -> JArray(pk.map(JString(_)).toList),
-    "buckets" -> JInt(buckets),
-    "autoIndex" -> JBool(autoIndex),
-    "schema" -> JString(schema.json))))
+    "pk" -> JArray(pk.map(JString(_)).toList) ::
+    "buckets" -> JInt(buckets) ::
+    "autoIndex" -> JBool(autoIndex) ::
+    "schema" -> JString(schema.json) ::
+    maxAutoIndex.map(m => List("maxAutoIndex" -> (JInt(m): JValue))).getOrElse(Nil))))
 }
 
 object TableMeta {
@@ -51,10 +58,15 @@ object TableMeta {
     val JInt(buckets) = (j \ "buckets"): @unchecked
     val JBool(auto) = (j \ "autoIndex"): @unchecked
     val JString(schemaJson) = (j \ "schema"): @unchecked
+    val maxIdx = (j \ "maxAutoIndex") match {
+      case JInt(m) => Some(m.toLong)
+      case _ => None
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      maxIdx)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)

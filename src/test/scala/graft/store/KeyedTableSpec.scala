@@ -97,6 +97,29 @@ class KeyedTableSpec extends SparkSpec {
     assert(idx.toSeq === (0L until 15L))
   }
 
+  test("auto-index high-water mark lives in meta; appends never scan for max(id)") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", autoIndex = true)
+    val dir = KeyedTable.tableDir(w, "t")
+    assert(TableMeta.read(spark, dir).maxAutoIndex === Some(9L))
+    KeyedTable.toSql(sample(5), w, "t", how = WriteMode.Append)
+    assert(TableMeta.read(spark, dir).maxAutoIndex === Some(14L))
+  }
+
+  test("auto-index recovery: pre-field meta falls back to footer-stats max") {
+    val w = wh()
+    KeyedTable.toSql(sample(10), w, "t", autoIndex = true)
+    val dir = KeyedTable.tableDir(w, "t")
+    // simulate a table written before the high-water-mark field existed
+    val meta = TableMeta.read(spark, dir)
+    TableMeta.write(spark, dir, meta.copy(maxAutoIndex = None))
+    KeyedTable.toSql(sample(5), w, "t", how = WriteMode.Append)
+    val idx = KeyedTable.readSql(spark, w, "t")
+      .select(Names.AutoIndex).collect().map(_.getLong(0)).sorted
+    assert(idx.toSeq === (0L until 15L))
+    assert(TableMeta.read(spark, dir).maxAutoIndex === Some(14L))
+  }
+
   test("illegal table names rejected; column names are cleaned") {
     intercept[IllegalNameException] {
       KeyedTable.toSql(sample(3), wh(), "9lives", pk = Seq("id"))
