@@ -181,6 +181,25 @@ object PbQueries {
     graft.store.PkJoin.pkJoin(spark, wh, "customer", "cust_orders")
   }
 
+  /** #11f filtered storage-partitioned join: a PK predicate on top of
+    * the co-partitioned join reaches BOTH V2 scans through Catalyst
+    * pushdown (KeyedScanBuilder implements SupportsPushDownFilters), so
+    * each side prunes parquet row groups before the zero-exchange zip —
+    * at 100 TB the difference between scanning two tables and scanning
+    * the few row groups whose PK-sorted stats overlap the range. */
+  def pkJoinFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer", pk = Seq("c_custkey"))
+    val rollup = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,6)")), 2).cast("double")
+          .as("total_spend"))
+    KeyedTable.toSql(rollup, wh, "cust_orders", pk = Seq("c_custkey"))
+    graft.store.PkJoin.pkJoin(spark, wh, "customer", "cust_orders")
+      .filter(col("c_custkey") >= 100 && col("c_custkey") <= 400)
+  }
+
   /** #12 companda: per-column inequality counts with epsilon tolerance. */
   def companda(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = Tables.orders(spark, sfDir)
@@ -208,6 +227,7 @@ object PbQueries {
     "pb_clean_names" -> cleanNames,
     "pb_describe" -> describe,
     "pb_pk_join" -> pkJoinQ,
+    "pb_pk_join_filtered" -> pkJoinFiltered,
     "pb_companda" -> companda,
   )
 
@@ -276,6 +296,15 @@ object PbQueries {
                    round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_spend
             FROM orders GROUP BY 1) o
       USING (c_custkey)""".trim,
+    "pb_pk_join_filtered" -> """
+      SELECT c.c_custkey, c.c_name, c.c_nationkey, c.c_acctbal, c.c_mktsegment,
+             o.n_orders, o.total_spend
+      FROM customer c
+      JOIN (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+                   round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS total_spend
+            FROM orders GROUP BY 1) o
+      USING (c_custkey)
+      WHERE c_custkey BETWEEN 100 AND 400""".trim,
     "pb_companda" -> """
       SELECT * FROM (
         SELECT 'o_custkey' AS column_name, CAST(0 AS BIGINT) AS n_unequal

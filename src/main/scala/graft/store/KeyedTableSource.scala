@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -92,24 +93,50 @@ private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
 
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
                                       full: StructType)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
 
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new KeyedScan(meta, dataDir, required)
+  /** Accept filters whose references are all data columns (parquet
+    * row-group stats answer them) or all `pb_bucket` (directory-level
+    * pruning). EVERY filter is also returned as residual: pushdown
+    * here is purely an IO reduction, never a correctness surface —
+    * Spark re-evaluates each predicate on the rows the scan emits. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val dataCols = meta.schema.fieldNames.toSet
+    pushed = filters.filter { f =>
+      val refs = f.references
+      refs.nonEmpty &&
+        (refs.forall(dataCols.contains) || refs.forall(_ == KeyedTable.BucketCol))
+    }
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new KeyedScan(meta, dataDir, required, pushed)
 }
 
 private[store] class KeyedScan(meta: TableMeta, dataDir: String,
-                               required: StructType)
+                               required: StructType,
+                               pushed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportPartitioning {
 
   private val readDataSchema =
     StructType(required.fields.filterNot(_.name == KeyedTable.BucketCol))
   private val readPartitionSchema =
     StructType(required.fields.filter(_.name == KeyedTable.BucketCol))
+
+  /** Filters the parquet reader can use for row-group pruning — the
+    * bucket column is served from directory values, not file contents,
+    * so its predicates stay out of the parquet layer. */
+  private val dataFilters =
+    pushed.filterNot(_.references.contains(KeyedTable.BucketCol))
 
   // the reader factory appends partition columns after data columns
   override def readSchema(): StructType =
@@ -118,7 +145,9 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft keyed table $dataDir (buckets=${meta.buckets}, pk=${meta.pk.mkString(",")})"
+    s"graft keyed table $dataDir (buckets=${meta.buckets}, " +
+    s"pk=${meta.pk.mkString(",")}), " +
+    s"PushedFilters: [${pushed.mkString(", ")}]"
 
   /** Identity over the physical bucket column — only reportable when
     * the column survives pruning (the partitioning expression must
@@ -128,6 +157,50 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       new KeyGroupedPartitioning(
         Array(Expressions.identity(KeyedTable.BucketCol)), meta.buckets)
     else new UnknownPartitioning(meta.buckets)
+
+  /** Buckets that can possibly hold matching rows (None = all).
+    * Two pushdown shapes prune at the DIRECTORY level:
+    *  - explicit `pb_bucket` equality / IN;
+    *  - a PK fully pinned by equality — the bucket is then a
+    *    deterministic hash of the pinned values (the same point-lookup
+    *    pruning readSql performs, reached through Catalyst pushdown:
+    *    e.g. the probe side of a filtered storage-partitioned join).
+    * All `meta.buckets` partitions are still EMITTED (pruned ones with
+    * empty file lists) so partition values stay identical across
+    * co-bucketed tables and the SPJ zip is never disturbed. */
+  private lazy val keptBuckets: Option[Set[Int]] = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val explicit: Seq[Set[Int]] = pushed.toSeq.collect {
+      case EqualTo(c, v: Int) if c == KeyedTable.BucketCol => Set(v)
+      case In(c, vs) if c == KeyedTable.BucketCol =>
+        vs.collect { case i: Int => i }.toSet
+    }
+    val eqByCol: Map[String, Any] = pushed.collect {
+      case EqualTo(c, v) if c != KeyedTable.BucketCol && v != null => c -> v
+    }.toMap
+    val pinnedPk: Seq[Set[Int]] =
+      if (meta.pk.forall(eqByCol.contains))
+        bucketOfPinned(meta.pk.map(eqByCol)).map(Set(_)).toSeq
+      else Nil
+    val all = explicit ++ pinnedPk
+    if (all.isEmpty) None else Some(all.reduce(_ intersect _))
+  }
+
+  /** Driver-side eval of the write path's bucket function
+    * (`pmod(xxhash64(pk...), buckets)`) on pinned literal values —
+    * exactly the expressions `KeyedTable.withBucket` uses, so the
+    * computed bucket always agrees with the stored layout. None when a
+    * value can't be represented as a literal of the PK type (then no
+    * pruning, which is always safe). */
+  private def bucketOfPinned(values: Seq[Any]): Option[Int] =
+    try {
+      import org.apache.spark.sql.catalyst.expressions.{Expression, Literal, Pmod, XxHash64}
+      val lits: Seq[Expression] = meta.pk.zip(values).map { case (c, v) =>
+        Literal.create(v, meta.schema(c).dataType)
+      }
+      Some(Pmod(XxHash64(lits, 42L), Literal(meta.buckets.toLong))
+        .eval(null).asInstanceOf[Long].toInt)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
@@ -141,14 +214,14 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       val key = new GenericInternalRow(Array[Any](b))
       val files: Array[PartitionedFile] =
         bucketDirs.get(s"${KeyedTable.BucketCol}=$b") match {
-          case Some(dir) =>
+          case Some(dir) if keptBuckets.forall(_.contains(b)) =>
             fs.listStatus(dir)
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .sortBy(_.getPath.getName)
               .map(st => new PartitionedFile(key, SparkPath.fromPath(st.getPath),
                 0L, st.getLen, Array.empty[String], st.getModificationTime,
                 st.getLen, Map.empty[String, Any]))
-          case None => Array.empty[PartitionedFile]
+          case _ => Array.empty[PartitionedFile]
         }
       new KeyedFilePartition(b, files, key): InputPartition
     }.toArray
@@ -156,7 +229,8 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-      .readerFactory(SparkSession.active, meta.schema, readDataSchema, readPartitionSchema)
+      .readerFactory(SparkSession.active, meta.schema, readDataSchema,
+        readPartitionSchema, dataFilters)
 }
 
 /** A FilePartition that also exposes its bucket id as the partition

@@ -19,10 +19,17 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object GraftParquetSupport {
 
+  /** @param filters data-column predicates the caller pushed down;
+    *   forwarded to [[ParquetPartitionReaderFactory]], which turns them
+    *   into parquet FilterPredicates for ROW-GROUP pruning (gated by
+    *   the session's parquetFilterPushDown conf, like Spark's own
+    *   scans). Advisory only — the engine re-evaluates them post-scan. */
   def readerFactory(spark: SparkSession,
                     dataSchema: StructType,
                     readDataSchema: StructType,
-                    readPartitionSchema: StructType): PartitionReaderFactory = {
+                    readPartitionSchema: StructType,
+                    filters: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+      : PartitionReaderFactory = {
     val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val sqlConf = session.sessionState.conf
     val hadoopConf = session.sessionState.newHadoopConf()
@@ -49,6 +56,6 @@ object GraftParquetSupport {
     val broadcasted = session.sparkContext.broadcast(new SerializableConfiguration(hadoopConf))
     ParquetPartitionReaderFactory(
       sqlConf, broadcasted, dataSchema, readDataSchema, readPartitionSchema,
-      Array.empty, None, new ParquetOptions(Map.empty[String, String], sqlConf))
+      filters, None, new ParquetOptions(Map.empty[String, String], sqlConf))
   }
 }
