@@ -524,20 +524,28 @@ object Analytics {
   }
 
   /** #14h pandas qcut(): quantile binning — equal-POPULATION bins
-    * (ntile) rather than cut()'s fixed edges, with per-bin stats.
-    * Deterministic via the (value, key) tie-break.
+    * (ntile semantics) rather than cut()'s fixed edges, with per-bin
+    * stats. Deterministic via the (value, key) tie-break.
     *
-    * Scale note: exact ntile needs a global order — one task hosts the
-    * window, the known Spark wart for global ranks. The 100 TB path is
-    * two-pass: approx_percentile (or exact rank edges from a
-    * distributed sort + count) picks the bin EDGES, then a narrow
-    * when-chain assigns bins like cut() — trading exact equal
-    * population for full parallelism. The gate query keeps the exact
-    * form: bins must match the oracle row-for-row. */
+    * Computed WITHOUT a global window: [[graft.operators.ExactRank]]
+    * gives each row its exact global rank in three parallel steps
+    * (approx shard edges → exact shard counts/offsets → partitioned
+    * window), and ntile's bin boundaries are pure arithmetic on
+    * (rank, N) — the first N%4 bins take ceil(N/4) rows, the rest
+    * floor(N/4) — evaluated as a when-chain over driver-computed
+    * boundary ranks. Bin assignment matches ntile(4) row-for-row while
+    * every stage stays parallel at 100 TB. */
   def qcutOrderValue(s: SparkSession, d: String): DataFrame = {
-    val w = Window.orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_totalprice"), ntile(4).over(w).cast("long").as("bin"))
+    val orders = Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey"))
+    val (ranked, n) = graft.operators.ExactRank.withGlobalRowNumber(
+      orders, "o_totalprice", "o_orderkey", "rn")
+    val k = 4L
+    val sizes = (1L to k).map(b => n / k + (if (b <= n % k) 1L else 0L))
+    val his = sizes.scanLeft(0L)(_ + _).tail // inclusive hi rank per bin
+    val bin = his.init.zipWithIndex.foldRight(lit(k)) { case ((hi, i), rest) =>
+      when(col("rn") <= hi, i + 1L).otherwise(rest)
+    }
+    ranked.select(col("o_totalprice"), bin.cast("long").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_orders"),
         min(col("o_totalprice")).as("min_value"),

@@ -254,21 +254,22 @@ object LlmQueries {
     * selection — `value at row ceil(q·N)` in (length, doc_id) order —
     * NOT an interpolating percentile, so any engine reproduces it
     * bit-for-bit. The corpus-geometry summary behind context-length
-    * and packing-budget decisions. Scale note: exact global selection
-    * needs the global row_number; at 100 TB swap in a two-pass rank
-    * edge (count, then per-partition offsets) or approx_percentile —
-    * the gate keeps the exact form. */
+    * and packing-budget decisions.
+    *
+    * Rank selection runs through [[graft.operators.ExactRank]] (approx
+    * shard edges → exact offsets → partitioned window), so there is no
+    * single-task global row_number anywhere in the plan; the five
+    * ceil(q·N) target positions are driver arithmetic on the exact
+    * total, and a broadcast join picks the rows holding those ranks. */
   def lengthPercentiles(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n_tokens"), col("doc_id"))
-    val ranked = docs(s, d)
+    import s.implicits._
+    val base = docs(s, d)
       .select(col("doc_id"), nTokens(col("text")).cast("long").as("n_tokens"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-    val total = ranked.agg(count(lit(1)).as("n_docs"))
-    val qs = typedLit(Seq(0.25, 0.5, 0.75, 0.9, 0.99))
-    total.select(explode(qs).as("quantile"), col("n_docs"))
-      .withColumn("pos", ceil(col("quantile") * col("n_docs")).cast("long"))
-      .join(ranked, col("rn") === col("pos"))
+    val (ranked, n) = graft.operators.ExactRank.withGlobalRowNumber(
+      base, "n_tokens", "doc_id", "rn")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val targets = qs.map(q => (q, math.ceil(q * n).toLong)).toDF("quantile", "pos")
+    targets.join(ranked, col("rn") === col("pos"))
       .select(col("quantile"), col("n_tokens"))
       .orderBy(col("quantile"))
   }

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The two-pass exact-rank utility must equal a global row_number
+  * window bit-for-bit while keeping every plan stage parallel — no
+  * Exchange SinglePartition anywhere in the consumers' plans. */
+class ExactRankSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // force AQE-final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("withGlobalRowNumber equals a global row_number window, including heavy ties") {
+    import spark.implicits._
+    // values with heavy ties (i % 7) — keyCol must break them
+    val df = (1 to 5000).map(i => (i.toLong, (i % 7) * 1.0)).toDF("k", "v")
+    val (got, n) = ExactRank.withGlobalRowNumber(df, "v", "k", "rn", shards = 16)
+    assert(n === 5000L)
+    val want = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      want.collect().map(r => (r.getLong(0), r.getLong(2))).toSet)
+  }
+
+  test("all-equal values degenerate to one shard but stay correct") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, 1.0)).toDF("k", "v")
+    val (got, n) = ExactRank.withGlobalRowNumber(df, "v", "k", "rn")
+    assert(n === 100L)
+    assert(got.orderBy("rn").collect().map(_.getLong(0)).toSeq === (1L to 100L))
+  }
+
+  test("qcut and length_percentiles plan with no single-partition stage") {
+    val qcut = graft.Analytics.qcutOrderValue(spark, sfDir)
+    val qPlan = planOf(qcut)
+    assert(!qPlan.contains("SinglePartition"), s"serial stage in qcut plan:\n$qPlan")
+    val lp = graft.LlmQueries.lengthPercentiles(spark, sfDir)
+    val lPlan = planOf(lp)
+    assert(!lPlan.contains("SinglePartition"), s"serial stage in percentile plan:\n$lPlan")
+  }
+}
