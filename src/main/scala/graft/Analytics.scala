@@ -980,6 +980,22 @@ object Analytics {
       rightTieBreak = "o_orderkey")
       .select("event_id", "user_id", "o_orderkey", "o_totalprice")
 
+  /** #19e salted as-of join: the skew-proof two-phase variant of #19,
+    * oracle-gated EQUAL to the plain form (same oracle SQL) — the
+    * window salt bounds per-task input to one (user, 30-day-chunk)
+    * slice even when one user holds the whole event stream. */
+  def asofJoinSaltedQ(s: SparkSession, d: String): DataFrame =
+    AsOf.asofJoinSalted(
+      left = Tables.events(s, d).select("event_id", "user_id", "ts"),
+      right = Tables.orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_totalprice"),
+      rightTieBreak = "o_orderkey",
+      chunkSeconds = 30L * 86400L)
+      .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+
   /** #20 latest-row-per-key: most recent event per user. */
   def latestPerKeyQ(s: SparkSession, d: String): DataFrame =
     AsOf.latestPerKey(Tables.events(s, d),
@@ -1011,6 +1027,7 @@ object Analytics {
     "events_windowed" -> (eventsWindowed _),
     "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
+    "asof_join_salted" -> (asofJoinSaltedQ _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1346,6 +1363,17 @@ object Analytics {
              count(*) AS n_events
       FROM n GROUP BY user_id, session_no""".trim,
     "asof_join" -> """
+      WITH od AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders)
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+      FROM events e
+      ASOF LEFT JOIN (SELECT * FROM od WHERE rn = 1) o
+        ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".trim,
+    // the salted variant must be indistinguishable from the plain one
+    "asof_join_salted" -> """
       WITH od AS (
         SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
                row_number() OVER (PARTITION BY o_custkey, o_orderdate

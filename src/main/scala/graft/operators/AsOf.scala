@@ -80,6 +80,98 @@ object AsOf {
         rightCols.map(c => col(s"_asof_$c").as(c)): _*)
   }
 
+  /** #19e skew-proof two-phase variant of [[asofJoin]] — IDENTICAL
+    * output, bounded per-task input under a pathological hot key.
+    *
+    * [[asofJoin]]'s one window puts a key's whole (left ∪ right)
+    * timeline in one task. Here the window is salted with a time chunk
+    * (`floor(epoch / chunkSeconds)`), the same recipe as
+    * [[Sessionize.gapSessionsSalted]]:
+    *
+    *  - phase 1 carries within each (key, chunk) — task input is one
+    *    chunk's slice, not the key's history;
+    *  - phase 2 patches chunk boundaries: per (key, chunk) keep only
+    *    the LAST right row (≤1 summary row per chunk), window-carry
+    *    those summaries across chunks per key (rows per key = chunk
+    *    count, bounded by the time range — independent of event skew),
+    *    and join the carry-in back on (key, chunk). A left row whose
+    *    chunk held no earlier right row takes the carry-in.
+    *
+    * Chunk assignment is monotone in time and the carry-in uses only
+    * STRICTLY EARLIER chunks (equal times share a chunk), so the
+    * result matches the unsalted form row-for-row — the gate query
+    * asserts oracle equality with [[asofJoin]]'s oracle. Right-side
+    * null VALUES in `rightCols` interact with the ignoreNulls carry
+    * the same way in both forms (carried past), with the one edge that
+    * a null-valued latest row at a chunk boundary could expose an
+    * older non-null — pass non-null carry columns (e.g. PKs). */
+  def asofJoinSalted(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      rightTieBreak: String,
+      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, s"chunkSeconds must be positive, got $chunkSeconds")
+
+    val dedupW = Window
+      .partitionBy(col(rightKey), col(rightTime))
+      .orderBy(col(rightTieBreak).desc)
+    val rightDedup = right
+      .withColumn("_rn", row_number().over(dedupW))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+
+    val leftCols = left.columns.toSeq
+    val rTagged = rightDedup.select(
+      Seq(col(rightKey).as("_k"), col(rightTime).as("_t"), lit(0).as("_tag")) ++
+        rightCols.map(col) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lTagged = left.select(
+      Seq(col(leftKey).as("_k"), col(leftTime).as("_t"), lit(1).as("_tag")) ++
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        leftCols.map(col): _*)
+
+    // NTZ → instant first (session TZ is UTC, wall-clock preserved);
+    // numeric time columns pass through the double cast unchanged
+    def chunkOf = floor(col("_t").cast("timestamp").cast("long") / chunkSeconds)
+
+    // phase 1: carry within (key, chunk) — the salted window
+    val unioned = rTagged.unionByName(lTagged).withColumn("_chunk", chunkOf)
+    val wc = Window.partitionBy(col("_k"), col("_chunk"))
+      .orderBy(col("_t"), col("_tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localCarried = unioned
+      .select(col("*") +: rightCols.map(c =>
+        last(col(c), ignoreNulls = true).over(wc).as(s"_loc_$c")): _*)
+      .filter(col("_tag") === 1)
+
+    // phase 2a: one summary row per (key, chunk) — the chunk's last
+    // right row ((key, time) already deduped, so time alone orders it)
+    val sumW = Window.partitionBy(col("_k"), col("_chunk")).orderBy(col("_t").desc)
+    val summaries = rTagged.withColumn("_chunk", chunkOf)
+      .withColumn("_rn", row_number().over(sumW))
+      .filter(col("_rn") === 1)
+      .select(Seq(col("_k"), col("_chunk")) ++ rightCols.map(col): _*)
+
+    // phase 2b: carry-in per (key, chunk) = last summary of any
+    // STRICTLY earlier chunk, built over every chunk present on either
+    // side so left-only chunks still receive their carry
+    val chunks = unioned.select(col("_k"), col("_chunk")).distinct()
+    val wk = Window.partitionBy(col("_k")).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = chunks.join(summaries, Seq("_k", "_chunk"), "left")
+      .select(Seq(col("_k"), col("_chunk")) ++ rightCols.map(c =>
+        last(col(c), ignoreNulls = true).over(wk).as(s"_in_$c")): _*)
+
+    localCarried.join(carryIn, Seq("_k", "_chunk"), "left")
+      .select(leftCols.map(col) ++
+        rightCols.map(c => coalesce(col(s"_loc_$c"), col(s"_in_$c")).as(c)): _*)
+  }
+
   /** #19c pandas merge_asof direction parity: 'backward' (latest right
     * at-or-before), 'forward' (earliest right at-or-after) and
     * 'nearest' (closer of the two; exact ties prefer backward, like

@@ -253,6 +253,34 @@ class OperatorsSpec extends SparkSpec {
                       1003L -> 200L, 1004L -> -1L))
   }
 
+  test("salted asof join equals the plain form, including one pathological hot key") {
+    import scala.util.Random
+    val rnd = new Random(7)
+    // key 1 is the bot: 2000 events over many chunks; keys 2..5 normal.
+    // chunkSeconds=3600 against a multi-day span → many chunks per key,
+    // chunks with no right rows, chunks with no left rows.
+    val base = ts("2024-01-01 00:00:00").getTime / 1000
+    def at(s: Long) = new java.sql.Timestamp((base + s) * 1000)
+    val left = ((1 to 2000).map(i => (10000L + i, 1L, at(rnd.nextInt(400000).toLong))) ++
+      (1 to 50).flatMap(i => (2L to 5L).map(k =>
+        (20000L + i * 10 + k, k, at(rnd.nextInt(400000).toLong)))))
+      .toDF("event_id", "k", "t")
+    val right = ((1 to 40).map(i => (1L, at(i * 9000L), 100L + i, i * 1.0)) ++
+      (1 to 5).flatMap(i => (2L to 5L).map(k =>
+        (k, at(i * 50000L + k * 7L), 500L + i * 10 + k, i * 2.0))))
+      .toDF("k", "t", "ord", "amt")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    val plain = AsOf.asofJoin(left, right, "k", "k", "t", "t",
+        rightCols = Seq("ord", "amt"), rightTieBreak = "ord")
+      .select("event_id", "ord").collect().map(key).toMap
+    val salted = AsOf.asofJoinSalted(left, right, "k", "k", "t", "t",
+        rightCols = Seq("ord", "amt"), rightTieBreak = "ord",
+        chunkSeconds = 3600L)
+      .select("event_id", "ord").collect().map(key).toMap
+    assert(salted === plain)
+  }
+
   test("latest per key: recency winner with deterministic tie-break") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10L),
