@@ -11,47 +11,82 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
-  def hasTable(spark: SparkSession, warehouse: String, table: String): Boolean =
-    TableMeta.exists(spark, KeyedTable.tableDir(warehouse, table))
+  /** Every catalog op takes the reference's optional `schema=` kwarg
+    * (util.py:5-15): a namespace resolving to `<warehouse>/<schema>/`
+    * (see [[KeyedTable.schemaDir]]). None = default namespace. */
+  def hasTable(spark: SparkSession, warehouse: String, table: String,
+               schema: Option[String] = None): Boolean =
+    TableMeta.exists(spark,
+      KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table))
 
-  /** Reference: util.py:23 get_db_table_names. */
-  def tableNames(spark: SparkSession, warehouse: String): Seq[String] = {
+  /** Reference: util.py:23 get_db_table_names — with `schema` the names
+    * come back qualified (`schema.table`), mirroring SQLAlchemy's
+    * reflected `meta.tables` keys. */
+  def tableNames(spark: SparkSession, warehouse: String,
+                 schema: Option[String] = None): Seq[String] = {
+    val p = new Path(KeyedTable.schemaDir(warehouse, schema))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val bare = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory &&
+        fs.exists(new Path(s.getPath, TableMeta.FileName)))
+      .map(_.getPath.getName).sorted
+    schema.fold(bare)(s => bare.map(t => s"$s.$t"))
+  }
+
+  /** Schemas (namespaces) present under the warehouse: directories that
+    * are not themselves tables but contain at least one table. */
+  def schemaNames(spark: SparkSession, warehouse: String): Seq[String] = {
     val p = new Path(warehouse)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return Nil
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory &&
-        fs.exists(new Path(s.getPath, TableMeta.FileName)))
+        !fs.exists(new Path(s.getPath, TableMeta.FileName)) &&
+        fs.listStatus(s.getPath).exists(c => c.isDirectory &&
+          fs.exists(new Path(c.getPath, TableMeta.FileName))))
       .map(_.getPath.getName).sorted
   }
 
   /** Reference: util.py:31 get_table_column_names. */
-  def columnNames(spark: SparkSession, warehouse: String, table: String): Seq[String] =
-    TableMeta.read(spark, KeyedTable.tableDir(warehouse, table)).schema.fieldNames.toSeq
+  def columnNames(spark: SparkSession, warehouse: String, table: String,
+                  schema: Option[String] = None): Seq[String] =
+    TableMeta.read(spark,
+      KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table))
+      .schema.fieldNames.toSeq
 
-  def primaryKey(spark: SparkSession, warehouse: String, table: String): Seq[String] =
-    TableMeta.read(spark, KeyedTable.tableDir(warehouse, table)).pk
+  def primaryKey(spark: SparkSession, warehouse: String, table: String,
+                 schema: Option[String] = None): Seq[String] =
+    TableMeta.read(spark,
+      KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table)).pk
 
   /** Reference: util.py:5 drop_db_table. */
-  def dropTable(spark: SparkSession, warehouse: String, table: String): Unit = {
-    val p = new Path(KeyedTable.tableDir(warehouse, table))
+  def dropTable(spark: SparkSession, warehouse: String, table: String,
+                schema: Option[String] = None): Unit = {
+    val p = new Path(
+      KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
-      throw new StoreException(s"no such table: $table")
+      throw new StoreException(
+        s"no such table: ${schema.fold(table)(s => s"$s.$table")}")
     fs.delete(p, true)
   }
 
   /** Register every table of a warehouse as a session temp view (named
-    * after the table), so the whole store is queryable from
+    * after the table; `<schema>_<table>` inside a namespace — temp view
+    * names cannot carry dots), so the whole store is queryable from
     * `spark.sql` — the SQL face of `readSql`. Views are lazy plans over
     * the bucket layout: filters and pruning behave exactly as through
-    * `readSql` (range pushdown, column pruning). Returns the names. */
-  def registerViews(spark: SparkSession, warehouse: String): Seq[String] = {
-    val names = tableNames(spark, warehouse)
-    names.foreach { t =>
-      KeyedTable.readSql(spark, warehouse, t).createOrReplaceTempView(t)
+    * `readSql` (range pushdown, column pruning). Returns the view names. */
+  def registerViews(spark: SparkSession, warehouse: String,
+                    schema: Option[String] = None): Seq[String] = {
+    val wh = KeyedTable.schemaDir(warehouse, schema)
+    val bare = tableNames(spark, wh)
+    bare.map { t =>
+      val view = schema.fold(t)(s => s"${s}_$t")
+      KeyedTable.readSql(spark, wh, t).createOrReplaceTempView(view)
+      view
     }
-    names
   }
 
   /** Per-table PK min/max + row count, one row per table — the
@@ -70,8 +105,18 @@ object Catalog {
     * conf window (it's ≤ one row per table) so the returned frame is
     * plain local data and the session confs are restored.
     */
-  def describe(spark: SparkSession, warehouse: String): DataFrame = {
-    if (tableNames(spark, warehouse).isEmpty)
+  /** Union width is CAPPED: tables are described in batches of
+    * [[DescribeBatch]] union branches per job rather than one
+    * 1,000-branch union — planning cost stays linear with a bounded
+    * constant, each batch is a small independent metadata job, and the
+    * driver holds ≤ one row per table either way. */
+  val DescribeBatch = 64
+
+  def describe(spark: SparkSession, warehouse: String,
+               schema: Option[String] = None): DataFrame = {
+    val wh = KeyedTable.schemaDir(warehouse, schema)
+    val bare = tableNames(spark, wh)
+    if (bare.isEmpty)
       // reference describe_database returns an empty mapping (util.py:45)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], describeSchema)
@@ -84,17 +129,20 @@ object Catalog {
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
     val rows =
       try {
-        val frames = tableNames(spark, warehouse).map { t =>
-          val meta = TableMeta.read(spark, KeyedTable.tableDir(warehouse, t))
+        val frames = bare.map { t =>
+          val meta = TableMeta.read(spark, KeyedTable.tableDir(wh, t))
           val head = meta.pk.head
-          KeyedTable.readSql(spark, warehouse, t)
+          val qualified = schema.fold(t)(s => s"$s.$t")
+          KeyedTable.readSql(spark, wh, t)
             .agg(
               min(col(head)).cast("string").as("pk_min"),
               max(col(head)).cast("string").as("pk_max"),
               count(lit(1)).as("n_rows"))
-            .select(lit(t).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+            .select(lit(qualified).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
         }
-        frames.reduce(_ unionByName _).orderBy("table_name").collect().toIndexedSeq
+        frames.grouped(DescribeBatch)
+          .flatMap(batch => batch.reduce(_ unionByName _).collect())
+          .toIndexedSeq.sortBy(_.getString(0))
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)

@@ -40,6 +40,23 @@ object KeyedTable {
   val DefaultBuckets = 32
 
   def tableDir(warehouse: String, table: String) = s"$warehouse/$table"
+
+  /** Resolve the reference's `schema=` namespace kwarg
+    * (/root/reference/pandabase/util.py:5-15, sql.py:46: `schema.table`
+    * addressing, per-schema listing): a schema is a SUB-WAREHOUSE — the
+    * directory `<warehouse>/<schema>/` — so every store operation
+    * (write, read, join, catalog) works inside a namespace by resolving
+    * through here first, with zero changes to the bucket layout or
+    * commit protocols. None = the default (top-level) namespace. */
+  def schemaDir(warehouse: String, schema: Option[String]): String =
+    schema match {
+      case None => warehouse
+      case Some(s) =>
+        if (Names.cleanName(s) != s)
+          throw new IllegalNameException(
+            s"Illegal characters in schema name: $s. try: ${Names.cleanName(s)}")
+        s"$warehouse/$s"
+    }
   private def dataDir(warehouse: String, table: String) = s"$warehouse/$table/data"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
@@ -92,7 +109,9 @@ object KeyedTable {
             buckets: Int = DefaultBuckets,
             validate: Boolean = true,
             inferBool: Boolean = true,
-            strictUtc: Boolean = true): Unit = {
+            strictUtc: Boolean = true,
+            schema: Option[String] = None): Unit = {
+    val wh = schemaDir(warehouse, schema)
     val spark = df.sparkSession
     if (Names.cleanName(tableName) != tableName)
       throw new IllegalNameException(
@@ -119,21 +138,21 @@ object KeyedTable {
         throw new StoreException(s"pk column $k not in DataFrame columns ${cleaned.columns.toSeq}")
     }
 
-    val dir = tableDir(warehouse, tableName)
+    val dir = tableDir(wh, tableName)
     val exists = TableMeta.exists(spark, dir)
 
     if (!exists) {
       if (!autoIndex && pkClean.isEmpty)
         throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
-      create(cleaned, warehouse, tableName, pkClean, autoIndex, buckets,
+      create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
         validate, inferBool)
     } else {
       how match {
         case WriteMode.CreateOnly =>
           throw new StoreException(
             s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
-        case WriteMode.Append => append(cleaned, warehouse, tableName, addNewColumns, validate)
-        case WriteMode.Upsert => upsert(cleaned, warehouse, tableName, addNewColumns, validate)
+        case WriteMode.Append => append(cleaned, wh, tableName, addNewColumns, validate)
+        case WriteMode.Upsert => upsert(cleaned, wh, tableName, addNewColumns, validate)
       }
     }
   }
@@ -445,8 +464,9 @@ object KeyedTable {
     * commit protocol as upsert, so readers never see a half state);
     * buckets below the threshold are untouched. Returns the number of
     * buckets compacted. */
-  def compact(spark: SparkSession, warehouse: String, tableName: String,
-              minFiles: Int = 4): Int = {
+  def compact(spark: SparkSession, warehouse0: String, tableName: String,
+              minFiles: Int = 4, schema: Option[String] = None): Int = {
+    val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     val meta = TableMeta.read(spark, dir)
     val data = dataDir(warehouse, tableName)
@@ -484,9 +504,10 @@ object KeyedTable {
     * so readers never observe a half state; the meta updates last, so
     * a reader that raced the swap still sees a consistent (old-count)
     * view resolve to the new files only with the new meta. */
-  def rebucket(spark: SparkSession, warehouse: String, tableName: String,
-               newBuckets: Int): Unit = {
+  def rebucket(spark: SparkSession, warehouse0: String, tableName: String,
+               newBuckets: Int, schema: Option[String] = None): Unit = {
     require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
+    val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     val meta = TableMeta.read(spark, dir)
     if (meta.buckets == newBuckets) return
@@ -539,10 +560,12 @@ object KeyedTable {
     * Filters push down to parquet row-group stats.
     */
   def readSql(spark: SparkSession,
-              warehouse: String,
+              warehouse0: String,
               tableName: String,
               lowest: Seq[Any] = Nil,
-              highest: Seq[Any] = Nil): DataFrame = {
+              highest: Seq[Any] = Nil,
+              schema: Option[String] = None): DataFrame = {
+    val warehouse = schemaDir(warehouse0, schema)
     val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
     for (s <- Seq(lowest, highest) if s.nonEmpty && s.size != meta.pk.size)
       throw new StoreException(

@@ -1,0 +1,91 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The reference's `schema=` namespace kwarg (util.py:5-15, sql.py:46):
+  * schema.table addressing, per-schema listing, schema'd drop/describe.
+  * A schema is a sub-warehouse directory, so every store op works
+  * unchanged inside one. */
+class SchemaNamespaceSpec extends SparkSpec {
+
+  private def wh(): String = Files.createTempDirectory("graft-spec-ns-").toString
+
+  private def sample(n: Int, tag: String): DataFrame = {
+    import spark.implicits._
+    (1 to n).map(i => (i.toLong, s"${tag}_$i")).toDF("id", "name")
+  }
+
+  test("same table name resolves independently per schema") {
+    val w = wh()
+    KeyedTable.toSql(sample(5, "def"), w, "t", pk = Seq("id"))
+    KeyedTable.toSql(sample(7, "raw"), w, "t", pk = Seq("id"), schema = Some("raw"))
+    KeyedTable.toSql(sample(9, "cln"), w, "t", pk = Seq("id"), schema = Some("clean"))
+    assert(KeyedTable.readSql(spark, w, "t").count() === 5)
+    assert(KeyedTable.readSql(spark, w, "t", schema = Some("raw")).count() === 7)
+    assert(KeyedTable.readSql(spark, w, "t", schema = Some("clean"))
+      .filter(col("id") === 3).head().getString(1) === "cln_3")
+  }
+
+  test("catalog ops honor the schema namespace") {
+    val w = wh()
+    KeyedTable.toSql(sample(3, "a"), w, "top", pk = Seq("id"))
+    KeyedTable.toSql(sample(3, "b"), w, "inner1", pk = Seq("id"), schema = Some("raw"))
+    KeyedTable.toSql(sample(3, "c"), w, "inner2", pk = Seq("id"), schema = Some("raw"))
+    assert(Catalog.hasTable(spark, w, "inner1", Some("raw")))
+    assert(!Catalog.hasTable(spark, w, "inner1"))
+    // per-schema listing comes back QUALIFIED, like SQLAlchemy's
+    // reflected meta.tables keys (reference util.py:23)
+    assert(Catalog.tableNames(spark, w, Some("raw")) === Seq("raw.inner1", "raw.inner2"))
+    // the default listing sees only top-level tables, not schema dirs
+    assert(Catalog.tableNames(spark, w) === Seq("top"))
+    assert(Catalog.schemaNames(spark, w) === Seq("raw"))
+    assert(Catalog.columnNames(spark, w, "inner1", Some("raw")) === Seq("id", "name"))
+    assert(Catalog.primaryKey(spark, w, "inner2", Some("raw")) === Seq("id"))
+    Catalog.dropTable(spark, w, "inner1", Some("raw"))
+    assert(Catalog.tableNames(spark, w, Some("raw")) === Seq("raw.inner2"))
+    intercept[StoreException] { Catalog.dropTable(spark, w, "inner1", Some("raw")) }
+  }
+
+  test("describe and registerViews work inside a schema; names qualify") {
+    val w = wh()
+    KeyedTable.toSql(sample(4, "x"), w, "aaa", pk = Seq("id"), schema = Some("s1"))
+    KeyedTable.toSql(sample(6, "y"), w, "bbb", pk = Seq("id"), schema = Some("s1"))
+    val d = Catalog.describe(spark, w, Some("s1")).collect()
+    assert(d.map(_.getString(0)).toSeq === Seq("s1.aaa", "s1.bbb"))
+    assert(d.map(_.getLong(3)).toSeq === Seq(4L, 6L))
+    val views = Catalog.registerViews(spark, w, Some("s1"))
+    assert(views === Seq("s1_aaa", "s1_bbb"))
+    assert(spark.sql("SELECT count(*) FROM s1_bbb").head().getLong(0) === 6L)
+  }
+
+  test("illegal schema names are rejected") {
+    intercept[IllegalNameException] {
+      KeyedTable.toSql(sample(2, "z"), wh(), "t", pk = Seq("id"),
+        schema = Some("Bad Schema!"))
+    }
+  }
+
+  test("describe batches union width at 100 tables, one row per table") {
+    val w = wh()
+    import spark.implicits._
+    (1 to 100).foreach { i =>
+      val df = Seq((1L, i), (2L, i * 2)).toDF("id", "v")
+      KeyedTable.toSql(df, w, f"t_$i%03d", pk = Seq("id"), buckets = 1,
+        validate = false, inferBool = false)
+    }
+    val t0 = System.nanoTime()
+    val d = Catalog.describe(spark, w).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(d.length === 100)
+    assert(d.map(_.getString(0)).toSeq === (1 to 100).map(i => f"t_$i%03d"))
+    assert(d.forall(_.getLong(3) === 2L))
+    // batched metadata jobs: 100 tiny tables must describe in seconds,
+    // not in one 100-branch plan that the optimizer chews minutes on
+    assert(secs < 60.0, s"describe took $secs s at 100 tables")
+  }
+}
