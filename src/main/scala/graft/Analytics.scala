@@ -587,6 +587,35 @@ object Analytics {
       .select(col("window.start").as("win_start"), col("event_type"),
               col("n_events"), col("sum_value"))
 
+  /** #33f streaming → store bridge, CORRECTNESS-gated end to end: the
+    * events table replayed as a file STREAM through the watermarked
+    * tumbling-window agg, each micro-batch foreachBatch-upserted into a
+    * keyed table (StreamingIngest.start), then the table read back.
+    * Late-window re-emission + PK upsert make the sink idempotent, so
+    * the converged table must equal the batch aggregation — the same
+    * oracle as `events_windowed`, now asserted across the streaming
+    * path AND a real store write/read cycle. */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-stream-wh-").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft-stream-ck-").toString
+    // the file stream source wants a DIRECTORY: stage the (read-only)
+    // events parquet into a temp dir via symlink — the stream then
+    // discovers it as one "arriving" file
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$d/events.parquet"))
+    // same ns→µs handling as Tables.events: read raw nanos, truncate
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val sch = s.read.parquet(s"$d/events.parquet").schema
+    val stream = s.readStream.schema(sch).parquet(srcDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.StreamingIngest
+      .start(stream, wh, "win_agg", ck).awaitTermination()
+    graft.store.KeyedTable.readSql(s, wh, "win_agg")
+      .select(col("win_start"), col("event_type"), col("n_events"), col("sum_value"))
+  }
+
   /** #18b gap-based sessionization: a new session starts when a user's
     * inter-event gap exceeds 30 min. One shuffle (by user) feeds both
     * windows — the lag-based session-break flag and the running count
@@ -1028,6 +1057,7 @@ object Analytics {
     "events_sessionized" -> (eventsSessionized _),
     "asof_join" -> (asofJoinQ _),
     "asof_join_salted" -> (asofJoinSaltedQ _),
+    "stream_upsert" -> (streamUpsert _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1314,6 +1344,13 @@ object Analytics {
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".trim,
     "events_windowed" -> """
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+      FROM events
+      GROUP BY 1, 2""".trim,
+    // the streaming-ingested store table must converge to the batch agg
+    "stream_upsert" -> """
       SELECT date_trunc('hour', ts) AS win_start, event_type,
              count(*) AS n_events,
              round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
