@@ -52,7 +52,10 @@ case class NormalizeText(child: Expression) extends UnaryExpression {
 object NormalizeText {
 
   private val marks = Pattern.compile("\\p{M}+")
-  private val controls = Pattern.compile("\\p{Cc}")
+  // C0 + DEL only — NOT \p{Cc}, which also covers the C1 block
+  // (U+0080–U+009F) that the DuckDB oracle's [\x00-\x1f\x7f] leaves
+  // alone; both sides must agree beyond ASCII for engine parity
+  private val controls = Pattern.compile("[\\x00-\\x1f\\x7f]")
   private val spaces = Pattern.compile("\\s+")
 
   /** Static entry point shared by eval and generated code. */

@@ -288,11 +288,15 @@ object AsOf {
     }
   }
 
-  /** #20d pandas interpolate(method='linear'): fill NULL gaps in
-    * `valueCol` per key by linear interpolation between the
-    * surrounding non-null observations, positioned by `timeCol`
-    * (numeric — pass epoch µs/seconds, not a timestamp, so both the
-    * ordering and the arithmetic are integer-exact across engines).
+  /** #20d pandas interpolate(method='index'/'values'): fill NULL gaps
+    * in `valueCol` per key by linear interpolation WEIGHTED BY the
+    * position column `timeCol` (numeric — pass epoch µs/seconds, not a
+    * timestamp, so both the ordering and the arithmetic are
+    * integer-exact across engines). Note this is pandas' 'index'
+    * method, not its default 'linear', which treats points as equally
+    * spaced and ignores the index; the time-weighted form is the one a
+    * sensor/event stream wants, and the oracle implements the same
+    * formula.
     *
     * Matches pandas' default (limit_direction='forward'): interior
     * gaps interpolate, trailing NULLs carry the last value forward,

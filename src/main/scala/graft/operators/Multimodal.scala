@@ -120,6 +120,10 @@ object Multimodal {
       .filter(col("media_type") === "image")
       .withColumn("nx", floor((col("resized_w") + patch - 1) / patch))
       .withColumn("ny", floor((col("resized_h") + patch - 1) / patch))
+      // defensive: sequence(0, -1) is a DESCENDING [0,-1], not empty —
+      // a zero/negative dim (upstream resize guarantees ≥1, but this
+      // operator must not rely on it) would fabricate patches
+      .filter(col("nx") > 0 && col("ny") > 0)
       .select(col("doc_id"), col("nx"), col("ny"),
         col("content_md5"),
         explode(sequence(lit(0L), col("nx") - 1)).as("px"))
