@@ -1,8 +1,8 @@
 package graft.store
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Spark catalog plugin exposing a graft warehouse to pure SQL:
@@ -20,8 +20,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (create/alter/rename through SQL are rejected — the store's write
   * semantics, PK validation, bucketing and staged commits are the
   * library's contract, not DDL's).
+  *
+  * Schema namespaces (the reference's `schema=` kwarg) surface as
+  * one-level SQL namespaces: `graft.raw.t` reads the table `t` of
+  * schema `raw` (`<warehouse>/raw/t`), SHOW NAMESPACES lists schemas,
+  * CREATE NAMESPACE makes the directory. Deeper nesting is rejected —
+  * the reference's namespace model is a single schema level.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -37,22 +43,85 @@ class GraftCatalog extends TableCatalog {
 
   private def spark = SparkSession.active
 
+  /** One schema level max: [] = default namespace, [s] = schema s. */
+  private def schemaOf(namespace: Array[String]): Option[Option[String]] =
+    namespace match {
+      case Array() => Some(None)
+      case Array(s) => Some(Some(s))
+      case _ => None
+    }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
-    Catalog.tableNames(spark, warehouse)
-      .map(t => Identifier.of(namespace, t)).toArray
+    schemaOf(namespace) match {
+      case None => throw new NoSuchNamespaceException(namespace.toSeq)
+      case Some(sch) =>
+        Catalog.tableNames(spark, KeyedTable.schemaDir(warehouse, sch))
+          .map(t => Identifier.of(namespace, t)).toArray
+    }
 
   override def tableExists(ident: Identifier): Boolean =
-    ident.namespace.isEmpty && Catalog.hasTable(spark, warehouse, ident.name)
+    schemaOf(ident.namespace)
+      .exists(sch => Catalog.hasTable(spark, warehouse, ident.name, sch))
 
   override def loadTable(ident: Identifier): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    val dir = KeyedTable.tableDir(warehouse, ident.name)
+    val sch = schemaOf(ident.namespace).get
+    val dir = KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, sch), ident.name)
     new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data")
   }
 
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {
-      Catalog.dropTable(spark, warehouse, ident.name); true
+      Catalog.dropTable(spark, warehouse, ident.name, schemaOf(ident.namespace).get)
+      true
+    }
+
+  // ------------------------------------------------ SupportsNamespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Catalog.schemaNames(spark, warehouse).map(Array(_)).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty // one level only
+    else throw new NoSuchNamespaceException(namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty ||
+      (namespace.length == 1 &&
+        Catalog.schemaNames(spark, warehouse).contains(namespace.head))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): java.util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace.toSeq)
+    java.util.Collections.emptyMap()
+  }
+
+  /** CREATE NAMESPACE = make the schema directory (empty schemas are
+    * invisible to listNamespaces until a table lands — same as the
+    * reference, where a schema exists by holding tables). */
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    schemaOf(namespace).flatten match {
+      case None => throw new UnsupportedOperationException(
+        "graft namespaces are a single schema level")
+      case Some(s) =>
+        val p = new org.apache.hadoop.fs.Path(KeyedTable.schemaDir(warehouse, Some(s)))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+    }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    schemaOf(namespace).flatten match {
+      case None => false
+      case Some(s) =>
+        if (!cascade && Catalog.tableNames(spark, warehouse, Some(s)).nonEmpty)
+          throw new IllegalStateException(
+            s"namespace $s is not empty; use CASCADE to drop its tables")
+        val p = new org.apache.hadoop.fs.Path(KeyedTable.schemaDir(warehouse, Some(s)))
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && fs.delete(p, true)
     }
 
   override def createTable(ident: Identifier,

@@ -63,6 +63,29 @@ class SchemaNamespaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM s1_bbb").head().getLong(0) === 6L)
   }
 
+  test("GraftCatalog: schema namespaces at the SQL surface") {
+    val w = wh()
+    KeyedTable.toSql(sample(4, "top"), w, "t0", pk = Seq("id"))
+    KeyedTable.toSql(sample(6, "ns"), w, "t1", pk = Seq("id"), schema = Some("raw"))
+    spark.conf.set("spark.sql.catalog.graft_ns", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ns.warehouse", w)
+    try {
+      // schema.table addressing straight from SQL
+      assert(spark.sql("SELECT count(*) FROM graft_ns.raw.t1").head().getLong(0) === 6L)
+      assert(spark.sql("SELECT count(*) FROM graft_ns.t0").head().getLong(0) === 4L)
+      assert(spark.sql("SHOW NAMESPACES IN graft_ns").collect()
+        .map(_.getString(0)).toSeq === Seq("raw"))
+      assert(spark.sql("SHOW TABLES IN graft_ns.raw").collect()
+        .map(_.getString(1)).toSeq === Seq("t1"))
+      // namespace DDL: create is a mkdir, drop refuses non-empty
+      spark.sql("CREATE NAMESPACE graft_ns.stage")
+      intercept[Exception](spark.sql("DROP NAMESPACE graft_ns.raw"))
+      spark.sql("DROP NAMESPACE graft_ns.raw CASCADE")
+      assert(spark.sql("SHOW NAMESPACES IN graft_ns").collect().isEmpty)
+    } finally Seq("spark.sql.catalog.graft_ns", "spark.sql.catalog.graft_ns.warehouse")
+      .foreach(spark.conf.unset)
+  }
+
   test("illegal schema names are rejected") {
     intercept[IllegalNameException] {
       KeyedTable.toSql(sample(2, "z"), wh(), "t", pk = Seq("id"),
