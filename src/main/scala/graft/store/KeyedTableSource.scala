@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -125,7 +125,8 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
                                pushed: Array[Filter] = Array.empty)
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   private val readDataSchema =
     StructType(required.fields.filterNot(_.name == KeyedTable.BucketCol))
@@ -186,6 +187,36 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     if (all.isEmpty) None else Some(all.reduce(_ intersect _))
   }
 
+  /** Runtime (DPP-analog) bucket pruning: a broadcast join against a
+    * small filtered dimension hands this scan the dim's actual join-key
+    * VALUES at execution time (Spark's dynamic pruning machinery calls
+    * [[filter]] before re-planning partitions). Each value hashes to
+    * its bucket — the fact side then reads only the buckets that can
+    * possibly match, turning "scan 100 TB to join 1,000 keys" into a
+    * few bucket dirs. Conservative by construction: pruning applies
+    * only when EVERY value hashes cleanly (a superset of matching
+    * buckets is always kept), and only for a single-column PK (one
+    * dimension of a composite key cannot determine the bucket). */
+  @volatile private var runtimeBuckets: Option[Set[Int]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (meta.pk.size == 1) Array(Expressions.column(meta.pk.head))
+    else Array.empty
+
+  override def filter(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    val MaxRuntimeKeys = 4096
+    val sets: Seq[Set[Int]] = filters.toSeq.flatMap {
+      case In(c, vs) if meta.pk == Seq(c) && vs.nonEmpty && vs.length <= MaxRuntimeKeys =>
+        val bs = vs.toSeq.map(v => bucketOfPinned(Seq(v)))
+        if (bs.forall(_.isDefined)) Some(bs.flatten.toSet) else None
+      case EqualTo(c, v) if meta.pk == Seq(c) =>
+        bucketOfPinned(Seq(v)).map(Set(_))
+      case _ => None
+    }
+    if (sets.nonEmpty) runtimeBuckets = Some(sets.reduce(_ intersect _))
+  }
+
   /** Driver-side eval of the write path's bucket function
     * (`pmod(xxhash64(pk...), buckets)`) on pinned literal values —
     * exactly the expressions `KeyedTable.withBucket` uses, so the
@@ -210,11 +241,16 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     // thousands of buckets would mean thousands of driver round-trips)
     val bucketDirs = fs.listStatus(root).filter(_.isDirectory)
       .map(st => st.getPath.getName -> st.getPath).toMap
+    // static (pushdown) ∩ runtime (dynamic pruning) bucket sets; the
+    // runtime set can arrive between the two planInputPartitions calls
+    // BatchScanExec makes (original + filtered partitions)
+    val kept: Option[Set[Int]] =
+      Seq(keptBuckets, runtimeBuckets).flatten.reduceOption(_ intersect _)
     (0 until meta.buckets).map { b =>
       val key = new GenericInternalRow(Array[Any](b))
       val files: Array[PartitionedFile] =
         bucketDirs.get(s"${KeyedTable.BucketCol}=$b") match {
-          case Some(dir) if keptBuckets.forall(_.contains(b)) =>
+          case Some(dir) if kept.forall(_.contains(b)) =>
             fs.listStatus(dir)
               .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
               .sortBy(_.getPath.getName)

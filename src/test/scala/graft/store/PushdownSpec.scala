@@ -106,6 +106,52 @@ class PushdownSpec extends SparkSpec {
     scans.foreach(s => assert(nonEmptyParts(s) === 1, s.description()))
   }
 
+  test("runtime filter() prunes buckets by join-key values, conservatively") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.In
+    val w = wh()
+    val df = (1 to 500).map(i => (i.toLong, i * 1.0)).toDF("k", "x")
+    KeyedTable.toSql(df, w, "t", pk = Seq("k"))
+    val q = KeyedTableSource.read(spark, w, "t")
+    q.collect()
+    val scan = keyedScans(q).head
+    assert(scan.filterAttributes().map(_.toString).toSeq === Seq("k"))
+    assert(nonEmptyParts(scan) === 32)
+    // dynamic pruning hands over the dim side's key values
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("k", Array[Any](42L, 87L, 101L))))
+    val after = nonEmptyParts(scan)
+    assert(after >= 1 && after <= 3, s"expected ≤3 buckets, got $after")
+    // an unexpected filter shape must NOT prune (conservative superset)
+    val q2 = KeyedTableSource.read(spark, w, "t")
+    q2.collect()
+    val scan2 = keyedScans(q2).head
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](
+      In("x", Array[Any](1.0))))
+    assert(nonEmptyParts(scan2) === 32)
+  }
+
+  test("broadcast join against a filtered dim triggers dynamic bucket pruning") {
+    import spark.implicits._
+    val w = wh()
+    val fact = (1 to 2000).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+    KeyedTable.toSql(fact, w, "fact", pk = Seq("k"))
+    // the dim must be a real source (not a folded LocalRelation) for
+    // the optimizer to see a selective filter worth pruning with
+    (1 to 2000).map(i => (i.toLong, s"g${i % 40}")).toDF("dk", "grp")
+      .write.parquet(s"$w/dim_src")
+    val dim = spark.read.parquet(s"$w/dim_src")
+    val joined = KeyedTableSource.read(spark, w, "fact")
+      .join(broadcast(dim.filter(col("grp") === "g7")), col("k") === col("dk"))
+    val rows = joined.collect()
+    assert(rows.length === 50)
+    // the dynamic-pruning subquery must reach the scan: the 50 dim keys
+    // hash into a strict subset of the 32 buckets (26 for this fixed
+    // key set), so the fact side skipped real IO at execution time
+    val pruned = keyedScans(joined).map(nonEmptyParts).min
+    assert(pruned < 32, s"runtime filter did not prune: $pruned of 32 buckets live")
+  }
+
   test("composite PK fully pinned by equality prunes; partially pinned does not") {
     import spark.implicits._
     val w = wh()
