@@ -554,7 +554,34 @@ object LlmQueries {
       k = 5, cells = 16, nprobe = 4)
   }
 
+  /** #21g document STITCH detection: pairs where one doc's last K
+    * chars equal another's first K — the signature of a crawl shard
+    * splitting one page into two "documents". The affixes hash to
+    * 16-byte keys and the detection is one equi-join on the digest
+    * (digest-only shuffle, no text movement, nothing all-pairs) — the
+    * same scale shape as exact dedup, aimed at a different defect.
+    * The synthetic corpus has no natural splits, so deterministic
+    * continuation docs are fabricated from every 10th doc's tail (in
+    * the oracle too), exercising the join on real text. */
+  def docStitch(s: SparkSession, d: String, k: Int = 64): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= k)
+    val tailExpr = col("text").substr(length(col("text")) - (k - 1), lit(k))
+    val cont = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(tailExpr, lit(" continued "), md5(col("text"))).as("text"))
+    val corpus = base.unionByName(cont)
+    val tails = corpus.select(col("doc_id").as("src_doc"),
+      md5(col("text").substr(length(col("text")) - (k - 1), lit(k))).as("affix"))
+    val heads = corpus.select(col("doc_id").as("cont_doc"),
+      md5(col("text").substr(lit(1), lit(k))).as("affix"))
+    tails.join(heads, "affix")
+      .filter(col("src_doc") =!= col("cont_doc"))
+      .select(col("src_doc"), col("cont_doc"), col("affix"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_stitch" -> ((s: SparkSession, d: String) => docStitch(s, d)),
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_normalize" -> textNormalize,
@@ -676,6 +703,19 @@ object LlmQueries {
             FROM qm)"""
 
   val oracles: Map[String, String] = Map(
+    "doc_stitch" -> """
+      WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      cont AS (SELECT doc_id + 100000 AS doc_id,
+                      substr(text, length(text) - 63, 64) || ' continued ' || md5(text) AS text
+               FROM base WHERE doc_id % 10 = 0),
+      corpus AS (SELECT * FROM base UNION ALL SELECT * FROM cont),
+      tails AS (SELECT doc_id AS src_doc,
+                       md5(substr(text, length(text) - 63, 64)) AS affix FROM corpus),
+      heads AS (SELECT doc_id AS cont_doc,
+                       md5(substr(text, 1, 64)) AS affix FROM corpus)
+      SELECT t.src_doc, h.cont_doc, t.affix
+      FROM tails t JOIN heads h USING (affix)
+      WHERE t.src_doc <> h.cont_doc""".trim,
     "text_langid" -> s"""
       WITH t AS (SELECT doc_id, string_split(text, ' ') toks,
                    length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk

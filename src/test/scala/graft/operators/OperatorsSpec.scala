@@ -281,6 +281,18 @@ class OperatorsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("doc stitch: finds tail-head pairs via digest join, no nested loop") {
+    val q = graft.LlmQueries.docStitch(spark, sfDir)
+    val rows = q.collect()
+    assert(rows.nonEmpty)
+    // every fabricated continuation (src+100000) is found against its source
+    val fabricated = rows.filter(r => r.getLong(1) == r.getLong(0) + 100000L)
+    assert(fabricated.nonEmpty)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"stitch join must be a digest equi-join:\n$plan")
+  }
+
   test("latest per key: recency winner with deterministic tie-break") {
     val df = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10L),
