@@ -554,6 +554,49 @@ object LlmQueries {
       k = 5, cells = 16, nprobe = 4)
   }
 
+  /** #30t BM25 retrieval over the corpus — the keyword-search half of
+    * a data-curation stack (find documents about X at 100 TB). Inverted
+    * index shape: tf per (doc, token), df per query term, document
+    * lengths — all EXACT integer aggregates; per-term scores use the
+    * log-free BM25 idf `(N-df+0.5)/(df+0.5)` (same family as the
+    * repo's log-free tf-idf, #30i) with identical IEEE expression shape
+    * on both engines, then each term score is pinned to DECIMAL(28,10)
+    * so the per-document SUM is exact and merge-order-independent —
+    * the float-accumulation hazard never reaches a hash. Ranking sorts
+    * the exact decimal, ties by doc_id. Shuffles: tf agg, dl agg, one
+    * doc_id join; query terms and df ride as broadcasts. */
+  def bm25Search(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import s.implicits._
+    val qs = Seq((1L, "spark"), (1L, "join"), (1L, "merge"),
+                 (2L, "window"), (2L, "hash"), (2L, "scan"),
+                 (3L, "stream"), (3L, "batch")).toDF("query_id", "term")
+    val tok = docs(s, d).select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+    val terms = qs.select(col("term")).distinct()
+    val dft = tf.join(broadcast(terms), col("token") === col("term")).drop("term")
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))
+    val tfn = col("tf") * lit(2.2) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / avgdl))
+    val perTerm = tf.join(broadcast(qs), col("token") === col("term"))
+      .join(broadcast(dft), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("doc_id"),
+        (idf * tfn).cast("decimal(28,10)").as("s"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("s_exact").desc, col("doc_id"))
+    perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("s_exact"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        round(col("s_exact"), 4).cast("double").as("score"), col("rank"))
+  }
+
   /** #21g document STITCH detection: pairs where one doc's last K
     * chars equal another's first K — the signature of a crawl shard
     * splitting one page into two "documents". The affixes hash to
@@ -582,6 +625,7 @@ object LlmQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_stitch" -> ((s: SparkSession, d: String) => docStitch(s, d)),
+    "bm25_search" -> ((s: SparkSession, d: String) => bm25Search(s, d)),
     "text_langid" -> textLangid,
     "text_quality" -> textQuality,
     "text_normalize" -> textNormalize,
@@ -703,6 +747,39 @@ object LlmQueries {
             FROM qm)"""
 
   val oracles: Map[String, String] = Map(
+    // same float expression SHAPE as the Spark side (idf and tf-norm
+    // each one IEEE chain), each term score pinned to DECIMAL(28,10)
+    // before the sum so accumulation order cannot flip the hash
+    "bm25_search" -> """
+      WITH q(query_id, term) AS (VALUES
+        (1,'spark'),(1,'join'),(1,'merge'),
+        (2,'window'),(2,'hash'),(2,'scan'),
+        (3,'stream'),(3,'batch')),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens FROM dl),
+      dft AS (SELECT token, count(*) AS df FROM tf
+              WHERE token IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+      sc AS (SELECT q.query_id, tf.doc_id,
+               CAST(((t.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+                    (tf.tf * 2.2 /
+                     (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl /
+                        (CAST(t.total_tokens AS DOUBLE) / t.n_docs))))
+                 AS DECIMAL(28,10)) AS s
+             FROM tf JOIN q ON tf.token = q.term
+                     JOIN dft d ON d.token = tf.token
+                     JOIN dl ON dl.doc_id = tf.doc_id
+                     CROSS JOIN tot t),
+      agg AS (SELECT query_id, doc_id, sum(s) AS s_exact
+              FROM sc GROUP BY 1, 2),
+      r AS (SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+                   round(s_exact, 4)::DOUBLE AS score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY s_exact DESC, doc_id) AS rank
+            FROM agg)
+      SELECT query_id, doc_id, score, CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 10""".trim,
     "doc_stitch" -> """
       WITH base AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
       cont AS (SELECT doc_id + 100000 AS doc_id,
