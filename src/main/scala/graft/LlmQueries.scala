@@ -665,6 +665,8 @@ object LlmQueries {
     "ann_bruteforce" -> annBruteforce,
     "embedding_centroids" -> embeddingCentroids,
     "embedding_quantize" -> embeddingQuantize,
+    "embedding_pq" -> ((s: SparkSession, d: String) =>
+      Knn.pqEncode(embs(s, d), "vec_id", "embedding")),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
@@ -747,6 +749,27 @@ object LlmQueries {
             FROM qm)"""
 
   val oracles: Map[String, String] = Map(
+    // PQ codes: same codebook (16 lowest-id vectors), same per-subspace
+    // squared distance rounded to 6 before the argmin, ties → lowest code
+    "embedding_pq" -> """
+      WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                         embedding AS cv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      j AS (SELECT unnest(range(8)) AS subspace),
+      d AS (SELECT e.vec_id, j.subspace, cb.code,
+              round(list_sum(list_transform(range(1, 9), i ->
+                (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
+                   - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
+                * (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
+                   - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6) AS dist
+            FROM embeddings e CROSS JOIN j CROSS JOIN cb),
+      r AS (SELECT vec_id, subspace, code,
+              row_number() OVER (PARTITION BY vec_id, subspace
+                                 ORDER BY dist, code) AS rn
+            FROM d)
+      SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
+             CAST(code AS INT) AS code
+      FROM r WHERE rn = 1""".trim,
     // same float expression SHAPE as the Spark side (idf and tf-norm
     // each one IEEE chain), each term score pinned to DECIMAL(28,10)
     // before the sum so accumulation order cannot flip the hash

@@ -157,6 +157,51 @@ object Knn {
     * bounded by (mx−mn)/256 per dimension — spec-gated, while the
     * integer codes hash exactly against the oracle. Degenerate
     * constant dimensions (mx = mn) map to code −128. */
+  /** #27e product quantization (FAISS PQ / IVFADC's fine quantizer):
+    * split each d-dim vector into `m` subvectors and encode every
+    * subvector as the index of its nearest codebook centroid — m bytes
+    * per vector instead of 4d, the compression that makes a 100 TB
+    * corpus's ANN index fit a cluster's memory (int8 SQ is 4×; PQ here
+    * is 32× at m=8 over 64 float dims). Search-side ADC then scores
+    * candidates with per-subspace lookup tables instead of full dots.
+    *
+    * Codebook: the `k` lowest-id vectors' subvectors (deterministic,
+    * oracle-replayable — the production path would Lloyd-refine a
+    * sample; encode/assignment machinery is identical). Codebooks ride
+    * as literals, so encoding is a NARROW per-row argmin of `k`
+    * codegen'd squared distances per subspace — no shuffle, no join,
+    * scales with the scan. Distances are rounded to 6 decimals before
+    * the argmin (first-wins = lowest code on both engines), keeping the
+    * integer codes engine-exact. Returns (vec_id, subspace, code). */
+  def pqEncode(embs: DataFrame, idCol: String, vecCol: String,
+               m: Int = 8, k: Int = 16): DataFrame = {
+    val cb: Array[Seq[Double]] = embs
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(k).collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      })
+    require(cb.nonEmpty, "corpus is empty")
+    val dims = cb(0).size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val codes = (0 until m).map { j =>
+      val vslice = transform(slice(col("v"), j * sub + 1, sub), _.cast("double"))
+      val dists = array((0 until cb.length).map { c =>
+        val cs = cb(c).slice(j * sub, (j + 1) * sub)
+        round(aggregate(
+          zip_with(vslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$j")
+    }
+    embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), posexplode(array(codes: _*)).as(Seq("subspace", "code")))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val long = embs.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
