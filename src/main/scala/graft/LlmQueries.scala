@@ -667,6 +667,10 @@ object LlmQueries {
     "embedding_quantize" -> embeddingQuantize,
     "embedding_pq" -> ((s: SparkSession, d: String) =>
       Knn.pqEncode(embs(s, d), "vec_id", "embedding")),
+    "ann_pq" -> ((s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Knn.pqSearch(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
@@ -770,6 +774,48 @@ object LlmQueries {
       SELECT vec_id, CAST(subspace AS BIGINT) AS subspace,
              CAST(code AS INT) AS code
       FROM r WHERE rn = 1""".trim,
+    // ADC over the PQ codes: same codebook + distance math as
+    // embedding_pq; table entries pinned to DECIMAL(20,6) so the
+    // per-candidate sum is exact on both engines
+    "ann_pq" -> """
+      WITH cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+                         embedding AS cv
+                  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      j AS (SELECT unnest(range(8)) AS subspace),
+      d0 AS (SELECT e.vec_id, j.subspace, cb.code,
+               round(list_sum(list_transform(range(1, 9), i ->
+                 (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
+                    - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
+                 * (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
+                    - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6) AS dist
+             FROM embeddings e CROSS JOIN j CROSS JOIN cb),
+      codes AS (SELECT vec_id, subspace, code FROM (
+                  SELECT vec_id, subspace, code,
+                         row_number() OVER (PARTITION BY vec_id, subspace
+                                            ORDER BY dist, code) AS rn
+                  FROM d0) WHERE rn = 1),
+      q AS (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 20),
+      dtab AS (SELECT q.query_id, j.subspace, cb.code,
+                 CAST(round(list_sum(list_transform(range(1, 9), i ->
+                   (CAST(q.qv[j.subspace*8 + i] AS DOUBLE)
+                      - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
+                   * (CAST(q.qv[j.subspace*8 + i] AS DOUBLE)
+                      - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6)
+                   AS DECIMAL(20,6)) AS d2
+               FROM q CROSS JOIN j CROSS JOIN cb),
+      sc AS (SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.d2) AS adc
+             FROM codes c JOIN dtab d
+               ON d.subspace = c.subspace AND d.code = c.code
+             WHERE d.query_id <> c.vec_id
+             GROUP BY 1, 2),
+      r AS (SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM sc)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+             round(adc, 6)::DOUBLE AS adc_dist
+      FROM r WHERE rank <= 5""".trim,
     // same float expression SHAPE as the Spark side (idf and tf-norm
     // each one IEEE chain), each term score pinned to DECIMAL(28,10)
     // before the sum so accumulation order cannot flip the hash

@@ -202,6 +202,63 @@ object Knn {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
   }
 
+  /** #27f ADC search over PQ codes (FAISS's asymmetric distance
+    * computation): each query precomputes one small distance TABLE —
+    * its squared distance to every sub-codebook centroid, m×k entries —
+    * and every corpus vector is then scored by summing m table lookups
+    * over its CODES. The corpus' floats are never touched at query
+    * time: the scan reads m bytes per vector, the join key is
+    * (subspace, code), and the tables ride as a broadcast — the query
+    * cost that makes PQ indexes searchable at 100 TB.
+    *
+    * Per-entry distances use pqEncode's exact arithmetic (rounded to 6)
+    * and are pinned to DECIMAL(20,6), so the per-candidate SUM over
+    * subspaces is exact and merge-order-independent; ranking sorts the
+    * exact decimal ascending with neighbor_id tie-breaks. Returns
+    * (query_id, neighbor_id, rank, adc_dist). */
+  def pqSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, m: Int = 8, kcb: Int = 16): DataFrame = {
+    val cb: Array[Seq[Double]] = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(kcb).collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case x => x.toString.toDouble
+      })
+    require(cb.nonEmpty, "corpus is empty")
+    val dims = cb(0).size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val entries = (0 until m).flatMap { j =>
+      val qslice = transform(slice(col("qv"), j * sub + 1, sub), _.cast("double"))
+      (0 until cb.length).map { c =>
+        val cs = cb(c).slice(j * sub, (j + 1) * sub)
+        struct(lit(j.toLong).as("subspace"), lit(c).as("code"),
+          round(aggregate(
+            zip_with(qslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6)
+            .cast("decimal(20,6)").as("d2"))
+      }
+    }
+    val dtab = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .select(col("query_id"), explode(array(entries: _*)).as("e"))
+        .select(col("query_id"), col("e.subspace").as("subspace"),
+          col("e.code").as("code"), col("e.d2").as("d2")))
+    val codes = pqEncode(corpus, idCol, vecCol, m, cb.length)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val scored = codes.join(dtab, Seq("subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).cast("double").as("adc_dist"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val long = embs.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
