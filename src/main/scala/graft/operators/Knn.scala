@@ -186,19 +186,15 @@ object Knn {
     require(cb.nonEmpty, "corpus is empty")
     val dims = cb(0).size
     require(dims % m == 0, s"dims=$dims not divisible by m=$m")
-    val sub = dims / m
-    val codes = (0 until m).map { j =>
-      val vslice = transform(slice(col("v"), j * sub + 1, sub), _.cast("double"))
-      val dists = array((0 until cb.length).map { c =>
-        val cs = cb(c).slice(j * sub, (j + 1) * sub)
-        round(aggregate(
-          zip_with(vslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x), 6)
-      }: _*)
-      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"c$j")
-    }
+    // one native codegen'd call per row (graft.functions.expr.PqCodes;
+    // the codebook rides as a reference object) — the composed
+    // aggregate/zip_with form evaluates m×k interpreted HOF folds per
+    // row outside whole-stage codegen
+    val codesCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.PqCodes(
+        org.apache.spark.sql.GraftBridge.expression(col("v")), m, cb.toSeq))
     embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .select(col("vec_id"), posexplode(array(codes: _*)).as(Seq("subspace", "code")))
+      .select(col("vec_id"), posexplode(codesCol).as(Seq("subspace", "code")))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"), col("code"))
   }
 

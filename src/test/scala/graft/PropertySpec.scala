@@ -90,6 +90,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("pq_codes native == composed argmin of rounded squared distances") {
+    import spark.implicits._
+    val vecGen: Gen[Seq[Double]] =
+      Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0)).map(_.toSeq)
+    val cb = samples(vecGen, 6)
+    val vecs = samples(vecGen, 40)
+    val m = 4
+    val sub = 4
+    val df = vecs.map(Tuple1(_)).toDF("v")
+    val native = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.PqCodes(
+        org.apache.spark.sql.GraftBridge.expression(col("v")), m, cb))
+    val composed = array((0 until m).map { j =>
+      val vslice = transform(slice(col("v"), j * sub + 1, sub), _.cast("double"))
+      val dists = array((0 until cb.length).map { c =>
+        round(aggregate(
+          zip_with(vslice, typedlit(cb(c).slice(j * sub, (j + 1) * sub)),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x), 6)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }: _*)
+    val rows = df.select(native.as("n"), composed.as("c")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
   test("bucket function: same key same bucket regardless of frame shape") {
     import spark.implicits._
     val keys = samples(Gen.chooseNum(Long.MinValue, Long.MaxValue), 200).distinct
