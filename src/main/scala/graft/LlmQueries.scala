@@ -428,6 +428,27 @@ object LlmQueries {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5,
       maxDf = 100)
 
+  /** #22c LSH recall report: how much of the EXACT near-dup pair set
+    * (inverted-index n-gram Jaccard, no df-cut — the recall
+    * cross-check tier) does the banded MinHash-LSH path find? The
+    * quality dial of a dedup stack: band geometry trades candidate
+    * volume against missed pairs, and this query measures the miss
+    * side with exact integer counts (one final division for the
+    * recall ratio). LSH pairs post-verify with exact Jaccard, so
+    * precision is 1.0 by construction — recall is the open number. */
+  def dedupLshRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+      n = 5, threshold = 0.5)
+    val lsh = Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+      n = 5, numHashes = 16, bands = 4, threshold = 0.5)
+    val missed = exact.join(lsh, Seq("id_a", "id_b"), "left_anti")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
+      .crossJoin(broadcast(missed.agg(count(lit(1)).as("n_missed"))))
+      .select(col("n_exact"), col("n_lsh"), col("n_missed"),
+        round((col("n_exact") - col("n_missed")) / col("n_exact"), 4).as("recall"))
+  }
+
   /** #21c eval decontamination: the "eval set" is doc_id % 17 == 3;
     * training candidates are the rest. A near-dup of an eval doc (and
     * nothing else) must drop. */
@@ -651,6 +672,7 @@ object LlmQueries {
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
@@ -1172,6 +1194,31 @@ object LlmQueries {
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
+    // exact ground truth (no df-cut) vs the banded LSH pair set;
+    // integer counts + one final division
+    "dedup_lsh_recall" -> s"""
+      WITH $minhashCtes,
+      lsh AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      inv AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+                 FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT id_a, id_b FROM (
+               SELECT id_a, id_b,
+                      round(n_common / (sa.n + sb.n - n_common), 4) jaccard
+               FROM common JOIN sz sa ON sa.doc_id = id_a
+                           JOIN sz sb ON sb.doc_id = id_b)
+             WHERE jaccard >= 0.5),
+      miss AS (SELECT count(*) c FROM ex
+               WHERE NOT EXISTS (SELECT 1 FROM lsh
+                                 WHERE lsh.id_a = ex.id_a
+                                   AND lsh.id_b = ex.id_b))
+      SELECT (SELECT count(*) FROM ex) AS n_exact,
+             (SELECT count(*) FROM lsh) AS n_lsh,
+             (SELECT c FROM miss) AS n_missed,
+             round(((SELECT count(*) FROM ex) - (SELECT c FROM miss))
+                   / (SELECT count(*) FROM ex), 4) AS recall""".trim,
     // same signature/band chain, cohorts split across the candidate
     // join; best match = (jaccard DESC, id_seen ASC) per incoming doc
     "dedup_incremental_lsh" -> s"""
