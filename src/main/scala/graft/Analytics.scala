@@ -982,12 +982,15 @@ object Analytics {
     * instead of trusting any engine's median() interpolation. One
     * window pass over already-shuffled groups. */
   def medianOrderValue(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    Tables.orders(s, d)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("o_orderpriority"))))
+    // per-group exact rank WITHOUT windowing by the 5-value priority
+    // alone (that serializes a fifth of the table per task at scale):
+    // ExactRank shards each group by approximate value edges, offsets
+    // by exact counts, ranks in (group, shard) windows
+    val ranked = graft.operators.ExactRank.withGroupedRowNumber(
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
+      "o_orderpriority", "o_totalprice", "o_orderkey", "rn", "cnt")
+    ranked
       .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
               col("rn") === floor((col("cnt") + 2) / 2))
       .groupBy(col("o_orderpriority"))

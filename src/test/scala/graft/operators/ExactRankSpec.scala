@@ -36,6 +36,28 @@ class ExactRankSpec extends SparkSpec {
     assert(got.orderBy("rn").collect().map(_.getLong(0)).toSeq === (1L to 100L))
   }
 
+  test("withGroupedRowNumber equals a per-group row_number window, skewed groups") {
+    import spark.implicits._
+    // group 'a' holds 90% of rows — the shape that serializes a plain
+    // per-group window into one task
+    val df = ((1 to 4500).map(i => ("a", (i % 11) * 1.0, i.toLong)) ++
+      (1 to 500).map(i => ("b", (i % 7) * 1.0, 10000L + i)))
+      .toDF("g", "v", "k")
+    val got = ExactRank.withGroupedRowNumber(df, "g", "v", "k", "rn", "cnt", shards = 8)
+    val want = df
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g")).orderBy(col("v"), col("k"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+    assert(got.select("k", "rn", "cnt").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      want.select("k", "rn", "cnt").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the ranking window is partitioned by (group, shard), not the
+    // group alone — the shard column must reach the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("_graft_rank_shard"), s"no shard in window partitioning:\n$plan")
+  }
+
   test("qcut and length_percentiles plan with no single-partition stage") {
     val qcut = graft.Analytics.qcutOrderValue(spark, sfDir)
     val qPlan = planOf(qcut)
