@@ -22,24 +22,58 @@ object Curation {
     * budget. Returns kept rows (id, source, n_tokens, quality,
     * cum_tokens).
     *
-    * Scale shape: one shuffle, on the source key (the window). Sources
-    * are few and large, so this window is the textbook skew case — at
-    * real scale run the documented two-phase form: per-partition
-    * partial sums first, then a per-source prefix over the (tiny)
-    * partial totals decides a score THRESHOLD, and a narrow filter
-    * applies it; the windowed form below is exact and fine wherever a
-    * single source fits one task's scan rate. */
+    * Sources are FEW AND LARGE, so a window partitioned by source
+    * alone is the textbook serialization case. The prefix sum is
+    * computed two-phase instead (the ExactRank sharding recipe applied
+    * to sums): per-source approximate quality edges shard each source
+    * into ~equal slices monotone in the (quality DESC, id) order;
+    * exact per-(source, shard) token totals — a bounded driver table —
+    * give each shard its within-source starting offset; a window
+    * partitioned by (source, shard) computes the local running sum.
+    * `cum_tokens = shard offset + local running sum` is EXACT (the
+    * approximate edges only shard), and every stage is parallel across
+    * sources × shards. */
   def budgetSample(docs: DataFrame, idCol: String, textCol: String,
-                   sourceCol: String, budgetTokens: Long): DataFrame = {
-    val w = Window.partitionBy(col("source"))
+                   sourceCol: String, budgetTokens: Long,
+                   shards: Int = 32): DataFrame = {
+    val spark = docs.sparkSession
+    val base = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
+      nTokens(col(textCol)).cast("long").as("n_tokens"),
+      round(qualityScore(col(textCol)), 4).as("quality"))
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val edges = base.groupBy(col("source")).agg(
+      percentile_approx(col("quality"), typedlit(qs), lit(10000)).as("_edges"))
+    // shard 0 = highest quality: count of edges strictly above the value
+    // is monotone non-decreasing as quality falls (ties share a shard)
+    val withShard = base.join(broadcast(edges), Seq("source"))
+      .withColumn("_shard", size(filter(col("_edges"), e => col("quality") < e)))
+      .drop("_edges")
+    val sums = withShard.groupBy(col("source"), col("_shard"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+    require(sums.length <= 65536,
+      s"${sums.length} (source, shard) slices — raise shards granularity limits")
+    val offRows: Seq[org.apache.spark.sql.Row] =
+      sums.groupBy(_.get(0)).toSeq.flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        sorted.map(_.getInt(1))
+          .zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).init)
+          .map { case (s, off) => org.apache.spark.sql.Row(g, s, off) }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("source", base.schema("source").dataType),
+      org.apache.spark.sql.types.StructField("_shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType)))
+    val offs = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1), offSchema))
+    val wLocal = Window.partitionBy(col("source"), col("_shard"))
       .orderBy(col("quality").desc, col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col(idCol).as("id"), col(sourceCol).as("source"),
-        nTokens(col(textCol)).cast("long").as("n_tokens"),
-        round(qualityScore(col(textCol)), 4).as("quality"))
-      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    withShard.join(offs, Seq("source", "_shard"))
+      .withColumn("cum_tokens", col("_off") + sum(col("n_tokens")).over(wLocal))
       .filter(col("cum_tokens") <= budgetTokens)
+      .select(col("id"), col("source"), col("n_tokens"), col("quality"), col("cum_tokens"))
   }
 
   /** #30o inverse-size balanced sampling: per-source acceptance rate
