@@ -1088,6 +1088,33 @@ object Analytics {
   )
 
   val oracles: Map[String, String] = Map(
+    // the ewm float recursion replayed EXACTLY: DuckDB's recursive CTE
+    // advances each user's sequence one row per iteration with the
+    // same IEEE expression shape (v + (1.0-0.3)*num, 1.0 + (1.0-0.3)*den)
+    // and the same (µs, event_id) order as the secondary-sort pass —
+    // bit-identical, so the one formerly rows-only gate is now hashed
+    // every literal is CAST to DOUBLE: DuckDB parses 1.0/0.3 as
+    // DECIMALs and the recursive CTE pins its column types from the
+    // base case — a decimal-typed recursion silently truncates. The
+    // decay is written as the same double SUBTRACTION Scala performs
+    // (1.0d - 0.3d ≠ the double nearest to decimal 0.7)
+    "events_ewm" -> """
+      WITH RECURSIVE e AS (
+        SELECT user_id, event_id, CAST(value AS DOUBLE) AS v,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY epoch_ns(ts) // 1000, event_id) AS rn
+        FROM events),
+      r AS (
+        SELECT user_id, event_id, rn,
+               v AS num,
+               CAST(1.0 AS DOUBLE) AS den
+        FROM e WHERE rn = 1
+        UNION ALL
+        SELECT e.user_id, e.event_id, e.rn,
+               e.v + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.num,
+               CAST(1.0 AS DOUBLE) + (CAST(1.0 AS DOUBLE) - CAST(0.3 AS DOUBLE)) * r.den
+        FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      SELECT event_id, user_id, num / den AS ewm FROM r""".trim,
     "q7_nation_volume" -> """
       SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
              year(l_shipdate)::BIGINT AS l_year,
