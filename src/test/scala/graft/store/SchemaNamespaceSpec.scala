@@ -86,6 +86,31 @@ class SchemaNamespaceSpec extends SparkSpec {
       .foreach(spark.conf.unset)
   }
 
+  test("storage-partitioned join works inside a schema, through SQL and PkJoin") {
+    import spark.implicits._
+    val w = wh()
+    val l = (1 to 300).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val r = (1 to 300).filter(_ % 2 == 0).map(i => (i.toLong, i * 1.0)).toDF("k", "rv")
+    KeyedTable.toSql(l, w, "l", pk = Seq("k"), schema = Some("s1"))
+    KeyedTable.toSql(r, w, "r", pk = Seq("k"), schema = Some("s1"))
+    // the schema is a sub-warehouse: PkJoin co-partitions within it
+    val got = PkJoin.pkJoin(spark, KeyedTable.schemaDir(w, Some("s1")), "l", "r")
+    assert(got.count() === 150)
+    assert(!got.queryExecution.executedPlan.toString.contains("Exchange"))
+    // and the SQL surface addresses the same tables via the namespace
+    spark.conf.set("spark.sql.catalog.graft_ns2", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_ns2.warehouse", w)
+    try {
+      val sqlJoin = spark.sql(
+        """SELECT /*+ MERGE(a) */ a.k, a.lv, b.rv
+           FROM graft_ns2.s1.l a JOIN graft_ns2.s1.r b
+           ON a.k = b.k AND a.pb_bucket = b.pb_bucket""")
+      assert(sqlJoin.count() === 150)
+      assert(!sqlJoin.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally Seq("spark.sql.catalog.graft_ns2", "spark.sql.catalog.graft_ns2.warehouse")
+      .foreach(spark.conf.unset)
+  }
+
   test("illegal schema names are rejected") {
     intercept[IllegalNameException] {
       KeyedTable.toSql(sample(2, "z"), wh(), "t", pk = Seq("id"),
