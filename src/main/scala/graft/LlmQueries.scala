@@ -693,6 +693,10 @@ object LlmQueries {
       val e = embs(s, d)
       Knn.pqSearch(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
     }),
+    "ann_ivfadc" -> ((s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Knn.ivfAdcSearch(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    }),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
     "corpus_clean" -> corpusClean,
@@ -838,6 +842,59 @@ object LlmQueries {
       SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
              round(adc, 6)::DOUBLE AS adc_dist
       FROM r WHERE rank <= 5""".trim,
+    // IVFADC: the ann_ivf cell-assignment chain + residuals + the PQ
+    // argmin/ADC chains over residual codebooks; same determinism kit
+    "ann_ivfadc" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims) WHERE rn = 1),
+      probes AS (SELECT vec_id query_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims WHERE vec_id < 20) WHERE rn <= 4),
+      resid AS (SELECT e.vec_id, a.cid,
+                  list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) r
+                FROM e JOIN assign a ON a.vec_id = e.vec_id
+                       JOIN cents c ON c.cid = a.cid),
+      rcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS cb
+              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16)),
+      j AS (SELECT unnest(range(8)) AS subspace),
+      cd AS (SELECT resid.vec_id, resid.cid, j.subspace, rcb.code,
+               round(list_sum(list_transform(range(1, 9), i ->
+                 (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
+                 * (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i]))), 6) AS dist
+             FROM resid CROSS JOIN j CROSS JOIN rcb),
+      codes AS (SELECT vec_id, cid, subspace, code FROM (
+                  SELECT vec_id, cid, subspace, code,
+                         row_number() OVER (PARTITION BY vec_id, subspace
+                                            ORDER BY dist, code) rn
+                  FROM cd) WHERE rn = 1),
+      qres AS (SELECT p.query_id, p.cid,
+                 list_transform(range(1, 65), i -> e.v[i] - c.cv[i]) qr
+               FROM probes p JOIN e ON e.vec_id = p.query_id
+                      JOIN cents c ON c.cid = p.cid),
+      dtab AS (SELECT q.query_id, q.cid, j.subspace, rcb.code,
+                 CAST(round(list_sum(list_transform(range(1, 9), i ->
+                   (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
+                   * (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i]))), 6)
+                   AS DECIMAL(20,6)) AS d2
+               FROM qres q CROSS JOIN j CROSS JOIN rcb),
+      sc AS (SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.d2) AS adc
+             FROM codes c JOIN dtab d
+               ON d.cid = c.cid AND d.subspace = c.subspace AND d.code = c.code
+             WHERE d.query_id <> c.vec_id
+             GROUP BY 1, 2),
+      rk AS (SELECT query_id, neighbor_id, adc,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY adc, neighbor_id) AS rank
+             FROM sc)
+      SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+             round(adc, 6)::DOUBLE AS adc_dist
+      FROM rk WHERE rank <= 5""".trim,
     // same float expression SHAPE as the Spark side (idf and tf-norm
     // each one IEEE chain), each term score pinned to DECIMAL(28,10)
     // before the sum so accumulation order cannot flip the hash

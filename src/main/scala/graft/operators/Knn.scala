@@ -255,6 +255,124 @@ object Knn {
         round(col("adc"), 6).cast("double").as("adc_dist"))
   }
 
+  /** Driver replica of IvfCells' nearest-centroid fold — SAME operation
+    * order (sequential dots/norms, strict first-wins argmax), so the
+    * codebook rows' cell assignments always agree with the scan's. */
+  private def nearestCentroidIdx(x: Seq[Double],
+                                 cents: Array[(Long, Seq[Double])]): Int = {
+    var vv = 0.0
+    var i = 0
+    while (i < x.length) { vv += x(i) * x(i); i += 1 }
+    val nv = math.sqrt(vv)
+    var best = -1
+    var bestSim = 0.0
+    var ci = 0
+    while (ci < cents.length) {
+      val cv = cents(ci)._2
+      var dot = 0.0
+      i = 0
+      val n = math.min(x.length, cv.length)
+      while (i < n) { dot += x(i) * cv(i); i += 1 }
+      val sim = dot / (nv * math.sqrt(cv.map(t => t * t).sum))
+      if (best < 0 || sim > bestSim) { best = ci; bestSim = sim }
+      ci += 1
+    }
+    best
+  }
+
+  /** #27g IVFADC — the composed FAISS index for billion-vector search:
+    * a coarse quantizer routes every vector to its nearest cell, PQ
+    * encodes the RESIDUAL (vector − cell centroid; residuals are
+    * smaller than raw vectors, so the same code budget quantizes
+    * finer), and queries probe `nprobe` cells scoring candidates by
+    * ADC over the residual codes. Corpus cost per row: one narrow cell
+    * argmax + one narrow code call; query cost: nprobe residuals ×
+    * (m×k) table entries, broadcast. The corpus' floats are read only
+    * at index-build time — search touches m bytes/vector.
+    *
+    * Same determinism toolkit as the rest of the family: centroids and
+    * residual codebooks are the lowest-id vectors (driver math mirrors
+    * the scan's fold exactly), distances round to 6 before
+    * DECIMAL(20,6) pinning, sums are exact, ranks tie-break by id.
+    * Returns (query_id, neighbor_id, rank, adc_dist). */
+  def ivfAdcSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+                   vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
+                   m: Int = 8, kcb: Int = 16): DataFrame = {
+    def collectVecs(df: DataFrame, n: Int): Array[(Long, Seq[Double])] = df
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(n).collect()
+      .map { r =>
+        (r.getLong(0), r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        })
+      }
+    val cents = collectVecs(corpus, cells)
+    require(cents.nonEmpty, "corpus is empty")
+    val centById: Map[Long, Seq[Double]] = cents.toMap
+    def topCells(vec: Column, n: Int): Column =
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.IvfCells(
+          org.apache.spark.sql.GraftBridge.expression(vec),
+          cents.map(_._1).toSeq, cents.map(_._2).toSeq, n))
+    // residual codebook: the kcb lowest-id vectors' residuals w.r.t.
+    // their own cells (driver math, same folds as the scan)
+    val residCb: Seq[Seq[Double]] = collectVecs(corpus, kcb).map { case (_, v) =>
+      val c = cents(nearestCentroidIdx(v, cents))._2
+      v.zip(c).map { case (a, b) => a - b }
+    }
+    val dims = residCb.head.size
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val centLit = typedlit(centById)
+
+    def residOf(vec: Column, cell: Column): Column =
+      zip_with(transform(vec, _.cast("double")), element_at(centLit, cell),
+        (a, b) => a - b)
+
+    // corpus: cell + residual codes, both narrow
+    val codesCol = org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.PqCodes(
+        org.apache.spark.sql.GraftBridge.expression(col("_res")), m, residCb))
+    val corpusCodes = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("cell", element_at(topCells(col("cv"), 1), 1))
+      .withColumn("_res", residOf(col("cv"), col("cell")))
+      .select(col("neighbor_id"), col("cell"),
+        posexplode(codesCol).as(Seq("subspace", "code")))
+
+    // queries: per probed cell, residual + m×kcb distance-table entries
+    val entries = (0 until m).flatMap { j =>
+      val qslice = slice(col("_qres"), j * sub + 1, sub)
+      (0 until residCb.length).map { c =>
+        val cs = residCb(c).slice(j * sub, (j + 1) * sub)
+        struct(lit(j).as("subspace"), lit(c).as("code"),
+          round(aggregate(
+            zip_with(qslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6)
+            .cast("decimal(20,6)").as("d2"))
+      }
+    }
+    val dtab = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+        .withColumn("cell", explode(topCells(col("qv"), nprobe)))
+        .withColumn("_qres", residOf(col("qv"), col("cell")))
+        .select(col("query_id"), col("cell"), explode(array(entries: _*)).as("e"))
+        .select(col("query_id"), col("cell"), col("e.subspace").as("subspace"),
+          col("e.code").as("code"), col("e.d2").as("d2")))
+
+    val scored = corpusCodes.join(dtab, Seq("cell", "subspace", "code"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("adc"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).cast("double").as("adc_dist"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val long = embs.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))
