@@ -677,6 +677,12 @@ object LlmQueries {
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "dedup_embedding_incremental" -> ((s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      Dedup.incrementalEmbeddingLsh(
+        e.filter(col("vec_id") % 5 === 0), e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", threshold = 0.35)
+    }),
     "dedup_cluster" -> dedupCluster,
     "dedup_segments" -> dedupSegments,
     "dedup_intradoc" -> dedupIntradoc,
@@ -1345,6 +1351,31 @@ object LlmQueries {
       pr AS (SELECT id_a, id_b, round(${cos("ea.v", "eb.v")}, 4) cos
              FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
       SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.35""".trim,
+    // cohorts split across the signature join; best match per incoming
+    "dedup_embedding_incremental" -> s"""
+      WITH $cosCte,
+      w AS (SELECT t.t, p.p,
+              list_transform(range(64), i ->
+                ((('0x' || substr(md5((t.t*100003+p.p)::VARCHAR || ':' || i::VARCHAR), 1, 8))::BIGINT % 2000001)
+                 / 1000000.0 - 1.0)) wv
+            FROM (SELECT unnest(range(4)) t) t, (SELECT unnest(range(8)) p) p),
+      sigs AS (SELECT e.vec_id, t,
+                 sum(CASE WHEN list_dot_product(e.v, w.wv) > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT sig
+               FROM e CROSS JOIN w GROUP BY e.vec_id, t),
+      cand AS (SELECT DISTINCT a.vec_id id_new, b.vec_id id_seen
+               FROM sigs a JOIN sigs b ON b.t = a.t,
+                 (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
+               WHERE b.sig = xor(a.sig, m.m::BIGINT)
+                 AND a.vec_id % 5 = 0 AND b.vec_id % 5 != 0),
+      v2 AS (SELECT id_new, id_seen, round(${cos("ea.v", "eb.v")}, 4) cos
+             FROM cand JOIN e ea ON ea.vec_id = id_new
+                       JOIN e eb ON eb.vec_id = id_seen),
+      best AS (SELECT id_new, id_seen AS matched_id, cos,
+                 row_number() OVER (PARTITION BY id_new ORDER BY cos DESC, id_seen) rn
+               FROM v2 WHERE cos >= 0.35)
+      SELECT d.vec_id AS id, b.id_new IS NOT NULL AS is_dup, b.matched_id, b.cos
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.vec_id = b.id_new""".trim,
     "ann_bruteforce" -> s"""
       WITH $cosCte,
       q AS (SELECT * FROM e WHERE vec_id < 20),

@@ -450,4 +450,56 @@ object Dedup {
         .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b"))
     }
   }
+
+  /** #25c incremental embedding near-dup: flag which `incoming` vectors
+    * are near-dups (cosine ≥ threshold) of a `seen` reference corpus —
+    * the embedding twin of [[incrementalMinhashLsh]] for continuous
+    * ingestion. Incoming-side signatures probe at hamming distance ≤ 1
+    * against the seen side's hyperplane signatures (the only wide op —
+    * 8-byte keys, no vectors), candidates verify with the exact
+    * cosine, and each incoming vector reports its BEST match (highest
+    * cos, lowest seen id on ties). Returns one row per incoming
+    * vector: (id, is_dup, matched_id, cos) — NULL match for clean.
+    *
+    * At 100 TB the seen side's signatures are a stored index (tables ×
+    * 8 bytes per vector); a daily delta joins its probes against that
+    * index, so incremental cost scales with |delta|, not |corpus|. */
+  def incrementalEmbeddingLsh(incoming: DataFrame, seen: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double,
+                              planes: Int = 8, tables: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2(col(vecCol)).as("nrm"))
+    val in = prep(incoming)
+    val sn = prep(seen)
+    def sigsOf(v: DataFrame) = v.select(col("id"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneLshSignature(col("vec"), planes, t)): _*)).as(Seq("t", "sig")))
+    val masks = 0L +: (0 until planes).map(p => 1L << p)
+    val probes = sigsOf(in).select(col("id"), col("t"),
+      explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("psig"))
+    val seenSigs = sigsOf(sn)
+      .withColumnsRenamed(Map("id" -> "id_seen", "t" -> "st", "sig" -> "ssig"))
+    val cand = probes.join(seenSigs,
+        col("t") === col("st") && col("psig") === col("ssig"))
+      .select(col("id").as("id_new"), col("id_seen"))
+      .dropDuplicates("id_new", "id_seen")
+    val scored = cand
+      .join(in.select(col("id").as("id_new"), col("vec").as("vec_a"),
+        col("nrm").as("nrm_a")), "id_new")
+      .join(sn.select(col("id").as("id_seen"), col("vec").as("vec_b"),
+        col("nrm").as("nrm_b")), "id_seen")
+      .select(col("id_new"), col("id_seen"),
+        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+    val w = Window.partitionBy(col("id_new")).orderBy(col("cos").desc, col("id_seen"))
+    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    in.select(col("id"))
+      .join(best.select(col("id_new"), col("id_seen").as("matched_id"), col("cos")),
+        col("id") === col("id_new"), "left")
+      .select(col("id"), col("id_new").isNotNull.as("is_dup"),
+        col("matched_id"), col("cos"))
+  }
 }
