@@ -552,6 +552,33 @@ object KeyedTable {
     } finally f.delete(new Path(staging), true)
   }
 
+  /** Remove leftover `.staging-*` / `.retired-*` directories that a
+    * crashed write abandoned under a table dir. Every commit protocol
+    * here leaves the LIVE data consistent on failure (staging is never
+    * the only copy until it is renamed into place; `retired` is kept
+    * only while a rebucket is mid-swap), so leftovers are garbage by
+    * construction once no writer is active — but they cost storage and
+    * confuse listings. Only dirs older than `olderThanMs` are removed
+    * (default 24 h), so an in-flight writer's staging is never touched.
+    * Returns the number of directories removed. */
+  def vacuum(spark: SparkSession, warehouse0: String, tableName: String,
+             olderThanMs: Long = 24L * 3600 * 1000,
+             schema: Option[String] = None): Int = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    val p = new Path(dir)
+    val f = fs(spark, dir)
+    if (!f.exists(p)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    f.listStatus(p).count { st =>
+      val n = st.getPath.getName
+      val stale = st.isDirectory &&
+        (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
+        st.getModificationTime < cutoff
+      if (stale) f.delete(st.getPath, true)
+      stale
+    }
+  }
+
   /** Read a table back, optionally restricted to an inclusive PK range.
     *
     * Mirrors reference `read_sql` (/root/reference/pandabase/sql.py:349):

@@ -261,6 +261,21 @@ class KeyedTableSpec extends SparkSpec {
     assert(KeyedTable.compact(spark, w, "t", minFiles = 4) == 0)
   }
 
+  test("vacuum removes only stale staging/retired leftovers, never live data") {
+    val w = wh()
+    KeyedTable.toSql(sample(20), w, "t", pk = Seq("id"))
+    val dir = new java.io.File(KeyedTable.tableDir(w, "t"))
+    val stale = new java.io.File(dir, ".staging-deadbeef")
+    val fresh = new java.io.File(dir, ".retired-cafebabe")
+    stale.mkdirs(); fresh.mkdirs()
+    stale.setLastModified(System.currentTimeMillis() - 48L * 3600 * 1000)
+    assert(KeyedTable.vacuum(spark, w, "t") === 1) // only the stale one
+    assert(!stale.exists() && fresh.exists())
+    assert(KeyedTable.vacuum(spark, w, "t", olderThanMs = 0L) === 1) // now the fresh one
+    assert(!fresh.exists())
+    assert(KeyedTable.readSql(spark, w, "t").count() === 20)
+  }
+
   test("range read with wrong bound arity fails (reference sql.py:415)") {
     val w = wh()
     KeyedTable.toSql(sample(10), w, "t", pk = Seq("id"))
