@@ -237,17 +237,53 @@ object LlmQueries {
     * metadata only: one window cumsum of exact integers per group (the
     * shards are the unit of parallelism at 100 TB — each group's
     * stream is independent). */
-  def packChunks(s: SparkSession, d: String, budget: Long = 2048L): DataFrame = {
-    val grp = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pack_group")).orderBy(col("doc_id"))
-    docs(s, d)
+  def packChunks(s: SparkSession, d: String, budget: Long = 2048L,
+                 shards: Int = 32): DataFrame = {
+    // the per-group prefix sum runs two-phase (the ExactRank sharding
+    // recipe, as in Curation.budgetSample): pack groups are few and
+    // large, so a window partitioned by the group alone would
+    // serialize each group's stream into one task. Approximate doc_id
+    // edges shard each group monotonically; exact per-(group, shard)
+    // token totals give shard offsets; the local window is
+    // (group, shard)-partitioned. start_offset stays exact.
+    val base = docs(s, d)
       .select(col("doc_id"), (col("doc_id") % 8).as("pack_group"),
         nTokens(col("text")).as("n_tokens"))
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val edges = base.groupBy(col("pack_group")).agg(
+      percentile_approx(col("doc_id"), typedLit(qs), lit(10000)).as("_edges"))
+    val withShard = base.join(broadcast(edges), Seq("pack_group"))
+      .withColumn("_shard", size(filter(col("_edges"), e => col("doc_id") > e)))
+      .drop("_edges")
+    val sums = withShard.groupBy(col("pack_group"), col("_shard"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+    val offRows: Seq[org.apache.spark.sql.Row] =
+      sums.groupBy(_.get(0)).toSeq.flatMap { case (g, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        sorted.map(_.getInt(1))
+          .zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).init)
+          .map { case (sh, off) => org.apache.spark.sql.Row(g, sh, off) }
+      }
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pack_group",
+        base.schema("pack_group").dataType),
+      org.apache.spark.sql.types.StructField("_shard",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("_off",
+        org.apache.spark.sql.types.LongType)))
+    val offs = broadcast(s.createDataFrame(
+      s.sparkContext.parallelize(offRows, 1), offSchema))
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_group"), col("_shard")).orderBy(col("doc_id"))
+      .rowsBetween(Long.MinValue, -1)
+    withShard.join(offs, Seq("pack_group", "_shard"))
       .withColumn("start_offset",
-        coalesce(sum(col("n_tokens")).over(grp.rowsBetween(Long.MinValue, -1)), lit(0L)))
+        col("_off") + coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
       .withColumn("seq_id", floor(col("start_offset") / budget).cast("long"))
       .withColumn("crosses_boundary",
         col("start_offset") % budget + col("n_tokens") > budget)
+      .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+        col("start_offset"), col("seq_id"), col("crosses_boundary"))
   }
 
   /** #30n exact token-length percentiles (p25/50/75/90/99) by rank
