@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: scan every registered query's physical plan for the one
+  * serial shape that does NOT scale — a `WindowExec` with an empty
+  * partition spec (Spark moves ALL input rows to a single task). A
+  * global scalar aggregate also plans an `Exchange SinglePartition`,
+  * but its input is one row per partition — fine; this audit therefore
+  * walks the plan tree for unpartitioned Window nodes instead of
+  * string-matching the exchange. A few queries run a deliberately
+  * bounded global window (post-aggregation row counts ≤ a few
+  * hundred); those are listed in [[bounded]] with the reason, and the
+  * audit reports them separately so a NEW serial stage can't hide
+  * behind an old justified one.
+  *
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+
+  /** Queries whose single-partition stage is bounded by construction
+    * (operates on already-aggregated rows, not raw data). */
+  val bounded: Map[String, String] = Map(
+    "vocab_growth" -> "running sum over <= #batches post-agg rows")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var serial = List.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        // sparkPlan, not executedPlan: AQE wraps the latter in an
+        // AdaptiveSparkPlanExec whose inner tree collect() can't see
+        val plan = fn(spark, sfDir).queryExecution.sparkPlan
+        val globalWindows = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (globalWindows.nonEmpty) {
+          if (bounded.contains(name)) println(s"BOUNDED $name: ${bounded(name)}")
+          else { serial ::= name; println(s"SERIAL  $name (${globalWindows.size} global window(s))") }
+        }
+      } catch { case e: Throwable => println(s"ERROR   $name: ${e.getMessage}") }
+    }
+    println(if (serial.isEmpty) "== audit clean =="
+            else s"== ${serial.size} unjustified serial plans: ${serial.reverse.mkString(", ")} ==")
+    spark.stop()
+  }
+}
