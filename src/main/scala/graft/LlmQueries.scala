@@ -720,6 +720,11 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.35)
     }),
     "dedup_cluster" -> dedupCluster,
+    "dedup_semantic" -> ((s: SparkSession, d: String) =>
+      Dedup.semantic(embs(s, d), "vec_id", "embedding",
+        cells = 16, threshold = 0.35)),
+    "embedding_kmeans" -> ((s: SparkSession, d: String) =>
+      Knn.kmeansRefine(embs(s, d), "vec_id", "embedding", cells = 16)),
     "dedup_segments" -> dedupSegments,
     "dedup_intradoc" -> dedupIntradoc,
     "budget_sample" -> budgetSampleQ,
@@ -1412,6 +1417,52 @@ object LlmQueries {
       SELECT d.vec_id AS id, b.id_new IS NOT NULL AS is_dup, b.matched_id, b.cos
       FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.vec_id = b.id_new""".trim,
+    // SemDeDup: the 16 lowest-id seed centroids replayed, argmax
+    // assignment (sim DESC, cid tie-break = IvfCells' first-wins),
+    // then the keep-first pairwise verify restricted to each cell
+    "dedup_semantic" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      a AS (SELECT vec_id, cid cell FROM
+              (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+               FROM sims) WHERE rn = 1),
+      nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) n, v FROM e),
+      dups AS (SELECT DISTINCT y.vec_id id
+               FROM a x JOIN a y ON y.cell = x.cell AND x.vec_id < y.vec_id
+               JOIN nrm na ON na.vec_id = x.vec_id JOIN nrm nb ON nb.vec_id = y.vec_id
+               WHERE round(list_dot_product(na.v, nb.v) / (na.n * nb.n), 4) >= 0.35)
+      SELECT a.vec_id AS id, a.cell, (d.id IS NOT NULL) AS is_dup
+      FROM a LEFT JOIN dups d ON d.id = a.vec_id""".trim,
+    // one Lloyd step: refined centroids rebuilt with the SAME
+    // decimal-pinned means (embedding_centroids recipe), lists
+    // reassembled in dim order, argmax replayed against them
+    "embedding_kmeans" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      s0 AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      a0 AS (SELECT vec_id, cid cell FROM
+              (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+               FROM s0) WHERE rn = 1),
+      x AS (SELECT a0.cell, t.i dim, CAST(em.embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) v
+            FROM a0 JOIN embeddings em ON em.vec_id = a0.vec_id,
+                 (SELECT unnest(range(64)) i) t),
+      m AS (SELECT cell, dim, round(sum(v)::DOUBLE / count(*), 6) mv FROM x GROUP BY 1, 2),
+      newc AS (SELECT cell cid, list(mv ORDER BY dim) cv FROM m GROUP BY cell),
+      s1 AS (SELECT e.vec_id, n.cid, ${cos("e.v", "n.cv")} sim FROM e CROSS JOIN newc n),
+      a1 AS (SELECT vec_id, cid cell FROM
+              (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+               FROM s1) WHERE rn = 1),
+      n0 AS (SELECT cell, count(*) c FROM a0 GROUP BY 1),
+      n1 AS (SELECT cell, count(*) c FROM a1 GROUP BY 1),
+      st AS (SELECT a0.cell, count(*) c FROM a0 JOIN a1 USING (vec_id)
+             WHERE a0.cell = a1.cell GROUP BY 1)
+      SELECT n0.cell, n0.c AS n_seed, coalesce(n1.c, 0) AS n_refined,
+             coalesce(st.c, 0) AS n_stay
+      FROM n0 LEFT JOIN n1 ON n1.cell = n0.cell LEFT JOIN st ON st.cell = n0.cell""".trim,
     "ann_bruteforce" -> s"""
       WITH $cosCte,
       q AS (SELECT * FROM e WHERE vec_id < 20),

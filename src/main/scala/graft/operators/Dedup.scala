@@ -502,4 +502,43 @@ object Dedup {
       .select(col("id"), col("id_new").isNotNull.as("is_dup"),
         col("matched_id"), col("cos"))
   }
+
+  /** #25d semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
+    * cluster the embedding space with a coarse k-means quantizer, then
+    * search for near-duplicates ONLY within each cluster — the
+    * quadratic verify is bounded by cluster size instead of corpus
+    * size, which is what makes cosine dedup tractable on a 100 TB
+    * corpus where even LSH bucket occupancy gets expensive.
+    *
+    * Cluster assignment reuses the IVF coarse quantizer
+    * ([[graft.operators.Knn.seedCentroids]] /
+    * [[graft.operators.Knn.nearestCells]]): a NARROW codegen'd argmax
+    * per row, no shuffle. The within-cluster pairwise pass shuffles
+    * both sides by cell once and verifies with the exact cosine
+    * (rounded to 4, same boundary as [[embeddingPairs]]); a row is a
+    * duplicate when an earlier (lower-id) row of the same cell is
+    * within `threshold` — the deterministic keep-first rule the exact
+    * dedup family uses. Parallelism = #cells, so size `cells` ~
+    * n/targetClusterSize as the corpus grows (the SemDeDup paper runs
+    * ~100k clusters at web scale; the per-cell work is Σ|cell|²).
+    * Returns one row per vector: (id, cell, is_dup). */
+  def semantic(embs: DataFrame, idCol: String, vecCol: String,
+               cells: Int = 16, threshold: Double = 0.35): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = graft.operators.Knn.seedCentroids(embs, idCol, vecCol, cells)
+    val assigned = embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      norm2(col(vecCol)).as("nrm"),
+      element_at(graft.operators.Knn.nearestCells(cents, col(vecCol), 1), 1)
+        .as("cell"))
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("b.id").as("id"),
+        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
+          .as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("id")).distinct()
+    assigned.join(dups.withColumn("_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("_dup"), lit(false)).as("is_dup"))
+  }
 }

@@ -11,6 +11,42 @@ import graft.functions.VectorFunctions._
   */
 object Knn {
 
+  /** Deterministic seed centroids shared by the IVF/k-means family:
+    * the `cells` lowest-id vectors, cast element-wise to double. The
+    * SQL oracle replays them (`ORDER BY vec_id LIMIT cells`); at 100 TB
+    * you'd sample + Lloyd-refine ([[kmeansRefine]] is that step) — the
+    * assignment machinery is identical either way. Driver cost =
+    * cells × dims doubles. Ascending-cid order makes IvfCells'
+    * first-wins tie-break equal to ORDER BY sim DESC, cid. */
+  def seedCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                    cells: Int): Array[(Long, Seq[Double])] = {
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+      .orderBy("cid").limit(cells).collect()
+      .map { r =>
+        val v = r.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case x => x.toString.toDouble
+        }
+        (r.getLong(0), v)
+      }
+    require(cents.nonEmpty, "corpus is empty")
+    cents
+  }
+
+  /** The ids of the `n` nearest centroids to `vec` by cosine (first-
+    * wins tie-break), as ONE native codegen'd call per row
+    * (graft.functions.expr.IvfCells; centroids ride as a codegen
+    * reference object, so the generated code stays tiny and cheap to
+    * recompile). Narrow — no shuffle, no join; scales with the scan. */
+  def nearestCells(cents: Array[(Long, Seq[Double])], vec: Column,
+                   n: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.IvfCells(
+        org.apache.spark.sql.GraftBridge.expression(vec),
+        cents.map(_._1).toSeq, cents.map(_._2).toSeq, n))
+
   /** #26 Brute-force cosine top-k: every query row scored against every
     * corpus row. The corpus↔query product is realized as a broadcast
     * nested-loop join (queries are the small side — broadcast them),
@@ -50,28 +86,8 @@ object Knn {
   def ivf(corpus: DataFrame, queries: DataFrame,
           idCol: String, vecCol: String, k: Int,
           cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents: Array[(Long, Seq[Double])] = corpus
-      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
-      .orderBy("cid").limit(cells).collect()
-      .map { r =>
-        val v = r.getSeq[Any](1).map {
-          case f: Float => f.toDouble
-          case d: Double => d
-          case x => x.toString.toDouble
-        }
-        (r.getLong(0), v)
-      }
-    require(cents.nonEmpty, "corpus is empty")
-    // nearest/top-nprobe centroid ids in ONE native call per row
-    // (graft.functions.expr.IvfCells; centroids ride as a codegen
-    // reference object, so the generated code stays tiny and cheap to
-    // recompile). Centroids are in ascending-cid order, which makes the
-    // expression's first-wins tie-break equal to ORDER BY sim DESC, cid.
-    def topCells(vec: Column, n: Int): Column =
-      org.apache.spark.sql.GraftBridge.column(
-        graft.functions.expr.IvfCells(
-          org.apache.spark.sql.GraftBridge.expression(vec),
-          cents.map(_._1).toSeq, cents.map(_._2).toSeq, n))
+    val cents = seedCentroids(corpus, idCol, vecCol, cells)
+    def topCells(vec: Column, n: Int): Column = nearestCells(cents, vec, n)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
         norm2(col(vecCol)).as("cn"),
@@ -371,6 +387,63 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc"), 6).cast("double").as("adc_dist"))
+  }
+
+  /** #27h one distributed Lloyd refinement step (spherical k-means) —
+    * the "sample + Lloyd-refine" production path the seed-centroid
+    * docstrings defer. Exactly the shape Lloyd's takes on a cluster:
+    *
+    *  1. assign every vector to its nearest seed centroid — a NARROW
+    *     codegen'd argmax ([[nearestCells]]), no shuffle;
+    *  2. reduce to new centroids: per-(cell, dim) means through the
+    *     decimal-pinned recipe of [[centroids]] (#27c) — element sums
+    *     in DECIMAL(18,6) so the mean is independent of partial-
+    *     aggregate merge order, rounded to 6 — collected to the driver
+    *     (cells × dims rows, the only driver state; this IS the
+    *     per-iteration reduce of distributed k-means);
+    *  3. re-assign against the refined centroids (narrow again) and
+    *     report per-cell movement, all exact integers: seed-assignment
+    *     size, refined-assignment size, and how many stayed.
+    *
+    * Cosine against an unnormalized mean equals cosine against the
+    * normalized mean (scale invariance), so the means need no extra
+    * normalization. Rounding means to 6 decimals before re-assignment
+    * keeps the refined centroids bit-identical across engines — the
+    * SQL oracle rebuilds them with the same decimal sums and replays
+    * the argmax. More iterations = repeat steps 1-2; one step is gated
+    * because each further iteration has identical plan shape.
+    * Returns (cell, n_seed, n_refined, n_stay). */
+  def kmeansRefine(embs: DataFrame, idCol: String, vecCol: String,
+                   cells: Int = 16): DataFrame = {
+    val seeds = seedCentroids(embs, idCol, vecCol, cells)
+    val a0 = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", element_at(nearestCells(seeds, col("vec"), 1), 1))
+    val meanRows = a0
+      .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(round(sum(col("v").cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+        / count(lit(1)), 6).as("m"))
+      .collect()
+    val refined: Array[(Long, Seq[Double])] = meanRows
+      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      .map { case (cell, rows) =>
+        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }
+    val a1 = a0.withColumn("cell1",
+      element_at(nearestCells(refined, col("vec"), 1), 1))
+    val n0 = a0.groupBy(col("cell")).agg(count(lit(1)).as("n_seed"))
+    val n1 = a1.groupBy(col("cell1").as("cell"))
+      .agg(count(lit(1)).as("n_refined"))
+    val stay = a1.filter(col("cell") === col("cell1"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_stay"))
+    // every seed cell holds at least its seed vector, so n0 already
+    // covers all cells; outer joins only fill refined/stay gaps
+    n0.join(n1, Seq("cell"), "full").join(stay, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        coalesce(col("n_refined"), lit(0L)).as("n_refined"),
+        coalesce(col("n_stay"), lit(0L)).as("n_stay"))
   }
 
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {

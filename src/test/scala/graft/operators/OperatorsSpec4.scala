@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Contract specs for the SemDeDup + k-means-refinement additions. */
+class OperatorsSpec4 extends SparkSpec {
+
+  import spark.implicits._
+
+  private def embs = Tables.embeddings(spark, sfDir)
+
+  // ------------------------------------------------------------ Dedup.semantic
+
+  test("semantic dedup: keep-first rule within cells on a crafted corpus") {
+    // cells = 2 -> seeds are ids 0 ([1,0]) and 1 ([0,1]); 2 and 3 land
+    // in 0's cell, 4 in 1's. Threshold .9: 2 dups against 0; 3 is near
+    // ONLY 2 (not 0) and still flags — earlier-similar, kept or not;
+    // 4 is alone with seed 1 and similar to it.
+    val df = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0f, 1f)),
+      (2L, Array(0.995f, 0.1f)),
+      (3L, Array(0.97f, 0.243f)),
+      (4L, Array(0.1f, 0.995f)),
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semantic(df, "vec_id", "embedding", cells = 2, threshold = 0.9)
+      .select("id", "cell", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(0L) == ((0L, false)), "first of its cell is never a dup")
+    assert(out(1L) == ((1L, false)))
+    assert(out(2L) == ((0L, true)), "near seed 0")
+    assert(out(3L) == ((0L, true)), "near an earlier non-seed row")
+    assert(out(4L) == ((1L, true)), "near seed 1 in the other cell")
+  }
+
+  test("semantic dedup flags = within-cell exact pairs (independent recompute)") {
+    val cents = Knn.seedCentroids(embs, "vec_id", "embedding", cells = 16)
+    val assigned = embs.select(col("vec_id"),
+      element_at(Knn.nearestCells(cents, col("embedding"), 1), 1).as("cell"))
+    // reference: all exact pairs >= threshold, kept only when same-cell
+    val pairs = Dedup.embeddingPairs(embs, "vec_id", "embedding",
+        threshold = 0.35, exact = true)
+      .join(assigned.select(col("vec_id").as("id_a"), col("cell").as("cell_a")), "id_a")
+      .join(assigned.select(col("vec_id").as("id_b"), col("cell").as("cell_b")), "id_b")
+      .filter(col("cell_a") === col("cell_b"))
+    val expect = pairs.select(col("id_b").as("id")).distinct()
+      .as[Long].collect().toSet
+    val got = Dedup.semantic(embs, "vec_id", "embedding", cells = 16, threshold = 0.35)
+      .filter(col("is_dup")).select("id").as[Long].collect().toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus must exercise the dup path")
+  }
+
+  test("semantic dedup plan: bucketed self-join, no all-pairs product") {
+    val plan = Dedup.semantic(embs, "vec_id", "embedding")
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "within-cell pass must join on the cell key, not the all-pairs product")
+  }
+
+  // ------------------------------------------------------------ kmeansRefine
+
+  test("kmeans refine: per-cell movement invariants on the corpus") {
+    val out = Knn.kmeansRefine(embs, "vec_id", "embedding", cells = 16)
+      .select("cell", "n_seed", "n_refined", "n_stay")
+      .as[(Long, Long, Long, Long)].collect()
+    val n = embs.count()
+    assert(out.length == 16, "one row per seed cell")
+    assert(out.map(_._2).sum == n, "seed assignment partitions the corpus")
+    assert(out.map(_._3).sum == n, "refined assignment partitions the corpus")
+    out.foreach { case (cell, seed, refined, stay) =>
+      assert(stay <= seed && stay <= refined,
+        s"cell $cell: stayers are a subset of both assignments")
+      assert(seed >= 1, s"cell $cell holds at least its seed vector")
+    }
+    assert(out.map(_._4).sum < n, "one Lloyd step moves at least one vector " +
+      "on this corpus (fixed synthetic data; exercises the refinement)")
+  }
+
+  test("kmeans refine is deterministic (merge-order-pinned means)") {
+    def run() = Knn.kmeansRefine(embs, "vec_id", "embedding", cells = 16)
+      .orderBy("cell").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run() == run())
+  }
+}
