@@ -410,26 +410,39 @@ object Knn {
     * normalization. Rounding means to 6 decimals before re-assignment
     * keeps the refined centroids bit-identical across engines — the
     * SQL oracle rebuilds them with the same decimal sums and replays
-    * the argmax. More iterations = repeat steps 1-2; one step is gated
-    * because each further iteration has identical plan shape.
-    * Returns (cell, n_seed, n_refined, n_stay). */
+    * the argmax. `iters` repeats steps 1-2 (each further iteration has
+    * identical plan shape — one narrow assign + one mean reduce); the
+    * gated query runs ONE step so the oracle stays replayable, and the
+    * movement report always compares the LAST refinement against the
+    * seed assignment. Returns (cell, n_seed, n_refined, n_stay). */
   def kmeansRefine(embs: DataFrame, idCol: String, vecCol: String,
-                   cells: Int = 16): DataFrame = {
+                   cells: Int = 16, iters: Int = 1): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val seeds = seedCentroids(embs, idCol, vecCol, cells)
-    val a0 = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-      .withColumn("cell", element_at(nearestCells(seeds, col("vec"), 1), 1))
-    val meanRows = a0
-      .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
-      .groupBy(col("cell"), col("dim"))
-      .agg(round(sum(col("v").cast("double")
-          .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
-        / count(lit(1)), 6).as("m"))
-      .collect()
-    val refined: Array[(Long, Seq[Double])] = meanRows
-      .groupBy(_.getLong(0)).toArray.sortBy(_._1)
-      .map { case (cell, rows) =>
-        (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
-      }
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val a0 = base.withColumn("cell",
+      element_at(nearestCells(seeds, col("vec"), 1), 1))
+    def refineOnce(assigned: DataFrame): Array[(Long, Seq[Double])] = {
+      val meanRows = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(round(sum(col("v").cast("double")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .collect()
+      meanRows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+    }
+    // a Lloyd iteration can empty a cell (no vector nearest the refined
+    // centroid); its mean is then undefined and the centroid simply
+    // drops out of the next argmax — the standard empty-cluster policy
+    val refined = (1 to iters).foldLeft((seeds, a0)) { case ((_, assigned), _) =>
+      val cents = refineOnce(assigned)
+      (cents, base.withColumn("cell",
+        element_at(nearestCells(cents, col("vec"), 1), 1)))
+    }._1
     val a1 = a0.withColumn("cell1",
       element_at(nearestCells(refined, col("vec"), 1), 1))
     val n0 = a0.groupBy(col("cell")).agg(count(lit(1)).as("n_seed"))

@@ -85,4 +85,20 @@ class OperatorsSpec4 extends SparkSpec {
       .orderBy("cell").as[(Long, Long, Long, Long)].collect().toSeq
     assert(run() == run())
   }
+
+  test("kmeans refine: further iterations keep the partition invariants") {
+    val out = Knn.kmeansRefine(embs, "vec_id", "embedding", cells = 16, iters = 3)
+      .as[(Long, Long, Long, Long)].collect()
+    val n = embs.count()
+    assert(out.map(_._2).sum == n && out.map(_._3).sum == n)
+    out.foreach { case (_, seed, refined, stay) =>
+      assert(stay <= seed && stay <= refined)
+    }
+    // iterating must not be a no-op relative to one step on this corpus
+    val one = Knn.kmeansRefine(embs, "vec_id", "embedding", cells = 16)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.map(_._4).sum != one.map(_._4).sum ||
+           out.sortBy(_._1).toSeq != one.sortBy(_._1).toSeq,
+      "three Lloyd steps should differ from one on the synthetic corpus")
+  }
 }
