@@ -584,6 +584,11 @@ object LlmQueries {
     Curation.noveltyScores(docs(s, d), "doc_id", "text", n = 5)
       .withColumnRenamed("id", "doc_id")
 
+  /** #30u BPE merge-pair statistics (top adjacent character pairs,
+    * unique-word weighted — tokenizer training's hot loop). */
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    Curation.bpePairs(docs(s, d), "text", topK = 50)
+
   /** #27c per-label embedding centroids. */
   def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Knn.centroids(embs(s, d), "label", "embedding")
@@ -729,6 +734,7 @@ object LlmQueries {
     "dedup_intradoc" -> dedupIntradoc,
     "budget_sample" -> budgetSampleQ,
     "text_novelty" -> textNovelty,
+    "bpe_pairs" -> bpePairs,
     "corpus_balance" -> corpusBalance,
     "group_sample" -> groupSampleQ,
     "ann_bruteforce" -> annBruteforce,
@@ -1224,6 +1230,19 @@ object LlmQueries {
              sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
              round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
       FROM d2 GROUP BY doc_id""".trim,
+    // unique-word frequencies first (the BPE corpus compression), then
+    // adjacent char pairs weighted by word frequency; ties by pair asc
+    "bpe_pairs" -> """
+      WITH wc AS (SELECT word, count(*) wn
+                  FROM (SELECT unnest(string_split(text, ' ')) word FROM documents)
+                  WHERE len(word) >= 2 GROUP BY 1),
+      p AS (SELECT wn,
+              unnest(list_transform(range(len(word) - 1), i -> substr(word, i + 1, 2))) pair
+            FROM wc),
+      agg AS (SELECT pair, sum(wn)::BIGINT n_pairs FROM p GROUP BY 1)
+      SELECT pair, n_pairs,
+             row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank
+      FROM agg QUALIFY rank <= 50""".trim,
     // same 5-gram shingle definition as shingleCte (wordShingles is
     // per-doc distinct); minHits=1 → contamination is join existence
     "corpus_decontaminate" -> s"""

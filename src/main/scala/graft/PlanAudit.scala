@@ -21,7 +21,8 @@ object PlanAudit {
   /** Queries whose single-partition stage is bounded by construction
     * (operates on already-aggregated rows, not raw data). */
   val bounded: Map[String, String] = Map(
-    "vocab_growth" -> "running sum over <= #batches post-agg rows")
+    "vocab_growth" -> "running sum over <= #batches post-agg rows",
+    "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

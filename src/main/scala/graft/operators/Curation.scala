@@ -138,4 +138,34 @@ object Curation {
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
   }
+
+  /** #30u BPE merge-pair statistics — the counting step every BPE
+    * tokenizer-training iteration repeats, at the scale where it
+    * dominates (each merge recounts pairs over the whole corpus).
+    * Classic corpus compression first: aggregate to UNIQUE words with
+    * frequencies (one groupBy — the corpus shrinks from tokens to
+    * vocabulary), then explode each unique word's adjacent character
+    * pairs and sum word frequencies per pair. Pair counts collapse
+    * map-side (partial agg over a charset² vocabulary), and the final
+    * top-k rank runs over that bounded aggregate — all exact integers,
+    * deterministic tie-break (count desc, pair asc).
+    *
+    * This is iteration 1 of BPE (symbols = characters). Later
+    * iterations re-run the same plan over re-segmented words — the
+    * plan shape is identical, so the gated single iteration is the
+    * scale proof. Returns (pair, n_pairs, rank), rank <= topK. */
+  def bpePairs(docs: DataFrame, textCol: String, topK: Int = 50): DataFrame = {
+    val wc = docs.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wn"))
+    val pairs = wc.select(col("wn"),
+      explode(transform(sequence(lit(0), length(col("word")) - 2),
+        i => col("word").substr(i + 1, lit(2)))).as("pair"))
+    val agg = pairs.groupBy(col("pair")).agg(sum(col("wn")).as("n_pairs"))
+    // bounded global window: input is the aggregated pair vocabulary
+    // (<= charset^2 rows), not raw data — see PlanAudit.bounded
+    val w = Window.orderBy(col("n_pairs").desc, col("pair"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
 }

@@ -101,4 +101,19 @@ class OperatorsSpec4 extends SparkSpec {
            out.sortBy(_._1).toSeq != one.sortBy(_._1).toSeq,
       "three Lloyd steps should differ from one on the synthetic corpus")
   }
+
+  // --------------------------------------------------------------- bpePairs
+
+  test("bpe pairs: word-frequency weighting, overlap, tie-break, topK") {
+    // "abab" contributes pairs ab, ba, ab (overlapping); word freq 2
+    // doubles every pair; single-char words drop before pairing
+    val df = Seq("abab abab x cd", "cd").toDF("text")
+    val out = Curation.bpePairs(df, "text", topK = 2)
+      .select("pair", "n_pairs", "rank")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.toSeq == Seq(("ab", 4L), ("ba", 2L)).zipWithIndex.map {
+      case ((p, n), i) => (p, n, i + 1L)
+    }, s"got ${out.toSeq}; cd (n=2) loses the tie to ba by pair order " +
+       "and then falls outside topK=2")
+  }
 }
