@@ -31,6 +31,12 @@ object WriteMode {
   * write-to-staging + per-bucket directory swap, so a reader never sees
   * a half-written bucket and the source is never overwritten while being
   * read. PK range reads push down to parquet row-group min/max stats.
+  *
+  * Writers additionally serialize through [[WriteLock]] (`_graft_lock`,
+  * atomic create-if-absent): each swap is atomic but the
+  * read-merge-swap SEQUENCE is not, so two concurrent mutators of the
+  * same table fail fast instead of interleaving. Readers never take
+  * the lock.
   */
 object KeyedTable {
 
@@ -139,20 +145,25 @@ object KeyedTable {
     }
 
     val dir = tableDir(wh, tableName)
-    val exists = TableMeta.exists(spark, dir)
+    // the existence check runs INSIDE the lock: two concurrent creators
+    // arbitrate here (one creates, the other sees the table and gets
+    // the CreateOnly error instead of a torn rename race)
+    WriteLock.withLock(spark, dir, s"toSql($how)") {
+      val exists = TableMeta.exists(spark, dir)
 
-    if (!exists) {
-      if (!autoIndex && pkClean.isEmpty)
-        throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
-      create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
-        validate, inferBool)
-    } else {
-      how match {
-        case WriteMode.CreateOnly =>
-          throw new StoreException(
-            s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
-        case WriteMode.Append => append(cleaned, wh, tableName, addNewColumns, validate)
-        case WriteMode.Upsert => upsert(cleaned, wh, tableName, addNewColumns, validate)
+      if (!exists) {
+        if (!autoIndex && pkClean.isEmpty)
+          throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
+        create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
+          validate, inferBool)
+      } else {
+        how match {
+          case WriteMode.CreateOnly =>
+            throw new StoreException(
+              s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
+          case WriteMode.Append => append(cleaned, wh, tableName, addNewColumns, validate)
+          case WriteMode.Upsert => upsert(cleaned, wh, tableName, addNewColumns, validate)
+        }
       }
     }
   }
@@ -468,30 +479,34 @@ object KeyedTable {
               minFiles: Int = 4, schema: Option[String] = None): Int = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
-    val meta = TableMeta.read(spark, dir)
-    val data = dataDir(warehouse, tableName)
-    val f = fs(spark, dir)
-    val crowded = (0 until meta.buckets).filter { b =>
-      val p = new Path(data, s"$BucketCol=$b")
-      f.exists(p) &&
-        f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >= minFiles
-    }
-    if (crowded.isEmpty) return 0
-    val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
-    try {
-      readRaw(spark, warehouse, tableName, meta)
-        .filter(col(BucketCol).isin(crowded: _*))
-        .repartition(crowded.size, col(BucketCol))
-        .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
-        .write.partitionBy(BucketCol).parquet(staging)
-      crowded.foreach { b =>
-        val target = new Path(data, s"$BucketCol=$b")
-        val src = new Path(staging, s"$BucketCol=$b")
-        if (f.exists(target)) f.delete(target, true)
-        if (f.exists(src)) f.rename(src, target)
+    WriteLock.withLock(spark, dir, "compact") {
+      val meta = TableMeta.read(spark, dir)
+      val data = dataDir(warehouse, tableName)
+      val f = fs(spark, dir)
+      val crowded = (0 until meta.buckets).filter { b =>
+        val p = new Path(data, s"$BucketCol=$b")
+        f.exists(p) &&
+          f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >= minFiles
       }
-    } finally f.delete(new Path(staging), true)
-    crowded.size
+      if (crowded.isEmpty) 0
+      else {
+        val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
+        try {
+          readRaw(spark, warehouse, tableName, meta)
+            .filter(col(BucketCol).isin(crowded: _*))
+            .repartition(crowded.size, col(BucketCol))
+            .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+            .write.partitionBy(BucketCol).parquet(staging)
+          crowded.foreach { b =>
+            val target = new Path(data, s"$BucketCol=$b")
+            val src = new Path(staging, s"$BucketCol=$b")
+            if (f.exists(target)) f.delete(target, true)
+            if (f.exists(src)) f.rename(src, target)
+          }
+        } finally f.delete(new Path(staging), true)
+        crowded.size
+      }
+    }
   }
 
   /** #11e rebucket: rewrite the table under a new bucket count — the
@@ -509,6 +524,14 @@ object KeyedTable {
     require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "rebucket") {
+      rebucketLocked(spark, warehouse, tableName, newBuckets, dir)
+    }
+  }
+
+  private def rebucketLocked(spark: SparkSession, warehouse: String,
+                             tableName: String, newBuckets: Int,
+                             dir: String): Unit = {
     val meta = TableMeta.read(spark, dir)
     if (meta.buckets == newBuckets) return
     val data = dataDir(warehouse, tableName)

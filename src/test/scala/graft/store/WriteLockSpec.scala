@@ -1,0 +1,110 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.SparkSpec
+
+/** Contract specs for the cross-writer mutual-exclusion lock. */
+class WriteLockSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshWarehouse(): String =
+    Files.createTempDirectory("graft-lock-wh").toString
+
+  private def sampleDf = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+
+  private def lockPath(wh: String, table: String) =
+    new Path(KeyedTable.tableDir(wh, table), WriteLock.FileName)
+
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("a held lock rejects a second writer with the holder's context") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val e = intercept[StoreException] {
+      WriteLock.withLock(spark, KeyedTable.tableDir(wh, "t"), "append-outer") {
+        KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
+          pk = Seq("id"), how = WriteMode.Append)
+      }
+    }
+    assert(e.getMessage.contains("write-locked"))
+    assert(e.getMessage.contains("append-outer"), "reports who holds it")
+  }
+
+  test("the lock releases after success and after failure") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val lp = lockPath(wh, "t")
+    assert(!hadoopFs(lp).exists(lp), "released after create")
+    intercept[StoreException] { // CreateOnly on an existing table fails...
+      KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    }
+    assert(!hadoopFs(lp).exists(lp), "...and still releases the lock")
+  }
+
+  test("a stale lock is broken and the write proceeds") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val lp = lockPath(wh, "t")
+    val f = hadoopFs(lp)
+    // fabricate a crashed writer's leftover: acquired far beyond the TTL
+    val out = f.create(lp, false)
+    out.write(s"""{"token":"dead","op":"append","acquiredAtMs":1}""".getBytes("UTF-8"))
+    out.close()
+    KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 4,
+      "append went through over the stale lock")
+    assert(!f.exists(lp), "the breaker's own lock released afterwards")
+  }
+
+  test("an unreadable (torn) lock is treated as stale, not fatal") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val lp = lockPath(wh, "t")
+    val f = hadoopFs(lp)
+    val out = f.create(lp, false)
+    out.write("{half a js".getBytes("UTF-8")) // crashed mid-write
+    out.close()
+    KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 4)
+  }
+
+  test("release never deletes a lock it lost to a takeover") {
+    val wh = freshWarehouse()
+    val dir = KeyedTable.tableDir(wh, "t")
+    val lp = new Path(dir, WriteLock.FileName)
+    val f = hadoopFs(lp)
+    WriteLock.withLock(spark, dir, "slow-writer") {
+      // simulate a TTL takeover while the slow writer is still inside:
+      // the lock file now carries ANOTHER writer's token
+      f.delete(lp, false)
+      val out = f.create(lp, false)
+      out.write(s"""{"token":"winner","op":"append","acquiredAtMs":${System.currentTimeMillis()}}"""
+        .getBytes("UTF-8"))
+      out.close()
+    }
+    val holder = WriteLock.readHolder(f, lp)
+    assert(holder.exists(_.token == "winner"),
+      "the takeover winner's lock must survive the loser's release")
+    f.delete(lp, false)
+  }
+
+  test("compact and rebucket also run under the lock") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val dir = KeyedTable.tableDir(wh, "t")
+    WriteLock.withLock(spark, dir, "other") {
+      intercept[StoreException] { KeyedTable.compact(spark, wh, "t") }
+      intercept[StoreException] { KeyedTable.rebucket(spark, wh, "t", 8) }
+    }
+    // and both still work once the lock is free
+    KeyedTable.rebucket(spark, wh, "t", 8)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 2)
+  }
+}
