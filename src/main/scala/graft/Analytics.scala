@@ -726,6 +726,16 @@ object Analytics {
       m = 4096)
       .orderBy(col("event_type"))
 
+  /** #37e KMV quantile sketch: per event type, p50/p90/p99 of `value`
+    * estimated from the deterministic bottom-256 md5 sample
+    * ([[operators.Sketch.kmvQuantiles]]). Integer rank math over the
+    * sample — the oracle replays the hash ranks and rank picks
+    * exactly; sampling accuracy vs the true quantiles is spec-gated. */
+  def kmvQuantilesQ(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.kmvQuantiles(
+      Tables.events(s, d), groupCol = "event_type", keyCol = "event_id",
+      valueCol = "value", k = 256)
+
   /** #19b binned interval join ([[operators.RangeJoin]]): per purchase
     * event, the count and value-sum of SAME-USER events in the 15
     * minutes after it — activity-after-trigger. Times are epoch-second
@@ -1066,6 +1076,7 @@ object Analytics {
     "events_diff" -> (eventsDiff _),
     "events_resample" -> (eventsResample _),
     "distinct_sketch" -> (distinctSketchQ _),
+    "quantile_sketch" -> (kmvQuantilesQ _),
     "events_sessionized_salted" -> (eventsSessionizedSalted _),
     "q7_nation_volume" -> (q7NationVolume _),
     "q8_market_share" -> (q8MarketShare _),
@@ -1688,6 +1699,23 @@ object Analytics {
              count(DISTINCT ('0x' || substr(md5('lc:' || user_id::VARCHAR), 1, 8))::BIGINT % 4096)
                AS sketch_occupied
       FROM events GROUP BY 1 ORDER BY 1""".trim,
+    // bottom-256 md5 sample per group, then exact rank picks off the
+    // sample in (value, key) order — replays kmvQuantiles bit-for-bit
+    "quantile_sketch" -> """
+      WITH s AS (SELECT event_type grp, event_id k, value v,
+                   md5('kmv:' || event_id::VARCHAR) hr FROM events),
+      samp AS (SELECT * FROM
+                 (SELECT grp, k, v,
+                         row_number() OVER (PARTITION BY grp ORDER BY hr, k) r
+                  FROM s) WHERE r <= 256),
+      sized AS (SELECT grp, max(r)::BIGINT n FROM samp GROUP BY 1),
+      vr AS (SELECT grp, v,
+               row_number() OVER (PARTITION BY grp ORDER BY v, k) vrank
+             FROM samp)
+      SELECT grp AS event_type, p, n AS n_sample, v AS est
+      FROM vr JOIN sized USING (grp)
+      JOIN (VALUES (0.5), (0.9), (0.99)) ps(p)
+        ON vrank = greatest(1, ceil(p * n)::BIGINT)""".trim,
     // every 7th value nulled then forward-filled; window orders by the
     // µs timestamp (what Spark sees) with the event_id tie-break
     "ffill_events" -> """

@@ -166,4 +166,53 @@ object Sketch {
       state.getOrElse((j.toLong, colIdx), 0L)
     }.min
   }
+
+  /** #37e KMV (bottom-k) quantile sketch: per group, the sample is the
+    * k rows whose md5 rank over a unique row key is smallest — a
+    * uniform, DETERMINISTIC sample that is a pure function of the ids
+    * (every engine, run, and backfill draws the same one), and a
+    * mergeable sketch: bottom-k of a union = bottom-k of each side's
+    * bottom-k, so per-group state is capped at k everywhere. Quantile
+    * estimates then read exact ranks off the sample.
+    *
+    * Scale shape (the point of a sketch): the hash rank is computed in
+    * the scan, a window over (group, input partition) prunes each task
+    * to its LOCAL bottom-k — the map-side partial this sketch family
+    * always has — and only groups × partitions × k pruned rows ever
+    * shuffle. Every post-shuffle window runs over ≤ k·partitions rows
+    * per group (bounded, never raw data). The local prune is safe
+    * under any partitioning: a globally-bottom-k row is bottom-k in
+    * whichever partition it lands in.
+    *
+    * Returns long format (group, p, n_sample, est): est = the sample
+    * value at exact rank ceil(p·n_sample) in (value, key) order —
+    * integer rank math, no interpolation, engine-exact. Estimation
+    * error follows sampling theory (~1/√k quantile deviation); k=256
+    * holds p50/p90 to a few percent, raise k for tails. */
+  def kmvQuantiles(df: DataFrame, groupCol: String, keyCol: String,
+                   valueCol: String, k: Int = 256,
+                   ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.select(col(groupCol).as("grp"),
+      col(keyCol).as("key"), col(valueCol).as("v"),
+      md5(concat(lit("kmv:"), col(keyCol).cast("string"))).as("hr"))
+    val wLocal = Window.partitionBy(col("grp"), spark_partition_id())
+      .orderBy(col("hr"), col("key"))
+    val pruned = hashed.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k).drop("_lr")
+    val wGlobal = Window.partitionBy(col("grp")).orderBy(col("hr"), col("key"))
+    val sample = pruned.withColumn("r", row_number().over(wGlobal))
+      .filter(col("r") <= k)
+    val wGrp = Window.partitionBy(col("grp"))
+    val ranked = sample
+      .withColumn("n_sample", max(col("r")).over(wGrp))
+      .withColumn("vrank",
+        row_number().over(wGrp.orderBy(col("v"), col("key"))).cast("long"))
+    val picks = explode(array(ps.map(lit): _*)).as("p")
+    ranked.select(col("grp"), col("v"), col("n_sample"), col("vrank"), picks)
+      .filter(col("vrank") ===
+        greatest(lit(1L), ceil(col("p") * col("n_sample"))))
+      .select(col("grp").as(groupCol), col("p"), col("n_sample"),
+        col("v").as("est"))
+  }
 }

@@ -116,4 +116,43 @@ class OperatorsSpec4 extends SparkSpec {
     }, s"got ${out.toSeq}; cd (n=2) loses the tie to ba by pair order " +
        "and then falls outside topK=2")
   }
+
+  // ----------------------------------------------------------- kmvQuantiles
+
+  test("kmv quantile sketch: estimates track true quantiles on events") {
+    val e = Tables.events(spark, sfDir)
+    val est = Sketch.kmvQuantiles(e, "event_type", "event_id", "value", k = 256)
+      .select("event_type", "p", "est")
+      .as[(String, Double, Double)].collect()
+      .map { case (g, p, v) => (g, p) -> v }.toMap
+    // exact per-group quantiles via sort (test-side only)
+    val truth = e.select(col("event_type"), col("value").cast("double"))
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (g, rows) =>
+        val sorted = rows.map(_._2).sorted
+        g -> ((p: Double) => sorted(((p * sorted.length).ceil.toInt - 1)
+          .max(0).min(sorted.length - 1)))
+      }
+    est.foreach { case ((g, p), v) =>
+      val t = truth(g)(p)
+      val spread = truth(g)(0.99) - truth(g)(0.01)
+      assert(math.abs(v - t) <= spread * 0.15,
+        s"$g p=$p: est $v too far from true $t (spread $spread)")
+    }
+    assert(est.size == truth.size * 3, "3 quantiles per group")
+  }
+
+  test("kmv quantile sketch: sample is capped at k and merge-stable") {
+    val e = Tables.events(spark, sfDir)
+    val n = Sketch.kmvQuantiles(e, "event_type", "event_id", "value", k = 64)
+      .select("n_sample").as[Long].collect()
+    assert(n.forall(_ <= 64))
+    // repartitioning the input must not change the sample (the local
+    // prune keeps every globally-bottom-k row under ANY partitioning)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.kmvQuantiles(df, "event_type", "event_id", "value", k = 64)
+        .orderBy("event_type", "p")
+        .as[(String, Double, Long, Double)].collect().toSeq
+    assert(run(e) == run(e.repartition(17)))
+  }
 }
