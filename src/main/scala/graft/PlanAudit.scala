@@ -24,18 +24,14 @@ object PlanAudit {
     "vocab_growth" -> "running sum over <= #batches post-agg rows",
     "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)")
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    var serial = List.empty[String]
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+  /** One query's audit result. */
+  final case class Finding(name: String, globalWindows: Int,
+                           justified: Boolean, error: Option[String])
+
+  /** Audits every registered query; pure function of (spark, sfDir) so
+    * the regression spec and the CLI share one implementation. */
+  def scan(spark: SparkSession, sfDir: String): Seq[Finding] =
+    SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {
         // sparkPlan, not executedPlan: AQE wraps the latter in an
         // AdaptiveSparkPlanExec whose inner tree collect() can't see
@@ -46,14 +42,33 @@ object PlanAudit {
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
               if w.partitionSpec.isEmpty => w
         }
-        if (globalWindows.nonEmpty) {
-          if (bounded.contains(name)) println(s"BOUNDED $name: ${bounded(name)}")
-          else { serial ::= name; println(s"SERIAL  $name (${globalWindows.size} global window(s))") }
-        }
-      } catch { case e: Throwable => println(s"ERROR   $name: ${e.getMessage}") }
+        if (globalWindows.isEmpty) None
+        else Some(Finding(name, globalWindows.size, bounded.contains(name), None))
+      } catch {
+        case e: Throwable => Some(Finding(name, 0, justified = false,
+          Some(e.getMessage)))
+      }
     }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val findings = scan(spark, sfDir)
+    findings.foreach {
+      case Finding(n, _, _, Some(err)) => println(s"ERROR   $n: $err")
+      case Finding(n, _, true, _) => println(s"BOUNDED $n: ${bounded(n)}")
+      case Finding(n, c, false, _) => println(s"SERIAL  $n ($c global window(s))")
+    }
+    val serial = findings.filter(f => !f.justified)
     println(if (serial.isEmpty) "== audit clean =="
-            else s"== ${serial.size} unjustified serial plans: ${serial.reverse.mkString(", ")} ==")
+            else s"== ${serial.size} unjustified serial plans: ${serial.map(_.name).mkString(", ")} ==")
     spark.stop()
   }
 }
