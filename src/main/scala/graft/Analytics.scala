@@ -616,6 +616,24 @@ object Analytics {
       .select(col("win_start"), col("event_type"), col("n_events"), col("sum_value"))
   }
 
+  /** #18g semi-structured props extraction: events carry a JSON string
+    * column; `get_json_object` pulls typed fields out IN the scan
+    * (per-row path evaluation, no UDF, no schema pre-pass), and the
+    * usual aggregate runs over the extracted value. At 100 TB the
+    * point is that semi-structured columns don't force a second
+    * pipeline: extraction is a narrow projection fused into the scan,
+    * and malformed rows degrade to NULL (counted here) instead of
+    * failing the job. All-integer aggregates. */
+  def eventsProps(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_bad"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+
   /** #18b gap-based sessionization: a new session starts when a user's
     * inter-event gap exceeds 30 min. One shuffle (by user) feeds both
     * windows — the lag-based session-break flag and the running count
@@ -1071,6 +1089,7 @@ object Analytics {
     "asof_join" -> (asofJoinQ _),
     "asof_join_salted" -> (asofJoinSaltedQ _),
     "stream_upsert" -> (streamUpsert _),
+    "events_props" -> (eventsProps _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1699,6 +1718,15 @@ object Analytics {
              count(DISTINCT ('0x' || substr(md5('lc:' || user_id::VARCHAR), 1, 8))::BIGINT % 4096)
                AS sketch_occupied
       FROM events GROUP BY 1 ORDER BY 1""".trim,
+    // json_extract_string -> BIGINT matches Spark's string-path
+    // get_json_object + cast (both yield NULL on missing/malformed)
+    "events_props" -> """
+      SELECT event_type, count(*) AS n,
+             sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_bad,
+             min(k) AS min_k, max(k) AS max_k, sum(k)::BIGINT AS sum_k
+      FROM (SELECT event_type,
+              json_extract_string(props, '$.k')::BIGINT AS k FROM events)
+      GROUP BY 1""".trim,
     // bottom-256 md5 sample per group, then exact rank picks off the
     // sample in (value, key) order — replays kmvQuantiles bit-for-bit
     "quantile_sketch" -> """
