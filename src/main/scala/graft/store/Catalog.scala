@@ -63,13 +63,18 @@ object Catalog {
   /** Reference: util.py:5 drop_db_table. */
   def dropTable(spark: SparkSession, warehouse: String, table: String,
                 schema: Option[String] = None): Unit = {
-    val p = new Path(
-      KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table))
+    val dir = KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, schema), table)
+    val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p))
       throw new StoreException(
         s"no such table: ${schema.fold(table)(s => s"$s.$table")}")
-    fs.delete(p, true)
+    // take the write lock first: dropping out from under an active
+    // mutator would otherwise fail its commit mid-sequence (the dir
+    // delete below removes the lock with the table)
+    WriteLock.withLock(spark, dir, "drop") {
+      fs.delete(p, true)
+    }
   }
 
   /** Register every table of a warehouse as a session temp view (named

@@ -95,6 +95,16 @@ class WriteLockSpec extends SparkSpec {
     f.delete(lp, false)
   }
 
+  test("drop takes the lock: cannot drop out from under an active writer") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    WriteLock.withLock(spark, KeyedTable.tableDir(wh, "t"), "writer") {
+      intercept[StoreException] { Catalog.dropTable(spark, wh, "t") }
+    }
+    Catalog.dropTable(spark, wh, "t")
+    assert(!TableMeta.exists(spark, KeyedTable.tableDir(wh, "t")))
+  }
+
   test("compact and rebucket also run under the lock") {
     val wh = freshWarehouse()
     KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
