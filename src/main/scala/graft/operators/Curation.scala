@@ -101,15 +101,27 @@ object Curation {
     * smallest md5 rank per group — a uniform-at-random-looking sample
     * that is a pure function of the ids, so every engine, run, and
     * backfill draws the SAME sample (the inspection/eyeball set a
-    * pipeline attaches to each source). One window shuffle on the
-    * group key. */
+    * pipeline attaches to each source).
+    *
+    * Two-phase bottom-k (the [[graft.operators.Sketch.kmvQuantiles]]
+    * shape): group columns are low-cardinality (sources), so a window
+    * partitioned by the group alone would serialize each source's FULL
+    * row set into one task. Instead a window over (group, input
+    * partition) prunes every task to its local bottom-k — safe under
+    * any partitioning, since a globally-bottom-k row is bottom-k
+    * wherever it lands — and only groups × partitions × k rows reach
+    * the final, bounded per-group rank. */
   def groupSample(docs: DataFrame, idCol: String, groupCol: String,
                   k: Int): DataFrame = {
+    val hashed = docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      md5(concat(lit("samp:"), col(idCol).cast("string"))).as("smp_rank"))
+    val wLocal = Window.partitionBy(col("grp"), spark_partition_id())
+      .orderBy(col("smp_rank"), col("id"))
+    val pruned = hashed.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= k).drop("_lr")
     val w = Window.partitionBy(col("grp"))
       .orderBy(col("smp_rank"), col("id"))
-    docs.select(col(idCol).as("id"), col(groupCol).as("grp"),
-        md5(concat(lit("samp:"), col(idCol).cast("string"))).as("smp_rank"))
-      .withColumn("rank", row_number().over(w).cast("long"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("id"), col("grp"), col("rank"))
   }

@@ -117,6 +117,17 @@ class CurationSpec extends SparkSpec {
     assert(again == out.toSet) // pure function of the ids
   }
 
+  test("group sample: two-phase prune is partitioning-independent") {
+    val docs = (1L to 500L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "source")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.groupSample(df, "doc_id", "source", k = 7)
+        .as[(Long, String, Long)].collect().sortBy(t => (t._2, t._3)).toSeq
+    assert(run(docs) == run(docs.repartition(13)),
+      "the local bottom-k prune must keep every globally-bottom-k row " +
+      "under any partitioning")
+  }
+
   test("novelty: a doc cloned elsewhere scores 0, unique content scores 1") {
     val clone = "p q r s t u v w x y z p2 q2 r2 s2"
     val docs = Seq(
