@@ -72,17 +72,25 @@ object LlmQueries {
   }
 
   /** #30s per-source top-k tokens (grouped heavy hitters): one explode
-    * + grouped count + per-group rank window. The rank partitions by
-    * source, so the window state per task is one source's token
-    * counts — already aggregated, NOT raw tokens. Deterministic
+    * + grouped count + two-phase per-group rank. The rank input is
+    * already aggregated (source, token) counts, but one source's FULL
+    * vocabulary in a single window task is still millions of rows at
+    * 100 TB — so a first window over (source, input partition) prunes
+    * each task to its local top-k (a globally-top-k token is top-k in
+    * whichever partition holds its count row), and the final rank sees
+    * ≤ k rows per upstream partition per source. Deterministic
     * tie-break (count desc, token asc) keeps the pick engine-portable. */
   def sourceTopTokens(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val counts = docs(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val wLocal = Window.partitionBy(col("source"), spark_partition_id())
+      .orderBy(col("n").desc, col("tok"))
+    val pruned = counts.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= 3).drop("_lr")
     val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("tok"))
-    counts.withColumn("rank", row_number().over(w))
+    pruned.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
   }
 
