@@ -760,6 +760,15 @@ object LlmQueries {
     }),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    // the trained-index composition: one Lloyd step refines the coarse
+    // quantizer, then the SAME ivf machinery probes the refined cells
+    "ann_ivf_refined" -> ((s: SparkSession, d: String) => {
+      val e = embs(s, d)
+      val cents = Knn.kmeansCentroids(e, "vec_id", "embedding",
+        cells = 16, iters = 1)
+      Knn.ivf(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = 4, centroids = Some(cents))
+    }),
     "corpus_clean" -> corpusClean,
     "corpus_curate" -> corpusCurate,
     "ingest_jsonl" -> ingestJsonl,
@@ -1586,6 +1595,39 @@ object LlmQueries {
       WITH $cosCte,
       cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
       sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      assign AS (SELECT vec_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims) WHERE rn = 1),
+      probes AS (SELECT vec_id query_id, cid FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+                    FROM sims WHERE vec_id < 20) WHERE rn <= 4),
+      nrm AS (SELECT vec_id, sqrt(list_dot_product(v, v)) n, v FROM e),
+      cand AS (SELECT p.query_id, a.vec_id neighbor_id
+               FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id),
+      scored AS (SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                 FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                 FROM scored)
+      SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+    // embedding_kmeans' refined-centroid CTEs + ann_ivf's probe/score
+    // structure, quantizing against the Lloyd-refined cells
+    "ann_ivf_refined" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      s0 AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      a0 AS (SELECT vec_id, cid cell FROM
+              (SELECT vec_id, cid,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+               FROM s0) WHERE rn = 1),
+      x AS (SELECT a0.cell, t.i dim, CAST(em.embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) v
+            FROM a0 JOIN embeddings em ON em.vec_id = a0.vec_id,
+                 (SELECT unnest(range(64)) i) t),
+      m AS (SELECT cell, dim, round(sum(v)::DOUBLE / count(*), 6) mv FROM x GROUP BY 1, 2),
+      newc AS (SELECT cell cid, list(mv ORDER BY dim) cv FROM m GROUP BY cell),
+      sims AS (SELECT e.vec_id, n.cid, ${cos("e.v", "n.cv")} sim FROM e CROSS JOIN newc n),
       assign AS (SELECT vec_id, cid FROM
                    (SELECT vec_id, cid,
                            row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn

@@ -85,8 +85,11 @@ object Knn {
     */
   def ivf(corpus: DataFrame, queries: DataFrame,
           idCol: String, vecCol: String, k: Int,
-          cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = seedCentroids(corpus, idCol, vecCol, cells)
+          cells: Int = 16, nprobe: Int = 4,
+          centroids: Option[Array[(Long, Seq[Double])]] = None): DataFrame = {
+    // default quantizer = the deterministic seeds; pass Lloyd-refined
+    // centroids ([[kmeansCentroids]]) for the trained-index variant
+    val cents = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, cells))
     def topCells(vec: Column, n: Int): Column = nearestCells(cents, vec, n)
     val c = corpus
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -417,11 +420,41 @@ object Knn {
     * seed assignment. Returns (cell, n_seed, n_refined, n_stay). */
   def kmeansRefine(embs: DataFrame, idCol: String, vecCol: String,
                    cells: Int = 16, iters: Int = 1): DataFrame = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
     val seeds = seedCentroids(embs, idCol, vecCol, cells)
     val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val a0 = base.withColumn("cell",
       element_at(nearestCells(seeds, col("vec"), 1), 1))
+    val refined = kmeansCentroids(embs, idCol, vecCol, cells, iters)
+    val a1 = a0.withColumn("cell1",
+      element_at(nearestCells(refined, col("vec"), 1), 1))
+    val n0 = a0.groupBy(col("cell")).agg(count(lit(1)).as("n_seed"))
+    val n1 = a1.groupBy(col("cell1").as("cell"))
+      .agg(count(lit(1)).as("n_refined"))
+    val stay = a1.filter(col("cell") === col("cell1"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_stay"))
+    // every seed cell holds at least its seed vector, so n0 already
+    // covers all cells; outer joins only fill refined/stay gaps
+    n0.join(n1, Seq("cell"), "full").join(stay, Seq("cell"), "full")
+      .select(col("cell"),
+        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
+        coalesce(col("n_refined"), lit(0L)).as("n_refined"),
+        coalesce(col("n_stay"), lit(0L)).as("n_stay"))
+  }
+
+  /** The trained coarse quantizer [[kmeansRefine]] reports on: seed
+    * centroids Lloyd-refined `iters` times (each round: narrow assign
+    * + decimal-pinned mean reduce through the driver — cells × dims
+    * state per round). Feed the result to [[ivf]]'s `centroids` for a
+    * trained IVF index. Cell labels stay the seed cids throughout. */
+  def kmeansCentroids(embs: DataFrame, idCol: String, vecCol: String,
+                      cells: Int = 16,
+                      iters: Int = 1): Array[(Long, Seq[Double])] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seeds = seedCentroids(embs, idCol, vecCol, cells)
+    val base = embs.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    def assign(cents: Array[(Long, Seq[Double])]): DataFrame =
+      base.withColumn("cell",
+        element_at(nearestCells(cents, col("vec"), 1), 1))
     def refineOnce(assigned: DataFrame): Array[(Long, Seq[Double])] = {
       val meanRows = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
@@ -438,25 +471,10 @@ object Knn {
     // a Lloyd iteration can empty a cell (no vector nearest the refined
     // centroid); its mean is then undefined and the centroid simply
     // drops out of the next argmax — the standard empty-cluster policy
-    val refined = (1 to iters).foldLeft((seeds, a0)) { case ((_, assigned), _) =>
+    (1 to iters).foldLeft((seeds, assign(seeds))) { case ((_, assigned), _) =>
       val cents = refineOnce(assigned)
-      (cents, base.withColumn("cell",
-        element_at(nearestCells(cents, col("vec"), 1), 1)))
+      (cents, assign(cents))
     }._1
-    val a1 = a0.withColumn("cell1",
-      element_at(nearestCells(refined, col("vec"), 1), 1))
-    val n0 = a0.groupBy(col("cell")).agg(count(lit(1)).as("n_seed"))
-    val n1 = a1.groupBy(col("cell1").as("cell"))
-      .agg(count(lit(1)).as("n_refined"))
-    val stay = a1.filter(col("cell") === col("cell1"))
-      .groupBy(col("cell")).agg(count(lit(1)).as("n_stay"))
-    // every seed cell holds at least its seed vector, so n0 already
-    // covers all cells; outer joins only fill refined/stay gaps
-    n0.join(n1, Seq("cell"), "full").join(stay, Seq("cell"), "full")
-      .select(col("cell"),
-        coalesce(col("n_seed"), lit(0L)).as("n_seed"),
-        coalesce(col("n_refined"), lit(0L)).as("n_refined"),
-        coalesce(col("n_stay"), lit(0L)).as("n_stay"))
   }
 
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {

@@ -117,6 +117,25 @@ class OperatorsSpec4 extends SparkSpec {
        "and then falls outside topK=2")
   }
 
+  // -------------------------------------------------------- ann_ivf_refined
+
+  test("ivf over Lloyd-refined centroids: recall holds vs brute force") {
+    val e = embs
+    val q = e.filter(col("vec_id") < 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+    val truth = pairs(Knn.bruteForce(e, q, "vec_id", "embedding", k = 5))
+    val seed = pairs(Knn.ivf(e, q, "vec_id", "embedding", k = 5))
+    val refined = pairs(Knn.ivf(e, q, "vec_id", "embedding", k = 5,
+      centroids = Some(Knn.kmeansCentroids(e, "vec_id", "embedding"))))
+    def recall(s: Set[(Long, Long)]) = s.intersect(truth).size.toDouble / truth.size
+    assert(recall(refined) >= 0.5,
+      s"refined-centroid recall ${recall(refined)} below floor")
+    assert(recall(refined) >= recall(seed) - 0.1,
+      s"refinement collapsed recall: seed ${recall(seed)} -> refined ${recall(refined)}")
+  }
+
   // ----------------------------------------------------------- kmvQuantiles
 
   test("kmv quantile sketch: estimates track true quantiles on events") {
