@@ -736,6 +736,9 @@ object LlmQueries {
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       Dedup.semantic(embs(s, d), "vec_id", "embedding",
         cells = 16, threshold = 0.35)),
+    "embedding_outliers" -> ((s: SparkSession, d: String) =>
+      Knn.centroidOutliers(embs(s, d), "vec_id", "embedding",
+        cells = 16, threshold = 0.12)),
     "embedding_kmeans" -> ((s: SparkSession, d: String) =>
       Knn.kmeansRefine(embs(s, d), "vec_id", "embedding", cells = 16)),
     "dedup_segments" -> dedupSegments,
@@ -1471,6 +1474,19 @@ object LlmQueries {
                WHERE round(list_dot_product(na.v, nb.v) / (na.n * nb.n), 4) >= 0.35)
       SELECT a.vec_id AS id, a.cell, (d.id IS NOT NULL) AS is_dup
       FROM a LEFT JOIN dups d ON d.id = a.vec_id""".trim,
+    // assigned-centroid cosine kept from the argmax CTE; outlier =
+    // rounded cos below threshold (same boundary on both engines)
+    "embedding_outliers" -> s"""
+      WITH $cosCte,
+      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
+      a AS (SELECT vec_id, cid cell, sim FROM
+              (SELECT vec_id, cid, sim,
+                      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
+               FROM sims) WHERE rn = 1)
+      SELECT vec_id AS id, cell, round(sim, 4) AS cos_centroid,
+             (round(sim, 4) < 0.12) AS is_outlier
+      FROM a""".trim,
     // one Lloyd step: refined centroids rebuilt with the SAME
     // decimal-pinned means (embedding_centroids recipe), lists
     // reassembled in dim order, argmax replayed against them

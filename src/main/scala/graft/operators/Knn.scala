@@ -477,6 +477,35 @@ object Knn {
     }._1
   }
 
+  /** #25e embedding-space outlier detection — the quality-filter
+    * cousin of SemDeDup: where dedup prunes points too CLOSE to an
+    * earlier one, this prunes points too FAR from every cluster
+    * (noise, encoding failures, out-of-domain junk that survives text
+    * filters). Each vector joins its assigned centroid back (16-row
+    * broadcast) and reports the rounded cosine; below `threshold` is
+    * an outlier. The assignment is the usual narrow argmax, the join
+    * is broadcast — nothing wide anywhere, scales with the scan.
+    * Returns (id, cell, cos_centroid, is_outlier). */
+  def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
+                       cells: Int = 16, threshold: Double = 0.12): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cents = seedCentroids(embs, idCol, vecCol, cells)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val centDf = broadcast(
+      cents.toSeq.map { case (cid, cv) =>
+        (cid, cv, math.sqrt(cv.map(t => t * t).sum))
+      }.toDF("cell", "cv", "cn"))
+    embs.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        norm2(col(vecCol)).as("nrm"),
+        element_at(nearestCells(cents, col(vecCol), 1), 1).as("cell"))
+      .join(centDf, Seq("cell"))
+      .withColumn("cos_centroid",
+        round(dot(col("vec"), col("cv")) / (col("nrm") * col("cn")), 4))
+      .select(col("id"), col("cell"), col("cos_centroid"),
+        (col("cos_centroid") < threshold).as("is_outlier"))
+  }
+
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val long = embs.select(col(idCol).as("vec_id"),
         posexplode(col(vecCol)).as(Seq("dim", "v")))

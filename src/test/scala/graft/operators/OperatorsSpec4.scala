@@ -117,6 +117,22 @@ class OperatorsSpec4 extends SparkSpec {
        "and then falls outside topK=2")
   }
 
+  // ------------------------------------------------------- centroidOutliers
+
+  test("centroid outliers: far-from-every-cluster flags, near points pass") {
+    // seeds: [1,0] and [0,1]; id 2 hugs seed 0; id 3 is ~diagonal-far
+    // from both (cos ~= .707 to each) — outlier at threshold .9
+    val df = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(0.99f, 0.05f)), (3L, Array(0.72f, 0.69f)),
+    ).toDF("vec_id", "embedding")
+    val out = Knn.centroidOutliers(df, "vec_id", "embedding",
+        cells = 2, threshold = 0.9)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(!out(0L) && !out(1L) && !out(2L), "seeds and hug are inliers")
+    assert(out(3L), "equidistant-far point flags")
+  }
+
   // -------------------------------------------------------- ann_ivf_refined
 
   test("ivf over Lloyd-refined centroids: recall holds vs brute force") {
