@@ -597,6 +597,13 @@ object LlmQueries {
   def bpePairs(s: SparkSession, d: String): DataFrame =
     Curation.bpePairs(docs(s, d), "text", topK = 50)
 
+  /** #30v sliding context windows (32-token windows, stride 24 — sized
+    * so the synthetic corpus actually exercises the multi-window
+    * stride path; production would use model-context-sized wins). */
+  def chunkWindows(s: SparkSession, d: String): DataFrame =
+    Curation.chunkWindows(docs(s, d), "doc_id", "text",
+      win = 32, stride = 24)
+
   /** #27c per-label embedding centroids. */
   def embeddingCentroids(s: SparkSession, d: String): DataFrame =
     Knn.centroids(embs(s, d), "label", "embedding")
@@ -746,6 +753,7 @@ object LlmQueries {
     "budget_sample" -> budgetSampleQ,
     "text_novelty" -> textNovelty,
     "bpe_pairs" -> bpePairs,
+    "chunk_windows" -> chunkWindows,
     "corpus_balance" -> corpusBalance,
     "group_sample" -> groupSampleQ,
     "ann_bruteforce" -> annBruteforce,
@@ -1250,6 +1258,21 @@ object LlmQueries {
              sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
              round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
       FROM d2 GROUP BY doc_id""".trim,
+    // same ceil window-count formula; token slices replayed with list
+    // slicing and the md5 digest proves byte-identical window text
+    "chunk_windows" -> """
+      WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      base AS (SELECT doc_id, w, len(w)::BIGINT n,
+                 CASE WHEN len(w) <= 32 THEN 1
+                      ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS BIGINT)
+                 END n_win FROM t),
+      x AS (SELECT doc_id, n, w, unnest(range(n_win)) win_id FROM base),
+      y AS (SELECT doc_id, n n_tokens, win_id, win_id * 24 start_tok,
+              least(win_id * 24 + 32, n) - win_id * 24 win_tokens, w
+            FROM x)
+      SELECT doc_id, n_tokens, win_id, start_tok, win_tokens,
+             md5(array_to_string(w[start_tok + 1 : start_tok + win_tokens], ' ')) AS win_hash
+      FROM y""".trim,
     // unique-word frequencies first (the BPE corpus compression), then
     // adjacent char pairs weighted by word frequency; ties by pair asc
     "bpe_pairs" -> """

@@ -151,6 +151,36 @@ object Curation {
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
   }
 
+  /** #30v sliding context windows: per doc, token windows of `win`
+    * tokens every `stride` tokens (overlap = win − stride) — the
+    * chunking step that turns documents into model context windows
+    * with cross-boundary continuity (RAG indexing, long-doc training).
+    * Pure narrow fanout: token count → window count → explode →
+    * per-window offsets and an md5 digest of the window's text (the
+    * digest proves the token slicing is byte-identical cross-engine).
+    * No shuffle at all; short docs yield one partial window. Returns
+    * (doc_id, n_tokens, win_id, start_tok, win_tokens, win_hash). */
+  def chunkWindows(docs: DataFrame, idCol: String, textCol: String,
+                   win: Int = 128, stride: Int = 96): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win, got win=$win stride=$stride")
+    import graft.functions.TextFunctions.tokens
+    docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_win", when(col("n_tokens") <= win, 1L)
+        .otherwise(lit(1L) +
+          ceil((col("n_tokens") - win).cast("double") / stride).cast("long")))
+      .select(col("doc_id"), col("n_tokens"), col("toks"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_id"))
+      .withColumn("start_tok", col("win_id") * stride)
+      .withColumn("win_tokens",
+        least(col("start_tok") + win, col("n_tokens")) - col("start_tok"))
+      .withColumn("win_hash", md5(concat_ws(" ",
+        slice(col("toks"), col("start_tok") + 1, col("win_tokens")))))
+      .select(col("doc_id"), col("n_tokens"), col("win_id"),
+        col("start_tok"), col("win_tokens"), col("win_hash"))
+  }
+
   /** #30u BPE merge-pair statistics — the counting step every BPE
     * tokenizer-training iteration repeats, at the scale where it
     * dominates (each merge recounts pairs over the whole corpus).

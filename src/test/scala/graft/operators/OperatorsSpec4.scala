@@ -117,6 +117,26 @@ class OperatorsSpec4 extends SparkSpec {
        "and then falls outside topK=2")
   }
 
+  // --------------------------------------------------------- chunkWindows
+
+  test("chunk windows: counts, offsets, partial tail, exact-fit boundary") {
+    // 10 tokens, win=4, stride=3: n_win = 1+ceil(6/3) = 3 — starts
+    // 0,3,6 and the last window ends exactly at token 10 (no tail)
+    val ten = (1 to 10).map(i => s"t$i").mkString(" ")
+    // 8 tokens: 1+ceil(4/3) = 3 — last window is the 2-token tail
+    val eight = (1 to 8).map(i => s"t$i").mkString(" ")
+    val three = "a b c" // short doc: one partial window
+    val df = Seq((1L, ten), (2L, eight), (3L, three)).toDF("doc_id", "text")
+    val out = Curation.chunkWindows(df, "doc_id", "text", win = 4, stride = 3)
+      .select("doc_id", "win_id", "start_tok", "win_tokens")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)).toSeq).toMap
+    assert(out(1L) == Seq((0L, 4L), (3L, 4L), (6L, 4L)),
+      "every token covered, no empty tail window past the end")
+    assert(out(2L) == Seq((0L, 4L), (3L, 4L), (6L, 2L)))
+    assert(out(3L) == Seq((0L, 3L)))
+  }
+
   // ------------------------------------------------------- centroidOutliers
 
   test("centroid outliers: far-from-every-cluster flags, near points pass") {
