@@ -503,6 +503,14 @@ object LlmQueries {
     Dedup.decontaminate(train, eval, "doc_id", "text", n = 5, minHits = 1)
   }
 
+  /** #21h contamination report over the same train/eval split. */
+  def corpusContamination(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 17 === 3)
+    val train = all.filter(col("doc_id") % 17 =!= 3)
+    Dedup.contaminationReport(train, eval, "doc_id", "text", n = 5)
+  }
+
   /** #22b incremental near-dup: incoming batch is doc_id % 5 == 0, the
     * seen corpus is everything else — near-dup pairs in the synthetic
     * corpus are random, so ~2/5 of the pair mass crosses the cohorts
@@ -725,6 +733,7 @@ object LlmQueries {
     "dedup_bloom" -> dedupBloom,
     "countmin_sketch" -> countminSketch,
     "corpus_decontaminate" -> corpusDecontaminate,
+    "corpus_contamination" -> corpusContamination,
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
@@ -1295,6 +1304,18 @@ object LlmQueries {
       bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s)
       SELECT doc_id AS id FROM documents
       WHERE doc_id % 17 != 3 AND doc_id NOT IN (SELECT doc_id FROM bad)""".trim,
+    // the report twin of corpus_decontaminate: same split, same
+    // per-doc-distinct shingles, counts + fraction instead of a filter
+    "corpus_contamination" -> s"""
+      WITH $shingleCte,
+      ev AS (SELECT DISTINCT unnest(sset) s FROM sh WHERE doc_id % 17 = 3),
+      tr AS (SELECT doc_id, unnest(sset) s FROM sh WHERE doc_id % 17 != 3),
+      j AS (SELECT tr.doc_id, CASE WHEN ev.s IS NULL THEN 0 ELSE 1 END hit
+            FROM tr LEFT JOIN ev ON ev.s = tr.s)
+      SELECT doc_id AS id, count(*)::BIGINT AS n_shingles,
+             sum(hit)::BIGINT AS n_contaminated,
+             round(sum(hit) / count(*), 4) AS contamination
+      FROM j GROUP BY 1""".trim,
     "dedup_incremental" -> """
       WITH seen AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 5 != 0),
       incoming AS (

@@ -114,6 +114,30 @@ object Dedup {
       .join(contaminated, Seq("id"), "left_anti")
   }
 
+  /** #21h contamination REPORT — the audit half of [[decontaminate]]:
+    * instead of silently dropping flagged docs, report per doc how
+    * MUCH of it overlaps the eval set (n-gram count and fraction), the
+    * evidence an eval-hygiene review needs to pick a threshold and to
+    * attribute leakage to sources. Same plan shape as the filter: the
+    * eval side reduces to distinct shingles, the inverted index joins
+    * on the shingle, exact integer counts + one final division.
+    * Returns (id, n_shingles, n_contaminated, contamination). */
+  def contaminationReport(docs: DataFrame, eval: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 5): DataFrame = {
+    val evalShingles = eval
+      .select(explode(wordShingles(col(textCol), n)).as("s")).distinct()
+      .withColumn("_hit", lit(1L))
+    val inv = docs.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), n)).as("s"))
+    inv.join(evalShingles, Seq("s"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated") / col("n_shingles"), 4))
+  }
+
   /** Distinct-shingle prep: (id, shingles). */
   private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
