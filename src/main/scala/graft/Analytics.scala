@@ -634,6 +634,36 @@ object Analytics {
         min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
 
+  /** #18h exact-integer anomaly flags on event-rate buckets: hourly
+    * event counts per type, flagged when they deviate from the type's
+    * mean by more than `z0` standard deviations — with the z-test
+    * algebraically cleared of floats: |x−μ|/σ > z₀ ⇔
+    * (x·n − Σx)² > z₀²·(n·Σx² − (Σx)²), every term an exact integer.
+    * No float mean, no sqrt, no libm — the flag is bit-identical on
+    * every engine, which a float z-score can never guarantee at the
+    * boundary. Two tiny aggregations (buckets, then per-type moment
+    * totals broadcast back); population σ (the monitoring convention).
+    * Returns (event_type, bucket_s, n_events, is_anomaly). */
+  def eventsAnomaly(s: SparkSession, d: String, z0: Long = 3L): DataFrame = {
+    val buckets = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(3600L)))
+          .as("bucket_s"))
+      .groupBy(col("event_type"), col("bucket_s"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = buckets.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nb"), sum(col("n_events")).as("sx"),
+        sum(col("n_events") * col("n_events")).as("sxx"))
+    buckets.join(broadcast(moments), Seq("event_type"))
+      .withColumn("_lhs",
+        (col("n_events") * col("nb") - col("sx")) *
+        (col("n_events") * col("nb") - col("sx")))
+      .withColumn("_rhs",
+        lit(z0 * z0) * (col("nb") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("bucket_s"), col("n_events"),
+        (col("_lhs") > col("_rhs")).as("is_anomaly"))
+  }
+
   /** #18b gap-based sessionization: a new session starts when a user's
     * inter-event gap exceeds 30 min. One shuffle (by user) feeds both
     * windows — the lag-based session-break flag and the running count
@@ -1090,6 +1120,7 @@ object Analytics {
     "asof_join_salted" -> (asofJoinSaltedQ _),
     "stream_upsert" -> (streamUpsert _),
     "events_props" -> (eventsProps _),
+    "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1718,6 +1749,21 @@ object Analytics {
              count(DISTINCT ('0x' || substr(md5('lc:' || user_id::VARCHAR), 1, 8))::BIGINT % 4096)
                AS sketch_occupied
       FROM events GROUP BY 1 ORDER BY 1""".trim,
+    // the float-free z-test: (x*n - Sx)^2 > z0^2 * (n*Sxx - Sx^2) —
+    // exact integers end to end, same epoch-second hour buckets
+    "events_anomaly" -> """
+      WITH b AS (SELECT event_type,
+                   (epoch_ns(ts) // 1000000000) -
+                     ((epoch_ns(ts) // 1000000000) % 3600) AS bucket_s,
+                   count(*)::BIGINT n_events
+                 FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, count(*)::BIGINT nb, sum(n_events)::BIGINT sx,
+              sum(n_events * n_events)::BIGINT sxx
+            FROM b GROUP BY 1)
+      SELECT b.event_type, b.bucket_s, b.n_events,
+             ((b.n_events * m.nb - m.sx) * (b.n_events * m.nb - m.sx)
+              > 9 * (m.nb * m.sxx - m.sx * m.sx)) AS is_anomaly
+      FROM b JOIN m USING (event_type)""".trim,
     // json_extract_string -> BIGINT matches Spark's string-path
     // get_json_object + cast (both yield NULL on missing/malformed)
     "events_props" -> """
