@@ -37,6 +37,25 @@ object LlmQueries {
       round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
       round(qualityScore(col("text")), 4).as("quality"))
 
+  /** #30w Flesch-style readability: all inputs are exact integer
+    * counts (words, vowel-group syllables, sentence segments), the
+    * score is ONE fixed-shape float expression over them —
+    * 206.835 − 1.015·(W/S) − 84.6·(Syl/W) — so both engines compute
+    * the same IEEE double and the rounded score gates exactly. */
+  def textReadability(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions.{nSentences, nSyllables}
+    docs(s, d).select(
+      col("doc_id"),
+      nTokens(col("text")).cast("long").as("n_words"),
+      nSentences(col("text")).as("n_sentences"),
+      nSyllables(col("text")).as("n_syllables"))
+      .withColumn("flesch", round(
+        lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+        4))
+  }
+
   /** #30q unicode normalization pass ([[graft.functions.expr
     * .NormalizeText]], one codegen'd call per row): accent strip + NFC
     * + lowercase + control/whitespace collapse — the pre-dedup cleanup
@@ -763,6 +782,7 @@ object LlmQueries {
     "text_novelty" -> textNovelty,
     "bpe_pairs" -> bpePairs,
     "chunk_windows" -> chunkWindows,
+    "text_readability" -> textReadability,
     "corpus_balance" -> corpusBalance,
     "group_sample" -> groupSampleQ,
     "ann_bruteforce" -> annBruteforce,
@@ -1267,6 +1287,18 @@ object LlmQueries {
              sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
              round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
       FROM d2 GROUP BY doc_id""".trim,
+    // identical integer counts and the same fixed-shape float formula
+    "text_readability" -> """
+      WITH x AS (SELECT doc_id,
+                   len(string_split(text, ' '))::BIGINT n_words,
+                   greatest(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                     s -> len(trim(s)) > 0)), 1)::BIGINT n_sentences,
+                   len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT n_syllables
+                 FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                           - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+      FROM x""".trim,
     // same ceil window-count formula; token slices replayed with list
     // slicing and the md5 digest proves byte-identical window text
     "chunk_windows" -> """

@@ -164,6 +164,22 @@ object TextFunctions {
       least(stopwordRatio(text) * 4.0, lit(1.0)) * 0.3 +
       alphaRatio(text) * 0.3
 
+  // --- readability (#30w) ------------------------------------------------
+
+  /** Syllable estimate: vowel-group count over the text (the standard
+    * corpus-scale Flesch proxy — exact syllabification needs a
+    * dictionary; vowel groups are the deterministic approximation).
+    * Spaces break groups, so counting over the whole text equals the
+    * per-word sum. */
+  def nSyllables(text: Column): Column =
+    size(regexp_extract_all(text, lit("[aeiouy]+"), lit(0))).cast("long")
+
+  /** Sentence count: non-empty segments between [.!?], floored at 1 so
+    * fragment-only docs don't divide by zero. */
+  def nSentences(text: Column): Column =
+    greatest(size(filter(split(text, "[.!?]"),
+      s => length(trim(s)) > 0)), lit(1)).cast("long")
+
   // --- repetition signals (#30b) -----------------------------------------
 
   /** Raw repetition counts in ONE text pass
