@@ -20,23 +20,30 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * lock held fail fast with the holder's context (no blocking — batch
   * mutators should surface contention, not queue invisibly behind it).
   *
-  * Crash recovery: a writer that dies mid-mutation leaves its lock
-  * behind (its staging dirs are reclaimed separately by the vacuum). A
-  * lock older than `staleMs` is broken and re-acquired — delete-then-
-  * create races between two breakers resolve by the create's
-  * atomicity (exactly one wins, the loser errors). Release deletes the
-  * lock ONLY if it still carries the releaser's token, so a writer
-  * that stalled past the TTL and lost a takeover cannot delete the
-  * new holder's lock (its own commit may still corrupt the winner's —
-  * the TTL must exceed any plausible mutation duration; 15 min default
-  * vs seconds-scale mutations).
+  * Liveness is the lock file's MODIFICATION TIME, not its content: a
+  * holder's daemon heartbeat bumps the mtime (atomic `setTimes` — no
+  * torn content for a concurrent reader to misread) every TTL/3, so
+  * the stale TTL can stay tight (15 min) while an hours-long mutation
+  * — a 100 TB rebucket — stays protected. A lock whose mtime is older
+  * than `staleMs` belongs to a crashed writer and is broken; the
+  * delete-then-create race between two breakers resolves by the
+  * create's atomicity (exactly one wins, the loser errors). An
+  * UNREADABLE lock is judged by the same mtime rule — a fresh torn
+  * file is a writer mid-write (fail fast), an old one is crashed
+  * garbage (break it).
+  *
+  * Release deletes the lock ONLY if it still carries the releaser's
+  * token, so a writer that stalled past the TTL and lost a takeover
+  * cannot delete the new holder's lock; its heartbeat likewise stops
+  * the moment it observes a foreign token.
   */
 object WriteLock {
 
   val FileName = "_graft_lock"
 
-  /** Default stale-lock TTL. Mutations are seconds-scale; anything
-    * this old is a crashed writer. */
+  /** Default stale-lock TTL — generous against GC pauses and slow
+    * filesystems, tiny against operator response time. The heartbeat
+    * (TTL/3) keeps arbitrarily long mutations fresh. */
   val DefaultStaleMs: Long = 15 * 60 * 1000L
 
   final case class Holder(token: String, op: String, acquiredAtMs: Long)
@@ -48,45 +55,82 @@ object WriteLock {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = UUID.randomUUID().toString
     acquire(fs, p, token, op, staleMs, retried = false)
+    val beat = heartbeat(fs, p, token, staleMs)
+    beat.start()
     try body
-    finally release(fs, p, token)
+    finally {
+      beat.interrupt()
+      release(fs, p, token)
+    }
   }
+
+  private def lockJson(token: String, op: String): String =
+    compact(render(JObject(
+      "token" -> JString(token) ::
+      "op" -> JString(op) ::
+      "acquiredAtMs" -> JInt(System.currentTimeMillis()) :: Nil)))
+
+  private def mtimeAge(fs: FileSystem, p: Path): Option[Long] =
+    try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
+    catch { case _: Exception => None }
 
   private def acquire(fs: FileSystem, p: Path, token: String, op: String,
                       staleMs: Long, retried: Boolean): Unit = {
-    val attempt =
+    val created =
       try {
         // the atomic create-if-absent; parents are created as needed
         val out = fs.create(p, false)
-        try out.write(compact(render(JObject(
-          "token" -> JString(token) ::
-          "op" -> JString(op) ::
-          "acquiredAtMs" -> JInt(System.currentTimeMillis()) :: Nil)))
-          .getBytes("UTF-8"))
+        try out.write(lockJson(token, op).getBytes("UTF-8"))
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
-    if (!attempt) {
-      val holder = readHolder(fs, p)
-      val fresh = holder.exists(h =>
-        System.currentTimeMillis() - h.acquiredAtMs <= staleMs)
+    if (!created) {
+      // liveness = mtime age (heartbeat-maintained); a vanished file
+      // between the failed create and this check counts as fresh
+      // contention — retry once rather than guessing
+      val fresh = mtimeAge(fs, p).forall(_ <= staleMs)
       if (fresh) {
-        val h = holder.get
+        val who = readHolder(fs, p)
+          .map(h => s"${h.op} (token ${h.token})")
+          .getOrElse("a writer mid-write (lock not yet readable)")
         throw new StoreException(
-          s"table is write-locked by another ${h.op} (token ${h.token}, " +
-          s"held ${System.currentTimeMillis() - h.acquiredAtMs} ms); " +
-          "concurrent mutation rejected — retry after it finishes, or break " +
-          s"a crashed writer's lock by deleting $p")
+          s"table is write-locked by $who" +
+          mtimeAge(fs, p).fold("")(a => s", last heartbeat ${a} ms ago") +
+          "; concurrent mutation rejected — retry after it finishes, or " +
+          s"break a crashed writer's lock by deleting $p")
       }
       if (retried)
         throw new StoreException(
           s"could not acquire write lock $p after breaking a stale lock " +
           "(another writer won the re-acquire race)")
-      // stale (or unreadable — a torn write from a crashed writer):
-      // break it and retry once; the create above arbitrates the race
+      // crashed writer: break the lock; the create above arbitrates
+      // the race between concurrent breakers
       fs.delete(p, false)
       acquire(fs, p, token, op, staleMs, retried = true)
     }
+  }
+
+  /** Daemon thread bumping the lock's mtime every TTL/3 while the
+    * mutation runs; stops itself if the lock no longer carries our
+    * token (we were broken as stale — don't fight the new holder). */
+  private def heartbeat(fs: FileSystem, p: Path, token: String,
+                        staleMs: Long): Thread = {
+    val t = new Thread(() => {
+      val interval = math.max(1000L, staleMs / 3)
+      var ours = true
+      try {
+        while (ours && !Thread.currentThread().isInterrupted) {
+          Thread.sleep(interval)
+          ours = readHolder(fs, p).exists(_.token == token)
+          if (ours) {
+            try fs.setTimes(p, System.currentTimeMillis(), -1)
+            catch { case _: Exception => () } // next beat retries
+          }
+        }
+      } catch { case _: InterruptedException => () }
+    }, s"graft-lock-heartbeat-${p.getName}")
+    t.setDaemon(true)
+    t
   }
 
   private def release(fs: FileSystem, p: Path, token: String): Unit = {

@@ -46,15 +46,16 @@ class WriteLockSpec extends SparkSpec {
     assert(!hadoopFs(lp).exists(lp), "...and still releases the lock")
   }
 
-  test("a stale lock is broken and the write proceeds") {
+  test("a stale lock (old mtime) is broken and the write proceeds") {
     val wh = freshWarehouse()
     KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
     val lp = lockPath(wh, "t")
     val f = hadoopFs(lp)
-    // fabricate a crashed writer's leftover: acquired far beyond the TTL
+    // fabricate a crashed writer's leftover: no heartbeat since epoch 1
     val out = f.create(lp, false)
     out.write(s"""{"token":"dead","op":"append","acquiredAtMs":1}""".getBytes("UTF-8"))
     out.close()
+    f.setTimes(lp, 1L, -1L)
     KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
       pk = Seq("id"), how = WriteMode.Append)
     assert(KeyedTable.readSql(spark, wh, "t").count() == 4,
@@ -62,17 +63,43 @@ class WriteLockSpec extends SparkSpec {
     assert(!f.exists(lp), "the breaker's own lock released afterwards")
   }
 
-  test("an unreadable (torn) lock is treated as stale, not fatal") {
+  test("an unreadable lock is judged by mtime: old breaks, fresh holds") {
     val wh = freshWarehouse()
     KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
     val lp = lockPath(wh, "t")
     val f = hadoopFs(lp)
-    val out = f.create(lp, false)
-    out.write("{half a js".getBytes("UTF-8")) // crashed mid-write
-    out.close()
+    def torn(): Unit = {
+      val out = f.create(lp, false)
+      out.write("{half a js".getBytes("UTF-8"))
+      out.close()
+    }
+    // fresh torn file = a writer mid-write -> contention, fail fast
+    torn()
+    val e = intercept[StoreException] {
+      KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
+        pk = Seq("id"), how = WriteMode.Append)
+    }
+    assert(e.getMessage.contains("write-locked"))
+    // the same file aged past the TTL = crashed mid-write -> break it
+    f.setTimes(lp, 1L, -1L)
     KeyedTable.toSql(sampleDf.withColumn("id", $"id" + 10), wh, "t",
       pk = Seq("id"), how = WriteMode.Append)
     assert(KeyedTable.readSql(spark, wh, "t").count() == 4)
+  }
+
+  test("heartbeat outlives the TTL: a slow writer is not broken") {
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val dir = KeyedTable.tableDir(wh, "t")
+    // TTL 3s, mutation 5s: without the heartbeat (TTL/3 = 1s beats)
+    // the second writer would break the lock mid-mutation
+    WriteLock.withLock(spark, dir, "slow-writer", staleMs = 3000) {
+      Thread.sleep(5000)
+      val e = intercept[StoreException] {
+        WriteLock.withLock(spark, dir, "impatient") { fail("must not enter") }
+      }
+      assert(e.getMessage.contains("write-locked"), e.getMessage)
+    }
   }
 
   test("release never deletes a lock it lost to a takeover") {
