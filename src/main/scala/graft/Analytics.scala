@@ -133,7 +133,7 @@ object Analytics {
     li.join(part, col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 6)))).cast("double")
         / sum(rev).cast("double")).as("promo_share"))
-      .select(round(col("promo_share"), 4).as("promo_share"))
+      .select(graft.functions.Rounding.portableRound(col("promo_share"), 4).as("promo_share"))
   }
 
   /** #15e TPC-H Q18-style large-volume customers: orders whose line
@@ -353,7 +353,7 @@ object Analytics {
       .agg((sum(when(col("s_nationkey") === 2, col("volume"))
             .otherwise(lit(0).cast(dec))).cast("double")
           / sum(col("volume")).cast("double")).as("share"))
-      .select(col("o_year"), round(col("share"), 4).as("mkt_share"))
+      .select(col("o_year"), graft.functions.Rounding.portableRound(col("share"), 4).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -485,8 +485,8 @@ object Analytics {
     val wide = li.agg(aggs.head, aggs.tail: _*)
     val frames = metrics.map { m =>
       wide.select(lit(m).as("metric"), col("_n").cast("long").as("n"),
-        round(col(s"_s_$m") / col("_n"), 4).as("mean"),
-        round(sqrt((col(s"_s2_$m") - col(s"_s_$m") * col(s"_s_$m") / col("_n")) / (col("_n") - 1)), 4)
+        graft.functions.Rounding.portableRound(col(s"_s_$m") / col("_n"), 4).as("mean"),
+        graft.functions.Rounding.portableRound(sqrt((col(s"_s2_$m") - col(s"_s_$m") * col(s"_s_$m") / col("_n")) / (col("_n") - 1)), 4)
           .as("std"),
         col(s"_min_$m").as("min_val"), col(s"_max_$m").as("max_val"))
     }
@@ -562,7 +562,7 @@ object Analytics {
       .rowsBetween(-6, Window.currentRow)
     Tables.orders(s, d).select(
       col("o_orderkey"), col("o_custkey"),
-      round(moneySum(col("o_totalprice")).over(w).cast("double")
+      graft.functions.Rounding.portableRound(moneySum(col("o_totalprice")).over(w).cast("double")
         / count(lit(1)).over(w), 4).as("rolling_avg_spend"))
   }
 
@@ -1193,11 +1193,10 @@ object Analytics {
       GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".trim,
     "q8_market_share" -> """
       SELECT year(l_shipdate)::BIGINT AS o_year,
-             round(sum(CASE WHEN s_nationkey = 2
+             floor((sum(CASE WHEN s_nationkey = 2
                        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
                        ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
-                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE,
-                   4) AS mkt_share
+                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE) * 10000 + 0.5) / 10000 AS mkt_share
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey
@@ -1338,11 +1337,10 @@ object Analytics {
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""".trim,
     "q14_promo_revenue" -> """
-      SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      SELECT floor((100.0 * sum(CASE WHEN p_type = 'PROMO'
                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
                      ELSE CAST(0 AS DECIMAL(18,6)) END)::DOUBLE
-                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE,
-                   4) AS promo_share
+                   / sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))::DOUBLE) * 10000 + 0.5) / 10000 AS promo_share
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".trim,
@@ -1409,11 +1407,11 @@ object Analytics {
     "describe_lineitem" -> {
       def one(m: String) = s"""
         SELECT '$m' AS metric, count(*) AS n,
-               round(sum(CAST($m AS DECIMAL(18,6)))::DOUBLE / count(*), 4) AS mean,
-               round(sqrt((sum(CAST($m * $m AS DECIMAL(38,6)))::DOUBLE
+               floor((sum(CAST($m AS DECIMAL(18,6)))::DOUBLE / count(*)) * 10000 + 0.5) / 10000 AS mean,
+               floor((sqrt((sum(CAST($m * $m AS DECIMAL(38,6)))::DOUBLE
                            - sum(CAST($m AS DECIMAL(18,6)))::DOUBLE
                              * sum(CAST($m AS DECIMAL(18,6)))::DOUBLE / count(*))
-                          / (count(*) - 1)), 4) AS std,
+                          / (count(*) - 1))) * 10000 + 0.5) / 10000 AS std,
                min($m)::DOUBLE AS min_val, max($m)::DOUBLE AS max_val
         FROM lineitem"""
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -1421,8 +1419,8 @@ object Analytics {
     },
     "w_rolling_avg" -> """
       SELECT o_orderkey, o_custkey,
-             round(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w::DOUBLE
-                   / count(*) OVER w, 4) AS rolling_avg_spend
+             floor((sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w::DOUBLE
+                   / count(*) OVER w) * 10000 + 0.5) / 10000 AS rolling_avg_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".trim,

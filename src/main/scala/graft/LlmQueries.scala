@@ -27,15 +27,19 @@ object LlmQueries {
       .select(col("doc_id"), langIdFromStats(col("_stats")).as("lang_pred"))
 
   /** #30 */
-  def textQuality(s: SparkSession, d: String): DataFrame =
+  def textQuality(s: SparkSession, d: String): DataFrame = {
+    // portableRound, not round: these are float-derived scores, and
+    // round() diverges across engines at decimal ties (see Rounding)
+    import graft.functions.Rounding.portableRound
     docs(s, d).select(
       col("doc_id"),
       nTokens(col("text")).as("n_tokens"),
-      round(meanTokenLen(col("text")), 4).as("mean_token_len"),
-      round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-      round(punctRatio(col("text")), 4).as("punct_ratio"),
-      round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
-      round(qualityScore(col("text")), 4).as("quality"))
+      portableRound(meanTokenLen(col("text")), 4).as("mean_token_len"),
+      portableRound(alphaRatio(col("text")), 4).as("alpha_ratio"),
+      portableRound(punctRatio(col("text")), 4).as("punct_ratio"),
+      portableRound(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+      portableRound(qualityScore(col("text")), 4).as("quality"))
+  }
 
   /** #30w Flesch-style readability: all inputs are exact integer
     * counts (words, vowel-group syllables, sentence segments), the
@@ -49,7 +53,7 @@ object LlmQueries {
       nTokens(col("text")).cast("long").as("n_words"),
       nSentences(col("text")).as("n_sentences"),
       nSyllables(col("text")).as("n_syllables"))
-      .withColumn("flesch", round(
+      .withColumn("flesch", graft.functions.Rounding.portableRound(
         lit(206.835)
           - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
           - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
@@ -136,11 +140,11 @@ object LlmQueries {
       .select(col("doc_id"), repetitionStats(col("text")).as("_r"))
       .select(col("doc_id"),
         element_at(col("_r"), 1).as("n_tokens"),
-        round(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
+        graft.functions.Rounding.portableRound(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
           .as("dup_token_frac"),
-        round(element_at(col("_r"), 3).cast("double") / element_at(col("_r"), 1), 4)
+        graft.functions.Rounding.portableRound(element_at(col("_r"), 3).cast("double") / element_at(col("_r"), 1), 4)
           .as("top_token_frac"),
-        round(when(element_at(col("_r"), 4) === 0, lit(0.0))
+        graft.functions.Rounding.portableRound(when(element_at(col("_r"), 4) === 0, lit(0.0))
           .otherwise(element_at(col("_r"), 6).cast("double") / element_at(col("_r"), 4)), 4)
           .as("top_bigram_frac"))
 
@@ -210,7 +214,7 @@ object LlmQueries {
       .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_token_cnt"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"), col("sum_token_cnt"),
-        round(col("sum_token_cnt") / (col("n_tokens") * col("total_tokens")), 8)
+        graft.functions.Rounding.portableRound(col("sum_token_cnt") / (col("n_tokens") * col("total_tokens")), 8)
           .as("mean_token_freq"))
   }
 
@@ -229,7 +233,7 @@ object LlmQueries {
       .orderBy(col("score").desc, col("token"))
     tf.join(df, "token")
       .crossJoin(broadcast(nd))
-      .withColumn("score", round((col("tf") * col("n_docs")) / col("df"), 6))
+      .withColumn("score", graft.functions.Rounding.portableRound((col("tf") * col("n_docs")) / col("df"), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("token"), col("score"))
@@ -357,11 +361,11 @@ object LlmQueries {
     val withStats = docs(s, d).select(col("doc_id"),
       langMarkerStats(col("text")).as("_l"),
       repetitionStats(col("text")).as("_r"),
-      round(alphaRatio(col("text")), 4).as("_alpha"))
+      graft.functions.Rounding.portableRound(alphaRatio(col("text")), 4).as("_alpha"))
     withStats.select(col("doc_id"),
         langIdFromStats(col("_l")).as("lang_pred"),
         element_at(col("_r"), 1).as("n_tokens"),
-        round(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
+        graft.functions.Rounding.portableRound(lit(1.0) - element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
           .as("dup_frac"),
         col("_alpha").as("alpha_ratio"))
       .withColumn("reason",
@@ -509,7 +513,7 @@ object LlmQueries {
       .crossJoin(broadcast(lsh.agg(count(lit(1)).as("n_lsh"))))
       .crossJoin(broadcast(missed.agg(count(lit(1)).as("n_missed"))))
       .select(col("n_exact"), col("n_lsh"), col("n_missed"),
-        round((col("n_exact") - col("n_missed")) / col("n_exact"), 4).as("recall"))
+        graft.functions.Rounding.portableRound((col("n_exact") - col("n_missed")) / col("n_exact"), 4).as("recall"))
   }
 
   /** #21c eval decontamination: the "eval set" is doc_id % 17 == 3;
@@ -843,8 +847,8 @@ object LlmQueries {
         FROM bandkeys a JOIN bandkeys b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
       j AS (SELECT id_a, id_b,
-        round(len(list_intersect(sa.sset, sb.sset)) /
-              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
+        floor((len(list_intersect(sa.sset, sb.sset)) /
+              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) * 10000 + 0.5) / 10000 jaccard
         FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)"""
 
   private def cos(a: String, b: String) =
@@ -874,10 +878,10 @@ object LlmQueries {
                  FROM documents),
       qs AS (SELECT doc_id, cjk, $langScoresSql,
               len(toks) nt, len(list_distinct(toks)) nd,
-              round(length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text), 4) alpha
+              floor((length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text)) * 10000 + 0.5) / 10000 alpha
             FROM qt),
       qm AS (SELECT doc_id, $langCaseSql AS lang_pred,
-              nt AS n_tokens, round(1.0 - nd::DOUBLE / nt, 4) AS dup_frac,
+              nt AS n_tokens, floor((1.0 - nd::DOUBLE / nt) * 10000 + 0.5) / 10000 AS dup_frac,
               alpha AS alpha_ratio
             FROM qs),
       qr AS (SELECT *,
@@ -897,11 +901,11 @@ object LlmQueries {
                   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
       j AS (SELECT unnest(range(8)) AS subspace),
       d AS (SELECT e.vec_id, j.subspace, cb.code,
-              round(list_sum(list_transform(range(1, 9), i ->
+              floor((list_sum(list_transform(range(1, 9), i ->
                 (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
                    - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
                 * (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
-                   - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6) AS dist
+                   - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
             FROM embeddings e CROSS JOIN j CROSS JOIN cb),
       r AS (SELECT vec_id, subspace, code,
               row_number() OVER (PARTITION BY vec_id, subspace
@@ -919,11 +923,11 @@ object LlmQueries {
                   FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
       j AS (SELECT unnest(range(8)) AS subspace),
       d0 AS (SELECT e.vec_id, j.subspace, cb.code,
-               round(list_sum(list_transform(range(1, 9), i ->
+               floor((list_sum(list_transform(range(1, 9), i ->
                  (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
                     - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
                  * (CAST(e.embedding[j.subspace*8 + i] AS DOUBLE)
-                    - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6) AS dist
+                    - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))))) * 1000000 + 0.5) / 1000000 AS dist
              FROM embeddings e CROSS JOIN j CROSS JOIN cb),
       codes AS (SELECT vec_id, subspace, code FROM (
                   SELECT vec_id, subspace, code,
@@ -933,11 +937,11 @@ object LlmQueries {
       q AS (SELECT vec_id AS query_id, embedding AS qv
             FROM embeddings WHERE vec_id < 20),
       dtab AS (SELECT q.query_id, j.subspace, cb.code,
-                 CAST(round(list_sum(list_transform(range(1, 9), i ->
+                 CAST(floor((list_sum(list_transform(range(1, 9), i ->
                    (CAST(q.qv[j.subspace*8 + i] AS DOUBLE)
                       - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))
                    * (CAST(q.qv[j.subspace*8 + i] AS DOUBLE)
-                      - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE)))), 6)
+                      - CAST(cb.cv[j.subspace*8 + i] AS DOUBLE))))) * 1000000 + 0.5) / 1000000
                    AS DECIMAL(20,6)) AS d2
                FROM q CROSS JOIN j CROSS JOIN cb),
       sc AS (SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.d2) AS adc
@@ -974,9 +978,9 @@ object LlmQueries {
               FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16)),
       j AS (SELECT unnest(range(8)) AS subspace),
       cd AS (SELECT resid.vec_id, resid.cid, j.subspace, rcb.code,
-               round(list_sum(list_transform(range(1, 9), i ->
+               floor((list_sum(list_transform(range(1, 9), i ->
                  (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
-                 * (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i]))), 6) AS dist
+                 * (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])))) * 1000000 + 0.5) / 1000000 AS dist
              FROM resid CROSS JOIN j CROSS JOIN rcb),
       codes AS (SELECT vec_id, cid, subspace, code FROM (
                   SELECT vec_id, cid, subspace, code,
@@ -988,9 +992,9 @@ object LlmQueries {
                FROM probes p JOIN e ON e.vec_id = p.query_id
                       JOIN cents c ON c.cid = p.cid),
       dtab AS (SELECT q.query_id, q.cid, j.subspace, rcb.code,
-                 CAST(round(list_sum(list_transform(range(1, 9), i ->
+                 CAST(floor((list_sum(list_transform(range(1, 9), i ->
                    (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
-                   * (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i]))), 6)
+                   * (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])))) * 1000000 + 0.5) / 1000000
                    AS DECIMAL(20,6)) AS d2
                FROM qres q CROSS JOIN j CROSS JOIN rcb),
       sc AS (SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.d2) AS adc
@@ -1126,7 +1130,7 @@ object LlmQueries {
       freq AS (SELECT token, count(*) cnt FROM tok GROUP BY 1),
       tot AS (SELECT sum(cnt) total_tokens FROM freq)
       SELECT t.doc_id, count(*) AS n_tokens, sum(f.cnt)::BIGINT AS sum_token_cnt,
-             round(sum(f.cnt) / (count(*) * (SELECT total_tokens FROM tot)), 8)
+             floor((sum(f.cnt) / (count(*) * (SELECT total_tokens FROM tot))) * 100000000 + 0.5) / 100000000
                AS mean_token_freq
       FROM tok t JOIN freq f ON f.token = t.token
       GROUP BY t.doc_id""".trim,
@@ -1136,7 +1140,7 @@ object LlmQueries {
       df AS (SELECT token, count(DISTINCT doc_id) df FROM tok GROUP BY 1),
       nd AS (SELECT count(*) n_docs FROM documents),
       scored AS (SELECT tf.doc_id, tf.token,
-                   round((tf.tf * (SELECT n_docs FROM nd)) / df.df, 6) score
+                   floor(((tf.tf * (SELECT n_docs FROM nd)) / df.df) * 1000000 + 0.5) / 1000000 score
                  FROM tf JOIN df ON df.token = tf.token),
       ranked AS (SELECT *, row_number() OVER
                    (PARTITION BY doc_id ORDER BY score DESC, token) rank
@@ -1190,9 +1194,10 @@ object LlmQueries {
           AND doc.doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)),
       sm AS (SELECT doc_id, source, text, string_split(text, ' ') toks FROM surv),
       sq AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
-              round(least(len(toks)/100.0, 1.0)*0.4 +
-                    least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
-                    length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3, 4)
+              floor((least(len(toks)/100.0, 1.0)*0.4 +
+                     least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3)
+                    * 10000 + 0.5) / 10000
                 AS quality
             FROM sm),
       so AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
@@ -1211,11 +1216,12 @@ object LlmQueries {
         len(list_filter(toks, x -> x IN ($enList))) / len(toks) AS stop
         FROM t)
       SELECT doc_id, n_tokens,
-        round(mtl, 4) AS mean_token_len,
-        round(alpha, 4) AS alpha_ratio,
-        round(punct, 4) AS punct_ratio,
-        round(stop, 4) AS stopword_ratio,
-        round(least(n_tokens/100.0, 1.0)*0.4 + least(stop*4.0, 1.0)*0.3 + alpha*0.3, 4) AS quality
+        floor(mtl * 10000 + 0.5) / 10000 AS mean_token_len,
+        floor(alpha * 10000 + 0.5) / 10000 AS alpha_ratio,
+        floor(punct * 10000 + 0.5) / 10000 AS punct_ratio,
+        floor(stop * 10000 + 0.5) / 10000 AS stopword_ratio,
+        floor((least(n_tokens/100.0, 1.0)*0.4 + least(stop*4.0, 1.0)*0.3 + alpha*0.3)
+              * 10000 + 0.5) / 10000 AS quality
       FROM m""".trim,
     "token_count" -> """
       SELECT doc_id,
@@ -1268,9 +1274,10 @@ object LlmQueries {
     "budget_sample" -> s"""
       WITH t AS (SELECT doc_id, source, text, string_split(text, ' ') toks FROM documents),
       m AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
-              round(least(len(toks)/100.0, 1.0)*0.4 +
-                    least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
-                    length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3, 4)
+              floor((least(len(toks)/100.0, 1.0)*0.4 +
+                     least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3)
+                    * 10000 + 0.5) / 10000
                 AS quality
             FROM t),
       o AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
@@ -1285,7 +1292,7 @@ object LlmQueries {
       d2 AS (SELECT doc_id, count(*) OVER (PARTITION BY s) df FROM inv)
       SELECT doc_id, count(*)::BIGINT AS n_shingles,
              sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_novel,
-             round(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*), 4) AS novelty
+             floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*)) * 10000 + 0.5) / 10000 AS novelty
       FROM d2 GROUP BY doc_id""".trim,
     // identical integer counts and the same fixed-shape float formula
     "text_readability" -> """
@@ -1296,8 +1303,8 @@ object LlmQueries {
                    len(regexp_extract_all(text, '[aeiouy]+'))::BIGINT n_syllables
                  FROM documents)
       SELECT doc_id, n_words, n_sentences, n_syllables,
-             round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
-                           - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+             floor((206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                           - 84.6 * (n_syllables::DOUBLE / n_words)) * 10000 + 0.5) / 10000 AS flesch
       FROM x""".trim,
     // same ceil window-count formula; token slices replayed with list
     // slicing and the md5 digest proves byte-identical window text
@@ -1346,7 +1353,7 @@ object LlmQueries {
             FROM tr LEFT JOIN ev ON ev.s = tr.s)
       SELECT doc_id AS id, count(*)::BIGINT AS n_shingles,
              sum(hit)::BIGINT AS n_contaminated,
-             round(sum(hit) / count(*), 4) AS contamination
+             floor((sum(hit) / count(*)) * 10000 + 0.5) / 10000 AS contamination
       FROM j GROUP BY 1""".trim,
     "dedup_incremental" -> """
       WITH seen AS (SELECT DISTINCT md5(text) h FROM documents WHERE doc_id % 5 != 0),
@@ -1408,7 +1415,7 @@ object LlmQueries {
                  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
                  GROUP BY 1, 2),
       sz AS (SELECT doc_id, len(sset) n FROM sh),
-      j AS (SELECT id_a, id_b, round(n_common / (sa.n + sb.n - n_common), 4) jaccard
+      j AS (SELECT id_a, id_b, floor((n_common / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 jaccard
             FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
     "dedup_minhash_lsh" ->
@@ -1425,7 +1432,7 @@ object LlmQueries {
       sz AS (SELECT doc_id, len(sset) n FROM sh),
       ex AS (SELECT id_a, id_b FROM (
                SELECT id_a, id_b,
-                      round(n_common / (sa.n + sb.n - n_common), 4) jaccard
+                      floor((n_common / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 jaccard
                FROM common JOIN sz sa ON sa.doc_id = id_a
                            JOIN sz sb ON sb.doc_id = id_b)
              WHERE jaccard >= 0.5),
@@ -1436,8 +1443,8 @@ object LlmQueries {
       SELECT (SELECT count(*) FROM ex) AS n_exact,
              (SELECT count(*) FROM lsh) AS n_lsh,
              (SELECT c FROM miss) AS n_missed,
-             round(((SELECT count(*) FROM ex) - (SELECT c FROM miss))
-                   / (SELECT count(*) FROM ex), 4) AS recall""".trim,
+             floor((((SELECT count(*) FROM ex) - (SELECT c FROM miss))
+                   / (SELECT count(*) FROM ex)) * 10000 + 0.5) / 10000 AS recall""".trim,
     // same signature/band chain, cohorts split across the candidate
     // join; best match = (jaccard DESC, id_seen ASC) per incoming doc
     "dedup_incremental_lsh" -> s"""
@@ -1453,8 +1460,8 @@ object LlmQueries {
         FROM bandkeys a JOIN bandkeys b ON a.band = b.band AND a.bkey = b.bkey
         WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 != 0),
       v AS (SELECT id_new, id_seen,
-        round(len(list_intersect(sa.sset, sb.sset)) /
-              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset))), 4) jaccard
+        floor((len(list_intersect(sa.sset, sb.sset)) /
+              (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) * 10000 + 0.5) / 10000 jaccard
         FROM cand JOIN sh sa ON sa.doc_id = id_new JOIN sh sb ON sb.doc_id = id_seen),
       best AS (SELECT id_new, id_seen AS matched_id, jaccard,
         row_number() OVER (PARTITION BY id_new ORDER BY jaccard DESC, id_seen) rn
@@ -1468,7 +1475,7 @@ object LlmQueries {
                    CAST(embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) AS v
                  FROM embeddings, (SELECT unnest(range(64)) i) t)
       SELECT label, dim, count(*) AS n_vectors,
-             round(sum(v)::DOUBLE / count(*), 6) AS centroid
+             floor((sum(v)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS centroid
       FROM x GROUP BY 1, 2""".trim,
     // same affine map, identical parenthesization so floor() sees the
     // same IEEE double on both engines; constant dims -> code -128
@@ -1483,7 +1490,7 @@ object LlmQueries {
       FROM x JOIN s USING (dim)""".trim,
     "dedup_embedding" -> s"""
       WITH $cosCte,
-      p AS (SELECT a.vec_id id_a, b.vec_id id_b, round(${cos("a.v", "b.v")}, 4) cos
+      p AS (SELECT a.vec_id id_a, b.vec_id id_b, floor((${cos("a.v", "b.v")}) * 10000 + 0.5) / 10000 cos
             FROM e a JOIN e b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
     // hyperplane weights replayed for 4 seeded tables × 8 planes
@@ -1504,7 +1511,7 @@ object LlmQueries {
                  ON b.t = a.t AND a.vec_id < b.vec_id,
                  (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
                WHERE b.sig = xor(a.sig, m.m::BIGINT)),
-      pr AS (SELECT id_a, id_b, round(${cos("ea.v", "eb.v")}, 4) cos
+      pr AS (SELECT id_a, id_b, floor((${cos("ea.v", "eb.v")}) * 10000 + 0.5) / 10000 cos
              FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
       SELECT id_a, id_b, cos FROM pr WHERE cos >= 0.35""".trim,
     // cohorts split across the signature join; best match per incoming
@@ -1523,7 +1530,7 @@ object LlmQueries {
                  (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
                WHERE b.sig = xor(a.sig, m.m::BIGINT)
                  AND a.vec_id % 5 = 0 AND b.vec_id % 5 != 0),
-      v2 AS (SELECT id_new, id_seen, round(${cos("ea.v", "eb.v")}, 4) cos
+      v2 AS (SELECT id_new, id_seen, floor((${cos("ea.v", "eb.v")}) * 10000 + 0.5) / 10000 cos
              FROM cand JOIN e ea ON ea.vec_id = id_new
                        JOIN e eb ON eb.vec_id = id_seen),
       best AS (SELECT id_new, id_seen AS matched_id, cos,
@@ -1547,7 +1554,7 @@ object LlmQueries {
       dups AS (SELECT DISTINCT y.vec_id id
                FROM a x JOIN a y ON y.cell = x.cell AND x.vec_id < y.vec_id
                JOIN nrm na ON na.vec_id = x.vec_id JOIN nrm nb ON nb.vec_id = y.vec_id
-               WHERE round(list_dot_product(na.v, nb.v) / (na.n * nb.n), 4) >= 0.35)
+               WHERE floor((list_dot_product(na.v, nb.v) / (na.n * nb.n)) * 10000 + 0.5) / 10000 >= 0.35)
       SELECT a.vec_id AS id, a.cell, (d.id IS NOT NULL) AS is_dup
       FROM a LEFT JOIN dups d ON d.id = a.vec_id""".trim,
     // assigned-centroid cosine kept from the argmax CTE; outlier =
@@ -1560,8 +1567,8 @@ object LlmQueries {
               (SELECT vec_id, cid, sim,
                       row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) rn
                FROM sims) WHERE rn = 1)
-      SELECT vec_id AS id, cell, round(sim, 4) AS cos_centroid,
-             (round(sim, 4) < 0.12) AS is_outlier
+      SELECT vec_id AS id, cell, floor((sim) * 10000 + 0.5) / 10000 AS cos_centroid,
+             (floor((sim) * 10000 + 0.5) / 10000 < 0.12) AS is_outlier
       FROM a""".trim,
     // one Lloyd step: refined centroids rebuilt with the SAME
     // decimal-pinned means (embedding_centroids recipe), lists
@@ -1577,7 +1584,9 @@ object LlmQueries {
       x AS (SELECT a0.cell, t.i dim, CAST(em.embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) v
             FROM a0 JOIN embeddings em ON em.vec_id = a0.vec_id,
                  (SELECT unnest(range(64)) i) t),
-      m AS (SELECT cell, dim, round(sum(v)::DOUBLE / count(*), 6) mv FROM x GROUP BY 1, 2),
+      m AS (SELECT cell, dim,
+              floor((sum(v)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 mv
+            FROM x GROUP BY 1, 2),
       newc AS (SELECT cell cid, list(mv ORDER BY dim) cv FROM m GROUP BY cell),
       s1 AS (SELECT e.vec_id, n.cid, ${cos("e.v", "n.cv")} sim FROM e CROSS JOIN newc n),
       a1 AS (SELECT vec_id, cid cell FROM
@@ -1594,7 +1603,7 @@ object LlmQueries {
     "ann_bruteforce" -> s"""
       WITH $cosCte,
       q AS (SELECT * FROM e WHERE vec_id < 20),
-      scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, round(${cos("q.v", "c.v")}, 4) cos
+      scored AS (SELECT q.vec_id query_id, c.vec_id neighbor_id, floor((${cos("q.v", "c.v")}) * 10000 + 0.5) / 10000 cos
                  FROM q JOIN e c ON c.vec_id != q.vec_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
@@ -1647,9 +1656,9 @@ object LlmQueries {
                            u -> len(list_filter(bgs, x -> x = u)))) END tb
              FROM c)
       SELECT doc_id, nt AS n_tokens,
-             round(1.0 - nd::DOUBLE / nt, 4) AS dup_token_frac,
-             round(tt::DOUBLE / nt, 4) AS top_token_frac,
-             round(CASE WHEN nb = 0 THEN 0.0 ELSE tb::DOUBLE / nb END, 4) AS top_bigram_frac
+             floor((1.0 - nd::DOUBLE / nt) * 10000 + 0.5) / 10000 AS dup_token_frac,
+             floor((tt::DOUBLE / nt) * 10000 + 0.5) / 10000 AS top_token_frac,
+             floor((CASE WHEN nb = 0 THEN 0.0 ELSE tb::DOUBLE / nb END) * 10000 + 0.5) / 10000 AS top_bigram_frac
       FROM c2""".trim,
     "text_pii" -> {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
@@ -1699,7 +1708,7 @@ object LlmQueries {
       cand AS (SELECT p.query_id, a.vec_id neighbor_id
                FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id),
       scored AS (SELECT query_id, neighbor_id,
-                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                   floor((list_dot_product(q.v, c.v) / (q.n * c.n)) * 10000 + 0.5) / 10000 cos
                  FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
@@ -1717,7 +1726,9 @@ object LlmQueries {
       x AS (SELECT a0.cell, t.i dim, CAST(em.embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) v
             FROM a0 JOIN embeddings em ON em.vec_id = a0.vec_id,
                  (SELECT unnest(range(64)) i) t),
-      m AS (SELECT cell, dim, round(sum(v)::DOUBLE / count(*), 6) mv FROM x GROUP BY 1, 2),
+      m AS (SELECT cell, dim,
+              floor((sum(v)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 mv
+            FROM x GROUP BY 1, 2),
       newc AS (SELECT cell cid, list(mv ORDER BY dim) cv FROM m GROUP BY cell),
       sims AS (SELECT e.vec_id, n.cid, ${cos("e.v", "n.cv")} sim FROM e CROSS JOIN newc n),
       assign AS (SELECT vec_id, cid FROM
@@ -1732,7 +1743,7 @@ object LlmQueries {
       cand AS (SELECT p.query_id, a.vec_id neighbor_id
                FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id != p.query_id),
       scored AS (SELECT query_id, neighbor_id,
-                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                   floor((list_dot_product(q.v, c.v) / (q.n * c.n)) * 10000 + 0.5) / 10000 cos
                  FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
@@ -1773,7 +1784,7 @@ object LlmQueries {
       cand AS (SELECT DISTINCT p.query_id, c.vec_id neighbor_id
                FROM probes p JOIN sigs c ON c.t = p.t AND c.sig = p.qsig AND c.vec_id != p.query_id),
       scored AS (SELECT query_id, neighbor_id,
-                   round(list_dot_product(q.v, c.v) / (q.n * c.n), 4) cos
+                   floor((list_dot_product(q.v, c.v) / (q.n * c.n)) * 10000 + 0.5) / 10000 cos
                  FROM cand JOIN nrm q ON q.vec_id = query_id JOIN nrm c ON c.vec_id = neighbor_id),
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)

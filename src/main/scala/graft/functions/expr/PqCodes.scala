@@ -1,6 +1,5 @@
 package graft.functions.expr
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -21,7 +20,7 @@ import org.apache.spark.sql.types._
   *
   * Distance arithmetic mirrors the composed form and the SQL oracle
   * exactly: doubles folded in input order, each subspace distance
-  * rounded to 6 decimals HALF_UP (Spark's `round`) BEFORE the argmin,
+  * rounded to 6 decimals (floor-form half-up) BEFORE the argmin,
   * first-wins ties = lowest code.
   */
 case class PqCodes(child: Expression,
@@ -67,9 +66,12 @@ object PqCodes {
 
   case class Packed(vecs: Array[Array[Double]], m: Int)
 
+  // floor-form half-up: pure IEEE ops, so the SQL oracle's identical
+  // expression produces the same bits even at decimal ties (the
+  // BigDecimal shortest-repr form diverges from engines that round the
+  // binary value — see graft.functions.Rounding)
   private def round6(d: Double): Double =
-    new JBigDecimal(java.lang.Double.toString(d))
-      .setScale(6, RoundingMode.HALF_UP).doubleValue()
+    math.floor(d * 1000000.0 + 0.5) / 1000000.0
 
   /** Static entry point shared by eval and generated code. */
   def compute(v: ArrayData, cb: Packed, isFloat: Boolean): ArrayData = {

@@ -39,7 +39,8 @@ object Curation {
     val spark = docs.sparkSession
     val base = docs.select(col(idCol).as("id"), col(sourceCol).as("source"),
       nTokens(col(textCol)).cast("long").as("n_tokens"),
-      round(qualityScore(col(textCol)), 4).as("quality"))
+      graft.functions.Rounding.portableRound(
+        qualityScore(col(textCol)), 4).as("quality"))
     val qs = (1 until shards).map(_.toDouble / shards)
     val edges = base.groupBy(col("source")).agg(
       percentile_approx(col("quality"), typedlit(qs), lit(10000)).as("_edges"))
@@ -148,7 +149,8 @@ object Curation {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 4))
+      .withColumn("novelty", graft.functions.Rounding.portableRound(
+        col("n_novel") / col("n_shingles"), 4))
   }
 
   /** #30v sliding context windows: per doc, token windows of `win`

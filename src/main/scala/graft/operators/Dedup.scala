@@ -135,7 +135,7 @@ object Dedup {
       .agg(count(lit(1)).as("n_shingles"),
         sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
       .withColumn("contamination",
-        round(col("n_contaminated") / col("n_shingles"), 4))
+        graft.functions.Rounding.portableRound(col("n_contaminated") / col("n_shingles"), 4))
   }
 
   /** Distinct-shingle prep: (id, shingles). */
@@ -185,7 +185,7 @@ object Dedup {
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
       .withColumn("jaccard",
-        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+        graft.functions.Rounding.portableRound(col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       // uniqueness guard against duplicate input ids fanning out the
@@ -223,7 +223,7 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(jaccard(col("sh_a"), col("sh_b")), 4))
+      .withColumn("jaccard", graft.functions.Rounding.portableRound(jaccard(col("sh_a"), col("sh_b")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       // final uniqueness guard: if `docs` carried duplicate ids the two
@@ -267,7 +267,7 @@ object Dedup {
     val verified = cand
       .join(shNew.select(col("id").as("id_new"), col("shingles").as("sh_n")), "id_new")
       .join(shSeen.select(col("id").as("id_seen"), col("shingles").as("sh_s")), "id_seen")
-      .withColumn("jaccard", round(jaccard(col("sh_n"), col("sh_s")), 4))
+      .withColumn("jaccard", graft.functions.Rounding.portableRound(jaccard(col("sh_n"), col("sh_s")), 4))
       .filter(col("jaccard") >= threshold)
     // best match per incoming doc: struct max orders by (jaccard, -id)
     // so ties resolve to the LOWEST seen id
@@ -445,7 +445,7 @@ object Dedup {
       norm2(col(vecCol)).as("nrm"))
     def score(pairs: DataFrame): DataFrame =
       pairs.select(col("id_a"), col("id_b"),
-          round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
+          graft.functions.Rounding.portableRound(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
             .as("cos"))
         .filter(col("cos") >= threshold)
     if (exact) {
@@ -515,7 +515,7 @@ object Dedup {
       .join(sn.select(col("id").as("id_seen"), col("vec").as("vec_b"),
         col("nrm").as("nrm_b")), "id_seen")
       .select(col("id_new"), col("id_seen"),
-        round(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
+        graft.functions.Rounding.portableRound(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("cos"))
       .filter(col("cos") >= threshold)
     val w = Window.partitionBy(col("id_new")).orderBy(col("cos").desc, col("id_seen"))
@@ -557,7 +557,7 @@ object Dedup {
     val dups = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
       .select(col("b.id").as("id"),
-        round(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
+        graft.functions.Rounding.portableRound(dot(col("a.vec"), col("b.vec")) / (col("a.nrm") * col("b.nrm")), 4)
           .as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("id")).distinct()

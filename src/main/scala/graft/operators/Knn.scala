@@ -63,7 +63,7 @@ object Knn {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       norm2(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -102,7 +102,7 @@ object Knn {
           explode(topCells(col(vecCol), nprobe)).as("cell")))
     val scored = c.join(probes,
         c("cell") === probes("cell") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -141,7 +141,7 @@ object Knn {
         col("ctbl") === col("qtbl") && col("csig") === col("qsig") &&
           col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+      .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -161,7 +161,8 @@ object Knn {
       .select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("label"), col("dim").cast("long").as("dim"))
       .agg(count(lit(1)).as("n_vectors"),
-        round(sum(col("v").cast("double")
+        graft.functions.Rounding.portableRound(
+          sum(col("v").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
           / count(lit(1)), 6).as("centroid"))
 
@@ -250,7 +251,7 @@ object Knn {
       (0 until cb.length).map { c =>
         val cs = cb(c).slice(j * sub, (j + 1) * sub)
         struct(lit(j.toLong).as("subspace"), lit(c).as("code"),
-          round(aggregate(
+          graft.functions.Rounding.portableRound(aggregate(
             zip_with(qslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x), 6)
             .cast("decimal(20,6)").as("d2"))
@@ -367,7 +368,7 @@ object Knn {
       (0 until residCb.length).map { c =>
         val cs = residCb(c).slice(j * sub, (j + 1) * sub)
         struct(lit(j).as("subspace"), lit(c).as("code"),
-          round(aggregate(
+          graft.functions.Rounding.portableRound(aggregate(
             zip_with(qslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x), 6)
             .cast("decimal(20,6)").as("d2"))
@@ -459,7 +460,8 @@ object Knn {
       val meanRows = assigned
         .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(round(sum(col("v").cast("double")
+        .agg(graft.functions.Rounding.portableRound(
+          sum(col("v").cast("double")
             .cast(org.apache.spark.sql.types.DecimalType(18, 6))).cast("double")
           / count(lit(1)), 6).as("m"))
         .collect()
@@ -501,7 +503,7 @@ object Knn {
         element_at(nearestCells(cents, col(vecCol), 1), 1).as("cell"))
       .join(centDf, Seq("cell"))
       .withColumn("cos_centroid",
-        round(dot(col("vec"), col("cv")) / (col("nrm") * col("cn")), 4))
+        graft.functions.Rounding.portableRound(dot(col("vec"), col("cv")) / (col("nrm") * col("cn")), 4))
       .select(col("id"), col("cell"), col("cos_centroid"),
         (col("cos_centroid") < threshold).as("is_outlier"))
   }

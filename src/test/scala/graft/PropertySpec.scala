@@ -128,4 +128,36 @@ class PropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     keys.foreach(k => assert(b1(k) == b2(k) && b1(k) >= 0 && b1(k) < 32))
   }
+
+  test("chunk windows: tile every doc exactly, for random win/stride") {
+    import spark.implicits._
+    val cases = samples(for {
+      win <- Gen.chooseNum(1, 64)
+      stride <- Gen.chooseNum(1, win)
+    } yield (win, stride), 8).distinct
+    val lens = samples(Gen.chooseNum(1, 300), 5).distinct
+    val docs = lens.zipWithIndex
+      .map { case (n, i) => (i.toLong, (1 to n).map(t => s"t$t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    cases.foreach { case (win, stride) =>
+      val wins = graft.operators.Curation
+        .chunkWindows(docs, "doc_id", "text", win, stride)
+        .select("doc_id", "n_tokens", "win_id", "start_tok", "win_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._3).toSeq).toMap
+      wins.foreach { case (_, ws) =>
+        val n = ws.head._2
+        assert(ws.head._4 == 0L, s"first window starts at 0 (win=$win stride=$stride)")
+        ws.sliding(2).foreach {
+          case Seq(a, b) => assert(b._4 - a._4 == stride, "starts step by stride")
+          case _ =>
+        }
+        ws.foreach { case (_, _, _, start, toks) =>
+          assert(toks >= 1 && toks <= win && start + toks <= n, "window in bounds")
+        }
+        assert(ws.last._4 + ws.last._5 == n, "last window ends at the last token")
+        assert(ws.init.forall(_._5 == win), "only the tail window may be partial")
+      }
+    }
+  }
 }
