@@ -1058,6 +1058,47 @@ object Analytics {
       .select("o_orderpriority", "median_value")
   }
 
+  /** #14k robust outlier detection per event type: exact median + MAD
+    * (median absolute deviation), the heavy-tail-safe alternative to
+    * mean/stddev z-scores (one fat outlier drags a mean-based
+    * threshold; the median ignores it). Flags |v − med| > 4.4478·MAD
+    * (= 3σ under normality via the 1.4826 consistency constant).
+    *
+    * Two exact rank selections, both through [[operators.ExactRank]]'s
+    * sharded form — event_type is a low-cardinality group, exactly the
+    * regime where a plain per-group window serializes — then one
+    * counting pass for the flags. Median of an even group is the mean
+    * of the two middle values: a sum of exactly two doubles, IEEE-
+    * commutative, so the oracle's window form lands on the same bits.
+    * Returns (event_type, n, median_value, mad, n_outliers). */
+  def eventsMad(s: SparkSession, d: String): DataFrame =
+    eventsMadOf(Tables.events(s, d).select("event_type", "value", "event_id"))
+
+  /** [[eventsMad]]'s core on an arbitrary (event_type, value,
+    * event_id) frame — split out so specs drive handcrafted groups. */
+  def eventsMadOf(ev: DataFrame): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    def midOf(df: DataFrame, valueCol: String, out: String): DataFrame =
+      graft.operators.ExactRank
+        .withGroupedRowNumber(df, "event_type", valueCol, "event_id", "rn", "cnt")
+        .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+                col("rn") === floor((col("cnt") + 2) / 2))
+        .groupBy(col("event_type"))
+        .agg((sum(col(valueCol)) / count(lit(1))).as(out))
+    val med = midOf(ev, "value", "med")
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"),
+        col("event_id"), col("med"))
+    val mad = midOf(dev.select("event_type", "ad", "event_id"), "ad", "mad")
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        portableRound(max(col("med")), 4).as("median_value"),
+        portableRound(max(col("mad")), 4).as("mad"),
+        sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -1121,6 +1162,7 @@ object Analytics {
     "stream_upsert" -> (streamUpsert _),
     "events_props" -> (eventsProps _),
     "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)),
+    "events_mad" -> (eventsMad _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1749,6 +1791,29 @@ object Analytics {
       FROM events GROUP BY 1 ORDER BY 1""".trim,
     // the float-free z-test: (x*n - Sx)^2 > z0^2 * (n*Sxx - Sx^2) —
     // exact integers end to end, same epoch-second hour buckets
+    // median/MAD by explicit rank selection (NOT DuckDB's median(),
+    // whose interpolation shape isn't guaranteed to match); the two
+    // middle values sum in either order to the same IEEE bits
+    "events_mad" -> """
+      WITH r1 AS (SELECT event_type, value, event_id,
+          row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) rn,
+          count(*) OVER (PARTITION BY event_type) cnt FROM events),
+      med AS (SELECT event_type, sum(value) / count(*) AS med
+              FROM r1 WHERE rn IN (floor((cnt+1)/2), floor((cnt+2)/2)) GROUP BY 1),
+      dev AS (SELECT e.event_type, abs(e.value - m.med) ad, e.event_id
+              FROM events e JOIN med m ON m.event_type = e.event_type),
+      r2 AS (SELECT event_type, ad, event_id,
+          row_number() OVER (PARTITION BY event_type ORDER BY ad, event_id) rn,
+          count(*) OVER (PARTITION BY event_type) cnt FROM dev),
+      mad AS (SELECT event_type, sum(ad) / count(*) AS mad
+              FROM r2 WHERE rn IN (floor((cnt+1)/2), floor((cnt+2)/2)) GROUP BY 1)
+      SELECT d.event_type, count(*)::BIGINT n,
+             floor(any_value(m2.med) * 10000 + 0.5) / 10000 AS median_value,
+             floor(any_value(m.mad) * 10000 + 0.5) / 10000 AS mad,
+             sum(CASE WHEN d.ad > 4.4478 * m.mad THEN 1 ELSE 0 END)::BIGINT n_outliers
+      FROM dev d JOIN mad m ON m.event_type = d.event_type
+                JOIN med m2 ON m2.event_type = d.event_type
+      GROUP BY d.event_type""".trim,
     "events_anomaly" -> """
       WITH b AS (SELECT event_type,
                    (epoch_ns(ts) // 1000000000) -

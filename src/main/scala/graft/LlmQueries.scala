@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Curation, Dedup, Knn}
+import graft.operators.{Curation, Dedup, InvertedIndex, Knn}
 
 /** LLM-data-pipeline correctness queries (SURVEY.md §2 #21-32): text
   * analysis, dedup family, ANN. Every query has a DuckDB oracle that
@@ -628,6 +628,21 @@ object LlmQueries {
   def bpePairs(s: SparkSession, d: String): DataFrame =
     Curation.bpePairs(docs(s, d), "text", topK = 50)
 
+  /** #30x bigram collocation mining by lift (support >= 5, top 20). */
+  def tokenLift(s: SparkSession, d: String): DataFrame =
+    Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
+
+  /** #21g cross-source duplication matrix (5-gram shingle Jaccard). */
+  def sourceOverlap(s: SparkSession, d: String): DataFrame =
+    Dedup.sourceOverlap(docs(s, d), "source", "text", n = 5)
+
+  /** #30y exact phrase search over the positional inverted index. The
+    * gated phrase is two distinct common corpus tokens, so both the
+    * hit set and the position list are non-trivial at every SF. */
+  def phraseSearch(s: SparkSession, d: String): DataFrame =
+    InvertedIndex.phraseSearch(docs(s, d), "doc_id", "text",
+      Seq("merge", "join"))
+
   /** #30v sliding context windows (32-token windows, stride 24 — sized
     * so the synthetic corpus actually exercises the multi-window
     * stride path; production would use model-context-sized wins). */
@@ -785,6 +800,9 @@ object LlmQueries {
     "budget_sample" -> budgetSampleQ,
     "text_novelty" -> textNovelty,
     "bpe_pairs" -> bpePairs,
+    "token_lift" -> tokenLift,
+    "source_overlap" -> sourceOverlap,
+    "phrase_search" -> phraseSearch,
     "chunk_windows" -> chunkWindows,
     "text_readability" -> textReadability,
     "corpus_balance" -> corpusBalance,
@@ -1334,6 +1352,49 @@ object LlmQueries {
       SELECT pair, n_pairs,
              row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank
       FROM agg QUALIFY rank <= 50""".trim,
+    // lift = (n_ab·N)/(n_a·n_b): PMI without the log — exact integer
+    // counts, one double multiply/divide mirroring the Spark shape
+    "token_lift" -> """
+      WITH d AS (SELECT string_split(text, ' ') t FROM documents),
+      uni AS (SELECT unnest(t) tok FROM d),
+      uc AS (SELECT tok, count(*) n FROM uni GROUP BY 1),
+      tot AS (SELECT count(*) nt FROM uni),
+      bg AS (SELECT unnest(list_transform(range(1, len(t)),
+               i -> struct_pack(a := t[i], b := t[i+1]))) p FROM d),
+      bgc AS (SELECT p.a a, p.b b, count(*) n_ab FROM bg GROUP BY 1, 2),
+      lifted AS (SELECT a tok_a, b tok_b, n_ab,
+        floor(((CAST(n_ab AS DOUBLE) * CAST((SELECT nt FROM tot) AS DOUBLE))
+          / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))) * 10000 + 0.5) / 10000 AS lift
+        FROM bgc JOIN uc ua ON ua.tok = bgc.a JOIN uc ub ON ub.tok = bgc.b
+        WHERE n_ab >= 5)
+      SELECT tok_a, tok_b, n_ab, lift,
+             row_number() OVER (ORDER BY lift DESC, tok_a, tok_b)::BIGINT rank
+      FROM lifted QUALIFY rank <= 20""".trim,
+    // same per-doc-distinct 5-gram shingles as shingleCte, then
+    // distinct per SOURCE; pair overlap via self-join on the shingle
+    "source_overlap" -> """
+      WITH d AS (SELECT source, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT DISTINCT source, sg FROM (
+        SELECT source, unnest(CASE WHEN len(w) >= 5
+          THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
+          ELSE [array_to_string(w, ' ')] END) sg FROM d)),
+      sz AS (SELECT source, count(*) n FROM sh GROUP BY 1),
+      pr AS (SELECT a.source sa, b.source sb, count(*) n_common
+             FROM sh a JOIN sh b ON a.sg = b.sg AND a.source < b.source
+             GROUP BY 1, 2)
+      SELECT sa AS source_a, sb AS source_b, za.n AS n_a, zb.n AS n_b, n_common,
+             floor((CAST(n_common AS DOUBLE) / CAST(za.n + zb.n - n_common AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS jaccard
+      FROM pr JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb""".trim,
+    // positional semantics on both sides (list comprehension over the
+    // token array), so overlapping occurrences count identically
+    "phrase_search" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      m AS (SELECT doc_id,
+              [i FOR i IN range(1, len(t)) IF t[i] = 'merge' AND t[i+1] = 'join'] pos
+            FROM d)
+      SELECT doc_id, len(pos)::BIGINT n_matches, (pos[1] - 1)::BIGINT first_pos
+      FROM m WHERE len(pos) > 0""".trim,
     // same 5-gram shingle definition as shingleCte (wordShingles is
     // per-doc distinct); minHits=1 → contamination is join existence
     "corpus_decontaminate" -> s"""

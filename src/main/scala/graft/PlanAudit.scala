@@ -22,7 +22,8 @@ object PlanAudit {
     * (operates on already-aggregated rows, not raw data). */
   val bounded: Map[String, String] = Map(
     "vocab_growth" -> "running sum over <= #batches post-agg rows",
-    "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)")
+    "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)",
+    "token_lift" -> "global rank over <= partitions x topK locally-pruned collocations")
 
   /** One query's audit result. */
   final case class Finding(name: String, globalWindows: Int,

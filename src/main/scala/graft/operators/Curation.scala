@@ -183,6 +183,56 @@ object Curation {
         col("start_tok"), col("win_tokens"), col("win_hash"))
   }
 
+  /** #30x collocation mining by lift — the phrase-discovery signal a
+    * tokenizer/phrase-vocab pipeline runs over the whole corpus. For
+    * each adjacent token bigram (a,b): lift = P(a,b)/(P(a)·P(b)) =
+    * (n_ab·N)/(n_a·n_b) — the PMI ratio WITHOUT the log, so the score
+    * is one double multiply/divide over exact integer counts (no libm
+    * call whose low bits differ across engines; ranking by lift is
+    * ranking by PMI since log is monotone).
+    *
+    * Plan: one pass builds unigram counts (total N = their sum — no
+    * second scan), one pass builds bigram counts; both collapse
+    * map-side. Candidates join unigram counts on the token keys (a
+    * shuffle join over the VOCABULARY, not the corpus) and the
+    * `minCount` support filter prunes the hapax tail before the join.
+    * Top-k is two-phase: per-partition prune to topK, then a global
+    * rank over the ≤ partitions×topK survivors (bounded —
+    * see [[graft.PlanAudit.bounded]]).
+    * Returns (tok_a, tok_b, n_ab, lift, rank), rank <= topK. */
+  def tokenLift(docs: DataFrame, textCol: String,
+                minCount: Int = 5, topK: Int = 20): DataFrame = {
+    val toks = docs.select(tokens(col(textCol)).as("t"))
+    val uni = toks.select(explode(col("t")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val tot = uni.agg(sum(col("n")).as("nt"))
+    // size >= 2 guard: sequence(0, -1) is a DESCENDING 2-element list,
+    // not empty — a 1-token doc would fabricate a phantom bigram
+    val bgc = toks.filter(size(col("t")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("t")) - 2),
+        i => struct(element_at(col("t"), i + 1).as("a"),
+                    element_at(col("t"), i + 2).as("b")))).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val lifted = bgc
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_a", "n" -> "n_a")), "tok_a")
+      .join(uni.withColumnsRenamed(Map("tok" -> "tok_b", "n" -> "n_b")), "tok_b")
+      .crossJoin(broadcast(tot))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        graft.functions.Rounding.portableRound(
+          (col("n_ab").cast("double") * col("nt").cast("double"))
+            / (col("n_a").cast("double") * col("n_b").cast("double")), 4)
+          .as("lift"))
+    val wLocal = Window.partitionBy(spark_partition_id())
+      .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+    val pruned = lifted.withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= topK).drop("_lr")
+    val w = Window.orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+    pruned.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+  }
+
   /** #30u BPE merge-pair statistics — the counting step every BPE
     * tokenizer-training iteration repeats, at the scale where it
     * dominates (each merge recounts pairs over the whole corpus).

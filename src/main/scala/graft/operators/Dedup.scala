@@ -565,4 +565,40 @@ object Dedup {
       .select(col("id"), col("cell"),
         coalesce(col("_dup"), lit(false)).as("is_dup"))
   }
+
+  /** #21g cross-source duplication matrix: pairwise shingle-set
+    * Jaccard between corpus SOURCES — the corpus-audit view ("how much
+    * of src_a is also in src_b?") that decides which sources to
+    * downweight before any per-doc dedup runs.
+    *
+    * Plan: distinct (source, shingle) pairs — the corpus collapses to
+    * its per-source shingle vocabulary in one map-side-combined
+    * groupBy — then a self-join ON THE SHINGLE joins each shingle's
+    * source list against itself (source_a < source_b). Per-shingle
+    * fanout is bounded by C(|sources|, 2) — sources are a handful of
+    * corpus labels, not data — so the join output is ≤ pairs×shingles,
+    * never n². The join key is the md5 digest, so only 16-byte hashes
+    * shuffle, not shingle text. Per-source set sizes broadcast back
+    * (|sources| rows). Returns one row per source pair with any
+    * overlap: (source_a, source_b, n_a, n_b, n_common, jaccard). */
+  def sourceOverlap(docs: DataFrame, groupCol: String, textCol: String,
+                    n: Int = 5): DataFrame = {
+    val sh = docs.select(col(groupCol).as("source"),
+        explode(wordShingles(col(textCol), n)).as("sg"))
+      .select(col("source"), md5(col("sg")).as("dg")).distinct()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.dg") === col("b.dg") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(sz.withColumnsRenamed(Map("source" -> "source_a", "n" -> "n_a"))), "source_a")
+      .join(broadcast(sz.withColumnsRenamed(Map("source" -> "source_b", "n" -> "n_b"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        graft.functions.Rounding.portableRound(
+          col("n_common").cast("double")
+            / (col("n_a") + col("n_b") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+  }
 }

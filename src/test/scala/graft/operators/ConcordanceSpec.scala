@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** tokenLift / sourceOverlap / phraseSearch / eventsMad on tiny
+  * hand-computed corpora. */
+class ConcordanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenLift: lift matches hand computation, minCount prunes") {
+    // corpus: "a b" x3, "a c" x1, single-token doc must add no bigram
+    val docs = Seq("a b", "a b", "a b", "a c", "z").toDF("text")
+    val out = Curation.tokenLift(docs, "text", minCount = 3, topK = 10)
+      .select("tok_a", "tok_b", "n_ab", "lift", "rank")
+      .as[(String, String, Long, Double, Long)].collect()
+    // unigrams: a=4 b=3 c=1 z=1, N=9; only (a,b) has support >= 3
+    assert(out.toSeq == Seq(("a", "b", 3L, math.floor(3.0 * 9 / (4 * 3) * 10000 + 0.5) / 10000, 1L)))
+  }
+
+  test("sourceOverlap: jaccard over per-source distinct shingles") {
+    // 2-gram shingles; s1 = {a b, b c}, s2 = {b c, c d}; common = {b c}
+    val docs = Seq(("s1", "a b c"), ("s1", "a b"), ("s2", "b c d"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", "text", n = 2)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq(("s1", "s2", 2L, 2L, 1L, math.floor(1.0 / 3 * 10000 + 0.5) / 10000)))
+  }
+
+  test("phraseSearch: counts overlapping matches positionally") {
+    val docs = Seq(
+      (1L, "x a b a b y"), // "a b" at 1 and 3
+      (2L, "a b"),         // at 0
+      (3L, "b a"),         // none
+      (4L, "a a b")        // at 1
+    ).toDF("doc_id", "text")
+    val out = InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("a", "b"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L), (4L, 1L, 1L)))
+    // 3-token phrase takes the fold path (m-1 joins)
+    val tri = InvertedIndex.phraseSearch(docs, "doc_id", "text", Seq("a", "a", "b"))
+      .as[(Long, Long, Long)].collect()
+    assert(tri.toSeq == Seq((4L, 1L, 0L)))
+  }
+
+  test("eventsMad: exact median/MAD and outlier flags per group") {
+    // group g: values 1,2,3,4,100 -> med 3, |dev| = 2,1,0,1,97 -> mad 1
+    // outlier: 97 > 4.4478*1 -> 1 outlier; mean/std would have flagged none
+    // group h (even n): 1,2,3,4 -> med 2.5, devs 1.5,.5,.5,1.5 -> mad 1.0
+    val ev = (Seq(1.0, 2.0, 3.0, 4.0, 100.0).map(("g", _)) ++
+        Seq(1.0, 2.0, 3.0, 4.0).map(("h", _)))
+      .zipWithIndex.map { case ((t, v), i) => (t, v, i.toLong) }
+      .toDF("event_type", "value", "event_id")
+    val byType = graft.Analytics.eventsMadOf(ev)
+      .orderBy("event_type")
+      .as[(String, Long, Double, Double, Long)].collect()
+    assert(byType.toSeq == Seq(("g", 5L, 3.0, 1.0, 1L), ("h", 4L, 2.5, 1.0, 0L)))
+  }
+}
