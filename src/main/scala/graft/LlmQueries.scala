@@ -495,6 +495,11 @@ object LlmQueries {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5,
       maxDf = 100)
 
+  /** #24b near-subset (containment) pairs, same df-cut. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 5,
+      threshold = 0.9, maxDf = 100)
+
   /** #22c LSH recall report: how much of the EXACT near-dup pair set
     * (inverted-index n-gram Jaccard, no df-cut — the recall
     * cross-check tier) does the banded MinHash-LSH path find? The
@@ -774,6 +779,7 @@ object LlmQueries {
     "corpus_contamination" -> corpusContamination,
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
@@ -1479,6 +1485,22 @@ object LlmQueries {
       j AS (SELECT id_a, id_b, floor((n_common / (sa.n + sb.n - n_common)) * 10000 + 0.5) / 10000 jaccard
             FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5""".trim,
+    // containment = n_common / min(n_a, n_b): catches short-doc-quoted-
+    // in-long-doc subset duplication that symmetric jaccard misses
+    "dedup_containment" -> s"""
+      WITH $shingleCte,
+      inv0 AS (SELECT doc_id, unnest(sset) s FROM sh),
+      inv AS (SELECT doc_id, s FROM inv0
+              WHERE s IN (SELECT s FROM inv0 GROUP BY s HAVING count(*) <= 100)),
+      common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
+                 FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+                 GROUP BY 1, 2),
+      sz AS (SELECT doc_id, len(sset) n FROM sh),
+      c AS (SELECT id_a, id_b, n_common,
+              floor((CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE))
+                    * 10000 + 0.5) / 10000 containment
+            FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
+      SELECT id_a, id_b, n_common, containment FROM c WHERE containment >= 0.9""".trim,
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
     // exact ground truth (no df-cut) vs the banded LSH pair set;

@@ -193,6 +193,44 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** #24b shingle containment near-subset pairs: containment =
+    * n_common / min(n_a, n_b) — the asymmetric-duplication signal
+    * symmetric Jaccard MISSES (a short doc quoted wholesale inside a
+    * long one has tiny Jaccard but containment 1.0; such quote-dups
+    * leak eval data and over-weight content exactly like full dups).
+    * Same inverted-index + df-cut candidate machinery as
+    * [[ngramJaccardPairs]] — shuffle on the shingle, fanout bounded by
+    * maxDf²/2 — only the verify formula changes. Full set sizes stay
+    * in the denominator, so the cut only lowers scores.
+    * Returns (id_a, id_b, n_common, containment) ≥ `threshold`. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 5, threshold: Double = 0.9,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = shingled(docs, idCol, textCol, n)
+    val invAll = sh.select(col("id"), explode(col("shingles")).as("s"))
+    val inv =
+      if (maxDf == Int.MaxValue) invAll
+      else invAll
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    val common = inv.as("a").join(inv.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
+    common
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
+      .withColumn("containment",
+        graft.functions.Rounding.portableRound(
+          col("n_common").cast("double")
+            / least(col("n_a"), col("n_b")).cast("double"), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
     * (narrow) → `bands` band keys (narrow) → explode band keys and
     * self-join on (band, key) for candidates (the only wide op; shuffle

@@ -43,6 +43,26 @@ class ConcordanceSpec extends SparkSpec {
     assert(tri.toSeq == Seq((4L, 1L, 0L)))
   }
 
+  test("containmentPairs: short doc quoted inside long doc scores 1.0") {
+    // doc 2 mostly overlaps the tail of doc 1; containment scores it
+    // by the SMALLER set (2/3) where jaccard would give 2/8
+    val docs = Seq(
+      (1L, "p q r s t u v w"), (2L, "u v w x"), (3L, "m n o")
+    ).toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(docs, "doc_id", "text", n = 5, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    // 5-shingles: doc1 {p..t, q..u, r..v, s..w}, doc2 {"u v w x"}, no overlap
+    assert(out.isEmpty)
+    val out2 = Dedup.containmentPairs(docs, "doc_id", "text", n = 2, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    // 2-shingles: doc2 {u v, v w, w x}; common with doc1 = {u v, v w} -> 2/3
+    // below 0.9; doc 4 absent. Lower threshold finds the asymmetric pair
+    assert(out2.isEmpty)
+    val out3 = Dedup.containmentPairs(docs, "doc_id", "text", n = 2, threshold = 0.6)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out3.toSeq == Seq((1L, 2L, 2L, math.floor(2.0 / 3 * 10000 + 0.5) / 10000)))
+  }
+
   test("eventsMad: exact median/MAD and outlier flags per group") {
     // group g: values 1,2,3,4,100 -> med 3, |dev| = 2,1,0,1,97 -> mad 1
     // outlier: 97 > 4.4478*1 -> 1 outlier; mean/std would have flagged none
