@@ -495,6 +495,11 @@ object LlmQueries {
     Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", n = 5, threshold = 0.5,
       maxDf = 100)
 
+  /** #24c winnowing (MOSS) fingerprint pairs, same df-cut. */
+  def dedupWinnow(s: SparkSession, d: String): DataFrame =
+    Dedup.winnowPairs(docs(s, d), "doc_id", "text", n = 5, window = 4,
+      minShared = 2, maxDf = 100)
+
   /** #24b near-subset (containment) pairs, same df-cut. */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 5,
@@ -780,6 +785,7 @@ object LlmQueries {
     "corpus_mix" -> corpusMix,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
+    "dedup_winnow" -> dedupWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
@@ -1501,6 +1507,24 @@ object LlmQueries {
                     * 10000 + 0.5) / 10000 containment
             FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
       SELECT id_a, id_b, n_common, containment FROM c WHERE containment >= 0.9""".trim,
+    // winnowing: positional 5-gram hash stream (NOT the distinct set),
+    // each 4-window's min hash, distinct selected values = fingerprints
+    "dedup_winnow" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(t) < 5
+              THEN [('0x' || substr(md5(array_to_string(t, ' ')), 1, 8))::BIGINT]
+              ELSE list_transform(range(len(t)-4), i ->
+                ('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 8))::BIGINT) END h
+            FROM d),
+      f AS (SELECT doc_id, CASE WHEN len(h) < 4 THEN [list_min(h)]
+              ELSE list_distinct(list_transform(range(len(h)-3), i -> list_min(h[i+1:i+4]))) END fp
+            FROM g),
+      inv0 AS (SELECT doc_id, unnest(fp) f FROM f),
+      inv AS (SELECT doc_id, f FROM inv0
+              WHERE f IN (SELECT f FROM inv0 GROUP BY f HAVING count(*) <= 100))
+      SELECT a.doc_id id_a, b.doc_id id_b, count(*)::BIGINT n_shared
+      FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING count(*) >= 2""".trim,
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
     // exact ground truth (no df-cut) vs the banded LSH pair set;

@@ -25,9 +25,12 @@ object PlanAudit {
     "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)",
     "token_lift" -> "global rank over <= partitions x topK locally-pruned collocations")
 
-  /** One query's audit result. */
+  /** One query's audit result. `cartesians` counts CartesianProductExec
+    * nodes — the all-pairs shape no query may EVER plan (a broadcast
+    * scalar crossJoin plans BroadcastNestedLoopJoin, not this). */
   final case class Finding(name: String, globalWindows: Int,
-                           justified: Boolean, error: Option[String])
+                           justified: Boolean, error: Option[String],
+                           cartesians: Int = 0)
 
   /** Audits every registered query; pure function of (spark, sfDir) so
     * the regression spec and the CLI share one implementation. */
@@ -43,8 +46,12 @@ object PlanAudit {
           case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
               if w.partitionSpec.isEmpty => w
         }
-        if (globalWindows.isEmpty) None
-        else Some(Finding(name, globalWindows.size, bounded.contains(name), None))
+        val cartesians = plan.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (globalWindows.isEmpty && cartesians.isEmpty) None
+        else Some(Finding(name, globalWindows.size,
+          cartesians.isEmpty && bounded.contains(name), None, cartesians.size))
       } catch {
         case e: Throwable => Some(Finding(name, 0, justified = false,
           Some(e.getMessage)))
@@ -63,9 +70,10 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val findings = scan(spark, sfDir)
     findings.foreach {
-      case Finding(n, _, _, Some(err)) => println(s"ERROR   $n: $err")
-      case Finding(n, _, true, _) => println(s"BOUNDED $n: ${bounded(n)}")
-      case Finding(n, c, false, _) => println(s"SERIAL  $n ($c global window(s))")
+      case Finding(n, _, _, Some(err), _) => println(s"ERROR   $n: $err")
+      case Finding(n, _, _, _, x) if x > 0 => println(s"CARTESIAN $n ($x node(s))")
+      case Finding(n, _, true, _, _) => println(s"BOUNDED $n: ${bounded(n)}")
+      case Finding(n, c, false, _, _) => println(s"SERIAL  $n ($c global window(s))")
     }
     val serial = findings.filter(f => !f.justified)
     println(if (serial.isEmpty) "== audit clean =="

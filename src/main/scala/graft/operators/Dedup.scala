@@ -231,6 +231,52 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** #24c winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): over the POSITIONAL k-gram hash stream (not the
+    * distinct set — order matters), select each w-window's minimum
+    * hash; the distinct selected values are the doc's fingerprints.
+    * Guarantee: any shared run of ≥ w+k−1 tokens shares ≥1
+    * fingerprint — so unlike MinHash (whole-doc similarity) this finds
+    * LOCAL overlap, and keeps ~1/w of the grams (here w=4: 4× smaller
+    * index than full inverted-shingle).
+    *
+    * Everything up to the fingerprint set is narrow codegen'd array
+    * ops; then the same df-cut + inverted self-join shape as
+    * [[ngramJaccardPairs]], but over the winnowed (smaller) index.
+    * The tie rule (which POSITION holds a repeated window min) doesn't
+    * matter here: only selected VALUES are kept, and those are
+    * tie-invariant. Returns (id_a, id_b, n_shared) ≥ `minShared`. */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 5, window: Int = 4, minShared: Int = 2,
+                  maxDf: Int = Int.MaxValue): DataFrame = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    val grams = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("h",
+        when(size(col("t")) < n, array(gramHash(concat_ws(" ", col("t")))))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - n),
+            i => gramHash(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
+    val fps = grams
+      .withColumn("fp",
+        when(size(col("h")) < window, array(array_min(col("h"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), size(col("h")) - window),
+              i => array_min(slice(col("h"), i + 1, lit(window)))))))
+      .select(col("id"), explode(col("fp")).as("f"))
+    val inv =
+      if (maxDf == Int.MaxValue) fps
+      else fps
+        .withColumn("df", count(lit(1)).over(Window.partitionBy(col("f"))))
+        .filter(col("df") <= maxDf)
+        .drop("df")
+    inv.as("a").join(inv.as("b"),
+        col("a.f") === col("b.f") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
     * (narrow) → `bands` band keys (narrow) → explode band keys and
     * self-join on (band, key) for candidates (the only wide op; shuffle

@@ -15,6 +15,9 @@ class PlanAuditSpec extends SparkSpec {
     val errors = findings.filter(_.error.nonEmpty)
     assert(errors.isEmpty,
       s"queries failed to plan: ${errors.map(f => s"${f.name}: ${f.error.get}").mkString("; ")}")
+    val cartesian = findings.filter(_.cartesians > 0)
+    assert(cartesian.isEmpty,
+      s"all-pairs CartesianProduct plans (never allowed): ${cartesian.map(_.name).mkString(", ")}")
     val serial = findings.filter(f => !f.justified && f.error.isEmpty)
     assert(serial.isEmpty,
       "unjustified single-task window plans (add to PlanAudit.bounded " +

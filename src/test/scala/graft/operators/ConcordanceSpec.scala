@@ -63,6 +63,25 @@ class ConcordanceSpec extends SparkSpec {
     assert(out3.toSeq == Seq((1L, 2L, 2L, math.floor(2.0 / 3 * 10000 + 0.5) / 10000)))
   }
 
+  test("winnowPairs: shared run of w+k-1 tokens guarantees a shared fingerprint") {
+    // k=5, w=4: docs 1 and 2 embed the same 8-token run (= w+k-1) in
+    // different contexts -> the guarantee applies; doc 3 is disjoint
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = Seq(
+      (1L, s"x1 x2 x3 $run y1 y2"),
+      (2L, s"z1 $run w1 w2 w3 w4"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text", n = 5, window = 4,
+      minShared = 1).as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    // a doc shorter than k tokens still fingerprints (whole-text gram)
+    val short = Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text")
+    val sp = Dedup.winnowPairs(short, "doc_id", "text", n = 5, window = 4,
+      minShared = 1).as[(Long, Long, Long)].collect()
+    assert(sp.toSeq == Seq((1L, 2L, 1L)))
+  }
+
   test("eventsMad: exact median/MAD and outlier flags per group") {
     // group g: values 1,2,3,4,100 -> med 3, |dev| = 2,1,0,1,97 -> mad 1
     // outlier: 97 > 4.4478*1 -> 1 outlier; mean/std would have flagged none
