@@ -638,6 +638,36 @@ object LlmQueries {
   def bpePairs(s: SparkSession, d: String): DataFrame =
     Curation.bpePairs(docs(s, d), "text", topK = 50)
 
+  /** #30z unigram surprisal scoring — the LM-perplexity proxy with
+    * ZERO float logs: each token scores floor(log2(N/c))+1 "bit units"
+    * (rare token → high surprise), computed as the BINARY DIGIT COUNT
+    * of the integer N div c — the same bin()-length trick the HLL uses
+    * for ρ, so the only float op in the query is the final rounded
+    * mean. Ranks docs like mean −log₂ p(token) quantized to integers:
+    * boilerplate scores low, rare-vocabulary docs high. Corpus counts
+    * join on the token (vocabulary-sized shuffle, like tf-idf). */
+  def textSurprisal(s: SparkSession, d: String): DataFrame =
+    surprisalOf(docs(s, d))
+
+  /** [[textSurprisal]]'s core on an arbitrary (doc_id, text) frame. */
+  def surprisalOf(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uc = tok.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uc.agg(sum(col("c")).as("nt"))
+    // floor(double div) == exact integer div while counts < 2^53
+    val sur = uc.crossJoin(broadcast(tot))
+      .select(col("tok"),
+        length(bin(floor(col("nt") / col("c")).cast("long"))).cast("long")
+          .as("surprise"))
+    tok.join(sur, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surprise")).as("sum_surprise"))
+      .withColumn("mean_surprise", graft.functions.Rounding.portableRound(
+        col("sum_surprise").cast("double") / col("n_tokens").cast("double"), 4))
+      .select("doc_id", "n_tokens", "sum_surprise", "mean_surprise")
+  }
+
   /** #30x bigram collocation mining by lift (support >= 5, top 20). */
   def tokenLift(s: SparkSession, d: String): DataFrame =
     Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
@@ -813,6 +843,7 @@ object LlmQueries {
     "text_novelty" -> textNovelty,
     "bpe_pairs" -> bpePairs,
     "token_lift" -> tokenLift,
+    "text_surprisal" -> textSurprisal,
     "source_overlap" -> sourceOverlap,
     "phrase_search" -> phraseSearch,
     "chunk_windows" -> chunkWindows,
@@ -1364,6 +1395,17 @@ object LlmQueries {
       SELECT pair, n_pairs,
              row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank
       FROM agg QUALIFY rank <= 50""".trim,
+    // surprisal in integer bit units: len(bin(N div c)) — no float log
+    "text_surprisal" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      tok AS (SELECT doc_id, unnest(t) tok FROM d),
+      uc AS (SELECT tok, count(*) c FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) nt FROM tok),
+      s AS (SELECT tok, len(bin((SELECT nt FROM tot) // c))::BIGINT surprise FROM uc)
+      SELECT t.doc_id, count(*)::BIGINT n_tokens, sum(s.surprise)::BIGINT sum_surprise,
+             floor((CAST(sum(s.surprise) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   * 10000 + 0.5) / 10000 mean_surprise
+      FROM tok t JOIN s ON s.tok = t.tok GROUP BY 1""".trim,
     // lift = (n_ab·N)/(n_a·n_b): PMI without the log — exact integer
     // counts, one double multiply/divide mirroring the Spark shape
     "token_lift" -> """

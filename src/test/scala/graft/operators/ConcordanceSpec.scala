@@ -82,6 +82,15 @@ class ConcordanceSpec extends SparkSpec {
     assert(sp.toSeq == Seq((1L, 2L, 1L)))
   }
 
+  test("textSurprisal: integer bit-unit surprise, rare tokens score high") {
+    // corpus: "a" x8 + "b" x1 -> N=9; surprise(a)=len(bin(9/8=1))=1,
+    // surprise(b)=len(bin(9))=4
+    val docs = Seq((1L, "a a a a"), (2L, "a a a a b")).toDF("doc_id", "text")
+    val out = graft.LlmQueries.surprisalOf(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((1L, 4L, 4L, 1.0), (2L, 5L, 8L, 1.6)))
+  }
+
   test("eventsMad: exact median/MAD and outlier flags per group") {
     // group g: values 1,2,3,4,100 -> med 3, |dev| = 2,1,0,1,97 -> mad 1
     // outlier: 97 > 4.4478*1 -> 1 outlier; mean/std would have flagged none
