@@ -668,6 +668,45 @@ object LlmQueries {
       .select("doc_id", "n_tokens", "sum_surprise", "mean_surprise")
   }
 
+  /** #29b windowed language ID / code-switching detection: language-ID
+    * each 32-token window (stride 24 — same geometry as
+    * `chunk_windows`) and aggregate per doc. Mixed-language documents
+    * (translations glued by a crawler, quoted foreign passages) pass a
+    * WHOLE-DOC langid yet poison monolingual training mixes — the
+    * windowed vote sees them. All narrow until the tiny per-doc
+    * aggregate: slicing is array ops, per-window langid is the same
+    * native marker-count expression the doc-level query uses.
+    * Dominant lang = most windows, ties to the lexicographically
+    * smallest (min over (-count, lang) structs — no window needed). */
+  def chunkLangid(s: SparkSession, d: String): DataFrame = {
+    val win = 32
+    val stride = 24
+    val wl = docs(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_win", when(col("n_tokens") <= win, 1L)
+        .otherwise(lit(1L) +
+          ceil((col("n_tokens") - win).cast("double") / stride).cast("long")))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_id"))
+      .withColumn("start_tok", col("win_id") * stride)
+      .withColumn("win_tokens",
+        least(col("start_tok") + win, col("n_tokens")) - col("start_tok"))
+      .select(col("doc_id"),
+        langId(concat_ws(" ", slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), col("win_tokens").cast("int"))))
+          .as("lang_pred"))
+    val pc = wl.groupBy(col("doc_id"), col("lang_pred"))
+      .agg(count(lit(1)).as("c"))
+    pc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_windows"),
+        count(lit(1)).as("n_langs"),
+        min(struct((-col("c")).as("nc"), col("lang_pred").as("l"))).as("_d"))
+      .select(col("doc_id"), col("n_windows"), col("n_langs"),
+        col("_d.l").as("dominant_lang"),
+        (col("n_langs") > 1).as("code_switched"))
+  }
+
   /** #30x bigram collocation mining by lift (support >= 5, top 20). */
   def tokenLift(s: SparkSession, d: String): DataFrame =
     Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
@@ -844,6 +883,7 @@ object LlmQueries {
     "bpe_pairs" -> bpePairs,
     "token_lift" -> tokenLift,
     "text_surprisal" -> textSurprisal,
+    "chunk_langid" -> chunkLangid,
     "source_overlap" -> sourceOverlap,
     "phrase_search" -> phraseSearch,
     "chunk_windows" -> chunkWindows,
@@ -1395,6 +1435,33 @@ object LlmQueries {
       SELECT pair, n_pairs,
              row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank
       FROM agg QUALIFY rank <= 50""".trim,
+    // chunk_windows' slicing geometry + the doc-level langid fragments
+    // per window; dominant = row_number pick (count desc, lang asc)
+    "chunk_langid" -> s"""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+      base AS (SELECT doc_id, w, len(w)::BIGINT n,
+                 CASE WHEN len(w) <= 32 THEN 1
+                      ELSE 1 + CAST(ceil((len(w) - 32) / 24.0) AS BIGINT)
+                 END n_win FROM t),
+      x AS (SELECT doc_id, n, w, unnest(range(n_win)) win_id FROM base),
+      y AS (SELECT doc_id, win_id,
+              w[win_id*24 + 1 : win_id*24 + (least(win_id*24 + 32, n) - win_id*24)] toks
+            FROM x),
+      ws AS (SELECT doc_id, win_id, $langScoresSql,
+              length(regexp_replace(array_to_string(toks, ' '),
+                '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+             FROM y),
+      wl AS (SELECT doc_id, $langCaseSql AS lang_pred FROM ws),
+      pc AS (SELECT doc_id, lang_pred, count(*) c FROM wl GROUP BY 1, 2),
+      dom AS (SELECT doc_id, lang_pred dominant_lang FROM (
+        SELECT doc_id, lang_pred,
+               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, lang_pred) rn
+        FROM pc) WHERE rn = 1),
+      agg AS (SELECT doc_id, sum(c)::BIGINT n_windows, count(*)::BIGINT n_langs
+              FROM pc GROUP BY 1)
+      SELECT a.doc_id, n_windows, n_langs, dominant_lang,
+             n_langs > 1 AS code_switched
+      FROM agg a JOIN dom d ON d.doc_id = a.doc_id""".trim,
     // surprisal in integer bit units: len(bin(N div c)) — no float log
     "text_surprisal" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
