@@ -129,6 +129,55 @@ class PropertySpec extends SparkSpec {
     keys.foreach(k => assert(b1(k) == b2(k) && b1(k) >= 0 && b1(k) < 32))
   }
 
+  test("winnowing: planted shared run of w+k-1 tokens is always found") {
+    import spark.implicits._
+    val k = 5; val w = 4
+    // random background vocab disjoint per doc; a shared run of exactly
+    // w+k-1 tokens planted at random offsets on both sides
+    val cases = samples(for {
+      runLen <- Gen.const(w + k - 1)
+      run <- Gen.listOfN(runLen, Gen.chooseNum(0, 50)).map(_.map(x => s"r$x"))
+      pre1 <- Gen.chooseNum(0, 12); post1 <- Gen.chooseNum(0, 12)
+      pre2 <- Gen.chooseNum(0, 12); post2 <- Gen.chooseNum(0, 12)
+    } yield (
+      ((1 to pre1).map(i => s"a$i") ++ run ++ (1 to post1).map(i => s"b$i")).mkString(" "),
+      ((1 to pre2).map(i => s"c$i") ++ run ++ (1 to post2).map(i => s"d$i")).mkString(" ")
+    ), 6)
+    cases.foreach { case (t1, t2) =>
+      val docs = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+      val pairs = graft.operators.Dedup
+        .winnowPairs(docs, "doc_id", "text", n = k, window = w, minShared = 1)
+        .as[(Long, Long, Long)].collect()
+      assert(pairs.map(p => (p._1, p._2)).contains((1L, 2L)),
+        s"guarantee violated for:\n  $t1\n  $t2")
+    }
+  }
+
+  test("tokenLift matches brute-force lift on random corpora") {
+    import spark.implicits._
+    val corpusGen = Gen.listOfN(8,
+      Gen.listOfN(12, Gen.chooseNum(0, 5).map(x => s"w$x")).map(_.mkString(" ")))
+    samples(corpusGen, 4).foreach { texts =>
+      val out = graft.operators.Curation
+        .tokenLift(texts.toDF("text"), "text", minCount = 2, topK = 100)
+        .select("tok_a", "tok_b", "n_ab", "lift")
+        .as[(String, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+      // brute force on the driver
+      val docs = texts.map(_.split(" ").toSeq)
+      val uni = docs.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = docs.map(_.size).sum.toLong
+      val bigrams = docs.flatMap(t => t.zip(t.tail))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter(_._2 >= 2)
+      val expect = bigrams.map { case ((a, b), nab) =>
+        (a, b) -> (nab,
+          math.floor((nab.toDouble * n) / (uni(a).toDouble * uni(b)) * 10000 + 0.5) / 10000)
+      }
+      assert(out == expect, s"lift mismatch for corpus: ${texts.take(2)}...")
+    }
+  }
+
   test("chunk windows: tile every doc exactly, for random win/stride") {
     import spark.implicits._
     val cases = samples(for {
