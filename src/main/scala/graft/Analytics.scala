@@ -1099,6 +1099,50 @@ object Analytics {
           .as("n_outliers"))
   }
 
+  /** #14l pandas groupby().rank(method='first', pct=True): exact
+    * per-group percentile rank for EVERY row, through [[operators
+    * .ExactRank]]'s sharded form — the full-output rank assignment
+    * that a per-priority window would serialize at scale (5 groups ⇒
+    * a fifth of the table per window task). pct = rank/count, one
+    * rounded double division. */
+  def ordersPctRank(s: SparkSession, d: String): DataFrame = {
+    val ranked = graft.operators.ExactRank.withGroupedRowNumber(
+      Tables.orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      "o_orderpriority", "o_totalprice", "o_orderkey", "rank_in_group", "cnt")
+    ranked.select(col("o_orderkey"), col("o_orderpriority"),
+      col("rank_in_group"),
+      graft.functions.Rounding.portableRound(
+        col("rank_in_group").cast("double") / col("cnt").cast("double"), 4)
+        .as("pct_rank"))
+  }
+
+  /** #18i exact cumulative distinct users per day via FIRST-TOUCH
+    * attribution: a user contributes to distinct-to-date exactly once,
+    * on their first-seen day — so min(day) per user, daily new-user
+    * counts, and a running sum over the ≤ #days aggregate replace the
+    * expanding-window count_distinct whose state grows quadratically.
+    * This is the exact twin of `hll_cumulative` (same question,
+    * approximate): exact when the key fits a shuffle, sketch when it
+    * doesn't. Final running sum is a bounded global window
+    * (see [[PlanAudit.bounded]]). */
+  def eventsNewUsers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dday"))
+    val firstTouch = ev.groupBy(col("user_id")).agg(min(col("dday")).as("d0"))
+    val daily = firstTouch.groupBy(col("d0")).agg(count(lit(1)).as("nu"))
+    ev.select(col("dday").as("day")).distinct()
+      .join(daily.withColumnRenamed("d0", "day"), Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("nu"), lit(0L)))
+      .withColumn("users_to_date",
+        sum(col("new_users")).over(Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // day stays a (midnight) timestamp: Spark DateType round-trips to
+      // python date objects while DuckDB DATE lands datetime64 — the
+      // driver's dtype-kind gate would flag the pair
+      .select(col("day"), col("new_users"), col("users_to_date"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -1163,6 +1207,8 @@ object Analytics {
     "events_props" -> (eventsProps _),
     "events_anomaly" -> ((s: SparkSession, d: String) => eventsAnomaly(s, d)),
     "events_mad" -> (eventsMad _),
+    "orders_pct_rank" -> (ordersPctRank _),
+    "events_new_users" -> (eventsNewUsers _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1791,6 +1837,22 @@ object Analytics {
       FROM events GROUP BY 1 ORDER BY 1""".trim,
     // the float-free z-test: (x*n - Sx)^2 > z0^2 * (n*Sxx - Sx^2) —
     // exact integers end to end, same epoch-second hour buckets
+    "orders_pct_rank" -> """
+      WITH r AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) rn,
+          count(*) OVER (PARTITION BY o_orderpriority) cnt FROM orders)
+      SELECT o_orderkey, o_orderpriority, rn::BIGINT AS rank_in_group,
+             floor((CAST(rn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000 + 0.5) / 10000 AS pct_rank
+      FROM r""".trim,
+    // first-touch attribution: each user counts once, on min(day)
+    "events_new_users" -> """
+      WITH f AS (SELECT user_id, min(date_trunc('day', ts)) d0 FROM events GROUP BY 1),
+      nu AS (SELECT d0, count(*) n FROM f GROUP BY 1),
+      days AS (SELECT DISTINCT date_trunc('day', ts) d FROM events)
+      SELECT d AS day, coalesce(nu.n, 0)::BIGINT AS new_users,
+             (sum(coalesce(nu.n, 0)) OVER (ORDER BY d))::BIGINT AS users_to_date
+      FROM days LEFT JOIN nu ON nu.d0 = days.d""".trim,
     // median/MAD by explicit rank selection (NOT DuckDB's median(),
     // whose interpolation shape isn't guaranteed to match); the two
     // middle values sum in either order to the same IEEE bits

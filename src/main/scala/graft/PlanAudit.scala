@@ -23,7 +23,8 @@ object PlanAudit {
   val bounded: Map[String, String] = Map(
     "vocab_growth" -> "running sum over <= #batches post-agg rows",
     "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)",
-    "token_lift" -> "global rank over <= partitions x topK locally-pruned collocations")
+    "token_lift" -> "global rank over <= partitions x topK locally-pruned collocations",
+    "events_new_users" -> "running sum over <= #days post-agg rows")
 
   /** One query's audit result. `cartesians` counts CartesianProductExec
     * nodes — the all-pairs shape no query may EVER plan (a broadcast
