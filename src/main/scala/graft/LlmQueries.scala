@@ -500,6 +500,15 @@ object LlmQueries {
     Dedup.winnowPairs(docs(s, d), "doc_id", "text", n = 5, window = 4,
       minShared = 2, maxDf = 100)
 
+  /** #24d incremental winnow: docs with doc_id % 5 == 0 arrive as the
+    * delta, the rest are the seen corpus. */
+  def dedupIncrementalWinnow(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    Dedup.incrementalWinnow(
+      all.filter(col("doc_id") % 5 === 0), all.filter(col("doc_id") % 5 =!= 0),
+      "doc_id", "text", n = 5, window = 4, minShared = 2)
+  }
+
   /** #24b near-subset (containment) pairs, same df-cut. */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 5,
@@ -855,6 +864,7 @@ object LlmQueries {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_containment" -> dedupContainment,
     "dedup_winnow" -> dedupWinnow,
+    "dedup_incremental_winnow" -> dedupIncrementalWinnow,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
@@ -1634,6 +1644,25 @@ object LlmQueries {
       SELECT a.doc_id id_a, b.doc_id id_b, count(*)::BIGINT n_shared
       FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
       GROUP BY 1, 2 HAVING count(*) >= 2""".trim,
+    // delta (doc_id % 5 = 0) fingerprints vs the seen corpus's distinct set
+    "dedup_incremental_winnow" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      g AS (SELECT doc_id, CASE WHEN len(t) < 5
+              THEN [('0x' || substr(md5(array_to_string(t, ' ')), 1, 8))::BIGINT]
+              ELSE list_transform(range(len(t)-4), i ->
+                ('0x' || substr(md5(array_to_string(t[i+1:i+5], ' ')), 1, 8))::BIGINT) END h
+            FROM d),
+      f AS (SELECT doc_id, CASE WHEN len(h) < 4 THEN [list_min(h)]
+              ELSE list_distinct(list_transform(range(len(h)-3), i -> list_min(h[i+1:i+4]))) END fp
+            FROM g),
+      inv AS (SELECT doc_id, unnest(fp) f FROM f),
+      seen AS (SELECT DISTINCT f FROM inv WHERE doc_id % 5 != 0),
+      delta AS (SELECT doc_id, f FROM inv WHERE doc_id % 5 = 0)
+      SELECT delta.doc_id AS id, count(*)::BIGINT n_fp,
+             sum(CASE WHEN seen.f IS NULL THEN 0 ELSE 1 END)::BIGINT n_hit,
+             sum(CASE WHEN seen.f IS NULL THEN 0 ELSE 1 END) >= 2 AS is_dup
+      FROM delta LEFT JOIN seen ON seen.f = delta.f
+      GROUP BY 1""".trim,
     "dedup_minhash_lsh" ->
       s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
     // exact ground truth (no df-cut) vs the banded LSH pair set;

@@ -249,21 +249,7 @@ object Dedup {
   def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
                   n: Int = 5, window: Int = 4, minShared: Int = 2,
                   maxDf: Int = Int.MaxValue): DataFrame = {
-    def gramHash(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    val grams = docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .withColumn("h",
-        when(size(col("t")) < n, array(gramHash(concat_ws(" ", col("t")))))
-          .otherwise(transform(sequence(lit(0), size(col("t")) - n),
-            i => gramHash(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
-    val fps = grams
-      .withColumn("fp",
-        when(size(col("h")) < window, array(array_min(col("h"))))
-          .otherwise(array_distinct(
-            transform(sequence(lit(0), size(col("h")) - window),
-              i => array_min(slice(col("h"), i + 1, lit(window)))))))
-      .select(col("id"), explode(col("fp")).as("f"))
+    val fps = winnowFingerprints(docs, idCol, textCol, n, window)
     val inv =
       if (maxDf == Int.MaxValue) fps
       else fps
@@ -275,6 +261,51 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /** #24d incremental winnowing: flag which `incoming` docs share ≥
+    * `minShared` winnow fingerprints with a `seen` corpus — the
+    * delta-over-corpus form of [[winnowPairs]] (local-overlap / quote
+    * detection against everything already ingested). The seen side
+    * collapses to its DISTINCT fingerprint set (in production: a
+    * maintained keyed table bucketed by fingerprint, appended per
+    * batch); the delta fingerprints join it, so cost scales with the
+    * DELTA and the fingerprint index is ~1/w of an inverted-shingle
+    * one. Returns (id, n_fp, n_hit, is_dup). */
+  def incrementalWinnow(incoming: DataFrame, seen: DataFrame,
+                        idCol: String, textCol: String,
+                        n: Int = 5, window: Int = 4,
+                        minShared: Int = 2): DataFrame = {
+    val seenFp = winnowFingerprints(seen, idCol, textCol, n, window)
+      .select(col("f")).distinct().withColumn("_hit", lit(1L))
+    winnowFingerprints(incoming, idCol, textCol, n, window)
+      .join(seenFp, Seq("f"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hit"))
+      .select(col("id"), col("n_fp"), col("n_hit"),
+        (col("n_hit") >= minShared).as("is_dup"))
+  }
+
+  /** Winnow fingerprint relation (id, f) — shared by [[winnowPairs]]
+    * and [[incrementalWinnow]]. */
+  private def winnowFingerprints(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int,
+                                 window: Int): DataFrame = {
+    def gramHash(c: Column): Column =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+    docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
+      .withColumn("h",
+        when(size(col("t")) < n, array(gramHash(concat_ws(" ", col("t")))))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - n),
+            i => gramHash(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
+      .withColumn("fp",
+        when(size(col("h")) < window, array(array_min(col("h"))))
+          .otherwise(array_distinct(
+            transform(sequence(lit(0), size(col("h")) - window),
+              i => array_min(slice(col("h"), i + 1, lit(window)))))))
+      .select(col("id"), explode(col("fp")).as("f"))
   }
 
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
