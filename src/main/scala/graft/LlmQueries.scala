@@ -716,6 +716,33 @@ object LlmQueries {
         (col("n_langs") > 1).as("code_switched"))
   }
 
+  /** #30aa per-doc feature matrix — the "export features for the
+    * quality classifier" step that ends a signal pipeline: every
+    * narrow per-doc signal (token count, alpha ratio, composite
+    * quality, dup-token fraction, language) comes out of ONE text
+    * scan/projection; the two corpus-level signals (unigram surprisal,
+    * shingle novelty) join on doc_id. One wide row per doc, ready to
+    * train on. */
+  def docFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val base = docs(s, d).select(col("doc_id"),
+        nTokens(col("text")).as("n_tokens"),
+        portableRound(alphaRatio(col("text")), 4).as("alpha_ratio"),
+        portableRound(qualityScore(col("text")), 4).as("quality"),
+        repetitionStats(col("text")).as("_r"),
+        langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), col("n_tokens"), col("alpha_ratio"),
+        col("quality"),
+        portableRound(lit(1.0) -
+          element_at(col("_r"), 2).cast("double") / element_at(col("_r"), 1), 4)
+          .as("dup_token_frac"),
+        col("lang_pred"))
+    val sur = surprisalOf(docs(s, d)).select(col("doc_id"), col("mean_surprise"))
+    val nov = Curation.noveltyScores(docs(s, d), "doc_id", "text")
+      .select(col("id").as("doc_id"), col("novelty"))
+    base.join(sur, "doc_id").join(nov, "doc_id")
+  }
+
   /** #30x bigram collocation mining by lift (support >= 5, top 20). */
   def tokenLift(s: SparkSession, d: String): DataFrame =
     Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
@@ -894,6 +921,7 @@ object LlmQueries {
     "token_lift" -> tokenLift,
     "text_surprisal" -> textSurprisal,
     "chunk_langid" -> chunkLangid,
+    "doc_features" -> docFeatures,
     "source_overlap" -> sourceOverlap,
     "phrase_search" -> phraseSearch,
     "chunk_windows" -> chunkWindows,
@@ -1472,6 +1500,41 @@ object LlmQueries {
       SELECT a.doc_id, n_windows, n_langs, dominant_lang,
              n_langs > 1 AS code_switched
       FROM agg a JOIN dom d ON d.doc_id = a.doc_id""".trim,
+    // composes the text_quality / text_repetition / text_langid /
+    // text_surprisal / text_novelty fragments into one wide row per doc
+    "doc_features" -> s"""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks,
+              length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) > 0 AS cjk
+            FROM documents),
+      m AS (SELECT doc_id, len(toks) nt, len(list_distinct(toks)) nd,
+              length(regexp_replace(text, '[^a-z]', '', 'g')) / length(text) alpha,
+              len(list_filter(toks, x -> x IN ($enList))) / len(toks) stop
+            FROM t),
+      l AS (SELECT doc_id, $langScoresSql, cjk FROM t),
+      lp AS (SELECT doc_id, $langCaseSql AS lang_pred FROM l),
+      tok AS (SELECT doc_id, unnest(toks) tok FROM t),
+      uc AS (SELECT tok, count(*) c FROM tok GROUP BY 1),
+      tot AS (SELECT count(*) snt FROM tok),
+      su AS (SELECT tok, len(bin((SELECT snt FROM tot) // c))::BIGINT surprise FROM uc),
+      sur AS (SELECT t2.doc_id,
+                floor((CAST(sum(su.surprise) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                      * 10000 + 0.5) / 10000 mean_surprise
+              FROM tok t2 JOIN su ON su.tok = t2.tok GROUP BY 1),
+      shs AS (SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 5
+                THEN list_transform(range(len(toks)-4), i -> array_to_string(toks[i+1:i+5], ' '))
+                ELSE [array_to_string(toks, ' ')] END) sset FROM t),
+      invn AS (SELECT doc_id, unnest(sset) s FROM shs),
+      d2 AS (SELECT doc_id, count(*) OVER (PARTITION BY s) df FROM invn),
+      nov AS (SELECT doc_id,
+                floor((sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) / count(*)) * 10000 + 0.5) / 10000 novelty
+              FROM d2 GROUP BY 1)
+      SELECT m.doc_id, m.nt::BIGINT n_tokens,
+             floor(m.alpha * 10000 + 0.5) / 10000 alpha_ratio,
+             floor((least(m.nt/100.0, 1.0)*0.4 + least(m.stop*4.0, 1.0)*0.3 + m.alpha*0.3)
+                   * 10000 + 0.5) / 10000 quality,
+             floor((1.0 - m.nd::DOUBLE / m.nt) * 10000 + 0.5) / 10000 dup_token_frac,
+             lp.lang_pred, sur.mean_surprise, nov.novelty
+      FROM m JOIN lp USING (doc_id) JOIN sur USING (doc_id) JOIN nov USING (doc_id)""".trim,
     // surprisal in integer bit units: len(bin(N div c)) — no float log
     "text_surprisal" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
