@@ -288,25 +288,19 @@ object Dedup {
   }
 
   /** Winnow fingerprint relation (id, f) — shared by [[winnowPairs]]
-    * and [[incrementalWinnow]]. */
+    * and [[incrementalWinnow]]. One native call per row
+    * ([[graft.functions.expr.WinnowFingerprints]]) — the composed
+    * array-lambda form re-evaluates the gram-hash array inside every
+    * window lambda (tokens × windows md5s per row), which took the
+    * sf0.1 gate from sub-second to 90 s. */
   private def winnowFingerprints(docs: DataFrame, idCol: String,
                                  textCol: String, n: Int,
-                                 window: Int): DataFrame = {
-    def gramHash(c: Column): Column =
-      conv(substring(md5(c), 1, 8), 16, 10).cast("long")
-    docs
-      .select(col(idCol).as("id"), split(col(textCol), " ").as("t"))
-      .withColumn("h",
-        when(size(col("t")) < n, array(gramHash(concat_ws(" ", col("t")))))
-          .otherwise(transform(sequence(lit(0), size(col("t")) - n),
-            i => gramHash(concat_ws(" ", slice(col("t"), i + 1, lit(n)))))))
-      .withColumn("fp",
-        when(size(col("h")) < window, array(array_min(col("h"))))
-          .otherwise(array_distinct(
-            transform(sequence(lit(0), size(col("h")) - window),
-              i => array_min(slice(col("h"), i + 1, lit(window)))))))
-      .select(col("id"), explode(col("fp")).as("f"))
-  }
+                                 window: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.WinnowFingerprints(
+          org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, window)))
+        .as("f"))
 
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
     * (narrow) → `bands` band keys (narrow) → explode band keys and
