@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, NormalizeText, RepetitionStats, Segments, SegmentsDistinct, SimHash64, WordShingles}
+import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, Md5Prefix64, MinHashSignature, NormalizeText, RepetitionStats, Segments, SegmentsDistinct, SimHash64, WinnowFingerprints, WordShingles}
 
 /** Registers graft's native expressions as SQL functions.
   *
@@ -50,6 +50,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"graft_minhash: k must be an integer literal, got $other")
         }
         MinHashSignature(args.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_winnow"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_winnow(text, n, window)")
+        val Seq(n, w) = args.tail.map {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_winnow: n/window must be integer literals, got $other")
+        }
+        WinnowFingerprints(args.head, n, w)
       }))
     ext.injectFunction((
       FunctionIdentifier("graft_lang_stats"),

@@ -230,6 +230,13 @@ class OperatorsSpec extends SparkSpec {
     val segsD = spark.sql("SELECT graft_segments_distinct('a b a b c', 2)")
       .head().getSeq[String](0)
     assert(segsD == Seq("a b", "c"))
+    // graft_winnow == hand-winnowed md5-prefix gram hashes (n=2, w=2)
+    val wf = spark.sql("SELECT graft_winnow('a b c d', 2, 2)")
+      .head().getSeq[Long](0)
+    val hs = Seq("a b", "b c", "c d").map(g =>
+      spark.sql(s"SELECT cast(conv(substring(md5('$g'), 1, 8), 16, 10) AS bigint)")
+        .head().getLong(0))
+    assert(wf == hs.sliding(2).map(_.min).toSeq.distinct)
   }
 
   test("asof join: picks latest right row at or before left time, per key") {
