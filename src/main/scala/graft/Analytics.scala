@@ -1143,6 +1143,81 @@ object Analytics {
       .select(col("day"), col("new_users"), col("users_to_date"))
   }
 
+  /** #18j sliding-window distinct users (DAU/WAU): for every observed
+    * day, the distinct users active in the trailing 7 days. Exact
+    * sliding distinct WITHOUT per-window recomputation: dedup to
+    * (user, day) once, explode each user-day to the ≤7 target days it
+    * can serve (bounded ×7 fanout — independent of user activity
+    * volume), restrict to observed days, dedup (user, target), count.
+    * An expanding/sliding count_distinct window would hold per-window
+    * user sets in state; this is two distincts and a bounded fanout. */
+  def eventsWau(s: SparkSession, d: String): DataFrame = {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d")).distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val contrib = ud
+      .select(col("user_id"), explode(sequence(col("d"),
+        col("d") + expr("INTERVAL 6 DAYS"), expr("INTERVAL 1 DAY"))).as("day"))
+      .join(days, "day")
+      .distinct()
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    contrib.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      .join(dau, "day")
+      .select(col("day"), col("wau"), col("dau"))
+  }
+
+  /** #14n Pareto / ABC classification of customers by cumulative
+    * revenue share — "which 20% of customers drive 80% of revenue".
+    * The global cumulative sum in (revenue desc, key) order is the
+    * serialization trap (one task scans every customer); this is the
+    * sharded prefix-sum recipe ([[operators.Curation.budgetSample]]'s,
+    * applied globally): approximate revenue edges shard the customers,
+    * exact per-shard revenue totals (≤ shards rows to the driver) give
+    * each shard its starting offset, and a window partitioned by shard
+    * computes the local running sum — exactness from the decimal
+    * totals, parallelism from the shards. Tiers: A ≤ 0.8 < B ≤ 0.95
+    * < C of cumulative share. */
+  def ordersPareto(s: SparkSession, d: String, shards: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = s
+    val cr = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val tot = cr.agg(sum(col("rev")).as("t"))
+    val qs = (1 until shards).map(_.toDouble / shards)
+    val edges = cr.agg(
+      percentile_approx(col("rev").cast("double"), typedlit(qs), lit(10000))
+        .as("_edges"))
+    // descending sort order ⇒ shard id grows as revenue falls; any
+    // monotone-in-value assignment is correct (edges only shard)
+    val sharded = cr.crossJoin(broadcast(edges))
+      .withColumn("_shard",
+        size(filter(col("_edges"), e => col("rev").cast("double") <= e)))
+      .drop("_edges")
+    val counts = sharded.groupBy(col("_shard"))
+      .agg(sum(col("rev")).as("s")).collect()
+      .map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+    // shard 0 holds the TOP revenues (0 edges above them), so the
+    // cumulative order runs ascending shard id
+    val shardIds = counts.keys.toSeq.sorted
+    val offsets = shardIds.zip(
+      shardIds.map(counts(_)).scanLeft(java.math.BigDecimal.ZERO)(_.add(_)).init)
+      .toMap
+    val offCol = element_at(
+      typedlit(offsets.map { case (k, v) => k -> new java.math.BigDecimal(v.toString) }),
+      col("_shard"))
+    val w = Window.partitionBy(col("_shard"))
+      .orderBy(col("rev").desc, col("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded
+      .withColumn("crev", (offCol + sum(col("rev")).over(w)).cast("decimal(28,2)"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_cs", col("crev").cast("double") / col("t").cast("double"))
+      .select(col("o_custkey"), col("rev").cast("double").as("revenue"),
+        graft.functions.Rounding.portableRound(col("_cs"), 4).as("cum_share"),
+        when(col("_cs") <= 0.8, "A").when(col("_cs") <= 0.95, "B")
+          .otherwise("C").as("tier"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -1209,6 +1284,8 @@ object Analytics {
     "events_mad" -> (eventsMad _),
     "orders_pct_rank" -> (ordersPctRank _),
     "events_new_users" -> (eventsNewUsers _),
+    "events_wau" -> (eventsWau _),
+    "orders_pareto" -> ((s: SparkSession, d: String) => ordersPareto(s, d)),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1844,6 +1921,28 @@ object Analytics {
           count(*) OVER (PARTITION BY o_orderpriority) cnt FROM orders)
       SELECT o_orderkey, o_orderpriority, rn::BIGINT AS rank_in_group,
              floor((CAST(rn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000 + 0.5) / 10000 AS pct_rank
+      FROM r""".trim,
+    "events_wau" -> """
+      WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) d FROM events),
+      days AS (SELECT DISTINCT d FROM ud),
+      contrib AS (SELECT DISTINCT ud.user_id, days.d
+        FROM ud JOIN days ON days.d >= ud.d AND days.d <= ud.d + INTERVAL 6 DAY),
+      dau AS (SELECT d, count(*) dau FROM ud GROUP BY 1)
+      SELECT c.d AS day, count(*)::BIGINT wau, any_value(dau.dau)::BIGINT dau
+      FROM contrib c JOIN dau ON dau.d = c.d GROUP BY 1""".trim,
+    // exact decimal cumulative revenue in (rev desc, custkey) order;
+    // the oracle may window globally — the engine shards (bounded data)
+    "orders_pareto" -> """
+      WITH cr AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) rev
+                  FROM orders GROUP BY 1),
+      tot AS (SELECT sum(rev) t FROM cr),
+      r AS (SELECT o_custkey, rev,
+              sum(rev) OVER (ORDER BY rev DESC, o_custkey) crev FROM cr)
+      SELECT o_custkey, rev::DOUBLE AS revenue,
+             floor((crev::DOUBLE / (SELECT t FROM tot)::DOUBLE) * 10000 + 0.5) / 10000 AS cum_share,
+             CASE WHEN crev::DOUBLE / (SELECT t FROM tot)::DOUBLE <= 0.8 THEN 'A'
+                  WHEN crev::DOUBLE / (SELECT t FROM tot)::DOUBLE <= 0.95 THEN 'B'
+                  ELSE 'C' END AS tier
       FROM r""".trim,
     // first-touch attribution: each user counts once, on min(day)
     "events_new_users" -> """
