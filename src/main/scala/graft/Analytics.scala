@@ -1218,6 +1218,29 @@ object Analytics {
           .otherwise("C").as("tier"))
   }
 
+  /** #14o per-column data profile (df.info / deequ-style audit): row
+    * count, null count, EXACT distinct count, min/max (stringified) —
+    * one row per profiled column. Each column is one aggregate branch
+    * (count_distinct plans its own two-stage shuffle); the branches
+    * union post-aggregation, so the union is width-bounded like
+    * Catalog.describe. At warehouse scale the swap-in is
+    * approx_count_distinct (one pass, no shuffle per column) — the
+    * exact form IS the oracle-checkable one, so it gates. */
+  def profileLineitem(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_linestatus")
+      .map { c =>
+        li.agg(count(lit(1)).as("n"),
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+            count_distinct(col(c)).as("n_distinct"),
+            min(col(c)).cast("string").as("min_str"),
+            max(col(c)).cast("string").as("max_str"))
+          .select(lit(c).as("column_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+      }
+      .reduce(_ unionByName _)
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -1286,6 +1309,7 @@ object Analytics {
     "events_new_users" -> (eventsNewUsers _),
     "events_wau" -> (eventsWau _),
     "orders_pareto" -> ((s: SparkSession, d: String) => ordersPareto(s, d)),
+    "profile_lineitem" -> (profileLineitem _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1922,6 +1946,14 @@ object Analytics {
       SELECT o_orderkey, o_orderpriority, rn::BIGINT AS rank_in_group,
              floor((CAST(rn AS DOUBLE) / CAST(cnt AS DOUBLE)) * 10000 + 0.5) / 10000 AS pct_rank
       FROM r""".trim,
+    "profile_lineitem" -> Seq("l_quantity", "l_extendedprice",
+        "l_returnflag", "l_linestatus")
+      .map(c => s"""
+        SELECT '$c' AS column_name, count(*)::BIGINT n,
+               sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT n_null,
+               count(DISTINCT $c)::BIGINT n_distinct,
+               CAST(min($c) AS VARCHAR) min_str, CAST(max($c) AS VARCHAR) max_str
+        FROM lineitem""").mkString(" UNION ALL ").trim,
     "events_wau" -> """
       WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) d FROM events),
       days AS (SELECT DISTINCT d FROM ud),
