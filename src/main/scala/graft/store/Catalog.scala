@@ -11,6 +11,31 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
+  /** Child sessions for footer-statistics reads (describe,
+    * auto-index recovery): aggregate pushdown needs the V2 parquet
+    * source + `parquet.aggregatePushdown`, but flipping those on the
+    * CALLER's session around an action races every concurrent query
+    * planned on it (a query compiled mid-window would use the wrong
+    * source path). `newSession()` shares the SparkContext and cached
+    * data but owns an isolated SQLConf, so the stats window never
+    * leaks. One child per parent session, weakly held. */
+  private val statsSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
+  private[store] def footerStatsSession(spark: SparkSession): SparkSession =
+    statsSessions.synchronized {
+      Option(statsSessions.get(spark)).getOrElse {
+        val s = spark.newSession()
+        // V2 parquet (aggregate pushdown is a DSv2-only feature)…
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        // …with MIN/MAX/COUNT answered from footer statistics
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        statsSessions.put(spark, s)
+        s
+      }
+    }
+
   /** Every catalog op takes the reference's optional `schema=` kwarg
     * (util.py:5-15): a namespace resolving to `<warehouse>/<schema>/`
     * (see [[KeyedTable.schemaDir]]). None = default namespace. */
@@ -106,9 +131,10 @@ object Catalog {
     * warehouse of 1,000 100 TB tables is a metadata job, O(files) not
     * O(rows). Types the footer can't answer exactly (e.g. strings,
     * which parquet may truncate) silently fall back to a normal scan —
-    * same values either way. The result is materialized inside the
-    * conf window (it's ≤ one row per table) so the returned frame is
-    * plain local data and the session confs are restored.
+    * same values either way. The stats plans run on an isolated child
+    * session (see [[footerStatsSession]]) so the caller's session confs
+    * are never touched; the result is materialized (≤ one row per
+    * table) and returned as plain local data in the caller's session.
     */
   /** Union width is CAPPED: tables are described in batches of
     * [[DescribeBatch]] union branches per job rather than one
@@ -125,33 +151,21 @@ object Catalog {
       // reference describe_database returns an empty mapping (util.py:45)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], describeSchema)
-    val confs = Map(
-      // V2 parquet (aggregate pushdown is a DSv2-only feature)…
-      "spark.sql.sources.useV1SourceList" -> "",
-      // …with MIN/MAX/COUNT answered from footer statistics
-      "spark.sql.parquet.aggregatePushdown" -> "true")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val rows =
-      try {
-        val frames = bare.map { t =>
-          val meta = TableMeta.read(spark, KeyedTable.tableDir(wh, t))
-          val head = meta.pk.head
-          val qualified = schema.fold(t)(s => s"$s.$t")
-          KeyedTable.readSql(spark, wh, t)
-            .agg(
-              min(col(head)).cast("string").as("pk_min"),
-              max(col(head)).cast("string").as("pk_max"),
-              count(lit(1)).as("n_rows"))
-            .select(lit(qualified).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
-        }
-        frames.grouped(DescribeBatch)
-          .flatMap(batch => batch.reduce(_ unionByName _).collect())
-          .toIndexedSeq.sortBy(_.getString(0))
-      } finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
-      }
+    val stats = footerStatsSession(spark)
+    val frames = bare.map { t =>
+      val meta = TableMeta.read(stats, KeyedTable.tableDir(wh, t))
+      val head = meta.pk.head
+      val qualified = schema.fold(t)(s => s"$s.$t")
+      KeyedTable.readSql(stats, wh, t)
+        .agg(
+          min(col(head)).cast("string").as("pk_min"),
+          max(col(head)).cast("string").as("pk_max"),
+          count(lit(1)).as("n_rows"))
+        .select(lit(qualified).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+    }
+    val rows = frames.grouped(DescribeBatch)
+      .flatMap(batch => batch.reduce(_ unionByName _).collect())
+      .toIndexedSeq.sortBy(_.getString(0))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), describeSchema)
   }
 

@@ -106,7 +106,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         "graft namespaces are a single schema level")
       case Some(s) =>
         val p = new org.apache.hadoop.fs.Path(KeyedTable.schemaDir(warehouse, Some(s)))
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // kind guard: a dir holding _graft_meta is a TABLE — creating a
+        // namespace over it would nest the schema inside the table dir
+        // and flip its listing kind (see KeyedTable.toSql's twin check)
+        if (fs.exists(new org.apache.hadoop.fs.Path(p, TableMeta.FileName)))
+          throw new IllegalStateException(
+            s"cannot create namespace '$s': $p is a table " +
+            s"(holds ${TableMeta.FileName}); schema and table names must not collide")
+        fs.mkdirs(p)
     }
 
   override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =

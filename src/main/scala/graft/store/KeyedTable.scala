@@ -145,6 +145,19 @@ object KeyedTable {
     }
 
     val dir = tableDir(wh, tableName)
+    // Schema/table kind guard: the warehouse tree tells the two kinds
+    // apart structurally (a TABLE dir holds _graft_meta; a SCHEMA dir
+    // holds table dirs), and writing the wrong kind into an existing
+    // dir silently flips it — a table named like a schema would bury
+    // the schema's tables, a schema named like a table would nest
+    // inside it. Reject both collisions up front.
+    schema.foreach { s =>
+      val f0 = fs(spark, wh)
+      if (f0.exists(new Path(wh, TableMeta.FileName)))
+        throw new StoreException(
+          s"cannot address schema '$s': $wh is a TABLE (holds ${TableMeta.FileName}); " +
+          "schema and table names must not collide (drop or rename one)")
+    }
     // the existence check runs INSIDE the lock: two concurrent creators
     // arbitrate here (one creates, the other sees the table and gets
     // the CreateOnly error instead of a torn rename race)
@@ -152,6 +165,13 @@ object KeyedTable {
       val exists = TableMeta.exists(spark, dir)
 
       if (!exists) {
+        val f0 = fs(spark, dir)
+        val dp = new Path(dir)
+        if (f0.exists(dp) && f0.listStatus(dp).exists(c => c.isDirectory &&
+            f0.exists(new Path(c.getPath, TableMeta.FileName))))
+          throw new StoreException(
+            s"cannot create table '$tableName': $dir is a SCHEMA namespace " +
+            "(contains tables); schema and table names must not collide")
         if (!autoIndex && pkClean.isEmpty)
           throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
         create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
@@ -282,26 +302,19 @@ object KeyedTable {
 
   /** Recover the auto-index high-water mark for a pre-`maxAutoIndex`
     * meta file: MAX over the id column answered from parquet FOOTER
-    * stats (same V2 + aggregate-pushdown window Catalog.describe uses)
-    * — O(files), not O(rows). Taken together with the meta field this
-    * is the documented recovery rule: effective max = the meta value
-    * when present (written before data, so never too low), else the
-    * footer max. */
+    * stats (same isolated V2 + aggregate-pushdown child session
+    * Catalog.describe uses — the caller's session confs are never
+    * touched, so concurrent queries can't plan inside a mutated-conf
+    * window) — O(files), not O(rows). Taken together with the meta
+    * field this is the documented recovery rule: effective max = the
+    * meta value when present (written before data, so never too low),
+    * else the footer max. */
   private def footerMaxAutoIndex(spark: SparkSession, warehouse: String,
                                  table: String, meta: TableMeta): Long = {
-    val confs = Map(
-      "spark.sql.sources.useV1SourceList" -> "",
-      "spark.sql.parquet.aggregatePushdown" -> "true")
-    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      val m = spark.read.parquet(dataDir(warehouse, table))
-        .agg(max(col(Names.AutoIndex))).head()
-      if (m.isNullAt(0)) -1L else m.getLong(0)
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    val stats = Catalog.footerStatsSession(spark)
+    val m = stats.read.parquet(dataDir(warehouse, table))
+      .agg(max(col(Names.AutoIndex))).head()
+    if (m.isNullAt(0)) -1L else m.getLong(0)
   }
 
   /** Coerce `df` toward the table's logical schema; returns the aligned

@@ -13,12 +13,22 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * otherwise interleave their staging swaps and meta writes (each step
   * is individually atomic, but the read-merge-swap sequence is not).
   *
-  * Protocol: `_graft_lock` in the table dir, taken with the one
-  * primitive every Hadoop FileSystem makes atomic — create-if-absent
-  * (`fs.create(p, overwrite = false)`); the file body records the
-  * holder's token, operation, and acquire time. Writers that find the
-  * lock held fail fast with the holder's context (no blocking — batch
-  * mutators should surface contention, not queue invisibly behind it).
+  * Protocol: `_graft_lock` in the table dir, taken with
+  * create-if-absent (`fs.create(p, overwrite = false)`); the file body
+  * records the holder's token, operation, and acquire time. Writers
+  * that find the lock held fail fast with the holder's context (no
+  * blocking — batch mutators should surface contention, not queue
+  * invisibly behind it).
+  *
+  * ATOMICITY CAVEAT: create-if-absent is atomic on HDFS and local
+  * filesystems (the namenode / kernel arbitrates), which is what this
+  * lock's mutual exclusion rests on. Object-store connectors (s3a, gs,
+  * abfs, wasb, oss, cos) historically implement it as check-then-put —
+  * two racing writers can BOTH "acquire". On those schemes the lock
+  * degrades to advisory: acquire logs a loud warning once per scheme,
+  * and deployments needing hard exclusion there should front mutations
+  * with an external coordinator (or a connector with true conditional
+  * writes, e.g. S3 If-None-Match) instead of this file lock.
   *
   * Liveness is the lock file's MODIFICATION TIME, not its content: a
   * holder's daemon heartbeat bumps the mtime (atomic `setTimes` — no
@@ -53,6 +63,7 @@ object WriteLock {
                   staleMs: Long = DefaultStaleMs)(body: => A): A = {
     val p = new Path(tableDir, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    warnIfNonAtomicCreate(fs, p)
     val token = UUID.randomUUID().toString
     acquire(fs, p, token, op, staleMs, retried = false)
     val beat = heartbeat(fs, p, token, staleMs)
@@ -62,6 +73,23 @@ object WriteLock {
       beat.interrupt()
       release(fs, p, token)
     }
+  }
+
+  /** Schemes whose Hadoop connectors implement create-if-absent as
+    * check-then-put rather than an atomic primitive (see class doc). */
+  private val NonAtomicCreateSchemes =
+    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  private val warnedSchemes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def warnIfNonAtomicCreate(fs: FileSystem, p: Path): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (NonAtomicCreateSchemes.contains(scheme) && warnedSchemes.add(scheme))
+      System.err.println(
+        s"[graft] WARNING: filesystem scheme '$scheme' does not guarantee atomic " +
+        s"create-if-absent; the write lock at $p is ADVISORY on this storage — " +
+        "two racing writers may both acquire it. Use an external coordinator " +
+        "for hard mutual exclusion on object stores.")
   }
 
   private def lockJson(token: String, op: String): String =
@@ -76,14 +104,36 @@ object WriteLock {
 
   private def acquire(fs: FileSystem, p: Path, token: String, op: String,
                       staleMs: Long, retried: Boolean): Unit = {
-    val created =
-      try {
-        // the atomic create-if-absent; parents are created as needed
-        val out = fs.create(p, false)
-        try out.write(lockJson(token, op).getBytes("UTF-8"))
-        finally out.close()
-        true
-      } catch { case _: java.io.IOException => false }
+    val created = {
+        // the atomic create-if-absent; parents are created as needed.
+        // Contention is ONLY the create itself losing the exists race —
+        // a failure writing the body (disk full, stream error) would
+        // otherwise leave our own fresh-but-torn lock blocking every
+        // writer (us included) for the full TTL, so that path deletes
+        // the just-created file before rethrowing.
+        val out =
+          try fs.create(p, false)
+          catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+            case _: java.nio.file.FileAlreadyExistsException => null
+            // some FileSystems surface the lost race as a plain
+            // IOException; treat it as contention only when the lock
+            // file is actually there, otherwise it is a real FS error
+            case _: java.io.IOException if fs.exists(p) => null
+          }
+        if (out == null) false
+        else {
+          try {
+            try out.write(lockJson(token, op).getBytes("UTF-8"))
+            finally out.close()
+          } catch {
+            case e: Throwable =>
+              try fs.delete(p, false) catch { case _: Exception => () }
+              throw e
+          }
+          true
+        }
+      }
     if (!created) {
       // liveness = mtime age (heartbeat-maintained); a vanished file
       // between the failed create and this check counts as fresh

@@ -111,6 +111,29 @@ class SchemaNamespaceSpec extends SparkSpec {
       .foreach(spark.conf.unset)
   }
 
+  test("schema/table name collisions are rejected in both directions") {
+    val w = wh()
+    // a default-namespace table named 's' exists: addressing schema 's'
+    // (which would write _graft_meta INTO the schema dir or nest tables
+    // inside the table dir) must fail, not silently flip the dir's kind
+    KeyedTable.toSql(sample(3, "t"), w, "s", pk = Seq("id"))
+    val e1 = intercept[StoreException] {
+      KeyedTable.toSql(sample(3, "u"), w, "inner", pk = Seq("id"), schema = Some("s"))
+    }
+    assert(e1.getMessage.contains("is a TABLE"), e1.getMessage)
+
+    // a schema 'ns' with tables exists: creating a default-namespace
+    // TABLE named 'ns' would bury the schema's tables
+    KeyedTable.toSql(sample(3, "v"), w, "inner", pk = Seq("id"), schema = Some("ns"))
+    val e2 = intercept[StoreException] {
+      KeyedTable.toSql(sample(3, "w"), w, "ns", pk = Seq("id"))
+    }
+    assert(e2.getMessage.contains("SCHEMA namespace"), e2.getMessage)
+    // both originals still read back intact
+    assert(KeyedTable.readSql(spark, w, "s").count() == 3)
+    assert(KeyedTable.readSql(spark, w, "inner", schema = Some("ns")).count() == 3)
+  }
+
   test("illegal schema names are rejected") {
     intercept[IllegalNameException] {
       KeyedTable.toSql(sample(2, "z"), wh(), "t", pk = Seq("id"),
