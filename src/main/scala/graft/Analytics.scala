@@ -527,29 +527,41 @@ object Analytics {
     * (ntile semantics) rather than cut()'s fixed edges, with per-bin
     * stats. Deterministic via the (value, key) tie-break.
     *
-    * Computed WITHOUT a global window: [[graft.operators.ExactRank]]
-    * gives each row its exact global rank in three parallel steps
-    * (approx shard edges → exact shard counts/offsets → partitioned
-    * window), and ntile's bin boundaries are pure arithmetic on
-    * (rank, N) — the first N%4 bins take ceil(N/4) rows, the rest
-    * floor(N/4) — evaluated as a when-chain over driver-computed
-    * boundary ranks. Bin assignment matches ntile(4) row-for-row while
-    * every stage stays parallel at 100 TB. */
+    * Computed WITHOUT a global window — and without ranking every row:
+    * ntile's bin boundaries are pure arithmetic on (rank, N) — the
+    * first N%4 bins take ceil(N/4) rows, the rest floor(N/4) — so each
+    * bin is (size from arithmetic, min/max from the values at its two
+    * boundary ranks). [[graft.operators.ExactRank.globalRankSelect]]
+    * fetches exactly those 2k boundary rows, sorting only the shards
+    * that hold a boundary. Matches ntile(4) bin-for-bin while the
+    * heavy sort shrinks from the table to a few shards at 100 TB. */
   def qcutOrderValue(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val orders = Tables.orders(s, d).select(col("o_totalprice"), col("o_orderkey"))
-    val (ranked, n) = graft.operators.ExactRank.withGlobalRowNumber(
-      orders, "o_totalprice", "o_orderkey", "rn")
     val k = 4L
-    val sizes = (1L to k).map(b => n / k + (if (b <= n % k) 1L else 0L))
-    val his = sizes.scanLeft(0L)(_ + _).tail // inclusive hi rank per bin
-    val bin = his.init.zipWithIndex.foldRight(lit(k)) { case ((hi, i), rest) =>
-      when(col("rn") <= hi, i + 1L).otherwise(rest)
-    }
-    ranked.select(col("o_totalprice"), bin.cast("long").as("bin"))
+    // A bin's stats are pure arithmetic + two rank PROBES: its size is
+    // ntile arithmetic on (n, k), its min/max are the values at its
+    // boundary ranks — so instead of ranking every row and aggregating,
+    // select just the 2k boundary rows (rank-select windows only the
+    // shards holding a boundary) and assemble bins from them.
+    var boundaries: Seq[(Long, Long, Long)] = Nil // (bin, loRank, hiRank)
+    val (sel, _) = graft.operators.ExactRank.globalRankSelect(
+      orders, "o_totalprice", "o_orderkey", "rn",
+      targetsOf = { n =>
+        val sizes = (1L to k).map(b => n / k + (if (b <= n % k) 1L else 0L))
+        val his = sizes.scanLeft(0L)(_ + _).tail // inclusive hi rank per bin
+        val los = his.zip(sizes).map { case (hi, sz) => hi - sz + 1 }
+        boundaries = (1L to k).zip(los.zip(his)).map { case (b, (lo, hi)) => (b, lo, hi) }
+        los ++ his
+      })
+    val bins = boundaries.map { case (b, lo, hi) => (b, lo, hi, hi - lo + 1) }
+      .toDF("bin", "lo_rank", "hi_rank", "n_orders")
+    sel.join(broadcast(bins),
+        col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
       .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_orders"),
-        min(col("o_totalprice")).as("min_value"),
-        max(col("o_totalprice")).as("max_value"))
+      .agg(max(col("n_orders")).as("n_orders"),
+        min(when(col("rn") === col("lo_rank"), col("o_totalprice"))).as("min_value"),
+        max(when(col("rn") === col("hi_rank"), col("o_totalprice"))).as("max_value"))
       .orderBy(col("bin"))
   }
 
@@ -1044,13 +1056,12 @@ object Analytics {
     // alone (that serializes a fifth of the table per task at scale):
     // ExactRank shards each group by approximate value edges, offsets
     // by exact counts, ranks in (group, shard) windows
-    val ranked = graft.operators.ExactRank.withGroupedRowNumber(
+    val mids = graft.operators.ExactRank.groupedRankSelect(
       Tables.orders(s, d)
         .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey")),
-      "o_orderpriority", "o_totalprice", "o_orderkey", "rn", "cnt")
-    ranked
-      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
-              col("rn") === floor((col("cnt") + 2) / 2))
+      "o_orderpriority", "o_totalprice", "o_orderkey", "rn", "cnt",
+      targets = Seq(c => floor((c + 1) / 2), c => floor((c + 2) / 2)))
+    mids
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_mid"),
         (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double") / count(lit(1)))
@@ -1078,17 +1089,32 @@ object Analytics {
     * event_id) frame — split out so specs drive handcrafted groups. */
   def eventsMadOf(ev: DataFrame): DataFrame = {
     import graft.functions.Rounding.portableRound
+    val spark = ev.sparkSession
     def midOf(df: DataFrame, valueCol: String, out: String): DataFrame =
       graft.operators.ExactRank
-        .withGroupedRowNumber(df, "event_type", valueCol, "event_id", "rn", "cnt")
-        .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
-                col("rn") === floor((col("cnt") + 2) / 2))
+        .groupedRankSelect(df, "event_type", valueCol, "event_id", "rn", "cnt",
+          targets = Seq(c => floor((c + 1) / 2), c => floor((c + 2) / 2)))
         .groupBy(col("event_type"))
         .agg((sum(col(valueCol)) / count(lit(1))).as(out))
-    val med = midOf(ev, "value", "med")
-    val dev = ev.join(broadcast(med), "event_type")
+    // Materialize the per-type medians (≤ |event types| rows) as a
+    // literal local frame: left lazy, the pass-1 ranking window would
+    // sit inside every downstream action's plan and recompute once for
+    // the MAD edges job and again for the final aggregate — the bulk
+    // of this query's old cost. Collected, each ranking pass runs
+    // exactly once and the deviation frame joins against literals.
+    val medAgg = midOf(ev, "value", "med")
+    val med = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(medAgg.collect().toIndexedSeq, 1), medAgg.schema))
+    // The deviation frame feeds three sinks (MAD edges, MAD ranking,
+    // final outlier count); persisted it computes once and the later
+    // passes read columnar cache instead of re-planning scan+join.
+    // MEMORY_AND_DISK and projected to 4 columns — at warehouse scale
+    // this is the per-query working set a rank selection needs anyway,
+    // and eviction merely falls back to recompute.
+    val dev = ev.join(med, "event_type")
       .select(col("event_type"), abs(col("value") - col("med")).as("ad"),
         col("event_id"), col("med"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = midOf(dev.select("event_type", "ad", "event_id"), "ad", "mad")
     dev.join(broadcast(mad), "event_type")
       .groupBy(col("event_type"))

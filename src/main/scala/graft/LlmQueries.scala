@@ -323,20 +323,21 @@ object LlmQueries {
     * bit-for-bit. The corpus-geometry summary behind context-length
     * and packing-budget decisions.
     *
-    * Rank selection runs through [[graft.operators.ExactRank]] (approx
-    * shard edges → exact offsets → partitioned window), so there is no
-    * single-task global row_number anywhere in the plan; the five
-    * ceil(q·N) target positions are driver arithmetic on the exact
-    * total, and a broadcast join picks the rows holding those ranks. */
+    * Rank selection runs through
+    * [[graft.operators.ExactRank.globalRankSelect]]: the five ceil(q·N)
+    * target positions are driver arithmetic on the exact total, and
+    * only the shards holding a target rank are sorted at all — five
+    * probes cost five shard-sorts, not a table-wide ranking. */
   def lengthPercentiles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = docs(s, d)
       .select(col("doc_id"), nTokens(col("text")).cast("long").as("n_tokens"))
-    val (ranked, n) = graft.operators.ExactRank.withGlobalRowNumber(
-      base, "n_tokens", "doc_id", "rn")
     val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val (sel, n) = graft.operators.ExactRank.globalRankSelect(
+      base, "n_tokens", "doc_id", "rn",
+      targetsOf = n => qs.map(q => math.ceil(q * n).toLong))
     val targets = qs.map(q => (q, math.ceil(q * n).toLong)).toDF("quantile", "pos")
-    targets.join(ranked, col("rn") === col("pos"))
+    targets.join(sel, col("rn") === col("pos"))
       .select(col("quantile"), col("n_tokens"))
       .orderBy(col("quantile"))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -36,60 +36,134 @@ object ExactRank {
     * alone. A low-cardinality group column (order priority: 5 values)
     * would otherwise serialize a fifth of a 100 TB table into each
     * window task. Same three steps as [[withGlobalRowNumber]], computed
-    * per group: per-group approx edges (broadcast-joined back), exact
-    * (group, shard) counts → within-group offsets, and a window
-    * partitioned by (group, shard) — groups×shards parallel slices.
+    * per group: per-group approx edges (collected once, re-inlined as
+    * literals, broadcast-joined back), exact (group, shard) counts →
+    * within-group offsets — computed LAZILY as a window over the tiny
+    * count aggregate, so the operator costs exactly one driver job
+    * (the edges) — and a ranking window partitioned by (group, shard),
+    * groups×shards parallel slices.
     *
-    * Driver state is the (group, shard) count table — bounded by
-    * |groups|×shards, the regime this utility targets (few groups,
-    * huge rows-per-group; high-cardinality groups should use a plain
-    * per-group window, which is already parallel). */
+    * Driver state is the per-group edge table — bounded by
+    * |groups|×shards doubles, the regime this utility targets (few
+    * groups, huge rows-per-group; high-cardinality groups should use a
+    * plain per-group window, which is already parallel). */
   def withGroupedRowNumber(df: DataFrame, groupCol: String, valueCol: String,
                            keyCol: String, rankName: String, totalName: String,
-                           shards: Int = 32): DataFrame = {
+                           shards: Int = 32,
+                           preWindowFilter: Option[DataFrame => DataFrame] = None)
+      : DataFrame = {
     val spark = df.sparkSession
     val qs = (1 until shards).map(_.toDouble / shards)
-    val edges = df.groupBy(col(groupCol)).agg(
-      percentile_approx(col(valueCol), typedlit(qs), lit(10000)).as("_graft_edges"))
-    val withShard = df.join(broadcast(edges), Seq(groupCol))
+    // The ONE driver action of this operator: per-group approx edges,
+    // bounded by |groups| rows. Edges are collected and re-inlined as a
+    // LITERAL local relation rather than left as a lazy aggregate
+    // subtree — a lazy subtree referenced by both the counting and the
+    // ranking branch could be evaluated twice, and percentile_approx's
+    // merge is not bit-stable under shuffle-fetch order, so two
+    // evaluations could disagree on an edge and silently corrupt the
+    // offsets. Literals make the shard function deterministic
+    // everywhere by construction.
+    // accuracy 1000 = 0.1% rank error against shards ~3% wide: edge
+    // error costs a sliver of balance, never exactness — and the
+    // sketch merge is ~10x cheaper than the old accuracy-10000 one
+    val edgesAgg = df.groupBy(col(groupCol)).agg(
+      percentile_approx(col(valueCol), typedlit(qs), lit(1000)).as("_graft_edges"))
+    val edgeRows = edgesAgg.collect()
+    require(edgeRows.length * shards <= 65536,
+      s"${edgeRows.length} groups x $shards shards — grouped ExactRank targets few-group " +
+      "skew; use a plain per-group window for high-cardinality groups")
+    val edges = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(edgeRows.toIndexedSeq, 1), edgesAgg.schema))
+    val withShard = df.join(edges, Seq(groupCol))
       .withColumn(ShardCol,
         size(filter(col("_graft_edges"), e => col(valueCol) > e)))
       .drop("_graft_edges")
-    val counts = withShard.groupBy(col(groupCol), col(ShardCol)).count().collect()
-    require(counts.length <= 65536,
-      s"${counts.length} (group, shard) slices — grouped ExactRank targets few-group skew; " +
-      "use a plain per-group window for high-cardinality groups")
-    val groupType = df.schema(groupCol).dataType
-    val byGroup = counts.groupBy(_.get(0))
-    val offRows: Seq[org.apache.spark.sql.Row] = byGroup.toSeq.flatMap { case (g, rows) =>
-      val sorted = rows.sortBy(_.getInt(1))
-      val total = sorted.map(_.getLong(2)).sum
-      val starts = sorted.map(_.getInt(1))
-        .zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _).init)
-      starts.map { case (s, off) => org.apache.spark.sql.Row(g, s, off, total) }
-    }
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField(groupCol, groupType),
-      org.apache.spark.sql.types.StructField(ShardCol,
-        org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("_graft_off",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField(totalName,
-        org.apache.spark.sql.types.LongType)))
-    val offs = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(offRows, 1), offSchema))
+    // Exact (group, shard) counts → within-group offsets, all LAZY: the
+    // aggregate is ≤ groups×shards rows, the cumulative offset is a
+    // window over those aggregated rows (partitioned by group — tiny
+    // and parallel), and the result broadcast-joins back. No second
+    // driver job, no driver-held count table at all — the offsets
+    // never leave the cluster.
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col(ShardCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val offs = withShard.groupBy(col(groupCol), col(ShardCol)).count()
+      .select(col(groupCol), col(ShardCol),
+        coalesce(sum(col("count")).over(wOff), lit(0L)).as("_graft_off"),
+        col("count").as("_graft_shard_n"),
+        sum(col("count")).over(wTot).as(totalName))
     val w = Window.partitionBy(col(groupCol), col(ShardCol))
       .orderBy(col(valueCol), col(keyCol))
-    withShard.join(offs, Seq(groupCol, ShardCol))
+    val joined = withShard.join(broadcast(offs), Seq(groupCol, ShardCol))
+    // rank-select hook: drop whole shards BEFORE the window sort (see
+    // groupedRankSelect) — offsets/totals are already attached, so a
+    // shard's absence cannot change any surviving row's rank
+    val filtered = preWindowFilter.fold(joined)(f => f(joined))
+    filtered
       .withColumn(rankName, col("_graft_off") + row_number().over(w).cast("long"))
-      .drop(ShardCol, "_graft_off")
+      .drop(ShardCol, "_graft_off", "_graft_shard_n")
+  }
+
+  /** Exact per-group rank SELECTION: returns only the rows whose
+    * per-group rank lands on one of `targets` (each a function of the
+    * group-total column, e.g. `c => floor((c + 1) / 2)` for the lower
+    * median), with `rankName` and `totalName` attached.
+    *
+    * The point vs [[withGroupedRowNumber]]+filter: a selection touches
+    * a handful of ranks, so only the shards whose [offset, offset +
+    * count] span can contain a target rank need to be windowed at all —
+    * the shard filter runs BEFORE the ranking window, so the sort
+    * handles ~|targets|/shards of the data instead of all of it.
+    * Everything upstream of the filter is narrow (scan + literal-edge
+    * shard assignment + broadcast joins); at 100 TB the heavy sort
+    * shrinks from the table to a few shards. Exactness is untouched:
+    * shard offsets are exact counts, targets are evaluated per group
+    * from the exact total, and rows outside surviving shards can't
+    * hold a target rank by construction. */
+  def groupedRankSelect(df: DataFrame, groupCol: String, valueCol: String,
+                        keyCol: String, rankName: String, totalName: String,
+                        targets: Seq[Column => Column],
+                        shards: Int = 32): DataFrame = {
+    require(targets.nonEmpty, "groupedRankSelect needs at least one target rank")
+    val ranked = withGroupedRowNumber(
+      df, groupCol, valueCol, keyCol, rankName, totalName, shards,
+      preWindowFilter = Some { frame =>
+        // keep a shard iff some target rank t(cnt) falls in
+        // (_graft_off, _graft_off + _graft_shard_n]
+        val cnt = col(totalName)
+        val keep = targets.map { t =>
+          t(cnt) > col("_graft_off") &&
+          t(cnt) <= col("_graft_off") + col("_graft_shard_n")
+        }.reduce(_ || _)
+        frame.filter(keep)
+      })
+    val isTarget = targets.map(t => col(rankName) === t(col(totalName))).reduce(_ || _)
+    ranked.filter(isTarget)
   }
 
   /** Adds 1-based exact global rank `rankName` in (valueCol, keyCol)
     * order (keyCol must make the order total — ties broken by it).
     * Returns the augmented frame and the total row count. */
   def withGlobalRowNumber(df: DataFrame, valueCol: String, keyCol: String,
-                          rankName: String, shards: Int = 32): (DataFrame, Long) = {
+                          rankName: String, shards: Int = 32): (DataFrame, Long) =
+    globalRanked(df, valueCol, keyCol, rankName, shards, None)
+
+  /** Exact global rank SELECTION: only the rows whose global rank is in
+    * `targetsOf(n)` (n = exact total row count), with `rankName`
+    * attached; returns (selected rows, n). Same shard machinery as
+    * [[withGlobalRowNumber]], but shards whose [offset, offset+count]
+    * span contains no target are dropped BEFORE the ranking window —
+    * a handful of target positions (percentile probes, bin edges)
+    * sorts a few shards instead of the whole table. */
+  def globalRankSelect(df: DataFrame, valueCol: String, keyCol: String,
+                       rankName: String, targetsOf: Long => Seq[Long],
+                       shards: Int = 32): (DataFrame, Long) =
+    globalRanked(df, valueCol, keyCol, rankName, shards, Some(targetsOf))
+
+  private def globalRanked(df: DataFrame, valueCol: String, keyCol: String,
+                           rankName: String, shards: Int,
+                           select: Option[Long => Seq[Long]]): (DataFrame, Long) = {
     val qs = (1 until shards).map(_.toDouble / shards).toArray
     val edges = df.stat.approxQuantile(valueCol, qs, 0.001).toSeq.distinct.sorted
     val shard = edges.foldLeft(lit(0)) { (acc, e) =>
@@ -100,13 +174,35 @@ object ExactRank {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val ids = counts.keys.toSeq.sorted
     val offsets = ids.zip(ids.scanLeft(0L)((a, g) => a + counts(g)).init).toMap
+    val n = counts.values.sum
     val offsetExpr =
       if (offsets.isEmpty) lit(0L)
       else element_at(typedlit(offsets), col(ShardCol))
     val w = Window.partitionBy(col(ShardCol)).orderBy(col(valueCol), col(keyCol))
-    val ranked = withShard
-      .withColumn(rankName, offsetExpr + row_number().over(w).cast("long"))
-      .drop(ShardCol)
-    (ranked, counts.values.sum)
+    select match {
+      case None =>
+        val ranked = withShard
+          .withColumn(rankName, offsetExpr + row_number().over(w).cast("long"))
+          .drop(ShardCol)
+        (ranked, n)
+      case Some(targetsOf) =>
+        val targets = targetsOf(n).distinct
+        val keep = ids.filter(s =>
+          targets.exists(r => offsets(s) < r && r <= offsets(s) + counts(s)))
+        // shard selection as a broadcast SEMI-JOIN, not a filter: a
+        // filter on the shard column would be pushed below the
+        // projection that computes it, re-inlining the when-chain in
+        // terms of the caller's value EXPRESSION — for a derived value
+        // (tokenize(text)) that re-evaluates the expensive expression
+        // once per edge per row. A join keys on the projected attribute
+        // and cannot sink through it, so the value expr runs once.
+        import df.sparkSession.implicits._
+        val keepDf = keep.toDF(ShardCol)
+        val selected = withShard.join(broadcast(keepDf), Seq(ShardCol), "left_semi")
+          .withColumn(rankName, offsetExpr + row_number().over(w).cast("long"))
+          .filter(col(rankName).isin(targets: _*))
+          .drop(ShardCol)
+        (selected, n)
+    }
   }
 }

@@ -58,6 +58,41 @@ class ExactRankSpec extends SparkSpec {
     assert(plan.contains("_graft_rank_shard"), s"no shard in window partitioning:\n$plan")
   }
 
+  test("groupedRankSelect returns exactly the per-group target-rank rows") {
+    import spark.implicits._
+    val df = ((1 to 4501).map(i => ("a", (i % 11) * 1.0, i.toLong)) ++
+      (1 to 500).map(i => ("b", (i % 7) * 1.0, 10000L + i)))
+      .toDF("g", "v", "k")
+    // lower/upper median targets (odd group 'a': both coincide)
+    val got = ExactRank.groupedRankSelect(df, "g", "v", "k", "rn", "cnt",
+      targets = Seq(c => floor((c + 1) / 2), c => floor((c + 2) / 2)), shards = 8)
+    val want = df
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("g")).orderBy(col("v"), col("k"))).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("rn") === floor((col("cnt") + 1) / 2) ||
+              col("rn") === floor((col("cnt") + 2) / 2))
+    assert(got.select("g", "k", "rn", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet ===
+      want.select("g", "k", "rn", "cnt").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet)
+  }
+
+  test("globalRankSelect returns exactly the target-rank rows") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, (i % 13) * 1.0)).toDF("k", "v")
+    val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val (got, n) = ExactRank.globalRankSelect(df, "v", "k", "rn",
+      targetsOf = n => qs.map(q => math.ceil(q * n).toLong), shards = 16)
+    assert(n === 5000L)
+    val targets = qs.map(q => math.ceil(q * 5000).toLong).distinct.toSet
+    val want = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("v"), col("k"))).cast("long"))
+      .filter(col("rn").isin(targets.toSeq: _*))
+    assert(got.select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      want.select("k", "rn").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("qcut and length_percentiles plan with no single-partition stage") {
     val qcut = graft.Analytics.qcutOrderValue(spark, sfDir)
     val qPlan = planOf(qcut)
