@@ -1267,6 +1267,70 @@ object Analytics {
       .reduce(_ unionByName _)
   }
 
+  /** The lineitem columns the wide profiler covers (every non-timestamp
+    * column — 10 of them, well past the ≥8 the one-scan contract is
+    * spec'd at). */
+  private[graft] val ProfileWideCols = Seq(
+    "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+
+  /** #14p single-scan wide profiler: row/null counts + stringified
+    * min/max for N columns in ONE aggregate over ONE scan — the shape a
+    * 100-column profile of a 100 TB table needs ([[profileLineitem]]'s
+    * scan-per-column union is the oracle-friendly narrow form; this is
+    * the warehouse form). All stats land in a single 1-row aggregate
+    * (4 agg buffers per column), then explode to a row per column —
+    * post-aggregation, so the unpivot costs nothing. Distinct counts
+    * deliberately live in [[profileWideApprox]]: exact multi-column
+    * distinct needs an Expand (k× row multiplication) and approx ones
+    * don't hash-match a foreign engine, so the oracle-gated wide form
+    * carries the exactly-reproducible stats. */
+  def profileWide(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    profileWideOf(li, ProfileWideCols)
+  }
+
+  private def profileWideOf(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__nn_$c").as("n_null"),
+      col(s"__mn_$c").as("min_str"),
+      col(s"__mx_$c").as("max_str"))): _*)
+    one.select(col("n"), explode(perCol).as("p"))
+      .select(col("p.column_name"), col("n"), col("p.n_null"),
+        col("p.min_str"), col("p.max_str"))
+      .orderBy(col("column_name"))
+  }
+
+  /** [[profileWide]] plus approximate distinct counts — still ONE scan,
+    * still one aggregate: approx_count_distinct is a fixed-size HLL
+    * buffer per column, no Expand, no extra pass. The HLL estimate is
+    * engine-specific, so this form is spec-gated (estimates within a
+    * tolerance of exact at test scale) rather than oracle-hashed. */
+  def profileWideApprox(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+      approx_count_distinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = array(cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"__nn_$c").as("n_null"),
+      col(s"__nd_$c").as("n_distinct_approx"),
+      col(s"__mn_$c").as("min_str"),
+      col(s"__mx_$c").as("max_str"))): _*)
+    one.select(col("n"), explode(perCol).as("p"))
+      .select(col("p.column_name"), col("n"), col("p.n_null"),
+        col("p.n_distinct_approx"), col("p.min_str"), col("p.max_str"))
+      .orderBy(col("column_name"))
+  }
+
   /** #19 as-of join: latest order state per user at each event time. */
   def asofJoinQ(s: SparkSession, d: String): DataFrame =
     AsOf.asofJoin(
@@ -1336,6 +1400,7 @@ object Analytics {
     "events_wau" -> (eventsWau _),
     "orders_pareto" -> ((s: SparkSession, d: String) => ordersPareto(s, d)),
     "profile_lineitem" -> (profileLineitem _),
+    "profile_wide" -> (profileWide _),
     "latest_per_key" -> (latestPerKeyQ _),
     "ffill_events" -> (ffillEvents _),
     "events_diff" -> (eventsDiff _),
@@ -1980,6 +2045,12 @@ object Analytics {
                count(DISTINCT $c)::BIGINT n_distinct,
                CAST(min($c) AS VARCHAR) min_str, CAST(max($c) AS VARCHAR) max_str
         FROM lineitem""").mkString(" UNION ALL ").trim,
+    "profile_wide" -> (ProfileWideCols
+      .map(c => s"""
+        SELECT '$c' AS column_name, count(*)::BIGINT n,
+               sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT n_null,
+               CAST(min($c) AS VARCHAR) min_str, CAST(max($c) AS VARCHAR) max_str
+        FROM lineitem""").mkString(" UNION ALL ") + " ORDER BY column_name").trim,
     "events_wau" -> """
       WITH ud AS (SELECT DISTINCT user_id, date_trunc('day', ts) d FROM events),
       days AS (SELECT DISTINCT d FROM ud),
