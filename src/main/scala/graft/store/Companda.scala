@@ -107,15 +107,15 @@ object Companda {
   private val PosCol = "__companda_pos"
 
   /** Sort by the frame's own index columns, drop them, append a
-    * contiguous position column. `sort` range-partitions, so
-    * zipWithIndex numbers rows in global order (same machinery as the
-    * store's auto_index — contiguous ids genuinely need the extra
-    * serialize pass). */
+    * contiguous position column. `sort` range-partitions in global
+    * order, so the store's partition-offset numbering
+    * ([[KeyedTable.assignAutoIndex]] — one bounded per-partition count
+    * job, then offset + the local bits of monotonically_increasing_id)
+    * yields positional ids fully in Tungsten: no RDD round-trip, the
+    * id pass stays narrow and codegen'd. */
   private def sortAndNumber(df: DataFrame, sortCols: Seq[String]): DataFrame = {
     val sorted = df.sort(sortCols.map(col): _*).drop(sortCols: _*)
-    val schema = sorted.schema.add(PosCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) }
-    df.sparkSession.createDataFrame(rdd, schema)
+    KeyedTable.assignAutoIndex(sorted, 0L, PosCol)._1
   }
 
   private def dropAllNullColumns(df: DataFrame, pk: Seq[String]): DataFrame = {

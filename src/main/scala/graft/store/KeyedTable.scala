@@ -287,7 +287,8 @@ object KeyedTable {
     * so the id pass is narrow, codegen'd, and shuffle-free. Both jobs
     * assume the input recomputes deterministically (same assumption
     * zipWithIndex made). Paid only on autoIndex writes. */
-  private def assignAutoIndex(df: DataFrame, offset: Long): (DataFrame, Long) = {
+  private[store] def assignAutoIndex(df: DataFrame, offset: Long,
+                                     name: String = Names.AutoIndex): (DataFrame, Long) = {
     val counts = df.select(spark_partition_id().as("p")).groupBy("p").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val pids = counts.keys.toSeq.sorted
@@ -296,7 +297,7 @@ object KeyedTable {
       if (starts.isEmpty) lit(0L)
       else element_at(typedlit(starts), spark_partition_id())
     val localRow = monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1))
-    val id = (lit(offset) + partitionStart + localRow).as(Names.AutoIndex)
+    val id = (lit(offset) + partitionStart + localRow).as(name)
     (df.select(id +: df.columns.map(col).toIndexedSeq: _*), counts.values.sum)
   }
 
