@@ -1115,12 +1115,12 @@ object LlmQueries {
                 FROM e JOIN assign a ON a.vec_id = e.vec_id
                        JOIN cents c ON c.cid = a.cid),
       rcb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, r AS cb
-              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 16)),
-      j AS (SELECT unnest(range(8)) AS subspace),
+              FROM (SELECT vec_id, r FROM resid ORDER BY vec_id LIMIT 128)),
+      j AS (SELECT unnest(range(32)) AS subspace),
       cd AS (SELECT resid.vec_id, resid.cid, j.subspace, rcb.code,
-               floor((list_sum(list_transform(range(1, 9), i ->
-                 (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
-                 * (resid.r[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])))) * 1000000 + 0.5) / 1000000 AS dist
+               floor((list_sum(list_transform(range(1, 3), i ->
+                 (resid.r[j.subspace*2 + i] - rcb.cb[j.subspace*2 + i])
+                 * (resid.r[j.subspace*2 + i] - rcb.cb[j.subspace*2 + i])))) * 1000000 + 0.5) / 1000000 AS dist
              FROM resid CROSS JOIN j CROSS JOIN rcb),
       codes AS (SELECT vec_id, cid, subspace, code FROM (
                   SELECT vec_id, cid, subspace, code,
@@ -1132,9 +1132,9 @@ object LlmQueries {
                FROM probes p JOIN e ON e.vec_id = p.query_id
                       JOIN cents c ON c.cid = p.cid),
       dtab AS (SELECT q.query_id, q.cid, j.subspace, rcb.code,
-                 CAST(floor((list_sum(list_transform(range(1, 9), i ->
-                   (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])
-                   * (q.qr[j.subspace*8 + i] - rcb.cb[j.subspace*8 + i])))) * 1000000 + 0.5) / 1000000
+                 CAST(floor((list_sum(list_transform(range(1, 3), i ->
+                   (q.qr[j.subspace*2 + i] - rcb.cb[j.subspace*2 + i])
+                   * (q.qr[j.subspace*2 + i] - rcb.cb[j.subspace*2 + i])))) * 1000000 + 0.5) / 1000000
                    AS DECIMAL(20,6)) AS d2
                FROM qres q CROSS JOIN j CROSS JOIN rcb),
       sc AS (SELECT d.query_id, c.vec_id AS neighbor_id, sum(d.d2) AS adc

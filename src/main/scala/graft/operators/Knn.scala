@@ -307,8 +307,12 @@ object Knn {
     * finer), and queries probe `nprobe` cells scoring candidates by
     * ADC over the residual codes. Corpus cost per row: one narrow cell
     * argmax + one narrow code call; query cost: nprobe residuals ×
-    * (m×k) table entries, broadcast. The corpus' floats are read only
-    * at index-build time — search touches m bytes/vector.
+    * (m×kcb) table entries, broadcast. The corpus' floats are read only
+    * at index-build time — search touches m bytes/vector. Defaults
+    * (m=32 two-dim subquantizers, kcb=128 codes) are sized for the
+    * spec-gated recall floor with the UNTRAINED lowest-id codebook;
+    * a deployment training the codebook (per-subspace Lloyd) can
+    * shrink m back toward 8 for the same recall.
     *
     * Same determinism toolkit as the rest of the family: centroids and
     * residual codebooks are the lowest-id vectors (driver math mirrors
@@ -317,7 +321,7 @@ object Knn {
     * Returns (query_id, neighbor_id, rank, adc_dist). */
   def ivfAdcSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
-                   m: Int = 8, kcb: Int = 16): DataFrame = {
+                   m: Int = 32, kcb: Int = 128): DataFrame = {
     def collectVecs(df: DataFrame, n: Int): Array[(Long, Seq[Double])] = df
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
       .orderBy("cid").limit(n).collect()
