@@ -554,7 +554,12 @@ object Analytics {
         boundaries = (1L to k).zip(los.zip(his)).map { case (b, (lo, hi)) => (b, lo, hi) }
         los ++ his
       })
-    val bins = boundaries.map { case (b, lo, hi) => (b, lo, hi, hi - lo + 1) }
+    // When n < k, ntile leaves trailing bins empty (lo = hi+1, hi
+    // shared with the previous bin's boundary); the oracle's ntile
+    // form emits no row for them, so drop them before the probe join —
+    // otherwise the shared boundary row would fabricate an n_orders=0
+    // bin with a null min_value.
+    val bins = boundaries.collect { case (b, lo, hi) if hi >= lo => (b, lo, hi, hi - lo + 1) }
       .toDF("bin", "lo_rank", "hi_rank", "n_orders")
     sel.join(broadcast(bins),
         col("rn") === col("lo_rank") || col("rn") === col("hi_rank"))
@@ -1115,14 +1120,22 @@ object Analytics {
       .select(col("event_type"), abs(col("value") - col("med")).as("ad"),
         col("event_id"), col("med"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mad = midOf(dev.select("event_type", "ad", "event_id"), "ad", "mad")
-    dev.join(broadcast(mad), "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        portableRound(max(col("med")), 4).as("median_value"),
-        portableRound(max(col("mad")), 4).as("mad"),
-        sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"))
+    // The output is ≤ |event types| rows: compute it eagerly so the
+    // cache can be dropped here instead of leaking for the session
+    // lifetime (the caller never sees `dev`, so it could never
+    // unpersist it).
+    try {
+      val mad = midOf(dev.select("event_type", "ad", "event_id"), "ad", "mad")
+      val agg = dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          portableRound(max(col("med")), 4).as("median_value"),
+          portableRound(max(col("mad")), 4).as("mad"),
+          sum(when(col("ad") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(agg.collect().toIndexedSeq, 1), agg.schema)
+    } finally dev.unpersist(false)
   }
 
   /** #14l pandas groupby().rank(method='first', pct=True): exact

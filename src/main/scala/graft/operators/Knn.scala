@@ -347,7 +347,11 @@ object Knn {
       v.zip(c).map { case (a, b) => a - b }
     }
     val dims = residCb.head.size
-    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    // The default m=32 requires dims ≡ 0 (mod 32); callers with e.g.
+    // 24- or 40-dim embeddings must pass an m that divides their dims
+    // (any divisor works — recall/size trade off via m×log2(kcb) bits).
+    require(dims % m == 0,
+      s"dims=$dims not divisible by m=$m — pass m as a divisor of the embedding dims")
     val sub = dims / m
     val centLit = typedlit(centById)
 
@@ -366,25 +370,30 @@ object Knn {
       .select(col("neighbor_id"), col("cell"),
         posexplode(codesCol).as(Seq("subspace", "code")))
 
-    // queries: per probed cell, residual + m×kcb distance-table entries
-    val entries = (0 until m).flatMap { j =>
-      val qslice = slice(col("_qres"), j * sub + 1, sub)
-      (0 until residCb.length).map { c =>
-        val cs = residCb(c).slice(j * sub, (j + 1) * sub)
-        struct(lit(j).as("subspace"), lit(c).as("code"),
-          graft.functions.Rounding.portableRound(aggregate(
-            zip_with(qslice, typedlit(cs), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x), 6)
-            .cast("decimal(20,6)").as("d2"))
-      }
-    }
+    // queries: per probed cell, residual + m×kcb distance-table rows.
+    // The table comes from JOINING an exploded codebook frame (one row
+    // per (subspace, code) — m×kcb tiny broadcast rows) rather than
+    // inlining m×kcb struct literals into one projection: at m=32,
+    // kcb=128 the inline form is 4096 interpreted-lambda expressions in
+    // a single Project — past whole-stage-codegen limits, and planning
+    // alone grows with the expression count. The join form is ONE
+    // lambda expression evaluated per (query, cell, subspace, code)
+    // row; identical arithmetic, identical rounding, identical output.
+    import corpus.sparkSession.implicits._
+    val cbRows = for { j <- 0 until m; c <- residCb.indices }
+      yield (j, c, residCb(c).slice(j * sub, (j + 1) * sub))
+    val cbFrame = broadcast(cbRows.toDF("subspace", "code", "cvec"))
     val dtab = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("cell", explode(topCells(col("qv"), nprobe)))
         .withColumn("_qres", residOf(col("qv"), col("cell")))
-        .select(col("query_id"), col("cell"), explode(array(entries: _*)).as("e"))
-        .select(col("query_id"), col("cell"), col("e.subspace").as("subspace"),
-          col("e.code").as("code"), col("e.d2").as("d2")))
+        .crossJoin(cbFrame) // broadcast nested-loop fanout, never CartesianProduct
+        .select(col("query_id"), col("cell"), col("subspace"), col("code"),
+          graft.functions.Rounding.portableRound(aggregate(
+            zip_with(slice(col("_qres"), col("subspace") * lit(sub) + lit(1), lit(sub)),
+              col("cvec"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x), 6)
+            .cast("decimal(20,6)").as("d2")))
 
     val scored = corpusCodes.join(dtab, Seq("cell", "subspace", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))

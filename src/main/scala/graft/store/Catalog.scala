@@ -23,17 +23,34 @@ object Catalog {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession, SparkSession]())
 
+  /** The two confs the stats session exists to pin — never synced back
+    * from the parent. */
+  private val StatsOnlyConfs =
+    Set("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
+
   private[store] def footerStatsSession(spark: SparkSession): SparkSession =
     statsSessions.synchronized {
-      Option(statsSessions.get(spark)).getOrElse {
-        val s = spark.newSession()
-        // V2 parquet (aggregate pushdown is a DSv2-only feature)…
-        s.conf.set("spark.sql.sources.useV1SourceList", "")
-        // …with MIN/MAX/COUNT answered from footer statistics
-        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        statsSessions.put(spark, s)
-        s
+      val s = Option(statsSessions.get(spark)).getOrElse {
+        val created = spark.newSession()
+        statsSessions.put(spark, created)
+        created
       }
+      // Re-sync the parent's RUNTIME confs on every use: newSession()
+      // clones the SQLConf once, so a conf the caller sets via
+      // spark.conf.set AFTER the child was cached (timezone, ANSI mode,
+      // parquet reader knobs…) would otherwise silently diverge between
+      // the caller's reads and describe/footer-stats reads. Cheap: the
+      // modified-conf map is tiny and callers are metadata-scale ops.
+      spark.conf.getAll.foreach { case (k, v) =>
+        if (!StatsOnlyConfs.contains(k) && s.conf.isModifiable(k) &&
+            !s.conf.getOption(k).contains(v))
+          s.conf.set(k, v)
+      }
+      // V2 parquet (aggregate pushdown is a DSv2-only feature)…
+      s.conf.set("spark.sql.sources.useV1SourceList", "")
+      // …with MIN/MAX/COUNT answered from footer statistics
+      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s
     }
 
   /** Every catalog op takes the reference's optional `schema=` kwarg

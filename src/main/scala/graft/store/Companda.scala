@@ -72,9 +72,15 @@ object Companda {
             ignoreIndex: Boolean = false,
             df2Pk: Seq[String] = null): CompandaResult = {
     val pk2 = Option(df2Pk).getOrElse(pk)
+    val cached = scala.collection.mutable.Buffer.empty[DataFrame]
+    try {
     var (a, b) =
-      if (ignoreIndex) (sortAndNumber(df1, pk), sortAndNumber(df2, pk2))
-      else (df1, df2)
+      if (ignoreIndex) {
+        val (na, ca) = sortAndNumber(df1, pk)
+        val (nb, cb) = sortAndNumber(df2, pk2)
+        cached += ca; cached += cb
+        (na, nb)
+      } else (df1, df2)
     val key = if (ignoreIndex) Seq(PosCol) else pk
     if (ignoreAllNanColumns) {
       a = dropAllNullColumns(a, key); b = dropAllNullColumns(b, key)
@@ -102,6 +108,7 @@ object Companda {
         s"values not equal in columns: ${d.mkString(", ")}")
     else CompandaResult(equal = true, columnsEqual = true,
       s"EQUAL, checked_dtype=$checkDtype")
+    } finally cached.foreach(_.unpersist(false))
   }
 
   private val PosCol = "__companda_pos"
@@ -112,10 +119,22 @@ object Companda {
     * ([[KeyedTable.assignAutoIndex]] — one bounded per-partition count
     * job, then offset + the local bits of monotonically_increasing_id)
     * yields positional ids fully in Tungsten: no RDD round-trip, the
-    * id pass stays narrow and codegen'd. */
-  private def sortAndNumber(df: DataFrame, sortCols: Seq[String]): DataFrame = {
+    * id pass stays narrow and codegen'd.
+    *
+    * The sorted frame MUST be pinned before numbering: the counts job
+    * and the numbering projection are separate query executions, and
+    * RangePartitioner re-samples its boundaries per execution (seed
+    * depends on the shuffle RDD's id), so an unpinned sort could land
+    * different rows in different partitions across the two jobs —
+    * duplicate/gapped position ids. Persisting substitutes one
+    * InMemoryRelation into both executions; the cached RDD's lineage
+    * (boundaries included) is fixed at cache time, so even an evicted
+    * partition recomputes under the original partitioning. Caller
+    * unpersists via the returned handle once the comparison has run. */
+  private def sortAndNumber(df: DataFrame, sortCols: Seq[String]): (DataFrame, DataFrame) = {
     val sorted = df.sort(sortCols.map(col): _*).drop(sortCols: _*)
-    KeyedTable.assignAutoIndex(sorted, 0L, PosCol)._1
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (KeyedTable.assignAutoIndex(sorted, 0L, PosCol)._1, sorted)
   }
 
   private def dropAllNullColumns(df: DataFrame, pk: Seq[String]): DataFrame = {
