@@ -427,6 +427,136 @@ object Analytics {
       .select("s_name", "numwait")
   }
 
+  /** #15q TPC-H Q2-style minimum-cost supplier: for every LARGE part,
+    * the EUROPE-region supplier(s) whose best offer price equals the
+    * part's region-wide minimum — lineitem is the part↔supplier bridge
+    * and min(l_extendedprice) the offer-price stand-in (no partsupp in
+    * the testdata). Q2's correlated scalar-min subquery re-plans as
+    * ONE per-(part, supplier) rollup, a per-part min over it, and an
+    * equality join back — never a per-row subquery, never a
+    * nested-loop; supplier/nation/region dims broadcast. The compare
+    * is raw-value equality (min of stored doubles, no arithmetic), so
+    * it cannot flip between engines; the final sort key is unique
+    * ((supplier, part) pairs), so the top-100 cut is stable. */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val sr = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    val offers = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(sr.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice")).as("offer_price"))
+    val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+      .agg(min(col("offer_price")).as("min_price"))
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_type") === "LARGE").select("p_partkey"))
+    offers
+      .join(minCost, col("l_partkey") === col("mc_partkey") &&
+                     col("offer_price") === col("min_price"))
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(sr, col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("offer_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** #15r TPC-H Q9-style product-type profit: profit per supplier
+    * nation and order year over '%widget%' parts, with unit cost stood
+    * in by 10% of p_retailprice (no partsupp.ps_supplycost in the
+    * testdata). Part and supplier-nation dims broadcast, so only the
+    * lineitem↔orders join shuffles; both profit terms are pinned to
+    * DECIMAL separately BEFORE the subtraction, making the per-row
+    * amount and its sum exact and partial-merge-order-free. */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_name").contains("widget"))
+      .select("p_partkey", "p_retailprice"))
+    val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name")))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+    val amount = (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(dec) -
+      (lit(0.1) * col("p_retailprice") * col("l_quantity")).cast(dec)
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** #15s TPC-H Q11-style important parts: parts whose ASIA-region
+    * shipped value exceeds 1/1000 of the region total (ps_availqty ·
+    * ps_supplycost stood in by shipped l_extendedprice·l_quantity).
+    * The global total is a one-row broadcast cross join over the
+    * per-part rollup; the threshold runs as `value·1000 > total` on
+    * exact decimals — no float fraction, boundary parts can't flip
+    * engines. Two aggregations (per-part, then global), one fact
+    * shuffle each, exactly Q11's HAVING-over-scalar-subquery shape. */
+  def q11ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sup = broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey"))
+    val byPart = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_extendedprice") * col("l_quantity")).cast(dec)).as("pv"))
+    val total = byPart.agg(sum(col("pv")).as("total_value"))
+    byPart.crossJoin(broadcast(total))
+      .filter(col("pv") * 1000 > col("total_value"))
+      .select(col("l_partkey").as("p_partkey"),
+        round(col("pv"), 2).cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("p_partkey"))
+  }
+
+  /** #15t TPC-H Q20-style excess-stock suppliers: AMERICA-region
+    * suppliers who shipped, since 2000, more than HALF of some
+    * '%bolt%' part's all-time quantity (Q20's availqty > ½·demand
+    * re-read on shipped quantities — no partsupp in the testdata).
+    * The double-nested EXISTS becomes: recent per-(part, supplier)
+    * rollup ⋈ per-part total rollup, the exact 2·qty > total decimal
+    * compare, then a LEFT SEMI into the region's suppliers — each
+    * EXISTS level is one aggregation + one join, nothing correlated
+    * per-row, nothing nested-loop. */
+  def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_name").contains("bolt")).select("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+      .join(part, col("l_partkey") === col("p_partkey"))
+    val recent = li.filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("recent_qty"))
+    val totals = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(sum(col("l_quantity").cast(dec)).as("total_qty"))
+    val qual = recent.join(totals, col("l_partkey") === col("t_partkey"))
+      .filter(col("recent_qty") * 2 > col("total_qty"))
+      .select(col("l_suppkey")).distinct()
+    val natRegion = broadcast(Tables.nation(s, d)
+      .join(Tables.region(s, d).filter(col("r_name") === "AMERICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey"))
+    Tables.supplier(s, d)
+      .join(natRegion, col("s_nationkey") === col("n_nationkey"))
+      .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name"))
+  }
+
   /** #14e rollup with subtotals + grand total (grouping sets): revenue
     * by (returnflag, linestatus) plus per-flag and overall margins,
     * disambiguated by grouping_id. One shuffle; Spark expands the
@@ -1426,6 +1556,10 @@ object Analytics {
     "q15_top_supplier" -> (q15TopSupplier _),
     "q16_part_variety" -> (q16PartVariety _),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers _),
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q20_excess_suppliers" -> (q20ExcessSuppliers _),
     "range_join" -> (rangeJoinQ _),
     "hll_sketch" -> (hllSketchQ _),
     "join_salted" -> (joinSaltedQ _),
@@ -1534,6 +1668,63 @@ object Analytics {
       GROUP BY s_name
       ORDER BY numwait DESC, s_name
       LIMIT 10""".trim,
+    "q2_min_cost_supplier" -> """
+      WITH sr AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+                  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+                  WHERE r_name = 'EUROPE'),
+      o AS (SELECT l_partkey, l_suppkey, min(l_extendedprice) AS offer_price
+            FROM lineitem JOIN sr ON l_suppkey = s_suppkey
+            GROUP BY 1, 2),
+      mc AS (SELECT l_partkey, min(offer_price) AS min_price FROM o GROUP BY 1)
+      SELECT s_acctbal, s_name, n_name, p_partkey, offer_price
+      FROM o
+      JOIN mc ON o.l_partkey = mc.l_partkey AND o.offer_price = mc.min_price
+      JOIN part ON o.l_partkey = p_partkey
+      JOIN sr ON o.l_suppkey = sr.s_suppkey
+      WHERE p_type = 'LARGE'
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""".trim,
+    "q9_product_profit" -> """
+      SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                     - CAST(0.1 * p_retailprice * l_quantity AS DECIMAL(18,6))), 2)::DOUBLE AS sum_profit
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2 ORDER BY 1, 2 DESC""".trim,
+    "q11_important_parts" -> """
+      WITH sup AS (SELECT s_suppkey FROM supplier
+                   JOIN nation ON s_nationkey = n_nationkey
+                   JOIN region ON n_regionkey = r_regionkey
+                   WHERE r_name = 'ASIA'),
+      bp AS (SELECT l_partkey, sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS pv
+             FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+             GROUP BY 1)
+      SELECT l_partkey AS p_partkey, round(pv, 2)::DOUBLE AS part_value
+      FROM bp
+      WHERE pv * 1000 > (SELECT sum(pv) FROM bp)
+      ORDER BY part_value DESC, p_partkey""".trim,
+    "q20_excess_suppliers" -> """
+      WITH li AS (SELECT l_partkey, l_suppkey, l_quantity, l_shipdate
+                  FROM lineitem JOIN part ON l_partkey = p_partkey
+                  WHERE p_name LIKE '%bolt%'),
+      r AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS rq
+            FROM li WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+            GROUP BY 1, 2),
+      t AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS tq FROM li GROUP BY 1),
+      q AS (SELECT DISTINCT l_suppkey FROM r JOIN t ON r.l_partkey = t.l_partkey
+            WHERE rq * 2 > tq)
+      SELECT s_name, s_acctbal
+      FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'AMERICA'
+        AND s_suppkey IN (SELECT l_suppkey FROM q)
+      ORDER BY s_name""".trim,
     "q4_priority_count" -> """
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders o
