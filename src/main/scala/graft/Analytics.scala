@@ -997,6 +997,45 @@ object Analytics {
       valueCol = "v")
       .select(col("event_id"), col("user_id"), col("v_interp").as("value_interp"))
 
+  /** #20g salted ffill: the skew-proof two-phase variant of #20b,
+    * oracle-gated EQUAL to the plain form (same oracle SQL) — the
+    * chunk salt bounds per-task input to one (user, day) slice even
+    * when one user owns the whole event stream. */
+  def ffillEventsSalted(s: SparkSession, d: String): DataFrame =
+    AsOf.ffillSalted(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value"))
+          .as("value_filled")),
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      cols = Seq("value_filled"), chunkSeconds = 86400L)
+      .select("event_id", "user_id", "value_filled")
+
+  /** #20h salted shift/diff: skew-proof variant of #20c, oracle-gated
+    * EQUAL to the plain form. */
+  def eventsDiffSalted(s: SparkSession, d: String): DataFrame =
+    operators.AsOf.shiftDiffSalted(
+      Tables.events(s, d).select(col("event_id"), col("user_id"), col("ts"),
+        col("value").cast("decimal(9,2)").as("val_d"),
+        col("ts").cast("long").as("ts_s")),
+      key = Seq("user_id"), time = "ts", tieBreak = "event_id",
+      cols = Seq("val_d", "ts_s"), chunkSeconds = 86400L)
+      .select(col("event_id"), col("user_id"),
+        col("prev_val_d").cast("double").as("prev_value"),
+        col("delta_val_d").cast("double").as("delta_value"),
+        col("delta_ts_s").as("gap_seconds"))
+
+  /** #20i salted interpolate: skew-proof variant of #20d, oracle-gated
+    * EQUAL to the plain form — identical IEEE formula over identical
+    * prev/next observations, chunked by day (µs units). */
+  def interpolateEventsSalted(s: SparkSession, d: String): DataFrame =
+    AsOf.interpolateSalted(
+      Tables.events(s, d).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("value")).as("v")),
+      key = Seq("user_id"), timeCol = "us", tieBreak = "event_id",
+      valueCol = "v", chunkSize = 86400L * 1000000L)
+      .select(col("event_id"), col("user_id"), col("v_interp").as("value_interp"))
+
   /** #20e time-weighted average per key (the sensor/telemetry mean
     * where observations arrive irregularly): each value is weighted by
     * the seconds until the NEXT observation — ∫v·dt / (t_last −
@@ -1564,6 +1603,9 @@ object Analytics {
     "hll_sketch" -> (hllSketchQ _),
     "join_salted" -> (joinSaltedQ _),
     "interpolate_events" -> (interpolateEvents _),
+    "ffill_events_salted" -> (ffillEventsSalted _),
+    "events_diff_salted" -> (eventsDiffSalted _),
+    "interpolate_events_salted" -> (interpolateEventsSalted _),
     "events_twa" -> (eventsTwa _),
     "hll_cumulative" -> (hllCumulativeQ _),
     "asof_forward" -> (asofForward _),
@@ -1575,7 +1617,7 @@ object Analytics {
     "median_order_value" -> (medianOrderValue _),
   )
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // the ewm float recursion replayed EXACTLY: DuckDB's recursive CTE
     // advances each user's sequence one row per iteration with the
     // same IEEE expression shape (v + (1.0-0.3)*num, 1.0 + (1.0-0.3)*den)
@@ -2360,4 +2402,12 @@ object Analytics {
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
       FROM e""".trim,
   )
+
+  /** The salted gap-repair gates assert equality with the PLAIN forms:
+    * identical oracle SQL, so a salted variant that diverges by one
+    * row or one bit fails its hash. */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "ffill_events_salted" -> oraclesBase("ffill_events"),
+    "events_diff_salted" -> oraclesBase("events_diff"),
+    "interpolate_events_salted" -> oraclesBase("interpolate_events"))
 }

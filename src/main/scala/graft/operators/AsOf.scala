@@ -386,4 +386,160 @@ object AsOf {
         .withColumn(s"delta_$c", col(c) - lag(col(c), 1).over(w))
     }
   }
+
+  // ── Skew-safe (salted) gap-repair family ──────────────────────────
+  //
+  // ffill / interpolate / shiftDiff above window by the raw key: a hot
+  // key's whole timeline lands in ONE task, and AQE does not split
+  // window skew. The three variants below apply the same chunk-carry
+  // recipe as [[asofJoinSalted]]: phase 1 runs the operator within
+  // (key, time-chunk) — per-task input is one chunk slice — and phase
+  // 2 repairs chunk boundaries with ≤1 summary row per (key, chunk)
+  // (rows per key = chunk count, bounded by the time range, never by
+  // event skew). Chunk assignment `floor(t / chunkSize)` is monotone
+  // in time and equal times share a chunk, so each variant's output is
+  // row-for-row IDENTICAL to the plain form — the gate queries assert
+  // oracle equality against the PLAIN forms' SQL.
+
+  /** Skew-proof [[ffill]] — identical output, bounded per-task input.
+    *
+    * Phase 1 forward-fills within each (key, chunk). Phase 2 keeps the
+    * LAST locally-filled row per (key, chunk) (its filled value IS the
+    * chunk's last-known value per column), window-carries those
+    * summaries across strictly earlier chunks per key, and joins the
+    * carry-in back: a row whose chunk held no earlier non-null takes
+    * the carry-in. `coalesce(local, carryIn)` equals the global
+    * `last(ignoreNulls)` exactly — the within-chunk fill already
+    * prefers the nearest non-null. */
+  def ffillSalted(df: DataFrame, key: Seq[String], time: String,
+                  tieBreak: String, cols: Seq[String],
+                  chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, s"chunkSeconds must be positive, got $chunkSeconds")
+    // NTZ → instant (session TZ UTC); numeric seconds pass through
+    val withChunk = df.withColumn("_chunk",
+      floor(col(time).cast("timestamp").cast("long") / chunkSeconds))
+    val kc = key.map(col) :+ col("_chunk")
+    val wc = Window.partitionBy(kc: _*)
+      .orderBy(col(time), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cols.foldLeft(withChunk) { (acc, c) =>
+      acc.withColumn(s"_loc_$c", last(col(c), ignoreNulls = true).over(wc))
+    }
+    val sumW = Window.partitionBy(kc: _*)
+      .orderBy(col(time).desc, col(tieBreak).desc)
+    val summaries = local
+      .withColumn("_srn", row_number().over(sumW))
+      .filter(col("_srn") === 1)
+      .select(kc ++ cols.map(c => col(s"_loc_$c").as(s"_sum_$c")): _*)
+    // carry-in = last non-null summary over STRICTLY earlier chunks
+    val wk = Window.partitionBy(key.map(col): _*).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = summaries.select(
+      kc ++ cols.map(c =>
+        last(col(s"_sum_$c"), ignoreNulls = true).over(wk).as(s"_in_$c")): _*)
+    local.join(carryIn, key :+ "_chunk", "left")
+      .select(df.columns.toSeq.map { c =>
+        if (cols.contains(c)) coalesce(col(s"_loc_$c"), col(s"_in_$c")).as(c)
+        else col(c)
+      }: _*)
+  }
+
+  /** Skew-proof [[shiftDiff]] — identical output, bounded per-task
+    * input.
+    *
+    * Phase 1 lags within each (key, chunk). Phase 2's summary is each
+    * chunk's LAST row's RAW values; `lag(1)` over the per-key
+    * chunk-ordered summaries is exactly the nearest earlier non-empty
+    * chunk's last row. Only each chunk's FIRST row (local row_number
+    * 1) takes the carry-in — later rows keep the local lag even when
+    * its value is genuinely NULL, matching pandas shift() on NULL
+    * values (a coalesce would wrongly skip them). */
+  def shiftDiffSalted(df: DataFrame, key: Seq[String], time: String,
+                      tieBreak: String, cols: Seq[String],
+                      chunkSeconds: Long): DataFrame = {
+    require(chunkSeconds > 0, s"chunkSeconds must be positive, got $chunkSeconds")
+    val withChunk = df.withColumn("_chunk",
+      floor(col(time).cast("timestamp").cast("long") / chunkSeconds))
+    val kc = key.map(col) :+ col("_chunk")
+    val wc = Window.partitionBy(kc: _*).orderBy(col(time), col(tieBreak))
+    val local = cols.foldLeft(withChunk.withColumn("_rn", row_number().over(wc))) {
+      (acc, c) => acc.withColumn(s"_lag_$c", lag(col(c), 1).over(wc))
+    }
+    val sumW = Window.partitionBy(kc: _*)
+      .orderBy(col(time).desc, col(tieBreak).desc)
+    val summaries = withChunk
+      .withColumn("_srn", row_number().over(sumW))
+      .filter(col("_srn") === 1)
+      .select(kc ++ cols.map(c => col(c).as(s"_sum_$c")): _*)
+    // ≤1 summary row per (key, chunk) → lag(1) over chunk order IS the
+    // nearest earlier chunk's last row (NULL for the first chunk)
+    val wk = Window.partitionBy(key.map(col): _*).orderBy(col("_chunk"))
+    val carryIn = summaries.select(
+      kc ++ cols.map(c => lag(col(s"_sum_$c"), 1).over(wk).as(s"_in_$c")): _*)
+    val joined = local.join(carryIn, key :+ "_chunk", "left")
+    val out = cols.foldLeft(joined) { (acc, c) =>
+      val prev = when(col("_rn") === 1, col(s"_in_$c")).otherwise(col(s"_lag_$c"))
+      acc.withColumn(s"prev_$c", prev)
+        .withColumn(s"delta_$c", col(c) - prev)
+    }
+    out.select(df.columns.toSeq.map(col) ++
+      cols.flatMap(c => Seq(col(s"prev_$c"), col(s"delta_$c"))): _*)
+  }
+
+  /** Skew-proof [[interpolate]] — identical output, bounded per-task
+    * input. `chunkSize` is in `timeCol`'s own (numeric) units.
+    *
+    * Phase 1 finds prev/next observations within each (key, chunk),
+    * packed as (t, v) structs so both halves always come from the same
+    * row. Phase 2 summarizes each (key, chunk)'s first and last
+    * observation, then over EVERY chunk present in the data (all-null
+    * chunks still need their carry) window-carries the last earlier
+    * observation forward and the first later observation backward.
+    * `coalesce(local, carried)` feeds the SAME single-division IEEE
+    * formula as the plain form — identical prev/next rows, identical
+    * arithmetic, identical bits. */
+  def interpolateSalted(df: DataFrame, key: Seq[String], timeCol: String,
+                        tieBreak: String, valueCol: String,
+                        chunkSize: Long): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    val withChunk = df.withColumn("_chunk", floor(col(timeCol) / chunkSize))
+    val kc = key.map(col) :+ col("_chunk")
+    val back = Window.partitionBy(kc: _*)
+      .orderBy(col(timeCol), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(kc: _*)
+      .orderBy(col(timeCol), col(tieBreak))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obs = when(v.isNotNull, struct(col(timeCol).as("t"), v.as("v")))
+    val local = withChunk
+      .withColumn("_p", last(obs, ignoreNulls = true).over(back))
+      .withColumn("_n", first(obs, ignoreNulls = true).over(fwd))
+    val summaries = withChunk.filter(v.isNotNull)
+      .groupBy(kc: _*)
+      .agg(
+        max_by(struct(col(timeCol).as("t"), v.as("v")),
+          struct(col(timeCol), col(tieBreak))).as("_last"),
+        min_by(struct(col(timeCol).as("t"), v.as("v")),
+          struct(col(timeCol), col(tieBreak))).as("_first"))
+    val chunks = withChunk.select(kc: _*).distinct()
+    val wIn = Window.partitionBy(key.map(col): _*).orderBy(col("_chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wOut = Window.partitionBy(key.map(col): _*).orderBy(col("_chunk"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = chunks.join(summaries, key :+ "_chunk", "left")
+      .select(kc ++ Seq(
+        last(col("_last"), ignoreNulls = true).over(wIn).as("_cin"),
+        first(col("_first"), ignoreNulls = true).over(wOut).as("_cout")): _*)
+    val j = local.join(carry, key :+ "_chunk", "left")
+    val eP = coalesce(col("_p"), col("_cin"))
+    val eN = coalesce(col("_n"), col("_cout"))
+    j.withColumn(s"${valueCol}_interp",
+      when(v.isNotNull, v)
+        .when(eP.isNull, lit(null).cast("double"))
+        .when(eN.isNull, eP("v"))
+        .otherwise(eP("v") + (eN("v") - eP("v")) *
+          ((col(timeCol) - eP("t")).cast("double") / (eN("t") - eP("t")).cast("double"))))
+      .select(df.columns.toSeq.map(col) :+ col(s"${valueCol}_interp"): _*)
+  }
 }
