@@ -444,22 +444,25 @@ object Analytics {
       .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    // min/offer per part is independent across parts, so the LARGE-part
+    // semi-join goes BELOW the first rollup: the (part, supplier) shuffle
+    // aggregates only the pruned slice, not the whole EUROPE fact.
+    val part = broadcast(Tables.part(s, d)
+      .filter(col("p_type") === "LARGE").select("p_partkey"))
     val offers = Tables.lineitem(s, d)
       .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(part, col("l_partkey") === col("p_partkey"), "left_semi")
       .join(broadcast(sr.select("s_suppkey")), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(min(col("l_extendedprice")).as("offer_price"))
     val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
       .agg(min(col("offer_price")).as("min_price"))
-    val part = broadcast(Tables.part(s, d)
-      .filter(col("p_type") === "LARGE").select("p_partkey"))
     offers
       .join(minCost, col("l_partkey") === col("mc_partkey") &&
                      col("offer_price") === col("min_price"))
-      .join(part, col("l_partkey") === col("p_partkey"))
       .join(sr, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
-        col("p_partkey"), col("offer_price"))
+        col("l_partkey").as("p_partkey"), col("offer_price"))
       .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
       .limit(100)
   }
@@ -523,14 +526,18 @@ object Analytics {
   }
 
   /** #15t TPC-H Q20-style excess-stock suppliers: AMERICA-region
-    * suppliers who shipped, since 2000, more than HALF of some
-    * '%bolt%' part's all-time quantity (Q20's availqty > ½·demand
-    * re-read on shipped quantities — no partsupp in the testdata).
-    * The double-nested EXISTS becomes: recent per-(part, supplier)
-    * rollup ⋈ per-part total rollup, the exact 2·qty > total decimal
-    * compare, then a LEFT SEMI into the region's suppliers — each
-    * EXISTS level is one aggregation + one join, nothing correlated
-    * per-row, nothing nested-loop. */
+    * suppliers who shipped, since 2000, more than HALF of their OWN
+    * all-time quantity of some '%bolt%' part (Q20's availqty >
+    * ½·demand is per (supplier, part) — no partsupp in the testdata,
+    * so shipped quantities stand in for both sides). The
+    * double-nested EXISTS becomes: recent per-(part, supplier)
+    * rollup ⋈ all-time per-(part, supplier) rollup, the exact
+    * 2·qty > total decimal compare, then a LEFT SEMI into the
+    * region's suppliers — each EXISTS level is one aggregation + one
+    * join, nothing correlated per-row, nothing nested-loop. (A
+    * per-PART total compare is vacuous on this data — no single
+    * supplier holds half a part's market — which would leave the
+    * correctness gate comparing empty sets.) */
   def q20ExcessSuppliers(s: SparkSession, d: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val part = broadcast(Tables.part(s, d)
@@ -541,9 +548,11 @@ object Analytics {
     val recent = li.filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
       .groupBy(col("l_partkey"), col("l_suppkey"))
       .agg(sum(col("l_quantity").cast(dec)).as("recent_qty"))
-    val totals = li.groupBy(col("l_partkey").as("t_partkey"))
+    val totals = li.groupBy(col("l_partkey").as("t_partkey"),
+        col("l_suppkey").as("t_suppkey"))
       .agg(sum(col("l_quantity").cast(dec)).as("total_qty"))
-    val qual = recent.join(totals, col("l_partkey") === col("t_partkey"))
+    val qual = recent.join(totals, col("l_partkey") === col("t_partkey") &&
+        col("l_suppkey") === col("t_suppkey"))
       .filter(col("recent_qty") * 2 > col("total_qty"))
       .select(col("l_suppkey")).distinct()
     val natRegion = broadcast(Tables.nation(s, d)
@@ -1757,8 +1766,10 @@ object Analytics {
       r AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS rq
             FROM li WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
             GROUP BY 1, 2),
-      t AS (SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS tq FROM li GROUP BY 1),
-      q AS (SELECT DISTINCT l_suppkey FROM r JOIN t ON r.l_partkey = t.l_partkey
+      t AS (SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS tq
+            FROM li GROUP BY 1, 2),
+      q AS (SELECT DISTINCT r.l_suppkey FROM r
+            JOIN t ON r.l_partkey = t.l_partkey AND r.l_suppkey = t.l_suppkey
             WHERE rq * 2 > tq)
       SELECT s_name, s_acctbal
       FROM supplier

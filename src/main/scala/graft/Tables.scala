@@ -18,15 +18,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects. Read it as raw nanos (legacy conf) and truncate to µs
-    * TimestampType with integer division (a double roundtrip would lose
-    * precision above 2^53 ns). */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some testdata
+    * generations (Spark's reader rejects it — read as raw nanos via the
+    * legacy conf and truncate to µs with integer division; a double
+    * roundtrip would lose precision above 2^53 ns) and TIMESTAMP(MICROS)
+    * isAdjustedToUTC=false in others (read natively as TIMESTAMP_NTZ).
+    * Dispatch on the loaded type and normalize both to TimestampType —
+    * the session timezone is pinned to UTC everywhere, so the NTZ cast
+    * preserves the wall-clock instant. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -307,7 +307,13 @@ object Knn {
     * finer), and queries probe `nprobe` cells scoring candidates by
     * ADC over the residual codes. Corpus cost per row: one narrow cell
     * argmax + one narrow code call; query cost: nprobe residuals ×
-    * (m×kcb) table entries, broadcast. The corpus' floats are read only
+    * (m×kcb) table entries — broadcast ONLY while that product stays
+    * under `dtabBroadcastMaxRows` (the table grows linearly with the
+    * query batch: |queries| × nprobe × m × kcb rows ≈ 16M at 1k
+    * queries with defaults, a driver/executor-memory wall). Above the
+    * bound the hint is dropped and AQE picks the join strategy — the
+    * (cell, subspace, code) equi-join shuffles both sides: same
+    * arithmetic, same output. The corpus' floats are read only
     * at index-build time — search touches m bytes/vector. Defaults
     * (m=32 two-dim subquantizers, kcb=128 codes) are sized for the
     * spec-gated recall floor with the UNTRAINED lowest-id codebook;
@@ -321,7 +327,8 @@ object Knn {
     * Returns (query_id, neighbor_id, rank, adc_dist). */
   def ivfAdcSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
                    vecCol: String, k: Int, cells: Int = 16, nprobe: Int = 4,
-                   m: Int = 32, kcb: Int = 128): DataFrame = {
+                   m: Int = 32, kcb: Int = 128,
+                   dtabBroadcastMaxRows: Long = 8L << 20): DataFrame = {
     def collectVecs(df: DataFrame, n: Int): Array[(Long, Seq[Double])] = df
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
       .orderBy("cid").limit(n).collect()
@@ -383,7 +390,7 @@ object Knn {
     val cbRows = for { j <- 0 until m; c <- residCb.indices }
       yield (j, c, residCb(c).slice(j * sub, (j + 1) * sub))
     val cbFrame = broadcast(cbRows.toDF("subspace", "code", "cvec"))
-    val dtab = broadcast(
+    val dtabRaw =
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
         .withColumn("cell", explode(topCells(col("qv"), nprobe)))
         .withColumn("_qres", residOf(col("qv"), col("cell")))
@@ -393,7 +400,13 @@ object Knn {
             zip_with(slice(col("_qres"), col("subspace") * lit(sub) + lit(1), lit(sub)),
               col("cvec"), (a, b) => (a - b) * (a - b)),
             lit(0.0), (acc, x) => acc + x), 6)
-            .cast("decimal(20,6)").as("d2")))
+            .cast("decimal(20,6)").as("d2"))
+    // The distance table is |queries| × nprobe × m × kcb rows — fine to
+    // broadcast for point lookups, a memory wall for batch search. The
+    // query batch is the small side by construction, so one count() over
+    // it is cheap; past the bound we drop the hint and let AQE choose.
+    val dtabRows = queries.count() * nprobe.toLong * m.toLong * kcb.toLong
+    val dtab = if (dtabRows <= dtabBroadcastMaxRows) broadcast(dtabRaw) else dtabRaw
 
     val scored = corpusCodes.join(dtab, Seq("cell", "subspace", "code"))
       .filter(col("query_id") =!= col("neighbor_id"))

@@ -190,6 +190,21 @@ class OperatorsSpec4 extends SparkSpec {
     assert(recall >= 0.4, s"ivfadc recall@5 = $recall below 0.4 floor")
   }
 
+  test("ivfadc: past the dtab broadcast bound the un-hinted join is identical") {
+    val e = embs
+    val q = e.filter(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id", "rank", "adc_dist")
+        .as[(Long, Long, Long, Double)].collect().toSet
+    val hinted = Knn.ivfAdcSearch(e, q, "vec_id", "embedding", k = 5)
+    // bound 0 models a query batch too large to broadcast: the hint is
+    // dropped and the (cell, subspace, code) join shuffles both sides
+    val unhinted = Knn.ivfAdcSearch(e, q, "vec_id", "embedding", k = 5,
+      dtabBroadcastMaxRows = 0L)
+    assert(rows(unhinted) == rows(hinted),
+      "shuffle-join dtab path diverged from the broadcast path")
+  }
+
   // ----------------------------------------------------------- kmvQuantiles
 
   test("kmv quantile sketch: estimates track true quantiles on events") {
