@@ -761,11 +761,12 @@ object Analytics {
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))
-    // same ns→µs handling as Tables.events: read raw nanos, truncate
+    // same ts normalization as Tables.events — shared dispatch helper
+    // handles both raw-nanos LongType and µs TIMESTAMP_NTZ encodings
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val sch = s.read.parquet(s"$d/events.parquet").schema
-    val stream = s.readStream.schema(sch).parquet(srcDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeEventsTs(
+      s.readStream.schema(sch).parquet(srcDir.toString))
     graft.streaming.StreamingIngest
       .start(stream, wh, "win_agg", ck).awaitTermination()
     graft.store.KeyedTable.readSql(s, wh, "win_agg")

@@ -28,9 +28,15 @@ object Tables {
     * preserves the wall-clock instant. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** Shared ts normalization for BOTH the batch loader above and the
+    * streaming path (Analytics.streamUpsert) — one dispatch site so the
+    * two can't diverge when the testdata's parquet encoding changes. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    val df = load(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))

@@ -19,6 +19,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only: SPARK_GRAFT_ONLY=a,b restricts the dump (driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
@@ -26,6 +27,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> String.valueOf(e.getMessage)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,5 +46,17 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Gate-completeness: a query that throws at run time must never
+    // shrink the correctness file silently (r8: stream_upsert vanished
+    // from CORRECTNESS instead of showing red). Write the failure
+    // manifest next to the results AND exit nonzero so the driver's
+    // verify step alarms instead of comparing a smaller-but-green set.
+    if (failed.nonEmpty) {
+      val fj = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/verify_failures.json"), fj)
+      System.err.println(s"[verify] INCOMPLETE — ${failed.size} of " +
+        s"${SparkEntry.queries.size} queries failed: ${failed.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
