@@ -403,9 +403,16 @@ object Knn {
             .cast("decimal(20,6)").as("d2"))
     // The distance table is |queries| × nprobe × m × kcb rows — fine to
     // broadcast for point lookups, a memory wall for batch search. The
-    // query batch is the small side by construction, so one count() over
-    // it is cheap; past the bound we drop the hint and let AQE choose.
-    val dtabRows = queries.count() * nprobe.toLong * m.toLong * kcb.toLong
+    // bound needs |queries| at CONSTRUCTION time: prefer the optimizer's
+    // exact row count when statistics carry one (free, no job); else run
+    // one count() — i.e. this function eagerly evaluates the query batch,
+    // and a nondeterministic `queries` plan should be persisted by the
+    // caller so the sizing pass and the join see the same rows.
+    val queryRows = {
+      val st = queries.queryExecution.optimizedPlan.stats
+      st.rowCount.map(_.toLong).getOrElse(queries.count())
+    }
+    val dtabRows = queryRows * nprobe.toLong * m.toLong * kcb.toLong
     val dtab = if (dtabRows <= dtabBroadcastMaxRows) broadcast(dtabRaw) else dtabRaw
 
     val scored = corpusCodes.join(dtab, Seq("cell", "subspace", "code"))

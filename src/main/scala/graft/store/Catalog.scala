@@ -28,30 +28,46 @@ object Catalog {
   private val StatsOnlyConfs =
     Set("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
 
-  private[store] def footerStatsSession(spark: SparkSession): SparkSession =
-    statsSessions.synchronized {
-      val s = Option(statsSessions.get(spark)).getOrElse {
+  /** Runs `body` against the footer-stats child session, holding the
+    * child's monitor for the WHOLE call: the conf re-sync below and the
+    * caller's plan compilation both touch the child's SQLConf, so two
+    * concurrent catalog ops on one parent must serialize — stats ops
+    * are metadata-scale, the serialization is invisible.
+    *
+    * Re-sync on every use, BOTH directions: newSession() clones the
+    * SQLConf once, so a conf the caller sets via spark.conf.set AFTER
+    * the child was cached (timezone, ANSI mode, parquet reader knobs…)
+    * is applied, and a conf the caller has since UNSET is removed —
+    * the child tracks the parent's runtime conf exactly, plus the two
+    * pinned stats confs. */
+  private[store] def withStatsSession[A](spark: SparkSession)
+                                        (body: SparkSession => A): A = {
+    val s = statsSessions.synchronized {
+      Option(statsSessions.get(spark)).getOrElse {
         val created = spark.newSession()
         statsSessions.put(spark, created)
         created
       }
-      // Re-sync the parent's RUNTIME confs on every use: newSession()
-      // clones the SQLConf once, so a conf the caller sets via
-      // spark.conf.set AFTER the child was cached (timezone, ANSI mode,
-      // parquet reader knobs…) would otherwise silently diverge between
-      // the caller's reads and describe/footer-stats reads. Cheap: the
-      // modified-conf map is tiny and callers are metadata-scale ops.
-      spark.conf.getAll.foreach { case (k, v) =>
+    }
+    s.synchronized {
+      val parent = spark.conf.getAll
+      parent.foreach { case (k, v) =>
         if (!StatsOnlyConfs.contains(k) && s.conf.isModifiable(k) &&
             !s.conf.getOption(k).contains(v))
           s.conf.set(k, v)
+      }
+      s.conf.getAll.keysIterator.foreach { k =>
+        if (!StatsOnlyConfs.contains(k) && !parent.contains(k) &&
+            s.conf.isModifiable(k))
+          s.conf.unset(k)
       }
       // V2 parquet (aggregate pushdown is a DSv2-only feature)…
       s.conf.set("spark.sql.sources.useV1SourceList", "")
       // …with MIN/MAX/COUNT answered from footer statistics
       s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      s
+      body(s)
     }
+  }
 
   /** Every catalog op takes the reference's optional `schema=` kwarg
     * (util.py:5-15): a namespace resolving to `<warehouse>/<schema>/`
@@ -168,21 +184,22 @@ object Catalog {
       // reference describe_database returns an empty mapping (util.py:45)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], describeSchema)
-    val stats = footerStatsSession(spark)
-    val frames = bare.map { t =>
-      val meta = TableMeta.read(stats, KeyedTable.tableDir(wh, t))
-      val head = meta.pk.head
-      val qualified = schema.fold(t)(s => s"$s.$t")
-      KeyedTable.readSql(stats, wh, t)
-        .agg(
-          min(col(head)).cast("string").as("pk_min"),
-          max(col(head)).cast("string").as("pk_max"),
-          count(lit(1)).as("n_rows"))
-        .select(lit(qualified).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+    val rows = withStatsSession(spark) { stats =>
+      val frames = bare.map { t =>
+        val meta = TableMeta.read(stats, KeyedTable.tableDir(wh, t))
+        val head = meta.pk.head
+        val qualified = schema.fold(t)(s => s"$s.$t")
+        KeyedTable.readSql(stats, wh, t)
+          .agg(
+            min(col(head)).cast("string").as("pk_min"),
+            max(col(head)).cast("string").as("pk_max"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(qualified).as("table_name"), col("pk_min"), col("pk_max"), col("n_rows"))
+      }
+      frames.grouped(DescribeBatch)
+        .flatMap(batch => batch.reduce(_ unionByName _).collect())
+        .toIndexedSeq.sortBy(_.getString(0))
     }
-    val rows = frames.grouped(DescribeBatch)
-      .flatMap(batch => batch.reduce(_ unionByName _).collect())
-      .toIndexedSeq.sortBy(_.getString(0))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), describeSchema)
   }
 

@@ -131,7 +131,7 @@ object Companda {
     * (boundaries included) is fixed at cache time, so even an evicted
     * partition recomputes under the original partitioning. Caller
     * unpersists via the returned handle once the comparison has run. */
-  private def sortAndNumber(df: DataFrame, sortCols: Seq[String]): (DataFrame, DataFrame) = {
+  private[store] def sortAndNumber(df: DataFrame, sortCols: Seq[String]): (DataFrame, DataFrame) = {
     val sorted = df.sort(sortCols.map(col): _*).drop(sortCols: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     (KeyedTable.assignAutoIndex(sorted, 0L, PosCol)._1, sorted)

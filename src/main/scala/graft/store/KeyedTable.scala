@@ -312,9 +312,10 @@ object KeyedTable {
     * else the footer max. */
   private def footerMaxAutoIndex(spark: SparkSession, warehouse: String,
                                  table: String, meta: TableMeta): Long = {
-    val stats = Catalog.footerStatsSession(spark)
-    val m = stats.read.parquet(dataDir(warehouse, table))
-      .agg(max(col(Names.AutoIndex))).head()
+    val m = Catalog.withStatsSession(spark) { stats =>
+      stats.read.parquet(dataDir(warehouse, table))
+        .agg(max(col(Names.AutoIndex))).head()
+    }
     if (m.isNullAt(0)) -1L else m.getLong(0)
   }
 

@@ -115,6 +115,40 @@ class CatalogCompandaSpec extends SparkSpec {
     }
   }
 
+  test("stats session follows parent conf set AND unset; concurrent describe is safe") {
+    val w = wh()
+    KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
+    val key = "spark.sql.parquet.filterPushdown"
+    val default = spark.conf.get(key)
+    try {
+      // set on the parent → visible in the child at next use
+      spark.conf.set(key, "false")
+      Catalog.withStatsSession(spark)(s => assert(s.conf.get(key) == "false"))
+      // unset on the parent → REMOVED from the child (back to default),
+      // not left behind from the earlier sync
+      spark.conf.unset(key)
+      Catalog.withStatsSession(spark)(s => assert(s.conf.get(key) == default))
+      // concurrent describes racing parent conf flips: every call must
+      // see a consistent child (the per-child lock serializes sync +
+      // plan) and return the right stats
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 4).map { i =>
+        new Thread(() => {
+          try {
+            (0 until 3).foreach { j =>
+              if ((i + j) % 2 == 0) spark.conf.set(key, "false")
+              else spark.conf.unset(key)
+              val d = Catalog.describe(spark, w).collect()
+              assert(d.length == 1 && d(0).getLong(3) == 25L)
+            }
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent describe failed: ${errs.peek()}")
+    } finally spark.conf.set(key, default)
+  }
+
   test("companda equal frames (reference companda.py:40)") {
     val orders = Tables.orders(spark, sfDir)
     val r = Companda(orders, orders.select(orders.columns.reverse.map(col): _*),
