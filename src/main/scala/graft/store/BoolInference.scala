@@ -23,14 +23,16 @@ object BoolInference {
     case _ => false
   }
 
-  /** series_is_boolean for every column of `df` in one pass. */
-  def columnsAreBoolean(df: DataFrame): Map[String, Option[Boolean]] = {
-    val candidates = df.schema.fields.filter(f =>
-      f.dataType == BooleanType || isNumeric(f.dataType))
-    if (candidates.isEmpty)
-      return df.columns.map(_ -> Some(false).asInstanceOf[Option[Boolean]]).toMap
+  private def candidatesOf(schema: StructType) =
+    schema.fields.filter(f => f.dataType == BooleanType || isNumeric(f.dataType))
 
-    val aggs = candidates.flatMap { f =>
+  /** The aggregation columns that decide every candidate column of
+    * `schema` (3 counters per candidate). Exposed separately from
+    * [[columnsAreBoolean]] so a caller can FUSE this scan with its own
+    * aggregates — KeyedTable.create runs PK validation and bool
+    * inference as ONE job over the staged parquet instead of two. */
+  private[store] def aggColumns(schema: StructType): Seq[org.apache.spark.sql.Column] =
+    candidatesOf(schema).toIndexedSeq.flatMap { f =>
       val c = col(f.name)
       val (isZero, isOne) =
         if (f.dataType == BooleanType) (!c, c) else (c === 0, c === 1)
@@ -39,18 +41,30 @@ object BoolInference {
         count(when(isZero, 1)).as(s"${f.name}!zeros"),
         count(when(isOne, 1)).as(s"${f.name}!ones"))
     }
-    val r: Row = df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head()
-    val decided = candidates.zipWithIndex.map { case (f, i) =>
-      val n = r.getLong(3 * i)
-      val zeros = r.getLong(3 * i + 1)
-      val ones = r.getLong(3 * i + 2)
+
+  /** Reads the [[aggColumns]] counters back out of `r` starting at
+    * field `offset`; verdicts for every column of `schema`. */
+  private[store] def decode(schema: StructType, r: Row,
+                            offset: Int): Map[String, Option[Boolean]] = {
+    val decided = candidatesOf(schema).zipWithIndex.map { case (f, i) =>
+      val n = r.getLong(offset + 3 * i)
+      val zeros = r.getLong(offset + 3 * i + 1)
+      val ones = r.getLong(offset + 3 * i + 2)
       val verdict: Option[Boolean] =
         if (n == 0) None
         else if (f.dataType == BooleanType) Some(true)
         else Some(zeros + ones == n && zeros > 0 && ones > 0)
       f.name -> verdict
     }.toMap
-    df.columns.map(c => c -> decided.getOrElse(c, Some(false))).toMap
+    schema.fieldNames.map(c => c -> decided.getOrElse(c, Some(false))).toMap
+  }
+
+  /** series_is_boolean for every column of `df` in one pass. */
+  def columnsAreBoolean(df: DataFrame): Map[String, Option[Boolean]] = {
+    val aggs = aggColumns(df.schema)
+    if (aggs.isEmpty)
+      return df.columns.map(_ -> Some(false).asInstanceOf[Option[Boolean]]).toMap
+    decode(df.schema, df.agg(aggs.head, aggs.tail.toIndexedSeq: _*).head(), 0)
   }
 
   /** Cast the columns inferred boolean (among `eligible`) to

@@ -188,17 +188,29 @@ object KeyedTable {
     }
   }
 
-  private def validatePk(df: DataFrame, pk: Seq[String]): Unit = {
+  /** PK validation (optional) and the touched-bucket id set in ONE
+    * aggregation job over the (persisted) incoming frame: collect_set
+    * over the bucket column is bounded by meta.buckets, and fusing it
+    * with the PK counters means append/upsert scan their delta once for
+    * both answers instead of twice. */
+  private def validateAndTouched(df: DataFrame, pk: Seq[String],
+                                 wantPk: Boolean): Seq[Int] = {
+    val bucketSet = collect_set(col(BucketCol))
+    if (!wantPk)
+      return df.agg(bucketSet).head().getSeq[Int](0).toSeq
     val keyNullCond = pk.map(col(_).isNull).reduce(_ || _)
-    val Row(nulls: Long, total: Long, distinct: Long) = df.agg(
-      sum(when(keyNullCond, 1L).otherwise(0L)).as("nulls"),
+    val r = df.agg(
+      coalesce(sum(when(keyNullCond, 1L).otherwise(0L)), lit(0L)).as("nulls"),
       count(lit(1)).as("total"),
-      count_distinct(struct(pk.map(col): _*)).as("distinct")).head(): @unchecked
+      count_distinct(struct(pk.map(col): _*)).as("distinct"),
+      bucketSet).head()
+    val (nulls, total, distinct) = (r.getLong(0), r.getLong(1), r.getLong(2))
     if (nulls > 0)
       throw new StoreException(s"PK has $nulls NULL values and cannot be used (reference: sql.py:119)")
     if (distinct != total)
       throw new StoreException(
         s"PK is not unique: $total rows, $distinct distinct keys (reference: sql.py:97)")
+    r.getSeq[Int](3).toSeq
   }
 
   private def create(df0: DataFrame, warehouse: String, tableName: String,
@@ -242,14 +254,42 @@ object KeyedTable {
           StructType(ordered.schema.fields :+
             StructField(BucketCol, IntegerType, nullable = true)))
         .parquet(staging)
-      if (validate && !autoIndex) validatePk(staged, pkCols)
+      // PK validation and bool inference are both single aggregation
+      // passes over the staged parquet — FUSE them into one job: at
+      // 100 TB that is one scheduling wave and one decode of the
+      // PK+numeric pages instead of two.
+      val wantPk = validate && !autoIndex
+      val boolSchema = StructType(staged.schema.fields.filterNot(_.name == BucketCol))
+      val boolAggs = if (inferBool) BoolInference.aggColumns(boolSchema) else Nil
+      val pkAggs: Seq[Column] =
+        if (!wantPk) Nil
+        else {
+          val keyNullCond = pkCols.map(col(_).isNull).reduce(_ || _)
+          Seq(
+            coalesce(sum(when(keyNullCond, 1L).otherwise(0L)), lit(0L)),
+            count(lit(1)),
+            count_distinct(struct(pkCols.map(col): _*)))
+        }
+      val allAggs = pkAggs ++ boolAggs
       val toBool: Set[String] =
-        if (inferBool)
-          BoolInference.columnsAreBoolean(staged.drop(BucketCol)).collect {
-            case (c, Some(true)) if !pkCols.contains(c) &&
-              ordered.schema(c).dataType != BooleanType => c
-          }.toSet
-        else Set.empty
+        if (allAggs.isEmpty) Set.empty
+        else {
+          val r = staged.agg(allAggs.head, allAggs.tail.toIndexedSeq: _*).head()
+          if (wantPk) {
+            val nulls = r.getLong(0); val total = r.getLong(1); val distinct = r.getLong(2)
+            if (nulls > 0)
+              throw new StoreException(s"PK has $nulls NULL values and cannot be used (reference: sql.py:119)")
+            if (distinct != total)
+              throw new StoreException(
+                s"PK is not unique: $total rows, $distinct distinct keys (reference: sql.py:97)")
+          }
+          if (inferBool)
+            BoolInference.decode(boolSchema, r, if (wantPk) 3 else 0).collect {
+              case (c, Some(true)) if !pkCols.contains(c) &&
+                ordered.schema(c).dataType != BooleanType => c
+            }.toSet
+          else Set.empty
+        }
 
       val schema = StructType(ordered.schema.fields.map { fl =>
         val dt = if (toBool.contains(fl.name)) BooleanType else fl.dataType
@@ -401,9 +441,9 @@ object KeyedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // validate AFTER persist so the (possibly expensive) incoming
-      // pipeline is computed once and the check reads the cache
-      if (validate && !meta.autoIndex) validatePk(newB, meta.pk)
-      val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      // pipeline is computed once; one fused job answers the PK check
+      // and the touched-bucket set off the cache
+      val touched = validateAndTouched(newB, meta.pk, validate && !meta.autoIndex)
       if (!meta.autoIndex) {
         val old = readRaw(spark, warehouse, table, meta)
           .filter(col(BucketCol).isin(touched: _*))
@@ -442,10 +482,10 @@ object KeyedTable {
     val newB = withBucket(aligned, meta.pk, meta.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // validate off the cache — one computation of the delta pipeline
-      if (validate) validatePk(newB, meta.pk)
-      // Only the buckets the delta hashes into are read or rewritten.
-      val touched = newB.select(BucketCol).distinct().collect().map(_.getInt(0)).toSeq
+      // validate off the cache — one computation of the delta pipeline;
+      // the same fused job returns the touched buckets (only those are
+      // read or rewritten)
+      val touched = validateAndTouched(newB, meta.pk, validate)
       // read with the evolved schema: old files yield NULL for new columns
       val oldTouched = readRaw(spark, warehouse, table, meta.copy(schema = evolved))
         .filter(col(BucketCol).isin(touched: _*))
