@@ -659,6 +659,56 @@ object LlmQueries {
   def textSurprisal(s: SparkSession, d: String): DataFrame =
     surprisalOf(docs(s, d))
 
+  /** #30aa bigram (conditional) surprisal — the second-order
+    * LM-perplexity proxy, float-log-free like #30z: each bigram
+    * (w1,w2) scores length(bin(c1 div c12)) "bit units", where c12
+    * counts the bigram corpus-wide and c1 counts w1 in bigram-FIRST
+    * position — i.e. −log₂ p(w2|w1) quantized to integers. Repetitive
+    * boilerplate ("click here to") scores ~1 bit; novel continuations
+    * score high — ranking by conditional predictability separates
+    * template text from genuine prose where unigram surprisal (#30z)
+    * can't (a rare word repeated in a template is unigram-surprising
+    * but bigram-predictable). Bigram pairs are built NARROW: the token
+    * array zipped against its own tail with array ops — no positional
+    * self-join, no per-token window shuffle; the only shuffles are the
+    * two count aggregations (vocabulary-bounded, df-style) and the
+    * score join back. Docs with <2 tokens report n_bigrams=0 and a
+    * NULL mean. */
+  def textBigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    val base = docs(s, d).select(col("doc_id"), split(col("text"), " ").as("t"))
+    val pairs = base.filter(size(col("t")) > 1)
+      .withColumn("w1s", slice(col("t"), lit(1), size(col("t")) - 1))
+      .withColumn("w2s", slice(col("t"), lit(2), size(col("t")) - 1))
+      .select(col("doc_id"), explode(arrays_zip(col("w1s"), col("w2s"))).as("pr"))
+      .select(col("doc_id"), col("pr.w1s").as("w1"), col("pr.w2s").as("w2"))
+    val c12 = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    // floor(double div) == exact integer div while counts < 2^53
+    val sur = c12.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        length(bin(floor(col("c1") / col("c12")).cast("long"))).cast("long")
+          .as("surprise"))
+    val perDoc = pairs.join(sur, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("surprise")).as("sum_surprise"))
+    base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("sum_surprise"), lit(0L)).as("sum_surprise"))
+      .withColumn("mean_surprise", when(col("n_bigrams") > 0,
+        graft.functions.Rounding.portableRound(
+          col("sum_surprise").cast("double") / col("n_bigrams").cast("double"), 4)))
+  }
+
+  /** #26b hard-negative mining over the embeddings table: nearest
+    * cross-label neighbors for the first 20 vectors (see
+    * [[graft.operators.Knn.hardNegatives]]). */
+  def annHardNegatives(s: SparkSession, d: String): DataFrame = {
+    val e = embs(s, d)
+    Knn.hardNegatives(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", "label", k = 5)
+  }
+
   /** [[textSurprisal]]'s core on an arbitrary (doc_id, text) frame. */
   def surprisalOf(documents: DataFrame): DataFrame = {
     val tok = documents
@@ -921,6 +971,8 @@ object LlmQueries {
     "bpe_pairs" -> bpePairs,
     "token_lift" -> tokenLift,
     "text_surprisal" -> textSurprisal,
+    "text_bigram_surprisal" -> textBigramSurprisal,
+    "ann_hard_negatives" -> annHardNegatives,
     "chunk_langid" -> chunkLangid,
     "doc_features" -> docFeatures,
     "source_overlap" -> sourceOverlap,
@@ -1547,6 +1599,28 @@ object LlmQueries {
              floor((CAST(sum(s.surprise) AS DOUBLE) / CAST(count(*) AS DOUBLE))
                    * 10000 + 0.5) / 10000 mean_surprise
       FROM tok t JOIN s ON s.tok = t.tok GROUP BY 1""".trim,
+    // bigram conditional surprisal: same bin()-length bit units as
+    // text_surprisal, counts conditioned on the bigram-first position
+    "text_bigram_surprisal" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') t FROM documents),
+      pr AS (SELECT doc_id, p.w1 w1, p.w2 w2 FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(t)),
+          i -> struct_pack(w1 := t[i], w2 := t[i+1]))) p
+        FROM d WHERE len(t) > 1)),
+      c12 AS (SELECT w1, w2, count(*) c12 FROM pr GROUP BY 1, 2),
+      c1 AS (SELECT w1, count(*) c1 FROM pr GROUP BY 1),
+      s AS (SELECT c12.w1, c12.w2, len(bin(c1.c1 // c12.c12))::BIGINT surprise
+            FROM c12 JOIN c1 USING (w1)),
+      pd AS (SELECT pr.doc_id, count(*)::BIGINT n_bigrams,
+               sum(s.surprise)::BIGINT sum_surprise
+             FROM pr JOIN s ON s.w1 = pr.w1 AND s.w2 = pr.w2 GROUP BY 1)
+      SELECT d.doc_id, coalesce(pd.n_bigrams, 0)::BIGINT n_bigrams,
+             coalesce(pd.sum_surprise, 0)::BIGINT sum_surprise,
+             CASE WHEN pd.n_bigrams > 0 THEN
+               floor((CAST(pd.sum_surprise AS DOUBLE) / CAST(pd.n_bigrams AS DOUBLE))
+                     * 10000 + 0.5) / 10000
+             END mean_surprise
+      FROM d LEFT JOIN pd USING (doc_id)""".trim,
     // lift = (n_ab·N)/(n_a·n_b): PMI without the log — exact integer
     // counts, one double multiply/divide mirroring the Spark shape
     "token_lift" -> """
@@ -1917,6 +1991,19 @@ object LlmQueries {
       ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
                  FROM scored)
       SELECT query_id, neighbor_id, rank, cos FROM ranked WHERE rank <= 5""".trim,
+    // brute-force with the cross-label predicate inside the join
+    "ann_hard_negatives" -> s"""
+      WITH el AS (SELECT vec_id, label, embedding::DOUBLE[] v FROM embeddings),
+      q AS (SELECT * FROM el WHERE vec_id < 20),
+      scored AS (SELECT q.vec_id query_id, q.label query_label,
+                   c.vec_id neighbor_id, c.label neighbor_label,
+                   floor((${cos("q.v", "c.v")}) * 10000 + 0.5) / 10000 cos
+                 FROM q JOIN el c
+                 ON c.vec_id != q.vec_id AND c.label != q.label),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) rank
+                 FROM scored)
+      SELECT query_id, query_label, neighbor_id, neighbor_label, rank, cos
+      FROM ranked WHERE rank <= 5""".trim,
     // same pipeline composed from DuckDB's unicode functions; the
     // corpus is ASCII (both engines provably agree there) — non-ASCII
     // parity is spec-gated on the NormalizeText expression directly

@@ -69,6 +69,37 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** #26b hard-negative mining for contrastive training: for each query
+    * vector, the top-k most-similar corpus vectors carrying a DIFFERENT
+    * label — the "close but wrong" examples that make metric-learning /
+    * embedding-model batches informative (random negatives are easy and
+    * carry no gradient; the hardest negatives are exactly the nearest
+    * cross-label neighbors). Same exact-cosine scaffold as [[bruteForce]]
+    * — queries broadcast, corpus partition-local, the label predicate
+    * rides INSIDE the join condition so wrong-label pairs never
+    * materialize past the build side. At 100 TB swap the scored side to
+    * [[ivf]]/[[lsh]] candidates exactly like the positive-pair path.
+    * Returns (query_id, query_label, neighbor_id, neighbor_label, rank,
+    * cos) with the usual (cos desc, id) deterministic tie-break. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, labelCol: String,
+                    k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), col(vecCol).as("qv"),
+      norm2(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), col(vecCol).as("cv"),
+      norm2(col(vecCol)).as("cn"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos", graft.functions.Rounding.portableRound(
+        dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("rank"), col("cos"))
+  }
+
   /** #27b IVF (inverted-file) ANN: a coarse quantizer of `cells`
     * centroids partitions the corpus into cells; a query probes only
     * its `nprobe` nearest cells and ranks candidates there — the
