@@ -33,4 +33,13 @@ object Rounding {
     val f = "1" + "0" * scale
     s"floor(($expr) * $f + 0.5) / $f"
   }
+
+  /** The same floor-form half-up on a plain JVM double — for scalar
+    * code (typed state functions) that must match [[portableRound]]
+    * bit-for-bit on the same input. */
+  def portableRoundDouble(x: Double, scale: Int): Double = {
+    require(scale >= 0 && scale <= 15, s"scale out of exact range: $scale")
+    val f = math.pow(10, scale)
+    math.floor(x * f + 0.5) / f
+  }
 }
