@@ -1187,6 +1187,38 @@ object Analytics {
     s2.unionByName(s1only)
   }
 
+  /** #18k last-touch channel attribution: each purchase is credited to
+    * the same user's most recent click-or-view at-or-before it within
+    * a 1 h lookback ("channel" = that touch's event type), else
+    * "direct"; revenue and purchase counts roll up per channel. One
+    * backward as-of join ([[operators.AsOf.asofJoinDirected]] — single
+    * shuffle on user_id, never a time-range product) plus a tiny
+    * channel-cardinality aggregate. The marketing-attribution twin of
+    * the funnel query: same join geometry, revenue-weighted output.
+    * At 100 TB the as-of window is the only wide op and partitions by
+    * user — the hot-key-safe salted form exists (#19e) if a single
+    * user ever dominates. */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = Tables.events(s, d)
+    val buys = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        unix_micros(col("ts")).as("buy_us"), col("value"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("t_user"), col("event_type").as("ch"),
+        col("event_id").as("touch_id"), unix_micros(col("ts")).as("touch_us"))
+    AsOf.asofJoinDirected(buys, touches,
+        "user_id", "t_user", "buy_us", "touch_us",
+        rightCols = Seq("ch"), rightTieBreak = "touch_id",
+        direction = "backward")
+      .select(col("value"),
+        when(col("asof_t").isNotNull && col("buy_us") - col("asof_t") <= hourUs,
+          col("ch")).otherwise(lit("direct")).as("channel"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(moneySum(col("value")), 2).cast("double").as("revenue"))
+  }
+
   /** #20f pandas ewm(alpha=0.3).mean() over events per user
     * ([[operators.AsOf.ewmMean]]). Rows-only driver gate — the float
     * recursion is not engine-portable — with the closed form
@@ -1622,6 +1654,7 @@ object Analytics {
     "asof_nearest" -> (asofNearest _),
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
+    "events_attribution" -> (eventsAttribution _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
     "median_order_value" -> (medianOrderValue _),
@@ -2241,6 +2274,27 @@ object Analytics {
                   WHEN view_us IS NULL OR click_us - view_us > 3600000000 THEN 2
                   ELSE 3 END AS funnel_stage
       FROM s2 WHERE rn2 = 1""".trim,
+    // last-touch attribution: latest click/view <= purchase, 1 h window;
+    // (user, us) ties keep max touch_id to mirror the as-of dedup
+    "events_attribution" -> """
+      WITH b AS (SELECT event_id AS buy_id, user_id,
+                   epoch_ns(ts) // 1000 AS buy_us, value
+                 FROM events WHERE event_type = 'purchase'),
+      t AS (SELECT user_id AS t_user, event_type AS ch,
+              event_id AS touch_id, epoch_ns(ts) // 1000 AS touch_us
+            FROM events WHERE event_type IN ('click', 'view')),
+      j AS (SELECT b.buy_id, b.value, t.ch, t.touch_us, b.buy_us,
+              row_number() OVER (PARTITION BY b.buy_id
+                                 ORDER BY t.touch_us DESC, t.touch_id DESC) AS rn
+            FROM b LEFT JOIN t
+              ON t.t_user = b.user_id AND t.touch_us <= b.buy_us),
+      a AS (SELECT buy_id, value,
+              CASE WHEN touch_us IS NOT NULL AND buy_us - touch_us <= 3600000000
+                   THEN ch ELSE 'direct' END AS channel
+            FROM j WHERE rn = 1)
+      SELECT channel, count(*)::BIGINT AS n_purchases,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+      FROM a GROUP BY 1""".trim,
     // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
     // exact integer arithmetic, one final double division
     "events_twa" -> """

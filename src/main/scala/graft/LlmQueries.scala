@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -700,6 +700,50 @@ object LlmQueries {
           col("sum_surprise").cast("double") / col("n_bigrams").cast("double"), 4)))
   }
 
+  /** #30ab DSIR-lite importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every document by how target-like its unigrams read —
+    * log p_target(doc) − log p_source(doc) — with the target
+    * distribution estimated from the English subset and the source
+    * (background) distribution from the whole corpus. Float-log-free
+    * like #30z: a token's weight is bits_source − bits_target where
+    * bits(tot, c) = length(bin((tot + V) div (c + 1))) — Laplace-
+    * smoothed −log₂ p quantized to integer "bit units" — so per-doc
+    * sums are exact integers, associative under any partitioning, and
+    * the oracle compare is bit-for-bit. Positive weight ⇒ more
+    * target-like than background; `keep` is the resampling gate.
+    * Plan shape (the [[surprisalOf]] df-skeleton, nothing quadratic):
+    * one token explode, two vocabulary-bounded count aggs (target
+    * counts LEFT-join the source vocabulary — a token absent from the
+    * target smooths to c=0 rather than dropping), one single-row
+    * totals cross-join broadcast, one score join back on the token,
+    * one per-doc agg. At 100 TB the vocabulary agg is the df-style
+    * bounded state; the target-subset scan piggybacks on the same
+    * explode (a filter, not a second read). */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val tok = docs(s, d)
+      .select(col("doc_id"), (col("lang") === "en").as("is_tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+    val counts = tok.groupBy(col("tok")).agg(
+      count(lit(1)).as("cs"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+    val tots = counts.agg(sum(col("cs")).as("ts"), sum(col("ct")).as("tt"),
+      count(lit(1)).as("v"))
+    // floor(double div) == exact integer div while counts < 2^53
+    def bits(tot: Column, c: Column): Column =
+      length(bin(floor((tot + col("v")) / (c + lit(1L))).cast("long"))).cast("long")
+    val w = counts.crossJoin(broadcast(tots))
+      .select(col("tok"), (bits(col("ts"), col("cs")) - bits(col("tt"), col("ct"))).as("w"))
+    tok.join(w, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("weight_bits"))
+      .select(col("doc_id"), col("n_tokens"), col("weight_bits"),
+        graft.functions.Rounding.portableRound(
+          col("weight_bits").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("mean_weight"),
+        (col("weight_bits") > 0).as("keep"))
+  }
+
   /** #26b hard-negative mining over the embeddings table: nearest
     * cross-label neighbors for the first 20 vectors (see
     * [[graft.operators.Knn.hardNegatives]]). */
@@ -972,6 +1016,7 @@ object LlmQueries {
     "token_lift" -> tokenLift,
     "text_surprisal" -> textSurprisal,
     "text_bigram_surprisal" -> textBigramSurprisal,
+    "dsir_weights" -> dsirWeights,
     "ann_hard_negatives" -> annHardNegatives,
     "chunk_langid" -> chunkLangid,
     "doc_features" -> docFeatures,
@@ -1621,6 +1666,24 @@ object LlmQueries {
                      * 10000 + 0.5) / 10000
              END mean_surprise
       FROM d LEFT JOIN pd USING (doc_id)""".trim,
+    // DSIR-lite: Laplace-smoothed bit units, bits(tot,c) =
+    // len(bin((tot+V) // (c+1))); weight = bits_source - bits_target
+    "dsir_weights" -> """
+      WITH d AS (SELECT doc_id, lang = 'en' is_tgt, string_split(text, ' ') t FROM documents),
+      tok AS (SELECT doc_id, is_tgt, unnest(t) tok FROM d),
+      c AS (SELECT tok, count(*) cs,
+              sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) ct
+            FROM tok GROUP BY 1),
+      tots AS (SELECT sum(cs) ts, sum(ct) tt, count(*) v FROM c),
+      w AS (SELECT c.tok,
+              (len(bin((tots.ts + tots.v) // (c.cs + 1)))::BIGINT
+               - len(bin((tots.tt + tots.v) // (c.ct + 1)))::BIGINT) w
+            FROM c, tots)
+      SELECT t.doc_id, count(*)::BIGINT n_tokens, sum(w.w)::BIGINT weight_bits,
+             floor((CAST(sum(w.w) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   * 10000 + 0.5) / 10000 mean_weight,
+             (sum(w.w) > 0) keep
+      FROM tok t JOIN w ON w.tok = t.tok GROUP BY 1""".trim,
     // lift = (n_ab·N)/(n_a·n_b): PMI without the log — exact integer
     // counts, one double multiply/divide mirroring the Spark shape
     "token_lift" -> """
