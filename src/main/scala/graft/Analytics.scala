@@ -1219,6 +1219,49 @@ object Analytics {
         round(moneySum(col("value")), 2).cast("double").as("revenue"))
   }
 
+  /** #18l first-order Markov transition matrix over per-user event
+    * sequences: P(next event type | current type). One lead() window
+    * per user (partitioned by user_id — parallelism = user count, the
+    * natural key; the salted sessionize recipe applies if one user
+    * ever dominates), then two tiny event-type-cardinality aggregates.
+    * The denominators count OUTGOING transitions (rows that have a
+    * next event), so each from_type's probabilities sum to 1. The
+    * classic product-analytics "what happens after X" matrix, and the
+    * input to sequence-model pretraining mixes over clickstreams. */
+  def eventsMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tr = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"))
+    val pair = tr.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val outTot = pair.groupBy(col("from_type")).agg(sum(col("n")).as("n_out"))
+    pair.join(outTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        graft.functions.Rounding.portableRound(
+          col("n").cast("double") / col("n_out").cast("double"), 4).as("p"))
+  }
+
+  /** #16c join-key skew profiler: per-key row counts bucketed into
+    * log₂ bins (bucket = bit length of the count — the same integer
+    * bin()-length trick as the surprisal family, zero float logs),
+    * with exact key/row totals and count bounds per bin. THE
+    * pre-flight check before any big join at 100 TB: a heavy tail in
+    * the top bins says "this join needs salting / AQE skew handling",
+    * a flat profile says hash-partitioning is safe — measured with one
+    * groupBy on the key plus a bin-cardinality aggregate, instead of
+    * discovering the skew as a straggler task three hours in. */
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+      .groupBy(length(bin(col("c"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
+        min(col("c")).as("min_rows_per_key"), max(col("c")).as("max_rows_per_key"))
+
   /** #20f pandas ewm(alpha=0.3).mean() over events per user
     * ([[operators.AsOf.ewmMean]]). Rows-only driver gate — the float
     * recursion is not engine-portable — with the closed form
@@ -1655,6 +1698,8 @@ object Analytics {
     "events_retention" -> (eventsRetention _),
     "events_funnel" -> (eventsFunnel _),
     "events_attribution" -> (eventsAttribution _),
+    "events_markov" -> (eventsMarkov _),
+    "skew_profile" -> (skewProfile _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
     "median_order_value" -> (medianOrderValue _),
@@ -2295,6 +2340,30 @@ object Analytics {
       SELECT channel, count(*)::BIGINT AS n_purchases,
              round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
       FROM a GROUP BY 1""".trim,
+    // first-order Markov: P(to | from) over per-user lead() sequences;
+    // denominators count outgoing transitions so each row sums to 1
+    "events_markov" -> """
+      WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events),
+      pair AS (SELECT from_type, to_type, count(*) n FROM seq
+               WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, sum(n) n_out FROM pair GROUP BY 1)
+      SELECT p.from_type, p.to_type, p.n::BIGINT AS n,
+             floor((CAST(p.n AS DOUBLE) / CAST(t.n_out AS DOUBLE))
+                   * 10000 + 0.5) / 10000 AS p
+      FROM pair p JOIN tot t USING (from_type)""".trim,
+    // log2-bin key-skew histogram: bucket = bit length of the per-key
+    // count, exact integer stats per bin
+    "skew_profile" -> """
+      WITH c AS (SELECT l_orderkey, count(*) c FROM lineitem GROUP BY 1)
+      SELECT len(bin(c))::INT AS bucket, count(*)::BIGINT AS n_keys,
+             sum(c)::BIGINT AS n_rows,
+             min(c)::BIGINT AS min_rows_per_key,
+             max(c)::BIGINT AS max_rows_per_key
+      FROM c GROUP BY 1""".trim,
     // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
     // exact integer arithmetic, one final double division
     "events_twa" -> """
