@@ -1628,7 +1628,11 @@ object Analytics {
 
   /** #20 latest-row-per-key: most recent event per user. */
   def latestPerKeyQ(s: SparkSession, d: String): DataFrame =
-    AsOf.latestPerKey(Tables.events(s, d),
+    // project BEFORE the aggregate: columns inside max_by's struct
+    // can't be pruned through it, so an unused wide column (props)
+    // would otherwise ride the shuffle just to be dropped
+    AsOf.latestPerKey(
+        Tables.events(s, d).select("user_id", "ts", "event_id", "event_type", "value"),
         key = Seq("user_id"), time = "ts", tieBreak = "event_id")
       .select("user_id", "event_id", "event_type", "value")
 

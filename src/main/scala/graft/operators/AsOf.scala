@@ -23,6 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object AsOf {
 
+  /** One row per (key, time): keep the max-`tieBreak` row. The
+    * aggregate form of a (key, time)-partitioned row_number()=1 —
+    * `max_by(struct(values), tieBreak)` dedups map-side in the partial
+    * aggregation, so the exchange carries at most one row per
+    * (key, time) per map partition instead of every duplicate (see
+    * [[latestPerKey]] for the full argument). Used to canonicalize the
+    * right side of every as-of join variant. */
+  private def dedupByTieBreak(df: DataFrame, key: String, time: String,
+                              tieBreak: String): DataFrame = {
+    val others = df.columns.filterNot(c => c == key || c == time).toSeq
+    df.groupBy(col(key), col(time))
+      .agg(max_by(struct(others.map(col): _*), col(tieBreak)).as("_r"))
+      .select(df.columns.toIndexedSeq.map { c =>
+        if (c == key || c == time) col(c) else col(s"_r.`$c`").as(c)
+      }: _*)
+  }
+
   /** For each left row, attach the latest right row with
     * `right.timeCol <= left.timeCol`, matching on `keyCol` (inclusive,
     * left-outer: unmatched left rows keep null right columns).
@@ -43,14 +60,7 @@ object AsOf {
       rightCols: Seq[String],
       rightTieBreak: String): DataFrame = {
 
-    // Deduplicate right to one row per (key, time): keep max tie-break.
-    val dedupW = Window
-      .partitionBy(col(rightKey), col(rightTime))
-      .orderBy(col(rightTieBreak).desc)
-    val rightDedup = right
-      .withColumn("_rn", row_number().over(dedupW))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val rightDedup = dedupByTieBreak(right, rightKey, rightTime, rightTieBreak)
 
     val leftCols = left.columns.toSeq
     // tag=0 sorts right-side rows before a left row with the same
@@ -117,13 +127,7 @@ object AsOf {
       chunkSeconds: Long): DataFrame = {
     require(chunkSeconds > 0, s"chunkSeconds must be positive, got $chunkSeconds")
 
-    val dedupW = Window
-      .partitionBy(col(rightKey), col(rightTime))
-      .orderBy(col(rightTieBreak).desc)
-    val rightDedup = right
-      .withColumn("_rn", row_number().over(dedupW))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val rightDedup = dedupByTieBreak(right, rightKey, rightTime, rightTieBreak)
 
     val leftCols = left.columns.toSeq
     val rTagged = rightDedup.select(
@@ -204,13 +208,7 @@ object AsOf {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be backward/forward/nearest, got $direction")
 
-    val dedupW = Window
-      .partitionBy(col(rightKey), col(rightTime))
-      .orderBy(col(rightTieBreak).desc)
-    val rightDedup = right
-      .withColumn("_rn", row_number().over(dedupW))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val rightDedup = dedupByTieBreak(right, rightKey, rightTime, rightTieBreak)
 
     val leftCols = left.columns.toSeq
     val carried = rightCols :+ "_rt"
@@ -256,17 +254,29 @@ object AsOf {
   }
 
   /** Latest row per key: dedup-by-recency. Ties on the time column break
-    * by `tieBreak` descending so the result is deterministic. Single
-    * shuffle on the key; map-side nothing to combine (row-level top-1 via
-    * window). */
+    * by `tieBreak` descending so the result is deterministic.
+    *
+    * Implemented as `max_by(struct(values), struct(time, tieBreak))` —
+    * an AGGREGATE, not a window: partial aggregation keeps at most one
+    * row per key per map partition BEFORE the shuffle, so the exchange
+    * carries ~|keys| rows instead of every row, and no per-key sort
+    * ever happens. At 100 TB that's the difference between shuffling
+    * the table and shuffling the answer. (The previous window
+    * row_number form shipped all rows and sorted each key's partition;
+    * a hot key also serialized into one task — the aggregate form's
+    * partial step absorbs hot keys on the map side.) Struct ordering is
+    * lexicographic (time, then tieBreak), matching the window form's
+    * `orderBy(time.desc, tieBreak.desc)` row-for-row; a NULL time sorts
+    * below any non-null in both forms. */
   def latestPerKey(df: DataFrame, key: Seq[String], time: String,
                    tieBreak: String): DataFrame = {
-    val w = Window
-      .partitionBy(key.map(col): _*)
-      .orderBy(col(time).desc, col(tieBreak).desc)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    val others = df.columns.filterNot(key.contains).toSeq
+    df.groupBy(key.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*),
+        struct(col(time), col(tieBreak))).as("_r"))
+      .select(df.columns.toIndexedSeq.map { c =>
+        if (key.contains(c)) col(c) else col(s"_r.`$c`").as(c)
+      }: _*)
   }
 
   /** #20b pandas ffill(): forward-fill NULLs in `cols` per key in
