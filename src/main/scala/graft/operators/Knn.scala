@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions._
@@ -10,6 +9,45 @@ import graft.functions.VectorFunctions._
   * (SURVEY.md §2 #26-27).
   */
 object Knn {
+
+  /** Top-k rows per group by (`scoreCol`, `tieCol`) — descending score
+    * by default (cosine similarity), ascending with `ascending = true`
+    * (ADC distance) — as an AGGREGATE (Spark's bounded-priority-queue
+    * CollectTopK via [[org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK]]),
+    * not a window. The difference at scale: the window form shuffles
+    * EVERY scored candidate to its query's partition and sorts there —
+    * for brute-force kNN that is the entire |Q|×|C| scored product
+    * through one exchange. The aggregate's partial step keeps at most
+    * k candidates per query per map partition, so the exchange carries
+    * ≤ k·|partitions| rows per query — the answer, not the product —
+    * and a query whose candidates are spread over the whole corpus
+    * never concentrates into one sort task. Ordering: the collected
+    * element is struct(score, ±tie, payload…); lexicographic struct
+    * comparison reproduces the window's (score desc, tie asc) /
+    * (score asc, tie asc) orderings exactly, and the emitted array is
+    * already rank-ordered, so rank = position + 1. */
+  private[operators] def topKByScore(scored: DataFrame, groupCols: Seq[String],
+      scoreCol: String, tieCol: String, k: Int,
+      ascending: Boolean = false): DataFrame = {
+    val payload = scored.columns.filterNot(groupCols.contains).toSeq
+    // ordering prefix: (score, tie) with tie negated in the descending
+    // case so "largest struct" = (max score, min tie); the prefix is
+    // unique per row, so payload fields never decide a comparison
+    val ordPrefix =
+      if (ascending) Seq(col(scoreCol).as("_ord"), col(tieCol).as("_tie"))
+      else Seq(col(scoreCol).as("_ord"), (-col(tieCol)).as("_tie"))
+    val elem = struct(ordPrefix ++ payload.map(col): _*)
+    val topk = org.apache.spark.sql.GraftBridge.column(
+      org.apache.spark.sql.catalyst.expressions.aggregate.GraftTopK.collectTopK(
+        org.apache.spark.sql.GraftBridge.expression(elem), k,
+        reverse = ascending))
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(topk.as("_top"))
+      .select(groupCols.map(col) :+ posexplode(col("_top")).as(Seq("_pos", "_e")): _*)
+      .select(groupCols.map(col) ++
+        payload.map(c => col(s"_e.`$c`").as(c)) :+
+        (col("_pos") + 1).as("rank"): _*)
+  }
 
   /** Deterministic seed centroids shared by the IVF/k-means family:
     * the `cells` lowest-id vectors, cast element-wise to double. The
@@ -50,7 +88,7 @@ object Knn {
   /** #26 Brute-force cosine top-k: every query row scored against every
     * corpus row. The corpus↔query product is realized as a broadcast
     * nested-loop join (queries are the small side — broadcast them),
-    * then a per-query top-k window. Exact baseline; cost O(|Q|·|C|·d).
+    * then a per-query top-k AGGREGATE ([[topKByScore]]). Exact baseline; cost O(|Q|·|C|·d).
     * At 100 TB the corpus stays partition-local — only the small query
     * set moves — so this parallelizes perfectly; use [[lsh]] when |Q|
     * is also huge. Returns (query_id, neighbor_id, rank, cos).
@@ -64,8 +102,11 @@ object Knn {
       norm2(col(vecCol)).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // prune to (ids, score) BEFORE the aggregate: payload fields ride
+    // inside the collected struct buffers, so vectors/norms (and the
+    // join's duplicate probe columns) must not reach it
+    topKByScore(scored.select("query_id", "neighbor_id", "cos"),
+        Seq("query_id"), "cos", "neighbor_id", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -94,8 +135,10 @@ object Knn {
         col("query_label") =!= col("neighbor_label"))
       .withColumn("cos", graft.functions.Rounding.portableRound(
         dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKByScore(
+        scored.select("query_id", "query_label", "neighbor_id",
+          "neighbor_label", "cos"),
+        Seq("query_id"), "cos", "neighbor_id", k)
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
         col("neighbor_label"), col("rank"), col("cos"))
   }
@@ -134,8 +177,11 @@ object Knn {
     val scored = c.join(probes,
         c("cell") === probes("cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // prune to (ids, score) BEFORE the aggregate: payload fields ride
+    // inside the collected struct buffers, so vectors/norms (and the
+    // join's duplicate probe columns) must not reach it
+    topKByScore(scored.select("query_id", "neighbor_id", "cos"),
+        Seq("query_id"), "cos", "neighbor_id", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -173,8 +219,11 @@ object Knn {
           col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    // prune to (ids, score) BEFORE the aggregate: payload fields ride
+    // inside the collected struct buffers, so vectors/norms (and the
+    // join's duplicate probe columns) must not reach it
+    topKByScore(scored.select("query_id", "neighbor_id", "cos"),
+        Seq("query_id"), "cos", "neighbor_id", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
@@ -299,10 +348,8 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("adc"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+    topKByScore(scored, Seq("query_id"), "adc", "neighbor_id", k, ascending = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("adc"), 6).cast("double").as("adc_dist"))
   }
 
@@ -450,10 +497,8 @@ object Knn {
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sum(col("d2")).as("adc"))
-    val w = Window.partitionBy("query_id").orderBy(col("adc"), col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
+    topKByScore(scored, Seq("query_id"), "adc", "neighbor_id", k, ascending = true)
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"),
         round(col("adc"), 6).cast("double").as("adc_dist"))
   }
 
