@@ -744,6 +744,22 @@ object LlmQueries {
         (col("weight_bits") > 0).as("keep"))
   }
 
+  /** #30ac DSIR selection, the resampling half of #30ab: per source,
+    * the top-10 most target-like documents by (mean_weight desc,
+    * doc_id) — "re-balance every source toward the target
+    * distribution", the step DSIR actually ships (score → rank →
+    * keep). Selection runs through the bounded-heap top-k aggregate
+    * ([[graft.operators.Knn.topKByScore]]), so each source's winners
+    * are found map-side — no per-source sort serialization even when
+    * one source owns most of the corpus. */
+  def corpusDsirSample(s: SparkSession, d: String): DataFrame = {
+    val w = dsirWeights(s, d).select(col("doc_id"), col("n_tokens"), col("mean_weight"))
+    val scored = w.join(docs(s, d).select(col("doc_id"), col("source")), "doc_id")
+    Knn.topKByScore(scored, Seq("source"), "mean_weight", "doc_id", 10)
+      .select(col("source"), col("doc_id"), col("rank"),
+        col("mean_weight"), col("n_tokens"))
+  }
+
   /** #26b hard-negative mining over the embeddings table: nearest
     * cross-label neighbors for the first 20 vectors (see
     * [[graft.operators.Knn.hardNegatives]]). */
@@ -1017,6 +1033,7 @@ object LlmQueries {
     "text_surprisal" -> textSurprisal,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "dsir_weights" -> dsirWeights,
+    "corpus_dsir_sample" -> corpusDsirSample,
     "ann_hard_negatives" -> annHardNegatives,
     "chunk_langid" -> chunkLangid,
     "doc_features" -> docFeatures,
@@ -1684,6 +1701,28 @@ object LlmQueries {
                    * 10000 + 0.5) / 10000 mean_weight,
              (sum(w.w) > 0) keep
       FROM tok t JOIN w ON w.tok = t.tok GROUP BY 1""".trim,
+    // DSIR resampling: top-10 per source by (mean_weight desc, doc_id)
+    "corpus_dsir_sample" -> """
+      WITH d AS (SELECT doc_id, lang = 'en' is_tgt, string_split(text, ' ') t FROM documents),
+      tok AS (SELECT doc_id, is_tgt, unnest(t) tok FROM d),
+      c AS (SELECT tok, count(*) cs,
+              sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) ct
+            FROM tok GROUP BY 1),
+      tots AS (SELECT sum(cs) ts, sum(ct) tt, count(*) v FROM c),
+      w AS (SELECT c.tok,
+              (len(bin((tots.ts + tots.v) // (c.cs + 1)))::BIGINT
+               - len(bin((tots.tt + tots.v) // (c.ct + 1)))::BIGINT) w
+            FROM c, tots),
+      pd AS (SELECT t.doc_id, count(*)::BIGINT n_tokens,
+               floor((CAST(sum(w.w) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                     * 10000 + 0.5) / 10000 mean_weight
+             FROM tok t JOIN w ON w.tok = t.tok GROUP BY 1),
+      r AS (SELECT s.source, pd.doc_id, pd.mean_weight, pd.n_tokens,
+              row_number() OVER (PARTITION BY s.source
+                                 ORDER BY pd.mean_weight DESC, pd.doc_id) AS rank
+            FROM pd JOIN documents s USING (doc_id))
+      SELECT source, doc_id, rank::INT AS rank, mean_weight, n_tokens
+      FROM r WHERE rank <= 10""".trim,
     // lift = (n_ab·N)/(n_a·n_b): PMI without the log — exact integer
     // counts, one double multiply/divide mirroring the Spark shape
     "token_lift" -> """

@@ -26,7 +26,7 @@ object Knn {
     * comparison reproduces the window's (score desc, tie asc) /
     * (score asc, tie asc) orderings exactly, and the emitted array is
     * already rank-ordered, so rank = position + 1. */
-  private[operators] def topKByScore(scored: DataFrame, groupCols: Seq[String],
+  private[graft] def topKByScore(scored: DataFrame, groupCols: Seq[String],
       scoreCol: String, tieCol: String, k: Int,
       ascending: Boolean = false): DataFrame = {
     val payload = scored.columns.filterNot(groupCols.contains).toSeq
