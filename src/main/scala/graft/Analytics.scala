@@ -1262,6 +1262,28 @@ object Analytics {
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         min(col("c")).as("min_rows_per_key"), max(col("c")).as("max_rows_per_key"))
 
+  /** #18m leakage-safe user-level train/valid/test split: the split is
+    * a pure hash of user_id (md5-prefix bucket 0–9 → 80/10/10), so
+    * every row of a user lands in the same split BY CONSTRUCTION — the
+    * property that prevents user-level leakage between train and eval,
+    * which a row-level random split silently violates. No RNG state, no
+    * shuffle dependence: the same user maps to the same split on any
+    * engine, cluster size, or backfill. The assignment is a narrow
+    * projection fused into the scan; the gate's aggregate is the only
+    * exchange. Gated on exact per-(split, event_type) event counts,
+    * user counts and value sums. */
+  def userSplit(s: SparkSession, d: String): DataFrame = {
+    val b = conv(substring(md5(concat(lit("split:"),
+      col("user_id").cast("string"))), 1, 8), 16, 10).cast("long") % 10
+    Tables.events(s, d)
+      .withColumn("split",
+        when(b < 8, "train").when(b === 8, "valid").otherwise("test"))
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(moneySum(col("value")), 2).cast("double").as("sum_value"))
+  }
+
   /** #20f pandas ewm(alpha=0.3).mean() over events per user
     * ([[operators.AsOf.ewmMean]]). Rows-only driver gate — the float
     * recursion is not engine-portable — with the closed form
@@ -1704,6 +1726,7 @@ object Analytics {
     "events_attribution" -> (eventsAttribution _),
     "events_markov" -> (eventsMarkov _),
     "skew_profile" -> (skewProfile _),
+    "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
     "median_order_value" -> (medianOrderValue _),
@@ -2368,6 +2391,18 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // same md5-prefix bucket hash as the Spark side: user → bucket 0-9,
+    // <8 train / =8 valid / else test; aggregates prove the partition
+    "user_split" -> """
+      WITH s AS (SELECT event_type, user_id, value,
+              CASE WHEN ('0x' || substr(md5('split:' || user_id::VARCHAR), 1, 8))::BIGINT % 10 < 8 THEN 'train'
+                   WHEN ('0x' || substr(md5('split:' || user_id::VARCHAR), 1, 8))::BIGINT % 10 = 8 THEN 'valid'
+                   ELSE 'test' END AS split
+            FROM events)
+      SELECT split, event_type, count(*)::BIGINT AS n_events,
+             count(DISTINCT user_id)::BIGINT AS n_users,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+      FROM s GROUP BY 1, 2""".trim,
     // whole-second intervals × DECIMAL(9,2) values: the weighted sum is
     // exact integer arithmetic, one final double division
     "events_twa" -> """

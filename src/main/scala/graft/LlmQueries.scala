@@ -600,6 +600,32 @@ object LlmQueries {
         (col("id") === col("cluster_id")).as("is_canonical"))
   }
 
+  /** #25d quality-aware canonical selection: the near-dup clusters of
+    * #25c keep their best member instead of their lowest id — join the
+    * connected components with the composite quality score and pick,
+    * per cluster, argmax (quality desc, doc_id asc) through one
+    * min(struct) aggregate (map-side partial, ≤1 candidate per cluster
+    * per task — no window, no per-cluster sort serialization). This is
+    * the decision a curation pipeline actually wants out of clustering:
+    * drop the duplicates, keep the highest-quality copy — "first seen
+    * wins" throws away the clean copy whenever the boilerplate-laden
+    * one has the lower id. */
+  def dedupClusterBest(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val comp = Dedup.connectedComponents(
+      Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+        n = 5, numHashes = 16, bands = 4, threshold = 0.5))
+    val q = docs(s, d).select(col("doc_id").as("id"),
+      portableRound(qualityScore(col("text")), 4).as("quality"))
+    val scored = comp.join(q, "id")
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(min(struct((-col("quality")).as("nq"), col("id").as("i"))).as("_b"))
+      .select(col("cluster_id"), col("_b.i").as("canonical_id"))
+    scored.join(best, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"), col("quality"),
+        col("canonical_id"), (col("id") === col("canonical_id")).as("keep"))
+  }
+
   /** #21d segment-level corpus dedup: 8-token segments, drop any
     * segment shared by ≥2 docs (maxDf = 1 — the strictest CCNet-style
     * boilerplate rule; at sf0.01 that removes ~9% of segments, all of
@@ -1016,6 +1042,7 @@ object LlmQueries {
         "vec_id", "embedding", threshold = 0.35)
     }),
     "dedup_cluster" -> dedupCluster,
+    "dedup_cluster_best" -> dedupClusterBest,
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       Dedup.semantic(embs(s, d), "vec_id", "embedding",
         cells = 16, threshold = 0.35)),
@@ -2188,6 +2215,34 @@ object LlmQueries {
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
       comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
       SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // dedup_cluster's components joined with budget_sample's composite
+    // quality replication; canonical = argmax (quality DESC, id) per
+    // cluster via row_number — the same order min(struct(-q, id)) picks
+    "dedup_cluster_best" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id),
+      qt AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
+      q AS (SELECT doc_id,
+              floor((least(len(toks)/100.0, 1.0)*0.4 +
+                     least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3)
+                    * 10000 + 0.5) / 10000 AS quality
+            FROM qt),
+      sc AS (SELECT c.id, c.cluster_id, q.quality FROM comp c JOIN q ON q.doc_id = c.id),
+      best AS (SELECT cluster_id, id AS canonical_id FROM
+                (SELECT cluster_id, id,
+                        row_number() OVER (PARTITION BY cluster_id
+                                           ORDER BY quality DESC, id) rn
+                 FROM sc) WHERE rn = 1)
+      SELECT sc.id AS doc_id, sc.cluster_id, sc.quality, b.canonical_id,
+             sc.id = b.canonical_id AS keep
+      FROM sc JOIN best b USING (cluster_id)""".trim,
     // IVF: centroids = 16 lowest-id vectors; assignment/probing replay
     // the same cosine argmax with (sim DESC, cid) tie-break
     "ann_ivf" -> s"""
