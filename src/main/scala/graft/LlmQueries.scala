@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Curation, Dedup, InvertedIndex, Knn}
+import graft.operators.{Curation, Dedup, InvertedIndex, Knn, Sketch}
 
 /** LLM-data-pipeline correctness queries (SURVEY.md §2 #21-32): text
   * analysis, dedup family, ANN. Every query has a DuckDB oracle that
@@ -888,6 +888,15 @@ object LlmQueries {
   def sourceOverlap(s: SparkSession, d: String): DataFrame =
     Dedup.sourceOverlap(docs(s, d), "source", "text", n = 5)
 
+  /** #37f theta-sketch source overlap: bounded-state union /
+    * intersection / Jaccard estimates per source pair
+    * ([[graft.operators.Sketch.thetaOverlap]]) — the k-rows-per-source
+    * sketch twin of #21g. Gated oracle-EXACT (the estimator is a pure
+    * function of md5 hashes); estimator accuracy against the exact
+    * operator is spec-bounded instead (OperatorsSpec). */
+  def sketchSetops(s: SparkSession, d: String): DataFrame =
+    Sketch.thetaOverlap(docs(s, d), "source", "text", n = 5, k = 128)
+
   /** #30y exact phrase search over the positional inverted index. The
     * gated phrase is two distinct common corpus tokens, so both the
     * hit set and the position list are non-trivial at every SF. */
@@ -1065,6 +1074,7 @@ object LlmQueries {
     "chunk_langid" -> chunkLangid,
     "doc_features" -> docFeatures,
     "source_overlap" -> sourceOverlap,
+    "sketch_setops" -> sketchSetops,
     "phrase_search" -> phraseSearch,
     "chunk_windows" -> chunkWindows,
     "text_readability" -> textReadability,
@@ -1784,6 +1794,47 @@ object LlmQueries {
              floor((CAST(n_common AS DOUBLE) / CAST(za.n + zb.n - n_common AS DOUBLE))
                    * 10000 + 0.5) / 10000 AS jaccard
       FROM pr JOIN sz za ON za.source = sa JOIN sz zb ON zb.source = sb""".trim,
+    // KMV/theta replication: same 52-bit md5 hashes, bottom-128 per
+    // source via row_number, union ranked per pair; θ = 128th value,
+    // estimates from exact integer counts + one double division each
+    // (M = 2^52 = 4503599627370496; products ≤ 2^59 with ≤7 significant
+    // bits — exact in double on both engines)
+    "sketch_setops" -> """
+      WITH d AS (SELECT source, string_split(text, ' ') w FROM documents),
+      sh AS (SELECT DISTINCT source AS grp,
+              ('0x' || substr(md5('theta:' || sg), 1, 13))::BIGINT AS h
+             FROM (SELECT source, unnest(CASE WHEN len(w) >= 5
+                THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
+                ELSE [array_to_string(w, ' ')] END) sg FROM d)),
+      samp AS (SELECT grp, h FROM
+                (SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) rn FROM sh)
+               WHERE rn <= 128),
+      g AS (SELECT DISTINCT grp FROM samp),
+      pairs AS (SELECT a.grp ga, b.grp gb FROM g a JOIN g b ON a.grp < b.grp),
+      u AS (SELECT ga, gb, h, count(*) n_side FROM (
+              SELECT p.ga, p.gb, s.h FROM pairs p JOIN samp s ON s.grp = p.ga
+              UNION ALL
+              SELECT p.ga, p.gb, s.h FROM pairs p JOIN samp s ON s.grp = p.gb) t
+            GROUP BY 1, 2, 3),
+      r AS (SELECT *, row_number() OVER (PARTITION BY ga, gb ORDER BY h) rn FROM u),
+      st AS (SELECT ga, gb, count(*) n_samp,
+               max(CASE WHEN rn = 128 THEN h END) theta,
+               sum(CASE WHEN rn < 128 AND n_side = 2 THEN 1 ELSE 0 END) c_below,
+               sum(CASE WHEN n_side = 2 THEN 1 ELSE 0 END) c_all
+             FROM r GROUP BY 1, 2)
+      SELECT ga AS source_a, gb AS source_b, n_samp::BIGINT AS n_samp,
+             coalesce(theta, 4503599627370496)::BIGINT AS theta,
+             CASE WHEN theta IS NULL THEN n_samp::DOUBLE
+                  ELSE floor(((127::BIGINT * 4503599627370496)::DOUBLE / theta::DOUBLE)
+                             * 10000 + 0.5) / 10000 END AS est_union,
+             CASE WHEN theta IS NULL THEN c_all::DOUBLE
+                  ELSE floor(((c_below * 4503599627370496)::DOUBLE / theta::DOUBLE)
+                             * 10000 + 0.5) / 10000 END AS est_intersection,
+             CASE WHEN theta IS NULL
+                  THEN floor((c_all::DOUBLE / n_samp::DOUBLE) * 10000 + 0.5) / 10000
+                  ELSE floor((c_below::DOUBLE / 127.0) * 10000 + 0.5) / 10000
+             END AS est_jaccard
+      FROM st""".trim,
     // positional semantics on both sides (list comprehension over the
     // token array), so overlapping occurrences count identically
     "phrase_search" -> """

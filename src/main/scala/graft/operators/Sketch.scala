@@ -167,6 +167,82 @@ object Sketch {
     }.min
   }
 
+  /** #37f theta/KMV set-operation sketch across groups: per group, keep
+    * the k smallest 52-bit md5-derived hashes of the distinct n-gram
+    * shingle set (a KMV "theta sketch"); every pair's union /
+    * intersection / Jaccard is then estimated from the union of two
+    * k-bounded samples — the sketch twin of [[Dedup.sourceOverlap]],
+    * which joins the RAW per-group shingle sets and so carries
+    * O(distinct shingles) per group through its shuffle. Here the
+    * exchange carries exactly k rows per group, whatever the corpus
+    * size; hashes are pure functions of content, so every engine, run,
+    * and partitioning computes the identical sketch AND the identical
+    * estimate (oracle-exact, no tolerance in the gate — the accuracy
+    * tolerance lives in the spec against the exact operator).
+    *
+    * Estimator (Beyer et al. 2007 / theta-sketch form): rank the union
+    * of the two samples ascending; bottom-k(bottom-k(A) ∪ bottom-k(B))
+    * = bottom-k(A∪B), so θ = the k-th smallest is a valid KMV threshold
+    * for A∪B and est|A∪B| = (k−1)·M/θ with M = 2^52 the hash domain.
+    * The k−1 values strictly below θ are a uniform θ/M-rate sample of
+    * A∪B, so est|A∩B| = (# of them present in BOTH samples)·M/θ and
+    * ĵ = common/(k−1). A union sample smaller than k means both input
+    * sketches were complete (θ pinned to M): all three estimates are
+    * then exact counts.
+    *
+    * Scale shape: the distinct (group, hash) projection is the only
+    * full-data pass; the bottom-k runs as a bounded-heap AGGREGATE
+    * ([[Knn.topKByScore]] — ≤k rows per group leave every map task).
+    * Pair enumeration and the union ranking operate on groups² × 2k
+    * rows — driver-free, broadcast-sized, independent of corpus size. */
+  def thetaOverlap(df: DataFrame, groupCol: String, textCol: String,
+                   n: Int = 5, k: Int = 128): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.portableRound
+    val M = 1L << 52
+    val sh = df.select(col(groupCol).as("grp"),
+        explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("sg"))
+      .select(col("grp"),
+        conv(substring(md5(concat(lit("theta:"), col("sg"))), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .distinct()
+    val samp = Knn.topKByScore(sh, Seq("grp"), "h", "h", k, ascending = true)
+      .select(col("grp"), col("h"))
+    val grps = samp.select(col("grp")).distinct()
+    val pairs = grps.select(col("grp").as("ga"))
+      .join(broadcast(grps.select(col("grp").as("gb"))), col("ga") < col("gb"))
+    val sa = pairs.join(samp.select(col("grp").as("ga"), col("h")), "ga")
+      .select(col("ga"), col("gb"), col("h"))
+    val sb = pairs.join(samp.select(col("grp").as("gb"), col("h")), "gb")
+      .select(col("ga"), col("gb"), col("h"))
+    val u = sa.union(sb).groupBy(col("ga"), col("gb"), col("h"))
+      .agg(count(lit(1)).as("n_side")) // 1 or 2: h is distinct per side
+    // ≤2k rows per pair by construction — the window is bounded, never raw data
+    val w = Window.partitionBy(col("ga"), col("gb")).orderBy(col("h"))
+    val ranked = u.withColumn("rn", row_number().over(w))
+    ranked.groupBy(col("ga"), col("gb")).agg(
+        count(lit(1)).as("n_samp"),
+        max(when(col("rn") === k, col("h"))).as("_theta"),
+        sum(when(col("rn") < k && col("n_side") === 2, 1L).otherwise(0L)).as("_c_below"),
+        sum(when(col("n_side") === 2, 1L).otherwise(0L)).as("_c_all"))
+      .select(col("ga").as("source_a"), col("gb").as("source_b"),
+        col("n_samp"),
+        coalesce(col("_theta"), lit(M)).as("theta"),
+        when(col("_theta").isNull, col("n_samp").cast("double"))
+          .otherwise(portableRound(
+            (lit((k - 1).toLong) * lit(M)).cast("double") / col("_theta").cast("double"), 4))
+          .as("est_union"),
+        when(col("_theta").isNull, col("_c_all").cast("double"))
+          .otherwise(portableRound(
+            (col("_c_below") * lit(M)).cast("double") / col("_theta").cast("double"), 4))
+          .as("est_intersection"),
+        when(col("_theta").isNull,
+            portableRound(col("_c_all").cast("double") / col("n_samp").cast("double"), 4))
+          .otherwise(portableRound(
+            col("_c_below").cast("double") / lit((k - 1).toDouble), 4))
+          .as("est_jaccard"))
+  }
+
   /** #37e KMV (bottom-k) quantile sketch: per group, the sample is the
     * k rows whose md5 rank over a unique row key is smallest — a
     * uniform, DETERMINISTIC sample that is a pure function of the ids
