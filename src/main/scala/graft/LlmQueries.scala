@@ -626,6 +626,14 @@ object LlmQueries {
         col("canonical_id"), (col("id") === col("canonical_id")).as("keep"))
   }
 
+  /** #21i exact repeated-substring spans (W=40 chars, stride 1): the
+    * byte ranges a substring-dedup cleaning pass would cut —
+    * [[Dedup.duplicateSpans]], the suffix-array-free distributed form
+    * of Lee et al. 2021. */
+  def dedupSpans(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpans(docs(s, d), "doc_id", "text", w = 40)
+      .withColumnRenamed("id", "doc_id")
+
   /** #21d segment-level corpus dedup: 8-token segments, drop any
     * segment shared by ≥2 docs (maxDf = 1 — the strictest CCNet-style
     * boilerplate rule; at sf0.01 that removes ~9% of segments, all of
@@ -1052,6 +1060,7 @@ object LlmQueries {
     }),
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_best" -> dedupClusterBest,
+    "dedup_spans" -> dedupSpans,
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       Dedup.semantic(embs(s, d), "vec_id", "embedding",
         cells = 16, threshold = 0.35)),
@@ -2266,6 +2275,23 @@ object LlmQueries {
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
       comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
       SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // same stride-1 window hashing (substr is 1-based on both engines),
+    // dup = hash count >= 2 corpus-wide, islands via pos - row_number
+    "dedup_spans" -> """
+      WITH w AS (
+        SELECT doc_id, t.i AS pos, md5(substr(text, t.i + 1, 40)) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(range(length(text) - 40 + 1)) AS i) t
+        WHERE length(text) >= 40),
+      dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+      dp AS (SELECT doc_id, pos FROM w JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM dp)
+      SELECT doc_id, min(pos)::BIGINT AS span_start,
+             (max(pos) + 40)::BIGINT AS span_end,
+             count(*)::BIGINT AS n_windows
+      FROM isl GROUP BY doc_id, grp""".trim,
     // dedup_cluster's components joined with budget_sample's composite
     // quality replication; canonical = argmax (quality DESC, id) per
     // cluster via row_number — the same order min(struct(-q, id)) picks

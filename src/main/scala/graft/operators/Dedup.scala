@@ -414,6 +414,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** #21i exact repeated-substring spans — the distributed re-expression
+    * of suffix-array substring dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better": any ≥w-char substring
+    * that appears twice anywhere in the corpus is training-data
+    * duplication, even when the documents as wholes are unique).
+    * Every w-char window of every document is hashed (stride 1); a
+    * window is duplicated iff its hash occurs ≥ `minOccurrences` times
+    * corpus-wide (intra- OR cross-document); per document, runs of
+    * consecutive duplicated positions merge into MAXIMAL spans
+    * [start, end) — the byte ranges a cleaning pass would cut.
+    *
+    * Scale shape: the fanout is one narrow (id, pos, hash) triple per
+    * character — the same O(total bytes) a suffix array costs, shipped
+    * as rows instead of an in-memory array, so it partitions freely.
+    * Duplicate detection is one hash-keyed aggregate + a semi-join
+    * (map-side partial count; no doc text ever shuffles — hashes
+    * only). The span merge is a per-document gaps-and-islands window,
+    * bounded by document length; a corpus of book-length docs would
+    * chunk-salt it exactly like the gap-repair family
+    * ([[AsOf.ffillSalted]]) — islands can't cross a chunk boundary
+    * that duplicated windows don't span. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     w: Int = 40, minOccurrences: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.filter(length(col(textCol)) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), length(col(textCol)) - w),
+          i => md5(col(textCol).substr(i + lit(1), lit(w))))).as(Seq("pos", "h")))
+    val dupHashes = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minOccurrences)
+      .select(col("h"))
+    val dupPos = wins.join(dupHashes, Seq("h"), "left_semi")
+    // consecutive duplicated positions share (pos - rank): one island
+    // per maximal run, merged by a bounded per-doc aggregate
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    dupPos.withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + w).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** #25b Connected components over an undirected near-dup pair list —
     * turns pairwise matches into dedup CLUSTERS so a pipeline can keep
     * one canonical doc per group (the member with the minimum id).

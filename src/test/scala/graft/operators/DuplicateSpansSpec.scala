@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Contract specs for exact repeated-substring span detection (#21i). */
+class DuplicateSpansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def spans(rows: (Long, String)*) =
+    Dedup.duplicateSpans(rows.toDF("doc_id", "text"), "doc_id", "text", w = 10)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3)).sorted.toSeq
+
+  test("a shared substring yields one maximal span in each doc, at its own offset") {
+    // 20-char shared payload inside unique noise; w=10 → duplicated
+    // window positions are exactly the 11 starts fully inside the
+    // payload, merging into ONE span covering the whole payload
+    val shared = "ABCDEFGHIJKLMNOPQRST"
+    val out = spans(
+      1L -> s"xxxxx${shared}yyyyyyy",
+      2L -> s"qqqqqqqqqq${shared}rr")
+    assert(out == Seq((1L, 5L, 25L), (2L, 10L, 30L)),
+      s"span = the shared 20 chars at each doc's own offset; got $out")
+  }
+
+  test("intra-document repetition is flagged; disjoint repeats stay separate spans") {
+    val rep = "0123456789" // w-sized, repeated twice in one doc, apart
+    // filler must not self-repeat at w=10 (an 'aaaa…' run would itself
+    // contain duplicated windows — correctly flagged)
+    val out = spans(7L -> s"${rep}env-filler12${rep}")
+    assert(out == Seq((7L, 0L, 10L), (7L, 22L, 32L)),
+      s"two disjoint islands, not one; got $out")
+  }
+
+  test("duplicates shorter than w are invisible") {
+    val out = spans(
+      1L -> "shortdupAB-unique-tail-one",
+      2L -> "shortdupAB different tail2")
+    // common prefix is 10 chars ("shortdupAB") → exactly one w-window
+    // each, duplicated; anything shorter would produce zero
+    assert(out == Seq((1L, 0L, 10L), (2L, 0L, 10L)))
+    val none = spans(
+      1L -> "tinydup--unique-tail-onexx",
+      2L -> "tinydup+ different tail2yy")
+    assert(none.isEmpty, "9-char overlap < w never flags")
+  }
+}
