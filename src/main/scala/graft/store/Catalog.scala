@@ -11,64 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
-  /** Child sessions for footer-statistics reads (describe,
-    * auto-index recovery): aggregate pushdown needs the V2 parquet
-    * source + `parquet.aggregatePushdown`, but flipping those on the
-    * CALLER's session around an action races every concurrent query
-    * planned on it (a query compiled mid-window would use the wrong
-    * source path). `newSession()` shares the SparkContext and cached
-    * data but owns an isolated SQLConf, so the stats window never
-    * leaks. One child per parent session, weakly held. */
-  private val statsSessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, SparkSession]())
-
-  /** The two confs the stats session exists to pin — never synced back
-    * from the parent. */
-  private val StatsOnlyConfs =
-    Set("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
-
-  /** Runs `body` against the footer-stats child session, holding the
-    * child's monitor for the WHOLE call: the conf re-sync below and the
-    * caller's plan compilation both touch the child's SQLConf, so two
-    * concurrent catalog ops on one parent must serialize — stats ops
-    * are metadata-scale, the serialization is invisible.
-    *
-    * Re-sync on every use, BOTH directions: newSession() clones the
-    * SQLConf once, so a conf the caller sets via spark.conf.set AFTER
-    * the child was cached (timezone, ANSI mode, parquet reader knobs…)
-    * is applied, and a conf the caller has since UNSET is removed —
-    * the child tracks the parent's runtime conf exactly, plus the two
-    * pinned stats confs. */
-  private[store] def withStatsSession[A](spark: SparkSession)
-                                        (body: SparkSession => A): A = {
-    val s = statsSessions.synchronized {
-      Option(statsSessions.get(spark)).getOrElse {
-        val created = spark.newSession()
-        statsSessions.put(spark, created)
-        created
-      }
-    }
-    s.synchronized {
-      val parent = spark.conf.getAll
-      parent.foreach { case (k, v) =>
-        if (!StatsOnlyConfs.contains(k) && s.conf.isModifiable(k) &&
-            !s.conf.getOption(k).contains(v))
-          s.conf.set(k, v)
-      }
-      s.conf.getAll.keysIterator.foreach { k =>
-        if (!StatsOnlyConfs.contains(k) && !parent.contains(k) &&
-            s.conf.isModifiable(k))
-          s.conf.unset(k)
-      }
-      // V2 parquet (aggregate pushdown is a DSv2-only feature)…
-      s.conf.set("spark.sql.sources.useV1SourceList", "")
-      // …with MIN/MAX/COUNT answered from footer statistics
-      s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-      body(s)
-    }
-  }
-
   /** Every catalog op takes the reference's optional `schema=` kwarg
     * (util.py:5-15): a namespace resolving to `<warehouse>/<schema>/`
     * (see [[KeyedTable.schemaDir]]). None = default namespace. */
@@ -158,16 +100,17 @@ object Catalog {
     * tables report min/max of the leading PK column (the reference
     * reports only 'multi' for those — we do strictly more).
     *
-    * Planned under the V2 parquet source with aggregate pushdown, so
-    * for stat-friendly PK types the per-table min/max/count come from
-    * FOOTER METADATA (`PushedAggregation` in the plan) — describing a
-    * warehouse of 1,000 100 TB tables is a metadata job, O(files) not
-    * O(rows). Types the footer can't answer exactly (e.g. strings,
-    * which parquet may truncate) silently fall back to a normal scan —
-    * same values either way. The stats plans run on an isolated child
-    * session (see [[footerStatsSession]]) so the caller's session confs
-    * are never touched; the result is materialized (≤ one row per
-    * table) and returned as plain local data in the caller's session.
+    * Planned through the keyed table's OWN DSv2 aggregate pushdown
+    * ([[KeyedScanBuilder.pushAggregation]]): for stat-friendly PK types
+    * the per-table min/max/count come from FOOTER METADATA as a
+    * driver-local scan — describing a warehouse of 1,000 100 TB tables
+    * is a metadata job, O(files) not O(rows), with zero executor tasks.
+    * Types the footer can't answer exactly (e.g. strings, which parquet
+    * may truncate) silently fall back to a normal scan — same values
+    * either way. Native pushdown means no session conf is ever touched
+    * (the former stats child session and its conf-sync machinery are
+    * gone); the result is materialized (≤ one row per table) and
+    * returned as plain local data.
     */
   /** Union width is CAPPED: tables are described in batches of
     * [[DescribeBatch]] union branches per job rather than one
@@ -184,12 +127,12 @@ object Catalog {
       // reference describe_database returns an empty mapping (util.py:45)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], describeSchema)
-    val rows = withStatsSession(spark) { stats =>
+    val rows = {
       val frames = bare.map { t =>
-        val meta = TableMeta.read(stats, KeyedTable.tableDir(wh, t))
+        val meta = TableMeta.read(spark, KeyedTable.tableDir(wh, t))
         val head = meta.pk.head
         val qualified = schema.fold(t)(s => s"$s.$t")
-        KeyedTable.readSql(stats, wh, t)
+        KeyedTableSource.read(spark, wh, t)
           .agg(
             min(col(head)).cast("string").as("pk_min"),
             max(col(head)).cast("string").as("pk_max"),

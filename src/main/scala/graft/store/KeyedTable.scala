@@ -352,10 +352,11 @@ object KeyedTable {
     * else the footer max. */
   private def footerMaxAutoIndex(spark: SparkSession, warehouse: String,
                                  table: String, meta: TableMeta): Long = {
-    val m = Catalog.withStatsSession(spark) { stats =>
-      stats.read.parquet(dataDir(warehouse, table))
-        .agg(max(col(Names.AutoIndex))).head()
-    }
+    // the keyed source's own footer aggregate pushdown answers this
+    // from metadata (LocalScan — no tasks); non-stat types fall back
+    // to a real scan with the same value
+    val m = KeyedTableSource.read(spark, warehouse, table)
+      .agg(max(col(Names.AutoIndex))).head()
     if (m.isNullAt(0)) -1L else m.getLong(0)
   }
 

@@ -2,6 +2,8 @@ package graft.store
 
 import java.util
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
@@ -9,6 +11,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
@@ -94,10 +97,11 @@ private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
                                       full: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggResult: Option[(StructType, InternalRow, String)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -119,7 +123,44 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new KeyedScan(meta, dataDir, required, pushed)
+  /** Global COUNT(*)/COUNT(col)/MIN/MAX answered from parquet FOOTER
+    * metadata — `SELECT count(*) FROM graft.t` over a 100 TB table is
+    * then an O(files) driver metadata job planned as a LocalTableScan,
+    * with zero executor tasks and zero data bytes read.
+    *
+    * Complete pushdown only, and only when it is provably exact:
+    * no grouping, no filters (every filter is residual in this source,
+    * so Spark never offers a filtered aggregate here — checked anyway),
+    * min/max restricted to physical types whose parquet statistics are
+    * authoritative (integral/floating; strings can be truncated, INT96
+    * timestamps lie), COUNT(col) requires null counts present on every
+    * row-group chunk. Anything else declines and the normal scan runs —
+    * pushdown is an optimization surface, never a correctness one. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    FooterAgg.supported(agg, meta) && pushed.isEmpty
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!supportCompletePushDown(agg)) return false
+    FooterAgg.compute(agg, meta, dataDir) match {
+      case Some((schema, row, desc)) => aggResult = Some((schema, row, desc)); true
+      case None => false // footers lacked stats somewhere: full scan
+    }
+  }
+
+  override def build(): Scan = aggResult match {
+    case Some((schema, row, desc)) => new KeyedLocalAggScan(schema, row, desc)
+    case None => new KeyedScan(meta, dataDir, required, pushed)
+  }
+}
+
+/** The one-row result of a fully pushed footer aggregation, served as a
+  * driver-local scan (plans as LocalTableScan — no tasks, no IO). */
+private[store] class KeyedLocalAggScan(schema: StructType, row: InternalRow,
+                                       desc: String)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def readSchema(): StructType = schema
+  override def rows(): Array[InternalRow] = Array(row)
+  override def description(): String = s"graft footer-agg $desc"
 }
 
 private[store] class KeyedScan(meta: TableMeta, dataDir: String,
@@ -267,6 +308,122 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
       .readerFactory(SparkSession.active, meta.schema, readDataSchema,
         readPartitionSchema, dataFilters)
+}
+
+/** Driver-side evaluation of fully-pushed global aggregates from
+  * parquet footer metadata. O(files) footer opens, zero data pages —
+  * the scan-free answer to COUNT/MIN/MAX over the whole table.
+  * Every helper is conservative: any absent statistic anywhere makes
+  * [[compute]] return None and the caller fall back to a real scan. */
+private[store] object FooterAgg {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+  import org.apache.spark.sql.types._
+
+  /** Types whose parquet min/max statistics are authoritative AND whose
+    * catalyst-internal value equals the footer's boxed value (int/long/
+    * float/double; DateType rides the INT32 days encoding). Strings are
+    * excluded (footers may truncate), timestamps too (the write path's
+    * physical encoding — INT96 vs INT64 — is a session conf, and INT96
+    * stats are untrustworthy by spec). */
+  private val StatTypes: Set[DataType] =
+    Set(IntegerType, LongType, FloatType, DoubleType, DateType)
+
+  private def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case f: NamedReference if f.fieldNames.length == 1 => Some(f.fieldNames.head)
+      case _ => None
+    }
+
+  def supported(agg: Aggregation, meta: TableMeta): Boolean = {
+    val dataCols = meta.schema.fieldNames.toSet
+    def statCol(e: org.apache.spark.sql.connector.expressions.Expression) =
+      colOf(e).exists(n => dataCols.contains(n) &&
+        StatTypes.contains(meta.schema(n).dataType))
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall {
+        case _: CountStar => true
+        case c: Count if !c.isDistinct => colOf(c.column).exists(dataCols.contains)
+        case m: Min => statCol(m.column)
+        case m: Max => statCol(m.column)
+        case _ => false
+      }
+  }
+
+  def compute(agg: Aggregation, meta: TableMeta,
+              dataDir: String): Option[(StructType, InternalRow, String)] =
+    try {
+      val conf = SparkSession.active.sparkContext.hadoopConfiguration
+      val root = new Path(dataDir)
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+        else fs.listStatus(root)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith(s"${KeyedTable.BucketCol}="))
+          .flatMap(d => fs.listStatus(d.getPath))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      val needCols: Set[String] = agg.aggregateExpressions.toSet.flatMap {
+        (f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc) => f match {
+          case c: Count => colOf(c.column)
+          case m: Min => colOf(m.column)
+          case m: Max => colOf(m.column)
+          case _ => None
+        }
+      }
+      var rowCount = 0L
+      val nulls = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+      val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
+      files.foreach { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          reader.getFooter.getBlocks.forEach { block =>
+            rowCount += block.getRowCount
+            needCols.foreach { c =>
+              val chunk = block.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .getOrElse(throw new IllegalStateException(s"no chunk for $c"))
+              val s = chunk.getStatistics
+              if (s == null || !s.isNumNullsSet)
+                throw new IllegalStateException(s"no null counts for $c")
+              nulls(c) += s.getNumNulls
+              if (s.getNumNulls < block.getRowCount) {
+                if (!s.hasNonNullValue)
+                  throw new IllegalStateException(s"no min/max for $c")
+                val mn = s.genericGetMin.asInstanceOf[Comparable[Any]]
+                val mx = s.genericGetMax.asInstanceOf[Comparable[Any]]
+                if (!mins.get(c).exists(_.compareTo(mn) <= 0)) mins(c) = mn
+                if (!maxs.get(c).exists(_.compareTo(mx) >= 0)) maxs(c) = mx
+              }
+            }
+          }
+        } finally reader.close()
+      }
+      val out = agg.aggregateExpressions.map {
+        case _: CountStar =>
+          (StructField("count(*)", LongType, nullable = false),
+            java.lang.Long.valueOf(rowCount): Any)
+        case c: Count =>
+          val n = colOf(c.column).get
+          (StructField(s"count($n)", LongType, nullable = false),
+            java.lang.Long.valueOf(rowCount - nulls(n)): Any)
+        case m: Min =>
+          val n = colOf(m.column).get
+          (StructField(s"min($n)", meta.schema(n).dataType),
+            mins.get(n).orNull: Any)
+        case m: Max =>
+          val n = colOf(m.column).get
+          (StructField(s"max($n)", meta.schema(n).dataType),
+            maxs.get(n).orNull: Any)
+        case other =>
+          throw new IllegalStateException(s"unsupported aggregate $other")
+      }
+      Some((StructType(out.map(_._1)),
+        new GenericInternalRow(out.map(_._2).toArray),
+        s"$dataDir [${out.map(_._1.name).mkString(", ")}] " +
+          s"(${files.length} files, footer-only)"))
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
 
 /** A FilePartition that also exposes its bucket id as the partition

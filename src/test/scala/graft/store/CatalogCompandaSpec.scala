@@ -94,43 +94,25 @@ class CatalogCompandaSpec extends SparkSpec {
       .foreach(spark.conf.unset)
   }
 
-  test("describe answers from parquet footer stats (V2 aggregate pushdown)") {
+  test("describe answers from footer stats via the keyed source's own pushdown") {
     val w = wh()
     KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
-    val saved = Seq("spark.sql.sources.useV1SourceList", "spark.sql.parquet.aggregatePushdown")
-      .map(k => k -> spark.conf.getOption(k)).toMap
-    spark.conf.set("spark.sql.sources.useV1SourceList", "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try {
-      // the same shape describe plans per table
-      val agg = KeyedTable.readSql(spark, w, "nation")
-        .agg(min(col("n_nationkey")), max(col("n_nationkey")), count(lit(1)))
-      val plan = agg.queryExecution.executedPlan.toString
-      assert(plan.contains("PushedAggregation: [MIN(n_nationkey), MAX(n_nationkey), COUNT(*)]"),
-        s"aggregate not pushed to footers:\n$plan")
-      assert(agg.head().toSeq == Seq(0L, 24L, 25L))
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
+    // the same shape describe plans per table: a driver-local scan
+    // (FooterAgg), never a BatchScan — no session conf involved
+    val agg = KeyedTableSource.read(spark, w, "nation")
+      .agg(min(col("n_nationkey")), max(col("n_nationkey")), count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTableScan") && !plan.contains("BatchScan"),
+      s"aggregate not answered from footers:\n$plan")
+    assert(agg.head().toSeq == Seq(0L, 24L, 25L))
   }
 
-  test("stats session follows parent conf set AND unset; concurrent describe is safe") {
+  test("concurrent describe racing session conf flips is safe (no shared child session)") {
     val w = wh()
     KeyedTable.toSql(Tables.nation(spark, sfDir), w, "nation", pk = Seq("n_nationkey"))
     val key = "spark.sql.parquet.filterPushdown"
     val default = spark.conf.get(key)
     try {
-      // set on the parent → visible in the child at next use
-      spark.conf.set(key, "false")
-      Catalog.withStatsSession(spark)(s => assert(s.conf.get(key) == "false"))
-      // unset on the parent → REMOVED from the child (back to default),
-      // not left behind from the earlier sync
-      spark.conf.unset(key)
-      Catalog.withStatsSession(spark)(s => assert(s.conf.get(key) == default))
-      // concurrent describes racing parent conf flips: every call must
-      // see a consistent child (the per-child lock serializes sync +
-      // plan) and return the right stats
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val threads = (0 until 4).map { i =>
         new Thread(() => {
