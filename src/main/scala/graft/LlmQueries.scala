@@ -427,6 +427,46 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id")
   }
 
+  /** #35c the curation FUNNEL report — per-stage attrition counts for
+    * the exact pipeline #35b ships (quality → exact dedup →
+    * decontaminate → near-dup clusters → token budget), each stage
+    * measured on the previous stage's survivors. This is the
+    * observability artifact a data team reviews before committing a
+    * mixture: where the documents went, stage by stage, as exact
+    * integers. Six global counts (map-side partial aggregates over
+    * id-only frames) + one 6-row self-join — the report costs the same
+    * operators the pipeline already runs, plus nothing. */
+  def corpusFunnel(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val eval = all.filter(col("doc_id") % 17 === 3)
+    val train = all.filter(col("doc_id") % 17 =!= 3)
+    val qualityPass = qualityFilter(s, d).filter(col("keep")).select("doc_id")
+    val exactCanonical = Dedup.exact(all, "doc_id", "text")
+      .select(col("keep_id").as("doc_id"))
+    val decontamKeep = Dedup.decontaminate(train, eval, "doc_id", "text")
+      .withColumnRenamed("id", "doc_id").select("doc_id")
+    val clusterDrop = dedupCluster(s, d)
+      .filter(!col("is_canonical")).select("doc_id")
+    val s1 = all.select("doc_id").join(qualityPass, "doc_id")
+    val s2 = s1.join(exactCanonical, "doc_id")
+    val s3 = s2.join(decontamKeep, "doc_id")
+    val s4 = s3.join(clusterDrop, Seq("doc_id"), "left_anti")
+    val s5 = Curation.budgetSample(all.join(s4, "doc_id"),
+        "doc_id", "text", "source", budgetTokens = 800L)
+      .select(col("id").as("doc_id"))
+    val stages = Seq("input" -> all.select("doc_id"), "quality" -> s1,
+      "exact" -> s2, "decontaminate" -> s3, "near_dup" -> s4, "budget" -> s5)
+    val counts = stages.zipWithIndex.map { case ((nm, df0), i) =>
+        df0.agg(count(lit(1)).as("n"))
+          .select(lit(i.toLong).as("stage_no"), lit(nm).as("stage"), col("n"))
+      }.reduce(_ union _)
+    val prev = counts.select((col("stage_no") + 1).as("stage_no"),
+      col("n").as("n_in"))
+    counts.join(prev, "stage_no")
+      .select(col("stage_no"), col("stage"), col("n_in"),
+        (col("n_in") - col("n")).as("n_removed"), col("n").as("n_out"))
+  }
+
   /** #36 JSONL ingestion, gate-tested as a roundtrip: the parquet
     * corpus is written out as JSON-lines (the corpus interchange
     * format) and read back through [[graft.sources.Ingest.jsonl]] with
@@ -1115,6 +1155,7 @@ object LlmQueries {
     }),
     "corpus_clean" -> corpusClean,
     "corpus_curate" -> corpusCurate,
+    "corpus_funnel" -> corpusFunnel,
     "ingest_jsonl" -> ingestJsonl,
     "ingest_csv" -> ingestCsv,
   )
@@ -1506,6 +1547,52 @@ object LlmQueries {
             FROM sq)
       SELECT doc_id, source, n_tokens, quality, cum_tokens
       FROM so WHERE cum_tokens <= 800""".trim,
+    // corpus_curate's stage sets replayed cumulatively; per-stage counts
+    // + a self-join on stage_no for the in/removed/out triple
+    "corpus_funnel" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id),
+      $qualityCtes,
+      ek AS (SELECT md5(text) h, min(doc_id) keep FROM documents GROUP BY 1),
+      ev AS (SELECT DISTINCT unnest(sset) s FROM sh WHERE doc_id % 17 = 3),
+      tr AS (SELECT doc_id, unnest(sset) s FROM sh WHERE doc_id % 17 != 3),
+      bad AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev ON ev.s = tr.s),
+      f1 AS (SELECT doc_id FROM qr WHERE reason = 'ok'),
+      f2 AS (SELECT f1.doc_id FROM f1 JOIN ek ON ek.keep = f1.doc_id),
+      f3 AS (SELECT doc_id FROM f2 WHERE doc_id % 17 != 3
+               AND doc_id NOT IN (SELECT doc_id FROM bad)),
+      f4 AS (SELECT doc_id FROM f3
+             WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != cluster_id)),
+      fm AS (SELECT d.doc_id, d.source, string_split(d.text, ' ') toks, d.text
+             FROM documents d JOIN f4 USING (doc_id)),
+      fq AS (SELECT doc_id, source, len(toks)::BIGINT AS n_tokens,
+              floor((least(len(toks)/100.0, 1.0)*0.4 +
+                     least(len(list_filter(toks, x -> x IN ($enList)))/len(toks)*4.0, 1.0)*0.3 +
+                     length(regexp_replace(text, '[^a-z]', '', 'g'))/length(text)*0.3)
+                    * 10000 + 0.5) / 10000 AS quality
+            FROM fm),
+      fo AS (SELECT doc_id, sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum
+             FROM fq),
+      f5 AS (SELECT doc_id FROM fo WHERE cum <= 800),
+      c AS (
+        SELECT 0 AS stage_no, 'input' AS stage, count(*) AS n FROM documents
+        UNION ALL SELECT 1, 'quality', count(*) FROM f1
+        UNION ALL SELECT 2, 'exact', count(*) FROM f2
+        UNION ALL SELECT 3, 'decontaminate', count(*) FROM f3
+        UNION ALL SELECT 4, 'near_dup', count(*) FROM f4
+        UNION ALL SELECT 5, 'budget', count(*) FROM f5)
+      SELECT cur.stage_no::BIGINT AS stage_no, cur.stage,
+             prev.n::BIGINT AS n_in, (prev.n - cur.n)::BIGINT AS n_removed,
+             cur.n::BIGINT AS n_out
+      FROM c cur JOIN c prev ON prev.stage_no = cur.stage_no - 1""".trim,
     "text_quality" -> s"""
       WITH t AS (SELECT doc_id, text, string_split(text, ' ') toks FROM documents),
       m AS (SELECT doc_id,
