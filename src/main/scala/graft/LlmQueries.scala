@@ -967,6 +967,15 @@ object LlmQueries {
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     Knn.quantizeInt8(embs(s, d), "vec_id", "embedding")
 
+  /** #27e top singular direction via distributed exact-decimal Gram +
+    * 40 rounds of driver power iteration ([[Knn.topSingularVector]]) —
+    * every loading and the eigenvalue estimate hash engine-exact. 40
+    * rounds because the synthetic embeddings are near-isotropic (top
+    * eigenvalues 14.4 vs 13.5); each round is an O(dim²) driver matvec,
+    * independent of corpus size. */
+  def embeddingPowerIteration(s: SparkSession, d: String): DataFrame =
+    Knn.topSingularVector(embs(s, d), "embedding", dim = 64, iters = 40)
+
   /** #26 */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
     val e = embs(s, d)
@@ -1132,6 +1141,7 @@ object LlmQueries {
     "ann_bruteforce" -> annBruteforce,
     "embedding_centroids" -> embeddingCentroids,
     "embedding_quantize" -> embeddingQuantize,
+    "embedding_power_iteration" -> embeddingPowerIteration,
     "embedding_pq" -> ((s: SparkSession, d: String) =>
       Knn.pqEncode(embs(s, d), "vec_id", "embedding")),
     "ann_pq" -> ((s: SparkSession, d: String) => {
@@ -1194,6 +1204,44 @@ object LlmQueries {
 
   private def cos(a: String, b: String) =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
+
+  /** Oracle for [[graft.operators.Knn.topSingularVector]] with `iters`
+    * unrolled rounds: exact-decimal Gram, then per round wNx (exact
+    * matvec) → wN (portable 6-dp round) → nN (sqrt of exact sum of
+    * squares) → vN (portable-rounded normalize). Mirrors the driver
+    * loop step for step. */
+  private def powerIterationSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      // MATERIALIZED stops DuckDB's CTE inlining: without it each round
+      // inlines the previous one several times over and the plan (and
+      // file-open count) grows exponentially with the round count
+      val wx =
+        if (t == 1)
+          s"w${t}x AS (SELECT i, sum(gv * CAST(1 AS DECIMAL(8,6))) AS wx FROM g GROUP BY i)"
+        else
+          s"w${t}x AS (SELECT g.i, sum(g.gv * v${t - 1}.v) AS wx FROM g JOIN v${t - 1} ON v${t - 1}.i = g.j GROUP BY 1)"
+      val w = s"w$t AS MATERIALIZED (SELECT i, CAST(floor(wx::DOUBLE * 1000000 + 0.5) / 1000000 AS DECIMAL(12,6)) AS w FROM w${t}x)"
+      val n = s"n$t AS (SELECT sqrt(sum(w * w)::DOUBLE) AS lam FROM w$t)"
+      val v =
+        if (t < iters)
+          s"v$t AS MATERIALIZED (SELECT i, CAST(floor((w::DOUBLE / (SELECT lam FROM n$t)) * 1000000 + 0.5) / 1000000 AS DECIMAL(8,6)) AS v FROM w$t)"
+        else
+          s"v$t AS (SELECT i, floor((w::DOUBLE / (SELECT lam FROM n$t)) * 1000000 + 0.5) / 1000000 AS v FROM w$t)"
+      Seq(wx, w, n, v).mkString(",\n      ")
+    }.mkString(",\n      ")
+    s"""
+      WITH el AS (SELECT vec_id, t.i,
+                    CAST(embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) x
+                  FROM embeddings, (SELECT unnest(range(64)) i) t),
+      g0 AS (SELECT a.i, b.i AS j, sum(a.x * b.x) AS gs
+             FROM el a JOIN el b ON a.vec_id = b.vec_id
+             GROUP BY 1, 2),
+      g AS MATERIALIZED (SELECT i, j, CAST(gs AS DECIMAL(20,12)) AS gv FROM g0),
+      $rounds
+      SELECT i::BIGINT AS dim, v AS loading,
+             (SELECT floor(lam * 10000 + 0.5) / 10000 FROM n$iters) AS lambda
+      FROM v$iters""".trim
+  }
 
   private val enList = LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
 
@@ -2362,6 +2410,11 @@ object LlmQueries {
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
       comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
       SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // the power iteration unrolled: exact-decimal Gram (same DECIMAL(18,6)
+    // element pin as embedding_kmeans), then per round one exact-decimal
+    // matvec + portable 6-dp round + one sqrt + one division — every
+    // float op a single correctly-rounded IEEE step (CTEs generated)
+    "embedding_power_iteration" -> powerIterationSql(40),
     // same stride-1 window hashing (substr is 1-based on both engines),
     // dup = hash count >= 2 corpus-wide, islands via pos - row_number
     "dedup_spans" -> """

@@ -597,6 +597,69 @@ object Knn {
     * an outlier. The assignment is the usual narrow argmax, the join
     * is broadcast — nothing wide anywhere, scales with the scan.
     * Returns (id, cell, cos_centroid, is_outlier). */
+  /** #27e top singular direction of the embedding matrix by distributed
+    * Gram accumulation + driver-side power iteration, engine-EXACT on
+    * both ends (the whole result hashes against the oracle — no "close
+    * enough" tolerance in the gate):
+    *
+    *  - the distributed half: G = XᵀX accumulated as one aggregation.
+    *    Each vector's dim² outer-product contributions are generated
+    *    inside whole-stage codegen and partially aggregated MAP-SIDE in
+    *    the same stage, so the exchange carries at most dim² rows per
+    *    task, never the corpus. Elements are pinned to DECIMAL(18,6)
+    *    before multiplying, so every G cell is an exact decimal sum —
+    *    independent of partitioning and merge order.
+    *  - the driver half: `iters` rounds of v ← Gv/‖Gv‖ over the dim²
+    *    Gram (bounded collect — dim², never data-sized). Each matvec is
+    *    exact decimal arithmetic (order-free); the only float ops per
+    *    round are one portable 6-dp rounding of w, one sqrt, one
+    *    division — all correctly-rounded IEEE, replayed step-for-step
+    *    by the oracle's unrolled CTEs.
+    *
+    * Uncentered (top singular vector of X, not covariance PCA) — the
+    * standard first factor for embedding diagnostics; centering adds
+    * one exact mean pass if needed. Returns (dim, loading, lambda):
+    * loading = the unit direction after `iters` rounds, lambda = ‖Gv‖
+    * of the final round (the Rayleigh-quotient estimate of the top
+    * eigenvalue of G). */
+  def topSingularVector(embs: DataFrame, vecCol: String, dim: Int = 64,
+                        iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Rounding.portableRoundDouble
+    val spark = embs.sparkSession
+    val dec = DecimalType(18, 6)
+    val ij = embs
+      .select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("v"))
+      .select(col("i"), col("xi").cast("double").cast(dec).as("di"),
+        posexplode(col("v")).as(Seq("j", "xj")))
+      .select(col("i"), col("j"),
+        (col("di") * col("xj").cast("double").cast(dec)).as("p"))
+    val cells = ij.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
+      .collect() // bounded by dim² — never data-sized
+    val G = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
+    cells.foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getDecimal(2))
+    var v = Array.fill(dim)(java.math.BigDecimal.ONE)
+    var lambda = 0.0
+    (0 until iters).foreach { _ =>
+      // exact decimal matvec: order-free, so the oracle's SUM matches
+      val wExact = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(java.math.BigDecimal.ZERO) { (acc, j) =>
+          acc.add(G(i)(j).multiply(v(j)))
+        }
+      }
+      val wr = wExact.map(w => portableRoundDouble(w.doubleValue, 6))
+      val n2 = wr.map(java.math.BigDecimal.valueOf)
+        .foldLeft(java.math.BigDecimal.ZERO)((acc, b) => acc.add(b.multiply(b)))
+      lambda = math.sqrt(n2.doubleValue)
+      v = wr.map(w => java.math.BigDecimal.valueOf(
+        portableRoundDouble(w / lambda, 6)))
+    }
+    val out = (0 until dim).map(i =>
+      (i.toLong, v(i).doubleValue, portableRoundDouble(lambda, 4)))
+    import spark.implicits._
+    out.toDF("dim", "loading", "lambda")
+  }
+
   def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
                        cells: Int = 16, threshold: Double = 0.12): DataFrame = {
     import graft.functions.VectorFunctions._
