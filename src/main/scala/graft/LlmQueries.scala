@@ -605,6 +605,31 @@ object LlmQueries {
       "doc_id", "text", n = 5, numHashes = 16, bands = 4, threshold = 0.5)
   }
 
+  /** #22d the store-backed form of #22b: the seen corpus' LSH index
+    * (band keys + shingle rows, [[Dedup.lshIndexTables]]) is PERSISTED
+    * as two keyed tables, read back, and probed by the delta — the real
+    * incremental-ingestion loop, where signatures are computed once per
+    * corpus, stored, and reused by every future batch. Output is
+    * identical to dedup_incremental_lsh; the gate runs it against the
+    * same oracle, so the store round-trip is hash-proven lossless. */
+  def dedupIncrementalStore(s: SparkSession, d: String): DataFrame = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-lshidx-").toString
+    val all = docs(s, d)
+    val incoming = all.filter(col("doc_id") % 5 === 0)
+    val seen = all.filter(col("doc_id") % 5 =!= 0)
+    val (bandRows, shingleRows) = Dedup.lshIndexTables(seen, "doc_id", "text")
+    graft.store.KeyedTable.toSql(
+      bandRows.withColumn("band", col("band").cast("long")),
+      wh, "lsh_bands", pk = Seq("id", "band"))
+    graft.store.KeyedTable.toSql(shingleRows, wh, "lsh_shingles",
+      pk = Seq("id", "shingle"))
+    Dedup.incrementalMinhashLshFromIndex(incoming,
+      graft.store.KeyedTable.readSql(s, wh, "lsh_bands")
+        .withColumn("band", col("band").cast("int")),
+      graft.store.KeyedTable.readSql(s, wh, "lsh_shingles"),
+      "doc_id", "text")
+  }
+
   /** #22 */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
@@ -1098,6 +1123,7 @@ object LlmQueries {
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_lsh_recall" -> dedupLshRecall,
     "dedup_incremental_lsh" -> dedupIncrementalLsh,
+    "dedup_incremental_store" -> dedupIncrementalStore,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
@@ -1281,7 +1307,9 @@ object LlmQueries {
                    ELSE 'ok' END AS reason
             FROM qm)"""
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] = oraclesHead ++ oraclesTail
+
+  private lazy val oraclesHead: Map[String, String] = Map(
     // PQ codes: same codebook (16 lowest-id vectors), same per-subspace
     // squared distance rounded to 6 before the argmin, ties → lowest code
     "embedding_pq" -> """
@@ -2154,7 +2182,15 @@ object LlmQueries {
                    / (SELECT count(*) FROM ex)) * 10000 + 0.5) / 10000 AS recall""".trim,
     // same signature/band chain, cohorts split across the candidate
     // join; best match = (jaccard DESC, id_seen ASC) per incoming doc
-    "dedup_incremental_lsh" -> s"""
+    "dedup_incremental_lsh" -> incrementalLshOracle,
+    // the persisted-index twin produces the identical frame: the index
+    // tables are a pure re-layout of the seen corpus' signatures, so
+    // one oracle serves both
+    "dedup_incremental_store" -> incrementalLshOracle,
+  )
+
+  /** Shared by dedup_incremental_lsh and dedup_incremental_store. */
+  private lazy val incrementalLshOracle: String = s"""
       WITH $shingleCte,
       sig AS (SELECT doc_id, sset,
         list_transform(range(16), i -> list_min(list_transform(sset,
@@ -2175,7 +2211,9 @@ object LlmQueries {
         FROM v WHERE jaccard >= 0.5)
       SELECT d.doc_id AS id, b.id_new IS NOT NULL AS is_dup, b.matched_id, b.jaccard
       FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
-      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id_new""".trim,
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.id_new""".trim
+
+  private val oraclesTail: Map[String, String] = Map(
     // explicit FLOAT→DOUBLE→DECIMAL widening mirrors the Spark casts
     "embedding_centroids" -> """
       WITH x AS (SELECT label, t.i AS dim,

@@ -391,6 +391,83 @@ object Dedup {
         col("matched_id"), col("jaccard"))
   }
 
+  /** #22d the two index tables that make #22b's "computed once and
+    * stored" promise concrete: per-doc LSH band keys (4 rows/doc) and
+    * the per-doc distinct shingle rows — both in long format with
+    * composite unique keys, i.e. exactly the shape
+    * [[graft.store.KeyedTable]] persists. Build once per corpus;
+    * every future delta probes these instead of recomputing the
+    * reference corpus' signatures. */
+  def lshIndexTables(seen: DataFrame, idCol: String, textCol: String,
+                     n: Int = 5, numHashes: Int = 16,
+                     bands: Int = 4): (DataFrame, DataFrame) = {
+    val sh = shingled(seen, idCol, textCol, n)
+    val bandRows = sh.select(col("id"),
+      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
+        bands, numHashes / bands)).as(Seq("band", "key")))
+    val shingleRows = sh.select(col("id"), explode(col("shingles")).as("shingle"))
+    (bandRows, shingleRows)
+  }
+
+  /** #22d incremental MinHash-LSH against a PERSISTED index: same
+    * contract and output as [[incrementalMinhashLsh]], but the seen
+    * corpus arrives as the two [[lshIndexTables]] frames (read back
+    * from the store) instead of raw text — the incremental-ingestion
+    * shape at 100 TB, where yesterday's corpus is an index table and
+    * only the delta's signatures are ever computed. Verification
+    * replays exact Jaccard from the long-format shingle rows: common
+    * counts via one (id, shingle) equi-join restricted to candidates,
+    * set sizes via one count per side, and the SAME double-division
+    * shape as [[graft.functions.TextFunctions.jaccard]] so the result
+    * hashes identically to the recompute-everything form. */
+  def incrementalMinhashLshFromIndex(incoming: DataFrame,
+                                     seenBands: DataFrame,
+                                     seenShingles: DataFrame,
+                                     idCol: String, textCol: String,
+                                     n: Int = 5, numHashes: Int = 16,
+                                     bands: Int = 4,
+                                     threshold: Double = 0.5): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val shNew = shingled(incoming, idCol, textCol, n)
+    val newBands = shNew.select(col("id").as("id_new"),
+      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
+        bands, numHashes / bands)).as(Seq("band", "key")))
+    val cand = newBands
+      .join(seenBands.select(col("id").as("id_seen"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("id_new"), col("id_seen"))
+      .dropDuplicates("id_new", "id_seen")
+    val newEx = shNew.select(col("id").as("id_new"),
+      explode(col("shingles")).as("shingle"))
+    val common = cand.join(newEx, "id_new")
+      .join(seenShingles.select(col("id").as("id_seen"), col("shingle")),
+        Seq("id_seen", "shingle"))
+      .groupBy(col("id_new"), col("id_seen"))
+      .agg(count(lit(1)).as("n_common"))
+    val sizesNew = shNew.select(col("id").as("id_new"),
+      size(col("shingles")).as("n_a"))
+    val sizesSeen = seenShingles.groupBy(col("id").as("id_seen"))
+      .agg(count(lit(1)).cast("int").as("n_s"))
+    // same double shape as TextFunctions.jaccard: inter cast first,
+    // integer sizes subtract the double — bit-identical to the
+    // array_intersect form on the same counts
+    val interD = col("n_common").cast("double")
+    val verified = common
+      .join(sizesNew, "id_new").join(sizesSeen, "id_seen")
+      .withColumn("jaccard",
+        portableRound(interD / (col("n_a") + col("n_s") - interD), 4))
+      .filter(col("jaccard") >= threshold)
+    val best = verified
+      .groupBy(col("id_new"))
+      .agg(max(struct(col("jaccard"), (-col("id_seen")).as("neg_id"))).as("b"))
+      .select(col("id_new"),
+        (-col("b.neg_id")).as("matched_id"), col("b.jaccard").as("jaccard"))
+    incoming.select(col(idCol).as("id"))
+      .join(best, col("id") === col("id_new"), "left")
+      .select(col("id"), col("id_new").isNotNull.as("is_dup"),
+        col("matched_id"), col("jaccard"))
+  }
+
   /** #23 SimHash near-dup pairs: 64-bit simhash per doc (narrow), band
     * the bits into `bands` slices, candidates share an exact slice
     * (pigeonhole: hamming < bands ⇒ ≥1 equal slice), verify
