@@ -126,6 +126,58 @@ object StreamingIngest {
           col(rightTime) <= col(leftTime) + expr(s"INTERVAL $windowSeconds seconds"))
   }
 
+  /** Streaming per-window top-k trending (SURVEY.md §2 #33g):
+    * watermarked tumbling windows in APPEND mode — each window is
+    * emitted exactly once, when the watermark passes its end — then
+    * every micro-batch's finalized windows reduce to their k most
+    * frequent event types through the bounded-heap top-k aggregate
+    * ([[graft.operators.Knn.topKByScore]]) and upsert into a keyed
+    * table keyed by (window, rank).
+    *
+    * Append (not Update) is what makes a streaming top-k well-defined:
+    * pre-finalization counts can only grow, so any early ranking might
+    * need retraction — by ranking only FINALIZED windows, the top-k is
+    * a plain batch aggregate per micro-batch and never lies. State is
+    * the window agg's partials (key cardinality × watermark horizon);
+    * the ranking itself holds ≤k rows per window per task. Replay after
+    * failure re-emits finalized windows; the PK upsert absorbs them. */
+  def trendingTopK(events: DataFrame,
+                   warehouse: String,
+                   table: String,
+                   checkpoint: String,
+                   k: Int = 3,
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): StreamingQuery =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          // largest count first, event_type breaks ties ascending:
+          // ascending heap over (-count, type)
+          val ranked = graft.operators.Knn.topKByScore(
+              batch.withColumn("neg_n", -col("n_events")),
+              Seq("win_start"), "neg_n", "event_type", k, ascending = true)
+            .select(col("win_start"), col("rank"), col("event_type"),
+              col("n_events"),
+              concat(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss"),
+                lit("|"), col("rank")).as("win_key"))
+          val exists = graft.store.Catalog.hasTable(
+            ranked.sparkSession, warehouse, table)
+          KeyedTable.toSql(ranked, warehouse, table, pk = Seq("win_key"),
+            how = if (exists) WriteMode.Upsert else WriteMode.CreateOnly,
+            buckets = 8)
+        }
+      }
+      .start()
+
   /** Start the ingest: every micro-batch upserts its (re)computed windows
     * into `<warehouse>/<table>` keyed by win_key. Update mode + upsert is
     * idempotent per window — late data below the watermark re-emits the
