@@ -43,6 +43,10 @@ object KeyedTable {
   /** Internal hash-bucket partition column. */
   val BucketCol = "pb_bucket"
 
+  /** Changelog subdirectory name (sibling of `data/`, never touched by
+    * vacuum, invisible to the bucket reader). */
+  val ChangelogDir = "_changelog"
+
   val DefaultBuckets = 32
 
   def tableDir(warehouse: String, table: String) = s"$warehouse/$table"
@@ -116,7 +120,8 @@ object KeyedTable {
             validate: Boolean = true,
             inferBool: Boolean = true,
             strictUtc: Boolean = true,
-            schema: Option[String] = None): Unit = {
+            schema: Option[String] = None,
+            changelog: Boolean = false): Unit = {
     val wh = schemaDir(warehouse, schema)
     val spark = df.sparkSession
     if (Names.cleanName(tableName) != tableName)
@@ -182,7 +187,8 @@ object KeyedTable {
             throw new StoreException(
               s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
           case WriteMode.Append => append(cleaned, wh, tableName, addNewColumns, validate)
-          case WriteMode.Upsert => upsert(cleaned, wh, tableName, addNewColumns, validate)
+          case WriteMode.Upsert =>
+            upsert(cleaned, wh, tableName, addNewColumns, validate, changelog)
         }
       }
     }
@@ -463,8 +469,21 @@ object KeyedTable {
     } finally newB.unpersist()
   }
 
+  /** Change-data-capture: with `changelog = true` an upsert also writes,
+    * per incoming row, one (pk…, op) record — op ∈ insert (key absent
+    * before) / update (key present, some INCOMING column's value
+    * changed, null-safe) / unchanged — into `<table>/_changelog/
+    * batch=<n>` as parquet, inside the same write-lock window and
+    * BEFORE the bucket swap (the classification joins the pre-image
+    * while it still exists). Batch numbers are monotonic under the
+    * lock; [[readChangelog]] reads them back with the batch column.
+    * Cost: one extra join of the delta against the touched buckets —
+    * proportional to the delta, never the table. Downstream incremental
+    * pipelines (index maintenance, cache invalidation, derived-table
+    * refresh) consume the log instead of diffing 100 TB snapshots. */
   private def upsert(df: DataFrame, warehouse: String, table: String,
-                     addNewColumns: Boolean, validate: Boolean): Unit = {
+                     addNewColumns: Boolean, validate: Boolean,
+                     changelog: Boolean = false): Unit = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta = TableMeta.read(spark, dir)
@@ -504,6 +523,29 @@ object KeyedTable {
             else col(s"o.$c")
           merged.as(c)
         } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol")).as(BucketCol): _*)
+
+      if (changelog) {
+        val presentOld = col(s"o.$BucketCol").isNotNull
+        val valueCols = incomingCols.toSeq.filterNot(meta.pk.contains).sorted
+        val changedCond = valueCols
+          .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val changes = marked.as("n")
+          .join(oldTouched.as("o"), meta.pk.toIndexedSeq, "left")
+          .select(meta.pk.map(col) :+
+            when(!presentOld, lit("insert"))
+              .when(changedCond, lit("update"))
+              .otherwise(lit("unchanged")).as("op"): _*)
+        val clRoot = new Path(dir, ChangelogDir)
+        val f0 = fs(spark, dir)
+        val nextBatch =
+          if (!f0.exists(clRoot)) 0L
+          else f0.listStatus(clRoot)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+            .map(_.getPath.getName.stripPrefix("batch=").toLong)
+            .foldLeft(-1L)(math.max) + 1L
+        changes.write.parquet(new Path(clRoot, s"batch=$nextBatch").toString)
+      }
 
       // Commit: write to staging, then swap touched bucket dirs. Avoids
       // overwriting a path that is being read, and is per-bucket atomic.
@@ -656,6 +698,26 @@ object KeyedTable {
       if (stale) f.delete(st.getPath, true)
       stale
     }
+  }
+
+  /** Read the change-data-capture log written by changelog-enabled
+    * upserts: one row per incoming row per batch — (pk…, op, batch),
+    * op ∈ insert/update/unchanged, `batch` monotonically increasing
+    * per upsert. `sinceBatch` restricts to batches ≥ it (partition
+    * pruning on the batch directory — an incremental consumer reads
+    * only the new batches, never the history). Empty frame (with no
+    * rows) if the table has no changelog yet. */
+  def readChangelog(spark: SparkSession, warehouse0: String,
+                    tableName: String, sinceBatch: Long = 0L,
+                    schema: Option[String] = None): DataFrame = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    val clRoot = new Path(dir, ChangelogDir)
+    val f = fs(spark, dir)
+    if (!f.exists(clRoot))
+      throw new StoreException(
+        s"table $tableName has no changelog (upsert with changelog=true to start one)")
+    spark.read.parquet(clRoot.toString)
+      .filter(col("batch") >= sinceBatch)
   }
 
   /** Read a table back, optionally restricted to an inclusive PK range.
