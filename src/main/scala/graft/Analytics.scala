@@ -1262,6 +1262,32 @@ object Analytics {
       .agg(count(lit(1)).as("n_keys"), sum(col("c")).as("n_rows"),
         min(col("c")).as("min_rows_per_key"), max(col("c")).as("max_rows_per_key"))
 
+  /** #16d join-cardinality pre-flight: the EXACT output size of
+    * events ⋈ orders on user key, computed before running the join —
+    * |A ⋈ B| = Σ_k cnt_A(k)·cnt_B(k) from the two per-key count
+    * frames, which cost one narrow groupBy each (map-side partial) and
+    * a join whose input is |keys| rows, not |rows|. The companion to
+    * #16c's skew histogram: skew_profile says "this key distribution
+    * is dangerous", this says "this exact join will produce N rows —
+    * 10× the fact table" BEFORE the cluster burns three hours finding
+    * out. Reports the estimate, the matched-key count, the worst key's
+    * contribution, and its share (exact integers + one division). */
+  def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+    val ca = Tables.events(s, d).groupBy(col("user_id").as("k"))
+      .agg(count(lit(1)).as("ca"))
+    val cb = Tables.orders(s, d).groupBy(col("o_custkey").as("k"))
+      .agg(count(lit(1)).as("cb"))
+    ca.join(cb, "k")
+      .select(col("k"), (col("ca") * col("cb")).as("pairs"))
+      .agg(count(lit(1)).as("n_matched_keys"),
+        sum(col("pairs")).as("est_rows"),
+        max(col("pairs")).as("max_key_pairs"))
+      .select(col("n_matched_keys"), col("est_rows"), col("max_key_pairs"),
+        graft.functions.Rounding.portableRound(
+          col("max_key_pairs").cast("double") / col("est_rows").cast("double"),
+          6).as("max_key_share"))
+  }
+
   /** #18m leakage-safe user-level train/valid/test split: the split is
     * a pure hash of user_id (md5-prefix bucket 0–9 → 80/10/10), so
     * every row of a user lands in the same split BY CONSTRUCTION — the
@@ -1726,6 +1752,7 @@ object Analytics {
     "events_attribution" -> (eventsAttribution _),
     "events_markov" -> (eventsMarkov _),
     "skew_profile" -> (skewProfile _),
+    "join_size_estimate" -> (joinSizeEstimate _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2391,6 +2418,18 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // exact |A join B| from the two per-key count frames; sums stay
+    // integer (DuckDB HUGEINT → BIGINT cast), one final division
+    "join_size_estimate" -> """
+      WITH ca AS (SELECT user_id k, count(*) ca FROM events GROUP BY 1),
+      cb AS (SELECT o_custkey k, count(*) cb FROM orders GROUP BY 1),
+      p AS (SELECT ca.k, ca.ca * cb.cb AS pairs FROM ca JOIN cb USING (k))
+      SELECT count(*)::BIGINT AS n_matched_keys,
+             sum(pairs)::BIGINT AS est_rows,
+             max(pairs)::BIGINT AS max_key_pairs,
+             floor((max(pairs)::DOUBLE / sum(pairs)::DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS max_key_share
+      FROM p""".trim,
     // same md5-prefix bucket hash as the Spark side: user → bucket 0-9,
     // <8 train / =8 valid / else test; aggregates prove the partition
     "user_split" -> """
