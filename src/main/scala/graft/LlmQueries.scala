@@ -953,6 +953,34 @@ object LlmQueries {
     base.join(sur, "doc_id").join(nov, "doc_id")
   }
 
+  /** #30ae greedy maximum-match tokenizer inference: segment every doc
+    * against a vocabulary of the corpus' top-50 words plus the 26 ASCII
+    * letters ([[graft.functions.TextFunctions.maxMatchTokens]], a
+    * native expression running the classic longest-prefix-wins loop
+    * per row). Vocabulary selection is one bounded 50-row collect
+    * (count desc, word asc — deterministic); the gate pins per-doc
+    * token/unk counts and fertility (tokens per word — the tokenizer
+    * quality metric a data team actually tracks). Non-letter characters
+    * outside the vocab emit `<unk>`, exercising all three match paths
+    * (full word, letter fallback, unknown). */
+  def textMaxmatch(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val topWords = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(50)
+      .collect().map(_.getString(0)).toSeq // bounded: exactly 50 rows
+    val vocab = (topWords ++ ('a' to 'z').map(_.toString)).distinct
+    docs(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        maxMatchTokens(col("text"), vocab).as("_t"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("_t")).cast("long").as("n_tokens"),
+        size(filter(col("_t"), t => t === lit("<unk>"))).cast("long").as("n_unk"))
+      .withColumn("fertility", portableRound(
+        col("n_tokens").cast("double") / col("n_words").cast("double"), 4))
+  }
+
   /** #30x bigram collocation mining by lift (support >= 5, top 20). */
   def tokenLift(s: SparkSession, d: String): DataFrame =
     Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
@@ -1150,6 +1178,7 @@ object LlmQueries {
     "text_novelty" -> textNovelty,
     "bpe_pairs" -> bpePairs,
     "token_lift" -> tokenLift,
+    "text_maxmatch" -> textMaxmatch,
     "text_surprisal" -> textSurprisal,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "dsir_weights" -> dsirWeights,
@@ -2448,6 +2477,43 @@ object LlmQueries {
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
       comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
       SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // the greedy longest-prefix loop as a recursive CTE over DISTINCT
+    // words (each occurrence segments identically), correlated LIMIT 1
+    // subquery = the argmax match, then per-doc sums over occurrences
+    "text_maxmatch" -> s"""
+      WITH RECURSIVE wfreq AS (
+        SELECT w, count(*) c FROM (
+          SELECT unnest(string_split(text, ' ')) w FROM documents) GROUP BY w),
+      topw AS (SELECT w FROM wfreq ORDER BY c DESC, w LIMIT 50),
+      vocab AS (SELECT DISTINCT v FROM (
+        SELECT w AS v FROM topw
+        UNION ALL
+        SELECT unnest([${('a' to 'z').map(c => s"'$c'").mkString(",")}]) AS v)),
+      words AS (SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) w FROM documents) WHERE w != ''),
+      seg(w, pos, n_toks, n_unk) AS (
+        SELECT w, 1, 0, 0 FROM words
+        UNION ALL
+        SELECT w, pos + CASE WHEN best IS NULL THEN 1 ELSE length(best) END,
+               n_toks + 1,
+               n_unk + CASE WHEN best IS NULL THEN 1 ELSE 0 END
+        FROM (SELECT s.w, s.pos, s.n_toks, s.n_unk,
+                (SELECT v FROM vocab
+                 WHERE substr(s.w, s.pos, length(v)) = v
+                 ORDER BY length(v) DESC, v LIMIT 1) AS best
+              FROM seg s WHERE s.pos <= length(s.w)) t),
+      done AS (SELECT w, n_toks, n_unk FROM seg WHERE pos > length(w)),
+      ex AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+      nw AS (SELECT doc_id, len(string_split(text, ' '))::BIGINT n_words FROM documents),
+      agg AS (SELECT e.doc_id,
+                sum(d.n_toks)::BIGINT n_tokens, sum(d.n_unk)::BIGINT n_unk
+              FROM ex e JOIN done d ON d.w = e.w GROUP BY e.doc_id)
+      SELECT nw.doc_id, nw.n_words,
+             coalesce(agg.n_tokens, 0) AS n_tokens,
+             coalesce(agg.n_unk, 0) AS n_unk,
+             floor((coalesce(agg.n_tokens, 0)::DOUBLE / nw.n_words::DOUBLE)
+                   * 10000 + 0.5) / 10000 AS fertility
+      FROM nw LEFT JOIN agg USING (doc_id)""".trim,
     // the power iteration unrolled: exact-decimal Gram (same DECIMAL(18,6)
     // element pin as embedding_kmeans), then per round one exact-decimal
     // matvec + portable 6-dp round + one sqrt + one division — every

@@ -15,6 +15,15 @@ object TextFunctions {
     * pre-normalized single-spaced lowercase). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Greedy maximum-match tokenization against a fixed vocabulary
+    * (native expression — see [[graft.functions.expr.MaxMatchTokens]]):
+    * longest vocab prefix wins within each space-delimited word,
+    * unmatched characters emit `<unk>`. */
+  def maxMatchTokens(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.functions.expr.MaxMatchTokens(
+        org.apache.spark.sql.GraftBridge.expression(text), vocab))
+
   /** Distinct n-word shingles (native expression — see
     * [[graft.functions.expr.WordShingles]]). Documents shorter than `n`
     * tokens collapse to one whole-text shingle. */

@@ -519,10 +519,14 @@ object Dedup {
       .select(col(idCol).as("id"),
         posexplode(transform(sequence(lit(0), length(col(textCol)) - w),
           i => md5(col(textCol).substr(i + lit(1), lit(w))))).as(Seq("pos", "h")))
-    val dupHashes = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= minOccurrences)
-      .select(col("h"))
-    val dupPos = wins.join(dupHashes, Seq("h"), "left_semi")
+    // corpus-wide occurrence count as a window over the hash: ONE
+    // computation of the window rows and one exchange, instead of an
+    // aggregate + semi-join pair that recomputes the whole stride-1
+    // hash fanout for each side
+    val dupPos = wins
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("n") >= minOccurrences)
+      .drop("n")
     // consecutive duplicated positions share (pos - rank): one island
     // per maximal run, merged by a bounded per-doc aggregate
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))

@@ -628,16 +628,26 @@ object Knn {
     import graft.functions.Rounding.portableRoundDouble
     val spark = embs.sparkSession
     val dec = DecimalType(18, 6)
-    val ij = embs
-      .select(posexplode(col(vecCol)).as(Seq("i", "xi")), col(vecCol).as("v"))
-      .select(col("i"), col("xi").cast("double").cast(dec).as("di"),
-        posexplode(col("v")).as(Seq("j", "xj")))
-      .select(col("i"), col("j"),
-        (col("di") * col("xj").cast("double").cast(dec)).as("p"))
+    // decimal-pin each element ONCE per vector, then fan out only the
+    // upper triangle (j ≥ i, via a positional slice) — half the
+    // products of the naive dim² outer fanout and no per-pair casts
+    val withDec = embs.select(
+      transform(col(vecCol), x => x.cast("double").cast(dec)).as("dv"))
+    val ij = withDec
+      .select(posexplode(col("dv")).as(Seq("i", "di")), col("dv"))
+      .select(col("i"), col("di"),
+        posexplode(slice(col("dv"), col("i") + lit(1), lit(dim)))
+          .as(Seq("off", "dj")))
+      .select(col("i"), (col("i") + col("off")).as("j"),
+        (col("di") * col("dj")).as("p"))
     val cells = ij.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
       .collect() // bounded by dim² — never data-sized
     val G = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
-    cells.foreach(r => G(r.getInt(0))(r.getInt(1)) = r.getDecimal(2))
+    cells.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      G(i)(j) = r.getDecimal(2)
+      G(j)(i) = r.getDecimal(2) // Gram is symmetric; mirror the triangle
+    }
     var v = Array.fill(dim)(java.math.BigDecimal.ONE)
     var lambda = 0.0
     (0 until iters).foreach { _ =>
