@@ -1288,6 +1288,44 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #18n CUSUM mean-shift detection over per-type daily volumes — the
+    * drift monitor an ingestion pipeline runs on its own throughput
+    * ("did this source's rate change-point?"). ENGINE-EXACT integer
+    * form: scale deviations by n so the mean never becomes a float —
+    * d_t = n·x_t − Σx, CUSUM⁺_t = max(0, CUSUM⁺_{t−1} + d_t), CUSUM⁻
+    * symmetric; alarm when 2·CUSUM > Σx (threshold = half the total,
+    * i.e. mean·n/2 in scaled units). The distributed part is the daily
+    * aggregation (map-side partial over the raw events); the CUSUM
+    * chain is an inherently sequential max-reset recursion folded on
+    * the driver over the aggregated series — bounded by days × types
+    * (a decade of days is 3,650 rows per type), never by event volume.
+    * The oracle replays the recursion as a per-type recursive CTE. */
+  def eventsChangepoint(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"), col("day"))
+      .collect() // bounded: observed days × event types
+    val out = daily.groupBy(_.getString(0)).toSeq.flatMap { case (t, rows) =>
+      val xs = rows.sortBy(_.getTimestamp(1).getTime)
+      val n = xs.length.toLong
+      val sum = xs.map(_.getLong(2)).sum
+      var cu = 0L
+      var cd = 0L
+      xs.map { r =>
+        val x = r.getLong(2)
+        val dev = n * x - sum
+        cu = math.max(0L, cu + dev)
+        cd = math.max(0L, cd - dev)
+        (t, r.getTimestamp(1), x, cu, cd, 2 * cu > sum, 2 * cd > sum)
+      }
+    }
+    import spark.implicits._
+    out.toDF("event_type", "day", "n_events", "cusum_up", "cusum_dn",
+      "alarm_up", "alarm_dn")
+  }
+
   /** #18m leakage-safe user-level train/valid/test split: the split is
     * a pure hash of user_id (md5-prefix bucket 0–9 → 80/10/10), so
     * every row of a user lands in the same split BY CONSTRUCTION — the
@@ -1753,6 +1791,7 @@ object Analytics {
     "events_markov" -> (eventsMarkov _),
     "skew_profile" -> (skewProfile _),
     "join_size_estimate" -> (joinSizeEstimate _),
+    "events_changepoint" -> (eventsChangepoint _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2418,6 +2457,32 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // the n-scaled integer CUSUM replayed as a per-type recursive CTE
+    // in (day) order; greatest() is the max-reset, all arithmetic
+    // integer (HUGEINT intermediates cast to BIGINT at the edge)
+    "events_changepoint" -> """
+      WITH RECURSIVE d AS (
+        SELECT event_type AS t, date_trunc('day', ts) AS dday, count(*) AS x
+        FROM events GROUP BY 1, 2),
+      stats AS (SELECT t, count(*) n, sum(x) s FROM d GROUP BY 1),
+      seq AS (SELECT t, dday, x,
+                row_number() OVER (PARTITION BY t ORDER BY dday) rn FROM d),
+      rec(t, rn, dday, x, cu, cd) AS (
+        SELECT s.t, s.rn, s.dday, s.x,
+               greatest(0, st.n * s.x - st.s),
+               greatest(0, -(st.n * s.x - st.s))
+        FROM seq s JOIN stats st USING (t) WHERE s.rn = 1
+        UNION ALL
+        SELECT s.t, s.rn, s.dday, s.x,
+               greatest(0, r.cu + st.n * s.x - st.s),
+               greatest(0, r.cd - (st.n * s.x - st.s))
+        FROM rec r
+        JOIN seq s ON s.t = r.t AND s.rn = r.rn + 1
+        JOIN stats st ON st.t = s.t)
+      SELECT rec.t AS event_type, rec.dday AS day, rec.x::BIGINT AS n_events,
+             rec.cu::BIGINT AS cusum_up, rec.cd::BIGINT AS cusum_dn,
+             2 * rec.cu > st.s AS alarm_up, 2 * rec.cd > st.s AS alarm_dn
+      FROM rec JOIN stats st ON st.t = rec.t""".trim,
     // exact |A join B| from the two per-key count frames; sums stay
     // integer (DuckDB HUGEINT → BIGINT cast), one final division
     "join_size_estimate" -> """
