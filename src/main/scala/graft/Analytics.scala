@@ -1288,6 +1288,35 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #18o weekday seasonality profile: per (event_type, day-of-week)
+    * volume share plus an n-scaled χ²-style uniformity statistic —
+    * "is this source's traffic actually weekly-periodic, or flat?".
+    * Exact integer core: share numerators/denominators and the
+    * statistic's scaled form Σ(7·n_d − N)² stay integers; each output
+    * float is one exact-integer division, portable-rounded. One narrow
+    * aggregation + a 7-row-per-type join — nothing scales with events
+    * beyond the first map-side partial. */
+  def eventsSeasonality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val byDow = Tables.events(s, d)
+      .groupBy(col("event_type"), dayofweek(col("ts")).cast("int").as("dow"))
+      .agg(count(lit(1)).as("n"))
+    val tot = byDow.groupBy(col("event_type")).agg(
+      sum(col("n")).as("total"),
+      sum((lit(7) * col("n")) * (lit(7) * col("n"))).as("_s7sq"),
+      count(lit(1)).as("_ndows"))
+    // Σ(7n−N)² = 49Σn² − 14NΣn + dows·N² = _s7sq − 14N·N + dows·N²
+    // (Σn = N) — assembled from exact integer sums
+    byDow.join(tot, "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        portableRound(col("n").cast("double") / col("total").cast("double"), 4)
+          .as("share"),
+        portableRound(
+          (col("_s7sq") - lit(14) * col("total") * col("total")
+            + col("_ndows") * col("total") * col("total")).cast("double")
+            / (lit(7) * col("total")).cast("double"), 4).as("chi2_scaled"))
+  }
+
   /** #18n CUSUM mean-shift detection over per-type daily volumes — the
     * drift monitor an ingestion pipeline runs on its own throughput
     * ("did this source's rate change-point?"). ENGINE-EXACT integer
@@ -1792,6 +1821,7 @@ object Analytics {
     "skew_profile" -> (skewProfile _),
     "join_size_estimate" -> (joinSizeEstimate _),
     "events_changepoint" -> (eventsChangepoint _),
+    "events_seasonality" -> (eventsSeasonality _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2457,6 +2487,19 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // DuckDB dayofweek is 0=Sunday; +1 aligns with Spark's 1=Sunday.
+    // χ² assembled from the same exact integer sums, one division
+    "events_seasonality" -> """
+      WITH b AS (SELECT event_type, (dayofweek(ts) + 1)::INT AS dow, count(*) n
+                 FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, sum(n) total, sum((7*n)*(7*n)) s7sq,
+              count(*) ndows
+            FROM b GROUP BY 1)
+      SELECT b.event_type, b.dow, b.n::BIGINT AS n,
+             floor((b.n::DOUBLE / t.total::DOUBLE) * 10000 + 0.5) / 10000 AS share,
+             floor(((s7sq - 14*total*total + ndows*total*total)::DOUBLE
+                    / (7*total)::DOUBLE) * 10000 + 0.5) / 10000 AS chi2_scaled
+      FROM b JOIN t USING (event_type)""".trim,
     // the n-scaled integer CUSUM replayed as a per-type recursive CTE
     // in (day) order; greatest() is the max-reset, all arithmetic
     // integer (HUGEINT intermediates cast to BIGINT at the edge)

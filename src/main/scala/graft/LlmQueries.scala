@@ -699,6 +699,21 @@ object LlmQueries {
     Dedup.duplicateSpans(docs(s, d), "doc_id", "text", w = 40)
       .withColumnRenamed("id", "doc_id")
 
+  /** #25e near-dup cluster-size histogram: sizes of the connected
+    * components in log₂ bins (the same integer bin()-length trick as
+    * the skew profiler) — the shape check a dedup run reports before
+    * anyone trusts it: a healthy corpus shows pairs/triangles, a
+    * heavy tail says boilerplate or a broken shingle rule. Two
+    * bounded aggregates over the component labels. */
+  def dedupClusterSizes(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+        Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+          n = 5, numHashes = 16, bands = 4, threshold = 0.5))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      .groupBy(length(bin(col("sz"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        min(col("sz")).as("min_size"), max(col("sz")).as("max_size"))
+
   /** #21d segment-level corpus dedup: 8-token segments, drop any
     * segment shared by ≥2 docs (maxDf = 1 — the strictest CCNet-style
     * boilerplate rule; at sf0.01 that removes ~9% of segments, all of
@@ -1163,6 +1178,7 @@ object LlmQueries {
     }),
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_best" -> dedupClusterBest,
+    "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_spans" -> dedupSpans,
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       Dedup.semantic(embs(s, d), "vec_id", "embedding",
@@ -2536,6 +2552,22 @@ object LlmQueries {
              (max(pos) + 40)::BIGINT AS span_end,
              count(*)::BIGINT AS n_windows
       FROM isl GROUP BY doc_id, grp""".trim,
+    // component sizes into len(bin()) log2 buckets — skew_profile's
+    // integer binning over the cluster cardinalities
+    "dedup_cluster_sizes" -> s"""
+      WITH RECURSIVE $minhashCtes,
+      pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      edges AS (SELECT id_a s, id_b d FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT DISTINCT s, s FROM edges
+        UNION
+        SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+      comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id),
+      sz AS (SELECT cluster_id, count(*) sz FROM comp GROUP BY 1)
+      SELECT len(bin(sz))::INT AS bucket, count(*)::BIGINT AS n_clusters,
+             sum(sz)::BIGINT AS n_docs, min(sz)::BIGINT AS min_size,
+             max(sz)::BIGINT AS max_size
+      FROM sz GROUP BY 1""".trim,
     // dedup_cluster's components joined with budget_sample's composite
     // quality replication; canonical = argmax (quality DESC, id) per
     // cluster via row_number — the same order min(struct(-q, id)) picks
