@@ -1035,6 +1035,35 @@ object LlmQueries {
   def embeddingQuantize(s: SparkSession, d: String): DataFrame =
     Knn.quantizeInt8(embs(s, d), "vec_id", "embedding")
 
+  /** #27f per-dimension whitening (z-score normalization) of the
+    * embedding table — the standard preprocessing before cosine/PQ
+    * indexing when dimensions carry unequal variance. Engine-exact:
+    * per-dim Σx and Σx² are exact decimal sums (order-free), the
+    * variance numerator n·Σx² − (Σx)² stays exact decimal, and each
+    * output is three IEEE ops (subtract, sqrt, divide) on identical
+    * doubles, portable-rounded once. One narrow explode + one dim-keyed
+    * aggregate; the stats frame is dim rows, broadcast back onto the
+    * fanout. */
+  def embeddingWhiten(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val el = embs(s, d).select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        col("xf").cast("double").cast(dec).as("x"))
+    val stats = el.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("dim"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mu"),
+        (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          / col("n").cast("double")).as("sigma"))
+    el.join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim"),
+        portableRound((col("x").cast("double") - col("mu")) / col("sigma"), 4)
+          .as("z"))
+  }
+
   /** #27e top singular direction via distributed exact-decimal Gram +
     * 40 rounds of driver power iteration ([[Knn.topSingularVector]]) —
     * every loading and the eigenvalue estimate hash engine-exact. 40
@@ -1213,6 +1242,7 @@ object LlmQueries {
     "embedding_centroids" -> embeddingCentroids,
     "embedding_quantize" -> embeddingQuantize,
     "embedding_power_iteration" -> embeddingPowerIteration,
+    "embedding_whiten" -> embeddingWhiten,
     "embedding_pq" -> ((s: SparkSession, d: String) =>
       Knn.pqEncode(embs(s, d), "vec_id", "embedding")),
     "ann_pq" -> ((s: SparkSession, d: String) => {
@@ -2493,6 +2523,21 @@ object LlmQueries {
         SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
       comp AS (SELECT id, min(lbl) cluster_id FROM reach GROUP BY id)
       SELECT id AS doc_id, cluster_id, id = cluster_id AS is_canonical FROM comp""".trim,
+    // same decimal pin as the centroid family; variance numerator
+    // n·Σx² − (Σx)² exact decimal, then subtract/sqrt/divide as the
+    // only float ops
+    "embedding_whiten" -> """
+      WITH el AS (SELECT vec_id, t.i AS dim,
+                    CAST(embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) x
+                  FROM embeddings, (SELECT unnest(range(64)) i) t),
+      st AS (SELECT dim, count(*) n, sum(x) sx, sum(x * x) sxx
+             FROM el GROUP BY 1),
+      mu AS (SELECT dim, sx::DOUBLE / n::DOUBLE AS mu,
+               sqrt((n * sxx - sx * sx)::DOUBLE) / n::DOUBLE AS sigma
+             FROM st)
+      SELECT el.vec_id, el.dim::BIGINT AS dim,
+             floor(((el.x::DOUBLE - mu.mu) / mu.sigma) * 10000 + 0.5) / 10000 AS z
+      FROM el JOIN mu USING (dim)""".trim,
     // the greedy longest-prefix loop as a recursive CTE over DISTINCT
     // words (each occurrence segments identically), correlated LIMIT 1
     // subquery = the argmax match, then per-doc sums over occurrences
