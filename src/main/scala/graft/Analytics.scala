@@ -1288,6 +1288,32 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #14q RFM customer segmentation (recency / frequency / monetary) —
+    * the classic marketing-analytics cut, all exact: recency in whole
+    * days against the corpus max date (a broadcast scalar — the one
+    * acceptable crossJoin shape), frequency an integer count, monetary
+    * a decimal sum rounded once. Segments from fixed threshold rules
+    * (deterministic CASE — no quantile dependence between rows, so the
+    * assignment parallelizes as a pure projection). */
+  def ordersRfm(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val anchor = o.agg(max(col("o_orderdate")).as("max_date"))
+    val rfm = o.groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        round(moneySum(col("o_totalprice")), 2).cast("double").as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("max_date"), col("last_order")).cast("long").as("recency_days"),
+        col("frequency"), col("monetary"))
+    rfm.withColumn("segment",
+      when(col("recency_days") <= 90 && col("frequency") >= 10, "champion")
+        .when(col("recency_days") <= 90 && col("frequency") >= 5, "loyal")
+        .when(col("recency_days") <= 365, "active")
+        .when(col("frequency") >= 10, "lapsed_whale")
+        .otherwise("dormant"))
+  }
+
   /** #18o weekday seasonality profile: per (event_type, day-of-week)
     * volume share plus an n-scaled χ²-style uniformity statistic —
     * "is this source's traffic actually weekly-periodic, or flat?".
@@ -1822,6 +1848,7 @@ object Analytics {
     "join_size_estimate" -> (joinSizeEstimate _),
     "events_changepoint" -> (eventsChangepoint _),
     "events_seasonality" -> (eventsSeasonality _),
+    "orders_rfm" -> (ordersRfm _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2487,6 +2514,22 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // whole-day recency against the corpus max date; thresholds are
+    // fixed constants so the segment CASE is a pure projection
+    "orders_rfm" -> """
+      WITH mx AS (SELECT max(o_orderdate) md FROM orders),
+      rfm AS (SELECT o_custkey, max(o_orderdate) lo, count(*) frequency,
+                round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)::DOUBLE AS monetary
+              FROM orders GROUP BY 1)
+      SELECT o_custkey,
+             datediff('day', lo, (SELECT md FROM mx))::BIGINT AS recency_days,
+             frequency::BIGINT AS frequency, monetary,
+             CASE WHEN datediff('day', lo, (SELECT md FROM mx)) <= 90 AND frequency >= 10 THEN 'champion'
+                  WHEN datediff('day', lo, (SELECT md FROM mx)) <= 90 AND frequency >= 5 THEN 'loyal'
+                  WHEN datediff('day', lo, (SELECT md FROM mx)) <= 365 THEN 'active'
+                  WHEN frequency >= 10 THEN 'lapsed_whale'
+                  ELSE 'dormant' END AS segment
+      FROM rfm""".trim,
     // DuckDB dayofweek is 0=Sunday; +1 aligns with Spark's 1=Sunday.
     // χ² assembled from the same exact integer sums, one division
     "events_seasonality" -> """
