@@ -80,7 +80,8 @@ object KeyedTableSource {
 }
 
 private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = dataDir
 
@@ -88,10 +89,46 @@ private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
     StructType(meta.schema.fields :+ KeyedTableSource.bucketField)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema())
+
+  /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the
+    * store's own write path — a V1 write fallback hands the whole
+    * input DataFrame to [[KeyedTable.toSql]] (Append), so SQL inserts
+    * get the identical contract as programmatic appends: PK
+    * uniqueness/overlap validation, bucket layout + per-bucket
+    * staging/swap, type coercion toward the table schema, and the
+    * writer lock. The synthetic `pb_bucket` column is dropped from the
+    * input (it is derived from the PK, never accepted from the user —
+    * SQL position-based inserts pass NULL for it).
+    * INSERT OVERWRITE is rejected: replacing a keyed table's contents
+    * is a drop + create (or an upsert) decision, not a silent
+    * truncation. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // dataDir is always <warehouse>/<table>/data (see KeyedTableSource)
+    val tableDir = new Path(dataDir).getParent
+    val wh = tableDir.getParent.toString
+    val tbl = tableDir.getName
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+              if (overwrite)
+                throw new StoreException(
+                  "INSERT OVERWRITE is not supported on keyed tables: " +
+                  "drop + recreate, or upsert through KeyedTable.toSql")
+              KeyedTable.toSql(data.drop(KeyedTable.BucketCol), wh, tbl,
+                how = WriteMode.Append)
+            }
+        }
+    }
+  }
 }
 
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
