@@ -699,6 +699,14 @@ object LlmQueries {
     Dedup.duplicateSpans(docs(s, d), "doc_id", "text", w = 40)
       .withColumnRenamed("id", "doc_id")
 
+  /** #21j keep-first substring cut: the per-doc removal ledger for
+    * corpus-wide duplicated 40-char windows ([[Dedup.duplicateSpansCut]]
+    * — canonical occurrence survives, the rest are cut; exact island
+    * byte totals + surviving fraction). */
+  def dedupSpansCut(s: SparkSession, d: String): DataFrame =
+    Dedup.duplicateSpansCut(docs(s, d), "doc_id", "text", w = 40)
+      .withColumnRenamed("id", "doc_id")
+
   /** #25e near-dup cluster-size histogram: sizes of the connected
     * components in log₂ bins (the same integer bin()-length trick as
     * the skew profiler) — the shape check a dedup run reports before
@@ -1209,6 +1217,7 @@ object LlmQueries {
     "dedup_cluster_best" -> dedupClusterBest,
     "dedup_cluster_sizes" -> dedupClusterSizes,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_cut" -> dedupSpansCut,
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
       Dedup.semantic(embs(s, d), "vec_id", "embedding",
         cells = 16, threshold = 0.35)),
@@ -2597,6 +2606,30 @@ object LlmQueries {
              (max(pos) + 40)::BIGINT AS span_end,
              count(*)::BIGINT AS n_windows
       FROM isl GROUP BY doc_id, grp""".trim,
+    // rank-1 occurrence per hash survives; the rest island-merge per
+    // doc into exact removed-byte totals
+    "dedup_spans_cut" -> """
+      WITH w AS (
+        SELECT doc_id, t.i AS pos, md5(substr(text, t.i + 1, 40)) AS h
+        FROM documents,
+             LATERAL (SELECT unnest(range(length(text) - 40 + 1)) AS i) t
+        WHERE length(text) >= 40),
+      cut AS (SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) rn
+                FROM w) WHERE rn > 1),
+      isl AS (SELECT doc_id, pos,
+                pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM cut),
+      sp AS (SELECT doc_id, max(pos) - min(pos) + 40 AS len
+             FROM isl GROUP BY doc_id, grp),
+      pd AS (SELECT doc_id, sum(len) cut, count(*) ns FROM sp GROUP BY 1)
+      SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+             coalesce(pd.cut, 0)::BIGINT AS n_cut_chars,
+             coalesce(pd.ns, 0)::BIGINT AS n_spans,
+             floor((1.0 - coalesce(pd.cut, 0)::DOUBLE / length(d.text)::DOUBLE)
+                   * 10000 + 0.5) / 10000 AS kept_frac
+      FROM documents d LEFT JOIN pd USING (doc_id)""".trim,
     // component sizes into len(bin()) log2 buckets — skew_profile's
     // integer binning over the cluster cardinalities
     "dedup_cluster_sizes" -> s"""

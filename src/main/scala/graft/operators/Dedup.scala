@@ -538,6 +538,47 @@ object Dedup {
       .select(col("id"), col("span_start"), col("span_end"), col("n_windows"))
   }
 
+  /** #21j the CUT that [[duplicateSpans]] reports: every duplicated
+    * window keeps exactly its FIRST occurrence corpus-wide (minimum
+    * (doc, pos) — deterministic, engine-portable) and every other
+    * occurrence's position is marked for removal; marked positions
+    * merge into maximal islands per doc and the per-doc removed-byte
+    * total and surviving fraction come out. This is the substring-dedup
+    * decision a cleaning pass applies (Lee et al. 2021 keep-one-copy),
+    * as a frame of exact integers — the text itself is cut downstream
+    * with one substring projection per span.
+    *
+    * Same scale shape as the detector: one stride-1 hash fanout, ONE
+    * window pass over the hash (rank + nothing else), bounded per-doc
+    * island merge. */
+  def duplicateSpansCut(docs: DataFrame, idCol: String, textCol: String,
+                        w: Int = 40): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = docs.filter(length(col(textCol)) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), length(col(textCol)) - w),
+          i => md5(col(textCol).substr(i + lit(1), lit(w))))).as(Seq("pos", "h")))
+    // rank occurrences of each window corpus-wide; rank 1 = canonical
+    val cut = wins.withColumn("rn", row_number().over(
+        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+      .filter(col("rn") > 1)
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val spans = cut.withColumn("grp", col("pos") - row_number().over(byDoc))
+      .groupBy(col("id"), col("grp"))
+      .agg((max(col("pos")) - min(col("pos")) + w).cast("long").as("len"))
+    val perDoc = spans.groupBy(col("id"))
+      .agg(sum(col("len")).as("cut"), count(lit(1)).as("ns"))
+    docs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_chars"),
+        coalesce(col("cut"), lit(0L)).as("n_cut_chars"),
+        coalesce(col("ns"), lit(0L)).as("n_spans"),
+        graft.functions.Rounding.portableRound(
+          lit(1.0) - coalesce(col("cut"), lit(0L)).cast("double")
+            / col("n_chars").cast("double"), 4).as("kept_frac"))
+  }
+
   /** #25b Connected components over an undirected near-dup pair list —
     * turns pairwise matches into dedup CLUSTERS so a pipeline can keep
     * one canonical doc per group (the member with the minimum id).

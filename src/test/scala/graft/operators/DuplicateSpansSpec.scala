@@ -33,6 +33,22 @@ class DuplicateSpansSpec extends SparkSpec {
       s"two disjoint islands, not one; got $out")
   }
 
+  test("cut keeps the first occurrence: canonical doc loses nothing, copies lose the payload") {
+    val shared = "ABCDEFGHIJKLMNOPQRST" // 20 chars, w=10
+    val out = Dedup.duplicateSpansCut(Seq(
+        1L -> s"xxxxx${shared}yyyyyyy",        // first occurrence (lowest id)
+        2L -> s"qqqqqqqqqq${shared}rr",
+        3L -> "totally-unique-text-here-ok")
+        .toDF("doc_id", "text"), "doc_id", "text", w = 10)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._3, t._4, t._5))).toMap
+    assert(out(1L) == ((0L, 0L, 1.0)), "canonical occurrence is never cut")
+    // doc 2 is 10 + 20 + 2 = 32 chars; kept = 1 − 20/32 = 0.375
+    assert(out(2L) == ((20L, 1L, 0.375)),
+      s"copy loses the 20 shared chars; got ${out(2L)}")
+    assert(out(3L) == ((0L, 0L, 1.0)), "unique doc untouched")
+  }
+
   test("duplicates shorter than w are invisible") {
     val out = spans(
       1L -> "shortdupAB-unique-tail-one",
