@@ -1288,6 +1288,37 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #18p discrete churn-hazard table over user lifetimes: for each
+    * lifetime day k, the users still at risk (observed lifetime ≥ k),
+    * the users ending at exactly k, and the hazard — with right-
+    * censoring handled the Kaplan-Meier way (a user whose last event
+    * is within 7 days of the observation end is censored: they count
+    * in at-risk, never as churned). All counts exact integers; the one
+    * division per row is the hazard. The at-risk curve is a reverse
+    * running sum over the ≤ #lifetime-days aggregated frame (post-agg
+    * global window — PlanAudit-bounded like the new-users curve). */
+  def eventsHazard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.Rounding.portableRound
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("dday"))
+    val life = ev.groupBy(col("user_id"))
+      .agg(min(col("dday")).as("f"), max(col("dday")).as("l"))
+    val mx = life.agg(max(col("l")).as("m"))
+    val per = life.crossJoin(broadcast(mx))
+      .select(datediff(col("l"), col("f")).cast("long").as("lifetime_days"),
+        (datediff(col("m"), col("l")) < 7).as("censored"))
+    val byL = per.groupBy(col("lifetime_days"))
+      .agg(count(lit(1)).as("n_ending"),
+        sum(when(!col("censored"), 1L).otherwise(0L)).as("n_churned"))
+    val w = Window.orderBy(col("lifetime_days").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byL.withColumn("at_risk", sum(col("n_ending")).over(w))
+      .select(col("lifetime_days"), col("at_risk"), col("n_churned"),
+        portableRound(col("n_churned").cast("double")
+          / col("at_risk").cast("double"), 4).as("hazard"))
+  }
+
   /** #14q RFM customer segmentation (recency / frequency / monetary) —
     * the classic marketing-analytics cut, all exact: recency in whole
     * days against the corpus max date (a broadcast scalar — the one
@@ -1849,6 +1880,7 @@ object Analytics {
     "events_changepoint" -> (eventsChangepoint _),
     "events_seasonality" -> (eventsSeasonality _),
     "orders_rfm" -> (ordersRfm _),
+    "events_hazard" -> (eventsHazard _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2514,6 +2546,28 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // KM-style right-censoring: last event within 7 days of the corpus
+    // end counts at-risk but never churned; reverse running sum = the
+    // at-risk curve
+    "events_hazard" -> """
+      WITH e AS (SELECT user_id, date_trunc('day', ts) dday FROM events),
+      lf AS (SELECT user_id, min(dday) f, max(dday) l FROM e GROUP BY 1),
+      m AS (SELECT max(l) m FROM lf),
+      per AS (SELECT datediff('day', f, l) AS lifetime_days,
+                datediff('day', l, (SELECT m FROM m)) < 7 AS censored
+              FROM lf),
+      byl AS (SELECT lifetime_days, count(*) n_ending,
+                sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) n_churned
+              FROM per GROUP BY 1),
+      r AS (SELECT lifetime_days, n_churned,
+              sum(n_ending) OVER (ORDER BY lifetime_days DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS at_risk
+            FROM byl)
+      SELECT lifetime_days::BIGINT AS lifetime_days, at_risk::BIGINT AS at_risk,
+             n_churned::BIGINT AS n_churned,
+             floor((n_churned::DOUBLE / at_risk::DOUBLE) * 10000 + 0.5) / 10000
+               AS hazard
+      FROM r""".trim,
     // whole-day recency against the corpus max date; thresholds are
     // fixed constants so the segment CASE is a pure projection
     "orders_rfm" -> """

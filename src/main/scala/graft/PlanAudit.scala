@@ -24,7 +24,8 @@ object PlanAudit {
     "vocab_growth" -> "running sum over <= #batches post-agg rows",
     "bpe_pairs" -> "top-k rank over the aggregated pair vocabulary (<= charset^2 rows)",
     "token_lift" -> "global rank over <= partitions x topK locally-pruned collocations",
-    "events_new_users" -> "running sum over <= #days post-agg rows")
+    "events_new_users" -> "running sum over <= #days post-agg rows",
+    "events_hazard" -> "reverse running sum over <= #lifetime-days post-agg rows")
 
   /** One query's audit result. `cartesians` counts CartesianProductExec
     * nodes — the all-pairs shape no query may EVER plan (a broadcast
