@@ -573,6 +573,51 @@ object KeyedTable {
     * commit protocol as upsert, so readers never see a half state);
     * buckets below the threshold are untouched. Returns the number of
     * buckets compacted. */
+  /** Per-bucket layout health from FOOTER metadata only — (bucket,
+    * n_files, n_rows, n_row_groups, bytes): the report that drives
+    * compaction policy ("which buckets accumulated small files from
+    * appends", "is the row-group geometry still scan-friendly") as an
+    * O(files) driver metadata pass with zero data bytes read — the
+    * same listing discipline as the scan (bucket dirs only, *.parquet
+    * only), so the numbers describe exactly what a query would read.
+    * Missing buckets report a zero row so the frame always has
+    * `meta.buckets` rows. */
+  def bucketStats(spark: SparkSession, warehouse0: String, tableName: String,
+                  schema: Option[String] = None): DataFrame = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val data = new Path(dataDir(warehouse, tableName))
+    val f = fs(spark, tableDir(warehouse, tableName))
+    val byBucket: Map[Int, (Long, Long, Long, Long)] =
+      if (!f.exists(data)) Map.empty
+      else f.listStatus(data)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+        .map { d =>
+          val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+          val files = f.listStatus(d.getPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          var rows = 0L
+          var groups = 0L
+          files.foreach { st =>
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = reader.getFooter.getBlocks
+              groups += blocks.size()
+              blocks.forEach(bl => rows += bl.getRowCount)
+            } finally reader.close()
+          }
+          b -> ((files.length.toLong, rows, groups, files.map(_.getLen).sum))
+        }.toMap
+    val rows = (0 until meta.buckets).map { b =>
+      val (nf, nr, ng, bytes) = byBucket.getOrElse(b, (0L, 0L, 0L, 0L))
+      (b, nf, nr, ng, bytes)
+    }
+    import spark.implicits._
+    rows.toDF("bucket", "n_files", "n_rows", "n_row_groups", "bytes")
+  }
+
   def compact(spark: SparkSession, warehouse0: String, tableName: String,
               minFiles: Int = 4, schema: Option[String] = None): Int = {
     val warehouse = schemaDir(warehouse0, schema)
