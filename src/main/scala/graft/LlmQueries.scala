@@ -1252,6 +1252,9 @@ object LlmQueries {
     "embedding_quantize" -> embeddingQuantize,
     "embedding_power_iteration" -> embeddingPowerIteration,
     "embedding_whiten" -> embeddingWhiten,
+    "embedding_project" -> ((s: SparkSession, d: String) =>
+      Knn.projectTopComponent(embs(s, d), "vec_id", "embedding",
+        dim = 64, iters = 40)),
     "embedding_pq" -> ((s: SparkSession, d: String) =>
       Knn.pqEncode(embs(s, d), "vec_id", "embedding")),
     "ann_pq" -> ((s: SparkSession, d: String) => {
@@ -1340,17 +1343,34 @@ object LlmQueries {
       Seq(wx, w, n, v).mkString(",\n      ")
     }.mkString(",\n      ")
     s"""
-      WITH el AS (SELECT vec_id, t.i,
+      WITH $powerIterationPrefix,
+      $rounds
+      SELECT i::BIGINT AS dim, v AS loading,
+             (SELECT floor(lam * 10000 + 0.5) / 10000 FROM n$iters) AS lambda
+      FROM v$iters""".trim
+  }
+
+  /** Shared el/g0/g prologue for the power-iteration oracles. */
+  private val powerIterationPrefix: String = """el AS MATERIALIZED (SELECT vec_id, t.i,
                     CAST(embedding[t.i + 1]::DOUBLE AS DECIMAL(18,6)) x
                   FROM embeddings, (SELECT unnest(range(64)) i) t),
       g0 AS (SELECT a.i, b.i AS j, sum(a.x * b.x) AS gs
              FROM el a JOIN el b ON a.vec_id = b.vec_id
              GROUP BY 1, 2),
-      g AS MATERIALIZED (SELECT i, j, CAST(gs AS DECIMAL(20,12)) AS gv FROM g0),
-      $rounds
-      SELECT i::BIGINT AS dim, v AS loading,
-             (SELECT floor(lam * 10000 + 0.5) / 10000 FROM n$iters) AS lambda
-      FROM v$iters""".trim
+      g AS MATERIALIZED (SELECT i, j, CAST(gs AS DECIMAL(20,12)) AS gv FROM g0)"""
+
+  /** The projection oracle: the same 40 rounds, then every vector's
+    * exact-decimal dot with the final direction. */
+  private def powerProjectionSql(iters: Int): String = {
+    val body = powerIterationSql(iters)
+    // reuse the full query's CTE chain by swapping the final SELECT
+    val marker = s"SELECT i::BIGINT AS dim"
+    val prefix = body.substring(0, body.lastIndexOf(marker)).trim
+    s"""$prefix,
+      proj AS (SELECT e.vec_id, sum(e.x * CAST(vv.v AS DECIMAL(8,6))) s
+               FROM el e JOIN v$iters vv ON vv.i = e.i GROUP BY 1)
+      SELECT vec_id, floor(s::DOUBLE * 10000 + 0.5) / 10000 AS score
+      FROM proj""".trim
   }
 
   private val enList = LangMarkers.head._2.map(w => s"'$w'").mkString(", ")
@@ -2589,6 +2609,9 @@ object LlmQueries {
     // matvec + portable 6-dp round + one sqrt + one division — every
     // float op a single correctly-rounded IEEE step (CTEs generated)
     "embedding_power_iteration" -> powerIterationSql(40),
+    // the same 40 oracle rounds, then each vector's exact-decimal dot
+    // with the final direction
+    "embedding_project" -> powerProjectionSql(40),
     // same stride-1 window hashing (substr is 1-based on both engines),
     // dup = hash count >= 2 corpus-wide, islands via pos - row_number
     "dedup_spans" -> """

@@ -670,6 +670,32 @@ object Knn {
     out.toDF("dim", "loading", "lambda")
   }
 
+  /** #27g apply the learned factor: every vector's projection onto the
+    * [[topSingularVector]] direction — the train→apply composition
+    * (same pattern as the trained-IVF search): the direction comes out
+    * of the driver iteration as 6-dp values, is broadcast as a dim-row
+    * frame, and each score is one exact-decimal dot product
+    * (merge-order-free) rounded once. The factor scores are what a
+    * curation pipeline actually consumes (rank by dominant-direction
+    * loading, prune the extremes, or use as a 1-D embedding). */
+  def projectTopComponent(embs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int = 64, iters: Int = 40): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.Rounding.portableRound
+    val dec = DecimalType(18, 6)
+    val loadings = topSingularVector(embs, vecCol, dim, iters)
+      .select(col("dim"), col("loading").cast(DecimalType(8, 6)).as("v"))
+    val el = embs.select(col(idCol).as("id"),
+        posexplode(col(vecCol)).as(Seq("d", "xf")))
+      .select(col("id"), col("d").cast("long").as("dim"),
+        col("xf").cast("double").cast(dec).as("x"))
+    el.join(broadcast(loadings), "dim")
+      .groupBy(col("id"))
+      .agg(sum(col("x") * col("v")).as("s"))
+      .select(col("id").as(idCol),
+        portableRound(col("s").cast("double"), 4).as("score"))
+  }
+
   def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
                        cells: Int = 16, threshold: Double = 0.12): DataFrame = {
     import graft.functions.VectorFunctions._
