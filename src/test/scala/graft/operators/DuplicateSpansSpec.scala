@@ -49,6 +49,37 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 1.0)), "unique doc untouched")
   }
 
+  test("randomized cross-check against a brute-force reference (100 corpora)") {
+    val rnd = new scala.util.Random(421)
+    val w = 8
+    (1 to 100).foreach { trial =>
+      // random docs over a tiny alphabet so repeats genuinely occur
+      val docs = (1L to 5L).map { id =>
+        id -> (0 until (10 + rnd.nextInt(30))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      // brute force: every w-window string, count occurrences, mark
+      // duplicated positions, merge consecutive runs
+      val wins = docs.flatMap { case (id, t) =>
+        (0 to t.length - w).map(p => (id, p, t.substring(p, p + w)))
+      }
+      val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
+      val expected = docs.flatMap { case (id, t) =>
+        val dup = (0 to t.length - w).filter(p => counts(t.substring(p, p + w)) >= 2)
+        // islands of consecutive positions
+        dup.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+          case (acc, p) => (p, p) :: acc
+        }.map { case (s0, e0) => (id, s0.toLong, (e0 + w).toLong) }
+      }.toSet
+      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+          "doc_id", "text", w = w)
+        .as[(Long, Long, Long, Long)].collect()
+        .map(t => (t._1, t._2, t._3)).toSet
+      assert(got == expected,
+        s"trial $trial: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)} docs=$docs")
+    }
+  }
+
   test("duplicates shorter than w are invisible") {
     val out = spans(
       1L -> "shortdupAB-unique-tail-one",

@@ -70,6 +70,22 @@ class AggPushdownSpec extends SparkSpec {
     assert(strAgg.collect().head.getString(0) == "v1")
   }
 
+  test("multi-file buckets (append-heavy) aggregate across every footer") {
+    import spark.implicits._
+    val w = wh()
+    KeyedTable.toSql((1L to 200L).map(i => (i, i * 1.0)).toDF("k", "x"),
+      w, "t", pk = Seq("k"))
+    KeyedTable.toSql((201L to 350L).map(i => (i, i * 1.0)).toDF("k", "x"),
+      w, "t", pk = Seq("k"), how = WriteMode.Append)
+    KeyedTable.toSql((351L to 500L).map(i => (i, i * 1.0)).toDF("k", "x"),
+      w, "t", pk = Seq("k"), how = WriteMode.Append)
+    val q = KeyedTableSource.read(spark, w, "t")
+      .agg(count(lit(1)).as("n"), min(col("k")).as("mn"), max(col("x")).as("mx"))
+    assert(hasLocalScan(q) && !hasBatchScan(q), s"plan:\n${plan(q)}")
+    val r = q.collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 1L && r.getDouble(2) == 500.0)
+  }
+
   test("SQL count(*) through the graft catalog is footer-only too") {
     import spark.implicits._
     val w = wh()
