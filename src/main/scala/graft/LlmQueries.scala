@@ -1004,6 +1004,31 @@ object LlmQueries {
         col("n_tokens").cast("double") / col("n_words").cast("double"), 4))
   }
 
+  /** #30af temperature-scaled source mixture at T = 0.5: allocate a
+    * fixed document budget across sources ∝ √n_s — the standard
+    * up-weight-the-tail multisource reweighting, at the one
+    * temperature whose weight function (sqrt) is a single
+    * correctly-rounded IEEE op, keeping the whole plan engine-exact
+    * (pow/exp temperatures are libm, not portable). The 6-dp weights
+    * sum EXACTLY as decimals, so every share/allocation is one
+    * division on identical inputs. One narrow aggregate + a broadcast
+    * scalar — nothing scales past the first map-side partial. */
+  def corpusTemperature(s: SparkSession, d: String,
+                        budgetDocs: Long = 1000L): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val n = docs(s, d).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", portableRound(sqrt(col("n_docs").cast("double")), 6).cast(dec))
+    val tot = n.agg(sum(col("w")).as("tw"))
+    n.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        col("w").cast("double").as("weight"),
+        portableRound(col("w").cast("double") / col("tw").cast("double"), 6)
+          .as("share"),
+        portableRound(lit(budgetDocs.toDouble) * col("w").cast("double")
+          / col("tw").cast("double"), 2).as("expected_docs"))
+  }
+
   /** #30x bigram collocation mining by lift (support >= 5, top 20). */
   def tokenLift(s: SparkSession, d: String): DataFrame =
     Curation.tokenLift(docs(s, d), "text", minCount = 5, topK = 20)
@@ -1233,6 +1258,8 @@ object LlmQueries {
     "bpe_pairs" -> bpePairs,
     "token_lift" -> tokenLift,
     "text_maxmatch" -> textMaxmatch,
+    "corpus_temperature" -> ((s: SparkSession, d: String) =>
+      corpusTemperature(s, d)),
     "text_surprisal" -> textSurprisal,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "dsir_weights" -> dsirWeights,
@@ -2567,6 +2594,20 @@ object LlmQueries {
       SELECT el.vec_id, el.dim::BIGINT AS dim,
              floor(((el.x::DOUBLE - mu.mu) / mu.sigma) * 10000 + 0.5) / 10000 AS z
       FROM el JOIN mu USING (dim)""".trim,
+    // sqrt is correctly-rounded IEEE on both engines; 6-dp weights sum
+    // exactly as decimals, shares are single divisions
+    "corpus_temperature" -> """
+      WITH n AS (SELECT source, count(*) n_docs,
+                   CAST(floor(sqrt(count(*)::DOUBLE) * 1000000 + 0.5) / 1000000
+                        AS DECIMAL(18,6)) AS w
+                 FROM documents GROUP BY 1),
+      t AS (SELECT sum(w) tw FROM n)
+      SELECT source, n_docs::BIGINT AS n_docs, w::DOUBLE AS weight,
+             floor((w::DOUBLE / (SELECT tw FROM t)::DOUBLE) * 1000000 + 0.5)
+               / 1000000 AS share,
+             floor((1000.0 * w::DOUBLE / (SELECT tw FROM t)::DOUBLE) * 100 + 0.5)
+               / 100 AS expected_docs
+      FROM n""".trim,
     // the greedy longest-prefix loop as a recursive CTE over DISTINCT
     // words (each occurrence segments identically), correlated LIMIT 1
     // subquery = the argmax match, then per-doc sums over occurrences
