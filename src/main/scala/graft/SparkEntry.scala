@@ -37,6 +37,27 @@ object SparkEntry {
       "multimodal_patches" -> ((s: SparkSession, d: String) =>
         graft.operators.Multimodal.patchGrid(
           graft.operators.Multimodal.pipeline(Tables.documents(s, d)), patch = 32)),
+      // #28d audio analysis windows: per audio doc, 1024-sample windows
+      // at stride 512 over the stub sample stream (16 samples/byte) —
+      // the ASR/feature-extraction fanout, same narrow explode shape as
+      // frames/patches; integer window math matches the oracle exactly
+      // (the <= guard avoids trunc-vs-floor division divergence)
+      "multimodal_audio_windows" -> ((s: SparkSession, d: String) => {
+        val p = graft.operators.Multimodal.pipeline(Tables.documents(s, d))
+          .filter(col("media_type") === "audio")
+          .select(col("doc_id"),
+            (col("byte_len") * 16).cast("long").as("n_samples"))
+          .withColumn("_nw1",
+            when(col("n_samples") <= 1024L, lit(0L))
+              .otherwise(floor((col("n_samples") - lit(1024L)) / lit(512L))
+                .cast("long")))
+        p.select(col("doc_id"), col("n_samples"),
+            explode(sequence(lit(0L), col("_nw1"), lit(1L))).as("win_idx"))
+          .select(col("doc_id"), col("n_samples"), col("win_idx"),
+            (col("win_idx") * 512L).as("start_sample"),
+            md5(concat(col("doc_id").cast("string"), lit(":aw:"),
+              col("win_idx").cast("string"))).as("window_md5"))
+      }),
     )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +114,20 @@ object SparkEntry {
             FROM p)
       SELECT doc_id, fr.frame_idx, md5(h || ':' || fr.frame_idx) AS frame_md5
       FROM f, LATERAL (SELECT unnest(range(0, nf, 10)) frame_idx) fr""".trim,
+    // audio docs are doc_id % 3 == 1 (multimodal_meta's media map);
+    // same integer window math, floor division on positives only
+    "multimodal_audio_windows" -> """
+      WITH a AS (SELECT doc_id,
+                   (octet_length(encode(text)) * 16)::BIGINT AS n_samples
+                 FROM documents WHERE CAST(doc_id % 3 AS INT) = 1),
+      nw AS (SELECT doc_id, n_samples,
+               CASE WHEN n_samples <= 1024 THEN 0
+                    ELSE (n_samples - 1024) // 512 END AS nw1
+             FROM a)
+      SELECT doc_id, n_samples, t.w AS win_idx,
+             (t.w * 512)::BIGINT AS start_sample,
+             md5(doc_id::VARCHAR || ':aw:' || t.w::VARCHAR) AS window_md5
+      FROM nw, LATERAL (SELECT unnest(range(nw1 + 1)) AS w) t""".trim,
     // resize replay as in multimodal_meta, then the ceil-div patch grid
     "multimodal_patches" -> """
       WITH p AS (SELECT doc_id, md5(text) AS h,
