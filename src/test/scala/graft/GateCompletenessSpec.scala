@@ -31,7 +31,8 @@ class GateCompletenessSpec extends AnyFunSuite {
     val inline = SparkEntry.queries.keySet --
       regs.map(_._2).reduce(_ ++ _)
     val expectedInline = Set("q1_pricing_summary",
-      "multimodal_meta", "multimodal_frames", "multimodal_patches")
+      "multimodal_meta", "multimodal_frames", "multimodal_patches",
+      "multimodal_audio_windows")
     assert(inline == expectedInline,
       s"inline SparkEntry registrations drifted: $inline")
   }
