@@ -1004,6 +1004,33 @@ object LlmQueries {
         col("n_tokens").cast("double") / col("n_words").cast("double"), 4))
   }
 
+  /** #30ag per-source quality matrix — the "which sources are worth
+    * their bytes" governance table: per source, exact doc/kept counts
+    * and the keep rate, plus the mean composite quality computed the
+    * exact way (per-doc 4-dp quality values cast to DECIMAL, summed
+    * order-free, ONE division rounded once — a plain double avg would
+    * hash differently per merge order). One pass for the quality
+    * projection, one for the filter verdicts, one source-keyed
+    * aggregate. */
+  def sourceQuality(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val dec = org.apache.spark.sql.types.DecimalType(8, 4)
+    val q = docs(s, d).select(col("doc_id"), col("source"),
+      portableRound(qualityScore(col("text")), 4).cast(dec).as("q"))
+    val keep = qualityFilter(s, d).select(col("doc_id"),
+      col("keep").cast("int").as("k"))
+    q.join(keep, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).cast("long").as("n_kept"),
+        sum(col("q")).as("_sq"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        portableRound(col("n_kept").cast("double") / col("n_docs").cast("double"), 4)
+          .as("keep_rate"),
+        portableRound(col("_sq").cast("double") / col("n_docs").cast("double"), 4)
+          .as("mean_quality"))
+  }
+
   /** #30af temperature-scaled source mixture at T = 0.5: allocate a
     * fixed document budget across sources ∝ √n_s — the standard
     * up-weight-the-tail multisource reweighting, at the one
@@ -1260,6 +1287,7 @@ object LlmQueries {
     "text_maxmatch" -> textMaxmatch,
     "corpus_temperature" -> ((s: SparkSession, d: String) =>
       corpusTemperature(s, d)),
+    "source_quality" -> sourceQuality,
     "text_surprisal" -> textSurprisal,
     "text_bigram_surprisal" -> textBigramSurprisal,
     "dsir_weights" -> dsirWeights,
@@ -2594,6 +2622,26 @@ object LlmQueries {
       SELECT el.vec_id, el.dim::BIGINT AS dim,
              floor(((el.x::DOUBLE - mu.mu) / mu.sigma) * 10000 + 0.5) / 10000 AS z
       FROM el JOIN mu USING (dim)""".trim,
+    // 4-dp quality values as DECIMAL sum order-free; keep verdicts from
+    // the shared quality-filter chain; one division per output float
+    "source_quality" -> s"""
+      WITH $qualityCtes,
+      qv AS (SELECT d.doc_id, d.source,
+               CAST(floor((least(len(string_split(d.text, ' '))/100.0, 1.0)*0.4 +
+                      least(len(list_filter(string_split(d.text, ' '), x -> x IN ($enList)))
+                        /len(string_split(d.text, ' '))*4.0, 1.0)*0.3 +
+                      length(regexp_replace(d.text, '[^a-z]', '', 'g'))/length(d.text)*0.3)
+                     * 10000 + 0.5) / 10000 AS DECIMAL(8,4)) AS q
+             FROM documents d),
+      j AS (SELECT qv.source, qv.q,
+              CASE WHEN qr.reason = 'ok' THEN 1 ELSE 0 END k
+            FROM qv JOIN qr ON qr.doc_id = qv.doc_id)
+      SELECT source, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_kept,
+             floor((sum(k)::DOUBLE / count(*)::DOUBLE) * 10000 + 0.5) / 10000
+               AS keep_rate,
+             floor((sum(q)::DOUBLE / count(*)::DOUBLE) * 10000 + 0.5) / 10000
+               AS mean_quality
+      FROM j GROUP BY 1""".trim,
     // sqrt is correctly-rounded IEEE on both engines; 6-dp weights sum
     // exactly as decimals, shares are single divisions
     "corpus_temperature" -> """
