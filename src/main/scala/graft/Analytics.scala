@@ -1288,6 +1288,33 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #18q top user-journey prefixes: each user's first three event
+    * types in (time, id) order joined into a path string, counted, and
+    * the 20 most common paths ranked through the bounded-heap top-k
+    * aggregate (map-side ≤k candidates per task — no global sort). The
+    * entry-funnel view next to the Markov matrix: "how do sessions
+    * START", exact counts. */
+  def eventsPathPrefix(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val paths = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("user_id"))
+      // min(struct(rn, type)) per slot: deterministic positional pick
+      .agg(concat_ws(">",
+        min(when(col("rn") === 1, col("event_type"))),
+        min(when(col("rn") === 2, col("event_type"))),
+        min(when(col("rn") === 3, col("event_type")))).as("path"))
+    val counts = paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+    graft.operators.Knn.topKByScore(
+        counts.withColumn("neg", -col("n_users")),
+        Seq.empty, "neg", "path", k, ascending = true)
+      .select(col("path"), col("n_users"), col("rank"))
+  }
+
   /** #18p discrete churn-hazard table over user lifetimes: for each
     * lifetime day k, the users still at risk (observed lifetime ≥ k),
     * the users ending at exactly k, and the hazard — with right-
@@ -1881,6 +1908,7 @@ object Analytics {
     "events_seasonality" -> (eventsSeasonality _),
     "orders_rfm" -> (ordersRfm _),
     "events_hazard" -> (eventsHazard _),
+    "events_path_prefix" -> ((s: SparkSession, d: String) => eventsPathPrefix(s, d)),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2546,6 +2574,22 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // positional min-CASE picks per slot; top-20 by (count desc, path)
+    "events_path_prefix" -> """
+      WITH e AS (SELECT user_id, event_type,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+            FROM events),
+      p AS (SELECT user_id,
+              concat_ws('>',
+                min(CASE WHEN rn = 1 THEN event_type END),
+                min(CASE WHEN rn = 2 THEN event_type END),
+                min(CASE WHEN rn = 3 THEN event_type END)) AS path
+            FROM e WHERE rn <= 3 GROUP BY 1),
+      c AS (SELECT path, count(*) n_users FROM p GROUP BY 1)
+      SELECT path, n_users::BIGINT AS n_users, rank::INT AS rank FROM (
+        SELECT path, n_users,
+               row_number() OVER (ORDER BY n_users DESC, path) rank
+        FROM c) WHERE rank <= 20""".trim,
     // KM-style right-censoring: last event within 7 days of the corpus
     // end counts at-risk but never churned; reverse running sum = the
     // at-risk curve
