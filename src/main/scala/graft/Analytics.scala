@@ -1288,6 +1288,30 @@ object Analytics {
           6).as("max_key_share"))
   }
 
+  /** #18r inactivity-gap histogram: each user's LONGEST pause between
+    * consecutive events (whole seconds), bucketed into log₂ bins with
+    * exact per-bin stats — the re-engagement profile ("how long do
+    * users go quiet before coming back") that sits between
+    * sessionization and churn. One partitioned lag window + two
+    * integer aggregates; single-event users are excluded (no gap
+    * exists). */
+  def eventsGapHistogram(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"), // exact integer div
+        col("event_id"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id")).agg(max(col("gap_s")).as("max_gap_s"))
+    gaps.groupBy(length(bin(greatest(col("max_gap_s"), lit(1L)))).cast("int")
+        .as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("max_gap_s")).as("min_gap_s"),
+        max(col("max_gap_s")).as("max_gap_s"))
+  }
+
   /** #18q top user-journey prefixes: each user's first three event
     * types in (time, id) order joined into a path string, counted, and
     * the 20 most common paths ranked through the bounded-heap top-k
@@ -1909,6 +1933,7 @@ object Analytics {
     "orders_rfm" -> (ordersRfm _),
     "events_hazard" -> (eventsHazard _),
     "events_path_prefix" -> ((s: SparkSession, d: String) => eventsPathPrefix(s, d)),
+    "events_gap_histogram" -> (eventsGapHistogram _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2574,6 +2599,22 @@ object Analytics {
              min(c)::BIGINT AS min_rows_per_key,
              max(c)::BIGINT AS max_rows_per_key
       FROM c GROUP BY 1""".trim,
+    // whole-second gaps via epoch division; len(bin()) log2 buckets
+    // (gap floored at 1 for the bin only — a 0-gap user bins with 1s)
+    "events_gap_histogram" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id
+                 FROM events),
+      g AS (SELECT user_id,
+              ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) AS gap_s
+            FROM e),
+      m AS (SELECT user_id, max(gap_s) AS max_gap_s FROM g
+            WHERE gap_s IS NOT NULL GROUP BY 1)
+      SELECT len(bin(greatest(max_gap_s, 1)))::INT AS bucket,
+             count(*)::BIGINT AS n_users,
+             min(max_gap_s)::BIGINT AS min_gap_s,
+             max(max_gap_s)::BIGINT AS max_gap_s
+      FROM m GROUP BY 1""".trim,
     // positional min-CASE picks per slot; top-20 by (count desc, path)
     "events_path_prefix" -> """
       WITH e AS (SELECT user_id, event_type,
