@@ -213,6 +213,96 @@ object PbQueries {
     Companda.diff(orders, modified, pk = Seq("o_orderkey"))
   }
 
+  /** #11l consumer (`cdc_incremental_agg`): the read-side payoff of the
+    * upsert changelog. A derived grouped aggregate (orders by priority →
+    * count + exact-decimal revenue) is snapshotted to parquet BEFORE any
+    * delta, then THREE changelog-enabled upserts land (pure inserts;
+    * updates that MOVE rows to a new group; a mixed insert+update batch,
+    * all partial-column) — and the snapshot is brought up to date by
+    * folding ONLY the changelog's before/after images
+    * ([[graft.operators.CdcConsumer.applyGroupedAgg]]). The oracle
+    * recomputes the aggregate from the final table state: incremental ≡
+    * recompute, bit-identical, because the fold stays DECIMAL end to end.
+    * At 100 TB: the fold reads |changelog| rows, never the table. */
+  def cdcIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    KeyedTable.toSql(orders.filter(k % 4 =!= 3), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
+    // materialize the derived aggregate at the snapshot horizon (write
+    // forces evaluation — later upserts must not leak into the base)
+    val derived = s"$wh/derived_by_priority"
+    KeyedTable.readSql(spark, wh, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+      .write.parquet(derived)
+    // batch 0: pure inserts (the odd half of the held-out keys, doubled
+    // price); partial-column shape throughout — absent columns land NULL
+    // for inserts and keep stored values for updates
+    def delta(f: DataFrame): DataFrame = f.select(k,
+      col("o_orderpriority"), col("o_totalprice"))
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 3 && k % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    // batch 1: updates that MOVE groups (priority rewritten) + reprice
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 0)
+        .withColumn("o_orderpriority", lit("0-MOVED"))
+        .withColumn("o_totalprice", col("o_totalprice") + 111.11)),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    // batch 2: mixed — the even half of the held-out keys insert at
+    // original values; every third %4==1 key reprices in place
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 3 && k % 2 === 0)).unionByName(
+        delta(orders.filter(k % 4 === 1 && k % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") - 50.0))),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    val updated = graft.operators.CdcConsumer.applyGroupedAgg(
+      spark.read.parquet(derived),
+      KeyedTable.readChangelog(spark, wh, "orders"),
+      groupCol = "o_orderpriority", countCol = "n_rows", sumCol = "total",
+      valueCol = "o_totalprice")
+    updated.select(col("o_orderpriority"), col("n_rows"),
+      round(col("total"), 2).cast("double").as("total"))
+  }
+
+  /** #11m (`pb_sql_insert`): the SQL write surface as a correctness row —
+    * `INSERT INTO <catalog>.customer SELECT …` routes through the
+    * store's own append (PK validation, bucket layout, writer lock), and
+    * the read-back equals the plain union. One catalog NAME per
+    * invocation: Spark caches catalog instances by name, so re-pointing
+    * an existing name at this run's fresh warehouse would not take. */
+  private val sqlInsertN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlInsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_ins${sqlInsertN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer.filter(col("c_custkey") % 3 =!= 0),
+        wh, "customer", pk = Seq("c_custkey"))
+      customer.filter(col("c_custkey") % 3 === 0)
+        .createOrReplaceTempView("graft_gate_ins_src")
+      // by-position: the exposed pb_bucket column takes NULL (the store
+      // assigns the real hash bucket itself)
+      spark.sql(s"""INSERT INTO $cat.customer
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, NULL
+        FROM graft_gate_ins_src""")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -229,9 +319,28 @@ object PbQueries {
     "pb_pk_join" -> pkJoinQ,
     "pb_pk_join_filtered" -> pkJoinFiltered,
     "pb_companda" -> companda,
+    "cdc_incremental_agg" -> cdcIncrementalAgg,
+    "pb_sql_insert" -> sqlInsert,
   )
 
   val oracles: Map[String, String] = Map(
+    // final table state replayed directly: create slice + three disjoint
+    // delta batches (double arithmetic matches Spark's IEEE ops bit-for-
+    // bit; the 6-dp decimal cast absorbs nothing — 2-dp money values)
+    "cdc_incremental_agg" -> """
+      WITH eff AS (
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN '0-MOVED'
+                    ELSE o_orderpriority END AS g,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 111.11
+                    WHEN o_orderkey % 4 = 3 AND o_orderkey % 2 = 1 THEN o_totalprice * 2
+                    WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0 THEN o_totalprice - 50.0
+                    ELSE o_totalprice END AS p
+        FROM orders)
+      SELECT g AS o_orderpriority, count(*) AS n_rows,
+             round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
+      FROM eff GROUP BY g ORDER BY g
+    """.trim,
+    "pb_sql_insert" -> "SELECT * FROM customer",
     "pb_create_read" -> "SELECT * FROM customer",
     "pb_append" -> "SELECT * FROM orders",
     "pb_upsert" -> """

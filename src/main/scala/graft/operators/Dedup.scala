@@ -302,6 +302,72 @@ object Dedup {
           org.apache.spark.sql.GraftBridge.expression(col(textCol)), n, window)))
         .as("f"))
 
+  /** Bound a band-bucket self-join: rows within each (band, key) bucket
+    * rank by id; the first `maxBucket` ("core") members pair with each
+    * other (≤ maxBucket²/2 candidate edges per bucket), and every
+    * OVERFLOW member emits exactly one "star" edge to the bucket's
+    * min-id hub instead of pairing with everyone — O(bucket) edges.
+    * Identical connected components to the uncapped self-join under the
+    * transitivity that defines an overflowing bucket: a bucket only
+    * exceeds `maxBucket` when one near-identical document (viral
+    * boilerplate, crawl duplicates) repeats, and then every member is a
+    * near-dup of the hub too, so the downstream verify (Jaccard /
+    * hamming) keeps the star edges exactly where it would have kept the
+    * pairwise ones. This is the batch twin of the streaming cap at
+    * [[graft.streaming.StreamingNearDup]] (maxBucket there bounds the
+    * flatMapGroupsWithState bucket state with the same argument), and
+    * the same dial as the inverted-index df-cut: without it one document
+    * duplicated k times produces k²/2 candidate pairs in a single band
+    * bucket — the first plan to fall over under crawl-duplicate skew at
+    * 100 TB. Input must carry (id, band, key) plus any extra columns;
+    * returns one row per candidate edge with BOTH sides' extra columns
+    * under `a.`/`b.` prefixes and id_a < id_b.
+    * The per-bucket window is partitioned by (band, key): a pathological
+    * bucket of k members costs one O(k log k) sort task and emits O(k)
+    * rows — linear where the join was quadratic. */
+  private def cappedBandPairs(banded: DataFrame, maxBucket: Int,
+                              extra: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = banded.withColumn("_r",
+      row_number().over(Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
+    val core = ranked.filter(col("_r") <= maxBucket)
+    val corePairs = core.as("a").join(core.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
+        extra.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
+    // overflow → exactly one star edge to the bucket's min-id hub (the
+    // rank-1 row; hub id < member id by the rank ordering), carrying the
+    // hub's extras via a one-row-per-bucket equi-join
+    val hubRows = ranked.filter(col("_r") === 1)
+      .select(col("band") +: col("key") +: col("id").as("id_a") +:
+        extra.map(c => col(c).as(s"a_$c")): _*)
+    val starPairs = ranked.filter(col("_r") > maxBucket)
+      .select(col("band") +: col("key") +: col("id").as("id_b") +:
+        extra.map(c => col(c).as(s"b_$c")): _*)
+      .join(hubRows, Seq("band", "key"))
+      .select(col("id_a") +: col("id_b") +:
+        extra.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
+    corePairs.unionByName(starPairs)
+  }
+
+  /** Probe-side bucket cap for the incremental LSH forms: keep only the
+    * `maxBucket` lowest-id SEEN members of each (band, key) bucket, so
+    * one incoming doc probing a viral-boilerplate bucket meets at most
+    * `maxBucket` reference rows per band instead of the whole bucket —
+    * the candidate join is O(|delta| · bands · maxBucket) worst case.
+    * Same transitivity argument as [[cappedBandPairs]]: a bucket only
+    * overflows when one near-identical document repeats, and then the
+    * kept members represent it for the verify step. The incoming side
+    * is never capped — every delta row must get its own answer. */
+  private def capSeenBuckets(seenBanded: DataFrame, idAs: String,
+                             maxBucket: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    seenBanded.withColumn("_r", row_number().over(
+        Window.partitionBy(col("band"), col("key")).orderBy(col(idAs))))
+      .filter(col("_r") <= maxBucket).drop("_r")
+  }
+
   /** #22 MinHash+LSH near-dup pairs: shingle → k-hash minhash signature
     * (narrow) → `bands` band keys (narrow) → explode band keys and
     * self-join on (band, key) for candidates (the only wide op; shuffle
@@ -309,11 +375,14 @@ object Dedup {
     * only. Returns (id_a, id_b, jaccard) for verified pairs.
     * At 100 TB: signatures are 16 md5s/doc; candidate volume is
     * controlled by band geometry (b=4, r=4 ⇒ collision prob j⁴ per
-    * band), so the verify join touches a tiny fraction of pairs.
+    * band) AND by the `maxBucket` bucket cap ([[cappedBandPairs]]): an
+    * adversarially duplicated document cannot go quadratic — beyond the
+    * cap it contributes one star edge per copy.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
     // band keys travel WITHOUT the shingle arrays: the candidate join
@@ -324,10 +393,7 @@ object Dedup {
     val banded = sh.select(col("id"),
       posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
         .as(Seq("band", "key")))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = cappedBandPairs(banded, maxBucket, Nil)
       .dropDuplicates("id_a", "id_b")
     cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
@@ -359,7 +425,8 @@ object Dedup {
   def incrementalMinhashLsh(incoming: DataFrame, seen: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 5, numHashes: Int = 16, bands: Int = 4,
-                            threshold: Double = 0.5): DataFrame = {
+                            threshold: Double = 0.5,
+                            maxBucket: Int = 64): DataFrame = {
     val rowsPerBand = numHashes / bands
     def banded(df: DataFrame, as: String) = {
       val sh = shingled(df, idCol, textCol, n)
@@ -369,7 +436,8 @@ object Dedup {
     }
     val shNew = shingled(incoming, idCol, textCol, n)
     val shSeen = shingled(seen, idCol, textCol, n)
-    val cand = banded(incoming, "id_new").join(banded(seen, "id_seen"),
+    val cand = banded(incoming, "id_new")
+      .join(capSeenBuckets(banded(seen, "id_seen"), "id_seen", maxBucket),
         Seq("band", "key"))
       .select(col("id_new"), col("id_seen"))
       .dropDuplicates("id_new", "id_seen")
@@ -426,14 +494,17 @@ object Dedup {
                                      idCol: String, textCol: String,
                                      n: Int = 5, numHashes: Int = 16,
                                      bands: Int = 4,
-                                     threshold: Double = 0.5): DataFrame = {
+                                     threshold: Double = 0.5,
+                                     maxBucket: Int = 64): DataFrame = {
     import graft.functions.Rounding.portableRound
     val shNew = shingled(incoming, idCol, textCol, n)
     val newBands = shNew.select(col("id").as("id_new"),
       posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
         bands, numHashes / bands)).as(Seq("band", "key")))
     val cand = newBands
-      .join(seenBands.select(col("id").as("id_seen"), col("band"), col("key")),
+      .join(capSeenBuckets(
+          seenBands.select(col("id").as("id_seen"), col("band"), col("key")),
+          "id_seen", maxBucket),
         Seq("band", "key"))
       .select(col("id_new"), col("id_seen"))
       .dropDuplicates("id_new", "id_seen")
@@ -476,17 +547,19 @@ object Dedup {
     * replay it; pass `portable = false` for the xxhash64 fast path. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, maxHamming: Int = 3,
-                   portable: Boolean = true): DataFrame = {
+                   portable: Boolean = true,
+                   maxBucket: Int = 64): DataFrame = {
     val sigFn: Column => Column = if (portable) simhash64Portable else simhash64
     val sigs = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(simhashBands(col("sig"), bands)).as("b"))
       .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sig"), col("b.sig")).as("hamming"))
+    // same bucket cap as the MinHash family: a slice shared by k
+    // near-identical docs emits star edges beyond `maxBucket` instead of
+    // k²/2 pairs; the hamming verify sees both sides' signatures either way
+    cappedBandPairs(banded, maxBucket, Seq("sig"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("a_sig"), col("b_sig")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }

@@ -470,13 +470,24 @@ object KeyedTable {
   }
 
   /** Change-data-capture: with `changelog = true` an upsert also writes,
-    * per incoming row, one (pk…, op) record — op ∈ insert (key absent
-    * before) / update (key present, some INCOMING column's value
-    * changed, null-safe) / unchanged — into `<table>/_changelog/
-    * batch=<n>` as parquet, inside the same write-lock window and
-    * BEFORE the bucket swap (the classification joins the pre-image
-    * while it still exists). Batch numbers are monotonic under the
-    * lock; [[readChangelog]] reads them back with the batch column.
+    * per incoming row, one (pk…, op, old_<c>…, new_<c>…) record —
+    * op ∈ insert (key absent before) / update (key present, some
+    * INCOMING column's value changed, null-safe) / unchanged — plus,
+    * for every non-PK column `c` of the (evolved) table schema, the
+    * pre-image value `old_<c>` (NULL for inserts) and the post-image
+    * value `new_<c>` (the merged result: incoming value when `c` was
+    * present in the delta, stored value otherwise). The before/after
+    * images are what make the log CONSUMABLE: an incremental aggregate
+    * applies `f(new) − f(old)` per changed row without ever reading the
+    * table (see [[graft.operators.CdcConsumer]]).
+    *
+    * Commit protocol: the batch is MATERIALIZED to a `.staging-changelog-*`
+    * dir before the bucket swap (the classification must join the
+    * pre-image while it still exists) but only RENAMED into
+    * `_changelog/batch=<n>` after the swap commits — a failed upsert
+    * leaves no committed-looking batch recording changes that never
+    * landed. Batch numbers are monotonic under the write lock;
+    * [[readChangelog]] reads them back with the batch column.
     * Cost: one extra join of the delta against the touched buckets —
     * proportional to the delta, never the table. Downstream incremental
     * pipelines (index maintenance, cache invalidation, derived-table
@@ -524,18 +535,26 @@ object KeyedTable {
           merged.as(c)
         } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol")).as(BucketCol): _*)
 
-      if (changelog) {
+      // Changelog batch: materialize to staging BEFORE the swap (the
+      // classification join needs the pre-image), commit by rename only
+      // AFTER the swap — an upsert that fails mid-commit leaves no
+      // batch directory claiming changes that never landed.
+      val clCommit: Option[(Path, Path)] = if (changelog) {
         val presentOld = col(s"o.$BucketCol").isNotNull
         val valueCols = incomingCols.toSeq.filterNot(meta.pk.contains).sorted
         val changedCond = valueCols
           .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
           .reduceOption(_ || _).getOrElse(lit(false))
+        val images = nonPk.toSeq.flatMap { c =>
+          val post = if (incomingCols.contains(c)) col(s"n.$c") else col(s"o.$c")
+          Seq(col(s"o.$c").as(s"old_$c"), post.as(s"new_$c"))
+        }
         val changes = marked.as("n")
           .join(oldTouched.as("o"), meta.pk.toIndexedSeq, "left")
-          .select(meta.pk.map(col) :+
+          .select(meta.pk.map(col) ++ (
             when(!presentOld, lit("insert"))
               .when(changedCond, lit("update"))
-              .otherwise(lit("unchanged")).as("op"): _*)
+              .otherwise(lit("unchanged")).as("op") +: images): _*)
         val clRoot = new Path(dir, ChangelogDir)
         val f0 = fs(spark, dir)
         val nextBatch =
@@ -544,23 +563,37 @@ object KeyedTable {
             .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
             .map(_.getPath.getName.stripPrefix("batch=").toLong)
             .foldLeft(-1L)(math.max) + 1L
-        changes.write.parquet(new Path(clRoot, s"batch=$nextBatch").toString)
-      }
+        val clStaging = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+        changes.write.parquet(clStaging.toString)
+        Some((clStaging, new Path(clRoot, s"batch=$nextBatch")))
+      } else None
 
       // Commit: write to staging, then swap touched bucket dirs. Avoids
       // overwriting a path that is being read, and is per-bucket atomic.
       val staging = s"$dir/.staging-${UUID.randomUUID()}"
-      clusterByBucket(out, meta.buckets, meta.pk)
-        .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
       val f = fs(spark, dir)
       try {
-        touched.foreach { b =>
-          val target = new Path(dataDir(warehouse, table), s"$BucketCol=$b")
-          val src = new Path(staging, s"$BucketCol=$b")
-          if (f.exists(target)) f.delete(target, true)
-          if (f.exists(src)) f.rename(src, target)
+        clusterByBucket(out, meta.buckets, meta.pk)
+          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
+        try {
+          touched.foreach { b =>
+            val target = new Path(dataDir(warehouse, table), s"$BucketCol=$b")
+            val src = new Path(staging, s"$BucketCol=$b")
+            if (f.exists(target)) f.delete(target, true)
+            if (f.exists(src)) f.rename(src, target)
+          }
+        } finally f.delete(new Path(staging), true)
+        // data swap done — the changelog batch may now claim it happened
+        clCommit.foreach { case (src, dst) =>
+          f.mkdirs(dst.getParent)
+          if (!f.rename(src, dst))
+            throw new StoreException(
+              s"upsert: data committed but changelog rename $src -> $dst failed")
         }
-      } finally f.delete(new Path(staging), true)
+      } finally
+        // no-op when the rename above committed it; removes the phantom
+        // batch when the staging write or the swap threw
+        clCommit.foreach { case (src, _) => f.delete(src, true) }
       if (evolved != meta.schema)
         TableMeta.write(spark, dir, meta.copy(schema = evolved))
     } finally newB.unpersist()
@@ -746,12 +779,14 @@ object KeyedTable {
   }
 
   /** Read the change-data-capture log written by changelog-enabled
-    * upserts: one row per incoming row per batch — (pk…, op, batch),
-    * op ∈ insert/update/unchanged, `batch` monotonically increasing
-    * per upsert. `sinceBatch` restricts to batches ≥ it (partition
-    * pruning on the batch directory — an incremental consumer reads
-    * only the new batches, never the history). Empty frame (with no
-    * rows) if the table has no changelog yet. */
+    * upserts: one row per incoming row per batch — (pk…, op,
+    * old_<c>…, new_<c>…, batch), op ∈ insert/update/unchanged with
+    * before/after images per non-PK column, `batch` monotonically
+    * increasing per upsert. `sinceBatch` restricts to batches ≥ it
+    * (partition pruning on the batch directory — an incremental
+    * consumer reads only the new batches, never the history). Throws
+    * [[StoreException]] if the table has no changelog yet (no
+    * changelog-enabled upsert has run). */
   def readChangelog(spark: SparkSession, warehouse0: String,
                     tableName: String, sinceBatch: Long = 0L,
                     schema: Option[String] = None): DataFrame = {

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Batch LSH band-bucket cap (the r9 verdict's one `weak`): a
+  * pathological corpus — one document duplicated k times — must NOT
+  * produce k²/2 candidate pairs inside a band bucket. Beyond
+  * `maxBucket` members, each copy emits one star edge to the bucket's
+  * min-id hub instead, so candidate volume is O(maxBucket² + k) and the
+  * connected components the dedup_cluster consumer sees are IDENTICAL
+  * to the uncapped run. Mirrors the streaming cap at
+  * [[graft.streaming.StreamingNearDup]] (maxBucket = 64 there too). */
+class LshBucketCapSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val viral =
+    "breaking news subscribe to our newsletter for daily updates and offers"
+  private val k = 500
+
+  /** k identical copies (ids 0..k-1) + a handful of distinct docs. */
+  private def corpus = (
+    (0L until k.toLong).map(i => (i, viral)) ++ Seq(
+      (9000L, "the quick brown fox jumps over the lazy dog again and again"),
+      (9001L, "storage partitioned joins exchange nothing when buckets align"),
+      (9002L, "the quick brown fox jumps over the lazy dog again and again"))
+  ).toDF("doc_id", "text")
+
+  test("candidate volume is O(maxBucket² + k), not k²/2") {
+    val capped = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxBucket = 8)
+    val nPairs = capped.count()
+    // uncapped would verify k·(k−1)/2 = 124,750 pairs for the viral doc
+    // alone; the cap bounds it by core pairs (≤ 8·7/2 per band×bucket)
+    // + one star edge per overflow copy (+ the distinct-doc pair)
+    val bound = 4L * 8 * 8 / 2 + k + 10
+    assert(nPairs <= bound, s"pair count $nPairs exceeds capped bound $bound")
+    assert(nPairs >= k - 8.toLong, s"star edges missing: only $nPairs pairs")
+  }
+
+  test("connected components equal the uncapped run") {
+    def components(maxBucket: Int): Map[Long, Long] =
+      Dedup.connectedComponents(
+          Dedup.minhashLshPairs(corpus, "doc_id", "text", maxBucket = maxBucket))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val capped = components(8)
+    val uncapped = components(Int.MaxValue)
+    assert(capped == uncapped,
+      "bucket cap changed the cluster structure")
+    // and the structure is the right one: all k viral copies in one
+    // cluster rooted at id 0, the two fox copies in another
+    assert((0L until k.toLong).forall(capped(_) == 0L))
+    assert(capped(9002L) == 9000L)
+    assert(!capped.contains(9001L), "a clean doc joined a cluster")
+  }
+
+  test("incremental form: seen-side bucket cap keeps every incoming answer") {
+    val seen = (0L until 300L).map(i => (i, viral)).toDF("doc_id", "text")
+    val incoming = Seq(
+      (5000L, viral),
+      (5001L, "nothing like the seen corpus at all in any shingle")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalMinhashLsh(incoming, seen, "doc_id", "text",
+        maxBucket = 8)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.get(2)))).toMap
+    // the viral probe still flags (against the lowest-id kept member);
+    // the clean probe still reports clean — capping the reference side
+    // never drops an incoming row's answer
+    assert(out(5000L) == ((true, Some(0L))))
+    assert(out(5001L) == ((false, None)))
+  }
+
+  test("simhash band buckets carry the same cap") {
+    val capped = Dedup.simhashPairs(corpus, "doc_id", "text", maxBucket = 8)
+    val nPairs = capped.count()
+    val bound = 4L * 8 * 8 / 2 + k + 10
+    assert(nPairs <= bound, s"simhash pair count $nPairs exceeds $bound")
+    // identical docs have identical signatures: every star edge verifies
+    // at hamming 0, so all k copies stay reachable from the hub
+    val ids = capped.select(explode(array(col("id_a"), col("id_b"))))
+      .distinct().as[Long].collect().toSet
+    assert((0L until k.toLong).forall(ids.contains))
+  }
+}

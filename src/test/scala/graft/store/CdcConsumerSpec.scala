@@ -1,0 +1,76 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.CdcConsumer
+
+/** The changelog's read-side payoff (#11l consumer): a derived grouped
+  * aggregate maintained purely from before/after images must equal a
+  * full recompute after any multi-batch upsert sequence — bit-identical,
+  * because the fold stays decimal. Replays three changelog batches
+  * covering inserts, value updates, group MOVES, unchanged rows, NULL
+  * values, and partial-column deltas. */
+class CdcConsumerSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def wh(): String = Files.createTempDirectory("graft-spec-cdcc-").toString
+
+  private def agg(df: org.apache.spark.sql.DataFrame) = df
+    .groupBy(col("g"))
+    .agg(count(lit(1)).as("n"),
+      sum(col("v").cast("decimal(18,4)")).as("s"))
+
+  test("incremental fold over 3 batches equals full recompute") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 30.0), (4L, "b", 40.0))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // materialize the snapshot to parquet (type-preserving) BEFORE deltas
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(s"$w/derived")
+
+    // batch 0: inserts, incl. one with a NULL value
+    KeyedTable.toSql(Seq((5L, "a", Some(5.0)), (6L, "c", None))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    // batch 1: value update + a GROUP MOVE (b → c) + an unchanged row
+    KeyedTable.toSql(Seq((1L, "a", 11.5), (3L, "c", 30.0), (2L, "a", 20.0))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    // batch 2: partial-column delta — only v arrives; g keeps its stored
+    // value, so images must carry the stored group for both sides
+    KeyedTable.toSql(Seq((4L, 44.0), (5L, 5.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+
+    val log = KeyedTable.readChangelog(spark, w, "t")
+    assert(log.select("batch").distinct().count() == 3)
+    val incremental = CdcConsumer.applyGroupedAgg(
+        spark.read.parquet(s"$w/derived"), log,
+        groupCol = "g", countCol = "n", sumCol = "s", valueCol = "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    val recomputed = agg(KeyedTable.readSql(spark, w, "t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(incremental == recomputed,
+      s"incremental $incremental != recompute $recomputed")
+    // sanity on the expected final shape: a{1,2,5}, b{4}, c{3,6}
+    assert(recomputed.map(t => t._1 -> t._2).toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 2L))
+  }
+
+  test("a group vacated by moves drops out; a brand-new group appears") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "solo", 7.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(s"$w/derived")
+    KeyedTable.toSql(Seq((1L, "moved", 7.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    val out = CdcConsumer.applyGroupedAgg(spark.read.parquet(s"$w/derived"),
+        KeyedTable.readChangelog(spark, w, "t"),
+        "g", "n", "s", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("moved" -> 1L), s"got $out")
+  }
+}

@@ -61,6 +61,54 @@ class ChangelogSpec extends SparkSpec {
     assert(log == Map(1L -> "unchanged", 2L -> "update"))
   }
 
+  test("before/after images: inserts NULL-old, updates carry both sides, " +
+       "partial-column deltas image the stored value") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "keep", 10.0), (2L, "old", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // insert k=3; update k=2 (group move + reprice); partial row k=1
+    // arrives with only v (g imaged from the store on BOTH sides)
+    KeyedTable.toSql(Seq((3L, Some("new"), Some(3.0)), (2L, Some("moved"), Some(22.0)))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    KeyedTable.toSql(Seq((1L, 11.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    val rows = KeyedTable.readChangelog(spark, w, "t")
+      .select("k", "op", "old_g", "new_g", "old_v", "new_v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), Option(r.get(2)), Option(r.get(3)),
+          Option(r.get(4)), Option(r.get(5))))).toMap
+    assert(rows(3L) == (("insert", None, Some("new"), None, Some(3.0))))
+    assert(rows(2L) == (("update", Some("old"), Some("moved"), Some(20.0), Some(22.0))))
+    // partial-column delta: g absent from the incoming frame — the
+    // post-image is the STORED group, not NULL
+    assert(rows(1L) == (("update", Some("keep"), Some("keep"), Some(10.0), Some(11.0))))
+  }
+
+  test("commit protocol: no staging leftovers, batches only for committed upserts") {
+    val w = wh()
+    KeyedTable.toSql((1L to 20L).map(i => (i, i * 1.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"))
+    KeyedTable.toSql(Seq((1L, -1.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    val dir = new java.io.File(s"$w/t")
+    val leftovers = dir.listFiles().map(_.getName)
+      .filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging leftovers: ${leftovers.mkString(", ")}")
+    assert(new java.io.File(s"$w/t/_changelog/batch=0").isDirectory)
+    // a FAILED upsert (duplicate PKs in the delta fails validation)
+    // leaves no new batch and no staging dir
+    intercept[StoreException](
+      KeyedTable.toSql(Seq((2L, 1.0), (2L, 2.0)).toDF("k", "v"),
+        w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true))
+    val after = dir.listFiles().map(_.getName)
+    assert(!after.exists(_.startsWith(".staging")),
+      "failed upsert left staging dirs")
+    assert(!new java.io.File(s"$w/t/_changelog/batch=1").exists(),
+      "failed upsert committed a phantom changelog batch")
+  }
+
   test("plain upserts write no changelog; reading one then errors") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, "a")).toDF("k", "v"), w, "t", pk = Seq("k"))
