@@ -752,12 +752,12 @@ object Analytics {
     * oracle as `events_windowed`, now asserted across the streaming
     * path AND a real store write/read cycle. */
   def streamUpsert(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-stream-wh-").toString
-    val ck = java.nio.file.Files.createTempDirectory("graft-stream-ck-").toString
+    val wh = graft.TempDirs.tempDir("graft-stream-wh-")
+    val ck = graft.TempDirs.tempDir("graft-stream-ck-")
     // the file stream source wants a DIRECTORY: stage the (read-only)
     // events parquet into a temp dir via symlink — the stream then
     // discovers it as one "arriving" file
-    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src-")
+    val srcDir = java.nio.file.Paths.get(graft.TempDirs.tempDir("graft-stream-src-"))
     java.nio.file.Files.createSymbolicLink(
       srcDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$d/events.parquet"))

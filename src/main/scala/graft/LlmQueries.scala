@@ -474,7 +474,7 @@ object LlmQueries {
     * identity SELECT, so any parse/type drift in the reader fails the
     * hash. */
   def ingestJsonl(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val dir = graft.TempDirs.tempDir("graft-jsonl")
     val src = docs(s, d)
     src.write.mode("overwrite").json(dir)
     graft.sources.Ingest.split(graft.sources.Ingest.jsonl(s, dir, src.schema))._1
@@ -482,7 +482,7 @@ object LlmQueries {
 
   /** #36b CSV ingestion roundtrip, same contract as [[ingestJsonl]]. */
   def ingestCsv(s: SparkSession, d: String): DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val dir = graft.TempDirs.tempDir("graft-csv")
     val src = docs(s, d)
     src.write.mode("overwrite").option("header", "true").csv(dir)
     graft.sources.Ingest.split(graft.sources.Ingest.csv(s, dir, src.schema))._1
@@ -613,7 +613,7 @@ object LlmQueries {
     * identical to dedup_incremental_lsh; the gate runs it against the
     * same oracle, so the store round-trip is hash-proven lossless. */
   def dedupIncrementalStore(s: SparkSession, d: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft-lshidx-").toString
+    val wh = graft.TempDirs.tempDir("graft-lshidx-")
     val all = docs(s, d)
     val incoming = all.filter(col("doc_id") % 5 === 0)
     val seen = all.filter(col("doc_id") % 5 =!= 0)
@@ -990,6 +990,10 @@ object LlmQueries {
     import graft.functions.Rounding.portableRound
     val topWords = docs(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
+      // '' (from a run of spaces) must never enter the vocab: a
+      // zero-length match would not advance the greedy loop — the
+      // oracle's recursive CTE would never terminate on it
+      .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(50)
       .collect().map(_.getString(0)).toSeq // bounded: exactly 50 rows
@@ -2662,7 +2666,8 @@ object LlmQueries {
     "text_maxmatch" -> s"""
       WITH RECURSIVE wfreq AS (
         SELECT w, count(*) c FROM (
-          SELECT unnest(string_split(text, ' ')) w FROM documents) GROUP BY w),
+          SELECT unnest(string_split(text, ' ')) w FROM documents)
+        WHERE w != '' GROUP BY w),
       topw AS (SELECT w FROM wfreq ORDER BY c DESC, w LIMIT 50),
       vocab AS (SELECT DISTINCT v FROM (
         SELECT w AS v FROM topw

@@ -16,7 +16,7 @@ import graft.store.{Catalog, Companda, KeyedTable, WriteMode}
 object PbQueries {
 
   private def tempWarehouse(): String =
-    Files.createTempDirectory("graft-wh-").toString
+    graft.TempDirs.tempDir("graft-wh-")
 
   /** #1 create_only + full read roundtrip. */
   def createRead(spark: SparkSession, sfDir: String): DataFrame = {

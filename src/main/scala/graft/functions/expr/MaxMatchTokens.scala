@@ -28,6 +28,8 @@ case class MaxMatchTokens(child: Expression, vocab: Seq[String])
     extends UnaryExpression {
 
   require(vocab.nonEmpty, "maxmatch vocabulary must not be empty")
+  require(!vocab.contains(""), "maxmatch vocabulary must not contain the " +
+    "empty string (a zero-length match would never advance the greedy loop)")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

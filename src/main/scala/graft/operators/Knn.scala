@@ -630,9 +630,12 @@ object Knn {
     val dec = DecimalType(18, 6)
     // decimal-pin each element ONCE per vector, then fan out only the
     // upper triangle (j ≥ i, via a positional slice) — half the
-    // products of the naive dim² outer fanout and no per-pair casts
+    // products of the naive dim² outer fanout and no per-pair casts.
+    // The vector is sliced to `dim` elements FIRST: a longer embedding
+    // would otherwise emit positions ≥ dim and blow the dim×dim Gram
+    // indexing on the driver
     val withDec = embs.select(
-      transform(col(vecCol), x => x.cast("double").cast(dec)).as("dv"))
+      transform(slice(col(vecCol), 1, dim), x => x.cast("double").cast(dec)).as("dv"))
     val ij = withDec
       .select(posexplode(col("dv")).as(Seq("i", "di")), col("dv"))
       .select(col("i"), col("di"),
@@ -661,8 +664,12 @@ object Knn {
       val n2 = wr.map(java.math.BigDecimal.valueOf)
         .foldLeft(java.math.BigDecimal.ZERO)((acc, b) => acc.add(b.multiply(b)))
       lambda = math.sqrt(n2.doubleValue)
-      v = wr.map(w => java.math.BigDecimal.valueOf(
-        portableRoundDouble(w / lambda, 6)))
+      // zero-norm guard (empty input or an all-zero Gram): loadings
+      // stay zero with lambda 0 instead of dividing into NaNs
+      v =
+        if (lambda == 0.0) Array.fill(dim)(java.math.BigDecimal.ZERO)
+        else wr.map(w => java.math.BigDecimal.valueOf(
+          portableRoundDouble(w / lambda, 6)))
     }
     val out = (0 until dim).map(i =>
       (i.toLong, v(i).doubleValue, portableRoundDouble(lambda, 4)))

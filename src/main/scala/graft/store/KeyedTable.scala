@@ -664,24 +664,71 @@ object KeyedTable {
         f.exists(p) &&
           f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >= minFiles
       }
-      if (crowded.isEmpty) 0
-      else {
-        val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
-        try {
-          readRaw(spark, warehouse, tableName, meta)
-            .filter(col(BucketCol).isin(crowded: _*))
-            .repartition(crowded.size, col(BucketCol))
-            .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
-            .write.partitionBy(BucketCol).parquet(staging)
-          crowded.foreach { b =>
-            val target = new Path(data, s"$BucketCol=$b")
-            val src = new Path(staging, s"$BucketCol=$b")
-            if (f.exists(target)) f.delete(target, true)
-            if (f.exists(src)) f.rename(src, target)
-          }
-        } finally f.delete(new Path(staging), true)
-        crowded.size
-      }
+      compactBuckets(spark, warehouse, tableName, dir, meta, crowded)
+    }
+  }
+
+  /** Rewrite exactly `crowded` buckets to one file each via staging +
+    * per-bucket swap (the upsert commit protocol — readers never see a
+    * half state). Caller holds the write lock. Returns #rewritten. */
+  private def compactBuckets(spark: SparkSession, warehouse: String,
+                             tableName: String, dir: String, meta: TableMeta,
+                             crowded: Seq[Int]): Int = {
+    if (crowded.isEmpty) 0
+    else {
+      val data = dataDir(warehouse, tableName)
+      val f = fs(spark, dir)
+      val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
+      try {
+        readRaw(spark, warehouse, tableName, meta)
+          .filter(col(BucketCol).isin(crowded: _*))
+          .repartition(crowded.size, col(BucketCol))
+          .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+          .write.partitionBy(BucketCol).parquet(staging)
+        crowded.foreach { b =>
+          val target = new Path(data, s"$BucketCol=$b")
+          val src = new Path(staging, s"$BucketCol=$b")
+          if (f.exists(target)) f.delete(target, true)
+          if (f.exists(src)) f.rename(src, target)
+        }
+      } finally f.delete(new Path(staging), true)
+      crowded.size
+    }
+  }
+
+  /** #11p auto-compaction policy: the consumer of [[bucketStats]]'s
+    * footer-only layout report. Decides per bucket, from metadata alone
+    * (zero data bytes read when nothing is crowded), whether the bucket
+    * breaches either health threshold:
+    *  - `maxFilesPerBucket` — append small-files accumulation, and/or
+    *  - `minAvgRowsPerFile` — fragmentation into scan-hostile slivers
+    *    (only when the bucket has > 1 file; one small file IS compact),
+    * and rewrites ONLY the breaching buckets (same staging + swap
+    * protocol as upsert). The maintenance loop at 100 TB: appends land
+    * as cheap per-bucket file adds, and this policy pays the rewrite
+    * only where, and only when, the layout actually degraded — a
+    * scheduled `compactIfNeeded` per table replaces any full-table
+    * rewrite cadence. Returns the bucket ids it compacted. */
+  def compactIfNeeded(spark: SparkSession, warehouse0: String,
+                      tableName: String, maxFilesPerBucket: Int = 4,
+                      minAvgRowsPerFile: Long = 0,
+                      schema: Option[String] = None): Seq[Int] = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "compactIfNeeded") {
+      val meta = TableMeta.read(spark, dir)
+      // the report is buckets-bounded: collecting it is O(buckets), and
+      // it reads footers only — never data pages
+      val crowded = bucketStats(spark, warehouse0, tableName, schema)
+        .collect().toSeq
+        .filter { r =>
+          val (nf, nr) = (r.getLong(1), r.getLong(2))
+          nf > maxFilesPerBucket ||
+            (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
+        }
+        .map(_.getInt(0))
+      compactBuckets(spark, warehouse, tableName, dir, meta, crowded)
+      crowded
     }
   }
 
