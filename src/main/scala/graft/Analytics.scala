@@ -1312,6 +1312,105 @@ object Analytics {
         max(col("max_gap_s")).as("max_gap_s"))
   }
 
+  /** #14s pandas groupby().nlargest(k): the top-3 orders by value per
+    * priority, ranked through the bounded-heap CollectTopK aggregate
+    * (Knn.topKByScore) — the partial step keeps ≤3 candidates per
+    * group per map partition, so the exchange carries 3·|groups| rows
+    * and a hot group never serializes into one sort task. Determinism:
+    * ties break by lowest order key. */
+  def ordersTopPerPriority(s: SparkSession, d: String): DataFrame =
+    graft.operators.Knn.topKByScore(
+      Tables.orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        col("rank").cast("long").as("rank"))
+
+  /** #14t pandas crosstab(event_type, day-of-week): one narrow scan,
+    * one |types|-row aggregate of 7 conditional counts — the
+    * contingency table without a pivot's distinct-discovery job (the
+    * column set is the fixed 7 weekdays). Exact integers only. */
+  def eventsCrosstab(s: SparkSession, d: String): DataFrame = {
+    val dow = dayofweek(col("ts")).cast("int")
+    val cells = (1 to 7).map(i =>
+      count(when(dow === i, 1)).as(s"dow_$i"))
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(cells.head, cells.tail: _*)
+  }
+
+  /** #17c pandas rolling(7).std(): per-customer rolling SAMPLE std from
+    * exact decimal window moments — Σx and Σx² accumulate as DECIMAL
+    * (merge-order-free), cast to double once, and the variance formula
+    * (n·Σx² − (Σx)²)/(n(n−1)) runs as the same fixed IEEE op sequence
+    * on both engines (greatest(…,0) absorbs the −ε a zero-variance
+    * window can round to, which would otherwise sqrt into NaN).
+    * Single-row windows emit NULL (sample std undefined). */
+  def wRollingStd(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-6, Window.currentRow)
+    val dec = col("o_totalprice").cast("decimal(18,6)")
+    val n = count(lit(1)).over(w)
+    val s1 = sum(dec).over(w).cast("double")
+    val s2 = sum(dec * dec).over(w).cast("double")
+    Tables.orders(s, d).select(
+      col("o_orderkey"), col("o_custkey"),
+      when(n > 1, portableRound(
+        sqrt(greatest((n * s2 - s1 * s1) / (n * (n - lit(1L))), lit(0.0))), 4))
+        .as("rolling_std"))
+  }
+
+  /** #18s session-length histogram: the 30-min-gap sessions of #18b
+    * rolled into log₂ size bins (the same integer bin()-length idiom as
+    * the skew/gap histograms) — the engagement-shape summary between
+    * sessionization and retention: how long is a typical session, how
+    * heavy is the tail. All-integer. */
+  def eventsSessionStats(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_s"), col("event_id"))
+    val sess = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"), col("event_id"))
+      .withColumn("gap_s", col("ts_s") - lag(col("ts_s"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("gap_s").isNull || col("gap_s") > 1800, 1L).otherwise(0L))
+      .withColumn("session_no", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"))
+    sess.groupBy(length(bin(col("n_events"))).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min(col("n_events")).as("min_events"),
+        max(col("n_events")).as("max_events"),
+        sum(col("n_events")).as("total_events"))
+  }
+
+  /** #19f pandas merge_asof(tolerance=): the backward as-of join of
+    * #19, but a carried match EXPIRES when it is older than the
+    * tolerance window — the row keeps its left side and reports NULL
+    * match columns, exactly pandas' semantics. Implemented as the
+    * plain one-shuffle as-of pass plus a narrow post-projection (the
+    * matched right time rides along as a value column), so the
+    * tolerance costs zero extra wide ops. Tolerance here: 7 days. */
+  def asofToleranceQ(s: SparkSession, d: String): DataFrame = {
+    val joined = AsOf.asofJoin(
+      left = Tables.events(s, d).select("event_id", "user_id", "ts"),
+      right = Tables.orders(s, d)
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTime = "ts", rightTime = "o_orderdate",
+      rightCols = Seq("o_orderkey", "o_totalprice", "o_orderdate"),
+      rightTieBreak = "o_orderkey")
+    // o_orderdate arrives NTZ (un-annotated parquet); session TZ is
+    // UTC, so the instant cast is the identity wall-clock pin
+    val within = col("o_orderdate").isNotNull &&
+      col("ts") <= col("o_orderdate").cast("timestamp") + expr("INTERVAL 7 DAYS")
+    joined.select(col("event_id"), col("user_id"),
+      when(within, col("o_orderkey")).as("o_orderkey"),
+      when(within, col("o_totalprice")).as("o_totalprice"))
+  }
+
   /** #18q top user-journey prefixes: each user's first three event
     * types in (time, id) order joined into a path string, counted, and
     * the 20 most common paths ranked through the bounded-heap top-k
@@ -1934,6 +2033,11 @@ object Analytics {
     "events_hazard" -> (eventsHazard _),
     "events_path_prefix" -> ((s: SparkSession, d: String) => eventsPathPrefix(s, d)),
     "events_gap_histogram" -> (eventsGapHistogram _),
+    "orders_top_per_priority" -> (ordersTopPerPriority _),
+    "events_crosstab" -> (eventsCrosstab _),
+    "w_rolling_std" -> (wRollingStd _),
+    "events_session_stats" -> (eventsSessionStats _),
+    "asof_tolerance" -> (asofToleranceQ _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2601,6 +2705,89 @@ object Analytics {
       FROM c GROUP BY 1""".trim,
     // whole-second gaps via epoch division; len(bin()) log2 buckets
     // (gap floored at 1 for the bin only — a 0-gap user bins with 1s)
+    "orders_top_per_priority" -> """
+      SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rank
+        FROM orders) WHERE rank <= 3""".trim,
+    // DuckDB dayofweek is 0-6 (Sun=0); Spark's is 1-7 (Sun=1)
+    "events_crosstab" -> """
+      SELECT event_type,
+             count(*) FILTER (dayofweek(ts) + 1 = 1) AS dow_1,
+             count(*) FILTER (dayofweek(ts) + 1 = 2) AS dow_2,
+             count(*) FILTER (dayofweek(ts) + 1 = 3) AS dow_3,
+             count(*) FILTER (dayofweek(ts) + 1 = 4) AS dow_4,
+             count(*) FILTER (dayofweek(ts) + 1 = 5) AS dow_5,
+             count(*) FILTER (dayofweek(ts) + 1 = 6) AS dow_6,
+             count(*) FILTER (dayofweek(ts) + 1 = 7) AS dow_7
+      FROM events GROUP BY 1""".trim,
+    // same IEEE op sequence as the Spark side: exact decimal window
+    // moments cast to double once, then mult/sub/div/sqrt/round.
+    // DECIMAL(19,6) (not 18) in the square: width ≤ 18 stores as INT64
+    // in DuckDB and the raw multiplication overflows it — width 19
+    // forces INT128 while 19+19 = 38 stays a legal result width.
+    // Values are identical either way (both representations exact).
+    "w_rolling_std" -> """
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN count(*) OVER w > 1 THEN
+               floor(sqrt(greatest(
+                 (count(*) OVER w
+                    * (sum(CAST(o_totalprice AS DECIMAL(19,6))
+                           * CAST(o_totalprice AS DECIMAL(19,6))) OVER w)::DOUBLE
+                  - (sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w)::DOUBLE
+                    * (sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER w)::DOUBLE)
+                 / (count(*) OVER w * (count(*) OVER w - 1)), 0)) * 10000 + 0.5)
+               / 10000
+             END AS rolling_std
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".trim,
+    "events_session_stats" -> """
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id
+                 FROM events),
+      g AS (SELECT user_id, ts_s, event_id,
+              ts_s - lag(ts_s) OVER (PARTITION BY user_id
+                                     ORDER BY ts_s, event_id) AS gap_s
+            FROM e),
+      sflag AS (SELECT user_id,
+              CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS ns,
+              ts_s, event_id
+            FROM g),
+      snum AS (SELECT user_id,
+              (sum(ns) OVER (PARTITION BY user_id
+                             ORDER BY ts_s, event_id))::BIGINT AS session_no
+            FROM sflag),
+      sess AS (SELECT user_id, session_no, count(*)::BIGINT AS n_events
+               FROM snum GROUP BY 1, 2)
+      SELECT len(bin(n_events))::INT AS bucket,
+             count(*)::BIGINT AS n_sessions,
+             min(n_events)::BIGINT AS min_events,
+             max(n_events)::BIGINT AS max_events,
+             sum(n_events)::BIGINT AS total_events
+      FROM sess GROUP BY 1""".trim,
+    // the plain backward as-of match, then the tolerance applied as a
+    // projection: matches older than 7 days null out, rows remain
+    "asof_tolerance" -> """
+      WITH od AS (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders),
+      m AS (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey, o.o_totalprice, o.o_orderdate
+        FROM events e
+        ASOF LEFT JOIN (SELECT * FROM od WHERE rn = 1) o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate)
+      SELECT event_id, user_id,
+             CASE WHEN o_orderdate IS NOT NULL
+                   AND ts <= o_orderdate + INTERVAL 7 DAY
+                  THEN o_orderkey END AS o_orderkey,
+             CASE WHEN o_orderdate IS NOT NULL
+                   AND ts <= o_orderdate + INTERVAL 7 DAY
+                  THEN o_totalprice END AS o_totalprice
+      FROM m""".trim,
     "events_gap_histogram" -> """
       WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS ts_s, event_id
                  FROM events),

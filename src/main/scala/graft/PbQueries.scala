@@ -303,6 +303,20 @@ object PbQueries {
     }
   }
 
+  /** #11q (`pb_delete`): predicate delete — a value predicate AND a PK
+    * range both land in one call; only buckets holding matches rewrite
+    * (staging + swap), and the read-back equals the complementary
+    * filter. The ops story: GDPR erasure / bad-ingest rollback on a
+    * 100 TB table touches its share of buckets, never the table. */
+  def deleteQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
+    KeyedTable.delete(spark, wh, "orders",
+      col("o_orderkey") % 3 === 0 || col("o_totalprice") > 400000.0)
+    KeyedTable.readSql(spark, wh, "orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -321,6 +335,7 @@ object PbQueries {
     "pb_companda" -> companda,
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "pb_sql_insert" -> sqlInsert,
+    "pb_delete" -> deleteQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -341,6 +356,10 @@ object PbQueries {
       FROM eff GROUP BY g ORDER BY g
     """.trim,
     "pb_sql_insert" -> "SELECT * FROM customer",
+    "pb_delete" -> """
+      SELECT * FROM orders
+      WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)
+    """.trim,
     "pb_create_read" -> "SELECT * FROM customer",
     "pb_append" -> "SELECT * FROM orders",
     "pb_upsert" -> """

@@ -732,6 +732,52 @@ object KeyedTable {
     }
   }
 
+  /** #11q predicate delete: remove every row matching `where`, rewriting
+    * ONLY the buckets that contain a match (staging + per-bucket swap
+    * under the write lock — the upsert commit protocol, so readers never
+    * observe a half state; a bucket whose rows ALL match simply loses
+    * its directory). The touched-bucket probe is one aggregation whose
+    * result is bounded by the bucket count; when `where` pins the PK,
+    * parquet row-group stats prune the probe's scan the same way a
+    * range read prunes. At 100 TB a PK-ranged purge (GDPR erasure, bad
+    * ingest rollback) therefore rewrites only its share of buckets —
+    * never the table. Returns the number of rows deleted. */
+  def delete(spark: SparkSession, warehouse0: String, tableName: String,
+             where: Column, schema: Option[String] = None): Long = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "delete") {
+      val meta = TableMeta.read(spark, dir)
+      val raw = readRaw(spark, warehouse, tableName, meta)
+      // one job: matching-row count per touched bucket (≤ buckets rows)
+      val probe = raw.filter(where).groupBy(col(BucketCol))
+        .agg(count(lit(1)).as("n")).collect()
+      val touched = probe.map(_.getInt(0)).toSeq
+      val deleted = probe.map(_.getLong(1)).sum
+      if (touched.nonEmpty) {
+        val data = dataDir(warehouse, tableName)
+        val f = fs(spark, dir)
+        val staging = s"$dir/.staging-delete-${UUID.randomUUID()}"
+        try {
+          // NULL predicate rows are NOT matches — keep them (a bare
+          // !where would silently drop them from the rewrite)
+          raw.filter(col(BucketCol).isin(touched: _*))
+            .filter(!coalesce(where, lit(false)))
+            .repartition(touched.size, col(BucketCol))
+            .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+            .write.partitionBy(BucketCol).parquet(staging)
+          touched.foreach { b =>
+            val target = new Path(data, s"$BucketCol=$b")
+            val src = new Path(staging, s"$BucketCol=$b")
+            if (f.exists(target)) f.delete(target, true)
+            if (f.exists(src)) f.rename(src, target): Unit
+          }
+        } finally f.delete(new Path(staging), true)
+      }
+      deleted
+    }
+  }
+
   /** #11e rebucket: rewrite the table under a new bucket count — the
     * operational fix when a table outgrows its create-time bucket
     * choice (buckets sized for 1 TB are hotspots at 100 TB) or when
