@@ -1084,6 +1084,14 @@ object Analytics {
       Tables.events(s, d), timeCol = "ts", valueCol = "user_id",
       bucketSeconds = 86400L, m = 256)
 
+  /** #37g 7-day sliding HLL distinct users — the sketch twin of the
+    * exact `events_wau`: register state only (oracle-exact), the
+    * estimator is spec-gated against the exact operator. */
+  def hllSlidingQ(s: SparkSession, d: String): DataFrame =
+    operators.Sketch.hllSliding(
+      Tables.events(s, d), timeCol = "ts", valueCol = "user_id",
+      bucketSeconds = 86400L, windowBuckets = 7, m = 256)
+
   /** #19c merge_asof(direction='forward'): the next same-user purchase
     * at-or-after each event (inclusive, like pandas
     * allow_exact_matches) — one union+window pass, times in epoch µs.
@@ -2019,6 +2027,7 @@ object Analytics {
     "interpolate_events_salted" -> (interpolateEventsSalted _),
     "events_twa" -> (eventsTwa _),
     "hll_cumulative" -> (hllCumulativeQ _),
+    "hll_sliding" -> (hllSlidingQ _),
     "asof_forward" -> (asofForward _),
     "asof_nearest" -> (asofNearest _),
     "events_retention" -> (eventsRetention _),
@@ -2936,6 +2945,23 @@ object Analytics {
       FROM w GROUP BY 1""".trim,
     // daily register states merged by running max per register — the
     // dense day×register frame is bounded by the sketch geometry
+    // same md5 register geometry as hll_cumulative; the merge window is
+    // the trailing 7 day buckets, realized as a bounded x7 vote explode
+    "hll_sliding" -> """
+      WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS t_s, user_id FROM events),
+      d AS (SELECT t_s - (t_s % 86400) AS bucket_s,
+              ('0x' || substr(md5('hll:' || user_id::VARCHAR), 1, 8))::BIGINT % 256 AS register,
+              ('0x' || substr(md5('hll:' || user_id::VARCHAR), 9, 13))::BIGINT AS x
+            FROM e),
+      daily AS (SELECT bucket_s, register,
+                  max(CASE WHEN x = 0 THEN 53 ELSE 53 - length(bin(x)) END) AS rho_day
+                FROM d GROUP BY 1, 2),
+      votes AS (SELECT bucket_s + o.off * 86400 AS target_s, register, rho_day
+                FROM daily, (SELECT unnest(range(7)) AS off) o),
+      real_days AS (SELECT DISTINCT bucket_s AS target_s FROM daily)
+      SELECT v.target_s, v.register, max(v.rho_day) AS rho_max
+      FROM votes v JOIN real_days USING (target_s)
+      GROUP BY 1, 2""".trim,
     "hll_cumulative" -> """
       WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS t_s, user_id FROM events),
       d AS (SELECT t_s - (t_s % 86400) AS bucket_s,

@@ -1156,6 +1156,33 @@ object LlmQueries {
       k = 5, cells = 16, nprobe = 4)
   }
 
+  /** #27j persisted IVF index (the ANN twin of #22d's persisted LSH
+    * index): the cell assignment AND the centroids round-trip the
+    * keyed store — built once per corpus (one narrow argmax pass + two
+    * bucketed writes), read back, probed by the query batch. Gated on
+    * the SAME oracle as `ann_ivf`: the store round-trip is hash-proven
+    * lossless. */
+  def annIvfPersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wh = graft.TempDirs.tempDir("graft-ivfidx-")
+    val e = embs(s, d)
+    val cents = Knn.seedCentroids(e, "vec_id", "embedding", 16)
+    val assigned = e.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      element_at(Knn.nearestCells(cents, col("embedding"), 1), 1).as("cell"))
+    graft.store.KeyedTable.toSql(assigned, wh, "ivf_index", pk = Seq("id"))
+    graft.store.KeyedTable.toSql(
+      cents.toSeq.map { case (cid, v) => (cid, v) }.toDF("cell", "vec"),
+      wh, "ivf_centroids", pk = Seq("cell"))
+    // read BOTH halves back: queries never touch the in-memory build
+    val backCents = graft.store.KeyedTable.readSql(s, wh, "ivf_centroids")
+      .select("cell", "vec").collect() // bounded: exactly `cells` rows
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    Knn.ivfProbe(graft.store.KeyedTable.readSql(s, wh, "ivf_index"),
+      backCents, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+      k = 5, nprobe = 4)
+  }
+
   /** #30t BM25 retrieval over the corpus — the keyword-search half of
     * a data-curation stack (find documents about X at 100 TB). Inverted
     * index shape: tf per (doc, token), df per query term, document
@@ -1326,6 +1353,7 @@ object LlmQueries {
     }),
     "ann_lsh" -> annLsh,
     "ann_ivf" -> annIvf,
+    "ann_ivf_persisted" -> annIvfPersisted,
     // the trained-index composition: one Lloyd step refines the coarse
     // quantizer, then the SAME ivf machinery probes the refined cells
     "ann_ivf_refined" -> ((s: SparkSession, d: String) => {
@@ -1470,7 +1498,12 @@ object LlmQueries {
                    ELSE 'ok' END AS reason
             FROM qm)"""
 
-  lazy val oracles: Map[String, String] = oraclesHead ++ oraclesTail
+  lazy val oracles: Map[String, String] = {
+    val base = oraclesHead ++ oraclesTail
+    // #27j gates on the identical SQL as the rebuild-every-time form:
+    // the persisted index's store round-trip must be lossless
+    base + ("ann_ivf_persisted" -> base("ann_ivf"))
+  }
 
   private lazy val oraclesHead: Map[String, String] = Map(
     // PQ codes: same codebook (16 lowest-id vectors), same per-subspace
@@ -2792,7 +2825,9 @@ object LlmQueries {
              sc.id = b.canonical_id AS keep
       FROM sc JOIN best b USING (cluster_id)""".trim,
     // IVF: centroids = 16 lowest-id vectors; assignment/probing replay
-    // the same cosine argmax with (sim DESC, cid) tie-break
+    // the same cosine argmax with (sim DESC, cid) tie-break; the
+    // persisted-index form (#27j) gates on the SAME SQL - the store
+    // round-trip must be lossless
     "ann_ivf" -> s"""
       WITH $cosCte,
       cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),

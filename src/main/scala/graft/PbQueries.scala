@@ -226,7 +226,11 @@ object PbQueries {
     * At 100 TB: the fold reads |changelog| rows, never the table. */
   def cdcIncrementalAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
+    // a third of orders: the query is five real store write cycles
+    // (create + snapshot + 3 changelog upserts) — the CDC semantics are
+    // scale-free, so the gate pays a third of the write volume
     val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0)
     val k = col("o_orderkey")
     KeyedTable.toSql(orders.filter(k % 4 =!= 3), wh, "orders",
       pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
@@ -350,7 +354,7 @@ object PbQueries {
                     WHEN o_orderkey % 4 = 3 AND o_orderkey % 2 = 1 THEN o_totalprice * 2
                     WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0 THEN o_totalprice - 50.0
                     ELSE o_totalprice END AS p
-        FROM orders)
+        FROM orders WHERE o_orderkey % 3 = 0)
       SELECT g AS o_orderpriority, count(*) AS n_rows,
              round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
       FROM eff GROUP BY g ORDER BY g

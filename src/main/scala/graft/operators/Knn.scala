@@ -164,16 +164,32 @@ object Knn {
     // default quantizer = the deterministic seeds; pass Lloyd-refined
     // centroids ([[kmeansCentroids]]) for the trained-index variant
     val cents = centroids.getOrElse(seedCentroids(corpus, idCol, vecCol, cells))
-    def topCells(vec: Column, n: Int): Column = nearestCells(cents, vec, n)
-    val c = corpus
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-        norm2(col(vecCol)).as("cn"),
-        element_at(topCells(col(vecCol), 1), 1).as("cell"))
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        element_at(nearestCells(cents, col(vecCol), 1), 1).as("cell"))
+    ivfProbe(assigned, cents, queries, idCol, vecCol, k, nprobe)
+  }
+
+  /** #27j probe a PREBUILT IVF index: `index` is the (id, cell, vec)
+    * assignment relation — typically read back from two keyed tables
+    * written at index-build time ([[graft.store.KeyedTable]]), so the
+    * corpus' cell assignment is computed ONCE per corpus and every
+    * query batch probes the stored relation. This is the index
+    * lifecycle at 100 TB (the ANN twin of the persisted-LSH-index dedup,
+    * #22d): build = one narrow assignment pass + one bucketed store
+    * write; search = broadcast probes against ~nprobe/cells of the
+    * stored rows, identical output to the rebuild-every-time [[ivf]]. */
+  def ivfProbe(index: DataFrame, cents: Array[(Long, Seq[Double])],
+               queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nprobe: Int): DataFrame = {
+    val c = index
+      .select(col("id").as("neighbor_id"), col("vec").as("cv"),
+        norm2(col("vec")).as("cn"), col("cell"))
     // queries probe their nprobe nearest cells (tiny side, broadcast)
     val probes = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
           norm2(col(vecCol)).as("qn"),
-          explode(topCells(col(vecCol), nprobe)).as("cell")))
+          explode(nearestCells(cents, col(vecCol), nprobe)).as("cell")))
     val scored = c.join(probes,
         c("cell") === probes("cell") && col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", graft.functions.Rounding.portableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
