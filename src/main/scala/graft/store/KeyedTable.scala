@@ -732,6 +732,96 @@ object KeyedTable {
     }
   }
 
+  /** Morton (Z-order) value of two numeric columns, 21 bits each:
+    * values scale affinely onto [0, 2²¹) against broadcast min/max
+    * scalars, then bit-interleave via the classic mask-spread chain —
+    * pure long arithmetic, codegen-friendly, no UDF. Constant columns
+    * map to 0 (any order is clustered). */
+  private def zValue(a: Column, b: Column,
+                     aMin: Double, aMax: Double,
+                     bMin: Double, bMax: Double): Column = {
+    def scaled(c: Column, mn: Double, mx: Double): Column =
+      if (mx == mn) lit(0L)
+      else ((c.cast("double") - lit(mn)) / lit(mx - mn) *
+        lit(((1L << 21) - 1).toDouble)).cast("long")
+    def spread(x0: Column): Column = {
+      var v = x0.bitwiseAND(lit(0x1FFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+      v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
+      v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
+    }
+    spread(scaled(a, aMin, aMax))
+      .bitwiseOR(shiftleft(spread(scaled(b, bMin, bMax)), 1))
+  }
+
+  /** #11r Z-order clustering: rewrite every bucket with rows sorted by
+    * the Morton interleave of TWO columns, so parquet row-group min/max
+    * stats become tight on BOTH dimensions — a range predicate on
+    * either column (or both) prunes row groups, where a PK-sorted
+    * layout prunes only on the leading key. This is the standard
+    * multi-dimensional clustering move at 100 TB (Delta/Iceberg
+    * Z-ORDER): the bucket layout (PK hashing, co-partitioned joins,
+    * commit protocol) is untouched — only the order WITHIN each
+    * bucket's files changes, via the same staging + swap as compaction.
+    * NULLs in a z column sort first (cast yields NULL → z NULL).
+    * `parquetBlockBytes` caps the row-group size so large buckets split
+    * into several stat-pruned groups (None = parquet default, the right
+    * choice at real scale).
+    *
+    * Scale shape: one footer-free min/max aggregate (2 scalars per
+    * column), then exactly the compaction rewrite — one shuffle by
+    * bucket, sort within, swap. Cost equals one compact; the payoff is
+    * every subsequent selective scan on either z dimension. */
+  def zorderCompact(spark: SparkSession, warehouse0: String,
+                    tableName: String, zCols: Seq[String],
+                    parquetBlockBytes: Option[Long] = None,
+                    schema: Option[String] = None): Unit = {
+    require(zCols.size == 2, "zorderCompact interleaves exactly 2 columns")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "zorder") {
+      val meta = TableMeta.read(spark, dir)
+      zCols.foreach { c =>
+        if (!meta.schema.fieldNames.contains(c))
+          throw new StoreException(s"zorder column $c not in table schema")
+      }
+      val raw = readRaw(spark, warehouse, tableName, meta)
+      val Seq(a, b) = zCols
+      // 4 scalars from one aggregate — broadcast into the sort key
+      val mm = raw.agg(
+        min(col(a).cast("double")), max(col(a).cast("double")),
+        min(col(b).cast("double")), max(col(b).cast("double"))).head()
+      if (!mm.isNullAt(0) && !mm.isNullAt(2)) { // all-NULL/empty: no-op
+        val z = zValue(col(a), col(b),
+          mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+        val data = dataDir(warehouse, tableName)
+        val f = fs(spark, dir)
+        val staging = s"$dir/.staging-zorder-${UUID.randomUUID()}"
+        try {
+          val writer = raw.withColumn("_z", z)
+            .repartition(meta.buckets, col(BucketCol))
+            .sortWithinPartitions(col(BucketCol), col("_z"))
+            .drop("_z")
+            .write.partitionBy(BucketCol)
+          parquetBlockBytes.fold(writer)(n =>
+            writer.option("parquet.block.size", n.toString))
+            .parquet(staging)
+          (0 until meta.buckets).foreach { bkt =>
+            val target = new Path(data, s"$BucketCol=$bkt")
+            val src = new Path(staging, s"$BucketCol=$bkt")
+            if (f.exists(src)) {
+              if (f.exists(target)) f.delete(target, true)
+              if (!f.rename(src, target))
+                throw new StoreException(s"zorder: could not commit $src -> $target")
+            }
+          }
+        } finally f.delete(new Path(staging), true)
+      }
+    }
+  }
+
   /** #11q predicate delete: remove every row matching `where`, rewriting
     * ONLY the buckets that contain a match (staging + per-bucket swap
     * under the write lock — the upsert commit protocol, so readers never
