@@ -204,7 +204,7 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
                                pushed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   private val readDataSchema =
     StructType(required.fields.filterNot(_.name == KeyedTable.BucketCol))
@@ -345,6 +345,40 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
       .readerFactory(SparkSession.active, meta.schema, readDataSchema,
         readPartitionSchema, dataFilters)
+
+  /** Size statistics from ONE directory listing of the (statically
+    * pruned) bucket dirs — no footer opens, no data bytes. Without this
+    * Catalyst has no size for a V2 relation and assumes
+    * `defaultSizeInBytes` (effectively infinite), so a small keyed
+    * dimension would NEVER auto-broadcast in a join against a fact
+    * table. File bytes are compressed parquet; the session's
+    * `spark.sql.sources.fileCompressionFactor` scales them exactly as
+    * the built-in FileScan does, so broadcast thresholds mean the same
+    * thing for keyed tables as for plain parquet. */
+  override def estimateStatistics(): Statistics = {
+    val spark = SparkSession.active
+    val root = new Path(dataDir)
+    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val factor = spark.conf
+      .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+    val bytes: Long =
+      if (!fsys.exists(root)) 0L
+      else fsys.listStatus(root).filter(_.isDirectory).flatMap { d =>
+        val b = d.getPath.getName.stripPrefix(s"${KeyedTable.BucketCol}=")
+        val keep = keptBuckets.forall(s => b.toIntOption.exists(s.contains))
+        if (!keep) Nil
+        else fsys.listStatus(d.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).toSeq
+      }.sum
+    val scaled = math.max(1L, (bytes * factor).toLong)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(scaled)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty() // rows would cost a footer per file
+    }
+  }
 }
 
 /** Driver-side evaluation of fully-pushed global aggregates from
