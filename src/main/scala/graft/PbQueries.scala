@@ -321,6 +321,19 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders")
   }
 
+  /** #11r (`pb_zorder`): Z-order clustering is a pure layout rewrite —
+    * create, zorderCompact on (o_custkey, o_totalprice), read back
+    * EVERYTHING: identical content, now row-group-prunable on both
+    * clustered dimensions (ZorderSpec measures that from footers). */
+  def zorderQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
+    KeyedTable.zorderCompact(spark, wh, "orders",
+      Seq("o_custkey", "o_totalprice"))
+    KeyedTable.readSql(spark, wh, "orders")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -340,6 +353,7 @@ object PbQueries {
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "pb_sql_insert" -> sqlInsert,
     "pb_delete" -> deleteQ,
+    "pb_zorder" -> zorderQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -360,6 +374,7 @@ object PbQueries {
       FROM eff GROUP BY g ORDER BY g
     """.trim,
     "pb_sql_insert" -> "SELECT * FROM customer",
+    "pb_zorder" -> "SELECT * FROM orders",
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)
