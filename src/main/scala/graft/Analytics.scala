@@ -1394,6 +1394,28 @@ object Analytics {
         sum(col("n_events")).as("total_events"))
   }
 
+  /** #18u daily value percentiles (p50/p95 per day): the time-series
+    * latency/size-band view, EXACT by rank selection (rank ceil(p·n)
+    * in (value, id) order — no interpolation, so every engine lands on
+    * the same stored value). Days are a low-cardinality group — the
+    * regime where a plain per-group window serializes — so the ranks
+    * come from [[operators.ExactRank.groupedRankSelect]]'s sharded
+    * form: approximate value edges shard each day, exact counts offset,
+    * the heavy sort shrinks to the shards holding a target rank. */
+  def eventsDailyPercentiles(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("value"), col("event_id"),
+        expr("unix_micros(ts) div 1000000").as("ts_s"))
+      .select((col("ts_s") - pmod(col("ts_s"), lit(86400L))).as("day"),
+        col("value"), col("event_id"))
+    val picks = graft.operators.ExactRank.groupedRankSelect(
+      ev, "day", "value", "event_id", "rn", "cnt",
+      targets = Seq(c => ceil(c * 0.5), c => ceil(c * 0.95)))
+    picks.groupBy(col("day")).agg(
+      max(when(col("rn") === ceil(col("cnt") * 0.5), col("value"))).as("p50"),
+      max(when(col("rn") === ceil(col("cnt") * 0.95), col("value"))).as("p95"))
+  }
+
   /** #19f pandas merge_asof(tolerance=): the backward as-of join of
     * #19, but a carried match EXPIRES when it is older than the
     * tolerance window — the row keeps its left side and reports NULL
@@ -2047,6 +2069,7 @@ object Analytics {
     "w_rolling_std" -> (wRollingStd _),
     "events_session_stats" -> (eventsSessionStats _),
     "asof_tolerance" -> (asofToleranceQ _),
+    "events_daily_percentiles" -> (eventsDailyPercentiles _),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2775,6 +2798,19 @@ object Analytics {
              max(n_events)::BIGINT AS max_events,
              sum(n_events)::BIGINT AS total_events
       FROM sess GROUP BY 1""".trim,
+    // exact rank picks: same (value, event_id) order, same ceil(p*n)
+    // double targets (identical IEEE product on both engines)
+    "events_daily_percentiles" -> """
+      WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS t_s, value, event_id
+                 FROM events),
+      d AS (SELECT t_s - (t_s % 86400) AS day, value, event_id FROM e),
+      r AS (SELECT day, value,
+              row_number() OVER (PARTITION BY day ORDER BY value, event_id) rn,
+              count(*) OVER (PARTITION BY day) cnt
+            FROM d)
+      SELECT day, max(CASE WHEN rn = ceil(cnt * 0.5) THEN value END) AS p50,
+             max(CASE WHEN rn = ceil(cnt * 0.95) THEN value END) AS p95
+      FROM r GROUP BY 1""".trim,
     // the plain backward as-of match, then the tolerance applied as a
     // projection: matches older than 7 days null out, rows remain
     "asof_tolerance" -> """
