@@ -1394,6 +1394,41 @@ object Analytics {
         sum(col("n_events")).as("total_events"))
   }
 
+  /** #14u market-basket affinity (association-rule mining's hot loop):
+    * part pairs co-purchased within an order, ranked by lift =
+    * (n_ab·N)/(n_a·n_b) — PMI without the log (monotone-equivalent,
+    * zero libm; #30x's idiom on baskets instead of text). The pair
+    * fanout is bounded by the basket size (≤ C(items,2) per order, ~21
+    * here — never a catalog² product), counts are exact integers, the
+    * lift is ONE portable-rounded division, and the global top-20 runs
+    * through the bounded-heap aggregate (≤k candidates per map task).
+    * At 100 TB: basket-local fanout + two vocabulary-sized count
+    * aggregates + a k-row reduce — the classic recommender pre-pass. */
+  def partAffinity(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import graft.functions.Rounding.portableRound
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nBaskets = broadcast(li.select(countDistinct(col("o")).as("nb")))
+    val counts = li.groupBy(col("p")).agg(count(lit(1)).as("np"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val scored = pairs
+      .join(counts.select(col("p").as("p_a"), col("np").as("n_a")), "p_a")
+      .join(counts.select(col("p").as("p_b"), col("np").as("n_b")), "p_b")
+      .crossJoin(nBaskets) // broadcast scalar, BroadcastNestedLoopJoin
+      .select(col("p_a"), col("p_b"), col("n_ab"),
+        portableRound((col("n_ab") * col("nb")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 4).as("lift"))
+    graft.operators.Knn.topKByScore(
+        scored.withColumn("pair_key",
+          col("p_a") * lit(1000000000L) + col("p_b")),
+        Seq.empty, "lift", "pair_key", k)
+      .select(col("p_a"), col("p_b"), col("n_ab"), col("lift"),
+        col("rank").cast("long").as("rank"))
+  }
+
   /** #18u daily value percentiles (p50/p95 per day): the time-series
     * latency/size-band view, EXACT by rank selection (rank ceil(p·n)
     * in (value, id) order — no interpolation, so every engine lands on
@@ -2070,6 +2105,7 @@ object Analytics {
     "events_session_stats" -> (eventsSessionStats _),
     "asof_tolerance" -> (asofToleranceQ _),
     "events_daily_percentiles" -> (eventsDailyPercentiles _),
+    "part_affinity" -> ((s: SparkSession, d: String) => partAffinity(s, d)),
     "user_split" -> (userSplit _),
     "events_ewm" -> (eventsEwm _),
     "corr_price_qty" -> (corrPriceQty _),
@@ -2798,6 +2834,24 @@ object Analytics {
              max(n_events)::BIGINT AS max_events,
              sum(n_events)::BIGINT AS total_events
       FROM sess GROUP BY 1""".trim,
+    // basket-bounded pair fanout; lift from exact integers + one
+    // portable-rounded division; ties (lift, p_a, p_b) deterministic
+    "part_affinity" -> """
+      WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p FROM lineitem),
+      n AS (SELECT count(DISTINCT o) nb FROM li),
+      pc AS (SELECT p, count(*) np FROM li GROUP BY 1),
+      pairs AS (SELECT a.p pa, b.p pb, count(*) nab
+                FROM li a JOIN li b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2),
+      sc AS (SELECT pa, pb, nab,
+               floor(((nab * nb)::DOUBLE / (x.np * y.np)::DOUBLE) * 10000 + 0.5)
+                 / 10000 AS lift
+             FROM pairs CROSS JOIN n
+             JOIN pc x ON x.p = pairs.pa JOIN pc y ON y.p = pairs.pb)
+      SELECT pa AS p_a, pb AS p_b, nab AS n_ab, lift,
+             rn::BIGINT AS rank
+      FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, pa, pb) rn
+            FROM sc)
+      WHERE rn <= 20""".trim,
     // exact rank picks: same (value, event_id) order, same ceil(p*n)
     // double targets (identical IEEE product on both engines)
     "events_daily_percentiles" -> """
