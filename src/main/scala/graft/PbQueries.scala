@@ -276,6 +276,55 @@ object PbQueries {
       round(col("total"), 2).cast("double").as("total"))
   }
 
+  /** #33h (`cdc_stream_agg`): the STREAMING changelog consumer as a
+    * correctness row — identical setup to [[cdcIncrementalAgg]], but
+    * the fold runs through [[graft.streaming.StreamingCdc]]: the three
+    * changelog batches arrive as a drained file-stream backlog
+    * (Trigger.AvailableNow) and the derived snapshot is swapped
+    * per micro-batch. Gated on the SAME oracle as the batch fold: the
+    * continuous path must converge to the recompute exactly
+    * (stream_upsert taught us spec-only streaming silently rots). */
+  def cdcStreamAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 3 === 0) // same universe as the batch twin
+    val k = col("o_orderkey")
+    KeyedTable.toSql(orders.filter(k % 4 =!= 3), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
+    val derived = s"$wh/derived_by_priority"
+    KeyedTable.readSql(spark, wh, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,6)")).as("total"))
+      .write.parquet(derived)
+    def delta(f: DataFrame): DataFrame = f.select(k,
+      col("o_orderpriority"), col("o_totalprice"))
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 3 && k % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") * 2)),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 0)
+        .withColumn("o_orderpriority", lit("0-MOVED"))
+        .withColumn("o_totalprice", col("o_totalprice") + 111.11)),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    KeyedTable.toSql(
+      delta(orders.filter(k % 4 === 3 && k % 2 === 0)).unionByName(
+        delta(orders.filter(k % 4 === 1 && k % 3 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") - 50.0))),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
+      strictUtc = false, changelog = true)
+    graft.streaming.StreamingCdc.start(spark, wh, "orders",
+        derived, s"$wh/ckpt", groupCol = "o_orderpriority",
+        countCol = "n_rows", sumCol = "total", valueCol = "o_totalprice")
+      .awaitTermination()
+    spark.read.parquet(derived)
+      .select(col("o_orderpriority"), col("n_rows"),
+        round(col("total"), 2).cast("double").as("total"))
+  }
+
   /** #11m (`pb_sql_insert`): the SQL write surface as a correctness row —
     * `INSERT INTO <catalog>.customer SELECT …` routes through the
     * store's own append (PK validation, bucket layout, writer lock), and
@@ -354,6 +403,7 @@ object PbQueries {
     "pb_sql_insert" -> sqlInsert,
     "pb_delete" -> deleteQ,
     "pb_zorder" -> zorderQ,
+    "cdc_stream_agg" -> cdcStreamAgg,
   )
 
   val oracles: Map[String, String] = Map(
@@ -374,6 +424,20 @@ object PbQueries {
       FROM eff GROUP BY g ORDER BY g
     """.trim,
     "pb_sql_insert" -> "SELECT * FROM customer",
+    // the streaming fold must converge to the identical final state
+    "cdc_stream_agg" -> """
+      WITH eff AS (
+        SELECT CASE WHEN o_orderkey % 4 = 0 THEN '0-MOVED'
+                    ELSE o_orderpriority END AS g,
+               CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 111.11
+                    WHEN o_orderkey % 4 = 3 AND o_orderkey % 2 = 1 THEN o_totalprice * 2
+                    WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0 THEN o_totalprice - 50.0
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey % 3 = 0)
+      SELECT g AS o_orderpriority, count(*) AS n_rows,
+             round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
+      FROM eff GROUP BY g ORDER BY g
+    """.trim,
     "pb_zorder" -> "SELECT * FROM orders",
     "pb_delete" -> """
       SELECT * FROM orders
