@@ -410,6 +410,60 @@ object KeyedTable {
     (from == TimestampNTZType && to == TimestampType)
   }
 
+  /** Commit staged bucket directories over their live counterparts with
+    * the RETIRE protocol (the same move [[rebucketLocked]] makes for the
+    * whole data dir, applied per bucket): the live bucket is first
+    * renamed aside into a `.retired-*` dir (checked — Hadoop
+    * `FileSystem.rename` reports failure by returning false, not by
+    * throwing), then staging renames into place (checked), and on any
+    * failure the retired copy is renamed BACK so the live table is
+    * intact. The retired dir — which briefly holds the only old copy —
+    * is deleted only after every bucket committed. The staged output is
+    * therefore never the only copy of live data at any instant, and a
+    * false-returning rename can never silently lose a bucket: either the
+    * commit completes, or the old bucket is restored (or, on a
+    * rollback-of-rollback failure, preserved under `.retired-*` with a
+    * loud error naming it).
+    *
+    * A hard crash mid-loop leaves already-committed buckets new and
+    * not-yet-committed buckets old — each bucket whole; vacuum may then
+    * reap `.staging-*`/`.retired-*` leftovers, neither of which is ever
+    * the only copy of a live bucket once no writer is active.
+    *
+    * `removeMissing`: when true (predicate delete), a bucket with no
+    * staged replacement is being REMOVED — its live dir is retired with
+    * nothing renamed in. When false (upsert/compact/zorder), a bucket
+    * with no staged replacement is left untouched. */
+  private def swapBuckets(f: FileSystem, dir: String, data: String,
+                          staging: String, buckets: Seq[Int], op: String,
+                          removeMissing: Boolean = false): Unit = {
+    val retiredRoot = new Path(dir, s".retired-$op-${UUID.randomUUID()}")
+    if (!f.mkdirs(retiredRoot))
+      throw new StoreException(s"$op: could not create retire dir $retiredRoot")
+    buckets.foreach { b =>
+      val target = new Path(data, s"$BucketCol=$b")
+      val src = new Path(staging, s"$BucketCol=$b")
+      val retired = new Path(retiredRoot, s"$BucketCol=$b")
+      val hasSrc = f.exists(src)
+      if (hasSrc || removeMissing) {
+        if (f.exists(target) && !f.rename(target, retired))
+          throw new StoreException(
+            s"$op: could not retire live bucket $target -> $retired; " +
+            "table unchanged, commit aborted")
+        if (hasSrc && !f.rename(src, target)) {
+          val restored = !f.exists(retired) || f.rename(retired, target)
+          throw new StoreException(
+            s"$op: could not commit $src -> $target" + (
+              if (restored) "; old bucket restored, table unchanged"
+              else s"; RESTORE FAILED — old bucket preserved at $retired, " +
+                "move it back manually"))
+        }
+      }
+    }
+    // all buckets committed — only now may the old copies go
+    f.delete(retiredRoot, true): Unit
+  }
+
   /** Raw bucket-partitioned read with the evolved logical schema (old
     * files lacking evolved columns yield NULLs). */
   private def readRaw(spark: SparkSession, warehouse: String, table: String,
@@ -568,20 +622,16 @@ object KeyedTable {
         Some((clStaging, new Path(clRoot, s"batch=$nextBatch")))
       } else None
 
-      // Commit: write to staging, then swap touched bucket dirs. Avoids
-      // overwriting a path that is being read, and is per-bucket atomic.
+      // Commit: write to staging, then swap touched bucket dirs via the
+      // retire protocol (see swapBuckets) — per-bucket atomic, every
+      // rename checked, old bucket restored on failure.
       val staging = s"$dir/.staging-${UUID.randomUUID()}"
       val f = fs(spark, dir)
       try {
         clusterByBucket(out, meta.buckets, meta.pk)
           .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
         try {
-          touched.foreach { b =>
-            val target = new Path(dataDir(warehouse, table), s"$BucketCol=$b")
-            val src = new Path(staging, s"$BucketCol=$b")
-            if (f.exists(target)) f.delete(target, true)
-            if (f.exists(src)) f.rename(src, target)
-          }
+          swapBuckets(f, dir, dataDir(warehouse, table), staging, touched, "upsert")
         } finally f.delete(new Path(staging), true)
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
@@ -685,12 +735,7 @@ object KeyedTable {
           .repartition(crowded.size, col(BucketCol))
           .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
-        crowded.foreach { b =>
-          val target = new Path(data, s"$BucketCol=$b")
-          val src = new Path(staging, s"$BucketCol=$b")
-          if (f.exists(target)) f.delete(target, true)
-          if (f.exists(src)) f.rename(src, target)
-        }
+        swapBuckets(f, dir, data, staging, crowded, "compact")
       } finally f.delete(new Path(staging), true)
       crowded.size
     }
@@ -808,15 +853,7 @@ object KeyedTable {
           parquetBlockBytes.fold(writer)(n =>
             writer.option("parquet.block.size", n.toString))
             .parquet(staging)
-          (0 until meta.buckets).foreach { bkt =>
-            val target = new Path(data, s"$BucketCol=$bkt")
-            val src = new Path(staging, s"$BucketCol=$bkt")
-            if (f.exists(src)) {
-              if (f.exists(target)) f.delete(target, true)
-              if (!f.rename(src, target))
-                throw new StoreException(s"zorder: could not commit $src -> $target")
-            }
-          }
+          swapBuckets(f, dir, data, staging, 0 until meta.buckets, "zorder")
         } finally f.delete(new Path(staging), true)
       }
     }
@@ -856,12 +893,10 @@ object KeyedTable {
             .repartition(touched.size, col(BucketCol))
             .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
             .write.partitionBy(BucketCol).parquet(staging)
-          touched.foreach { b =>
-            val target = new Path(data, s"$BucketCol=$b")
-            val src = new Path(staging, s"$BucketCol=$b")
-            if (f.exists(target)) f.delete(target, true)
-            if (f.exists(src)) f.rename(src, target): Unit
-          }
+          // removeMissing: a bucket whose rows ALL matched has no staged
+          // replacement — retire (remove) its live dir
+          swapBuckets(f, dir, data, staging, touched, "delete",
+            removeMissing = true)
         } finally f.delete(new Path(staging), true)
       }
       deleted
@@ -936,11 +971,13 @@ object KeyedTable {
 
   /** Remove leftover `.staging-*` / `.retired-*` directories that a
     * crashed write abandoned under a table dir. Every commit protocol
-    * here leaves the LIVE data consistent on failure (staging is never
-    * the only copy until it is renamed into place; `retired` is kept
-    * only while a rebucket is mid-swap), so leftovers are garbage by
-    * construction once no writer is active — but they cost storage and
-    * confuse listings. Only dirs older than `olderThanMs` are removed
+    * here leaves the LIVE data consistent on failure: staged output is
+    * never the only copy of live data, and a `.retired-*` dir holds the
+    * only OLD copy of a bucket only for the instant between its two
+    * checked renames (see [[swapBuckets]]/[[rebucket]] — on failure the
+    * retired copy is renamed back, or preserved with a loud error). So
+    * leftovers are garbage by construction once no writer is active —
+    * but they cost storage and confuse listings. Only dirs older than `olderThanMs` are removed
     * (default 24 h), so an in-flight writer's staging is never touched.
     * Returns the number of directories removed. */
   def vacuum(spark: SparkSession, warehouse0: String, tableName: String,
