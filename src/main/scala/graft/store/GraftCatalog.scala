@@ -67,7 +67,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val sch = schemaOf(ident.namespace).get
     val dir = KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, sch), ident.name)
-    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data")
+    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+      Manifest.current(spark, dir))
   }
 
   override def dropTable(ident: Identifier): Boolean =

@@ -23,18 +23,23 @@ object WriteMode {
   * reference's pandas↔SQL table (/root/reference/pandabase/sql.py).
   *
   * Layout: `<warehouse>/<table>/data/pb_bucket=<i>/...parquet` with
-  * `i = pmod(xxhash64(pk...), buckets)`, plus `_graft_meta.json`.
+  * `i = pmod(xxhash64(pk...), buckets)`, plus `_graft_meta.json` and
+  * versioned snapshot manifests under `_manifests/` (see [[Manifest]]).
   *
   * Scale design (SURVEY.md §4): upsert/append only ever read and rewrite
   * the hash buckets actually touched by the incoming keys, so a small
   * delta against a huge table does proportionally small IO. Commits are
-  * write-to-staging + per-bucket directory swap, so a reader never sees
-  * a half-written bucket and the source is never overwritten while being
-  * read. PK range reads push down to parquet row-group min/max stats.
+  * write-to-staging + additive file moves + ONE atomic manifest flip:
+  * readers resolve the file set through the current manifest, so a read
+  * racing any mutation sees a complete snapshot (old or new, never
+  * partial) — correct even on object stores with no atomic directory
+  * rename. Superseded files and manifests persist until [[vacuum]],
+  * which also gives bounded time travel ([[readSql]] `asOfVersion`).
+  * PK range reads push down to parquet row-group min/max stats.
   *
   * Writers additionally serialize through [[WriteLock]] (`_graft_lock`,
-  * atomic create-if-absent): each swap is atomic but the
-  * read-merge-swap SEQUENCE is not, so two concurrent mutators of the
+  * atomic create-if-absent): each commit is atomic but the
+  * read-merge-commit SEQUENCE is not, so two concurrent mutators of the
   * same table fail fast instead of interleaving. Readers never take
   * the lock.
   */
@@ -313,6 +318,9 @@ object KeyedTable {
         casted.repartition(buckets, col(BucketCol))
           .write.partitionBy(BucketCol).parquet(data.toString)
       }
+      // version-0 snapshot: every table is manifest-native from birth
+      Manifest.commit(spark, dir,
+        Manifest(0L, buckets, listLiveFiles(f, data)))
       TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema, maxIdx))
     } finally f.delete(new Path(staging), true)
   }
@@ -410,67 +418,120 @@ object KeyedTable {
     (from == TimestampNTZType && to == TimestampType)
   }
 
-  /** Commit staged bucket directories over their live counterparts with
-    * the RETIRE protocol (the same move [[rebucketLocked]] makes for the
-    * whole data dir, applied per bucket): the live bucket is first
-    * renamed aside into a `.retired-*` dir (checked — Hadoop
-    * `FileSystem.rename` reports failure by returning false, not by
-    * throwing), then staging renames into place (checked), and on any
-    * failure the retired copy is renamed BACK so the live table is
-    * intact. The retired dir — which briefly holds the only old copy —
-    * is deleted only after every bucket committed. The staged output is
-    * therefore never the only copy of live data at any instant, and a
-    * false-returning rename can never silently lose a bucket: either the
-    * commit completes, or the old bucket is restored (or, on a
-    * rollback-of-rollback failure, preserved under `.retired-*` with a
-    * loud error naming it).
+  /** Live-file map from a directory listing — the adoption baseline for
+    * a table written before manifests existed (and create's way of
+    * enumerating its own fresh output). One listing per bucket dir. */
+  private def listLiveFiles(f: FileSystem, data: Path): Map[Int, Seq[ManifestFile]] =
+    if (!f.exists(data)) Map.empty
+    else f.listStatus(data)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+      .map { d =>
+        val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+        b -> f.listStatus(d.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+          .map(st => ManifestFile(st.getPath.getName, st.getLen))
+      }.filter(_._2.nonEmpty).toMap
+
+  /** The snapshot a WRITER mutates against (caller holds the write
+    * lock): the current manifest, or — for a legacy table with none —
+    * the directory listing adopted as a version "-1" baseline so the
+    * first manifest this mutation commits is version 0. */
+  private def snapshotForWrite(spark: SparkSession, dir: String,
+                               data: String, meta: TableMeta): Manifest =
+    Manifest.current(spark, dir).getOrElse(
+      Manifest(-1L, meta.buckets, listLiveFiles(fs(spark, dir), new Path(data))))
+
+  /** Commit a mutation's staged output as manifest version N+1 (see
+    * [[Manifest]] for the isolation argument). Staged files are renamed
+    * INTO their live bucket dirs under commit-unique names — additive
+    * and invisible, since no manifest references them — then the new
+    * manifest (untouched buckets carried over; touched buckets replaced
+    * by, or with `add` extended by, their staged files) is published in
+    * one atomic file rename, which IS the commit. Every rename is
+    * checked; any failure deletes the unreferenced moved-in files and
+    * aborts with the current snapshot — and every live file — untouched.
+    * Superseded files are left for [[vacuum]], so concurrent readers of
+    * the previous snapshot are never disturbed.
     *
-    * A hard crash mid-loop leaves already-committed buckets new and
-    * not-yet-committed buckets old — each bucket whole; vacuum may then
-    * reap `.staging-*`/`.retired-*` leftovers, neither of which is ever
-    * the only copy of a live bucket once no writer is active.
-    *
-    * `removeMissing`: when true (predicate delete), a bucket with no
-    * staged replacement is being REMOVED — its live dir is retired with
-    * nothing renamed in. When false (upsert/compact/zorder), a bucket
-    * with no staged replacement is left untouched. */
-  private def swapBuckets(f: FileSystem, dir: String, data: String,
-                          staging: String, buckets: Seq[Int], op: String,
-                          removeMissing: Boolean = false): Unit = {
-    val retiredRoot = new Path(dir, s".retired-$op-${UUID.randomUUID()}")
-    if (!f.mkdirs(retiredRoot))
-      throw new StoreException(s"$op: could not create retire dir $retiredRoot")
-    buckets.foreach { b =>
-      val target = new Path(data, s"$BucketCol=$b")
-      val src = new Path(staging, s"$BucketCol=$b")
-      val retired = new Path(retiredRoot, s"$BucketCol=$b")
-      val hasSrc = f.exists(src)
-      if (hasSrc || removeMissing) {
-        if (f.exists(target) && !f.rename(target, retired))
-          throw new StoreException(
-            s"$op: could not retire live bucket $target -> $retired; " +
-            "table unchanged, commit aborted")
-        if (hasSrc && !f.rename(src, target)) {
-          val restored = !f.exists(retired) || f.rename(retired, target)
-          throw new StoreException(
-            s"$op: could not commit $src -> $target" + (
-              if (restored) "; old bucket restored, table unchanged"
-              else s"; RESTORE FAILED — old bucket preserved at $retired, " +
-                "move it back manually"))
-        }
-      }
+    * `removeMissing`: when true (predicate delete, rebucket), a touched
+    * bucket with no staged output is REMOVED from the new snapshot;
+    * when false, it is carried over unchanged. */
+  private def commitStaged(spark: SparkSession, f: FileSystem, dir: String,
+                           data: String, staging: String, touched: Seq[Int],
+                           op: String, base: Manifest, newBuckets: Int,
+                           add: Boolean = false,
+                           removeMissing: Boolean = false): Manifest = {
+    val commitId = UUID.randomUUID().toString.take(8)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def abort(msg: String): Nothing = {
+      moved.foreach(p => f.delete(p, false))
+      throw new StoreException(msg)
     }
-    // all buckets committed — only now may the old copies go
-    f.delete(retiredRoot, true): Unit
+    val staged: Map[Int, Seq[ManifestFile]] = touched.flatMap { b =>
+      val sdir = new Path(staging, s"$BucketCol=$b")
+      if (!f.exists(sdir)) None
+      else {
+        val files = f.listStatus(sdir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val tdir = new Path(data, s"$BucketCol=$b")
+        if (!f.mkdirs(tdir))
+          abort(s"$op: could not create bucket dir $tdir; " +
+            "commit aborted, current snapshot unchanged")
+        Some(b -> files.toSeq.map { st =>
+          val dst = new Path(tdir, s"$commitId-${st.getPath.getName}")
+          if (!f.rename(st.getPath, dst))
+            abort(s"$op: could not move staged file ${st.getPath} -> $dst; " +
+              "commit aborted, current snapshot unchanged")
+          moved += dst
+          ManifestFile(dst.getName, st.getLen)
+        })
+      }
+    }.toMap
+    val newFiles: Map[Int, Seq[ManifestFile]] =
+      (base.files -- touched) ++ touched.flatMap { b =>
+        staged.get(b) match {
+          case Some(fls) =>
+            Some(b -> (if (add) base.files.getOrElse(b, Nil) ++ fls else fls))
+          case None =>
+            if (removeMissing) None else base.files.get(b).map(b -> _)
+        }
+      }.toMap
+    val mf = Manifest(base.version + 1, newBuckets, newFiles)
+    try Manifest.commit(spark, dir, mf)
+    catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
+    mf
   }
 
   /** Raw bucket-partitioned read with the evolved logical schema (old
-    * files lacking evolved columns yield NULLs). */
+    * files lacking evolved columns yield NULLs). Resolves the file set
+    * through the current manifest snapshot when one exists — never a
+    * directory walk, and immune to in-flight commits. */
   private def readRaw(spark: SparkSession, warehouse: String, table: String,
-                      meta: TableMeta): DataFrame = {
+                      meta: TableMeta): DataFrame =
+    readRawWith(spark, warehouse, table, meta,
+      Manifest.current(spark, tableDir(warehouse, table)))
+
+  private def readRawWith(spark: SparkSession, warehouse: String,
+                          table: String, meta: TableMeta,
+                          mf: Option[Manifest]): DataFrame = {
     val withBucketField = StructType(
       meta.schema.fields :+ StructField(BucketCol, IntegerType, nullable = true))
-    spark.read.schema(withBucketField).parquet(dataDir(warehouse, table))
+    val data = dataDir(warehouse, table)
+    mf match {
+      case Some(m) =>
+        val paths = m.absolutePaths(data)
+        if (paths.isEmpty)
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBucketField)
+        else
+          // basePath keeps pb_bucket recoverable from the dir names of
+          // the explicitly listed files (partition-style read)
+          spark.read.option("basePath", data)
+            .schema(withBucketField).parquet(paths: _*)
+      case None => // legacy pre-manifest table
+        spark.read.schema(withBucketField).parquet(data)
+    }
   }
 
   private def append(df: DataFrame, warehouse: String, table: String,
@@ -498,7 +559,9 @@ object KeyedTable {
         (a, e, meta0)
       }
 
-    val newB = withBucket(aligned0, meta.pk, meta.buckets)
+    val data = dataDir(warehouse, table)
+    val base = snapshotForWrite(spark, dir, data, meta)
+    val newB = withBucket(aligned0, meta.pk, base.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // validate AFTER persist so the (possibly expensive) incoming
@@ -506,7 +569,7 @@ object KeyedTable {
       // and the touched-bucket set off the cache
       val touched = validateAndTouched(newB, meta.pk, validate && !meta.autoIndex)
       if (!meta.autoIndex) {
-        val old = readRaw(spark, warehouse, table, meta)
+        val old = readRawWith(spark, warehouse, table, meta, manifestOf(base))
           .filter(col(BucketCol).isin(touched: _*))
         val overlap = newB.join(old, meta.pk, "left_semi").limit(5)
           .select(meta.pk.map(col): _*).collect()
@@ -515,13 +578,25 @@ object KeyedTable {
             s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
             "(reference: sql.py:264 append raises on repeated index)")
       }
-      clusterByBucket(newB, meta.buckets, meta.pk)
-        .write.partitionBy(BucketCol).mode(SaveMode.Append)
-        .parquet(dataDir(warehouse, table))
+      // staged write + ADDITIVE manifest commit: the new files extend
+      // the touched buckets' lists; nothing live is replaced
+      val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
+      val f = fs(spark, dir)
+      try {
+        clusterByBucket(newB, base.buckets, meta.pk)
+          .write.partitionBy(BucketCol).parquet(staging)
+        commitStaged(spark, f, dir, data, staging, touched, "append",
+          base, base.buckets, add = true)
+      } finally f.delete(new Path(staging), true)
       if (evolved != meta.schema)
         TableMeta.write(spark, dir, meta.copy(schema = evolved))
     } finally newB.unpersist()
   }
+
+  /** A writer baseline as a reader manifest: the adopted version "-1"
+    * baseline of a legacy table means "no manifest — read the dirs". */
+  private def manifestOf(base: Manifest): Option[Manifest] =
+    if (base.version >= 0) Some(base) else None
 
   /** Change-data-capture: with `changelog = true` an upsert also writes,
     * per incoming row, one (pk…, op, old_<c>…, new_<c>…) record —
@@ -564,7 +639,9 @@ object KeyedTable {
     val incomingCols = df.columns.toSet
     val (aligned, evolved) = align(df, meta, addNewColumns)
 
-    val newB = withBucket(aligned, meta.pk, meta.buckets)
+    val data = dataDir(warehouse, table)
+    val base = snapshotForWrite(spark, dir, data, meta)
+    val newB = withBucket(aligned, meta.pk, base.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // validate off the cache — one computation of the delta pipeline;
@@ -572,7 +649,8 @@ object KeyedTable {
       // read or rewritten)
       val touched = validateAndTouched(newB, meta.pk, validate)
       // read with the evolved schema: old files yield NULL for new columns
-      val oldTouched = readRaw(spark, warehouse, table, meta.copy(schema = evolved))
+      val oldTouched = readRawWith(spark, warehouse, table,
+          meta.copy(schema = evolved), manifestOf(base))
         .filter(col(BucketCol).isin(touched: _*))
       // One full-outer merge per touched bucket: survivors keep old rows,
       // matches take incoming values for incoming columns (old otherwise),
@@ -622,16 +700,17 @@ object KeyedTable {
         Some((clStaging, new Path(clRoot, s"batch=$nextBatch")))
       } else None
 
-      // Commit: write to staging, then swap touched bucket dirs via the
-      // retire protocol (see swapBuckets) — per-bucket atomic, every
-      // rename checked, old bucket restored on failure.
+      // Commit: write to staging, move the staged files in, flip the
+      // manifest (see commitStaged) — one atomic snapshot publish;
+      // readers of the previous snapshot are undisturbed.
       val staging = s"$dir/.staging-${UUID.randomUUID()}"
       val f = fs(spark, dir)
       try {
-        clusterByBucket(out, meta.buckets, meta.pk)
+        clusterByBucket(out, base.buckets, meta.pk)
           .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
         try {
-          swapBuckets(f, dir, dataDir(warehouse, table), staging, touched, "upsert")
+          commitStaged(spark, f, dir, data, staging, touched, "upsert",
+            base, base.buckets)
         } finally f.delete(new Path(staging), true)
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
@@ -668,32 +747,53 @@ object KeyedTable {
   def bucketStats(spark: SparkSession, warehouse0: String, tableName: String,
                   schema: Option[String] = None): DataFrame = {
     val warehouse = schemaDir(warehouse0, schema)
-    val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
+    val dir = tableDir(warehouse, tableName)
+    val meta = TableMeta.read(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val data = new Path(dataDir(warehouse, tableName))
-    val f = fs(spark, tableDir(warehouse, tableName))
-    val byBucket: Map[Int, (Long, Long, Long, Long)] =
-      if (!f.exists(data)) Map.empty
-      else f.listStatus(data)
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
-        .map { d =>
-          val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
-          val files = f.listStatus(d.getPath)
-            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          var rows = 0L
-          var groups = 0L
-          files.foreach { st =>
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
-            val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            try {
-              val blocks = reader.getFooter.getBlocks
-              groups += blocks.size()
-              blocks.forEach(bl => rows += bl.getRowCount)
-            } finally reader.close()
-          }
-          b -> ((files.length.toLong, rows, groups, files.map(_.getLen).sum))
-        }.toMap
-    val rows = (0 until meta.buckets).map { b =>
+    val f = fs(spark, dir)
+    def footerOf(p: Path): (Long, Long) = { // (rows, rowGroups)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var rows = 0L
+        blocks.forEach(bl => rows += bl.getRowCount)
+        (rows, blocks.size().toLong)
+      } finally reader.close()
+    }
+    val mf = Manifest.current(spark, dir)
+    val (nBuckets, byBucket): (Int, Map[Int, (Long, Long, Long, Long)]) =
+      mf match {
+        case Some(m) =>
+          // n_files/bytes straight from the snapshot (zero listings);
+          // row/row-group geometry still needs the footers — of exactly
+          // the LIVE files, never superseded ones awaiting vacuum
+          (m.buckets, m.files.map { case (b, fls) =>
+            var rows = 0L; var groups = 0L
+            fls.foreach { mfF =>
+              val (r, g) = footerOf(new Path(data, s"$BucketCol=$b/${mfF.name}"))
+              rows += r; groups += g
+            }
+            b -> ((fls.size.toLong, rows, groups, fls.map(_.len).sum))
+          })
+        case None =>
+          (meta.buckets,
+            if (!f.exists(data)) Map.empty[Int, (Long, Long, Long, Long)]
+            else f.listStatus(data)
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+              .map { d =>
+                val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+                val files = f.listStatus(d.getPath)
+                  .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+                var rows = 0L; var groups = 0L
+                files.foreach { st =>
+                  val (r, g) = footerOf(st.getPath); rows += r; groups += g
+                }
+                b -> ((files.length.toLong, rows, groups, files.map(_.getLen).sum))
+              }.toMap)
+      }
+    val rows = (0 until nBuckets).map { b =>
       val (nf, nr, ng, bytes) = byBucket.getOrElse(b, (0L, 0L, 0L, 0L))
       (b, nf, nr, ng, bytes)
     }
@@ -707,14 +807,10 @@ object KeyedTable {
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "compact") {
       val meta = TableMeta.read(spark, dir)
-      val data = dataDir(warehouse, tableName)
-      val f = fs(spark, dir)
-      val crowded = (0 until meta.buckets).filter { b =>
-        val p = new Path(data, s"$BucketCol=$b")
-        f.exists(p) &&
-          f.listStatus(p).count(_.getPath.getName.endsWith(".parquet")) >= minFiles
-      }
-      compactBuckets(spark, warehouse, tableName, dir, meta, crowded)
+      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      val crowded = (0 until base.buckets).filter(b =>
+        base.files.getOrElse(b, Nil).size >= minFiles)
+      compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
     }
   }
 
@@ -723,19 +819,20 @@ object KeyedTable {
     * half state). Caller holds the write lock. Returns #rewritten. */
   private def compactBuckets(spark: SparkSession, warehouse: String,
                              tableName: String, dir: String, meta: TableMeta,
-                             crowded: Seq[Int]): Int = {
+                             base: Manifest, crowded: Seq[Int]): Int = {
     if (crowded.isEmpty) 0
     else {
       val data = dataDir(warehouse, tableName)
       val f = fs(spark, dir)
       val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
       try {
-        readRaw(spark, warehouse, tableName, meta)
+        readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
           .filter(col(BucketCol).isin(crowded: _*))
           .repartition(crowded.size, col(BucketCol))
           .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
-        swapBuckets(f, dir, data, staging, crowded, "compact")
+        commitStaged(spark, f, dir, data, staging, crowded, "compact",
+          base, base.buckets)
       } finally f.delete(new Path(staging), true)
       crowded.size
     }
@@ -772,7 +869,8 @@ object KeyedTable {
             (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
         }
         .map(_.getInt(0))
-      compactBuckets(spark, warehouse, tableName, dir, meta, crowded)
+      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
       crowded
     }
   }
@@ -832,7 +930,9 @@ object KeyedTable {
         if (!meta.schema.fieldNames.contains(c))
           throw new StoreException(s"zorder column $c not in table schema")
       }
-      val raw = readRaw(spark, warehouse, tableName, meta)
+      val data = dataDir(warehouse, tableName)
+      val base = snapshotForWrite(spark, dir, data, meta)
+      val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
       val Seq(a, b) = zCols
       // 4 scalars from one aggregate — broadcast into the sort key
       val mm = raw.agg(
@@ -841,19 +941,19 @@ object KeyedTable {
       if (!mm.isNullAt(0) && !mm.isNullAt(2)) { // all-NULL/empty: no-op
         val z = zValue(col(a), col(b),
           mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
-        val data = dataDir(warehouse, tableName)
         val f = fs(spark, dir)
         val staging = s"$dir/.staging-zorder-${UUID.randomUUID()}"
         try {
           val writer = raw.withColumn("_z", z)
-            .repartition(meta.buckets, col(BucketCol))
+            .repartition(base.buckets, col(BucketCol))
             .sortWithinPartitions(col(BucketCol), col("_z"))
             .drop("_z")
             .write.partitionBy(BucketCol)
           parquetBlockBytes.fold(writer)(n =>
             writer.option("parquet.block.size", n.toString))
             .parquet(staging)
-          swapBuckets(f, dir, data, staging, 0 until meta.buckets, "zorder")
+          commitStaged(spark, f, dir, data, staging, 0 until base.buckets,
+            "zorder", base, base.buckets)
         } finally f.delete(new Path(staging), true)
       }
     }
@@ -875,7 +975,8 @@ object KeyedTable {
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "delete") {
       val meta = TableMeta.read(spark, dir)
-      val raw = readRaw(spark, warehouse, tableName, meta)
+      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
       // one job: matching-row count per touched bucket (≤ buckets rows)
       val probe = raw.filter(where).groupBy(col(BucketCol))
         .agg(count(lit(1)).as("n")).collect()
@@ -894,9 +995,9 @@ object KeyedTable {
             .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
             .write.partitionBy(BucketCol).parquet(staging)
           // removeMissing: a bucket whose rows ALL matched has no staged
-          // replacement — retire (remove) its live dir
-          swapBuckets(f, dir, data, staging, touched, "delete",
-            removeMissing = true)
+          // replacement — it leaves the new snapshot entirely
+          commitStaged(spark, f, dir, data, staging, touched, "delete",
+            base, base.buckets, removeMissing = true)
         } finally f.delete(new Path(staging), true)
       }
       deleted
@@ -927,59 +1028,54 @@ object KeyedTable {
                              tableName: String, newBuckets: Int,
                              dir: String): Unit = {
     val meta = TableMeta.read(spark, dir)
-    if (meta.buckets == newBuckets) return
     val data = dataDir(warehouse, tableName)
+    val base = snapshotForWrite(spark, dir, data, meta)
+    if (base.buckets == newBuckets) {
+      // keep meta honest if it lags the manifest (crash between a prior
+      // rebucket's manifest flip and its meta write)
+      if (meta.buckets != newBuckets)
+        TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
+      return
+    }
     val f = fs(spark, dir)
     val staging = s"$dir/.staging-rebucket-${UUID.randomUUID()}"
-    val retired = s"$dir/.retired-rebucket-${UUID.randomUUID()}"
     try {
-      withBucket(readRaw(spark, warehouse, tableName, meta).drop(BucketCol),
+      withBucket(
+          readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
+            .drop(BucketCol),
           meta.pk, newBuckets)
         .repartition(newBuckets, col(BucketCol))
         .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
         .write.partitionBy(BucketCol).parquet(staging)
-      // The swap. Hadoop renames report failure by returning false, not
-      // by throwing — every result is checked, and `retired` (the only
-      // complete old copy once data is moved aside) is deleted ONLY
-      // after the new layout is fully committed (rename + meta). Any
-      // failure in between rolls the old copy back into place, so the
-      // worst outcome of a crashed rebucket is "nothing happened" plus
-      // leftover staging/retired dirs — never a lost or half table.
-      if (!f.rename(new Path(data), new Path(retired)))
-        throw new StoreException(s"rebucket: could not retire $data -> $retired")
-      var swapped = false
-      try {
-        if (!f.rename(new Path(staging), new Path(data)))
-          throw new StoreException(s"rebucket: could not commit $staging -> $data")
-        swapped = true
-        // meta last: until it names the new bucket count, the new data
-        // dir must not be visible either (bucket pruning math would use
-        // the stale count against the new layout → wrong results)
-        TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
-      } catch {
-        case e: Throwable =>
-          if (swapped) f.delete(new Path(data), true) // discard the new copy
-          if (!f.rename(new Path(retired), new Path(data)))
-            throw new StoreException(
-              s"rebucket rollback failed after: ${e.getMessage}; " +
-              s"old data preserved at $retired — restore it manually")
-          throw e
-      }
-      f.delete(new Path(retired), true)
+      // ONE snapshot flip switches both the file set and the bucket
+      // count (the manifest carries `buckets`), so no reader can ever
+      // pair the old count with the new layout — the failure mode the
+      // old dir-swap ordering had to reason about. Old-layout buckets
+      // with no staged replacement (newBuckets < old) leave the
+      // snapshot via removeMissing; the old files stay for readers of
+      // previous snapshots until vacuum. Meta updates after, as the
+      // mirror legacy (pre-manifest) code paths read.
+      commitStaged(spark, f, dir, data, staging,
+        0 until math.max(base.buckets, newBuckets), "rebucket",
+        base, newBuckets, removeMissing = true)
+      TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
     } finally f.delete(new Path(staging), true)
   }
 
-  /** Remove leftover `.staging-*` / `.retired-*` directories that a
-    * crashed write abandoned under a table dir. Every commit protocol
-    * here leaves the LIVE data consistent on failure: staged output is
-    * never the only copy of live data, and a `.retired-*` dir holds the
-    * only OLD copy of a bucket only for the instant between its two
-    * checked renames (see [[swapBuckets]]/[[rebucket]] — on failure the
-    * retired copy is renamed back, or preserved with a loud error). So
-    * leftovers are garbage by construction once no writer is active —
-    * but they cost storage and confuse listings. Only dirs older than `olderThanMs` are removed
-    * (default 24 h), so an in-flight writer's staging is never touched.
-    * Returns the number of directories removed. */
+  /** Reclaim a table's garbage, bounded by `olderThanMs` (default 24 h)
+    * so nothing an in-flight writer or reader can still touch is
+    * removed. Three kinds, each safe by construction:
+    *  - `.staging-*` / `.retired-*` dirs a crashed write abandoned
+    *    (never the only copy of live data — commits are additive file
+    *    moves + a manifest flip, see [[Manifest]]);
+    *  - data files the CURRENT manifest does not reference: superseded
+    *    by later commits (kept until now precisely so readers of recent
+    *    snapshots stay undisturbed) or moved in by a commit that died
+    *    before its manifest flip;
+    *  - manifests older than the current one (expiring those snapshots
+    *    ends their time-travel window — the Iceberg expire-snapshots
+    *    trade, made explicit by the age bound).
+    * Returns the number of directories/files removed. */
   def vacuum(spark: SparkSession, warehouse0: String, tableName: String,
              olderThanMs: Long = 24L * 3600 * 1000,
              schema: Option[String] = None): Int = {
@@ -988,7 +1084,7 @@ object KeyedTable {
     val f = fs(spark, dir)
     if (!f.exists(p)) return 0
     val cutoff = System.currentTimeMillis() - olderThanMs
-    f.listStatus(p).count { st =>
+    var removed = f.listStatus(p).count { st =>
       val n = st.getPath.getName
       val stale = st.isDirectory &&
         (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
@@ -996,6 +1092,39 @@ object KeyedTable {
       if (stale) f.delete(st.getPath, true)
       stale
     }
+    Manifest.current(spark, dir).foreach { m =>
+      val live: Set[String] = m.files.iterator.flatMap { case (b, fls) =>
+        fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
+      }.toSet
+      val data = new Path(dir, "data")
+      if (f.exists(data)) {
+        f.listStatus(data)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+          .foreach { d =>
+            f.listStatus(d.getPath).foreach { st =>
+              val rel = s"${d.getPath.getName}/${st.getPath.getName}"
+              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                  !live.contains(rel) && st.getModificationTime < cutoff) {
+                if (f.delete(st.getPath, false)) removed += 1
+              }
+            }
+            // a bucket dir emptied by the reap (e.g. fully deleted
+            // bucket) is itself garbage
+            if (f.listStatus(d.getPath).isEmpty && f.delete(d.getPath, false))
+              removed += 1
+          }
+      }
+      val mdir = Manifest.dir(dir)
+      if (f.exists(mdir)) {
+        val currentName = f"v${m.version}%019d.json" // never the current one
+        f.listStatus(mdir).foreach { st =>
+          if (st.isFile && st.getPath.getName != currentName &&
+              st.getModificationTime < cutoff && f.delete(st.getPath, false))
+            removed += 1
+        }
+      }
+    }
+    removed
   }
 
   /** Read the change-data-capture log written by changelog-enabled
@@ -1026,13 +1155,21 @@ object KeyedTable {
     * `lowest`/`highest` filter each PK dimension independently
     * (sql.py:406-426 for MultiIndex); `null` entries skip a dimension.
     * Filters push down to parquet row-group stats.
+    *
+    * `asOfVersion` TIME-TRAVELS: the read resolves through that
+    * manifest snapshot instead of the current one — the data exactly as
+    * it stood when version N committed (under the CURRENT logical
+    * schema; columns added since read as NULL for files predating
+    * them). Available until [[vacuum]] expires the snapshot; reading a
+    * vacuumed or unknown version fails loudly naming what IS available.
     */
   def readSql(spark: SparkSession,
               warehouse0: String,
               tableName: String,
               lowest: Seq[Any] = Nil,
               highest: Seq[Any] = Nil,
-              schema: Option[String] = None): DataFrame = {
+              schema: Option[String] = None,
+              asOfVersion: Option[Long] = None): DataFrame = {
     val warehouse = schemaDir(warehouse0, schema)
     val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
     for (s <- Seq(lowest, highest) if s.nonEmpty && s.size != meta.pk.size)
@@ -1060,7 +1197,15 @@ object KeyedTable {
     val conds: Seq[Column] =
       lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
       highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }
-    val raw = readRaw(spark, warehouse, tableName, meta)
+    val dir = tableDir(warehouse, tableName)
+    val mf = asOfVersion match {
+      case Some(v) => Some(Manifest.at(spark, dir, v))
+      case None => Manifest.current(spark, dir)
+    }
+    // bucket-pruning math must use the SNAPSHOT's bucket count (a
+    // rebucket changes it; the manifest is the authority when present)
+    val effMeta = meta.copy(buckets = mf.map(_.buckets).getOrElse(meta.buckets))
+    val raw = readRawWith(spark, warehouse, tableName, meta, mf)
     // Bucket pruning: hash layout can't prune an arbitrary range, but
     // two shapes enumerate their touched buckets exactly:
     //  - point lookup (every dimension pinned): one bucket;
@@ -1072,8 +1217,8 @@ object KeyedTable {
     // The range predicates still prune row groups within survivors.
     val pruned =
       if (lowest.nonEmpty && lowest == highest && !lowest.contains(null))
-        raw.filter(col(BucketCol) === bucketOf(spark, meta, lowest))
-      else narrowRangeBuckets(spark, meta, lowest, highest) match {
+        raw.filter(col(BucketCol) === bucketOf(spark, effMeta, lowest))
+      else narrowRangeBuckets(spark, effMeta, lowest, highest) match {
         case Some(bs) => raw.filter(col(BucketCol).isin(bs: _*))
         case None => raw
       }

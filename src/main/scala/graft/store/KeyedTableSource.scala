@@ -44,25 +44,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class KeyedTableSource extends TableProvider {
 
-  private def meta(options: CaseInsensitiveStringMap): (TableMeta, String) = {
+  private def meta(options: CaseInsensitiveStringMap)
+      : (TableMeta, String, Option[Manifest]) = {
     val warehouse = options.get("warehouse")
     val table = options.get("table")
     require(warehouse != null && table != null,
       "graft keyed-table source requires 'warehouse' and 'table' options")
     val spark = SparkSession.active
-    (TableMeta.read(spark, KeyedTable.tableDir(warehouse, table)),
-      s"${KeyedTable.tableDir(warehouse, table)}/data")
+    val dir = KeyedTable.tableDir(warehouse, table)
+    // snapshot pinned at table resolution: every scan planned from this
+    // DataFrame reads one consistent manifest version, however long the
+    // query runs and whatever commits land meanwhile
+    (TableMeta.read(spark, dir), s"$dir/data", Manifest.current(spark, dir))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val (m, _) = meta(options)
+    val (m, _, _) = meta(options)
     StructType(m.schema.fields :+ KeyedTableSource.bucketField)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
-    val (m, dataDir) = meta(new CaseInsensitiveStringMap(properties))
-    new KeyedBatchTable(m, dataDir)
+    val (m, dataDir, mf) = meta(new CaseInsensitiveStringMap(properties))
+    new KeyedBatchTable(m, dataDir, mf)
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -79,7 +83,8 @@ object KeyedTableSource {
       .option("warehouse", warehouse).option("table", table).load()
 }
 
-private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
+private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String,
+                                     mf: Option[Manifest] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -92,7 +97,7 @@ private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedScanBuilder(meta, dataDir, schema())
+    new KeyedScanBuilder(meta, dataDir, schema(), mf)
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the
     * store's own write path — a V1 write fallback hands the whole
@@ -132,7 +137,8 @@ private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String)
 }
 
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
-                                      full: StructType)
+                                      full: StructType,
+                                      mf: Option[Manifest] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -178,7 +184,7 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) return false
-    FooterAgg.compute(agg, meta, dataDir) match {
+    FooterAgg.compute(agg, meta, dataDir, mf) match {
       case Some((schema, row, desc)) => aggResult = Some((schema, row, desc)); true
       case None => false // footers lacked stats somewhere: full scan
     }
@@ -186,7 +192,7 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, row, desc)) => new KeyedLocalAggScan(schema, row, desc)
-    case None => new KeyedScan(meta, dataDir, required, pushed)
+    case None => new KeyedScan(meta, dataDir, required, pushed, mf)
   }
 }
 
@@ -202,9 +208,14 @@ private[store] class KeyedLocalAggScan(schema: StructType, row: InternalRow,
 
 private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
-                               pushed: Array[Filter] = Array.empty)
+                               pushed: Array[Filter] = Array.empty,
+                               mf: Option[Manifest] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  /** The snapshot's bucket count when a manifest is pinned (authoritative
+    * across rebuckets), else the meta's (legacy tables). */
+  private val numBuckets: Int = mf.map(_.buckets).getOrElse(meta.buckets)
 
   private val readDataSchema =
     StructType(required.fields.filterNot(_.name == KeyedTable.BucketCol))
@@ -224,7 +235,7 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   override def toBatch: Batch = this
 
   override def description(): String =
-    s"graft keyed table $dataDir (buckets=${meta.buckets}, " +
+    s"graft keyed table $dataDir (buckets=$numBuckets, " +
     s"pk=${meta.pk.mkString(",")}), " +
     s"PushedFilters: [${pushed.mkString(", ")}]"
 
@@ -234,8 +245,8 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   override def outputPartitioning(): Partitioning =
     if (readPartitionSchema.fields.nonEmpty)
       new KeyGroupedPartitioning(
-        Array(Expressions.identity(KeyedTable.BucketCol)), meta.buckets)
-    else new UnknownPartitioning(meta.buckets)
+        Array(Expressions.identity(KeyedTable.BucketCol)), numBuckets)
+    else new UnknownPartitioning(numBuckets)
 
   /** Buckets that can possibly hold matching rows (None = all).
     * Two pushdown shapes prune at the DIRECTORY level:
@@ -307,38 +318,59 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       val lits: Seq[Expression] = meta.pk.zip(values).map { case (c, v) =>
         Literal.create(v, meta.schema(c).dataType)
       }
-      Some(Pmod(XxHash64(lits, 42L), Literal(meta.buckets.toLong))
+      Some(Pmod(XxHash64(lits, 42L), Literal(numBuckets.toLong))
         .eval(null).asInstanceOf[Long].toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val spark = SparkSession.active
-    val root = new Path(dataDir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // ONE listing of the data dir (not an exists() RPC per bucket —
-    // thousands of buckets would mean thousands of driver round-trips)
-    val bucketDirs = fs.listStatus(root).filter(_.isDirectory)
-      .map(st => st.getPath.getName -> st.getPath).toMap
     // static (pushdown) ∩ runtime (dynamic pruning) bucket sets; the
     // runtime set can arrive between the two planInputPartitions calls
     // BatchScanExec makes (original + filtered partitions)
     val kept: Option[Set[Int]] =
       Seq(keptBuckets, runtimeBuckets).flatten.reduceOption(_ intersect _)
-    (0 until meta.buckets).map { b =>
-      val key = new GenericInternalRow(Array[Any](b))
-      val files: Array[PartitionedFile] =
-        bucketDirs.get(s"${KeyedTable.BucketCol}=$b") match {
-          case Some(dir) if kept.forall(_.contains(b)) =>
-            fs.listStatus(dir)
-              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-              .sortBy(_.getPath.getName)
-              .map(st => new PartitionedFile(key, SparkPath.fromPath(st.getPath),
-                0L, st.getLen, Array.empty[String], st.getModificationTime,
-                st.getLen, Map.empty[String, Any]))
-          case _ => Array.empty[PartitionedFile]
-        }
-      new KeyedFilePartition(b, files, key): InputPartition
-    }.toArray
+    mf match {
+      case Some(m) =>
+        // the manifest IS the file index (names + lengths): planning a
+        // scan costs ZERO filesystem calls — at thousands of buckets on
+        // an object store, listings are the planning latency floor this
+        // removes — and reads one immutable snapshot regardless of
+        // concurrent commits
+        (0 until m.buckets).map { b =>
+          val key = new GenericInternalRow(Array[Any](b))
+          val files: Array[PartitionedFile] =
+            if (!kept.forall(_.contains(b))) Array.empty
+            else m.files.getOrElse(b, Nil).map { mfF =>
+              val p = new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}")
+              new PartitionedFile(key, SparkPath.fromPath(p),
+                0L, mfF.len, Array.empty[String], 0L, mfF.len,
+                Map.empty[String, Any])
+            }.toArray
+          new KeyedFilePartition(b, files, key): InputPartition
+        }.toArray
+      case None => // legacy pre-manifest table: one listing of data/
+        val spark = SparkSession.active
+        val root = new Path(dataDir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // ONE listing of the data dir (not an exists() RPC per bucket —
+        // thousands of buckets would mean thousands of driver round-trips)
+        val bucketDirs = fs.listStatus(root).filter(_.isDirectory)
+          .map(st => st.getPath.getName -> st.getPath).toMap
+        (0 until numBuckets).map { b =>
+          val key = new GenericInternalRow(Array[Any](b))
+          val files: Array[PartitionedFile] =
+            bucketDirs.get(s"${KeyedTable.BucketCol}=$b") match {
+              case Some(dir) if kept.forall(_.contains(b)) =>
+                fs.listStatus(dir)
+                  .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+                  .sortBy(_.getPath.getName)
+                  .map(st => new PartitionedFile(key, SparkPath.fromPath(st.getPath),
+                    0L, st.getLen, Array.empty[String], st.getModificationTime,
+                    st.getLen, Map.empty[String, Any]))
+              case _ => Array.empty[PartitionedFile]
+            }
+          new KeyedFilePartition(b, files, key): InputPartition
+        }.toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -357,20 +389,27 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     * thing for keyed tables as for plain parquet. */
   override def estimateStatistics(): Statistics = {
     val spark = SparkSession.active
-    val root = new Path(dataDir)
-    val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val factor = spark.conf
       .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
-    val bytes: Long =
-      if (!fsys.exists(root)) 0L
-      else fsys.listStatus(root).filter(_.isDirectory).flatMap { d =>
-        val b = d.getPath.getName.stripPrefix(s"${KeyedTable.BucketCol}=")
-        val keep = keptBuckets.forall(s => b.toIntOption.exists(s.contains))
-        if (!keep) Nil
-        else fsys.listStatus(d.getPath)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(_.getLen).toSeq
-      }.sum
+    val bytes: Long = mf match {
+      case Some(m) => // lengths live in the snapshot: zero fs calls
+        m.files.iterator.collect {
+          case (b, fls) if keptBuckets.forall(_.contains(b)) =>
+            fls.map(_.len).sum
+        }.sum
+      case None =>
+        val root = new Path(dataDir)
+        val fsys = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fsys.exists(root)) 0L
+        else fsys.listStatus(root).filter(_.isDirectory).flatMap { d =>
+          val b = d.getPath.getName.stripPrefix(s"${KeyedTable.BucketCol}=")
+          val keep = keptBuckets.forall(s => b.toIntOption.exists(s.contains))
+          if (!keep) Nil
+          else fsys.listStatus(d.getPath)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(_.getLen).toSeq
+        }.sum
+    }
     val scaled = math.max(1L, (bytes * factor).toLong)
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -420,19 +459,32 @@ private[store] object FooterAgg {
       }
   }
 
-  def compute(agg: Aggregation, meta: TableMeta,
-              dataDir: String): Option[(StructType, InternalRow, String)] =
+  def compute(agg: Aggregation, meta: TableMeta, dataDir: String,
+              mf: Option[Manifest] = None): Option[(StructType, InternalRow, String)] =
     try {
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
-      val root = new Path(dataDir)
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
-        else fs.listStatus(root)
-          .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith(s"${KeyedTable.BucketCol}="))
-          .flatMap(d => fs.listStatus(d.getPath))
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      // LIVE files only: the current snapshot's list when a manifest
+      // exists (superseded files awaiting vacuum must not be counted),
+      // else the legacy directory walk
+      val files: Seq[org.apache.parquet.hadoop.util.HadoopInputFile] = mf match {
+        case Some(m) =>
+          m.files.toSeq.sortBy(_._1).flatMap { case (b, fls) =>
+            fls.map(mfF => org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}"), conf))
+          }
+        case None =>
+          val root = new Path(dataDir)
+          val fs = root.getFileSystem(conf)
+          val statuses =
+            if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.FileStatus]
+            else fs.listStatus(root)
+              .filter(st => st.isDirectory &&
+                st.getPath.getName.startsWith(s"${KeyedTable.BucketCol}="))
+              .flatMap(d => fs.listStatus(d.getPath))
+              .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          statuses.toSeq.map(st =>
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      }
       val needCols: Set[String] = agg.aggregateExpressions.toSet.flatMap {
         (f: org.apache.spark.sql.connector.expressions.aggregate.AggregateFunc) => f match {
           case c: Count => colOf(c.column)
@@ -445,8 +497,7 @@ private[store] object FooterAgg {
       val nulls = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
       val mins = scala.collection.mutable.Map.empty[String, Comparable[Any]]
       val maxs = scala.collection.mutable.Map.empty[String, Comparable[Any]]
-      files.foreach { st =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf)
+      files.foreach { in =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try {
           reader.getFooter.getBlocks.forEach { block =>

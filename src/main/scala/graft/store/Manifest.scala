@@ -1,0 +1,163 @@
+package graft.store
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** One live data file of a bucket: name WITHIN the bucket directory plus
+  * its byte length (recorded so scan planning and size statistics never
+  * touch the filesystem — at 100 TB, "list two million files to plan a
+  * query" is the latency floor a manifest exists to remove). */
+final case class ManifestFile(name: String, len: Long)
+
+/** A versioned SNAPSHOT of a keyed table's physical layout: the bucket
+  * count plus, per bucket, exactly the parquet files that are live in
+  * this version. This is the store's read-isolation mechanism (the
+  * Iceberg/Delta move, re-expressed minimally):
+  *
+  *  - Writers never delete or overwrite a live file. A mutation renames
+  *    its staged output files INTO the bucket dirs under commit-unique
+  *    names (additive — invisible to every reader, because no manifest
+  *    references them yet) and then commits by writing manifest
+  *    version N+1 in one atomic file rename. The flip IS the commit.
+  *  - Readers resolve the file set through the CURRENT manifest (one
+  *    small JSON read — no directory walking), so a reader racing a
+  *    mutation sees either snapshot N or snapshot N+1, never a partial
+  *    state — even on object stores with no atomic directory rename,
+  *    which is exactly where the old swap protocol's window widened
+  *    from milliseconds to minutes.
+  *  - Superseded files stay on disk until [[KeyedTable.vacuum]] reaps
+  *    them (bounded by `olderThanMs`, so in-flight readers of recent
+  *    snapshots are undisturbed). Old manifests double as time-travel
+  *    snapshots until vacuumed ([[KeyedTable.readSql]] `asOfVersion`).
+  *
+  * Tables written before manifests existed have none; every read/write
+  * path falls back to directory listing for them, and their first
+  * mutation adopts the listing as the version-0 baseline.
+  */
+final case class Manifest(version: Long, buckets: Int,
+                          files: Map[Int, Seq[ManifestFile]]) {
+
+  /** Absolute path of every live file (order: bucket, then name). */
+  def absolutePaths(dataDir: String): Seq[String] =
+    files.toSeq.sortBy(_._1).flatMap { case (b, fs) =>
+      fs.map(mf => s"$dataDir/${KeyedTable.BucketCol}=$b/${mf.name}")
+    }
+
+  def totalBytes: Long = files.valuesIterator.flatten.map(_.len).sum
+
+  def toJson: String = compact(render(JObject(
+    "version" -> JInt(version),
+    "buckets" -> JInt(buckets),
+    "files" -> JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
+      b.toString -> JArray(fs.toList.map(f =>
+        JArray(List(JString(f.name), JInt(f.len)))))
+    }))))
+}
+
+object Manifest {
+  val DirName = "_manifests"
+
+  /** Parsed-manifest cache: a manifest file is immutable once renamed
+    * into place, so the full path is a safe cache key forever. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  def dir(tableDir: String): Path = new Path(tableDir, DirName)
+
+  /** Zero-padded so lexicographic name order = numeric version order. */
+  private def nameOf(version: Long): String = f"v$version%019d.json"
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".json"))
+      name.stripPrefix("v").stripSuffix(".json").toLongOption
+    else None
+
+  private def fsOf(spark: SparkSession, tableDir: String): FileSystem =
+    new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def fromJson(s: String): Manifest = {
+    val j = JsonMethods.parse(s)
+    val JInt(version) = (j \ "version"): @unchecked
+    val JInt(buckets) = (j \ "buckets"): @unchecked
+    val JObject(fields) = (j \ "files"): @unchecked
+    Manifest(version.toLong, buckets.toInt,
+      fields.map { case (b, JArray(fs)) =>
+        b.toInt -> fs.map { case JArray(List(JString(n), JInt(l))) =>
+          ManifestFile(n, l.toLong)
+        case o => throw new StoreException(s"bad manifest file entry: $o")
+        }
+      case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
+      }.toMap)
+  }
+
+  /** All committed versions, ascending (one listing). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
+    val f = fsOf(spark, tableDir)
+    val d = dir(tableDir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq
+      .flatMap(st => versionOf(st.getPath.getName)).sorted
+  }
+
+  private def read(spark: SparkSession, tableDir: String,
+                   version: Long): Manifest = {
+    val p = new Path(dir(tableDir), nameOf(version))
+    val key = p.toString
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val f = fsOf(spark, tableDir)
+    val in = f.open(p)
+    val m = try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      fromJson(new String(bytes, "UTF-8"))
+    } finally in.close()
+    cache.put(key, m)
+    m
+  }
+
+  /** Latest committed snapshot, or None for a pre-manifest table. */
+  def current(spark: SparkSession, tableDir: String): Option[Manifest] =
+    versions(spark, tableDir).lastOption.map(read(spark, tableDir, _))
+
+  /** A specific snapshot for time travel; StoreException names the
+    * versions that ARE available when `version` is missing (vacuumed or
+    * never existed). */
+  def at(spark: SparkSession, tableDir: String, version: Long): Manifest = {
+    val vs = versions(spark, tableDir)
+    if (!vs.contains(version))
+      throw new StoreException(
+        s"no manifest version $version (available: ${vs.mkString(", ")})")
+    read(spark, tableDir, version)
+  }
+
+  /** Atomically publish a snapshot: write to a temp name, then ONE file
+    * rename into `_manifests/v<N>.json` — the commit point of every
+    * mutation. Fails loudly if the rename fails or the version already
+    * exists (two writers racing would mean a write-lock violation). */
+  def commit(spark: SparkSession, tableDir: String, m: Manifest): Unit = {
+    val f = fsOf(spark, tableDir)
+    val d = dir(tableDir)
+    f.mkdirs(d)
+    val finalPath = new Path(d, nameOf(m.version))
+    if (f.exists(finalPath))
+      throw new StoreException(
+        s"manifest version ${m.version} already exists at $finalPath " +
+        "(concurrent writer? the write lock should prevent this)")
+    val tmp = new Path(d, s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, finalPath)) {
+      f.delete(tmp, false)
+      throw new StoreException(
+        s"could not commit manifest $tmp -> $finalPath; table unchanged " +
+        "(the previous snapshot is still current)")
+    }
+    cache.put(finalPath.toString, m)
+  }
+}

@@ -2,22 +2,23 @@ package graft.store
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 
 import graft.SparkSpec
 
-/** The crash-safety contract of the per-bucket swap commit protocol
-  * (KeyedTable.swapBuckets): Hadoop renames report failure by RETURNING
-  * FALSE, and a false return at any point of the commit must never lose
-  * a bucket — the live table either commits fully or is restored
-  * unchanged. Verified by running real mutations on a [[FaultyFileSystem]]
-  * armed to fail exactly the commit (or retire) rename. */
-class SwapProtocolSpec extends SparkSpec {
+/** The crash-safety contract of the manifest commit protocol
+  * (KeyedTable.commitStaged + Manifest.commit): Hadoop renames report
+  * failure by RETURNING FALSE, and a false return at any point — moving
+  * a staged file in, or flipping the manifest — must never lose a row:
+  * the current snapshot stays live and complete, the mutation aborts
+  * loudly. Verified by running real mutations on a [[FaultyFileSystem]]
+  * armed to fail exactly the rename under test. */
+class CommitFaultSpec extends SparkSpec {
 
   private lazy val wh: String = {
     spark.sparkContext.hadoopConfiguration
       .set("fs.faulty.impl", classOf[FaultyFileSystem].getName)
-    val local = Files.createTempDirectory("graft-swap").toString
+    val local = Files.createTempDirectory("graft-fault").toString
     s"faulty://$local"
   }
 
@@ -40,37 +41,62 @@ class SwapProtocolSpec extends SparkSpec {
     name
   }
 
-  test("upsert: commit rename fails -> old bucket restored, no row lost") {
-    val t = freshTable("t_commit_fail")
+  private def version(table: String): Long =
+    Manifest.current(spark, s"$wh/$table").get.version
+
+  test("upsert: staged-file move fails -> snapshot unchanged, no row lost") {
+    val t = freshTable("t_move_fail")
+    val v0 = version(t)
     val up = df((2L, "B", 20.0), (7L, "g", 7.0))
     val e = intercept[StoreException] {
       FaultyFileSystem.armed(".staging-", "/data/pb_bucket=") {
         KeyedTable.toSql(up, wh, t, pk = Seq("id"), how = WriteMode.Upsert)
       }
     }
-    assert(e.getMessage.contains("could not commit"))
-    assert(e.getMessage.contains("old bucket restored"))
-    // the live table is byte-for-byte the pre-upsert state
-    assert(rowsOf(t) == base)
-    // and not poisoned: the same upsert succeeds once renames work again
+    assert(e.getMessage.contains("could not move staged file"))
+    assert(e.getMessage.contains("current snapshot unchanged"))
+    assert(version(t) == v0)      // no new snapshot committed
+    assert(rowsOf(t) == base)     // live table byte-for-byte intact
+    // not poisoned: the same upsert succeeds once renames work again
     KeyedTable.toSql(up, wh, t, pk = Seq("id"), how = WriteMode.Upsert)
+    assert(version(t) == v0 + 1)
     assert(rowsOf(t) == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0),
       (4L, "d", 4.0), (5L, "e", 5.0), (6L, "f", 6.0), (7L, "g", 7.0)))
   }
 
-  test("upsert: retire rename fails -> commit aborts with table unchanged") {
-    val t = freshTable("t_retire_fail")
+  test("upsert: manifest flip fails -> moved-in files rolled back, table whole") {
+    val t = freshTable("t_flip_fail")
+    val v0 = version(t)
     val e = intercept[StoreException] {
-      FaultyFileSystem.armed("/data/pb_bucket=", ".retired-") {
+      FaultyFileSystem.armed("/_manifests/.tmp-", "/_manifests/v") {
         KeyedTable.toSql(df((1L, "X", 9.9)), wh, t,
           pk = Seq("id"), how = WriteMode.Upsert)
       }
     }
-    assert(e.getMessage.contains("could not retire"))
+    assert(e.getMessage.contains("could not commit manifest"))
+    assert(version(t) == v0)
     assert(rowsOf(t) == base)
+    KeyedTable.toSql(df((1L, "X", 9.9)), wh, t,
+      pk = Seq("id"), how = WriteMode.Upsert)
+    assert(rowsOf(t) == (1L, "X", 9.9) +: base.drop(1))
   }
 
-  test("compact: commit rename fails -> every file still readable") {
+  test("append: staged-file move fails -> nothing appended") {
+    val t = freshTable("t_append_fail")
+    val e = intercept[StoreException] {
+      FaultyFileSystem.armed(".staging-", "/data/pb_bucket=") {
+        KeyedTable.toSql(df((7L, "g", 7.0)), wh, t,
+          pk = Seq("id"), how = WriteMode.Append)
+      }
+    }
+    assert(e.getMessage.contains("commit aborted"))
+    assert(rowsOf(t) == base)
+    KeyedTable.toSql(df((7L, "g", 7.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(rowsOf(t) == base :+ (7L, "g", 7.0))
+  }
+
+  test("compact: move fails -> every file still live and readable") {
     val t = "t_compact_fail"
     KeyedTable.toSql(df(base.take(3): _*), wh, t, pk = Seq("id"), buckets = 2)
     base.drop(3).foreach { r =>
@@ -81,37 +107,46 @@ class SwapProtocolSpec extends SparkSpec {
         KeyedTable.compact(spark, wh, t, minFiles = 2)
       }
     }
-    assert(e.getMessage.contains("old bucket restored"))
+    assert(e.getMessage.contains("current snapshot unchanged"))
     assert(rowsOf(t) == base)
     assert(KeyedTable.compact(spark, wh, t, minFiles = 2) > 0)
     assert(rowsOf(t) == base)
   }
 
-  test("delete: retire rename fails -> nothing deleted") {
+  test("delete: move fails -> nothing deleted") {
     import org.apache.spark.sql.functions.col
     val t = freshTable("t_delete_fail")
     val e = intercept[StoreException] {
-      FaultyFileSystem.armed("/data/pb_bucket=", ".retired-") {
+      FaultyFileSystem.armed(".staging-", "/data/pb_bucket=") {
         KeyedTable.delete(spark, wh, t, col("id") <= 2L)
       }
     }
-    assert(e.getMessage.contains("could not retire"))
+    assert(e.getMessage.contains("current snapshot unchanged"))
     assert(rowsOf(t) == base)
     assert(KeyedTable.delete(spark, wh, t, col("id") <= 2L) == 2L)
     assert(rowsOf(t) == base.drop(2))
   }
 
-  test("zorder: commit rename fails -> table intact, then succeeds clean") {
-    val t = freshTable("t_zorder_fail")
-    val e = intercept[StoreException] {
+  test("zorder and rebucket: move fails -> table intact, then succeed clean") {
+    val t = freshTable("t_maint_fail")
+    intercept[StoreException] {
       FaultyFileSystem.armed(".staging-", "/data/pb_bucket=") {
         KeyedTable.zorderCompact(spark, wh, t, Seq("id", "v"))
       }
     }
-    assert(e.getMessage.contains("old bucket restored"))
+    assert(rowsOf(t) == base)
+    intercept[StoreException] {
+      FaultyFileSystem.armed(".staging-", "/data/pb_bucket=") {
+        KeyedTable.rebucket(spark, wh, t, 8)
+      }
+    }
     assert(rowsOf(t) == base)
     KeyedTable.zorderCompact(spark, wh, t, Seq("id", "v"))
+    KeyedTable.rebucket(spark, wh, t, 8)
     assert(rowsOf(t) == base)
+    // point lookup agrees with the new bucket count
+    assert(KeyedTable.readSql(spark, wh, t, lowest = Seq(3L), highest = Seq(3L))
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
   test("failed commits leave only vacuumable leftovers, never live-data gaps") {
@@ -122,8 +157,6 @@ class SwapProtocolSpec extends SparkSpec {
           pk = Seq("id"), how = WriteMode.Upsert)
       }
     }
-    // vacuum(0) reaps any .staging-* / .retired-* leftovers; the table
-    // reads back whole before AND after
     assert(rowsOf(t) == base)
     KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
     assert(rowsOf(t) == base)

@@ -51,7 +51,10 @@ class CompactionPolicySpec extends SparkSpec {
       maxFilesPerBucket = 2).toSet
     assert(compacted == crowdedBefore,
       s"policy compacted $compacted, report said $crowdedBefore")
-    // crowded buckets collapsed to one file; quiet buckets byte-identical
+    // crowded buckets collapsed to one LIVE file (vacuum reclaims the
+    // superseded originals the snapshot no longer references);
+    // quiet buckets byte-identical
+    KeyedTable.vacuum(spark, w, "t", olderThanMs = 0L): Unit
     compacted.foreach { b =>
       assert(bucketFiles(w, b).size == 1, s"bucket $b not compacted")
     }
@@ -80,6 +83,7 @@ class CompactionPolicySpec extends SparkSpec {
     val compacted = KeyedTable.compactIfNeeded(spark, w, "t",
       maxFilesPerBucket = 8, minAvgRowsPerFile = 5L)
     assert(compacted == Seq(0))
+    KeyedTable.vacuum(spark, w, "t", olderThanMs = 0L): Unit
     assert(bucketFiles(w, 0).size == 1)
     assert(KeyedTable.readSql(spark, w, "t").count() == 13)
   }

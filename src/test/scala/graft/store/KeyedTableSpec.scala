@@ -255,6 +255,9 @@ class KeyedTableSpec extends SparkSpec {
     assert(fileCounts.exists(_ >= 4))
     val n = KeyedTable.compact(spark, w, "t", minFiles = 4)
     assert(n >= 1)
+    // vacuum reclaims the superseded pre-compaction files the current
+    // snapshot no longer references; what remains on disk is the layout
+    KeyedTable.vacuum(spark, w, "t", olderThanMs = 0L): Unit
     assert(fileCounts.forall(_ <= 3))
     assert(KeyedTable.readSql(spark, w, "t").collect().map(_.toSeq).toSet == before)
     // already-compacted table: no-op

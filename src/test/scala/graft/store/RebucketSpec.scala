@@ -26,7 +26,9 @@ class RebucketSpec extends SparkSpec {
     val back = KeyedTable.readSql(spark, wh, "t")
     assert(back.count() == 200)
     assert(back.select("id", "name", "v").exceptAll(df).isEmpty)
-    // physical layout: every row's file partition matches the new hash
+    // physical layout: after vacuum reclaims the old-layout files, every
+    // remaining row's file partition matches the new hash
+    KeyedTable.vacuum(spark, wh, "t", olderThanMs = 0L): Unit
     val raw = spark.read.parquet(s"$wh/t/data")
     val misplaced = raw.filter(
       col(KeyedTable.BucketCol) =!=
