@@ -383,6 +383,51 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders")
   }
 
+  /** #11t (`pb_time_travel`): snapshot read / time travel through the
+    * manifest versions. Three commits — create (v0), partial upsert
+    * (v1), predicate delete (v2) — then `asOfVersion = 1` reads the
+    * table exactly as it stood BETWEEN the upsert and the delete: the
+    * doubled prices are visible, the deleted rows are back. The scale
+    * story: every mutation is already a manifest flip, so historical
+    * reads cost nothing extra and stay available until vacuum expires
+    * them — reproducing yesterday's training-data snapshot is a read,
+    * not a restore. */
+  def timeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    KeyedTable.toSql(orders, wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // v0; NTZ testdata is UTC
+    val delta = orders.filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), (col("o_totalprice") * 2).as("o_totalprice"))
+    KeyedTable.toSql(delta, wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Upsert, strictUtc = false) // v1
+    KeyedTable.delete(spark, wh, "orders", col("o_orderkey") % 2 === 0) // v2
+    KeyedTable.readSql(spark, wh, "orders", asOfVersion = Some(1L))
+  }
+
+  /** #11p as a DRIVER ROW (`pb_compact_auto`): the maintenance loop
+    * end-to-end — disjoint appends breach the per-bucket file-count
+    * threshold, `compactIfNeeded` detects the breach from footer-only
+    * stats and rewrites exactly the breaching buckets, and the read-back
+    * equals the plain union. Fails loudly if the policy fired on
+    * nothing (the breach must actually be exercised, not assumed). */
+  def compactAuto(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 4 === 0),
+      wh, "customer", pk = Seq("c_custkey"))
+    (1 to 3).foreach { r =>
+      KeyedTable.toSql(customer.filter(col("c_custkey") % 4 === r),
+        wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
+    }
+    val compacted =
+      KeyedTable.compactIfNeeded(spark, wh, "customer", maxFilesPerBucket = 2)
+    if (compacted.isEmpty)
+      throw new graft.store.StoreException(
+        "pb_compact_auto: 4 disjoint appends did not breach the policy")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -404,6 +449,8 @@ object PbQueries {
     "pb_delete" -> deleteQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
+    "pb_time_travel" -> timeTravel,
+    "pb_compact_auto" -> compactAuto,
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,6 +485,15 @@ object PbQueries {
              round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
       FROM eff GROUP BY g ORDER BY g
     """.trim,
+    // the v1 snapshot: upsert applied, delete NOT applied
+    "pb_time_travel" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    """.trim,
+    "pb_compact_auto" -> "SELECT * FROM customer",
     "pb_zorder" -> "SELECT * FROM orders",
     "pb_delete" -> """
       SELECT * FROM orders
