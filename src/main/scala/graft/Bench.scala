@@ -77,8 +77,11 @@ object Bench {
     // BENCH artifact keeps only a 2000-char tail, which truncates the
     // first half of the alphabet out of the public record — this file is
     // the auditable full set (per-query median + every pass's time).
+    // relative to the working directory (override via env) — a
+    // hardcoded absolute path would silently write into unrelated
+    // checkouts on other machines
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      "/root/repo/bench_full.json")
+      "bench_full.json")
     try {
       val perQuery = names.map { n =>
         val ps = passes.map(_.toMap.apply(n)).map(r2)

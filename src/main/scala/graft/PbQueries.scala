@@ -320,7 +320,7 @@ object PbQueries {
         derived, s"$wh/ckpt", groupCol = "o_orderpriority",
         countCol = "n_rows", sumCol = "total", valueCol = "o_totalprice")
       .awaitTermination()
-    spark.read.parquet(derived)
+    graft.streaming.StreamingCdc.readDerived(spark, derived)
       .select(col("o_orderpriority"), col("n_rows"),
         round(col("total"), 2).cast("double").as("total"))
   }

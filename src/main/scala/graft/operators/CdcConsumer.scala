@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   *                 group and credits its new one
   *  - `unchanged`→ nothing.
   * NULL values contribute nothing to the sum (SQL sum semantics) but
-  * count as rows, exactly as a full recompute would tally them.
+  * count as rows, exactly as a full recompute would tally them — and a
+  * group holding NO non-null values sums to NULL, not 0: the fold
+  * tracks the NET non-null contribution per group, which for a group
+  * whose base sum is NULL/absent determines the recompute's nullness
+  * EXACTLY (such a group has zero stored non-null values, so debits of
+  * non-null values cannot exist against it). The one residual
+  * approximation: a group whose base sum is non-NULL and whose every
+  * non-null value is then UPDATED to NULL folds to sum = 0 where a
+  * recompute yields NULL — distinguishing that from a genuine zero-sum
+  * needs a non-null count persisted in the derived table itself.
   *
   * Scale shape: cost ∝ |changelog since the snapshot| — a handful of
   * delta batches against a 100 TB base table folds through one narrow
@@ -53,20 +62,30 @@ object CdcConsumer {
     // precondition for "incremental ≡ recompute" being bit-identical
     val debits = log.filter(col("op") === "update")
       .select(col(s"old_$groupCol").as(groupCol),
-        lit(-1L).as("dn"), negate(col(s"old_$valueCol").cast(sumType)).as("dv"))
+        lit(-1L).as("dn"), negate(col(s"old_$valueCol").cast(sumType)).as("dv"),
+        when(col(s"old_$valueCol").isNotNull, -1L).otherwise(0L).as("nn"))
     val credits = log.filter(col("op").isin("insert", "update"))
       .select(col(s"new_$groupCol").as(groupCol),
-        lit(1L).as("dn"), col(s"new_$valueCol").cast(sumType).as("dv"))
+        lit(1L).as("dn"), col(s"new_$valueCol").cast(sumType).as("dv"),
+        when(col(s"new_$valueCol").isNotNull, 1L).otherwise(0L).as("nn"))
     val deltas = debits.unionByName(credits)
       .groupBy(col(groupCol))
-      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dv")).as("dv"),
+        sum(col("nn")).as("nn"))
     base.join(deltas, Seq(groupCol), "full_outer")
       .select(col(groupCol),
         (coalesce(col(countCol), lit(0L)) + coalesce(col("dn"), lit(0L)))
           .as(countCol),
-        (coalesce(col(sumCol).cast(sumType), lit(0).cast(sumType)) +
-          coalesce(col("dv").cast(sumType), lit(0).cast(sumType)))
-          .cast(sumType).as(sumCol))
+        // a base-NULL/absent group stores zero non-null values, so its
+        // recomputed sum is NULL exactly when the deltas' net non-null
+        // contribution is zero too (see scaladoc)
+        when(col(sumCol).isNull && coalesce(col("nn"), lit(0L)) === 0L,
+          lit(null).cast(sumType))
+          .otherwise(
+            (coalesce(col(sumCol).cast(sumType), lit(0).cast(sumType)) +
+              coalesce(col("dv").cast(sumType), lit(0).cast(sumType)))
+              .cast(sumType))
+          .as(sumCol))
       .filter(col(countCol) > 0)
   }
 }

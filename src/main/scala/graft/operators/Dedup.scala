@@ -307,13 +307,22 @@ object Dedup {
     * other (≤ maxBucket²/2 candidate edges per bucket), and every
     * OVERFLOW member emits exactly one "star" edge to the bucket's
     * min-id hub instead of pairing with everyone — O(bucket) edges.
-    * Identical connected components to the uncapped self-join under the
-    * transitivity that defines an overflowing bucket: a bucket only
-    * exceeds `maxBucket` when one near-identical document (viral
-    * boilerplate, crawl duplicates) repeats, and then every member is a
-    * near-dup of the hub too, so the downstream verify (Jaccard /
-    * hamming) keeps the star edges exactly where it would have kept the
-    * pairwise ones. This is the batch twin of the streaming cap at
+    *
+    * CONTRACT — the cap is an approximation, stated precisely: under
+    * DUPLICATE-SKEW overflow (the bucket exceeds `maxBucket` because
+    * one near-identical document repeats — viral boilerplate, crawl
+    * duplicates) every member is a near-dup of the hub, the verify
+    * keeps the star edges, and connected components equal the uncapped
+    * self-join's. But a bucket can also overflow on CHANCE collisions
+    * (short documents with tiny shingle sets sharing one band key
+    * without high similarity); there, a genuine near-dup pair BETWEEN
+    * two overflow members is dropped when neither verifies against the
+    * hub — capped recall is exact for core×core and core×overflow
+    * pairs, best-effort for overflow×overflow. Callers needing the
+    * uncapped exact join (small corpora, oracle checks) pass
+    * `maxBucket = Int.MaxValue`; the default stays capped because the
+    * uncapped form is the first plan to fall over under crawl-duplicate
+    * skew at 100 TB. This is the batch twin of the streaming cap at
     * [[graft.streaming.StreamingNearDup]] (maxBucket there bounds the
     * flatMapGroupsWithState bucket state with the same argument), and
     * the same dial as the inverted-index df-cut: without it one document
@@ -377,7 +386,11 @@ object Dedup {
     * controlled by band geometry (b=4, r=4 ⇒ collision prob j⁴ per
     * band) AND by the `maxBucket` bucket cap ([[cappedBandPairs]]): an
     * adversarially duplicated document cannot go quadratic — beyond the
-    * cap it contributes one star edge per copy.
+    * cap it contributes one star edge per copy. The cap's recall
+    * contract (exact under duplicate-skew overflow; best-effort for
+    * pairs between overflow members of a chance-collision bucket) is
+    * stated at [[cappedBandPairs]]; `maxBucket = Int.MaxValue` restores
+    * the exact uncapped join.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -421,7 +434,11 @@ object Dedup {
     * At 100 TB the seen side's band keys are computed once and stored
     * (they are 16-byte digests per band — a tiny index table); each
     * daily delta joins its own bands against that index, so
-    * incremental cost scales with |delta|, not |corpus|. */
+    * incremental cost scales with |delta|, not |corpus|. The seen-side
+    * bucket cap shares [[cappedBandPairs]]'s recall contract: an
+    * incoming true duplicate of a member capped OUT of a
+    * chance-collision bucket can be reported clean — pass
+    * `maxBucket = Int.MaxValue` for the exact uncapped probe. */
   def incrementalMinhashLsh(incoming: DataFrame, seen: DataFrame,
                             idCol: String, textCol: String,
                             n: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -544,7 +561,9 @@ object Dedup {
     * (pigeonhole: hamming < bands ⇒ ≥1 equal slice), verify
     * hamming ≤ maxHamming. Returns (id_a, id_b, hamming).
     * Uses the md5-based portable signature so the DuckDB oracle can
-    * replay it; pass `portable = false` for the xxhash64 fast path. */
+    * replay it; pass `portable = false` for the xxhash64 fast path.
+    * `maxBucket` recall contract as stated at [[cappedBandPairs]];
+    * `Int.MaxValue` restores the exact uncapped join. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bands: Int = 4, maxHamming: Int = 3,
                    portable: Boolean = true,

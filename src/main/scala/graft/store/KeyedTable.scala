@@ -1145,7 +1145,12 @@ object KeyedTable {
     if (!f.exists(clRoot))
       throw new StoreException(
         s"table $tableName has no changelog (upsert with changelog=true to start one)")
-    spark.read.parquet(clRoot.toString)
+    // mergeSchema: batches written before a schema evolution lack the
+    // evolved columns' images — without the merge, an arbitrary batch's
+    // file schema would win and image columns could silently vanish;
+    // merged, old batches surface NULL images for columns that did not
+    // exist yet (the correct pre-image of a column before its birth)
+    spark.read.option("mergeSchema", "true").parquet(clRoot.toString)
       .filter(col("batch") >= sinceBatch)
   }
 

@@ -73,4 +73,29 @@ class CdcConsumerSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(out == Map("moved" -> 1L), s"got $out")
   }
+
+  test("a group holding only NULL values folds to sum = NULL, like a recompute") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", Some(10.0))).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(s"$w/derived")
+    // group 'nul' is first seen via inserts carrying ONLY NULL values;
+    // group 'a' also gains a NULL row (non-NULL base sum must survive)
+    KeyedTable.toSql(
+      Seq[(Long, String, Option[Double])](
+        (2L, "nul", None), (3L, "nul", None), (4L, "a", None))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)))).toSet
+    val incremental = shape(CdcConsumer.applyGroupedAgg(
+      spark.read.parquet(s"$w/derived"),
+      KeyedTable.readChangelog(spark, w, "t"), "g", "n", "s", "v"))
+    val recomputed = shape(agg(KeyedTable.readSql(spark, w, "t")))
+    assert(incremental == recomputed,
+      s"incremental $incremental != recompute $recomputed")
+    assert(incremental.exists { case (g, n, s) => g == "nul" && n == 2L && s.isEmpty },
+      s"all-NULL group must sum to NULL, got $incremental")
+  }
 }

@@ -19,7 +19,7 @@ class StreamingCdcSpec extends SparkSpec {
     .groupBy(col("g"))
     .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(18,4)")).as("s"))
 
-  private def snap(p: String) = spark.read.parquet(p)
+  private def snap(p: String) = StreamingCdc.readDerived(spark, p)
     .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
 
   test("derived snapshot converges to recompute; restart consumes only new batches") {
@@ -53,5 +53,29 @@ class StreamingCdcSpec extends SparkSpec {
     val expected = agg(KeyedTable.readSql(spark, w, "t")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
     assert(snap(derived) == expected, s"got ${snap(derived)}, want $expected")
+  }
+
+  test("replayed epochs are skipped: at-least-once delivery, exactly-once state") {
+    val root = Files.createTempDirectory("graft-spec-scdc-").toString
+    val w = s"$root/wh"
+    val derived = s"$root/derived"
+    KeyedTable.toSql(Seq((1L, "a", 10.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(derived)
+    KeyedTable.toSql(Seq((2L, "a", 5.0), (3L, "b", 1.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt1",
+      "g", "n", "s", "v").awaitTermination()
+    val once = snap(derived)
+    assert(once == agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet)
+    // re-deliver the SAME changelog batches with epoch ids the snapshot
+    // has already committed (what a crash between snapshot commit and
+    // checkpoint write does on restart): the fold must skip, not
+    // double-count
+    StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt2",
+      "g", "n", "s", "v").awaitTermination()
+    assert(snap(derived) == once,
+      s"replayed epoch double-counted: ${snap(derived)} != $once")
   }
 }
