@@ -418,13 +418,27 @@ object LlmQueries {
       .select(col("keep_id").as("doc_id"))
     val clusterDrop = dedupCluster(s, d)
       .filter(!col("is_canonical")).select("doc_id")
+    // the four filter stages (near-dup clustering and exact dedup are
+    // the two most expensive) feed budgetSample, which drives one
+    // internal shard-offset action PLUS the returned frame — without a
+    // persist the whole four-join lineage recomputes per action.
+    // Projected to the 3 columns budgetSample reads; the final mixture
+    // is budget-bounded (≤ budget/source), so it computes EAGERLY and
+    // the cache drops here instead of leaking for the session lifetime.
     val surviving = all
       .join(qualityPass, "doc_id")
       .join(exactCanonical, "doc_id")
       .join(decontamKeep, "doc_id")
       .join(clusterDrop, Seq("doc_id"), "left_anti")
-    Curation.budgetSample(surviving, "doc_id", "text", "source", budgetTokens = 800L)
-      .withColumnRenamed("id", "doc_id")
+      .select(col("doc_id"), col("text"), col("source"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val out = Curation.budgetSample(surviving, "doc_id", "text", "source",
+          budgetTokens = 800L)
+        .withColumnRenamed("id", "doc_id")
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.collect().toIndexedSeq, 1), out.schema)
+    } finally surviving.unpersist(false)
   }
 
   /** #35c the curation FUNNEL report — per-stage attrition counts for
@@ -447,24 +461,36 @@ object LlmQueries {
       .withColumnRenamed("id", "doc_id").select("doc_id")
     val clusterDrop = dedupCluster(s, d)
       .filter(!col("is_canonical")).select("doc_id")
-    val s1 = all.select("doc_id").join(qualityPass, "doc_id")
-    val s2 = s1.join(exactCanonical, "doc_id")
-    val s3 = s2.join(decontamKeep, "doc_id")
-    val s4 = s3.join(clusterDrop, Seq("doc_id"), "left_anti")
-    val s5 = Curation.budgetSample(all.join(s4, "doc_id"),
-        "doc_id", "text", "source", budgetTokens = 800L)
-      .select(col("id").as("doc_id"))
-    val stages = Seq("input" -> all.select("doc_id"), "quality" -> s1,
-      "exact" -> s2, "decontaminate" -> s3, "near_dup" -> s4, "budget" -> s5)
-    val counts = stages.zipWithIndex.map { case ((nm, df0), i) =>
-        df0.agg(count(lit(1)).as("n"))
-          .select(lit(i.toLong).as("stage_no"), lit(nm).as("stage"), col("n"))
-      }.reduce(_ union _)
-    val prev = counts.select((col("stage_no") + 1).as("stage_no"),
-      col("n").as("n_in"))
-    counts.join(prev, "stage_no")
-      .select(col("stage_no"), col("stage"), col("n_in"),
-        (col("n_in") - col("n")).as("n_removed"), col("n").as("n_out"))
+    // each stage frame is id-only and feeds BOTH its own count and the
+    // next stage's input: persisted, the expensive stage operators
+    // (near-dup clustering, exact dedup, decontamination) compute once
+    // across the six counting branches instead of once per chained
+    // lineage. The report is 5 rows — computed eagerly so every cache
+    // drops here (the caller never sees the stage frames, so it could
+    // never unpersist them), same pattern as eventsMadOf.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val s1 = all.select("doc_id").join(qualityPass, "doc_id").persist(lvl)
+    val s2 = s1.join(exactCanonical, "doc_id").persist(lvl)
+    val s3 = s2.join(decontamKeep, "doc_id").persist(lvl)
+    val s4 = s3.join(clusterDrop, Seq("doc_id"), "left_anti").persist(lvl)
+    try {
+      val s5 = Curation.budgetSample(all.join(s4, "doc_id"),
+          "doc_id", "text", "source", budgetTokens = 800L)
+        .select(col("id").as("doc_id"))
+      val stages = Seq("input" -> all.select("doc_id"), "quality" -> s1,
+        "exact" -> s2, "decontaminate" -> s3, "near_dup" -> s4, "budget" -> s5)
+      val counts = stages.zipWithIndex.map { case ((nm, df0), i) =>
+          df0.agg(count(lit(1)).as("n"))
+            .select(lit(i.toLong).as("stage_no"), lit(nm).as("stage"), col("n"))
+        }.reduce(_ union _)
+      val prev = counts.select((col("stage_no") + 1).as("stage_no"),
+        col("n").as("n_in"))
+      val out = counts.join(prev, "stage_no")
+        .select(col("stage_no"), col("stage"), col("n_in"),
+          (col("n_in") - col("n")).as("n_removed"), col("n").as("n_out"))
+      s.createDataFrame(
+        s.sparkContext.parallelize(out.collect().toIndexedSeq, 1), out.schema)
+    } finally Seq(s4, s3, s2, s1).foreach(_.unpersist(false))
   }
 
   /** #36 JSONL ingestion, gate-tested as a roundtrip: the parquet
@@ -1302,8 +1328,8 @@ object LlmQueries {
     "dedup_spans" -> dedupSpans,
     "dedup_spans_cut" -> dedupSpansCut,
     "dedup_semantic" -> ((s: SparkSession, d: String) =>
-      Dedup.semantic(embs(s, d), "vec_id", "embedding",
-        cells = 16, threshold = 0.35)),
+      Dedup.semanticAuto(embs(s, d), "vec_id", "embedding",
+        targetClusterSize = 64, threshold = 0.35)),
     "embedding_outliers" -> ((s: SparkSession, d: String) =>
       Knn.centroidOutliers(embs(s, d), "vec_id", "embedding",
         cells = 16, threshold = 0.12)),
@@ -2480,12 +2506,17 @@ object LlmQueries {
       SELECT d.vec_id AS id, b.id_new IS NOT NULL AS is_dup, b.matched_id, b.cos
       FROM (SELECT vec_id FROM embeddings WHERE vec_id % 5 = 0) d
       LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.vec_id = b.id_new""".trim,
-    // SemDeDup: the 16 lowest-id seed centroids replayed, argmax
+    // SemDeDup: the data-dependent cell count (max(1, n/64), mirroring
+    // Dedup.semanticAuto) of lowest-id seed centroids replayed, argmax
     // assignment (sim DESC, cid tie-break = IvfCells' first-wins),
     // then the keep-first pairwise verify restricted to each cell
     "dedup_semantic" -> s"""
       WITH $cosCte,
-      cents AS (SELECT vec_id cid, v cv FROM e ORDER BY vec_id LIMIT 16),
+      cents AS (SELECT cid, cv FROM
+                  (SELECT vec_id cid, v cv,
+                          row_number() OVER (ORDER BY vec_id) rn,
+                          count(*) OVER () n
+                   FROM e) WHERE rn <= greatest(1, n // 64)),
       sims AS (SELECT e.vec_id, c.cid, ${cos("e.v", "c.cv")} sim FROM e CROSS JOIN cents c),
       a AS (SELECT vec_id, cid cell FROM
               (SELECT vec_id, cid,
