@@ -71,6 +71,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Manifest.current(spark, dir))
   }
 
+  private def tableDirOf(ident: Identifier): String = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val sch = schemaOf(ident.namespace).get
+    KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, sch), ident.name)
+  }
+
+  /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <n>` pins
+    * the scan to manifest snapshot n — the SQL surface of
+    * `readSql(asOfVersion)`, available until vacuum expires it. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = tableDirOf(ident)
+    val v = version.toLongOption.getOrElse(throw new StoreException(
+      s"VERSION AS OF takes a numeric snapshot version, got '$version'"))
+    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+      Some(Manifest.at(spark, dir, v)))
+  }
+
+  /** SQL `TIMESTAMP AS OF`: the newest snapshot committed at or before
+    * the given instant (Spark hands micros since epoch). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = tableDirOf(ident)
+    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+      Some(Manifest.atTimestamp(spark, dir, timestampMicros / 1000L)))
+  }
+
   override def dropTable(ident: Identifier): Boolean =
     tableExists(ident) && {
       Catalog.dropTable(spark, warehouse, ident.name, schemaOf(ident.namespace).get)

@@ -442,6 +442,62 @@ object KeyedTable {
     Manifest.current(spark, dir).getOrElse(
       Manifest(-1L, meta.buckets, listLiveFiles(fs(spark, dir), new Path(data))))
 
+  /** Leading-PK min/max of one just-written parquet file, from its
+    * footer, normalized to the manifest's storable stat types (Long /
+    * Double / String). None for non-stat-friendly PK types or any
+    * missing statistic — pruning then simply keeps the file. Strings
+    * are safe here (unlike the footer AGGREGATE pushdown) because a
+    * truncated parquet string bound is still a valid BOUND — file
+    * skipping needs containment, not exact extrema. */
+  private def pkFileStats(conf: org.apache.hadoop.conf.Configuration,
+                          file: Path, colName: String,
+                          dt: DataType): Option[ColStats] = {
+    val storable = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case FloatType | DoubleType => true
+      case StringType => true
+      case _ => false
+    }
+    if (!storable) return None
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        def norm(v: Any): Any = v match {
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
+          case f: java.lang.Float => f.doubleValue()
+          case d: java.lang.Double => d.doubleValue()
+          case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+          case o => throw new IllegalStateException(s"unexpected stat $o")
+        }
+        def le(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: Long, y: Long) => x <= y
+          case (x: Double, y: Double) => x <= y
+          case (x: String, y: String) => x <= y
+          case _ => throw new IllegalStateException("mixed stat types")
+        }
+        var mn: Any = null
+        var mx: Any = null
+        reader.getFooter.getBlocks.forEach { bl =>
+          var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+          bl.getColumns.forEach { c =>
+            if (c.getPath.toDotString == colName) chunk = c
+          }
+          if (chunk == null) throw new IllegalStateException(s"no chunk $colName")
+          val s = chunk.getStatistics
+          if (s == null || !s.hasNonNullValue)
+            throw new IllegalStateException(s"no stats for $colName")
+          val bmn = norm(s.genericGetMin)
+          val bmx = norm(s.genericGetMax)
+          if (mn == null || le(bmn, mn)) mn = bmn
+          if (mx == null || le(mx, bmx)) mx = bmx
+        }
+        if (mn == null) None else Some(ColStats(mn, mx))
+      } finally reader.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Commit a mutation's staged output as manifest version N+1 (see
     * [[Manifest]] for the isolation argument). Staged files are renamed
     * INTO their live bucket dirs under commit-unique names — additive
@@ -460,8 +516,12 @@ object KeyedTable {
   private def commitStaged(spark: SparkSession, f: FileSystem, dir: String,
                            data: String, staging: String, touched: Seq[Int],
                            op: String, base: Manifest, newBuckets: Int,
+                           meta: TableMeta,
                            add: Boolean = false,
                            removeMissing: Boolean = false): Manifest = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCol = meta.pk.headOption
+    val statType = statCol.map(c => meta.schema(c).dataType)
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     def abort(msg: String): Nothing = {
@@ -485,7 +545,13 @@ object KeyedTable {
             abort(s"$op: could not move staged file ${st.getPath} -> $dst; " +
               "commit aborted, current snapshot unchanged")
           moved += dst
-          ManifestFile(dst.getName, st.getLen)
+          // O(new files) footer opens per commit — the file-skipping
+          // stats every later range read plans against
+          val stats = (statCol, statType) match {
+            case (Some(c), Some(t)) => pkFileStats(conf, dst, c, t)
+            case _ => None
+          }
+          ManifestFile(dst.getName, st.getLen, stats)
         })
       }
     }.toMap
@@ -586,7 +652,7 @@ object KeyedTable {
         clusterByBucket(newB, base.buckets, meta.pk)
           .write.partitionBy(BucketCol).parquet(staging)
         commitStaged(spark, f, dir, data, staging, touched, "append",
-          base, base.buckets, add = true)
+          base, base.buckets, meta, add = true)
       } finally f.delete(new Path(staging), true)
       if (evolved != meta.schema)
         TableMeta.write(spark, dir, meta.copy(schema = evolved))
@@ -710,7 +776,7 @@ object KeyedTable {
           .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
         try {
           commitStaged(spark, f, dir, data, staging, touched, "upsert",
-            base, base.buckets)
+            base, base.buckets, meta)
         } finally f.delete(new Path(staging), true)
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
@@ -832,7 +898,7 @@ object KeyedTable {
           .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
         commitStaged(spark, f, dir, data, staging, crowded, "compact",
-          base, base.buckets)
+          base, base.buckets, meta)
       } finally f.delete(new Path(staging), true)
       crowded.size
     }
@@ -953,7 +1019,7 @@ object KeyedTable {
             writer.option("parquet.block.size", n.toString))
             .parquet(staging)
           commitStaged(spark, f, dir, data, staging, 0 until base.buckets,
-            "zorder", base, base.buckets)
+            "zorder", base, base.buckets, meta)
         } finally f.delete(new Path(staging), true)
       }
     }
@@ -997,7 +1063,7 @@ object KeyedTable {
           // removeMissing: a bucket whose rows ALL matched has no staged
           // replacement — it leaves the new snapshot entirely
           commitStaged(spark, f, dir, data, staging, touched, "delete",
-            base, base.buckets, removeMissing = true)
+            base, base.buckets, meta, removeMissing = true)
         } finally f.delete(new Path(staging), true)
       }
       deleted
@@ -1057,7 +1123,7 @@ object KeyedTable {
       // mirror legacy (pre-manifest) code paths read.
       commitStaged(spark, f, dir, data, staging,
         0 until math.max(base.buckets, newBuckets), "rebucket",
-        base, newBuckets, removeMissing = true)
+        base, newBuckets, meta, removeMissing = true)
       TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
     } finally f.delete(new Path(staging), true)
   }
@@ -1210,7 +1276,20 @@ object KeyedTable {
     // bucket-pruning math must use the SNAPSHOT's bucket count (a
     // rebucket changes it; the manifest is the authority when present)
     val effMeta = meta.copy(buckets = mf.map(_.buckets).getOrElse(meta.buckets))
-    val raw = readRawWith(spark, warehouse, tableName, meta, mf)
+    // FILE skipping on the leading PK dimension: drop manifest files
+    // whose recorded [min,max] cannot intersect the requested bounds —
+    // on an append-accumulated table each delta's files cover only its
+    // own key range, so a narrow range read plans only its overlapping
+    // files per bucket, before any footer is opened
+    val lo0 = lowest.headOption.filter(_ != null).flatMap(Manifest.normBound)
+    val hi0 = highest.headOption.filter(_ != null).flatMap(Manifest.normBound)
+    val mfPruned = mf.map { m =>
+      if (lo0.isEmpty && hi0.isEmpty) m
+      else m.copy(files = m.files.map { case (b, fls) =>
+        b -> fls.filter(_.mayOverlap(lo0, hi0))
+      }.filter(_._2.nonEmpty))
+    }
+    val raw = readRawWith(spark, warehouse, tableName, meta, mfPruned)
     // Bucket pruning: hash layout can't prune an arbitrary range, but
     // two shapes enumerate their touched buckets exactly:
     //  - point lookup (every dimension pinned): one bucket;

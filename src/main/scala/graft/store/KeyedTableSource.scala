@@ -322,6 +322,42 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
         .eval(null).asInstanceOf[Long].toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Leading-PK bound constraints from the pushed filters — each file
+    * must satisfy ALL of them to stay in the scan. Inclusive bounds are
+    * used even for strict predicates (conservative; pruning is an IO
+    * reduction, never a correctness surface — every filter is residual
+    * in this source). */
+  private lazy val pkFileBounds: Seq[(Option[Any], Option[Any])] = {
+    import org.apache.spark.sql.sources._
+    meta.pk.headOption.toSeq.flatMap { pkc =>
+      pushed.toSeq.flatMap {
+        case EqualTo(c, v) if c == pkc =>
+          Manifest.normBound(v).map(n => (Some(n): Option[Any], Some(n): Option[Any]))
+        case GreaterThan(c, v) if c == pkc =>
+          Manifest.normBound(v).map(n => (Some(n): Option[Any], None: Option[Any]))
+        case GreaterThanOrEqual(c, v) if c == pkc =>
+          Manifest.normBound(v).map(n => (Some(n): Option[Any], None: Option[Any]))
+        case LessThan(c, v) if c == pkc =>
+          Manifest.normBound(v).map(n => (None: Option[Any], Some(n): Option[Any]))
+        case LessThanOrEqual(c, v) if c == pkc =>
+          Manifest.normBound(v).map(n => (None: Option[Any], Some(n): Option[Any]))
+        case In(c, vs) if c == pkc && vs.nonEmpty =>
+          val ns = vs.toSeq.map(Manifest.normBound)
+          if (ns.forall(_.isDefined) &&
+              ns.flatten.forall(_.getClass == ns.head.get.getClass)) {
+            val sorted = ns.flatten.sortWith {
+              case (a: Long, b: Long) => a < b
+              case (a: Double, b: Double) => a < b
+              case (a: String, b: String) => a < b
+              case _ => false
+            }
+            Some((Some(sorted.head): Option[Any], Some(sorted.last): Option[Any]))
+          } else None
+        case _ => None
+      }
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // static (pushdown) ∩ runtime (dynamic pruning) bucket sets; the
     // runtime set can arrive between the two planInputPartitions calls
@@ -330,21 +366,26 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       Seq(keptBuckets, runtimeBuckets).flatten.reduceOption(_ intersect _)
     mf match {
       case Some(m) =>
-        // the manifest IS the file index (names + lengths): planning a
-        // scan costs ZERO filesystem calls — at thousands of buckets on
-        // an object store, listings are the planning latency floor this
-        // removes — and reads one immutable snapshot regardless of
-        // concurrent commits
+        // the manifest IS the file index (names + lengths + leading-PK
+        // stats): planning a scan costs ZERO filesystem calls — at
+        // thousands of buckets on an object store, listings are the
+        // planning latency floor this removes — reads one immutable
+        // snapshot regardless of concurrent commits, and FILE-SKIPS on
+        // the pushed leading-PK bounds before any footer is opened
         (0 until m.buckets).map { b =>
           val key = new GenericInternalRow(Array[Any](b))
           val files: Array[PartitionedFile] =
             if (!kept.forall(_.contains(b))) Array.empty
-            else m.files.getOrElse(b, Nil).map { mfF =>
-              val p = new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}")
-              new PartitionedFile(key, SparkPath.fromPath(p),
-                0L, mfF.len, Array.empty[String], 0L, mfF.len,
-                Map.empty[String, Any])
-            }.toArray
+            else m.files.getOrElse(b, Nil)
+              .filter(mfF => pkFileBounds.forall { case (lo, hi) =>
+                mfF.mayOverlap(lo, hi)
+              })
+              .map { mfF =>
+                val p = new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}")
+                new PartitionedFile(key, SparkPath.fromPath(p),
+                  0L, mfF.len, Array.empty[String], 0L, mfF.len,
+                  Map.empty[String, Any])
+              }.toArray
           new KeyedFilePartition(b, files, key): InputPartition
         }.toArray
       case None => // legacy pre-manifest table: one listing of data/

@@ -8,11 +8,41 @@ import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.json4s.jackson.JsonMethods.{compact, render}
 
+/** Min/max of a file's leading-PK-column values (Long, Double, or
+  * String — normalized from the parquet footer's physical types), the
+  * file-skipping statistic of the Iceberg/Delta model: hash bucketing
+  * spreads every key range across all buckets, but each APPEND's files
+  * cover only that delta's key range — so a time-ordered ingest prunes
+  * to its few overlapping files per bucket at PLANNING time, before any
+  * footer is opened. Absent (None) stats always keep the file. */
+final case class ColStats(min: Any, max: Any)
+
 /** One live data file of a bucket: name WITHIN the bucket directory plus
   * its byte length (recorded so scan planning and size statistics never
   * touch the filesystem — at 100 TB, "list two million files to plan a
-  * query" is the latency floor a manifest exists to remove). */
-final case class ManifestFile(name: String, len: Long)
+  * query" is the latency floor a manifest exists to remove), plus
+  * optional leading-PK [[ColStats]]. */
+final case class ManifestFile(name: String, len: Long,
+                              stats: Option[ColStats] = None) {
+  /** Could this file hold a leading-PK value in [lo, hi]? (null bound =
+    * unbounded; files without stats or uncomparable bounds are always
+    * kept — pruning is an IO reduction, never a correctness surface.) */
+  def mayOverlap(lo: Option[Any], hi: Option[Any]): Boolean = stats match {
+    case None => true
+    case Some(ColStats(mn, mx)) =>
+      def le(a: Any, b: Any): Option[Boolean] = (a, b) match {
+        case (x: Long, y: Long) => Some(x <= y)
+        case (x: Long, y: Double) => Some(x.toDouble <= y)
+        case (x: Double, y: Long) => Some(x <= y.toDouble)
+        case (x: Double, y: Double) => Some(x <= y)
+        case (x: String, y: String) => Some(x <= y)
+        case _ => None
+      }
+      val aboveLo = lo.forall(l => le(l, mx).getOrElse(true))
+      val belowHi = hi.forall(h => le(mn, h).getOrElse(true))
+      aboveLo && belowHi
+  }
+}
 
 /** A versioned SNAPSHOT of a keyed table's physical layout: the bucket
   * count plus, per bucket, exactly the parquet files that are live in
@@ -54,13 +84,33 @@ final case class Manifest(version: Long, buckets: Int,
     "version" -> JInt(version),
     "buckets" -> JInt(buckets),
     "files" -> JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
-      b.toString -> JArray(fs.toList.map(f =>
-        JArray(List(JString(f.name), JInt(f.len)))))
+      b.toString -> JArray(fs.toList.map { f =>
+        val base = List(JString(f.name), JInt(f.len))
+        JArray(f.stats match {
+          case Some(ColStats(mn, mx)) =>
+            base ++ List(Manifest.statJson(mn), Manifest.statJson(mx))
+          case None => base
+        })
+      })
     }))))
 }
 
 object Manifest {
   val DirName = "_manifests"
+
+  /** Normalize a predicate/range bound to the stat value domain (Long /
+    * Double / String); None for types stats don't cover — callers then
+    * skip pruning on that bound, which is always safe. */
+  def normBound(v: Any): Option[Any] = v match {
+    case b: Byte => Some(b.toLong)
+    case s: Short => Some(s.toLong)
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case f: Float => Some(f.toDouble)
+    case d: Double => Some(d)
+    case s: String => Some(s)
+    case _ => None
+  }
 
   /** Parsed-manifest cache: a manifest file is immutable once renamed
     * into place, so the full path is a safe cache key forever. */
@@ -80,6 +130,21 @@ object Manifest {
   private def fsOf(spark: SparkSession, tableDir: String): FileSystem =
     new Path(tableDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  private[store] def statJson(v: Any): JValue = v match {
+    case l: Long => JInt(l)
+    case d: Double => JDouble(d)
+    case s: String => JString(s)
+    case o => throw new StoreException(s"unstorable file stat: $o")
+  }
+
+  private def statValue(j: JValue): Any = j match {
+    case JInt(i) => i.toLong
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case JString(s) => s
+    case o => throw new StoreException(s"bad file stat: $o")
+  }
+
   def fromJson(s: String): Manifest = {
     val j = JsonMethods.parse(s)
     val JInt(version) = (j \ "version"): @unchecked
@@ -87,9 +152,13 @@ object Manifest {
     val JObject(fields) = (j \ "files"): @unchecked
     Manifest(version.toLong, buckets.toInt,
       fields.map { case (b, JArray(fs)) =>
-        b.toInt -> fs.map { case JArray(List(JString(n), JInt(l))) =>
-          ManifestFile(n, l.toLong)
-        case o => throw new StoreException(s"bad manifest file entry: $o")
+        b.toInt -> fs.map {
+          case JArray(List(JString(n), JInt(l))) =>
+            ManifestFile(n, l.toLong)
+          case JArray(List(JString(n), JInt(l), mn, mx)) =>
+            ManifestFile(n, l.toLong,
+              Some(ColStats(statValue(mn), statValue(mx))))
+          case o => throw new StoreException(s"bad manifest file entry: $o")
         }
       case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
       }.toMap)
@@ -134,6 +203,28 @@ object Manifest {
       throw new StoreException(
         s"no manifest version $version (available: ${vs.mkString(", ")})")
     read(spark, tableDir, version)
+  }
+
+  /** Newest snapshot committed at or before `millis` (wall-clock of the
+    * manifest file itself) — the resolution rule behind SQL
+    * `TIMESTAMP AS OF`. StoreException when the table has no snapshot
+    * that old (all later, or all expired by vacuum). */
+  def atTimestamp(spark: SparkSession, tableDir: String,
+                  millis: Long): Manifest = {
+    val f = fsOf(spark, tableDir)
+    val d = dir(tableDir)
+    val candidates =
+      if (!f.exists(d)) Nil
+      else f.listStatus(d).toSeq.flatMap { st =>
+        versionOf(st.getPath.getName)
+          .filter(_ => st.getModificationTime <= millis)
+      }
+    candidates.sorted.lastOption match {
+      case Some(v) => read(spark, tableDir, v)
+      case None => throw new StoreException(
+        s"no snapshot committed at or before $millis " +
+        s"(available versions: ${versions(spark, tableDir).mkString(", ")})")
+    }
   }
 
   /** Atomically publish a snapshot: write to a temp name, then ONE file

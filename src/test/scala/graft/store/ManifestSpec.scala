@@ -122,6 +122,39 @@ class ManifestSpec extends SparkSpec {
       Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L))
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF resolve snapshots") {
+    val t = "t_sql_travel"
+    KeyedTable.toSql(df(base.take(3): _*), wh, t, pk = Seq("id"))      // v0
+    KeyedTable.toSql(df((1L, "A", 10.0)), wh, t, pk = Seq("id"),
+      how = WriteMode.Upsert)                                           // v1
+    val cat = "graft_mspec_tt"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val v0 = spark.sql(s"SELECT name FROM $cat.$t VERSION AS OF 0 WHERE id = 1")
+        .head().getString(0)
+      assert(v0 == "a")
+      val cur = spark.sql(s"SELECT name FROM $cat.$t WHERE id = 1")
+        .head().getString(0)
+      assert(cur == "A")
+      // a far-future instant resolves to the newest snapshot
+      val ts = spark.sql(
+        s"SELECT name FROM $cat.$t TIMESTAMP AS OF '2999-01-01' WHERE id = 1")
+        .head().getString(0)
+      assert(ts == "A")
+      // an instant before any commit fails loudly
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT * FROM $cat.$t TIMESTAMP AS OF '1990-01-01'").collect()
+      }
+      assert(e.getMessage.contains("no snapshot") ||
+        Option(e.getCause).exists(_.getMessage.contains("no snapshot")))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("scan planning reads the manifest, not the dirty directory") {
     val t = "t_dirty_dir"
     KeyedTable.toSql(df(base: _*), wh, t, pk = Seq("id"), buckets = 2)

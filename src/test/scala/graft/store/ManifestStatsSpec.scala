@@ -1,0 +1,79 @@
+package graft.store
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.TempDirs
+
+/** File-skipping statistics in the manifest: every commit records each
+  * new file's leading-PK min/max, and range reads (v1 readSql and the
+  * DSv2 scan's pushed bounds) drop files that cannot overlap — the
+  * Iceberg-style planning-time prune that makes a narrow range read on
+  * an append-accumulated table touch only its deltas' files. */
+class ManifestStatsSpec extends SparkSpec {
+
+  private lazy val wh: String = TempDirs.tempDir("graft-mstats")
+
+  private def build(t: String): String = {
+    import spark.implicits._
+    def slice(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"name$i")).toDF("id", "name")
+    KeyedTable.toSql(slice(1L, 100L), wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.toSql(slice(101L, 200L), wh, t, pk = Seq("id"),
+      how = WriteMode.Append)
+    KeyedTable.toSql(slice(201L, 300L), wh, t, pk = Seq("id"),
+      how = WriteMode.Append)
+    t
+  }
+
+  test("append commits record leading-PK stats; overlap math prunes files") {
+    val t = build("t_stats")
+    val m = Manifest.current(spark, s"$wh/$t").get
+    val all = m.files.values.flatten.toSeq
+    val withStats = all.flatMap(_.stats)
+    // both append commits carry stats on every file (create's adopted
+    // listing has none — those files are simply always kept)
+    assert(withStats.size >= 2, s"no stats recorded: $all")
+    assert(withStats.forall { s =>
+      val mn = s.min.asInstanceOf[Long]; val mx = s.max.asInstanceOf[Long]
+      mn >= 1L && mx <= 300L && mn <= mx
+    })
+    // stats survive the JSON round trip bit-for-bit
+    assert(Manifest.fromJson(m.toJson) == m)
+    // a [250, 300] range keeps the 201..300 delta's files and drops the
+    // 101..200 delta's
+    val kept = all.filter(_.mayOverlap(Some(250L), Some(300L)))
+    assert(kept.size < all.size,
+      s"no file was pruned: kept ${kept.size} of ${all.size}")
+    assert(all.filter(_.stats.isDefined).exists(f => !kept.contains(f)))
+  }
+
+  test("readSql range read over pruned files returns exactly the range") {
+    val t = build("t_stats_read")
+    val out = KeyedTable.readSql(spark, wh, t,
+        lowest = Seq(250L), highest = Seq(300L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == (250L to 300L))
+    // bounds that no file can hold return empty, not an error
+    assert(KeyedTable.readSql(spark, wh, t,
+      lowest = Seq(5000L), highest = Seq(6000L)).count() == 0L)
+  }
+
+  test("DSv2 scan file-skips on pushed leading-PK bounds") {
+    val t = build("t_stats_v2")
+    val total = Manifest.current(spark, s"$wh/$t").get
+      .files.values.map(_.size).sum
+    val df = KeyedTableSource.read(spark, wh, t).filter(col("id") >= 250L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    val planned = scans.head.inputPartitions.collect {
+      case p: KeyedFilePartition => p.files.length
+    }.sum
+    assert(planned < total,
+      s"scan planned all $total files despite the pushed bound")
+    assert(df.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      (250L to 300L))
+  }
+}
