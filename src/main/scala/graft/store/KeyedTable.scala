@@ -318,9 +318,20 @@ object KeyedTable {
         casted.repartition(buckets, col(BucketCol))
           .write.partitionBy(BucketCol).parquet(data.toString)
       }
-      // version-0 snapshot: every table is manifest-native from birth
-      Manifest.commit(spark, dir,
-        Manifest(0L, buckets, listLiveFiles(f, data)))
+      // version-0 snapshot: every table is manifest-native from birth,
+      // row counts and leading-PK stats included (O(buckets) footer
+      // opens over files this create just wrote)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val statType = Some(schema(pkCols.head).dataType)
+      val v0Files = listLiveFiles(f, data).map { case (b, fls) =>
+        b -> fls.map { mfF =>
+          val (rows, stats) = pkFileStats(conf,
+            new Path(data, s"$BucketCol=$b/${mfF.name}"),
+            pkCols.headOption, statType)
+          mfF.copy(rows = rows, stats = stats)
+        }
+      }
+      Manifest.commit(spark, dir, Manifest(0L, buckets, v0Files))
       TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema, maxIdx))
     } finally f.delete(new Path(staging), true)
   }
@@ -442,23 +453,28 @@ object KeyedTable {
     Manifest.current(spark, dir).getOrElse(
       Manifest(-1L, meta.buckets, listLiveFiles(fs(spark, dir), new Path(data))))
 
-  /** Leading-PK min/max of one just-written parquet file, from its
-    * footer, normalized to the manifest's storable stat types (Long /
-    * Double / String). None for non-stat-friendly PK types or any
-    * missing statistic — pruning then simply keeps the file. Strings
-    * are safe here (unlike the footer AGGREGATE pushdown) because a
-    * truncated parquet string bound is still a valid BOUND — file
-    * skipping needs containment, not exact extrema. */
+  /** Row count + leading-PK min/max of one just-written parquet file,
+    * from ONE footer read, stats normalized to the manifest's storable
+    * types (Long / Double / String). Stats are None for
+    * non-stat-friendly PK types or any missing statistic — pruning then
+    * simply keeps the file. Strings are safe here (unlike the footer
+    * AGGREGATE pushdown) because a truncated parquet string bound is
+    * still a valid BOUND — file skipping needs containment, not exact
+    * extrema. */
   private def pkFileStats(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, colName: String,
-                          dt: DataType): Option[ColStats] = {
-    val storable = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case FloatType | DoubleType => true
-      case StringType => true
-      case _ => false
+                          file: Path, colName: Option[String],
+                          dt: Option[DataType]): (Option[Long], Option[ColStats]) = {
+    val statCol = (colName, dt) match {
+      case (Some(c), Some(t)) =>
+        val storable = t match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case FloatType | DoubleType => true
+          case StringType => true
+          case _ => false
+        }
+        if (storable) Some(c) else None
+      case _ => None
     }
-    if (!storable) return None
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -479,23 +495,29 @@ object KeyedTable {
         }
         var mn: Any = null
         var mx: Any = null
+        var rows = 0L
+        var statsOk = statCol.isDefined
         reader.getFooter.getBlocks.forEach { bl =>
-          var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
-          bl.getColumns.forEach { c =>
-            if (c.getPath.toDotString == colName) chunk = c
+          rows += bl.getRowCount
+          if (statsOk) {
+            var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+            bl.getColumns.forEach { c =>
+              if (statCol.contains(c.getPath.toDotString)) chunk = c
+            }
+            val s = if (chunk == null) null else chunk.getStatistics
+            if (s == null || !s.hasNonNullValue) statsOk = false
+            else {
+              val bmn = norm(s.genericGetMin)
+              val bmx = norm(s.genericGetMax)
+              if (mn == null || le(bmn, mn)) mn = bmn
+              if (mx == null || le(mx, bmx)) mx = bmx
+            }
           }
-          if (chunk == null) throw new IllegalStateException(s"no chunk $colName")
-          val s = chunk.getStatistics
-          if (s == null || !s.hasNonNullValue)
-            throw new IllegalStateException(s"no stats for $colName")
-          val bmn = norm(s.genericGetMin)
-          val bmx = norm(s.genericGetMax)
-          if (mn == null || le(bmn, mn)) mn = bmn
-          if (mx == null || le(mx, bmx)) mx = bmx
         }
-        if (mn == null) None else Some(ColStats(mn, mx))
+        (Some(rows),
+          if (statsOk && mn != null) Some(ColStats(mn, mx)) else None)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch { case scala.util.control.NonFatal(_) => (None, None) }
   }
 
   /** Commit a mutation's staged output as manifest version N+1 (see
@@ -545,13 +567,11 @@ object KeyedTable {
             abort(s"$op: could not move staged file ${st.getPath} -> $dst; " +
               "commit aborted, current snapshot unchanged")
           moved += dst
-          // O(new files) footer opens per commit — the file-skipping
-          // stats every later range read plans against
-          val stats = (statCol, statType) match {
-            case (Some(c), Some(t)) => pkFileStats(conf, dst, c, t)
-            case _ => None
-          }
-          ManifestFile(dst.getName, st.getLen, stats)
+          // ONE footer open per new file per commit buys both the row
+          // count (COUNT(*)/row estimates become driver arithmetic)
+          // and the file-skipping stats every range read plans against
+          val (rows, stats) = pkFileStats(conf, dst, statCol, statType)
+          ManifestFile(dst.getName, st.getLen, rows, stats)
         })
       }
     }.toMap

@@ -452,11 +452,23 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
         }.sum
     }
     val scaled = math.max(1L, (bytes * factor).toLong)
+    // row counts ride in the manifest (recorded at commit time), so the
+    // estimate costs nothing; files missing counts (legacy/adopted)
+    // decline rather than under-report
+    val rowsOpt: Option[Long] = mf.flatMap { m =>
+      val kept = m.files.toSeq.collect {
+        case (b, fls) if keptBuckets.forall(_.contains(b)) => fls
+      }.flatten
+      if (kept.nonEmpty && kept.forall(_.rows.isDefined))
+        Some(kept.flatMap(_.rows).sum)
+      else None
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(scaled)
       override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty() // rows would cost a footer per file
+        rowsOpt.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
     }
   }
 }
@@ -503,6 +515,25 @@ private[store] object FooterAgg {
   def compute(agg: Aggregation, meta: TableMeta, dataDir: String,
               mf: Option[Manifest] = None): Option[(StructType, InternalRow, String)] =
     try {
+      // COUNT(*)-only aggregations over a manifest whose every file
+      // carries its row count are pure driver ARITHMETIC — zero footer
+      // opens, zero filesystem calls: `SELECT count(*) FROM graft.t`
+      // over a 100 TB table costs one manifest read
+      mf match {
+        case Some(m) if agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) =>
+          val fls = m.files.valuesIterator.flatten.toSeq
+          if (fls.forall(_.rows.isDefined)) {
+            val total = fls.flatMap(_.rows).sum
+            val out = agg.aggregateExpressions.map { _ =>
+              (StructField("count(*)", LongType, nullable = false),
+                java.lang.Long.valueOf(total): Any)
+            }
+            return Some((StructType(out.map(_._1)),
+              new GenericInternalRow(out.map(_._2).toArray),
+              s"$dataDir [count(*)] (manifest row counts, zero IO)"))
+          }
+        case _ => ()
+      }
       val conf = SparkSession.active.sparkContext.hadoopConfiguration
       // LIVE files only: the current snapshot's list when a manifest
       // exists (superseded files awaiting vacuum must not be counted),

@@ -20,9 +20,13 @@ final case class ColStats(min: Any, max: Any)
 /** One live data file of a bucket: name WITHIN the bucket directory plus
   * its byte length (recorded so scan planning and size statistics never
   * touch the filesystem — at 100 TB, "list two million files to plan a
-  * query" is the latency floor a manifest exists to remove), plus
-  * optional leading-PK [[ColStats]]. */
+  * query" is the latency floor a manifest exists to remove), its row
+  * count (so `COUNT(*)` and Catalyst's row estimates are pure driver
+  * arithmetic over the snapshot — zero footer opens), plus optional
+  * leading-PK [[ColStats]]. Row count and stats come from the same one
+  * footer read each commit already pays per new file. */
 final case class ManifestFile(name: String, len: Long,
+                              rows: Option[Long] = None,
                               stats: Option[ColStats] = None) {
   /** Could this file hold a leading-PK value in [lo, hi]? (null bound =
     * unbounded; files without stats or uncomparable bounds are always
@@ -85,7 +89,10 @@ final case class Manifest(version: Long, buckets: Int,
     "buckets" -> JInt(buckets),
     "files" -> JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
       b.toString -> JArray(fs.toList.map { f =>
-        val base = List(JString(f.name), JInt(f.len))
+        // arity encodes presence: [name, len] | [name, len, rows] |
+        // [name, len, rows, min, max] (stats imply rows — same footer)
+        val base = List(JString(f.name), JInt(f.len)) ++
+          f.rows.map(r => JInt(r): JValue).toList
         JArray(f.stats match {
           case Some(ColStats(mn, mx)) =>
             base ++ List(Manifest.statJson(mn), Manifest.statJson(mx))
@@ -155,8 +162,10 @@ object Manifest {
         b.toInt -> fs.map {
           case JArray(List(JString(n), JInt(l))) =>
             ManifestFile(n, l.toLong)
-          case JArray(List(JString(n), JInt(l), mn, mx)) =>
-            ManifestFile(n, l.toLong,
+          case JArray(List(JString(n), JInt(l), JInt(r))) =>
+            ManifestFile(n, l.toLong, Some(r.toLong))
+          case JArray(List(JString(n), JInt(l), JInt(r), mn, mx)) =>
+            ManifestFile(n, l.toLong, Some(r.toLong),
               Some(ColStats(statValue(mn), statValue(mx))))
           case o => throw new StoreException(s"bad manifest file entry: $o")
         }

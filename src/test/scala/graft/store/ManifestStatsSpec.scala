@@ -30,10 +30,12 @@ class ManifestStatsSpec extends SparkSpec {
     val t = build("t_stats")
     val m = Manifest.current(spark, s"$wh/$t").get
     val all = m.files.values.flatten.toSeq
+    // every commit — create included — records rows and leading-PK
+    // stats per file from one footer read
+    assert(all.forall(_.rows.isDefined), s"missing row counts: $all")
+    assert(all.flatMap(_.rows).sum == 300L)
     val withStats = all.flatMap(_.stats)
-    // both append commits carry stats on every file (create's adopted
-    // listing has none — those files are simply always kept)
-    assert(withStats.size >= 2, s"no stats recorded: $all")
+    assert(withStats.size == all.size, s"missing stats: $all")
     assert(withStats.forall { s =>
       val mn = s.min.asInstanceOf[Long]; val mx = s.max.asInstanceOf[Long]
       mn >= 1L && mx <= 300L && mn <= mx
@@ -57,6 +59,16 @@ class ManifestStatsSpec extends SparkSpec {
     // bounds that no file can hold return empty, not an error
     assert(KeyedTable.readSql(spark, wh, t,
       lowest = Seq(5000L), highest = Seq(6000L)).count() == 0L)
+  }
+
+  test("COUNT(*) answers from manifest row counts as a zero-IO local scan") {
+    import org.apache.spark.sql.functions.{count, lit}
+    val t = build("t_rowcount")
+    val df = KeyedTableSource.read(spark, wh, t).agg(count(lit(1)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("manifest row counts") ||
+      plan.contains("LocalTableScan"), s"not a local scan:\n$plan")
+    assert(df.head().getLong(0) == 300L)
   }
 
   test("DSv2 scan file-skips on pushed leading-PK bounds") {
