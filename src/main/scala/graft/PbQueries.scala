@@ -414,8 +414,11 @@ object PbQueries {
   def compactAuto(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     val customer = Tables.customer(spark, sfDir)
+    // 8 buckets: the policy/breach mechanics are identical at any
+    // bucket count; fewer buckets keeps this multi-write gate row from
+    // paying 5x32 task waves for fixed overhead
     KeyedTable.toSql(customer.filter(col("c_custkey") % 4 === 0),
-      wh, "customer", pk = Seq("c_custkey"))
+      wh, "customer", pk = Seq("c_custkey"), buckets = 8)
     (1 to 3).foreach { r =>
       KeyedTable.toSql(customer.filter(col("c_custkey") % 4 === r),
         wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
