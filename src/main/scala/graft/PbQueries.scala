@@ -431,6 +431,23 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11v (`pb_history`): the snapshot-history audit view as a driver
+    * row — create (v0), append (v1), predicate delete (v2), then
+    * `history` must report each version's exact row count from the
+    * manifests alone (no data IO), checked against SQL replays of the
+    * three states. */
+  def historyQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    KeyedTable.toSql(orders.filter(k % 2 === 0), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is UTC
+    KeyedTable.toSql(orders.filter(k % 2 === 1), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false)
+    KeyedTable.delete(spark, wh, "orders", k % 5 === 0)
+    KeyedTable.history(spark, wh, "orders").select("version", "n_rows")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -454,6 +471,7 @@ object PbQueries {
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
     "pb_compact_auto" -> compactAuto,
+    "pb_history" -> historyQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +515,16 @@ object PbQueries {
       FROM orders
     """.trim,
     "pb_compact_auto" -> "SELECT * FROM customer",
+    // each version's row count replayed: create slice, full table,
+    // post-delete complement
+    "pb_history" -> """
+      SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT 1::BIGINT, count(*)::BIGINT FROM orders
+      UNION ALL
+      SELECT 2::BIGINT, count(*)::BIGINT FROM orders WHERE o_orderkey % 5 <> 0
+    """.trim,
     "pb_zorder" -> "SELECT * FROM orders",
     "pb_delete" -> """
       SELECT * FROM orders

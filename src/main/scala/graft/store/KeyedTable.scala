@@ -1213,6 +1213,27 @@ object KeyedTable {
     removed
   }
 
+  /** #11v snapshot history — the DESCRIBE HISTORY surface: one row per
+    * committed (unexpired) manifest version with its physical totals
+    * (bucket count, live files, rows, bytes), read from the manifests
+    * alone — zero data IO, zero footer opens (row counts ride in the
+    * manifest; −1 when some adopted legacy file lacks one). The audit
+    * view behind time travel: what each `asOfVersion` would read, and
+    * how the table's physical footprint evolved commit by commit. */
+  def history(spark: SparkSession, warehouse0: String, tableName: String,
+              schema: Option[String] = None): DataFrame = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    val rows = Manifest.versions(spark, dir).map { v =>
+      val m = Manifest.at(spark, dir, v)
+      val fls = m.files.valuesIterator.flatten.toSeq
+      (v, m.buckets, fls.size.toLong,
+        if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else -1L,
+        fls.map(_.len).sum)
+    }
+    import spark.implicits._
+    rows.toDF("version", "buckets", "n_files", "n_rows", "bytes")
+  }
+
   /** Read the change-data-capture log written by changelog-enabled
     * upserts: one row per incoming row per batch — (pk…, op,
     * old_<c>…, new_<c>…, batch), op ∈ insert/update/unchanged with
