@@ -893,6 +893,21 @@ object Dedup {
         col("matched_id"), col("cos"))
   }
 
+  /** [[semantic]] with the scaladoc's scale rule AS CODE: `cells` is
+    * derived from the corpus size as `max(1, n / targetClusterSize)`
+    * (one cheap count — parquet footers answer it), so per-cell work
+    * Σ|cell|² stays bounded by ~targetClusterSize² per cell as the
+    * corpus grows instead of going quadratic under a fixed cell count.
+    * At web scale (the SemDeDup paper's ~100k clusters) this is the
+    * form to call; the fixed-cells overload remains for pinned
+    * geometries (index reuse, oracle replay). */
+  def semanticAuto(embs: DataFrame, idCol: String, vecCol: String,
+                   targetClusterSize: Int = 64,
+                   threshold: Double = 0.35): DataFrame = {
+    val cells = math.max(1L, embs.count() / targetClusterSize).toInt
+    semantic(embs, idCol, vecCol, cells, threshold)
+  }
+
   /** #25d semantic dedup (the SemDeDup recipe, Abbas et al. 2023):
     * cluster the embedding space with a coarse k-means quantizer, then
     * search for near-duplicates ONLY within each cluster — the
@@ -912,21 +927,6 @@ object Dedup {
     * n/targetClusterSize as the corpus grows (the SemDeDup paper runs
     * ~100k clusters at web scale; the per-cell work is Σ|cell|²).
     * Returns one row per vector: (id, cell, is_dup). */
-  /** [[semantic]] with the scaladoc's scale rule AS CODE: `cells` is
-    * derived from the corpus size as `max(1, n / targetClusterSize)`
-    * (one cheap count — parquet footers answer it), so per-cell work
-    * Σ|cell|² stays bounded by ~targetClusterSize² per cell as the
-    * corpus grows instead of going quadratic under a fixed cell count.
-    * At web scale (the SemDeDup paper's ~100k clusters) this is the
-    * form to call; the fixed-cells overload remains for pinned
-    * geometries (index reuse, oracle replay). */
-  def semanticAuto(embs: DataFrame, idCol: String, vecCol: String,
-                   targetClusterSize: Int = 64,
-                   threshold: Double = 0.35): DataFrame = {
-    val cells = math.max(1L, embs.count() / targetClusterSize).toInt
-    semantic(embs, idCol, vecCol, cells, threshold)
-  }
-
   def semantic(embs: DataFrame, idCol: String, vecCol: String,
                cells: Int = 16, threshold: Double = 0.35): DataFrame = {
     import graft.functions.VectorFunctions._

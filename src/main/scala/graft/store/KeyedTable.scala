@@ -319,15 +319,18 @@ object KeyedTable {
           .write.partitionBy(BucketCol).parquet(data.toString)
       }
       // version-0 snapshot: every table is manifest-native from birth,
-      // row counts and leading-PK stats included (O(buckets) footer
-      // opens over files this create just wrote)
+      // row counts and leading-PK stats included (O(buckets) pooled
+      // footer opens over files this create just wrote)
       val conf = spark.sparkContext.hadoopConfiguration
       val statType = Some(schema(pkCols.head).dataType)
-      val v0Files = listLiveFiles(f, data).map { case (b, fls) =>
+      val listed = listLiveFiles(f, data)
+      val footer = pkFileStatsAll(conf,
+        listed.toSeq.flatMap { case (b, fls) =>
+          fls.map(mfF => new Path(data, s"$BucketCol=$b/${mfF.name}"))
+        }, pkCols.headOption, statType)
+      val v0Files = listed.map { case (b, fls) =>
         b -> fls.map { mfF =>
-          val (rows, stats) = pkFileStats(conf,
-            new Path(data, s"$BucketCol=$b/${mfF.name}"),
-            pkCols.headOption, statType)
+          val (rows, stats) = footer(new Path(data, s"$BucketCol=$b/${mfF.name}"))
           mfF.copy(rows = rows, stats = stats)
         }
       }
@@ -453,6 +456,29 @@ object KeyedTable {
     Manifest.current(spark, dir).getOrElse(
       Manifest(-1L, meta.buckets, listLiveFiles(fs(spark, dir), new Path(data))))
 
+  /** Driver-side pool for commit-time footer reads: a create/commit
+    * touching B buckets would otherwise pay B SERIAL footer opens
+    * (~10-30 ms each — at thousands of buckets, minutes of driver
+    * latency per commit for what is embarrassingly parallel IO). */
+  private lazy val statsPool = java.util.concurrent.Executors.newFixedThreadPool(
+    8, (r: Runnable) => {
+      val t = new Thread(r, "graft-footer-stats"); t.setDaemon(true); t
+    })
+
+  /** [[pkFileStats]] over many files on [[statsPool]]. */
+  private def pkFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
+                             files: Seq[Path], colName: Option[String],
+                             dt: Option[DataType])
+      : Map[Path, (Option[Long], Option[ColStats])] = {
+    import scala.jdk.CollectionConverters._
+    val tasks = files.map { p =>
+      new java.util.concurrent.Callable[(Path, (Option[Long], Option[ColStats]))] {
+        override def call() = p -> pkFileStats(conf, p, colName, dt)
+      }
+    }
+    statsPool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
+  }
+
   /** Row count + leading-PK min/max of one just-written parquet file,
     * from ONE footer read, stats normalized to the manifest's storable
     * types (Long / Double / String). Stats are None for
@@ -490,7 +516,8 @@ object KeyedTable {
         def le(a: Any, b: Any): Boolean = (a, b) match {
           case (x: Long, y: Long) => x <= y
           case (x: Double, y: Double) => x <= y
-          case (x: String, y: String) => x <= y
+          // unsigned UTF-8 byte order, matching parquet stat semantics
+          case (x: String, y: String) => Manifest.utf8Le(x, y)
           case _ => throw new IllegalStateException("mixed stat types")
         }
         var mn: Any = null
@@ -550,7 +577,7 @@ object KeyedTable {
       moved.foreach(p => f.delete(p, false))
       throw new StoreException(msg)
     }
-    val staged: Map[Int, Seq[ManifestFile]] = touched.flatMap { b =>
+    val movedByBucket: Map[Int, Seq[(Path, Long)]] = touched.flatMap { b =>
       val sdir = new Path(staging, s"$BucketCol=$b")
       if (!f.exists(sdir)) None
       else {
@@ -567,14 +594,21 @@ object KeyedTable {
             abort(s"$op: could not move staged file ${st.getPath} -> $dst; " +
               "commit aborted, current snapshot unchanged")
           moved += dst
-          // ONE footer open per new file per commit buys both the row
-          // count (COUNT(*)/row estimates become driver arithmetic)
-          // and the file-skipping stats every range read plans against
-          val (rows, stats) = pkFileStats(conf, dst, statCol, statType)
-          ManifestFile(dst.getName, st.getLen, rows, stats)
+          (dst, st.getLen)
         })
       }
     }.toMap
+    // ONE footer open per new file per commit — pooled, not serial —
+    // buys both the row count (COUNT(*)/row estimates become driver
+    // arithmetic) and the file-skipping stats range reads plan against
+    val footer = pkFileStatsAll(conf,
+      movedByBucket.valuesIterator.flatten.map(_._1).toSeq, statCol, statType)
+    val staged: Map[Int, Seq[ManifestFile]] = movedByBucket.map {
+      case (b, fls) => b -> fls.map { case (dst, len) =>
+        val (rows, stats) = footer(dst)
+        ManifestFile(dst.getName, len, rows, stats)
+      }
+    }
     val newFiles: Map[Int, Seq[ManifestFile]] =
       (base.files -- touched) ++ touched.flatMap { b =>
         staged.get(b) match {
@@ -1169,48 +1203,62 @@ object KeyedTable {
     val p = new Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) return 0
-    val cutoff = System.currentTimeMillis() - olderThanMs
-    var removed = f.listStatus(p).count { st =>
-      val n = st.getPath.getName
-      val stale = st.isDirectory &&
-        (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
-        st.getModificationTime < cutoff
-      if (stale) f.delete(st.getPath, true)
-      stale
-    }
-    Manifest.current(spark, dir).foreach { m =>
-      val live: Set[String] = m.files.iterator.flatMap { case (b, fls) =>
-        fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
-      }.toSet
-      val data = new Path(dir, "data")
-      if (f.exists(data)) {
-        f.listStatus(data)
-          .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
-          .foreach { d =>
-            f.listStatus(d.getPath).foreach { st =>
-              val rel = s"${d.getPath.getName}/${st.getPath.getName}"
-              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                  !live.contains(rel) && st.getModificationTime < cutoff) {
-                if (f.delete(st.getPath, false)) removed += 1
-              }
-            }
-            // a bucket dir emptied by the reap (e.g. fully deleted
-            // bucket) is itself garbage
-            if (f.listStatus(d.getPath).isEmpty && f.delete(d.getPath, false))
+    // under the WRITE lock: an in-flight commit's just-moved files are
+    // unreferenced until its manifest flips, and an aggressive cutoff
+    // (olderThanMs = 0) must not reap them mid-commit. Readers are
+    // unaffected — they never take the lock; their protection is the
+    // age bound itself.
+    WriteLock.withLock(spark, dir, "vacuum") {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      var removed = f.listStatus(p).count { st =>
+        val n = st.getPath.getName
+        val stale = st.isDirectory &&
+          (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
+          st.getModificationTime < cutoff
+        if (stale) f.delete(st.getPath, true)
+        stale
+      }
+      Manifest.current(spark, dir).foreach { m =>
+        // Order matters: FIRST expire old manifests past the age bound
+        // (never the current one), THEN reap data files unreferenced by
+        // ANY surviving manifest — a file's own mtime says when it was
+        // written, not when it was superseded, so the live set must
+        // span every snapshot a reader (or asOfVersion) can still
+        // resolve, exactly Iceberg's expire-snapshots rule.
+        val mdir = Manifest.dir(dir)
+        if (f.exists(mdir)) {
+          val currentName = f"v${m.version}%019d.json"
+          f.listStatus(mdir).foreach { st =>
+            if (st.isFile && st.getPath.getName != currentName &&
+                st.getModificationTime < cutoff && f.delete(st.getPath, false))
               removed += 1
           }
-      }
-      val mdir = Manifest.dir(dir)
-      if (f.exists(mdir)) {
-        val currentName = f"v${m.version}%019d.json" // never the current one
-        f.listStatus(mdir).foreach { st =>
-          if (st.isFile && st.getPath.getName != currentName &&
-              st.getModificationTime < cutoff && f.delete(st.getPath, false))
-            removed += 1
+        }
+        val live: Set[String] = Manifest.all(spark, dir).iterator
+          .flatMap(_.files.iterator).flatMap { case (b, fls) =>
+            fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
+          }.toSet
+        val data = new Path(dir, "data")
+        if (f.exists(data)) {
+          f.listStatus(data)
+            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
+            .foreach { d =>
+              f.listStatus(d.getPath).foreach { st =>
+                val rel = s"${d.getPath.getName}/${st.getPath.getName}"
+                if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                    !live.contains(rel) && st.getModificationTime < cutoff) {
+                  if (f.delete(st.getPath, false)) removed += 1
+                }
+              }
+              // a bucket dir emptied by the reap (e.g. fully deleted
+              // bucket) is itself garbage
+              if (f.listStatus(d.getPath).isEmpty && f.delete(d.getPath, false))
+                removed += 1
+            }
         }
       }
+      removed
     }
-    removed
   }
 
   /** #11v snapshot history — the DESCRIBE HISTORY surface: one row per
@@ -1223,10 +1271,11 @@ object KeyedTable {
   def history(spark: SparkSession, warehouse0: String, tableName: String,
               schema: Option[String] = None): DataFrame = {
     val dir = tableDir(schemaDir(warehouse0, schema), tableName)
-    val rows = Manifest.versions(spark, dir).map { v =>
-      val m = Manifest.at(spark, dir, v)
+    // ONE listing for the whole set (per-version `at` calls would
+    // re-list the manifests dir per version)
+    val rows = Manifest.all(spark, dir).map { m =>
       val fls = m.files.valuesIterator.flatten.toSeq
-      (v, m.buckets, fls.size.toLong,
+      (m.version, m.buckets, fls.size.toLong,
         if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else -1L,
         fls.map(_.len).sum)
     }

@@ -39,7 +39,10 @@ final case class ManifestFile(name: String, len: Long,
         case (x: Long, y: Double) => Some(x.toDouble <= y)
         case (x: Double, y: Long) => Some(x <= y.toDouble)
         case (x: Double, y: Double) => Some(x <= y)
-        case (x: String, y: String) => Some(x <= y)
+        // unsigned UTF-8 byte order — how parquet stats AND Spark's
+        // UTF8String compare; Java's UTF-16 String order disagrees for
+        // supplementary-plane characters and would wrongly prune
+        case (x: String, y: String) => Some(Manifest.utf8Le(x, y))
         case _ => None
       }
       val aboveLo = lo.forall(l => le(l, mx).getOrElse(true))
@@ -105,6 +108,22 @@ final case class Manifest(version: Long, buckets: Int,
 object Manifest {
   val DirName = "_manifests"
 
+  /** a <= b in unsigned UTF-8 byte order — the comparator parquet
+    * binary statistics and Spark's UTF8String use. */
+  private[store] def utf8Le(a: String, b: String): Boolean = {
+    val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(ab.length, bb.length)
+    while (i < n) {
+      val x = ab(i) & 0xFF
+      val y = bb(i) & 0xFF
+      if (x != y) return x < y
+      i += 1
+    }
+    ab.length <= bb.length
+  }
+
   /** Normalize a predicate/range bound to the stat value domain (Long /
     * Double / String); None for types stats don't cover — callers then
     * skip pruning on that bound, which is always safe. */
@@ -120,9 +139,19 @@ object Manifest {
   }
 
   /** Parsed-manifest cache: a manifest file is immutable once renamed
-    * into place, so the full path is a safe cache key forever. */
+    * into place, so the full path is a safe cache key. BOUNDED — a
+    * long-lived driver touching many tables/versions (history, time
+    * travel, vacuumed snapshots) must not accumulate one parsed
+    * manifest per version forever; on overflow the whole map clears
+    * (crude but safe: a miss merely re-reads one small JSON file). */
+  private val MaxCached = 256
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  private def cachePut(key: String, m: Manifest): Unit = {
+    if (cache.size >= MaxCached) cache.clear()
+    cache.put(key, m): Unit
+  }
 
   def dir(tableDir: String): Path = new Path(tableDir, DirName)
 
@@ -195,13 +224,19 @@ object Manifest {
       in.readFully(bytes)
       fromJson(new String(bytes, "UTF-8"))
     } finally in.close()
-    cache.put(key, m)
+    cachePut(key, m)
     m
   }
 
   /** Latest committed snapshot, or None for a pre-manifest table. */
   def current(spark: SparkSession, tableDir: String): Option[Manifest] =
     versions(spark, tableDir).lastOption.map(read(spark, tableDir, _))
+
+  /** Every surviving snapshot, ascending — ONE directory listing for
+    * the whole set (vacuum's union-liveness and history both need all
+    * of them; per-version `at` calls would re-list per version). */
+  def all(spark: SparkSession, tableDir: String): Seq[Manifest] =
+    versions(spark, tableDir).map(read(spark, tableDir, _))
 
   /** A specific snapshot for time travel; StoreException names the
     * versions that ARE available when `version` is missing (vacuumed or
@@ -258,6 +293,6 @@ object Manifest {
         s"could not commit manifest $tmp -> $finalPath; table unchanged " +
         "(the previous snapshot is still current)")
     }
-    cache.put(finalPath.toString, m)
+    cachePut(finalPath.toString, m)
   }
 }

@@ -104,6 +104,30 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum keeps files referenced by ANY surviving manifest, not just the current") {
+    val t = "t_vacuum_travel"
+    KeyedTable.toSql(df(base.take(3): _*), wh, t, pk = Seq("id"), buckets = 2) // v0
+    KeyedTable.toSql(df((1L, "A", 10.0)), wh, t, pk = Seq("id"),
+      how = WriteMode.Upsert)                                                   // v1
+    // age ALL data files far past the cutoff while the manifests stay
+    // young: supersession time, not file creation time, must decide —
+    // v0's files are superseded by v1 but v0 itself is unexpired
+    val f = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    val data = new Path(s"$wh/$t/data")
+    f.listStatus(data).filter(_.isDirectory).foreach { d =>
+      f.listStatus(d.getPath).foreach(st => f.setTimes(st.getPath, old, old))
+    }
+    assert(KeyedTable.vacuum(spark, wh, t, olderThanMs = 24L * 3600 * 1000) == 0)
+    // both snapshots still read whole
+    assert(ids(KeyedTable.readSql(spark, wh, t, asOfVersion = Some(0L))) ==
+      Seq(1L, 2L, 3L))
+    assert(KeyedTable.readSql(spark, wh, t, asOfVersion = Some(0L))
+      .filter(col("id") === 1L).head().getString(1) == "a")
+    assert(KeyedTable.readSql(spark, wh, t)
+      .filter(col("id") === 1L).head().getString(1) == "A")
+  }
+
   test("pre-manifest tables read via listing and adopt a manifest on first mutation") {
     val t = "t_legacy"
     KeyedTable.toSql(df(base: _*), wh, t, pk = Seq("id"), buckets = 2)

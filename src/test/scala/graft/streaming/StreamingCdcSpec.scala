@@ -69,13 +69,24 @@ class StreamingCdcSpec extends SparkSpec {
     val once = snap(derived)
     assert(once == agg(KeyedTable.readSql(spark, w, "t")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet)
-    // re-deliver the SAME changelog batches with epoch ids the snapshot
-    // has already committed (what a crash between snapshot commit and
-    // checkpoint write does on restart): the fold must skip, not
+    // re-deliver the SAME changelog batches from a REBUILT checkpoint
+    // (the lost-checkpoint shape): every batch is already below the
+    // snapshot's high-water mark, so the fold must skip them all, not
     // double-count
     StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt2",
       "g", "n", "s", "v").awaitTermination()
     assert(snap(derived) == once,
       s"replayed epoch double-counted: ${snap(derived)} != $once")
+    // ...and a batch the lost checkpoint NEVER folded must still land:
+    // the guard is data-scoped (changelog batch ids), not
+    // checkpoint-scoped (epoch ids) — a fresh checkpoint re-delivers
+    // everything and exactly the unfolded suffix applies
+    KeyedTable.toSql(Seq((4L, "b", 2.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt3",
+      "g", "n", "s", "v").awaitTermination()
+    assert(snap(derived) == agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet,
+      "fresh checkpoint dropped a never-folded batch")
   }
 }
