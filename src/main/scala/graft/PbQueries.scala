@@ -448,6 +448,46 @@ object PbQueries {
     KeyedTable.history(spark, wh, "orders").select("version", "n_rows")
   }
 
+  /** #11e as a DRIVER ROW (`pb_rebucket`): re-layout under a new bucket
+    * count — create at 4 buckets, rebucket to 8 (one shuffle + a
+    * manifest flip carrying the new count), then prove the data
+    * survived byte-for-byte AND the new pruning math agrees: the full
+    * read-back is the oracle row, and a point lookup through the
+    * rebucketed layout must find its row (a wrong bucket-count pairing
+    * would prune it away to an empty result, failing loudly here). */
+  def rebucketQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+      pk = Seq("c_custkey"), buckets = 4)
+    KeyedTable.rebucket(spark, wh, "customer", newBuckets = 8)
+    val probe = KeyedTable.readSql(spark, wh, "customer",
+      lowest = Seq(7L), highest = Seq(7L)).count()
+    if (probe != 1L)
+      throw new graft.store.StoreException(
+        s"pb_rebucket: point lookup found $probe rows post-rebucket")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** vacuum as a DRIVER ROW (`pb_vacuum`): the reclamation path
+    * end-to-end — create, upsert (superseding every touched bucket's
+    * files), vacuum with a zero age bound, and the read-back must be
+    * exactly the post-upsert state: the reap removed real garbage
+    * (fails loudly if nothing was reclaimable) and ONLY garbage. */
+  def vacuumQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+    val removed = KeyedTable.vacuum(spark, wh, "customer", olderThanMs = 0L)
+    if (removed <= 0)
+      throw new graft.store.StoreException(
+        "pb_vacuum: the superseding upsert left nothing reclaimable")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -472,6 +512,8 @@ object PbQueries {
     "pb_time_travel" -> timeTravel,
     "pb_compact_auto" -> compactAuto,
     "pb_history" -> historyQ,
+    "pb_rebucket" -> rebucketQ,
+    "pb_vacuum" -> vacuumQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -515,6 +557,14 @@ object PbQueries {
       FROM orders
     """.trim,
     "pb_compact_auto" -> "SELECT * FROM customer",
+    "pb_rebucket" -> "SELECT * FROM customer",
+    "pb_vacuum" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    """.trim,
     // each version's row count replayed: create slice, full table,
     // post-delete complement
     "pb_history" -> """
