@@ -98,4 +98,39 @@ class CdcConsumerSpec extends SparkSpec {
     assert(incremental.exists { case (g, n, s) => g == "nul" && n == 2L && s.isEmpty },
       s"all-NULL group must sum to NULL, got $incremental")
   }
+
+  test("nnCol: a non-NULL group emptied of values by updates folds to NULL too") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq[(Long, String, Option[Double])](
+        (1L, "z", Some(3.0)), (2L, "z", Some(4.0)), (3L, "a", Some(1.0)))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    def aggNn(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).as("s"),
+        count(col("v")).as("nn"))
+    aggNn(KeyedTable.readSql(spark, w, "t")).write.parquet(s"$w/derived")
+    // every non-NULL value of group 'z' is UPDATED to NULL: a recompute
+    // yields sum = NULL; without a persisted non-null count the fold
+    // can only say 0 (documented) — with nnCol it must say NULL
+    KeyedTable.toSql(
+      Seq[(Long, String, Option[Double])]((1L, "z", None), (2L, "z", None))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select("g", "n", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)))).toSet
+    val incremental = shape(CdcConsumer.applyGroupedAgg(
+      spark.read.parquet(s"$w/derived"),
+      KeyedTable.readChangelog(spark, w, "t"), "g", "n", "s", "v",
+      nnCol = Some("nn")))
+    val recomputed = shape(aggNn(KeyedTable.readSql(spark, w, "t")))
+    assert(incremental == recomputed,
+      s"incremental $incremental != recompute $recomputed")
+    assert(incremental.exists { case (g, n, s) => g == "z" && n == 2L && s.isEmpty },
+      s"emptied group must sum to NULL with nnCol, got $incremental")
+  }
 }
