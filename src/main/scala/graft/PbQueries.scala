@@ -267,6 +267,11 @@ object PbQueries {
           .withColumn("o_totalprice", col("o_totalprice") - 50.0))),
       wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
       strictUtc = false, changelog = true)
+    // batch 3: a changelog-enabled DELETE — vanished rows must debit
+    // their groups in the fold, or the derived aggregate silently
+    // keeps them forever
+    KeyedTable.delete(spark, wh, "orders",
+      k % 4 === 1 && k % 7 === 0, changelog = true): Unit
     val updated = graft.operators.CdcConsumer.applyGroupedAgg(
       spark.read.parquet(derived),
       KeyedTable.readChangelog(spark, wh, "orders"),
@@ -316,6 +321,9 @@ object PbQueries {
           .withColumn("o_totalprice", col("o_totalprice") - 50.0))),
       wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Upsert,
       strictUtc = false, changelog = true)
+    // batch 3: changelog-enabled DELETE, folded by the same stream
+    KeyedTable.delete(spark, wh, "orders",
+      k % 4 === 1 && k % 7 === 0, changelog = true): Unit
     graft.streaming.StreamingCdc.start(spark, wh, "orders",
         derived, s"$wh/ckpt", groupCol = "o_orderpriority",
         countCol = "n_rows", sumCol = "total", valueCol = "o_totalprice")
@@ -528,7 +536,8 @@ object PbQueries {
                     WHEN o_orderkey % 4 = 3 AND o_orderkey % 2 = 1 THEN o_totalprice * 2
                     WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0 THEN o_totalprice - 50.0
                     ELSE o_totalprice END AS p
-        FROM orders WHERE o_orderkey % 3 = 0)
+        FROM orders WHERE o_orderkey % 3 = 0
+          AND NOT (o_orderkey % 4 = 1 AND o_orderkey % 7 = 0))
       SELECT g AS o_orderpriority, count(*) AS n_rows,
              round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
       FROM eff GROUP BY g ORDER BY g
@@ -543,7 +552,8 @@ object PbQueries {
                     WHEN o_orderkey % 4 = 3 AND o_orderkey % 2 = 1 THEN o_totalprice * 2
                     WHEN o_orderkey % 4 = 1 AND o_orderkey % 3 = 0 THEN o_totalprice - 50.0
                     ELSE o_totalprice END AS p
-        FROM orders WHERE o_orderkey % 3 = 0)
+        FROM orders WHERE o_orderkey % 3 = 0
+          AND NOT (o_orderkey % 4 = 1 AND o_orderkey % 7 = 0))
       SELECT g AS o_orderpriority, count(*) AS n_rows,
              round(sum(CAST(p AS DECIMAL(18,6))), 2)::DOUBLE AS total
       FROM eff GROUP BY g ORDER BY g

@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   *  - `update`   → (old_g, −1, −old_v) AND (new_g, +1, +new_v) — two
   *                 delta rows, so a row that MOVES groups debits its old
   *                 group and credits its new one
+  *  - `delete`   → (old_g, −1, −old_v) — the debit alone (written by
+  *                 changelog-enabled [[graft.store.KeyedTable.delete]])
   *  - `unchanged`→ nothing.
   * NULL values contribute nothing to the sum (SQL sum semantics) but
   * count as rows, exactly as a full recompute would tally them — and a
@@ -69,7 +71,7 @@ object CdcConsumer {
     // values are pinned to the base aggregate's (decimal) type BEFORE the
     // sum, so delta accumulation is exact and merge-order-free — the
     // precondition for "incremental ≡ recompute" being bit-identical
-    val debits = log.filter(col("op") === "update")
+    val debits = log.filter(col("op").isin("update", "delete"))
       .select(col(s"old_$groupCol").as(groupCol),
         lit(-1L).as("dn"), negate(col(s"old_$valueCol").cast(sumType)).as("dv"),
         when(col(s"old_$valueCol").isNotNull, -1L).otherwise(0L).as("_graft_dnn"))

@@ -547,6 +547,37 @@ object KeyedTable {
     } catch { case scala.util.control.NonFatal(_) => (None, None) }
   }
 
+  /** Materialize a changelog batch to `.staging-changelog-*` (the
+    * classification must run while the pre-image is still the live
+    * snapshot) and return (staging, committed-batch-dir). The caller
+    * renames staging into place via [[commitChangelogBatch]] only AFTER
+    * its data commit — a mutation that fails mid-commit leaves no batch
+    * claiming changes that never landed — and deletes staging in a
+    * `finally` (a no-op once renamed). Batch numbers are monotonic
+    * under the write lock. */
+  private def stageChangelogBatch(spark: SparkSession, dir: String,
+                                  changes: DataFrame): (Path, Path) = {
+    val clRoot = new Path(dir, ChangelogDir)
+    val f0 = fs(spark, dir)
+    val nextBatch =
+      if (!f0.exists(clRoot)) 0L
+      else f0.listStatus(clRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .foldLeft(-1L)(math.max) + 1L
+    val clStaging = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+    changes.write.parquet(clStaging.toString)
+    (clStaging, new Path(clRoot, s"batch=$nextBatch"))
+  }
+
+  private def commitChangelogBatch(f: FileSystem, op: String,
+                                   src: Path, dst: Path): Unit = {
+    f.mkdirs(dst.getParent)
+    if (!f.rename(src, dst))
+      throw new StoreException(
+        s"$op: data committed but changelog rename $src -> $dst failed")
+  }
+
   /** Commit a mutation's staged output as manifest version N+1 (see
     * [[Manifest]] for the isolation argument). Staged files are renamed
     * INTO their live bucket dirs under commit-unique names — additive
@@ -807,17 +838,7 @@ object KeyedTable {
             when(!presentOld, lit("insert"))
               .when(changedCond, lit("update"))
               .otherwise(lit("unchanged")).as("op") +: images): _*)
-        val clRoot = new Path(dir, ChangelogDir)
-        val f0 = fs(spark, dir)
-        val nextBatch =
-          if (!f0.exists(clRoot)) 0L
-          else f0.listStatus(clRoot)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-            .map(_.getPath.getName.stripPrefix("batch=").toLong)
-            .foldLeft(-1L)(math.max) + 1L
-        val clStaging = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
-        changes.write.parquet(clStaging.toString)
-        Some((clStaging, new Path(clRoot, s"batch=$nextBatch")))
+        Some(stageChangelogBatch(spark, dir, changes))
       } else None
 
       // Commit: write to staging, move the staged files in, flip the
@@ -834,10 +855,7 @@ object KeyedTable {
         } finally f.delete(new Path(staging), true)
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
-          f.mkdirs(dst.getParent)
-          if (!f.rename(src, dst))
-            throw new StoreException(
-              s"upsert: data committed but changelog rename $src -> $dst failed")
+          commitChangelogBatch(f, "upsert", src, dst)
         }
       } finally
         // no-op when the rename above committed it; removes the phantom
@@ -1090,7 +1108,8 @@ object KeyedTable {
     * ingest rollback) therefore rewrites only its share of buckets —
     * never the table. Returns the number of rows deleted. */
   def delete(spark: SparkSession, warehouse0: String, tableName: String,
-             where: Column, schema: Option[String] = None): Long = {
+             where: Column, schema: Option[String] = None,
+             changelog: Boolean = false): Long = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "delete") {
@@ -1105,20 +1124,41 @@ object KeyedTable {
       if (touched.nonEmpty) {
         val data = dataDir(warehouse, tableName)
         val f = fs(spark, dir)
+        // CDC: deletes are changes too — without them a derived
+        // aggregate maintained from the log silently keeps vanished
+        // rows. One `delete` row per removed row, pre-image in old_*,
+        // new_* all NULL; same commit ordering as upsert's batches
+        // (staged on the pre-image, renamed in only after the data
+        // commit — a failed delete leaves no phantom batch).
+        val clCommit: Option[(Path, Path)] = if (changelog) {
+          val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains)
+          val images = nonPk.toSeq.flatMap { c =>
+            Seq(col(c).as(s"old_$c"),
+              lit(null).cast(meta.schema(c).dataType).as(s"new_$c"))
+          }
+          val changes = raw.filter(where)
+            .select(meta.pk.map(col) ++ (lit("delete").as("op") +: images): _*)
+          Some(stageChangelogBatch(spark, dir, changes))
+        } else None
         val staging = s"$dir/.staging-delete-${UUID.randomUUID()}"
         try {
-          // NULL predicate rows are NOT matches — keep them (a bare
-          // !where would silently drop them from the rewrite)
-          raw.filter(col(BucketCol).isin(touched: _*))
-            .filter(!coalesce(where, lit(false)))
-            .repartition(touched.size, col(BucketCol))
-            .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
-            .write.partitionBy(BucketCol).parquet(staging)
-          // removeMissing: a bucket whose rows ALL matched has no staged
-          // replacement — it leaves the new snapshot entirely
-          commitStaged(spark, f, dir, data, staging, touched, "delete",
-            base, base.buckets, meta, removeMissing = true)
-        } finally f.delete(new Path(staging), true)
+          try {
+            // NULL predicate rows are NOT matches — keep them (a bare
+            // !where would silently drop them from the rewrite)
+            raw.filter(col(BucketCol).isin(touched: _*))
+              .filter(!coalesce(where, lit(false)))
+              .repartition(touched.size, col(BucketCol))
+              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+              .write.partitionBy(BucketCol).parquet(staging)
+            // removeMissing: a bucket whose rows ALL matched has no
+            // staged replacement — it leaves the new snapshot entirely
+            commitStaged(spark, f, dir, data, staging, touched, "delete",
+              base, base.buckets, meta, removeMissing = true)
+          } finally f.delete(new Path(staging), true)
+          clCommit.foreach { case (src, dst) =>
+            commitChangelogBatch(f, "delete", src, dst)
+          }
+        } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
       }
       deleted
     }

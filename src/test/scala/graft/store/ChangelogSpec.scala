@@ -109,6 +109,32 @@ class ChangelogSpec extends SparkSpec {
       "failed upsert committed a phantom changelog batch")
   }
 
+  test("changelog-enabled delete records one `delete` row per removed row") {
+    import org.apache.spark.sql.functions.col
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    assert(KeyedTable.delete(spark, w, "t", col("k") <= 2L,
+      changelog = true) == 2L)
+    val log = KeyedTable.readChangelog(spark, w, "t")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("op"),
+        r.getAs[String]("old_g"), Option(r.getAs[Any]("new_g")))).toSet
+    // pre-images carried, post-images NULL, exactly the removed keys
+    assert(log == Set((1L, "delete", "a", None), (2L, "delete", "b", None)),
+      s"got $log")
+    // the fold debits the vanished rows: derived ≡ recompute
+    import spark.implicits._
+    val base = Seq(("a", 1L, BigDecimal("10.0000")), ("b", 1L, BigDecimal("20.0000")),
+      ("c", 1L, BigDecimal("30.0000"))).toDF("g", "n", "s")
+      .select(col("g"), col("n"), col("s").cast("decimal(18,4)").as("s"))
+    val out = graft.operators.CdcConsumer.applyGroupedAgg(base,
+        KeyedTable.readChangelog(spark, w, "t"), "g", "n", "s", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).doubleValue)).toSet
+    assert(out == Set(("c", 1L, 30.0)), s"got $out")
+  }
+
   test("plain upserts write no changelog; reading one then errors") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, "a")).toDF("k", "v"), w, "t", pk = Seq("k"))
