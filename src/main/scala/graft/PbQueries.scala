@@ -496,6 +496,29 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** SQL DELETE surface (`pb_sql_delete`): `DELETE FROM graft.t WHERE …`
+    * routes through the store's own bucket-pruned delete (writer lock,
+    * manifest commit, SQL NULL semantics). Fresh catalog name per
+    * invocation (instances cache by name). */
+  private val sqlDeleteN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlDelete(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_del${sqlDeleteN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+        pk = Seq("c_custkey"))
+      spark.sql(s"""DELETE FROM $cat.customer
+        WHERE c_custkey <= 500 AND c_mktsegment = 'BUILDING'""")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -522,6 +545,7 @@ object PbQueries {
     "pb_history" -> historyQ,
     "pb_rebucket" -> rebucketQ,
     "pb_vacuum" -> vacuumQ,
+    "pb_sql_delete" -> sqlDelete,
   )
 
   val oracles: Map[String, String] = Map(
@@ -568,6 +592,10 @@ object PbQueries {
     """.trim,
     "pb_compact_auto" -> "SELECT * FROM customer",
     "pb_rebucket" -> "SELECT * FROM customer",
+    "pb_sql_delete" -> """
+      SELECT * FROM customer
+      WHERE NOT (c_custkey <= 500 AND c_mktsegment = 'BUILDING')
+    """.trim,
     "pb_vacuum" -> """
       SELECT c_custkey, c_name, c_nationkey,
              CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0

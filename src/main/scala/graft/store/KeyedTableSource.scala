@@ -86,9 +86,57 @@ object KeyedTableSource {
 private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String,
                                      mf: Option[Manifest] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = dataDir
+
+  /** SQL delete surface: `DELETE FROM graft.t WHERE …` routes through
+    * [[KeyedTable.delete]] — bucket-pruned rewrite, writer lock,
+    * manifest commit, optional changelog semantics all identical to the
+    * programmatic call. Spark only plans the statement when every
+    * predicate translates to a source Filter and [[canDeleteWhere]]
+    * accepts it (complex expressions fail loudly at analysis — never a
+    * partial delete). SQL NULL semantics hold: rows where the predicate
+    * is NULL are kept. */
+  private def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.flatMap(filterToColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val tableDir = new Path(dataDir).getParent
+    KeyedTable.delete(SparkSession.active, tableDir.getParent.toString,
+      tableDir.getName, cond): Unit
+  }
 
   override def schema(): StructType =
     StructType(meta.schema.fields :+ KeyedTableSource.bucketField)
