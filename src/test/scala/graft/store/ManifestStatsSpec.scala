@@ -50,6 +50,27 @@ class ManifestStatsSpec extends SparkSpec {
     assert(all.filter(_.stats.isDefined).exists(f => !kept.contains(f)))
   }
 
+  test("string stats order by unsigned UTF-8 bytes, not Java UTF-16") {
+    // U+1F600 encodes as a UTF-16 surrogate pair starting 0xD83D, which
+    // Java's String order puts BELOW U+FFFD — but its UTF-8 bytes (F0…)
+    // sort above (EF…), which is how parquet stats and Spark compare
+    val emoji = new String(Character.toChars(0x1F600))
+    val fffd = "�"
+    assert(emoji < fffd)                       // Java order (the trap)
+    assert(Manifest.utf8Le(fffd, emoji))       // byte order (the truth)
+    assert(!Manifest.utf8Le(emoji, fffd))
+    // a file spanning [fffd, emoji] in byte order must stay live for
+    // the literal U+F000 lower bound below: in UTF-16 order that bound
+    // sits ABOVE the file's max (0xF000 > 0xD83D surrogate) and the
+    // file would be wrongly pruned; in UTF-8 byte order
+    // (EF 80 80 < F0 9F 98 80) it is correctly inside the span
+    val f = ManifestFile("p.parquet", 1L, Some(1L),
+      Some(ColStats(fffd, emoji)))
+    assert(f.mayOverlap(Some(""), None))
+    assert(f.mayOverlap(None, Some(fffd)))
+    assert(!f.mayOverlap(None, Some("a")))     // genuinely below min
+  }
+
   test("readSql range read over pruned files returns exactly the range") {
     val t = build("t_stats_read")
     val out = KeyedTable.readSql(spark, wh, t,
