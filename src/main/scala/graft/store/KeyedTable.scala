@@ -191,7 +191,8 @@ object KeyedTable {
           case WriteMode.CreateOnly =>
             throw new StoreException(
               s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
-          case WriteMode.Append => append(cleaned, wh, tableName, addNewColumns, validate)
+          case WriteMode.Append =>
+            append(cleaned, wh, tableName, addNewColumns, validate, changelog)
           case WriteMode.Upsert =>
             upsert(cleaned, wh, tableName, addNewColumns, validate, changelog)
         }
@@ -686,10 +687,16 @@ object KeyedTable {
   }
 
   private def append(df: DataFrame, warehouse: String, table: String,
-                     addNewColumns: Boolean, validate: Boolean): Unit = {
+                     addNewColumns: Boolean, validate: Boolean,
+                     changelog0: Boolean = false): Unit = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta0 = TableMeta.read(spark, dir)
+    // table-property CDC (see TableMeta.changelog): an append to a
+    // changelog-maintained table logs its rows as `insert` ops — old_*
+    // all NULL, new_* = the incoming values; no pre-image join needed
+    // (appends are overlap-checked, every row is new by contract)
+    val changelog = changelog0 || meta0.changelog
 
     val (aligned0, evolved, meta) =
       if (meta0.autoIndex) {
@@ -729,18 +736,36 @@ object KeyedTable {
             s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
             "(reference: sql.py:264 append raises on repeated index)")
       }
+      // Changelog batch: all inserts (every row is new by the overlap
+      // contract); staged before the data commit, renamed in only after
+      // it — same ordering as upsert's batches
+      val clCommit: Option[(Path, Path)] = if (changelog) {
+        val nonPk = evolved.fieldNames.filterNot(meta.pk.contains).toSeq
+        val images = nonPk.flatMap { c =>
+          Seq(lit(null).cast(evolved(c).dataType).as(s"old_$c"),
+            col(c).as(s"new_$c"))
+        }
+        val changes = newB
+          .select(meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)
+        Some(stageChangelogBatch(spark, dir, changes))
+      } else None
       // staged write + ADDITIVE manifest commit: the new files extend
       // the touched buckets' lists; nothing live is replaced
       val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
       val f = fs(spark, dir)
       try {
-        clusterByBucket(newB, base.buckets, meta.pk)
-          .write.partitionBy(BucketCol).parquet(staging)
-        commitStaged(spark, f, dir, data, staging, touched, "append",
-          base, base.buckets, meta, add = true)
-      } finally f.delete(new Path(staging), true)
-      if (evolved != meta.schema)
-        TableMeta.write(spark, dir, meta.copy(schema = evolved))
+        try {
+          clusterByBucket(newB, base.buckets, meta.pk)
+            .write.partitionBy(BucketCol).parquet(staging)
+          commitStaged(spark, f, dir, data, staging, touched, "append",
+            base, base.buckets, meta, add = true)
+        } finally f.delete(new Path(staging), true)
+        clCommit.foreach { case (src, dst) =>
+          commitChangelogBatch(f, "append", src, dst)
+        }
+      } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+      val meta2 = meta.copy(schema = evolved, changelog = changelog)
+      if (meta2 != meta) TableMeta.write(spark, dir, meta2)
     } finally newB.unpersist()
   }
 
@@ -774,10 +799,14 @@ object KeyedTable {
     * refresh) consume the log instead of diffing 100 TB snapshots. */
   private def upsert(df: DataFrame, warehouse: String, table: String,
                      addNewColumns: Boolean, validate: Boolean,
-                     changelog: Boolean = false): Unit = {
+                     changelog0: Boolean = false): Unit = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta = TableMeta.read(spark, dir)
+    // table-property semantics: once ANY mutation has captured CDC the
+    // meta flag is set and every later mutation captures it too — a
+    // consumer folding the log never misses a write that forgot the flag
+    val changelog = changelog0 || meta.changelog
     if (meta.autoIndex)
       throw new StoreException(
         "Cannot upsert into a table with an automatically generated index (reference: sql.py:177)")
@@ -861,8 +890,8 @@ object KeyedTable {
         // no-op when the rename above committed it; removes the phantom
         // batch when the staging write or the swap threw
         clCommit.foreach { case (src, _) => f.delete(src, true) }
-      if (evolved != meta.schema)
-        TableMeta.write(spark, dir, meta.copy(schema = evolved))
+      val meta2 = meta.copy(schema = evolved, changelog = changelog)
+      if (meta2 != meta) TableMeta.write(spark, dir, meta2)
     } finally newB.unpersist()
   }
 
@@ -1114,6 +1143,10 @@ object KeyedTable {
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "delete") {
       val meta = TableMeta.read(spark, dir)
+      // meta.changelog (table-property CDC) covers the paths that cannot
+      // express the flag — SQL `DELETE FROM graft.t` reaches here through
+      // KeyedTableSource.deleteWhere with the default
+      val cdc = changelog || meta.changelog
       val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
       val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
       // one job: matching-row count per touched bucket (≤ buckets rows)
@@ -1130,7 +1163,7 @@ object KeyedTable {
         // new_* all NULL; same commit ordering as upsert's batches
         // (staged on the pre-image, renamed in only after the data
         // commit — a failed delete leaves no phantom batch).
-        val clCommit: Option[(Path, Path)] = if (changelog) {
+        val clCommit: Option[(Path, Path)] = if (cdc) {
           val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains)
           val images = nonPk.toSeq.flatMap { c =>
             Seq(col(c).as(s"old_$c"),
@@ -1160,6 +1193,8 @@ object KeyedTable {
           }
         } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
       }
+      if (cdc && !meta.changelog)
+        TableMeta.write(spark, dir, meta.copy(changelog = true))
       deleted
     }
   }
@@ -1258,6 +1293,20 @@ object KeyedTable {
         if (stale) f.delete(st.getPath, true)
         stale
       }
+      // Manifest-commit temp files (`_manifests/.tmp-<uuid>`): by
+      // construction never referenced once Manifest.commit returns —
+      // a crash between create and rename is the only way one survives.
+      // Reaped UNCONDITIONALLY (even when no manifest was ever
+      // committed, e.g. a failed FIRST commit on a fresh table — the
+      // expiry loop below never runs for those).
+      val mdir = Manifest.dir(dir)
+      if (f.exists(mdir)) {
+        f.listStatus(mdir).foreach { st =>
+          if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
+              st.getModificationTime < cutoff && f.delete(st.getPath, false))
+            removed += 1
+        }
+      }
       Manifest.current(spark, dir).foreach { m =>
         // Order matters: FIRST expire old manifests past the age bound
         // (never the current one), THEN reap data files unreferenced by
@@ -1265,11 +1314,11 @@ object KeyedTable {
         // written, not when it was superseded, so the live set must
         // span every snapshot a reader (or asOfVersion) can still
         // resolve, exactly Iceberg's expire-snapshots rule.
-        val mdir = Manifest.dir(dir)
         if (f.exists(mdir)) {
-          val currentName = f"v${m.version}%019d.json"
           f.listStatus(mdir).foreach { st =>
-            if (st.isFile && st.getPath.getName != currentName &&
+            val keep = !Manifest.isVersionName(st.getPath.getName) ||
+              st.getPath.getName == Manifest.versionName(m.version)
+            if (st.isFile && !keep &&
                 st.getModificationTime < cutoff && f.delete(st.getPath, false))
               removed += 1
           }

@@ -396,7 +396,12 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
             val sorted = ns.flatten.sortWith {
               case (a: Long, b: Long) => a < b
               case (a: Double, b: Double) => a < b
-              case (a: String, b: String) => a < b
+              // strict UTF-8 byte order — the SAME ordering mayOverlap
+              // uses against the manifest's file stats; Java's UTF-16
+              // `<` disagrees for supplementary-plane vs U+E000..U+FFFF
+              // and would derive inverted [lo,hi] bounds that silently
+              // prune files containing matching rows
+              case (a: String, b: String) => a != b && Manifest.utf8Le(a, b)
               case _ => false
             }
             Some((Some(sorted.head): Option[Any], Some(sorted.last): Option[Any]))

@@ -158,6 +158,15 @@ object Manifest {
   /** Zero-padded so lexicographic name order = numeric version order. */
   private def nameOf(version: Long): String = f"v$version%019d.json"
 
+  /** The on-disk file name of a given snapshot version (vacuum needs it
+    * to protect the current manifest while expiring old ones). */
+  private[store] def versionName(version: Long): String = nameOf(version)
+
+  /** True when `name` is a committed manifest file name (`v<N>.json`) —
+    * vacuum's expiry loop must only ever touch these. */
+  private[store] def isVersionName(name: String): Boolean =
+    versionOf(name).isDefined
+
   private def versionOf(name: String): Option[Long] =
     if (name.startsWith("v") && name.endsWith(".json"))
       name.stripPrefix("v").stripSuffix(".json").toLongOption

@@ -24,20 +24,30 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *   data write (a crash mid-append leaves it too high → a harmless id
   *   gap, never a duplicate). `None` on pre-field tables → the reader
   *   recovers via a footer-stats max (O(files), not O(rows)).
+  * @param changelog true once any mutation has captured CDC: from then
+  *   on EVERY mutation (append, upsert, delete — programmatic or SQL)
+  *   writes a changelog batch regardless of the per-call flag. Without
+  *   this, a consumer maintaining a derived aggregate from the log
+  *   would silently miss rows written through a path that forgot (or,
+  *   like SQL `DELETE FROM graft.t`, cannot express) `changelog = true`.
+  *   The table-property model (Delta CDF, Iceberg changelog): CDC is a
+  *   property of the TABLE, not of individual write calls.
   */
 final case class TableMeta(
     pk: Seq[String],
     buckets: Int,
     autoIndex: Boolean,
     schema: StructType,
-    maxAutoIndex: Option[Long] = None) {
+    maxAutoIndex: Option[Long] = None,
+    changelog: Boolean = false) {
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
     "buckets" -> JInt(buckets) ::
     "autoIndex" -> JBool(autoIndex) ::
     "schema" -> JString(schema.json) ::
-    maxAutoIndex.map(m => List("maxAutoIndex" -> (JInt(m): JValue))).getOrElse(Nil))))
+    (maxAutoIndex.map(m => List("maxAutoIndex" -> (JInt(m): JValue))).getOrElse(Nil) ++
+     (if (changelog) List("changelog" -> (JBool(true): JValue)) else Nil)))))
 }
 
 object TableMeta {
@@ -62,11 +72,15 @@ object TableMeta {
       case JInt(m) => Some(m.toLong)
       case _ => None
     }
+    val cl = (j \ "changelog") match {
+      case JBool(b) => b
+      case _ => false
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx)
+      maxIdx, cl)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)

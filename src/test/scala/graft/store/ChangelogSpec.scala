@@ -135,6 +135,61 @@ class ChangelogSpec extends SparkSpec {
     assert(out == Set(("c", 1L, 30.0)), s"got $out")
   }
 
+  test("table-property CDC: once a changelog exists, EVERY mutation " +
+       "captures it — flag-less append/upsert/delete and SQL DELETE") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // first changelog-enabled mutation sets the table property
+    KeyedTable.toSql(Seq((3L, "c", 30.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    assert(TableMeta.read(spark, s"$w/t").changelog)
+    // a FLAG-LESS append still logs its rows as inserts
+    KeyedTable.toSql(Seq((4L, "d", 40.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Append)
+    // a FLAG-LESS upsert still logs
+    KeyedTable.toSql(Seq((1L, "a", 11.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert)
+    // a FLAG-LESS programmatic delete still logs
+    assert(KeyedTable.delete(spark, w, "t", col("k") === 2L) == 1L)
+    // SQL DELETE (which cannot express the flag at all) still logs
+    val cat = "graft_cdcprop"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    try spark.sql(s"DELETE FROM $cat.t WHERE k = 4")
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+    val log = KeyedTable.readChangelog(spark, w, "t")
+      .select("batch", "k", "op").collect()
+      .map(r => (r.getAs[Long]("batch"), r.getAs[Long]("k"),
+        r.getAs[String]("op"))).toSet
+    assert(log == Set(
+      (0L, 3L, "insert"),   // the enabling upsert
+      (1L, 4L, "insert"),   // flag-less append
+      (2L, 1L, "update"),   // flag-less upsert
+      (3L, 2L, "delete"),   // flag-less delete
+      (4L, 4L, "delete")),  // SQL DELETE
+      s"got $log")
+    // the fold over the WHOLE log reproduces a recompute — no mutation
+    // escaped capture, so a derived aggregate never drifts
+    val derived = graft.operators.CdcConsumer.applyGroupedAgg(
+        Seq(("a", 1L, BigDecimal("10.0000")), ("b", 1L, BigDecimal("20.0000")))
+          .toDF("g", "n", "s")
+          .select(col("g"), col("n"), col("s").cast("decimal(18,4)").as("s")),
+        KeyedTable.readChangelog(spark, w, "t"), "g", "n", "s", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue))).toSet
+    val recomputed = KeyedTable.readSql(spark, w, "t")
+      .groupBy("g").agg(count(lit(1)).as("n"),
+        sum(col("v").cast("decimal(18,4)")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getDecimal(2)).map(_.doubleValue))).toSet
+    assert(derived == recomputed, s"derived $derived != recompute $recomputed")
+  }
+
   test("plain upserts write no changelog; reading one then errors") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, "a")).toDF("k", "v"), w, "t", pk = Seq("k"))

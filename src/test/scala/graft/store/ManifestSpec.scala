@@ -104,6 +104,36 @@ class ManifestSpec extends SparkSpec {
     }
   }
 
+  test("vacuum reaps manifest-commit temp files, even with no committed manifest") {
+    val t = "t_vacuum_tmp"
+    KeyedTable.toSql(df(base: _*), wh, t, pk = Seq("id"), buckets = 2)
+    val mdir = Manifest.dir(s"$wh/$t")
+    val f = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a crash between Manifest.commit's create and rename leaves this;
+    // by construction it is never referenced once the commit returns
+    val orphan = new Path(mdir, ".tmp-deadbeef")
+    f.create(orphan, false).close()
+    assert(KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L) >= 1)
+    assert(!f.exists(orphan), "vacuum left the manifest temp file")
+    // the current manifest survives; the table still reads whole
+    assert(ids(KeyedTable.readSql(spark, wh, t)) == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // the failed-FIRST-commit shape: a table dir with a temp but NO
+    // committed v*.json (the expiry loop never runs for these)
+    val t2dir = s"$wh/t_vacuum_tmp_nofirst"
+    f.mkdirs(new Path(t2dir))
+    TableMeta.write(spark, t2dir,
+      TableMeta(Seq("id"), 2, autoIndex = false,
+        KeyedTable.readSql(spark, wh, t).schema))
+    val m2 = Manifest.dir(t2dir)
+    f.mkdirs(m2)
+    val orphan2 = new Path(m2, ".tmp-cafe")
+    f.create(orphan2, false).close()
+    assert(KeyedTable.vacuum(spark, wh, "t_vacuum_tmp_nofirst",
+      olderThanMs = 0L) >= 1)
+    assert(!f.exists(orphan2),
+      "vacuum skipped the temp file of a never-committed first manifest")
+  }
+
   test("vacuum keeps files referenced by ANY surviving manifest, not just the current") {
     val t = "t_vacuum_travel"
     KeyedTable.toSql(df(base.take(3): _*), wh, t, pk = Seq("id"), buckets = 2) // v0

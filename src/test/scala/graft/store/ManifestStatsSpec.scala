@@ -71,6 +71,27 @@ class ManifestStatsSpec extends SparkSpec {
     assert(!f.mayOverlap(None, Some("a")))     // genuinely below min
   }
 
+  test("pushed In-list over strings derives bounds in UTF-8 byte order") {
+    import spark.implicits._
+    // U+1F600 < U+F000… in Java/UTF-16 order but > in UTF-8 byte order:
+    // sorting the In-values with `<` would derive [lo, hi] = [emoji,
+    // U+F000x], an INVERTED span under the utf8Le order mayOverlap
+    // compares with — every file would be pruned and the read would
+    // silently return nothing. Bound derivation must sort in the same
+    // order the stats comparison uses.
+    val emoji = new String(Character.toChars(0x1F600))
+    val other = "\uF000x" // U+F000 + x (explicit escape)
+    val t = "t_in_utf8"
+    KeyedTable.toSql(
+      Seq((emoji, 1L), (other, 2L), ("a", 3L)).toDF("k", "v"),
+      wh, t, pk = Seq("k"), buckets = 1)
+    val out = KeyedTableSource.read(spark, wh, t)
+      .filter(col("k").isin(emoji, other))
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 2L),
+      s"In-list bound derivation pruned matching files: got $out")
+  }
+
   test("readSql range read over pruned files returns exactly the range") {
     val t = build("t_stats_read")
     val out = KeyedTable.readSql(spark, wh, t,

@@ -55,6 +55,80 @@ class StreamingCdcSpec extends SparkSpec {
     assert(snap(derived) == expected, s"got ${snap(derived)}, want $expected")
   }
 
+  /** One changelog batch whose files land in SEPARATE micro-batches
+    * (maxFilesPerTrigger = 1): the shape where a "max batch id folded"
+    * high-water mark over-claims. Returns (warehouse, derived, #files). */
+  private def splitBatchFixture(root: String): (String, String, Int) = {
+    val w = s"$root/wh"
+    val derived = s"$root/derived"
+    KeyedTable.toSql(Seq((1L, "a", 10.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(derived)
+    // multiple part files in ONE changelog batch: the changes frame
+    // keeps its shuffle partitioning when AQE coalescing is off
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      KeyedTable.toSql(
+        (2L to 9L).map(i => (i, if (i % 2 == 0) "a" else "b", i * 1.0))
+          .toDF("k", "g", "v"),
+        w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    } finally spark.conf.set(coalesceKey, saved)
+    val nFiles = new java.io.File(s"$w/t/_changelog/batch=0")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= 2,
+      s"fixture needs a multi-file changelog batch, got $nFiles file(s)")
+    (w, derived, nFiles)
+  }
+
+  test("a changelog batch split across epochs survives a crash plus " +
+       "checkpoint loss: the unfolded remainder lands, nothing double-counts") {
+    val root = Files.createTempDirectory("graft-spec-scdc-").toString
+    val (w, derived, _) = splitBatchFixture(root)
+    // fold exactly ONE file of batch 0, then crash (after the state
+    // commit, before the checkpoint write — the dangerous window)
+    intercept[Exception] {
+      StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt1",
+        "g", "n", "s", "v", maxFilesPerTrigger = Some(1),
+        crashAfterEpochs = Some(1)).awaitTermination()
+    }
+    val partial = snap(derived)
+    assert(partial != agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet,
+      "crash injection folded everything — the fixture did not split")
+    // checkpoint LOST: a rebuilt consumer re-delivers every file. A
+    // batch-granular mark would either drop batch 0's remainder (mark
+    // advanced) or double-count its folded file (mark not advanced);
+    // the file-granular frontier folds exactly the remainder.
+    StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt2",
+      "g", "n", "s", "v").awaitTermination()
+    val expected = agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(snap(derived) == expected,
+      s"rebuilt checkpoint diverged: ${snap(derived)} != $expected")
+  }
+
+  test("same-checkpoint resume after a mid-backlog crash re-skips the " +
+       "committed epoch and folds the rest") {
+    val root = Files.createTempDirectory("graft-spec-scdc-").toString
+    val (w, derived, _) = splitBatchFixture(root)
+    intercept[Exception] {
+      StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt",
+        "g", "n", "s", "v", maxFilesPerTrigger = Some(1),
+        crashAfterEpochs = Some(1)).awaitTermination()
+    }
+    // SAME checkpoint: the crashed epoch re-delivers (its write never
+    // reached the checkpoint), the committed state's epoch guard skips
+    // it, and the remaining files fold one epoch at a time
+    StreamingCdc.start(spark, w, "t", derived, s"$root/ckpt",
+      "g", "n", "s", "v", maxFilesPerTrigger = Some(1)).awaitTermination()
+    val expected = agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(snap(derived) == expected,
+      s"same-checkpoint resume diverged: ${snap(derived)} != $expected")
+  }
+
   test("replayed epochs are skipped: at-least-once delivery, exactly-once state") {
     val root = Files.createTempDirectory("graft-spec-scdc-").toString
     val w = s"$root/wh"
