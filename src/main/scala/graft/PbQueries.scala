@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.store.{Catalog, Companda, KeyedTable, WriteMode}
+import graft.store.{Catalog, Companda, KeyedTable, KeyedTableSource, WriteMode}
 
 /** Correctness-gate queries for the keyed-table store (SURVEY.md §2 #1-12).
   *
@@ -378,6 +378,68 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders")
   }
 
+  /** #11w (`pb_update`): predicate update — both SET expressions read the
+    * row's CURRENT values (the CASE replay in the oracle), only matching
+    * buckets rewrite. The ops story: a backfill/correction over a 100 TB
+    * table costs its bucket footprint, never a table rewrite. */
+  def updateQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+      pk = Seq("c_custkey"))
+    KeyedTable.update(spark, wh, "customer",
+      col("c_mktsegment") === "BUILDING" && col("c_acctbal") < 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 1000.0),
+          "c_mktsegment" -> lit("RESCUED")))
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #11x (`pb_merge`): one MERGE commit applies a mixed change feed —
+    * tombstoned deletes (every 5th key), full-row updates (every 7th,
+    * doubled balance), and inserts (shifted copies of every 97th) — and
+    * the read-back equals the oracle's replay. The tombstone flag lives
+    * only in the feed (never reaches the table schema). */
+  def mergeQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    val feed = customer
+      .filter(col("c_custkey") % 5 === 0 || col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
+        (col("c_custkey") % 5 === 0).as("is_del"))
+      .unionByName(customer.filter(col("c_custkey") % 97 === 0)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+          lit(false).as("is_del")))
+    KeyedTable.merge(feed, wh, "customer", deleteWhen = col("is_del"))
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #11z (`pb_stats_skip`): per-column manifest statistics end-to-end —
+    * register `o_totalprice` as a stats column, append two
+    * disjoint-range slices, then read back through the DSv2 scan with a
+    * pushed price bound: the planner file-skips to the overlapping
+    * slice's files (StatsColumnsSpec asserts the planned-file count; the
+    * driver row proves the pruned scan returns exactly the right rows). */
+  def statsSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    KeyedTable.toSql(orders.filter(col("o_totalprice") < 150000.0),
+      wh, "orders", pk = Seq("o_orderkey"), strictUtc = false)
+    KeyedTable.setStatsColumns(spark, wh, "orders", Seq("o_totalprice"))
+    KeyedTable.toSql(
+      orders.filter(col("o_totalprice") >= 150000.0 &&
+        col("o_totalprice") < 300000.0),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Append,
+      strictUtc = false)
+    KeyedTable.toSql(orders.filter(col("o_totalprice") >= 300000.0),
+      wh, "orders", pk = Seq("o_orderkey"), how = WriteMode.Append,
+      strictUtc = false)
+    KeyedTableSource.read(spark, wh, "orders")
+      .filter(col("o_totalprice") >= 300000.0)
+      .drop(KeyedTable.BucketCol)
+  }
+
   /** #11r (`pb_zorder`): Z-order clustering is a pure layout rewrite —
     * create, zorderCompact on (o_custkey, o_totalprice), read back
     * EVERYTHING: identical content, now row-group-prunable on both
@@ -538,6 +600,9 @@ object PbQueries {
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "pb_sql_insert" -> sqlInsert,
     "pb_delete" -> deleteQ,
+    "pb_update" -> updateQ,
+    "pb_merge" -> mergeQ,
+    "pb_stats_skip" -> statsSkip,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -617,6 +682,30 @@ object PbQueries {
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)
+    """.trim,
+    // both SET expressions replay against the PRE-update row (the CASE
+    // reads original c_mktsegment/c_acctbal on both output columns)
+    "pb_update" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                  THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
+                  THEN 'RESCUED' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    """.trim,
+    "pb_stats_skip" ->
+      "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
+    // survivors (non-tombstoned) with the %7 full-row update applied,
+    // plus the shifted inserts
+    "pb_merge" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 5 <> 0
+      UNION ALL
+      SELECT c_custkey + 10000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 97 = 0
     """.trim,
     "pb_create_read" -> "SELECT * FROM customer",
     "pb_append" -> "SELECT * FROM orders",

@@ -195,6 +195,7 @@ object KeyedTable {
             append(cleaned, wh, tableName, addNewColumns, validate, changelog)
           case WriteMode.Upsert =>
             upsert(cleaned, wh, tableName, addNewColumns, validate, changelog)
+            ()
         }
       }
     }
@@ -323,16 +324,15 @@ object KeyedTable {
       // row counts and leading-PK stats included (O(buckets) pooled
       // footer opens over files this create just wrote)
       val conf = spark.sparkContext.hadoopConfiguration
-      val statType = Some(schema(pkCols.head).dataType)
       val listed = listLiveFiles(f, data)
       val footer = pkFileStatsAll(conf,
         listed.toSeq.flatMap { case (b, fls) =>
           fls.map(mfF => new Path(data, s"$BucketCol=$b/${mfF.name}"))
-        }, pkCols.headOption, statType)
+        }, Seq(pkCols.head -> schema(pkCols.head).dataType))
       val v0Files = listed.map { case (b, fls) =>
         b -> fls.map { mfF =>
           val (rows, stats) = footer(new Path(data, s"$BucketCol=$b/${mfF.name}"))
-          mfF.copy(rows = rows, stats = stats)
+          mfF.copy(rows = rows, stats = stats.get(pkCols.head))
         }
       }
       Manifest.commit(spark, dir, Manifest(0L, buckets, v0Files))
@@ -392,10 +392,15 @@ object KeyedTable {
   /** Coerce `df` toward the table's logical schema; returns the aligned
     * frame (all table columns, table types, missing → NULL) plus the
     * possibly-evolved schema when `addNewColumns` is set. */
-  private def align(df: DataFrame, meta: TableMeta, addNewColumns: Boolean)
+  /** `passthrough`: internal marker columns (e.g. merge's tombstone)
+    * carried alongside the aligned data — never schema-evolved, never
+    * coerced, excluded from the unknown-column check. */
+  private def align(df: DataFrame, meta: TableMeta, addNewColumns: Boolean,
+                    passthrough: Set[String] = Set.empty)
       : (DataFrame, StructType) = {
     val tableTypes = meta.schema.fields.map(f => f.name -> f).toMap
-    val newCols = df.schema.fields.filterNot(f => tableTypes.contains(f.name))
+    val newCols = df.schema.fields.filterNot(f =>
+      tableTypes.contains(f.name) || passthrough.contains(f.name))
     if (newCols.nonEmpty && !addNewColumns)
       throw new StoreException(
         s"New data has columns not in table: ${newCols.map(_.name).mkString(", ")}. " +
@@ -412,7 +417,7 @@ object KeyedTable {
           throw new TypeMismatchException(
             s"Inconsistent type for column ${f.name}: table=${f.dataType} df=$dt (reference: sql.py:250)")
       }
-    }
+    } ++ passthrough.toSeq.sorted.filter(dfTypes.contains).map(col)
     (df.select(aligned.toIndexedSeq: _*), evolved)
   }
 
@@ -468,40 +473,40 @@ object KeyedTable {
 
   /** [[pkFileStats]] over many files on [[statsPool]]. */
   private def pkFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
-                             files: Seq[Path], colName: Option[String],
-                             dt: Option[DataType])
-      : Map[Path, (Option[Long], Option[ColStats])] = {
+                             files: Seq[Path], cols: Seq[(String, DataType)])
+      : Map[Path, (Option[Long], Map[String, ColStats])] = {
     import scala.jdk.CollectionConverters._
     val tasks = files.map { p =>
-      new java.util.concurrent.Callable[(Path, (Option[Long], Option[ColStats]))] {
-        override def call() = p -> pkFileStats(conf, p, colName, dt)
+      new java.util.concurrent.Callable[(Path, (Option[Long], Map[String, ColStats]))] {
+        override def call() = p -> pkFileStats(conf, p, cols)
       }
     }
     statsPool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
   }
 
-  /** Row count + leading-PK min/max of one just-written parquet file,
-    * from ONE footer read, stats normalized to the manifest's storable
-    * types (Long / Double / String). Stats are None for
-    * non-stat-friendly PK types or any missing statistic — pruning then
-    * simply keeps the file. Strings are safe here (unlike the footer
+  /** A column type whose min/max the manifest can store and compare
+    * (Long / Double / String — the [[ColStats]] value domain). */
+  private[store] def statStorable(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case StringType => true
+    case _ => false
+  }
+
+  /** Row count + per-column min/max of one just-written parquet file,
+    * from ONE footer read — the leading PK plus every configured
+    * [[TableMeta.statsCols]] column, all from the same block walk.
+    * Stats are normalized to the manifest's storable types (Long /
+    * Double / String); a column with a non-stat-friendly type or any
+    * missing block statistic is simply absent from the result — pruning
+    * then keeps the file. Strings are safe here (unlike the footer
     * AGGREGATE pushdown) because a truncated parquet string bound is
     * still a valid BOUND — file skipping needs containment, not exact
     * extrema. */
   private def pkFileStats(conf: org.apache.hadoop.conf.Configuration,
-                          file: Path, colName: Option[String],
-                          dt: Option[DataType]): (Option[Long], Option[ColStats]) = {
-    val statCol = (colName, dt) match {
-      case (Some(c), Some(t)) =>
-        val storable = t match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case FloatType | DoubleType => true
-          case StringType => true
-          case _ => false
-        }
-        if (storable) Some(c) else None
-      case _ => None
-    }
+                          file: Path, cols: Seq[(String, DataType)])
+      : (Option[Long], Map[String, ColStats]) = {
+    val tracked = cols.collect { case (c, t) if statStorable(t) => c }
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -521,31 +526,39 @@ object KeyedTable {
           case (x: String, y: String) => Manifest.utf8Le(x, y)
           case _ => throw new IllegalStateException("mixed stat types")
         }
-        var mn: Any = null
-        var mx: Any = null
+        val mn = scala.collection.mutable.Map.empty[String, Any]
+        val mx = scala.collection.mutable.Map.empty[String, Any]
+        val ok = scala.collection.mutable.Map.from(tracked.map(_ -> true))
         var rows = 0L
-        var statsOk = statCol.isDefined
         reader.getFooter.getBlocks.forEach { bl =>
           rows += bl.getRowCount
-          if (statsOk) {
-            var chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData = null
+          if (ok.valuesIterator.exists(identity)) {
+            val chunks = scala.collection.mutable.Map
+              .empty[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
             bl.getColumns.forEach { c =>
-              if (statCol.contains(c.getPath.toDotString)) chunk = c
+              val n = c.getPath.toDotString
+              if (ok.getOrElse(n, false)) chunks(n) = c
             }
-            val s = if (chunk == null) null else chunk.getStatistics
-            if (s == null || !s.hasNonNullValue) statsOk = false
-            else {
-              val bmn = norm(s.genericGetMin)
-              val bmx = norm(s.genericGetMax)
-              if (mn == null || le(bmn, mn)) mn = bmn
-              if (mx == null || le(mx, bmx)) mx = bmx
+            tracked.foreach { c =>
+              if (ok(c)) {
+                val s = chunks.get(c).map(_.getStatistics).orNull
+                if (s == null || !s.hasNonNullValue) ok(c) = false
+                else {
+                  val bmn = norm(s.genericGetMin)
+                  val bmx = norm(s.genericGetMax)
+                  if (!mn.contains(c) || le(bmn, mn(c))) mn(c) = bmn
+                  if (!mx.contains(c) || le(mx(c), bmx)) mx(c) = bmx
+                }
+              }
             }
           }
         }
         (Some(rows),
-          if (statsOk && mn != null) Some(ColStats(mn, mx)) else None)
+          tracked.collect {
+            case c if ok(c) && mn.contains(c) => c -> ColStats(mn(c), mx(c))
+          }.toMap)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => (None, None) }
+    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
   }
 
   /** Materialize a changelog batch to `.staging-changelog-*` (the
@@ -602,7 +615,12 @@ object KeyedTable {
                            removeMissing: Boolean = false): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
-    val statType = statCol.map(c => meta.schema(c).dataType)
+    // leading PK first, then the configured extra stat columns — ONE
+    // footer block walk collects them all
+    val statColsTyped: Seq[(String, DataType)] =
+      (statCol.toSeq ++ meta.statsCols).distinct
+        .filter(meta.schema.fieldNames.contains)
+        .map(c => c -> meta.schema(c).dataType)
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     def abort(msg: String): Nothing = {
@@ -634,11 +652,13 @@ object KeyedTable {
     // buys both the row count (COUNT(*)/row estimates become driver
     // arithmetic) and the file-skipping stats range reads plan against
     val footer = pkFileStatsAll(conf,
-      movedByBucket.valuesIterator.flatten.map(_._1).toSeq, statCol, statType)
+      movedByBucket.valuesIterator.flatten.map(_._1).toSeq, statColsTyped)
     val staged: Map[Int, Seq[ManifestFile]] = movedByBucket.map {
       case (b, fls) => b -> fls.map { case (dst, len) =>
-        val (rows, stats) = footer(dst)
-        ManifestFile(dst.getName, len, rows, stats)
+        val (rows, colStats) = footer(dst)
+        ManifestFile(dst.getName, len, rows,
+          statCol.flatMap(colStats.get),
+          statCol.fold(colStats)(colStats - _))
       }
     }
     val newFiles: Map[Int, Seq[ManifestFile]] =
@@ -797,9 +817,18 @@ object KeyedTable {
     * proportional to the delta, never the table. Downstream incremental
     * pipelines (index maintenance, cache invalidation, derived-table
     * refresh) consume the log instead of diffing 100 TB snapshots. */
+  /** Marker column carried through a merge's delta: TRUE = this key's
+    * stored row is tombstoned (deleted if present, ignored if absent). */
+  private val MergeDelCol = "_graft_merge_del"
+
+  /** `tombstoned = true` (the [[merge]] path): `df` carries
+    * [[MergeDelCol]]; marked rows DELETE their stored match instead of
+    * upserting. Returns (inserted, updated, deleted) — computed only on
+    * the merge path (one extra delta-sized job); (0,0,0) otherwise. */
   private def upsert(df: DataFrame, warehouse: String, table: String,
                      addNewColumns: Boolean, validate: Boolean,
-                     changelog0: Boolean = false): Unit = {
+                     changelog0: Boolean = false,
+                     tombstoned: Boolean = false): (Long, Long, Long) = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta = TableMeta.read(spark, dir)
@@ -816,8 +845,9 @@ object KeyedTable {
     // keep their stored values (sql.py:299 "overwrites ALL VALUES that
     // are present in source DataFrame"; tests/test_sql.py:533
     // test_upsert_individual_values2 upserts a single column).
-    val incomingCols = df.columns.toSet
-    val (aligned, evolved) = align(df, meta, addNewColumns)
+    val incomingCols = df.columns.toSet - MergeDelCol
+    val (aligned, evolved) = align(df, meta, addNewColumns,
+      passthrough = if (tombstoned) Set(MergeDelCol) else Set.empty)
 
     val data = dataDir(warehouse, table)
     val base = snapshotForWrite(spark, dir, data, meta)
@@ -834,11 +864,17 @@ object KeyedTable {
         .filter(col(BucketCol).isin(touched: _*))
       // One full-outer merge per touched bucket: survivors keep old rows,
       // matches take incoming values for incoming columns (old otherwise),
-      // inserts take incoming values. Single shuffle, no union.
+      // inserts take incoming values; merge's tombstoned matches drop
+      // out. Single shuffle, no union.
       val marked = newB.withColumn("_graft_new", lit(true))
+      // incoming row is a tombstone (merge path; never-true otherwise)
+      val del: Column =
+        if (tombstoned) coalesce(col(s"n.$MergeDelCol"), lit(false))
+        else lit(false)
       val nonPk = evolved.fieldNames.filterNot(meta.pk.contains)
       val out = oldTouched.as("o")
         .join(marked.as("n"), meta.pk.toIndexedSeq, "full_outer")
+        .filter(!del)
         .select(meta.pk.map(col) ++ nonPk.map { c =>
           val merged =
             if (incomingCols.contains(c))
@@ -851,24 +887,43 @@ object KeyedTable {
       // classification join needs the pre-image), commit by rename only
       // AFTER the swap — an upsert that fails mid-commit leaves no
       // batch directory claiming changes that never landed.
+      val presentOld = col(s"o.$BucketCol").isNotNull
       val clCommit: Option[(Path, Path)] = if (changelog) {
-        val presentOld = col(s"o.$BucketCol").isNotNull
         val valueCols = incomingCols.toSeq.filterNot(meta.pk.contains).sorted
         val changedCond = valueCols
           .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
           .reduceOption(_ || _).getOrElse(lit(false))
         val images = nonPk.toSeq.flatMap { c =>
           val post = if (incomingCols.contains(c)) col(s"n.$c") else col(s"o.$c")
-          Seq(col(s"o.$c").as(s"old_$c"), post.as(s"new_$c"))
+          // a tombstoned match is a delete: post-image NULL
+          Seq(col(s"o.$c").as(s"old_$c"),
+            when(del, lit(null)).otherwise(post).as(s"new_$c"))
         }
         val changes = marked.as("n")
           .join(oldTouched.as("o"), meta.pk.toIndexedSeq, "left")
+          // a tombstone for an ABSENT key changed nothing — no log row
+          .filter(!(del && !presentOld))
           .select(meta.pk.map(col) ++ (
-            when(!presentOld, lit("insert"))
+            when(del, lit("delete"))
+              .when(!presentOld, lit("insert"))
               .when(changedCond, lit("update"))
               .otherwise(lit("unchanged")).as("op") +: images): _*)
         Some(stageChangelogBatch(spark, dir, changes))
       } else None
+
+      // merge reports what it did (one delta-sized job, merge path only)
+      val stats: (Long, Long, Long) =
+        if (!tombstoned) (0L, 0L, 0L)
+        else {
+          val r = marked.as("n")
+            .join(oldTouched.as("o"), meta.pk.toIndexedSeq, "left")
+            .agg(
+              coalesce(sum(when(!del && !presentOld, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(!del && presentOld, 1L).otherwise(0L)), lit(0L)),
+              coalesce(sum(when(del && presentOld, 1L).otherwise(0L)), lit(0L)))
+            .head()
+          (r.getLong(0), r.getLong(1), r.getLong(2))
+        }
 
       // Commit: write to staging, move the staged files in, flip the
       // manifest (see commitStaged) — one atomic snapshot publish;
@@ -879,8 +934,12 @@ object KeyedTable {
         clusterByBucket(out, base.buckets, meta.pk)
           .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
         try {
+          // removeMissing on the merge path: a touched bucket whose rows
+          // ALL tombstoned has no staged replacement and leaves the
+          // snapshot (the delete semantics); plain upserts always stage
+          // every touched bucket
           commitStaged(spark, f, dir, data, staging, touched, "upsert",
-            base, base.buckets, meta)
+            base, base.buckets, meta, removeMissing = tombstoned)
         } finally f.delete(new Path(staging), true)
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
@@ -892,6 +951,7 @@ object KeyedTable {
         clCommit.foreach { case (src, _) => f.delete(src, true) }
       val meta2 = meta.copy(schema = evolved, changelog = changelog)
       if (meta2 != meta) TableMeta.write(spark, dir, meta2)
+      stats
     } finally newB.unpersist()
   }
 
@@ -1092,11 +1152,24 @@ object KeyedTable {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "zorder") {
-      val meta = TableMeta.read(spark, dir)
+      val meta0 = TableMeta.read(spark, dir)
       zCols.foreach { c =>
-        if (!meta.schema.fieldNames.contains(c))
+        if (!meta0.schema.fieldNames.contains(c))
           throw new StoreException(s"zorder column $c not in table schema")
       }
+      // Z-ordering makes per-file bounds on the clustered columns tight —
+      // exactly when per-column manifest stats pay off. Register them
+      // BEFORE the rewrite so this commit's files carry the stats.
+      val newStats = (meta0.statsCols ++
+        zCols.filter(c => statStorable(meta0.schema(c).dataType))
+          .filterNot(meta0.pk.headOption.contains)).distinct
+      val meta =
+        if (newStats == meta0.statsCols) meta0
+        else {
+          val m = meta0.copy(statsCols = newStats)
+          TableMeta.write(spark, dir, m)
+          m
+        }
       val data = dataDir(warehouse, tableName)
       val base = snapshotForWrite(spark, dir, data, meta)
       val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
@@ -1196,6 +1269,209 @@ object KeyedTable {
       if (cdc && !meta.changelog)
         TableMeta.write(spark, dir, meta.copy(changelog = true))
       deleted
+    }
+  }
+
+  /** #11w predicate update: set value columns to new expressions on every
+    * row matching `where`, rewriting ONLY the buckets that contain a
+    * match (the delete commit pattern: staging + one manifest flip under
+    * the write lock — readers of the previous snapshot are undisturbed).
+    * `set` maps existing NON-PK column names to expressions over the
+    * row's CURRENT values (`col("v") * 2` works); each is cast to the
+    * column's stored type, so the schema never drifts. PK columns are
+    * rejected — moving a key is a delete + insert (see [[merge]]).
+    * CDC (explicit flag or the table property) logs one
+    * `update`/`unchanged` row per MATCHED row with exact before/after
+    * images. Returns the number of matched rows.
+    *
+    * The ops story at 100 TB: a backfill or correction pinned by a PK
+    * range (or any predicate with a narrow bucket footprint) rewrites
+    * only its share of buckets — never the table — and the touched-
+    * bucket probe is one aggregation bounded by the bucket count.
+    * Reference concept: `df.loc[mask, col] = expr` applied to the
+    * stored table (pandabase's pandas-side mutation idiom made a store
+    * commit). */
+  def update(spark: SparkSession, warehouse0: String, tableName: String,
+             where: Column, set: Map[String, Column],
+             schema: Option[String] = None,
+             changelog: Boolean = false): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "update") {
+      val meta = TableMeta.read(spark, dir)
+      set.keys.foreach { c =>
+        if (!meta.schema.fieldNames.contains(c))
+          throw new StoreException(
+            s"update SET column $c not in table schema ${meta.schema.fieldNames.toSeq}")
+        if (meta.pk.contains(c))
+          throw new StoreException(
+            s"update cannot SET primary-key column $c (a key move is a " +
+            "delete + insert; use merge or delete/append)")
+      }
+      val cdc = changelog || meta.changelog
+      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
+      // NULL predicate rows are NOT matches (kept unchanged)
+      val matched = coalesce(where, lit(false))
+      // one job: matching-row count per touched bucket (≤ buckets rows)
+      val probe = raw.filter(matched).groupBy(col(BucketCol))
+        .agg(count(lit(1)).as("n")).collect()
+      val touched = probe.map(_.getInt(0)).toSeq
+      val nMatched = probe.map(_.getLong(1)).sum
+      if (touched.nonEmpty) {
+        val data = dataDir(warehouse, tableName)
+        val f = fs(spark, dir)
+        // the typed post-image of column c on a matched row
+        def newVal(c: String): Column =
+          set.get(c).map(_.cast(meta.schema(c).dataType)).getOrElse(col(c))
+        val clCommit: Option[(Path, Path)] = if (cdc) {
+          val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+          val changedCond = set.keys.toSeq.sorted
+            .map(c => !(newVal(c) <=> col(c)))
+            .reduceOption(_ || _).getOrElse(lit(false))
+          val images = nonPk.flatMap { c =>
+            Seq(col(c).as(s"old_$c"), newVal(c).as(s"new_$c"))
+          }
+          val changes = raw.filter(matched)
+            .select(meta.pk.map(col) ++ (
+              when(changedCond, lit("update"))
+                .otherwise(lit("unchanged")).as("op") +: images): _*)
+          Some(stageChangelogBatch(spark, dir, changes))
+        } else None
+        val staging = s"$dir/.staging-update-${UUID.randomUUID()}"
+        try {
+          try {
+            val rewritten = meta.schema.fieldNames.toSeq.map { c =>
+              (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
+               else col(c)).as(c)
+            } :+ col(BucketCol)
+            raw.filter(col(BucketCol).isin(touched: _*))
+              .select(rewritten: _*)
+              .repartition(touched.size, col(BucketCol))
+              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+              .write.partitionBy(BucketCol).parquet(staging)
+            commitStaged(spark, f, dir, data, staging, touched, "update",
+              base, base.buckets, meta)
+          } finally f.delete(new Path(staging), true)
+          clCommit.foreach { case (src, dst) =>
+            commitChangelogBatch(f, "update", src, dst)
+          }
+        } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+      }
+      if (cdc && !meta.changelog)
+        TableMeta.write(spark, dir, meta.copy(changelog = true))
+      nMatched
+    }
+  }
+
+  /** #11z per-column file statistics: register EXTRA columns (beyond the
+    * always-tracked leading PK) whose min/max every future commit records
+    * per new file in the manifest — scans then FILE-SKIP on pushed
+    * predicates over these columns at planning time, zero footer opens
+    * (the Iceberg per-column-metrics model). Files written earlier carry
+    * no entry and are never pruned on them; a compact/zorder rewrite
+    * refreshes the whole table. Storable types only (integral, floating,
+    * string); the leading PK is silently dropped from the list (already
+    * tracked). [[zorderCompact]] registers its clustering columns
+    * automatically.
+    *
+    * The 100 TB story: hash bucketing destroys range locality on every
+    * column, but ingest order usually correlates with event time and
+    * Z-order restores locality on chosen dimensions — per-column stats
+    * turn that physical locality into planning-time pruning for
+    * non-key predicates, the same way leading-PK stats already do for
+    * key ranges. */
+  def setStatsColumns(spark: SparkSession, warehouse0: String,
+                      tableName: String, cols: Seq[String],
+                      schema: Option[String] = None): Unit = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "setStatsColumns") {
+      val meta = TableMeta.read(spark, dir)
+      cols.foreach { c =>
+        if (!meta.schema.fieldNames.contains(c))
+          throw new StoreException(
+            s"stats column $c not in table schema ${meta.schema.fieldNames.toSeq}")
+        if (!statStorable(meta.schema(c).dataType))
+          throw new StoreException(
+            s"stats column $c has non-storable type ${meta.schema(c).dataType} " +
+            "(integral, floating, and string columns only)")
+      }
+      val cleaned = cols.distinct.filterNot(meta.pk.headOption.contains)
+      if (cleaned != meta.statsCols)
+        TableMeta.write(spark, dir, meta.copy(statsCols = cleaned))
+    }
+  }
+
+  /** #11x MERGE: apply a change feed to the table in ONE commit — the
+    * `MERGE INTO t USING delta ON pk` triple. Per delta row, keyed by
+    * the table's PK:
+    *  - `deleteWhen` TRUE and the key exists  → the stored row is DELETED
+    *  - `deleteWhen` TRUE and the key is absent → no-op (idempotent
+    *    tombstone — replaying a delete feed is safe)
+    *  - `deleteWhen` FALSE, key exists  → UPDATE (present-column
+    *    overwrite, exactly the upsert contract)
+    *  - `deleteWhen` FALSE, key absent → INSERT
+    * `deleteWhen` is evaluated over the DELTA's columns BEFORE alignment,
+    * and may reference columns that are not (and never become) part of
+    * the table schema — the tombstone flag is computed first and its
+    * source columns are then dropped unless they belong to the table. A
+    * CDC-style feed therefore applies directly:
+    * `merge(feed, wh, "t", deleteWhen = col("op") === "delete")` with
+    * `op` existing only in the feed.
+    *
+    * Everything lands atomically: one staged write, one manifest flip,
+    * one changelog batch (insert/update/unchanged/delete images — the
+    * exact shape [[graft.operators.CdcConsumer]] folds), under the write
+    * lock. Duplicate keys in the delta are rejected (validate), NULL
+    * tombstone predicates mean FALSE.
+    *
+    * At 100 TB: applying a day's CDC feed touches only the delta's
+    * buckets — one delta-sized classification join, never a table scan —
+    * and downstream consumers see exactly one new snapshot and one new
+    * changelog batch per applied feed.
+    *
+    * @return (inserted, updated, deleted) row counts
+    *
+    * Reference concept: sql.py:299's upsert generalized with tombstones
+    * (the reference cannot delete through its upsert; its users issue
+    * separate SQL DELETEs — merge is the one-commit form). */
+  def merge(df: DataFrame, warehouse0: String, tableName: String,
+            deleteWhen: Column, schema: Option[String] = None,
+            addNewColumns: Boolean = false, validate: Boolean = true,
+            changelog: Boolean = false,
+            strictUtc: Boolean = true): (Long, Long, Long) = {
+    val wh = schemaDir(warehouse0, schema)
+    val spark = df.sparkSession
+    if (strictUtc) {
+      val naive = df.schema.fields.filter(_.dataType == TimestampNTZType)
+      if (naive.nonEmpty)
+        throw new StoreException(
+          s"Column(s) ${naive.map(_.name).mkString(", ")} timezone must be set " +
+          "(naive TimestampNTZ rejected; convert to a UTC instant, or pass " +
+          "strictUtc=false to pin the wall-clock to UTC) (reference: sql.py:133)")
+    }
+    // tombstone flag FIRST (over the raw delta columns), then the same
+    // identifier cleaning as toSql; columns not in the table schema are
+    // fine inside `deleteWhen` but are not carried into the table
+    val flagged = df.withColumn(MergeDelCol, coalesce(deleteWhen, lit(false)))
+    val cleaned = df.columns.foldLeft(flagged) { (d, c) =>
+      val cc = Names.cleanName(c)
+      if (cc == c) d else d.withColumnRenamed(c, cc)
+    }
+    // drop delta columns that are neither table columns nor survivable
+    // via addNewColumns — they existed only to feed the tombstone flag
+    val dir = tableDir(wh, tableName)
+    WriteLock.withLock(spark, dir, "merge") {
+      if (!TableMeta.exists(spark, dir))
+        throw new StoreException(
+          s"merge target $tableName does not exist (create it with toSql first)")
+      val meta = TableMeta.read(spark, dir)
+      val keep = cleaned.columns.filter(c =>
+        c == MergeDelCol || addNewColumns || meta.schema.fieldNames.contains(c))
+      upsert(cleaned.select(keep.map(col).toIndexedSeq: _*), wh, tableName,
+        addNewColumns, validate, changelog, tombstoned = true)
     }
   }
 

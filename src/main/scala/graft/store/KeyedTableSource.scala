@@ -370,46 +370,56 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
         .eval(null).asInstanceOf[Long].toInt)
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Leading-PK bound constraints from the pushed filters — each file
-    * must satisfy ALL of them to stay in the scan. Inclusive bounds are
+  /** Per-column bound constraints from the pushed filters, for every
+    * column the manifest carries statistics for — the leading PK plus
+    * the table's configured [[TableMeta.statsCols]] — each file must
+    * satisfy ALL of them to stay in the scan. Inclusive bounds are
     * used even for strict predicates (conservative; pruning is an IO
     * reduction, never a correctness surface — every filter is residual
     * in this source). */
-  private lazy val pkFileBounds: Seq[(Option[Any], Option[Any])] = {
+  private lazy val statFileBounds: Seq[(String, (Option[Any], Option[Any]))] = {
     import org.apache.spark.sql.sources._
-    meta.pk.headOption.toSeq.flatMap { pkc =>
-      pushed.toSeq.flatMap {
-        case EqualTo(c, v) if c == pkc =>
-          Manifest.normBound(v).map(n => (Some(n): Option[Any], Some(n): Option[Any]))
-        case GreaterThan(c, v) if c == pkc =>
-          Manifest.normBound(v).map(n => (Some(n): Option[Any], None: Option[Any]))
-        case GreaterThanOrEqual(c, v) if c == pkc =>
-          Manifest.normBound(v).map(n => (Some(n): Option[Any], None: Option[Any]))
-        case LessThan(c, v) if c == pkc =>
-          Manifest.normBound(v).map(n => (None: Option[Any], Some(n): Option[Any]))
-        case LessThanOrEqual(c, v) if c == pkc =>
-          Manifest.normBound(v).map(n => (None: Option[Any], Some(n): Option[Any]))
-        case In(c, vs) if c == pkc && vs.nonEmpty =>
-          val ns = vs.toSeq.map(Manifest.normBound)
-          if (ns.forall(_.isDefined) &&
-              ns.flatten.forall(_.getClass == ns.head.get.getClass)) {
-            val sorted = ns.flatten.sortWith {
-              case (a: Long, b: Long) => a < b
-              case (a: Double, b: Double) => a < b
-              // strict UTF-8 byte order — the SAME ordering mayOverlap
-              // uses against the manifest's file stats; Java's UTF-16
-              // `<` disagrees for supplementary-plane vs U+E000..U+FFFF
-              // and would derive inverted [lo,hi] bounds that silently
-              // prune files containing matching rows
-              case (a: String, b: String) => a != b && Manifest.utf8Le(a, b)
-              case _ => false
-            }
-            Some((Some(sorted.head): Option[Any], Some(sorted.last): Option[Any]))
-          } else None
-        case _ => None
-      }
+    val tracked: Set[String] =
+      meta.pk.headOption.toSet ++ meta.statsCols
+    pushed.toSeq.flatMap {
+      case EqualTo(c, v) if tracked(c) =>
+        Manifest.normBound(v).map(n => c -> (Some(n): Option[Any], Some(n): Option[Any]))
+      case GreaterThan(c, v) if tracked(c) =>
+        Manifest.normBound(v).map(n => c -> (Some(n): Option[Any], None: Option[Any]))
+      case GreaterThanOrEqual(c, v) if tracked(c) =>
+        Manifest.normBound(v).map(n => c -> (Some(n): Option[Any], None: Option[Any]))
+      case LessThan(c, v) if tracked(c) =>
+        Manifest.normBound(v).map(n => c -> (None: Option[Any], Some(n): Option[Any]))
+      case LessThanOrEqual(c, v) if tracked(c) =>
+        Manifest.normBound(v).map(n => c -> (None: Option[Any], Some(n): Option[Any]))
+      case In(c, vs) if tracked(c) && vs.nonEmpty =>
+        val ns = vs.toSeq.map(Manifest.normBound)
+        if (ns.forall(_.isDefined) &&
+            ns.flatten.forall(_.getClass == ns.head.get.getClass)) {
+          val sorted = ns.flatten.sortWith {
+            case (a: Long, b: Long) => a < b
+            case (a: Double, b: Double) => a < b
+            // strict UTF-8 byte order — the SAME ordering mayOverlap
+            // uses against the manifest's file stats; Java's UTF-16
+            // `<` disagrees for supplementary-plane vs U+E000..U+FFFF
+            // and would derive inverted [lo,hi] bounds that silently
+            // prune files containing matching rows
+            case (a: String, b: String) => a != b && Manifest.utf8Le(a, b)
+            case _ => false
+          }
+          Some(c -> (Some(sorted.head): Option[Any], Some(sorted.last): Option[Any]))
+        } else None
+      case _ => None
     }
   }
+
+  /** Does this file's recorded stats (leading-PK or extra-column) admit
+    * every pushed bound? */
+  private def fileMayMatch(mfF: ManifestFile): Boolean =
+    statFileBounds.forall { case (c, (lo, hi)) =>
+      if (meta.pk.headOption.contains(c)) mfF.mayOverlap(lo, hi)
+      else mfF.mayOverlapOn(c, lo, hi)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     // static (pushdown) ∩ runtime (dynamic pruning) bucket sets; the
@@ -430,9 +440,7 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
           val files: Array[PartitionedFile] =
             if (!kept.forall(_.contains(b))) Array.empty
             else m.files.getOrElse(b, Nil)
-              .filter(mfF => pkFileBounds.forall { case (lo, hi) =>
-                mfF.mayOverlap(lo, hi)
-              })
+              .filter(fileMayMatch)
               .map { mfF =>
                 val p = new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}")
                 new PartitionedFile(key, SparkPath.fromPath(p),

@@ -22,33 +22,28 @@ final case class ColStats(min: Any, max: Any)
   * touch the filesystem — at 100 TB, "list two million files to plan a
   * query" is the latency floor a manifest exists to remove), its row
   * count (so `COUNT(*)` and Catalyst's row estimates are pure driver
-  * arithmetic over the snapshot — zero footer opens), plus optional
-  * leading-PK [[ColStats]]. Row count and stats come from the same one
-  * footer read each commit already pays per new file. */
+  * arithmetic over the snapshot — zero footer opens), optional
+  * leading-PK [[ColStats]], and optional EXTRA per-column stats for the
+  * table's configured stat columns ([[TableMeta.statsCols]] — the
+  * Iceberg per-column-metrics model: predicates on NON-key columns then
+  * file-skip at planning time too, which is what makes Z-order
+  * clustering pay off at the FILE level, not just row groups). Row
+  * count and all stats come from the same one footer read each commit
+  * already pays per new file. */
 final case class ManifestFile(name: String, len: Long,
                               rows: Option[Long] = None,
-                              stats: Option[ColStats] = None) {
+                              stats: Option[ColStats] = None,
+                              extra: Map[String, ColStats] = Map.empty) {
   /** Could this file hold a leading-PK value in [lo, hi]? (null bound =
     * unbounded; files without stats or uncomparable bounds are always
     * kept — pruning is an IO reduction, never a correctness surface.) */
-  def mayOverlap(lo: Option[Any], hi: Option[Any]): Boolean = stats match {
-    case None => true
-    case Some(ColStats(mn, mx)) =>
-      def le(a: Any, b: Any): Option[Boolean] = (a, b) match {
-        case (x: Long, y: Long) => Some(x <= y)
-        case (x: Long, y: Double) => Some(x.toDouble <= y)
-        case (x: Double, y: Long) => Some(x <= y.toDouble)
-        case (x: Double, y: Double) => Some(x <= y)
-        // unsigned UTF-8 byte order — how parquet stats AND Spark's
-        // UTF8String compare; Java's UTF-16 String order disagrees for
-        // supplementary-plane characters and would wrongly prune
-        case (x: String, y: String) => Some(Manifest.utf8Le(x, y))
-        case _ => None
-      }
-      val aboveLo = lo.forall(l => le(l, mx).getOrElse(true))
-      val belowHi = hi.forall(h => le(mn, h).getOrElse(true))
-      aboveLo && belowHi
-  }
+  def mayOverlap(lo: Option[Any], hi: Option[Any]): Boolean =
+    Manifest.overlaps(stats, lo, hi)
+
+  /** Same question for a named extra stat column. Files recorded before
+    * the column joined [[TableMeta.statsCols]] have no entry → kept. */
+  def mayOverlapOn(c: String, lo: Option[Any], hi: Option[Any]): Boolean =
+    Manifest.overlaps(extra.get(c), lo, hi)
 }
 
 /** A versioned SNAPSHOT of a keyed table's physical layout: the bucket
@@ -93,20 +88,54 @@ final case class Manifest(version: Long, buckets: Int,
     "files" -> JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
       b.toString -> JArray(fs.toList.map { f =>
         // arity encodes presence: [name, len] | [name, len, rows] |
-        // [name, len, rows, min, max] (stats imply rows — same footer)
+        // [name, len, rows, min, max] (stats imply rows — same footer) |
+        // [name, len, rows, min|null, max|null, {col: [min, max], …}]
+        // (extra per-column stats; leading slots JNull when absent)
         val base = List(JString(f.name), JInt(f.len)) ++
           f.rows.map(r => JInt(r): JValue).toList
-        JArray(f.stats match {
+        val lead = f.stats match {
           case Some(ColStats(mn, mx)) =>
-            base ++ List(Manifest.statJson(mn), Manifest.statJson(mx))
-          case None => base
-        })
+            List(Manifest.statJson(mn), Manifest.statJson(mx))
+          case None if f.extra.nonEmpty => List(JNull, JNull)
+          case None => Nil
+        }
+        val ext =
+          if (f.extra.isEmpty) Nil
+          else List(JObject(f.extra.toList.sortBy(_._1).map { case (c, s) =>
+            c -> (JArray(List(Manifest.statJson(s.min),
+              Manifest.statJson(s.max))): JValue)
+          }): JValue)
+        JArray(base ++ lead ++ ext)
       })
     }))))
 }
 
 object Manifest {
   val DirName = "_manifests"
+
+  /** Could a file with these stats hold a value in [lo, hi]? (null
+    * bound = unbounded; missing stats or uncomparable bounds keep the
+    * file — pruning is an IO reduction, never a correctness surface.) */
+  private[store] def overlaps(st: Option[ColStats],
+                              lo: Option[Any], hi: Option[Any]): Boolean =
+    st match {
+      case None => true
+      case Some(ColStats(mn, mx)) =>
+        def le(a: Any, b: Any): Option[Boolean] = (a, b) match {
+          case (x: Long, y: Long) => Some(x <= y)
+          case (x: Long, y: Double) => Some(x.toDouble <= y)
+          case (x: Double, y: Long) => Some(x <= y.toDouble)
+          case (x: Double, y: Double) => Some(x <= y)
+          // unsigned UTF-8 byte order — how parquet stats AND Spark's
+          // UTF8String compare; Java's UTF-16 String order disagrees for
+          // supplementary-plane characters and would wrongly prune
+          case (x: String, y: String) => Some(Manifest.utf8Le(x, y))
+          case _ => None
+        }
+        val aboveLo = lo.forall(l => le(l, mx).getOrElse(true))
+        val belowHi = hi.forall(h => le(mn, h).getOrElse(true))
+        aboveLo && belowHi
+    }
 
   /** a <= b in unsigned UTF-8 byte order — the comparator parquet
     * binary statistics and Spark's UTF8String use. */
@@ -197,14 +226,29 @@ object Manifest {
     val JObject(fields) = (j \ "files"): @unchecked
     Manifest(version.toLong, buckets.toInt,
       fields.map { case (b, JArray(fs)) =>
+        def lead(mn: JValue, mx: JValue): Option[ColStats] = (mn, mx) match {
+          case (JNull, _) | (_, JNull) => None
+          case _ => Some(ColStats(statValue(mn), statValue(mx)))
+        }
+        def extras(o: JValue): Map[String, ColStats] = o match {
+          case JObject(cs) => cs.map {
+            case (c, JArray(List(mn, mx))) =>
+              c -> ColStats(statValue(mn), statValue(mx))
+            case (c, bad) =>
+              throw new StoreException(s"bad extra stats for $c: $bad")
+          }.toMap
+          case bad => throw new StoreException(s"bad extra stats: $bad")
+        }
         b.toInt -> fs.map {
           case JArray(List(JString(n), JInt(l))) =>
             ManifestFile(n, l.toLong)
           case JArray(List(JString(n), JInt(l), JInt(r))) =>
             ManifestFile(n, l.toLong, Some(r.toLong))
           case JArray(List(JString(n), JInt(l), JInt(r), mn, mx)) =>
-            ManifestFile(n, l.toLong, Some(r.toLong),
-              Some(ColStats(statValue(mn), statValue(mx))))
+            ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx))
+          case JArray(List(JString(n), JInt(l), JInt(r), mn, mx, ext)) =>
+            ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx),
+              extras(ext))
           case o => throw new StoreException(s"bad manifest file entry: $o")
         }
       case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")

@@ -32,6 +32,15 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *   like SQL `DELETE FROM graft.t`, cannot express) `changelog = true`.
   *   The table-property model (Delta CDF, Iceberg changelog): CDC is a
   *   property of the TABLE, not of individual write calls.
+  * @param statsCols EXTRA per-column statistics columns (beyond the
+  *   leading PK, which is always tracked): every commit records each
+  *   new file's min/max for these from the same one footer read, and
+  *   scans file-skip on pushed predicates over them — the Iceberg
+  *   per-column-metrics model. Set via `KeyedTable.setStatsColumns`;
+  *   `zorderCompact` adds its clustering columns automatically (a
+  *   Z-ordered layout is exactly what makes these bounds tight).
+  *   Files written before a column joined this list carry no entry for
+  *   it and are simply never pruned on it.
   */
 final case class TableMeta(
     pk: Seq[String],
@@ -39,7 +48,8 @@ final case class TableMeta(
     autoIndex: Boolean,
     schema: StructType,
     maxAutoIndex: Option[Long] = None,
-    changelog: Boolean = false) {
+    changelog: Boolean = false,
+    statsCols: Seq[String] = Nil) {
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
@@ -47,7 +57,10 @@ final case class TableMeta(
     "autoIndex" -> JBool(autoIndex) ::
     "schema" -> JString(schema.json) ::
     (maxAutoIndex.map(m => List("maxAutoIndex" -> (JInt(m): JValue))).getOrElse(Nil) ++
-     (if (changelog) List("changelog" -> (JBool(true): JValue)) else Nil)))))
+     (if (changelog) List("changelog" -> (JBool(true): JValue)) else Nil) ++
+     (if (statsCols.nonEmpty)
+        List("statsCols" -> (JArray(statsCols.map(JString(_)).toList): JValue))
+      else Nil)))))
 }
 
 object TableMeta {
@@ -76,11 +89,15 @@ object TableMeta {
       case JBool(b) => b
       case _ => false
     }
+    val sc = (j \ "statsCols") match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _ => Nil
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx, cl)
+      maxIdx, cl, sc)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)
