@@ -20,6 +20,10 @@ import graft.functions.expr.{ArrayDotProduct, HyperplaneLsh, LangMarkerCounts, M
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // SQL UPDATE / MERGE INTO over graft keyed tables → the store's own
+    // update/merge primitives (see graft.plans.GraftSqlDmlRule)
+    ext.injectResolutionRule(session =>
+      new graft.plans.GraftSqlDmlRule(session))
     ext.injectFunction((
       FunctionIdentifier("graft_array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_array_dot"),

@@ -364,6 +364,87 @@ object PbQueries {
     }
   }
 
+  /** `pb_sql_update` (#11w as SQL): `UPDATE <catalog>.customer SET … WHERE …`
+    * lowered by GraftSqlDmlRule onto the store's bucket-pruned predicate
+    * update — the identical commit/CDC contract as the programmatic call. */
+  private val sqlUpdN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlUpdate(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_upd${sqlUpdN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+        pk = Seq("c_custkey"))
+      spark.sql(s"""UPDATE $cat.customer
+        SET c_acctbal = c_acctbal * 2 + 1, c_mktsegment = 'SQLUPD'
+        WHERE c_custkey % 4 = 1 AND c_acctbal > 0""")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  /** `pb_sql_merge` (#11x as SQL): `MERGE INTO <catalog>.customer` in the
+    * CDC-apply shape (DELETE-first, UPDATE, INSERT) lowered onto the
+    * store's one-commit merge. */
+  private val sqlMrgN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_mrg${sqlMrgN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      customer
+        .filter(col("c_custkey") % 6 === 0 || col("c_custkey") % 7 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
+          (col("c_custkey") % 6 === 0).as("is_del"))
+        .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+          .select((col("c_custkey") + 20000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"), lit(false).as("is_del")))
+        .createOrReplaceTempView("graft_gate_mrg_feed")
+      spark.sql(s"""
+        MERGE INTO $cat.customer AS t USING graft_gate_mrg_feed AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+          c_nationkey = s.c_nationkey, c_acctbal = s.c_acctbal,
+          c_mktsegment = s.c_mktsegment
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey,
+          c_acctbal, c_mktsegment) VALUES (s.c_custkey, s.c_name,
+          s.c_nationkey, s.c_acctbal, s.c_mktsegment)
+      """)
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  /** #11aa (`pb_drop_column`): metadata-only column drop — the column
+    * leaves the logical schema with ZERO data IO (no new snapshot), and
+    * a later upsert aligns to the reduced schema. At 100 TB, dropping a
+    * column is a metadata edit, not a rewrite. */
+  def dropColumnQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+      pk = Seq("c_custkey"))
+    KeyedTable.dropColumns(spark, wh, "customer", Seq("c_mktsegment"))
+    val delta = Tables.customer(spark, sfDir)
+      .filter(col("c_custkey") % 9 === 0)
+      .select(col("c_custkey"), (col("c_acctbal") + 5.0).as("c_acctbal"))
+    KeyedTable.toSql(delta, wh, "customer",
+      pk = Seq("c_custkey"), how = WriteMode.Upsert)
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11q (`pb_delete`): predicate delete — a value predicate AND a PK
     * range both land in one call; only buckets holding matches rewrite
     * (staging + swap), and the read-back equals the complementary
@@ -603,6 +684,9 @@ object PbQueries {
     "pb_update" -> updateQ,
     "pb_merge" -> mergeQ,
     "pb_stats_skip" -> statsSkip,
+    "pb_sql_update" -> sqlUpdate,
+    "pb_sql_merge" -> sqlMerge,
+    "pb_drop_column" -> dropColumnQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -695,6 +779,30 @@ object PbQueries {
     """.trim,
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
+    "pb_drop_column" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 5.0
+                  ELSE c_acctbal END AS c_acctbal
+      FROM customer
+    """.trim,
+    "pb_sql_update" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 4 = 1 AND c_acctbal > 0
+                  THEN c_acctbal * 2 + 1 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 4 = 1 AND c_acctbal > 0
+                  THEN 'SQLUPD' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    """.trim,
+    "pb_sql_merge" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 6 <> 0
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
     // survivors (non-tombstoned) with the %7 full-row update applied,
     // plus the shifted inserts
     "pb_merge" -> """

@@ -1,0 +1,252 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, AttributeReference, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.types.BooleanType
+
+import graft.store.{KeyedTable, KeyedTableSource, StoreException}
+
+/** SQL `UPDATE` and `MERGE INTO` for graft keyed tables — the custom
+  * `Rule[LogicalPlan]` path (SparkSessionExtensions): Spark's own
+  * row-level rewrites only fire for `SupportsRowLevelOperations`
+  * sources, so the analyzed [[UpdateTable]] / [[MergeIntoTable]] nodes
+  * over our tables would otherwise die at planning with "not
+  * supported". This rule recognizes them during resolution and lowers
+  * them onto the store's OWN mutation primitives —
+  * [[KeyedTable.update]] (bucket-pruned predicate update) and
+  * [[KeyedTable.merge]] (one-commit change-feed apply) — so SQL DML
+  * gets the identical commit protocol, CDC capture, and write-lock
+  * contract as the programmatic API, completing the DML matrix
+  * (SELECT + time travel, INSERT, DELETE, UPDATE, MERGE).
+  *
+  * MERGE supports the change-feed shape the store's merge expresses:
+  * an equality join on the FULL primary key, at most one unconditional
+  * `WHEN MATCHED THEN UPDATE`, at most one `WHEN MATCHED [AND c] THEN
+  * DELETE` whose condition reads only source columns, and at most one
+  * unconditional `WHEN NOT MATCHED THEN INSERT`, with UPDATE and
+  * INSERT assigning the SAME source expression per column (`SET *` /
+  * `INSERT *` — the CDC-apply idiom — always qualifies). Everything
+  * else raises a clear unsupported error rather than planning
+  * something subtly different.
+  *
+  * Star actions expand (in Spark's analyzer, before this rule runs)
+  * against the table's SQL shape, which includes the synthetic
+  * `pb_bucket` column — a star-form source therefore carries a NULL
+  * `pb_bucket` slot, the same contract as positional `INSERT INTO`;
+  * assignments to it are dropped here (the store derives the real
+  * bucket itself). Explicit column lists need no such slot.
+  */
+class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def target(plan: LogicalPlan): Option[(String, String, Seq[String])] =
+    plan.collectFirst { case r: DataSourceV2Relation => r }
+      .flatMap(r => KeyedTableSource.storeTarget(r.table))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan resolveOperators {
+    case u @ UpdateTable(t, assignments, condition)
+        if u.resolved && target(t).isDefined =>
+      val Some((wh, name, pk)) = target(t): @unchecked
+      val sets = assignments.flatMap { a =>
+        val k = a.key match {
+          case ar: AttributeReference => ar.name
+          case o => throw new StoreException(
+            s"graft SQL UPDATE: unsupported assignment target $o")
+        }
+        (a.key, a.value) match {
+          // identity assignment (alignment fills untouched columns with
+          // themselves): not an update
+          case (ka: AttributeReference, va: AttributeReference)
+              if ka.exprId == va.exprId => None
+          // the synthetic bucket column is derived, never assigned
+          case _ if k == KeyedTable.BucketCol => None
+          case _ => Some(k -> a.value)
+        }
+      }
+      GraftUpdateCommand(wh, name, sets, condition)
+
+    case m @ MergeIntoTable(t, source, cond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if m.resolved && target(t).isDefined =>
+      val Some((wh, name, pk)) = target(t): @unchecked
+      def unsupported(what: String): Nothing = throw new StoreException(
+        s"graft SQL MERGE: $what is not supported (the store's merge " +
+        "applies a change feed: full-PK equality join, unconditional " +
+        "UPDATE/INSERT assigning the same source expressions, DELETE " +
+        "condition over source columns only)")
+      if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
+      if (notMatchedBySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
+      val targetIds = t.outputSet
+      val sourceIds = source.outputSet
+      def sourceOnly(e: Expression): Boolean =
+        e.references.subsetOf(sourceIds)
+      // merge condition: conjunction of target-PK = source-attr pairs
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => conjuncts(l) ++ conjuncts(r)
+        case o => Seq(o)
+      }
+      val keyPairs: Seq[(String, AttributeReference)] = conjuncts(cond).map {
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if targetIds.contains(l) && sourceIds.contains(r) => l.name -> r
+        case EqualTo(l: AttributeReference, r: AttributeReference)
+            if targetIds.contains(r) && sourceIds.contains(l) => r.name -> l
+        case o => unsupported(s"merge condition term $o")
+      }
+      if (keyPairs.map(_._1).toSet != pk.toSet)
+        unsupported(s"merge condition on ${keyPairs.map(_._1)} (the full " +
+          s"primary key $pk is required)")
+      // actions
+      val (updates, deletes) = (
+        matched.collect { case a: UpdateAction => a },
+        matched.collect { case a: DeleteAction => a })
+      if (updates.size + deletes.size != matched.size)
+        unsupported("a matched action other than UPDATE/DELETE")
+      if (updates.size > 1 || deletes.size > 1)
+        unsupported("multiple matched actions of the same kind")
+      updates.foreach(a => if (a.condition.isDefined)
+        unsupported("a conditional WHEN MATCHED UPDATE"))
+      // SQL gives the FIRST matching clause priority; the store's merge
+      // gives tombstones priority — those agree only when DELETE comes
+      // first (the CDC-apply pattern: WHEN MATCHED AND del THEN DELETE,
+      // WHEN MATCHED THEN UPDATE)
+      if (updates.nonEmpty && deletes.nonEmpty &&
+          !matched.head.isInstanceOf[DeleteAction])
+        unsupported("WHEN MATCHED UPDATE ordered before DELETE (the " +
+          "delete clause must come first for tombstone priority to " +
+          "match SQL's first-clause-wins)")
+      val inserts = notMatched.collect { case a: InsertAction => a }
+      if (inserts.size != notMatched.size || inserts.size > 1)
+        unsupported("a not-matched action other than one INSERT")
+      inserts.foreach(a => if (a.condition.isDefined)
+        unsupported("a conditional WHEN NOT MATCHED INSERT"))
+      val delWhen: Option[Expression] = deletes.headOption.map { d =>
+        val c = d.condition.getOrElse(Literal(true, BooleanType))
+        if (!sourceOnly(c))
+          unsupported(s"a DELETE condition referencing target columns ($c)")
+        c
+      }
+      if (updates.isEmpty && inserts.isEmpty && deletes.isEmpty)
+        unsupported("a MERGE with no actions")
+      // per-column source expression: UPDATE and INSERT must agree —
+      // one feed row carries one value per column for both paths.
+      // Identity update assignments (alignment's keep-stored fill) on
+      // non-key columns are only expressible when INSERT agrees or is
+      // absent; key columns must be assigned the join key itself.
+      def assignMap(as: Seq[Assignment], kind: String): Map[String, Expression] =
+        as.map { a =>
+          val k = a.key match {
+            case ar: AttributeReference => ar.name
+            case o => unsupported(s"$kind assignment target $o")
+          }
+          // alignment may fill untouched columns with the TARGET attr
+          // (keep stored): drop those — absent from the feed means
+          // exactly "keep stored" in the store's partial-column merge
+          a.value match {
+            case va: AttributeReference if targetIds.contains(va) &&
+                va.name == k => k -> null
+            case v =>
+              if (!sourceOnly(v))
+                unsupported(s"$kind assignment for $k referencing target columns")
+              k -> v
+          }
+        }.filter(_._2 != null).toMap
+      val updMap = updates.headOption.map(a => assignMap(a.assignments, "UPDATE"))
+      val insMap = inserts.headOption.map(a => assignMap(a.assignments, "INSERT"))
+      val keyExpr = keyPairs.toMap
+      // key columns: any explicit assignment must be the join key
+      // (alignment may wrap values in type casts — compare through them)
+      def stripCast(e: Expression): Expression = e match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast => stripCast(c.child)
+        // alignment guards non-nullable key assignments with a null check
+        case a: org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull =>
+          stripCast(a.child)
+        case o => o
+      }
+      (updMap.toSeq ++ insMap.toSeq).foreach(_.foreach { case (c, e) =>
+        if (pk.contains(c) && !stripCast(e).semanticEquals(keyExpr(c)))
+          unsupported(s"assigning key column $c to anything but the join key (got $e)")
+      })
+      val valueCols: Seq[(String, Expression)] = (updMap, insMap) match {
+        case (Some(u), Some(i)) =>
+          val cols = (u.keySet ++ i.keySet)
+            .filterNot(pk.contains).filterNot(_ == KeyedTable.BucketCol)
+          cols.toSeq.sorted.map { c =>
+            (u.get(c), i.get(c)) match {
+              case (Some(ue), Some(ie)) if ue.semanticEquals(ie) => c -> ue
+              case (Some(_), Some(_)) => unsupported(
+                s"UPDATE and INSERT assigning different expressions to $c")
+              case (Some(_), None) | (None, Some(_)) => unsupported(
+                s"column $c assigned by only one of UPDATE/INSERT " +
+                "(the feed carries one value per column for both paths)")
+              case (None, None) => unsupported("unreachable")
+            }
+          }
+        case (Some(u), None) => u.toSeq.filterNot(p => pk.contains(p._1)).sortBy(_._1)
+        case (None, Some(i)) => i.toSeq.filterNot(p => pk.contains(p._1)).sortBy(_._1)
+        case (None, None) => Nil // delete-only merge
+      }
+      // the synthetic bucket column is derived by the store, never fed
+      // (SET * / INSERT * naturally pick it up from a source that
+      // mirrors the table's SQL shape)
+      val valueCols2 = valueCols.filterNot(_._1 == KeyedTable.BucketCol)
+      // the feed: one projection over the source — key columns from the
+      // join pairs, value columns from the agreed assignments, plus the
+      // tombstone flag
+      val DelCol = "_graft_sql_del"
+      val feedCols: Seq[Alias] =
+        pk.map(c => Alias(keyExpr(c), c)()) ++
+        valueCols2.map { case (c, e) => Alias(e, c)() } :+
+        Alias(delWhen.getOrElse(Literal(false, BooleanType)), DelCol)()
+      GraftMergeCommand(wh, name, Project(feedCols, source), DelCol)
+  }
+}
+
+/** `UPDATE <graft table> SET … [WHERE …]` lowered onto
+  * [[KeyedTable.update]]: bucket-pruned rewrite, typed SET casts, CDC
+  * images under the table's changelog property — identical to the
+  * programmatic call. */
+case class GraftUpdateCommand(warehouse: String, table: String,
+                              sets: Seq[(String, Expression)],
+                              condition: Option[Expression])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (sets.isEmpty) return Seq.empty // all-identity SET: a no-op
+    val cond = condition.map(GraftSqlDml.byName).getOrElse(lit(true))
+    KeyedTable.update(spark, warehouse, table, cond,
+      sets.map { case (c, e) => c -> GraftSqlDml.byName(e) }.toMap)
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <graft table>` lowered onto [[KeyedTable.merge]]: the
+  * pre-validated feed projection (key columns, agreed value columns,
+  * tombstone flag) executes as its own plan; one store commit, one
+  * changelog batch. */
+case class GraftMergeCommand(warehouse: String, table: String,
+                             feed: LogicalPlan, delCol: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df: DataFrame = GraftBridge.ofRows(spark, feed)
+    KeyedTable.merge(df, warehouse, table,
+      deleteWhen = coalesce(col(delCol), lit(false)),
+      strictUtc = false) // values already passed the table's write checks
+    Seq.empty
+  }
+}
+
+object GraftSqlDml {
+  /** Re-resolve an analyzed expression against the store's own read of
+    * the table: attribute references become by-name lookups (the store
+    * re-reads the table inside update/merge, so the original exprIds
+    * are meaningless there). */
+  private[plans] def byName(e: Expression): Column =
+    GraftBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+}

@@ -405,6 +405,15 @@ object KeyedTable {
       throw new StoreException(
         s"New data has columns not in table: ${newCols.map(_.name).mkString(", ")}. " +
         "Set addNewColumns=true to evolve the schema (reference: sql.py:196)")
+    // a DROPPED name cannot come back while pre-drop files may be live:
+    // the evolved column would read the OLD physical values instead of
+    // NULL (see dropColumns) — a full rewrite (rebucket/zorder) clears it
+    val resurrected = newCols.map(_.name).filter(meta.dropped.contains)
+    if (resurrected.nonEmpty)
+      throw new StoreException(
+        s"column(s) ${resurrected.mkString(", ")} were dropped and their " +
+        "physical data may still be live; rebucket or zorderCompact the " +
+        "table first to re-add the name safely")
     val evolved = StructType(meta.schema.fields ++ newCols.map(_.copy(nullable = true)))
 
     val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -1194,6 +1203,9 @@ object KeyedTable {
             .parquet(staging)
           commitStaged(spark, f, dir, data, staging, 0 until base.buckets,
             "zorder", base, base.buckets, meta)
+          // full rewrite: dropped names are re-addable again (dropColumns)
+          if (meta.dropped.nonEmpty)
+            TableMeta.write(spark, dir, meta.copy(dropped = Nil))
         } finally f.delete(new Path(staging), true)
       }
     }
@@ -1365,6 +1377,44 @@ object KeyedTable {
     }
   }
 
+  /** #11aa metadata-only column DROP — the inverse of `addNewColumns`
+    * evolution: the column leaves the logical schema (reads project
+    * `meta.schema`, so live files' physical data for it is simply never
+    * read again) and every future write aligns to the reduced schema.
+    * Zero data IO — at 100 TB, dropping a column is a metadata edit,
+    * not a rewrite; the dead bytes go away as compaction/zorder/rebucket
+    * naturally rewrite files.
+    *
+    * Safety: the name is remembered in [[TableMeta.dropped]] and schema
+    * evolution REJECTS re-adding it while any pre-drop file could still
+    * be live — old values would silently resurrect instead of reading
+    * NULL (the hazard Iceberg solves with field IDs). A FULL rewrite
+    * (rebucket, zorderCompact) replaces every live file with the
+    * current schema and clears the list.
+    *
+    * PK columns cannot be dropped. Stats columns referencing the
+    * dropped name are pruned. */
+  def dropColumns(spark: SparkSession, warehouse0: String, tableName: String,
+                  cols: Seq[String], schema: Option[String] = None): Unit = {
+    require(cols.nonEmpty, "dropColumns needs at least one column")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "dropColumns") {
+      val meta = TableMeta.read(spark, dir)
+      cols.foreach { c =>
+        if (!meta.schema.fieldNames.contains(c))
+          throw new StoreException(
+            s"cannot drop $c: not in table schema ${meta.schema.fieldNames.toSeq}")
+        if (meta.pk.contains(c))
+          throw new StoreException(s"cannot drop primary-key column $c")
+      }
+      TableMeta.write(spark, dir, meta.copy(
+        schema = StructType(meta.schema.fields.filterNot(f => cols.contains(f.name))),
+        statsCols = meta.statsCols.filterNot(cols.contains),
+        dropped = (meta.dropped ++ cols).distinct))
+    }
+  }
+
   /** #11z per-column file statistics: register EXTRA columns (beyond the
     * always-tracked leading PK) whose min/max every future commit records
     * per new file in the manifest — scans then FILE-SKIP on pushed
@@ -1529,7 +1579,10 @@ object KeyedTable {
       commitStaged(spark, f, dir, data, staging,
         0 until math.max(base.buckets, newBuckets), "rebucket",
         base, newBuckets, meta, removeMissing = true)
-      TableMeta.write(spark, dir, meta.copy(buckets = newBuckets))
+      // a full rewrite: every live file now carries the current schema,
+      // so dropped column names may be re-added safely (see dropColumns)
+      TableMeta.write(spark, dir,
+        meta.copy(buckets = newBuckets, dropped = Nil))
     } finally f.delete(new Path(staging), true)
   }
 

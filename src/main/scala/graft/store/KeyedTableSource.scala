@@ -81,9 +81,20 @@ object KeyedTableSource {
   def read(spark: SparkSession, warehouse: String, table: String) =
     spark.read.format(classOf[KeyedTableSource].getName)
       .option("warehouse", warehouse).option("table", table).load()
+
+  /** (warehouse, tableName, pk) when `t` is a keyed-table DSv2 handle —
+    * how graft's SQL DML rule recognizes its own tables inside a plan
+    * (dataDir is always `<warehouse>/<table>/data`). */
+  def storeTarget(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[(String, String, Seq[String])] = t match {
+    case k: KeyedBatchTable =>
+      val tableDir = new Path(k.name()).getParent
+      Some((tableDir.getParent.toString, tableDir.getName, k.meta.pk))
+    case _ => None
+  }
 }
 
-private[store] class KeyedBatchTable(meta: TableMeta, dataDir: String,
+private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                                      mf: Option[Manifest] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite

@@ -41,6 +41,13 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *   Z-ordered layout is exactly what makes these bounds tight).
   *   Files written before a column joined this list carry no entry for
   *   it and are simply never pruned on it.
+  * @param dropped column names removed by `KeyedTable.dropColumns` whose
+  *   PHYSICAL data may still sit in live files (the drop is
+  *   metadata-only). Re-adding such a name through schema evolution
+  *   would silently resurrect the old values instead of reading NULL,
+  *   so evolution rejects these names until a FULL rewrite (rebucket /
+  *   zorderCompact) has replaced every live file — those clear the
+  *   list. The field-ID-free form of Iceberg's drop-column safety.
   */
 final case class TableMeta(
     pk: Seq[String],
@@ -49,7 +56,8 @@ final case class TableMeta(
     schema: StructType,
     maxAutoIndex: Option[Long] = None,
     changelog: Boolean = false,
-    statsCols: Seq[String] = Nil) {
+    statsCols: Seq[String] = Nil,
+    dropped: Seq[String] = Nil) {
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
@@ -60,6 +68,9 @@ final case class TableMeta(
      (if (changelog) List("changelog" -> (JBool(true): JValue)) else Nil) ++
      (if (statsCols.nonEmpty)
         List("statsCols" -> (JArray(statsCols.map(JString(_)).toList): JValue))
+      else Nil) ++
+     (if (dropped.nonEmpty)
+        List("dropped" -> (JArray(dropped.map(JString(_)).toList): JValue))
       else Nil)))))
 }
 
@@ -93,11 +104,15 @@ object TableMeta {
       case JArray(xs) => xs.collect { case JString(x) => x }
       case _ => Nil
     }
+    val dr = (j \ "dropped") match {
+      case JArray(xs) => xs.collect { case JString(x) => x }
+      case _ => Nil
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx, cl, sc)
+      maxIdx, cl, sc, dr)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)

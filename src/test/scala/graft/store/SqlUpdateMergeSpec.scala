@@ -1,0 +1,160 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL `UPDATE` and `MERGE INTO` lowered onto the store's own
+  * update/merge primitives by graft.plans.GraftSqlDmlRule — the DML
+  * matrix completes: SELECT (+ time travel), INSERT, DELETE, UPDATE,
+  * MERGE, all through one commit protocol. */
+class SqlUpdateMergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val catN = new java.util.concurrent.atomic.AtomicLong()
+
+  private def withCatalog[A](w: String)(f: String => A): A = {
+    val cat = s"graft_dml${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    try f(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  private def wh(): String = Files.createTempDirectory("graft-spec-sqldml-").toString
+
+  test("UPDATE with WHERE and expressions over current values") {
+    val w = wh()
+    KeyedTable.toSql(
+      (1L to 20L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "v", "x"),
+      w, "t", pk = Seq("k"))
+    withCatalog(w) { cat =>
+      spark.sql(s"UPDATE $cat.t SET x = x * 2 + 1, v = concat(v, '!') WHERE k % 4 = 0")
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    rows.foreach { case (k, v, x) =>
+      if (k % 4 == 0) { assert(v == s"v$k!" && x == k * 2.0 + 1) }
+      else { assert(v == s"v$k" && x == k * 1.0) }
+    }
+  }
+
+  test("UPDATE without WHERE touches every row; SET on the PK is rejected") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "x"),
+      w, "t", pk = Seq("k"))
+    withCatalog(w) { cat =>
+      spark.sql(s"UPDATE $cat.t SET x = 0.0")
+      assert(KeyedTable.readSql(spark, w, "t")
+        .select("x").as[Double].collect().toSet == Set(0.0))
+      intercept[Exception](spark.sql(s"UPDATE $cat.t SET k = 99"))
+    }
+  }
+
+  test("MERGE INTO: the CDC-apply shape (DELETE first, UPDATE SET *, INSERT *)") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // feed: delete k=2, update k=1, insert k=4, absent tombstone k=9
+    Seq((2L, "x", 0.0, true), (1L, "A", 11.0, false),
+        (4L, "d", 40.0, false), (9L, "z", 0.0, true))
+      .toDF("k", "g", "v", "is_del")
+      .createOrReplaceTempView("dml_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_feed AS s ON t.k = s.k
+        WHEN MATCHED AND s.is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)),
+      s"got $rows")
+  }
+
+  test("MERGE INTO with star actions against a table-shaped source") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // SET * / INSERT * expand against the table's SQL shape, which
+    // includes the synthetic pb_bucket column — a star source carries a
+    // NULL slot for it (same contract as positional INSERT INTO); the
+    // store derives the real bucket itself
+    Seq((1L, "A", 11.0), (5L, "e", 50.0)).toDF("k", "g", "v")
+      .withColumn("pb_bucket", lit(null).cast("int"))
+      .createOrReplaceTempView("dml_star_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_star_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (2L, "b", 20.0), (5L, "e", 50.0)),
+      s"got $rows")
+  }
+
+  test("MERGE semantics guards: non-PK join and update-before-delete are rejected") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", 1.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    Seq((1L, "a", 2.0, false)).toDF("k", "g", "v", "is_del")
+      .createOrReplaceTempView("dml_bad_feed")
+    withCatalog(w) { cat =>
+      // join on a non-key column: the store merges by PK only
+      intercept[Exception](spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_bad_feed AS s ON t.g = s.g
+        WHEN MATCHED THEN UPDATE SET v = s.v
+      """))
+      // UPDATE clause ordered before DELETE: SQL first-clause-wins would
+      // disagree with tombstone priority — refused, not misplanned
+      intercept[Exception](spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_bad_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN MATCHED AND s.is_del THEN DELETE
+      """))
+    }
+    // the guards fired during planning: nothing changed
+    assert(KeyedTable.readSql(spark, w, "t").head().getDouble(2) == 1.0)
+  }
+
+  test("SQL UPDATE and MERGE capture CDC under the table property") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"))
+    // enable capture, then run both statements WITHOUT any flag
+    KeyedTable.toSql(Seq((3L, 30.0)).toDF("k", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    Seq((2L, 0.0, true), (4L, 40.0, false)).toDF("k", "v", "is_del")
+      .createOrReplaceTempView("dml_cdc_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"UPDATE $cat.t SET v = v + 1 WHERE k = 1")
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_cdc_feed AS s ON t.k = s.k
+        WHEN MATCHED AND s.is_del THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      """)
+    }
+    val log = KeyedTable.readChangelog(spark, w, "t")
+      .select(col("batch").cast("long"), col("k"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(log == Set(
+      (0L, 3L, "insert"),   // the enabling upsert
+      (1L, 1L, "update"),   // SQL UPDATE
+      (2L, 2L, "delete"), (2L, 4L, "insert")), // SQL MERGE, one batch
+      s"got $log")
+  }
+}
