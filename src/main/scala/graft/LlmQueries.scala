@@ -125,6 +125,16 @@ object LlmQueries {
       tokenCountBpe(col("text")).as("bpe_tokens"),
       tokenCountEstimate(col("text")).as("est_tokens"))
 
+  /** #30ah GLOBAL concat-and-chunk packing: unlike #30k's 8 independent
+    * pack-group streams, this lays the WHOLE corpus end-to-end in one
+    * deterministic doc_id stream and cuts fixed 2048-token packs —
+    * exactly via [[graft.operators.Packing]]'s shard-edge distributed
+    * prefix sum (no single-task global window; the per-shard offsets
+    * are ≤ shards driver rows). */
+  def packGlobal(s: SparkSession, d: String): DataFrame =
+    graft.operators.Packing.packShards(docs(s, d), "doc_id",
+      tokenCountEstimate(col("text")), budget = 2048L)
+
   /** #32 */
   def docFingerprintQ(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
@@ -1294,6 +1304,7 @@ object LlmQueries {
     "length_buckets" -> lengthBuckets,
     "length_percentiles" -> lengthPercentiles,
     "pack_chunks" -> ((s: SparkSession, d: String) => packChunks(s, d)),
+    "pack_global" -> packGlobal,
     "corpus_stats" -> corpusStats,
     "quality_filter" -> qualityFilter,
     "token_count" -> tokenCount,
@@ -1730,6 +1741,18 @@ object LlmQueries {
              (start_offset // 2048)::BIGINT AS seq_id,
              start_offset % 2048 + n_tokens > 2048 AS crosses_boundary
       FROM o""".trim,
+    "pack_global" -> """
+      WITH t AS (SELECT doc_id, CAST(ceil(length(text)/4.0) AS BIGINT) AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks,
+              coalesce(sum(toks) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                AS before
+            FROM t)
+      SELECT (before // 2048)::BIGINT AS pack, count(*)::BIGINT AS n_docs,
+             sum(toks)::BIGINT AS pack_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM c GROUP BY 1""".trim,
     "corpus_balance" -> """
       WITH t AS (SELECT doc_id, source FROM documents
                  WHERE source = 'src0' OR doc_id % 2 = 0),
