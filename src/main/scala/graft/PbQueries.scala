@@ -662,6 +662,88 @@ object PbQueries {
     }
   }
 
+  /** #11ab (`pb_tag`): snapshot tags as a retention contract — tag the
+    * create snapshot, mutate, vacuum with a ZERO age bound (which
+    * expires every untagged non-current snapshot and its files), then
+    * read the tag back through SQL `VERSION AS OF '<name>'`: the
+    * baseline must come back byte-identical, proving the tag pinned
+    * both the manifest and (via union-liveness) its data files. The
+    * 100 TB story: "the train-v3 corpus cut stays reproducible" no
+    * matter how aggressively maintenance reclaims space. */
+  private val tagN = new java.util.concurrent.atomic.AtomicLong()
+  def tagQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8) // v0
+    KeyedTable.tagSnapshot(spark, wh, "customer", "baseline")
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 3 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert) // v1
+    KeyedTable.vacuum(spark, wh, "customer", olderThanMs = 0L)
+    val cat = s"graft_gate_tag${tagN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val out = spark.sql(
+        s"SELECT * FROM $cat.customer VERSION AS OF 'baseline'")
+        .drop(KeyedTable.BucketCol)
+      out.cache().count() // materialize before the catalog conf is unset
+      out
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  /** #11ac (`pb_incremental`): incremental snapshot read — three
+    * append-only commits, then `readIncremental(sinceVersion = 0)`
+    * returns EXACTLY the rows of the later two, resolved from the
+    * manifest file diff alone (zero listing, zero diffing — a derived
+    * pipeline polling a 100 TB table reads only the new files). */
+  def incrementalQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val orders = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    KeyedTable.toSql(orders.filter(k % 3 === 0), wh, "orders",
+      pk = Seq("o_orderkey"), buckets = 8, strictUtc = false) // v0; NTZ testdata is UTC
+    KeyedTable.toSql(orders.filter(k % 3 === 1), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false) // v1
+    KeyedTable.toSql(orders.filter(k % 3 === 2), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false) // v2
+    KeyedTable.readIncremental(spark, wh, "orders", sinceVersion = 0L)
+  }
+
+  /** #11ad (`pb_append_concurrent`): the optimistic commit path under
+    * REAL concurrency — three threads append disjoint key slices via
+    * `appendConcurrent` (staging outside the write lock, conflict
+    * re-validation + manifest flip inside a brief one), and the
+    * read-back must be the exact union regardless of commit order.
+    * The 100 TB story: N ingest jobs into one table overlap their
+    * write work instead of serializing end-to-end on the table lock. */
+  def appendConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer.filter(k % 4 === 0), wh, "customer",
+      pk = Seq("c_custkey"), buckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((1 to 3).map { r =>
+        Future {
+          KeyedTable.appendConcurrent(customer.filter(k % 4 === r),
+            wh, "customer")
+        }
+      }), 5.minutes)
+    } finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -695,6 +777,9 @@ object PbQueries {
     "pb_rebucket" -> rebucketQ,
     "pb_vacuum" -> vacuumQ,
     "pb_sql_delete" -> sqlDelete,
+    "pb_tag" -> tagQ,
+    "pb_incremental" -> incrementalQ,
+    "pb_append_concurrent" -> appendConcurrentQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,6 +848,14 @@ object PbQueries {
       SELECT 2::BIGINT, count(*)::BIGINT FROM orders WHERE o_orderkey % 5 <> 0
     """.trim,
     "pb_zorder" -> "SELECT * FROM orders",
+    // the TAGGED v0 snapshot: the post-tag upsert must NOT appear, and
+    // vacuum(0) must not have harmed the tagged files
+    "pb_tag" -> "SELECT * FROM customer",
+    // rows of the two post-sinceVersion append batches, nothing else
+    "pb_incremental" ->
+      "SELECT * FROM orders WHERE o_orderkey % 3 <> 0",
+    // three concurrent disjoint appends + the create slice = the table
+    "pb_append_concurrent" -> "SELECT * FROM customer",
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)

@@ -79,11 +79,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** SQL time travel: `SELECT … FROM graft.t VERSION AS OF <n>` pins
     * the scan to manifest snapshot n — the SQL surface of
-    * `readSql(asOfVersion)`, available until vacuum expires it. */
+    * `readSql(asOfVersion)`, available until vacuum expires it. A
+    * NON-numeric version is a snapshot TAG (`VERSION AS OF 'train-v3'`,
+    * see [[Tags]]), vacuum-proof until dropped. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val dir = tableDirOf(ident)
-    val v = version.toLongOption.getOrElse(throw new StoreException(
-      s"VERSION AS OF takes a numeric snapshot version, got '$version'"))
+    val v = version.toLongOption
+      .getOrElse(KeyedTable.resolveTag(spark, dir, version))
     new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
       Some(Manifest.at(spark, dir, v)))
   }

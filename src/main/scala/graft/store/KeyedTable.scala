@@ -803,6 +803,236 @@ object KeyedTable {
   private def manifestOf(base: Manifest): Option[Manifest] =
     if (base.version >= 0) Some(base) else None
 
+  /** OPTIMISTIC append: the Delta/Iceberg commit model for the one
+    * mutation shape that composes — appends add uniquely-named files,
+    * so two appends to the same table (even the same buckets) never
+    * physically conflict; only the manifest flip must serialize.
+    *
+    * [[toSql]]'s append holds the write lock for the WHOLE mutation —
+    * planning, validation, and the (possibly huge) staged write job —
+    * so N ingest jobs into one table serialize end-to-end: at 1000
+    * executors the cluster runs one append's tasks while N−1 drivers
+    * wait. This path instead:
+    *
+    *  1. UNLOCKED: reads the current snapshot, buckets + validates the
+    *     delta, pre-checks PK overlap against the snapshot-at-start
+    *     (delta-bounded), and runs the staged write job;
+    *  2. LOCKED (briefly, queuing up to `commitWaitMs` behind other
+    *     committers — the section is a manifest flip, not a write job):
+    *     re-validates against the LATEST state and commits.
+    *
+    * Commit-time conflict rules (all throw [[ConcurrentWriteException]]
+    * with the table unchanged and staging cleaned; retry the call):
+    *  - bucket count changed (a rebucket won the race) — staged files
+    *    are bucketed under the old layout;
+    *  - schema conflict: a column now typed differently than our staged
+    *    files wrote it, or since dropped (writing it would silently
+    *    discard or later resurrect data);
+    *  - PK overlap with rows committed since our snapshot — checked
+    *    against only the files ADDED between snapshot-at-start and
+    *    latest (usually none ⇒ zero IO): a key live at commit time is
+    *    either in a start-snapshot file (pre-checked) or in an added
+    *    file (re-checked), so the two checks together cover the latest
+    *    snapshot exactly. (A key DELETED since the start may fail the
+    *    pre-check spuriously; the retry then succeeds — conservative,
+    *    never unsound.)
+    *
+    * Auto-index tables reserve their id range under a short lock before
+    * staging (the high-water mark is the one piece of append state that
+    * cannot be merged after the fact); a crash after reserving leaves
+    * an id gap, never a duplicate — same rule as [[append]].
+    * A pre-manifest legacy table (no snapshot isolation to commit
+    * against) falls back to the classic locked append, waiting up to
+    * `commitWaitMs` for the lock. */
+  def appendConcurrent(df: DataFrame, warehouse0: String, tableName: String,
+                       addNewColumns: Boolean = false,
+                       validate: Boolean = true,
+                       schema: Option[String] = None,
+                       changelog: Boolean = false,
+                       commitWaitMs: Long = 60000L): Unit = {
+    val spark = df.sparkSession
+    val wh = schemaDir(warehouse0, schema)
+    val dir = tableDir(wh, tableName)
+    if (!TableMeta.exists(spark, dir))
+      throw new StoreException(
+        s"appendConcurrent: table $tableName does not exist " +
+        "(create it with toSql first — creation must arbitrate under the lock)")
+    val naive = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (naive.nonEmpty)
+      throw new StoreException(
+        s"Column(s) ${naive.map(_.name).mkString(", ")} timezone must be set " +
+        "(naive TimestampNTZ rejected, as in toSql strictUtc)")
+    val cleaned = df.columns.foldLeft(df) { (d, c) =>
+      val cc = Names.cleanName(c)
+      if (cc == c) d else d.withColumnRenamed(c, cc)
+    }
+    val data = dataDir(wh, tableName)
+    val meta0 = TableMeta.read(spark, dir)
+    val base0 = Manifest.current(spark, dir).getOrElse {
+      // legacy table: no snapshot to diff against — classic locked
+      // append (which adopts a manifest, so the NEXT call is optimistic)
+      WriteLock.withLockWait(spark, dir, "appendConcurrent(legacy)",
+        commitWaitMs) {
+        append(cleaned, wh, tableName, addNewColumns, validate, changelog)
+      }
+      return
+    }
+    val wantChangelog = changelog || meta0.changelog
+
+    // ---------------- UNLOCKED: plan, validate, stage ----------------
+    val (aligned0, evolved, metaUsed) =
+      if (meta0.autoIndex) {
+        val n = cleaned.count()
+        // short lock: reserve [cur+1, cur+n]; mark-before-data as in
+        // append (crash ⇒ id gap, never a duplicate). Assignment and
+        // alignment run AFTER release — only the high-water-mark bump
+        // needs exclusion.
+        val (start, m) = WriteLock.withLockWait(spark, dir,
+            "appendConcurrent(reserve-ids)", commitWaitMs) {
+          val m0 = TableMeta.read(spark, dir)
+          val cur = m0.maxAutoIndex
+            .getOrElse(footerMaxAutoIndex(spark, wh, tableName, m0))
+          val m1 = m0.copy(maxAutoIndex = Some(cur + n))
+          TableMeta.write(spark, dir, m1)
+          (cur + 1L, m1)
+        }
+        val (withIds, n2) = assignAutoIndex(cleaned, start)
+        if (n2 != n)
+          throw new StoreException(
+            s"appendConcurrent: incoming frame is non-deterministic " +
+            s"($n rows at reservation, $n2 at assignment); ids would " +
+            "escape the reserved range — materialize the input first")
+        val (a, e) = align(withIds, m, addNewColumns)
+        (a, e, m)
+      } else {
+        val (a, e) = align(cleaned, meta0, addNewColumns)
+        (a, e, meta0)
+      }
+    val newB = withBucket(aligned0, metaUsed.pk, base0.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = fs(spark, dir)
+    try {
+      val touched = validateAndTouched(newB, metaUsed.pk,
+        validate && !metaUsed.autoIndex)
+      if (!metaUsed.autoIndex) {
+        // provisional overlap pre-check against the snapshot-at-start
+        // (unlocked; the locked re-check below covers everything added
+        // since, so together they cover the commit-time snapshot)
+        val old = readRawWith(spark, wh, tableName, metaUsed, Some(base0))
+          .filter(col(BucketCol).isin(touched: _*))
+        val overlap = newB.join(old, metaUsed.pk, "left_semi").limit(5)
+          .select(metaUsed.pk.map(col): _*).collect()
+        if (overlap.nonEmpty)
+          throw new StoreException(
+            s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
+            "(reference: sql.py:264 append raises on repeated index)")
+      }
+      // changelog images staged UNLOCKED (append images need no
+      // pre-image join); batch number + rename happen inside the lock
+      val clStaging: Option[Path] = if (wantChangelog) {
+        val nonPk = evolved.fieldNames.filterNot(metaUsed.pk.contains).toSeq
+        val images = nonPk.flatMap { c =>
+          Seq(lit(null).cast(evolved(c).dataType).as(s"old_$c"),
+            col(c).as(s"new_$c"))
+        }
+        val changes = newB
+          .select(metaUsed.pk.map(col) ++ (lit("insert").as("op") +: images): _*)
+        val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+        changes.write.parquet(p.toString)
+        Some(p)
+      } else None
+      val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
+      try {
+        // the expensive job — OUTSIDE the lock
+        clusterByBucket(newB, base0.buckets, metaUsed.pk)
+          .write.partitionBy(BucketCol).parquet(staging)
+
+        // ---------------- LOCKED: re-validate, commit ----------------
+        WriteLock.withLockWait(spark, dir, "appendConcurrent(commit)",
+            commitWaitMs) {
+          val metaLatest = TableMeta.read(spark, dir)
+          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+          if (baseLatest.buckets != base0.buckets)
+            throw new ConcurrentWriteException(
+              s"bucket count changed ${base0.buckets} -> " +
+              s"${baseLatest.buckets} (concurrent rebucket); staged files " +
+              "use the old layout — retry the append")
+          val mergedSchema = mergeEvolved(evolved, metaUsed, metaLatest)
+          if (!metaUsed.autoIndex && baseLatest.version != base0.version) {
+            // re-check overlap against only the files ADDED since our
+            // snapshot in the buckets we touch — usually none ⇒ no IO
+            val addedByBucket = touched.flatMap { b =>
+              val before = base0.files.getOrElse(b, Nil).map(_.name).toSet
+              val now = baseLatest.files.getOrElse(b, Nil)
+                .filterNot(x => before.contains(x.name))
+              if (now.isEmpty) None else Some(b -> now)
+            }.toMap
+            if (addedByBucket.nonEmpty) {
+              val addedDf = readRawWith(spark, wh, tableName, metaLatest,
+                Some(baseLatest.copy(files = addedByBucket)))
+              val clash = newB.join(addedDf, metaUsed.pk, "left_semi")
+                .limit(5).select(metaUsed.pk.map(col): _*).collect()
+              if (clash.nonEmpty)
+                throw new ConcurrentWriteException(
+                  s"PK(s) ${clash.mkString(", ")} were written by a " +
+                  "concurrent mutation after this append staged; retry " +
+                  "(or use upsert semantics if overwrite is intended)")
+            }
+          }
+          commitStaged(spark, f, dir, data, staging, touched,
+            "appendConcurrent", baseLatest, baseLatest.buckets,
+            metaLatest.copy(schema = mergedSchema), add = true)
+          clStaging.foreach { src =>
+            val clRoot = new Path(dir, ChangelogDir)
+            val nextBatch =
+              if (!f.exists(clRoot)) 0L
+              else f.listStatus(clRoot)
+                .filter(st => st.isDirectory &&
+                  st.getPath.getName.startsWith("batch="))
+                .map(_.getPath.getName.stripPrefix("batch=").toLong)
+                .foldLeft(-1L)(math.max) + 1L
+            commitChangelogBatch(f, "appendConcurrent", src,
+              new Path(clRoot, s"batch=$nextBatch"))
+          }
+          val metaFinal = metaLatest.copy(schema = mergedSchema,
+            changelog = wantChangelog || metaLatest.changelog)
+          if (metaFinal != metaLatest) TableMeta.write(spark, dir, metaFinal)
+        }
+      } finally {
+        f.delete(new Path(staging), true)
+        clStaging.foreach(p => f.delete(p, true))
+      }
+    } finally newB.unpersist()
+  }
+
+  /** Merge this append's (possibly evolved) schema into the table's
+    * COMMIT-TIME schema, detecting concurrent-evolution conflicts:
+    * columns another writer added meanwhile are kept (our files read
+    * NULL for them); columns we add are appended; a type mismatch or a
+    * since-dropped column aborts ([[ConcurrentWriteException]]). */
+  private def mergeEvolved(evolved: StructType, metaUsed: TableMeta,
+                           metaLatest: TableMeta): StructType = {
+    if (metaLatest.schema == metaUsed.schema) return evolved
+    val latestTypes = metaLatest.schema.fields.map(x => x.name -> x.dataType).toMap
+    evolved.fields.foreach { fld =>
+      latestTypes.get(fld.name).foreach { t =>
+        if (t != fld.dataType)
+          throw new ConcurrentWriteException(
+            s"column ${fld.name} is now ${t.catalogString} but this " +
+            s"append staged ${fld.dataType.catalogString} " +
+            "(concurrent schema change); retry the append")
+      }
+      if (metaLatest.dropped.contains(fld.name) &&
+          !latestTypes.contains(fld.name))
+        throw new ConcurrentWriteException(
+          s"column ${fld.name} was dropped by a concurrent mutation; " +
+          "its staged values would be silently discarded — retry the " +
+          "append against the current schema")
+    }
+    val extra = evolved.fields.filterNot(x => latestTypes.contains(x.name))
+    StructType(metaLatest.schema.fields ++ extra)
+  }
+
   /** Change-data-capture: with `changelog = true` an upsert also writes,
     * per incoming row, one (pk…, op, old_<c>…, new_<c>…) record —
     * op ∈ insert (key absent before) / update (key present, some
@@ -1636,17 +1866,29 @@ object KeyedTable {
             removed += 1
         }
       }
+      // Tag temp files (`.tmp-tags-*`): only a crash between create and
+      // rename leaves one behind — same reap rule as manifest temps.
+      f.listStatus(p).foreach { st =>
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-tags-") &&
+            st.getModificationTime < cutoff && f.delete(st.getPath, false))
+          removed += 1
+      }
       Manifest.current(spark, dir).foreach { m =>
         // Order matters: FIRST expire old manifests past the age bound
-        // (never the current one), THEN reap data files unreferenced by
-        // ANY surviving manifest — a file's own mtime says when it was
-        // written, not when it was superseded, so the live set must
-        // span every snapshot a reader (or asOfVersion) can still
-        // resolve, exactly Iceberg's expire-snapshots rule.
+        // (never the current one, never a TAGGED one — a tag is a
+        // retention contract, see [[Tags]]), THEN reap data files
+        // unreferenced by ANY surviving manifest — a file's own mtime
+        // says when it was written, not when it was superseded, so the
+        // live set must span every snapshot a reader (or asOfVersion /
+        // asOfTag) can still resolve, exactly Iceberg's
+        // expire-snapshots rule.
+        val protected0: Set[String] =
+          Tags.read(spark, dir).values.map(Manifest.versionName).toSet +
+            Manifest.versionName(m.version)
         if (f.exists(mdir)) {
           f.listStatus(mdir).foreach { st =>
             val keep = !Manifest.isVersionName(st.getPath.getName) ||
-              st.getPath.getName == Manifest.versionName(m.version)
+              protected0.contains(st.getPath.getName)
             if (st.isFile && !keep &&
                 st.getModificationTime < cutoff && f.delete(st.getPath, false))
               removed += 1
@@ -1701,6 +1943,121 @@ object KeyedTable {
     rows.toDF("version", "buckets", "n_files", "n_rows", "bytes")
   }
 
+  /** Tag a snapshot version under a stable name (see [[Tags]]): the
+    * snapshot — and every data file it references — then survives
+    * [[vacuum]] until [[dropTag]] releases it, and reads resolve it via
+    * `readSql(asOfTag)` or SQL `VERSION AS OF '<name>'`. Defaults to
+    * the CURRENT version. Returns the tagged version. Fails loudly on a
+    * duplicate name (retagging is dropTag + tag — explicit, like
+    * Iceberg's replace), an unknown version, or a table with no
+    * snapshot yet. */
+  def tagSnapshot(spark: SparkSession, warehouse0: String, tableName: String,
+                  tag: String, version: Option[Long] = None,
+                  schema: Option[String] = None): Long = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    if (tag.isEmpty || tag.exists(c => c == '/' || c == '\\'))
+      throw new StoreException(s"bad tag name '$tag'")
+    if (tag.toLongOption.isDefined)
+      throw new StoreException(
+        s"tag name '$tag' would shadow a numeric snapshot version in " +
+        "SQL VERSION AS OF; pick a non-numeric name")
+    WriteLock.withLock(spark, dir, s"tag($tag)") {
+      val vs = Manifest.versions(spark, dir)
+      if (vs.isEmpty)
+        throw new StoreException(
+          s"table $tableName has no snapshot to tag (write to it first)")
+      val v = version.getOrElse(vs.last)
+      if (!vs.contains(v))
+        throw new StoreException(
+          s"cannot tag version $v (available: ${vs.mkString(", ")})")
+      val cur = Tags.read(spark, dir)
+      if (cur.contains(tag))
+        throw new StoreException(
+          s"tag '$tag' already exists (points at version ${cur(tag)}); " +
+          "dropTag it first to retag")
+      Tags.write(spark, dir, cur + (tag -> v))
+      v
+    }
+  }
+
+  /** Drop a snapshot tag; the version it pinned becomes an ordinary
+    * time-travel snapshot again (expired by the next [[vacuum]] once
+    * past the age bound). No-op returns false if the tag is unknown. */
+  def dropTag(spark: SparkSession, warehouse0: String, tableName: String,
+              tag: String, schema: Option[String] = None): Boolean = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    WriteLock.withLock(spark, dir, s"dropTag($tag)") {
+      val cur = Tags.read(spark, dir)
+      if (!cur.contains(tag)) false
+      else { Tags.write(spark, dir, cur - tag); true }
+    }
+  }
+
+  /** All tags of a table as (tag, version) rows (lock-free read). */
+  def tags(spark: SparkSession, warehouse0: String, tableName: String,
+           schema: Option[String] = None): DataFrame = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    import spark.implicits._
+    Tags.read(spark, dir).toSeq.sortBy(_._1).toDF("tag", "version")
+  }
+
+  /** Incremental snapshot read: the rows ADDED between two snapshots,
+    * resolved purely from the manifest diff — the files present in
+    * `toVersion` (default: current) but not in `sinceVersion`. For an
+    * append-only window this is EXACTLY the new rows, at the cost of
+    * reading only the new files (a consumer syncing a 100 TB table
+    * reads megabytes per poll, zero listing, zero diffing) — the
+    * Iceberg incremental-scan / Delta `readChangeFeed`-lite model.
+    *
+    * Correctness gate: if the window contains a NON-additive commit
+    * (upsert rewrite, delete, compaction, Z-order, rebucket — detected
+    * as any `sinceVersion` file absent from `toVersion`, or a bucket
+    * count change), the added-files set no longer means "new rows"
+    * (rewritten files repeat old rows) and this throws, directing the
+    * consumer to [[readChangelog]], which handles arbitrary mutations
+    * via row-level images. Fail loudly, never silently double-count.
+    *
+    * Both snapshots must still be unexpired; tag `sinceVersion`'s
+    * snapshot (see [[tagSnapshot]]) to guarantee a poll cursor survives
+    * vacuum. */
+  def readIncremental(spark: SparkSession, warehouse0: String,
+                      tableName: String, sinceVersion: Long,
+                      toVersion: Option[Long] = None,
+                      schema: Option[String] = None): DataFrame = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    val meta = TableMeta.read(spark, dir)
+    val since = Manifest.at(spark, dir, sinceVersion)
+    val to = toVersion match {
+      case Some(v) => Manifest.at(spark, dir, v)
+      case None => Manifest.current(spark, dir).getOrElse(
+        throw new StoreException(s"table $tableName has no snapshot"))
+    }
+    if (to.version < since.version)
+      throw new StoreException(
+        s"readIncremental window is backwards: since=$sinceVersion " +
+        s"to=${to.version}")
+    def nonAdditive(why: String): Nothing = throw new StoreException(
+      s"snapshots $sinceVersion..${to.version} of $tableName are not " +
+      s"append-only ($why): added files would repeat surviving rows; " +
+      "use readChangelog for row-level incremental consumption")
+    if (to.buckets != since.buckets)
+      nonAdditive(s"bucket count changed ${since.buckets} -> ${to.buckets}")
+    val added: Map[Int, Seq[ManifestFile]] = {
+      val diffs = (since.files.keySet ++ to.files.keySet).toSeq.sorted.map { b =>
+        val old = since.files.getOrElse(b, Nil).map(_.name).toSet
+        val cur = to.files.getOrElse(b, Nil)
+        if (!old.subsetOf(cur.map(_.name).toSet))
+          nonAdditive(s"bucket $b lost files")
+        b -> cur.filterNot(f => old.contains(f.name))
+      }
+      diffs.filter(_._2.nonEmpty).toMap
+    }
+    readRawWith(spark, warehouse, tableName, meta,
+      Some(to.copy(files = added)))
+      .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
   /** Read the change-data-capture log written by changelog-enabled
     * upserts: one row per incoming row per batch — (pk…, op,
     * old_<c>…, new_<c>…, batch), op ∈ insert/update/unchanged with
@@ -1748,8 +2105,11 @@ object KeyedTable {
               lowest: Seq[Any] = Nil,
               highest: Seq[Any] = Nil,
               schema: Option[String] = None,
-              asOfVersion: Option[Long] = None): DataFrame = {
+              asOfVersion: Option[Long] = None,
+              asOfTag: Option[String] = None): DataFrame = {
     val warehouse = schemaDir(warehouse0, schema)
+    if (asOfVersion.isDefined && asOfTag.isDefined)
+      throw new StoreException("pass asOfVersion or asOfTag, not both")
     val meta = TableMeta.read(spark, tableDir(warehouse, tableName))
     for (s <- Seq(lowest, highest) if s.nonEmpty && s.size != meta.pk.size)
       throw new StoreException(
@@ -1777,7 +2137,7 @@ object KeyedTable {
       lowest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) >= lit(v) } ++
       highest.zipWithIndex.collect { case (v, i) if v != null => col(meta.pk(i)) <= lit(v) }
     val dir = tableDir(warehouse, tableName)
-    val mf = asOfVersion match {
+    val mf = asOfVersion.orElse(asOfTag.map(resolveTag(spark, dir, _))) match {
       case Some(v) => Some(Manifest.at(spark, dir, v))
       case None => Manifest.current(spark, dir)
     }
@@ -1816,6 +2176,16 @@ object KeyedTable {
       }
     val filtered = conds.foldLeft(pruned)(_ filter _)
     filtered.select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Resolve a snapshot tag to its version, naming the tags that DO
+    * exist on a miss. */
+  private[store] def resolveTag(spark: SparkSession, dir: String,
+                                tag: String): Long = {
+    val tags = Tags.read(spark, dir)
+    tags.getOrElse(tag, throw new StoreException(
+      s"no snapshot tag '$tag' (available: " +
+      s"${tags.keys.toSeq.sorted.mkString(", ")})"))
   }
 
   /** Bucket of a concrete PK tuple — the same typed xxhash64 the write

@@ -37,5 +37,12 @@ class IllegalNameException(msg: String) extends RuntimeException(msg)
 /** Mirrors reference ValueError/IOError conditions on writes. */
 class StoreException(msg: String) extends RuntimeException(msg)
 
+/** An optimistic commit ([[KeyedTable.appendConcurrent]]) found the
+  * table changed incompatibly between staging and commit (rebucket,
+  * conflicting schema evolution, PK overlap with a concurrent write).
+  * The table is UNCHANGED and staging is cleaned up — the caller may
+  * simply retry the append against the new state. */
+class ConcurrentWriteException(msg: String) extends StoreException(msg)
+
 /** Mirrors reference TypeError conditions (incompatible dtypes). */
 class TypeMismatchException(msg: String) extends RuntimeException(msg)

@@ -60,12 +60,38 @@ object WriteLock {
 
   /** Runs `body` holding the table's write lock. */
   def withLock[A](spark: SparkSession, tableDir: String, op: String,
-                  staleMs: Long = DefaultStaleMs)(body: => A): A = {
+                  staleMs: Long = DefaultStaleMs)(body: => A): A =
+    withLockWait(spark, tableDir, op, waitMs = 0L, staleMs)(body)
+
+  /** [[withLock]] that POLLS a held lock for up to `waitMs` before
+    * giving up (~250 ms backoff), instead of the default fail-fast.
+    * For SHORT critical sections only — the optimistic commit path
+    * ([[KeyedTable.appendConcurrent]]) holds the lock for a manifest
+    * flip, not a write job, so a contending committer is moments from
+    * releasing and queueing briefly beats surfacing a spurious
+    * conflict. Long mutations keep fail-fast: invisible queueing
+    * behind an hours-long rebucket helps nobody. */
+  def withLockWait[A](spark: SparkSession, tableDir: String, op: String,
+                      waitMs: Long,
+                      staleMs: Long = DefaultStaleMs)(body: => A): A = {
     val p = new Path(tableDir, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     warnIfNonAtomicCreate(fs, p)
     val token = UUID.randomUUID().toString
-    acquire(fs, p, token, op, staleMs, retried = false)
+    val deadline = System.currentTimeMillis() + waitMs
+    var acquired = false
+    while (!acquired) {
+      try {
+        acquire(fs, p, token, op, staleMs, retried = false)
+        acquired = true
+      } catch {
+        case e: StoreException
+            if waitMs > 0 && System.currentTimeMillis() < deadline &&
+               e.getMessage != null &&
+               e.getMessage.startsWith("table is write-locked") =>
+          Thread.sleep(250L)
+      }
+    }
     val beat = heartbeat(fs, p, token, staleMs)
     beat.start()
     try body
@@ -102,38 +128,73 @@ object WriteLock {
     try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
     catch { case _: Exception => None }
 
+  /** Atomic create-if-absent of the lock file with `body` as content;
+    * true when WE created it, false on contention.
+    *
+    * The `file` scheme CANNOT go through `fs.create(p, overwrite =
+    * false)`: Hadoop's ChecksumFileSystem/RawLocalFileSystem implement
+    * the no-overwrite flag as exists-then-create — two racing writers
+    * (e.g. two threads of one driver, or two drivers on a shared NFS
+    * mount) can BOTH pass the exists check, both "acquire", and then
+    * silently overwrite each other's manifest commits (POSIX rename
+    * replaces an existing target without error — the lost-commit shape
+    * ConcurrentAppendSpec reproduces). java.io.File.createNewFile is
+    * O_CREAT|O_EXCL, kernel-arbitrated — exactly one winner.
+    *
+    * A failure writing the body (disk full, stream error) deletes the
+    * just-created file before rethrowing — our own fresh-but-torn lock
+    * must not block every writer (us included) for the full TTL. */
+  private def createAtomically(fs: FileSystem, p: Path,
+                               body: Array[Byte]): Boolean = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    if (scheme == "file") {
+      val f = new java.io.File(p.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      if (!f.createNewFile()) false
+      else {
+        // raw write bypasses Hadoop's checksum; a stale `.crc` from an
+        // fs.create-written lock (older code) would fail fs.open reads
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+        try {
+          val out = new java.io.FileOutputStream(f)
+          try out.write(body) finally out.close()
+        } catch {
+          case e: Throwable =>
+            try { f.delete(); () } catch { case _: Exception => () }
+            throw e
+        }
+        true
+      }
+    } else {
+      val out =
+        try fs.create(p, false)
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+          case _: java.nio.file.FileAlreadyExistsException => null
+          // some FileSystems surface the lost race as a plain
+          // IOException; treat it as contention only when the lock
+          // file is actually there, otherwise it is a real FS error
+          case _: java.io.IOException if fs.exists(p) => null
+        }
+      if (out == null) false
+      else {
+        try {
+          try out.write(body)
+          finally out.close()
+        } catch {
+          case e: Throwable =>
+            try fs.delete(p, false) catch { case _: Exception => () }
+            throw e
+        }
+        true
+      }
+    }
+  }
+
   private def acquire(fs: FileSystem, p: Path, token: String, op: String,
                       staleMs: Long, retried: Boolean): Unit = {
-    val created = {
-        // the atomic create-if-absent; parents are created as needed.
-        // Contention is ONLY the create itself losing the exists race —
-        // a failure writing the body (disk full, stream error) would
-        // otherwise leave our own fresh-but-torn lock blocking every
-        // writer (us included) for the full TTL, so that path deletes
-        // the just-created file before rethrowing.
-        val out =
-          try fs.create(p, false)
-          catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
-            case _: java.nio.file.FileAlreadyExistsException => null
-            // some FileSystems surface the lost race as a plain
-            // IOException; treat it as contention only when the lock
-            // file is actually there, otherwise it is a real FS error
-            case _: java.io.IOException if fs.exists(p) => null
-          }
-        if (out == null) false
-        else {
-          try {
-            try out.write(lockJson(token, op).getBytes("UTF-8"))
-            finally out.close()
-          } catch {
-            case e: Throwable =>
-              try fs.delete(p, false) catch { case _: Exception => () }
-              throw e
-          }
-          true
-        }
-      }
+    val created =
+      createAtomically(fs, p, lockJson(token, op).getBytes("UTF-8"))
     if (!created) {
       // liveness = mtime age (heartbeat-maintained); a vanished file
       // between the failed create and this check counts as fresh

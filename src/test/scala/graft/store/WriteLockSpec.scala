@@ -132,6 +132,37 @@ class WriteLockSpec extends SparkSpec {
     assert(!TableMeta.exists(spark, KeyedTable.tableDir(wh, "t")))
   }
 
+  test("acquire is truly atomic under same-JVM thread races") {
+    // Hadoop's local create(overwrite = false) is exists-then-create —
+    // the pre-fix lock let two racing threads both "acquire" and then
+    // silently lose a manifest commit (POSIX rename overwrites). This
+    // drives 8 threads through a deliberately racy read-sleep-write
+    // critical section: any double-acquire loses an increment.
+    val wh = freshWarehouse()
+    KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
+    val dir = KeyedTable.tableDir(wh, "t")
+    @volatile var counter = 0
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fs = (1 to 8).map { _ =>
+        Future {
+          (1 to 5).foreach { _ =>
+            WriteLock.withLockWait(spark, dir, "race", waitMs = 60000L) {
+              val seen = counter
+              Thread.sleep(2)
+              counter = seen + 1
+            }
+          }
+        }
+      }
+      Await.result(Future.sequence(fs), 3.minutes)
+    } finally pool.shutdown()
+    assert(counter == 40, s"lost ${40 - counter} increments to a double-acquire")
+  }
+
   test("compact and rebucket also run under the lock") {
     val wh = freshWarehouse()
     KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
