@@ -744,6 +744,29 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11ae (`pb_restore`): snapshot restore as the undo button — create
+    * (v0), corrupt a slice via upsert (v1), delete another (v2), then
+    * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
+    * must bring back the original table byte-identically, and a
+    * zero-age vacuum AFTER the restore must not harm it — the restore
+    * commit re-pins v0's files through union-liveness. The 100 TB
+    * story: undoing a bad backfill costs one manifest write, not a
+    * rewrite. */
+  def restoreQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8) // v0
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") - 50.0),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert) // v1
+    KeyedTable.delete(spark, wh, "customer", col("c_custkey") % 7 === 0) // v2
+    KeyedTable.restoreSnapshot(spark, wh, "customer", version = Some(0L)) // v3
+    KeyedTable.vacuum(spark, wh, "customer", olderThanMs = 0L)
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -780,6 +803,7 @@ object PbQueries {
     "pb_tag" -> tagQ,
     "pb_incremental" -> incrementalQ,
     "pb_append_concurrent" -> appendConcurrentQ,
+    "pb_restore" -> restoreQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -856,6 +880,9 @@ object PbQueries {
       "SELECT * FROM orders WHERE o_orderkey % 3 <> 0",
     // three concurrent disjoint appends + the create slice = the table
     "pb_append_concurrent" -> "SELECT * FROM customer",
+    // v0 restored after an upsert + a delete, then vacuumed at age 0:
+    // the original table, byte-identical
+    "pb_restore" -> "SELECT * FROM customer",
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)

@@ -2058,6 +2058,109 @@ object KeyedTable {
       .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
+  /** #11ae snapshot restore (the Iceberg rollback / Delta RESTORE
+    * move): re-commit an EARLIER snapshot's exact file set as a brand
+    * new version — pure metadata, zero data IO, one manifest write —
+    * so "undo the bad backfill on the 100 TB table" costs the same as
+    * tagging it. History is preserved, not rewritten: the rolled-back
+    * versions stay time-travelable until [[vacuum]] expires them, and
+    * the restored snapshot's files are live again (union-liveness
+    * protects them from any vacuum age bound). Restores DATA, not
+    * schema: the table keeps its CURRENT logical schema — columns
+    * added since the target read back NULL for restored files, columns
+    * dropped since stay dropped (exactly [[readSql]] time-travel
+    * semantics, made the durable state).
+    *
+    * Pass exactly one of `version` / `tag`. Restoring to the current
+    * version is a no-op (returns the current version, commits
+    * nothing). The target snapshot must be unexpired — [[Manifest.at]]
+    * fails loudly naming what IS available; tag what you may need to
+    * roll back to.
+    *
+    * CDC (explicit flag or the table property): the changelog stays
+    * exact across a restore. The row-level diff current→target is
+    * computed over ONLY the buckets whose file sets differ (cost ∝ the
+    * restore's real footprint, never the table) and logged as one
+    * batch of insert/update/delete images (identical rows emit
+    * nothing: a restore is not a touch). A consumer folding the log
+    * therefore lands on the restored state without ever re-reading the
+    * table. */
+  def restoreSnapshot(spark: SparkSession, warehouse0: String,
+                      tableName: String, version: Option[Long] = None,
+                      tag: Option[String] = None,
+                      schema: Option[String] = None,
+                      changelog: Boolean = false): Long = {
+    if (version.isDefined == tag.isDefined)
+      throw new StoreException("restoreSnapshot: pass exactly one of version / tag")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "restore") {
+      val meta = TableMeta.read(spark, dir)
+      val cur = Manifest.current(spark, dir).getOrElse(
+        throw new StoreException(
+          s"table $tableName has no snapshot history to restore " +
+          "(pre-manifest table: mutate it once to adopt a baseline)"))
+      val v = version.getOrElse(resolveTag(spark, dir, tag.get))
+      if (v == cur.version) cur.version else {
+      val target = Manifest.at(spark, dir, v)
+      val cdc = changelog || meta.changelog
+      val f = fs(spark, dir)
+      val clCommit: Option[(Path, Path)] = if (cdc) {
+        // buckets whose live file set differs between the two snapshots
+        // (a rebucket in the window makes that all of them — every file
+        // name is commit-unique, so name-set equality is exact)
+        val changed: Set[Int] =
+          (cur.files.keySet ++ target.files.keySet).filter { b =>
+            cur.files.getOrElse(b, Nil).map(_.name).toSet !=
+              target.files.getOrElse(b, Nil).map(_.name).toSet
+          }
+        val restrict = (m: Manifest) =>
+          m.copy(files = m.files.view.filterKeys(changed).toMap)
+        val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+        val o = readRawWith(spark, warehouse, tableName, meta,
+          Some(restrict(cur))).drop(BucketCol)
+          .withColumn("_o", lit(true)).as("o")
+        val n = readRawWith(spark, warehouse, tableName, meta,
+          Some(restrict(target))).drop(BucketCol)
+          .withColumn("_n", lit(true)).as("n")
+        val joined = o.join(n,
+          meta.pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _),
+          "full_outer")
+        val changedCond = nonPk
+          .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+          .foldLeft(lit(false))(_ || _)
+        val images = nonPk.flatMap { c =>
+          Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
+        }
+        val op = when(col("o._o").isNull, lit("insert"))
+          .when(col("n._n").isNull, lit("delete"))
+          .otherwise(lit("update"))
+        val changes = joined
+          .filter(col("o._o").isNull || col("n._n").isNull || changedCond)
+          .select(meta.pk.map(c =>
+            coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++
+            (op.as("op") +: images): _*)
+        Some(stageChangelogBatch(spark, dir, changes))
+      } else None
+      try {
+        Manifest.commit(spark, dir, Manifest(cur.version + 1, target.buckets,
+          target.files))
+        clCommit.foreach { case (src, dst) =>
+          commitChangelogBatch(f, "restore", src, dst)
+        }
+      } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+      // restoring across a rebucket: the manifest is the layout
+      // authority everywhere, but keep the meta's count in sync the way
+      // rebucket itself does (legacy listing fallbacks read it)
+      val metaSync = meta.copy(
+        buckets = target.buckets,
+        changelog = meta.changelog || cdc)
+      if (metaSync != meta) TableMeta.write(spark, dir, metaSync)
+      cur.version + 1
+      }
+    }
+  }
+
   /** Read the change-data-capture log written by changelog-enabled
     * upserts: one row per incoming row per batch — (pk…, op,
     * old_<c>…, new_<c>…, batch), op ∈ insert/update/unchanged with
