@@ -767,6 +767,41 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11af (`pb_stream_read`): the keyed table as a Structured
+    * Streaming SOURCE — manifest versions are the offsets, so a
+    * derived pipeline tails the table reading only each commit's added
+    * files. Two AvailableNow drains against one checkpoint: the first
+    * consumes the 3-commit snapshot, a 4th append lands, the second
+    * drain consumes ONLY it — the sink must hold every order exactly
+    * once. The 100 TB story: `latestOffset` is one pointer read and a
+    * micro-batch is megabytes, however large the table. */
+  def streamReadQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val out = graft.TempDirs.tempDir("graft-gate-streamread-out")
+    val ck = graft.TempDirs.tempDir("graft-gate-streamread-ck")
+    val orders = Tables.orders(spark, sfDir)
+    val k = col("o_orderkey")
+    KeyedTable.toSql(orders.filter(k % 4 === 0), wh, "orders",
+      pk = Seq("o_orderkey"), buckets = 8, strictUtc = false) // v0
+    KeyedTable.toSql(orders.filter(k % 4 === 1), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false) // v1
+    KeyedTable.toSql(orders.filter(k % 4 === 2), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false) // v2
+    def drain(): Unit = graft.store.KeyedTableStream
+      .readStream(spark, wh, "orders")
+      .drop(KeyedTable.BucketCol)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    drain() // snapshot (v0..v2)
+    KeyedTable.toSql(orders.filter(k % 4 === 3), wh, "orders",
+      pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false) // v3
+    drain() // only v3's files
+    spark.read.parquet(out)
+      .select(Tables.orders(spark, sfDir).columns.toIndexedSeq.map(col): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -804,6 +839,7 @@ object PbQueries {
     "pb_incremental" -> incrementalQ,
     "pb_append_concurrent" -> appendConcurrentQ,
     "pb_restore" -> restoreQ,
+    "pb_stream_read" -> streamReadQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -883,6 +919,8 @@ object PbQueries {
     // v0 restored after an upsert + a delete, then vacuumed at age 0:
     // the original table, byte-identical
     "pb_restore" -> "SELECT * FROM customer",
+    // two checkpointed AvailableNow drains = the whole table, once each
+    "pb_stream_read" -> "SELECT * FROM orders",
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)

@@ -153,10 +153,12 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     StructType(meta.schema.fields :+ KeyedTableSource.bucketField)
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new KeyedScanBuilder(meta, dataDir, schema(), mf)
+    new KeyedScanBuilder(meta, dataDir, schema(), mf,
+      Option(options.get("sinceVersion")))
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the
     * store's own write path — a V1 write fallback hands the whole
@@ -197,7 +199,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
                                       full: StructType,
-                                      mf: Option[Manifest] = None)
+                                      mf: Option[Manifest] = None,
+                                      streamSince: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -251,7 +254,7 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, row, desc)) => new KeyedLocalAggScan(schema, row, desc)
-    case None => new KeyedScan(meta, dataDir, required, pushed, mf)
+    case None => new KeyedScan(meta, dataDir, required, pushed, mf, streamSince)
   }
 }
 
@@ -268,7 +271,8 @@ private[store] class KeyedLocalAggScan(schema: StructType, row: InternalRow,
 private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
                                pushed: Array[Filter] = Array.empty,
-                               mf: Option[Manifest] = None)
+                               mf: Option[Manifest] = None,
+                               streamSince: Option[String] = None)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -292,6 +296,16 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     StructType(readDataSchema.fields ++ readPartitionSchema.fields)
 
   override def toBatch: Batch = this
+
+  /** The keyed table as a Structured Streaming SOURCE (see
+    * [[KeyedMicroBatchStream]]): offsets are manifest versions; each
+    * micro-batch reads exactly the files the commits in its window
+    * added. Pushed filters keep working — the stream applies the same
+    * manifest-stat file skipping as the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new KeyedMicroBatchStream(meta, dataDir, readDataSchema,
+      readPartitionSchema, dataFilters, fileMayMatch, streamSince)
 
   override def description(): String =
     s"graft keyed table $dataDir (buckets=$numBuckets, " +

@@ -1,0 +1,138 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** A manifest-version offset: the stream's position IS the snapshot
+  * version it has fully consumed (-1 = nothing yet — the first batch
+  * then delivers the whole current snapshot). */
+private[store] case class KeyedVersionOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[store] object KeyedVersionOffset {
+  private val Re = """\{\s*"version"\s*:\s*(-?\d+)\s*\}""".r
+  def parse(json: String): KeyedVersionOffset = json match {
+    case Re(v) => KeyedVersionOffset(v.toLong)
+    case _ => throw new StoreException(s"bad keyed-table stream offset: $json")
+  }
+}
+
+/** The keyed table as a Structured Streaming SOURCE — the Delta-style
+  * "table is also a stream" move, built on the manifest snapshot log:
+  *
+  *  - An offset is a manifest VERSION. `latestOffset` is one tiny
+  *    pointer read per trigger — no listing, no file diffing, however
+  *    large the table.
+  *  - A micro-batch (start, end] reads exactly the files the commits
+  *    in that window ADDED, resolved from the two manifests alone
+  *    (the same math as [[KeyedTable.readIncremental]]): a derived
+  *    pipeline tailing a 100 TB table reads megabytes per trigger.
+  *  - Append-only windows are the contract. A non-additive commit in
+  *    the window (upsert rewrite, delete, compaction, Z-order,
+  *    rebucket) makes "added files" mean re-delivered old rows, so the
+  *    batch REFUSES loudly and points at the row-level changelog
+  *    ([[KeyedTable.readChangelog]] / streaming CDC) — never a silent
+  *    double-count.
+  *  - Restarting from a checkpoint needs the cursor version's manifest
+  *    to still exist: tag it ([[KeyedTable.tagSnapshot]]) to make the
+  *    position vacuum-proof.
+  *
+  * `sinceVersion` read option: "latest" starts at the snapshot current
+  * when the stream starts (new commits only); a number starts just
+  * after that version; absent, the first batch is the full snapshot.
+  *
+  * Pushed filters ride along: each batch's added files are pruned with
+  * the same manifest min/max statistics as the batch scan, and the
+  * parquet reader gets the same row-group predicates. */
+private[store] class KeyedMicroBatchStream(
+    meta: TableMeta, dataDir: String,
+    readDataSchema: StructType, readPartitionSchema: StructType,
+    dataFilters: Array[Filter],
+    fileMayMatch: ManifestFile => Boolean,
+    sinceVersion: Option[String]) extends MicroBatchStream {
+
+  private val tableDir: String = new Path(dataDir).getParent.toString
+  private def spark: SparkSession = SparkSession.active
+
+  override def initialOffset(): Offset = {
+    val v = sinceVersion match {
+      case None => -1L
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L)
+      case Some(s) => s.toLongOption.getOrElse(throw new StoreException(
+        s"bad sinceVersion '$s': a version number or 'latest'"))
+    }
+    KeyedVersionOffset(v)
+  }
+
+  override def latestOffset(): Offset =
+    KeyedVersionOffset(
+      Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L))
+
+  override def deserializeOffset(json: String): Offset =
+    KeyedVersionOffset.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val sinceV = start.asInstanceOf[KeyedVersionOffset].version
+    val toV = end.asInstanceOf[KeyedVersionOffset].version
+    if (toV <= sinceV) return Array.empty
+    val to = Manifest.at(spark, tableDir, toV)
+    val since =
+      if (sinceV < 0) Manifest(-1L, to.buckets, Map.empty)
+      else Manifest.at(spark, tableDir, sinceV)
+    def nonAdditive(why: String): Nothing = throw new StoreException(
+      s"keyed-table stream: snapshots $sinceV..$toV of $tableDir are " +
+      s"not append-only ($why); a micro-batch of added files would " +
+      "re-deliver surviving rows — consume the row-level changelog " +
+      "(KeyedTable.readChangelog / streaming CDC) instead")
+    if (to.buckets != since.buckets)
+      nonAdditive(s"bucket count changed ${since.buckets} -> ${to.buckets}")
+    (since.files.keySet ++ to.files.keySet).toSeq.sorted.flatMap { b =>
+      val old = since.files.getOrElse(b, Nil).map(_.name).toSet
+      val cur = to.files.getOrElse(b, Nil)
+      if (!old.subsetOf(cur.map(_.name).toSet))
+        nonAdditive(s"bucket $b lost files")
+      val key = new GenericInternalRow(Array[Any](b))
+      val files = cur.filterNot(f => old.contains(f.name))
+        .filter(fileMayMatch)
+        .map { mfF =>
+          val p = new Path(dataDir, s"${KeyedTable.BucketCol}=$b/${mfF.name}")
+          new PartitionedFile(key, SparkPath.fromPath(p),
+            0L, mfF.len, Array.empty[String], 0L, mfF.len,
+            Map.empty[String, Any])
+        }.toArray
+      if (files.isEmpty) None
+      else Some(new KeyedFilePartition(b, files, key): InputPartition)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
+      .readerFactory(spark, meta.schema, readDataSchema,
+        readPartitionSchema, dataFilters)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+object KeyedTableStream {
+  /** Streaming DataFrame tailing a keyed table (see
+    * [[KeyedMicroBatchStream]]). `sinceVersion`: None = full snapshot
+    * first, Some(-1L) idem; pass the poll cursor to resume a derived
+    * pipeline without a checkpoint. */
+  def readStream(spark: SparkSession, warehouse: String, table: String,
+                 sinceVersion: Option[Long] = None) = {
+    val r = spark.readStream.format(classOf[KeyedTableSource].getName)
+      .option("warehouse", warehouse).option("table", table)
+    sinceVersion.fold(r)(v => r.option("sinceVersion", v.toString)).load()
+  }
+}
