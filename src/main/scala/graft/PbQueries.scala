@@ -802,6 +802,33 @@ object PbQueries {
       .select(Tables.orders(spark, sfDir).columns.toIndexedSeq.map(col): _*)
   }
 
+  /** #11ag (`pb_sql_alter`): the SQL DDL surface — `ALTER TABLE … ADD
+    * COLUMNS` (metadata-only; every existing row reads NULL), a SQL
+    * UPDATE filling the evolved column through the store's DML rule,
+    * then `ALTER TABLE … DROP COLUMN` (metadata-only tombstone) — all
+    * through the catalog, zero data rewrites except the UPDATE's own
+    * bucket-pruned one. */
+  private val sqlAltN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlAlter(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_alt${sqlAltN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+        pk = Seq("c_custkey"))
+      spark.sql(s"ALTER TABLE $cat.customer ADD COLUMNS (c_extra DOUBLE)")
+      spark.sql(s"""UPDATE $cat.customer SET c_extra = c_acctbal + 1.0
+        WHERE c_custkey % 2 = 0""")
+      spark.sql(s"ALTER TABLE $cat.customer DROP COLUMN c_mktsegment")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -840,6 +867,7 @@ object PbQueries {
     "pb_append_concurrent" -> appendConcurrentQ,
     "pb_restore" -> restoreQ,
     "pb_stream_read" -> streamReadQ,
+    "pb_sql_alter" -> sqlAlter,
   )
 
   val oracles: Map[String, String] = Map(
@@ -921,6 +949,12 @@ object PbQueries {
     "pb_restore" -> "SELECT * FROM customer",
     // two checkpointed AvailableNow drains = the whole table, once each
     "pb_stream_read" -> "SELECT * FROM orders",
+    // ADD COLUMNS (NULL history) + UPDATE fill + DROP COLUMN
+    "pb_sql_alter" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 1.0 END AS c_extra
+      FROM customer
+    """.trim,
     "pb_delete" -> """
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)

@@ -167,9 +167,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new UnsupportedOperationException(
       "graft tables are created through KeyedTable.toSql (PK + bucket layout)")
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through KeyedTable.toSql(addNewColumns = true)")
+  /** SQL DDL surface for the two schema evolutions the store defines —
+    * `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` (metadata-only,
+    * forced nullable, tombstoned names rejected) and
+    * `ALTER TABLE graft.t DROP COLUMN c` (metadata-only with the
+    * resurrection tombstone) — lowered onto [[KeyedTable.addColumns]]
+    * / [[KeyedTable.dropColumns]]: identical locks, validation, and
+    * semantics as the programmatic calls. Everything else (renames,
+    * type changes, nested fields, property sets) is rejected loudly:
+    * those would silently break live files' physical layout. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val sch = schemaOf(ident.namespace()).getOrElse(
+      throw new NoSuchTableException(ident))
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      if (fieldNames.length != 1)
+        throw new UnsupportedOperationException(
+          s"$what: graft tables have no nested fields " +
+          s"(got ${fieldNames.mkString(".")})")
+      fieldNames.head
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      if (!a.isNullable)
+        throw new UnsupportedOperationException(
+          s"ADD COLUMN ${a.fieldNames.mkString(".")} NOT NULL: added " +
+          "columns read NULL for existing rows, so they must be nullable")
+      org.apache.spark.sql.types.StructField(
+        topLevel(a.fieldNames, "ADD COLUMN"), a.dataType, nullable = true)
+    }
+    val drops = changes.collect { case d: TableChange.DeleteColumn =>
+      topLevel(d.fieldNames, "DROP COLUMN")
+    }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.AddColumn] ||
+        c.isInstanceOf[TableChange.DeleteColumn])
+    if (other.nonEmpty)
+      throw new UnsupportedOperationException(
+        "only ADD COLUMNS and DROP COLUMN are supported on graft " +
+        s"tables (got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
+    if (adds.nonEmpty)
+      KeyedTable.addColumns(spark, warehouse, ident.name(), adds.toSeq, sch)
+    if (drops.nonEmpty)
+      KeyedTable.dropColumns(spark, warehouse, ident.name(), drops.toSeq, sch)
+    loadTable(ident)
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables cannot be renamed through SQL")

@@ -1645,6 +1645,37 @@ object KeyedTable {
     }
   }
 
+  /** Metadata-only column ADD (the declarative half of #8's
+    * write-driven evolution, and the path SQL `ALTER TABLE … ADD
+    * COLUMNS` lowers onto): extend the logical schema without touching
+    * a byte of data — every live file predates the column and reads
+    * back NULL, exactly as toSql(addNewColumns = true) evolution
+    * behaves. Columns are forced nullable (their history is NULL);
+    * duplicate names and tombstoned dropped names are rejected (the
+    * same resurrection hazard [[dropColumns]] documents). */
+  def addColumns(spark: SparkSession, warehouse0: String, tableName: String,
+                 cols: Seq[StructField], schema: Option[String] = None): Unit = {
+    require(cols.nonEmpty, "addColumns needs at least one column")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    WriteLock.withLock(spark, dir, "addColumns") {
+      val meta = TableMeta.read(spark, dir)
+      cols.foreach { f =>
+        if (meta.schema.fieldNames.contains(f.name))
+          throw new StoreException(
+            s"cannot add ${f.name}: already in table schema")
+        if (meta.dropped.contains(f.name))
+          throw new StoreException(
+            s"column ${f.name} was dropped and its physical data may " +
+            "still be live; rebucket or zorderCompact the table first " +
+            "to re-add the name safely")
+      }
+      TableMeta.write(spark, dir, meta.copy(
+        schema = StructType(meta.schema.fields ++
+          cols.map(_.copy(nullable = true)))))
+    }
+  }
+
   /** #11z per-column file statistics: register EXTRA columns (beyond the
     * always-tracked leading PK) whose min/max every future commit records
     * per new file in the manifest — scans then FILE-SKIP on pushed
