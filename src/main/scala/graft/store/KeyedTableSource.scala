@@ -158,7 +158,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema(), mf,
-      Option(options.get("sinceVersion")))
+      Seq("sinceVersion", "maxVersionsPerTrigger")
+        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the
     * store's own write path — a V1 write fallback hands the whole
@@ -200,7 +201,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
                                       full: StructType,
                                       mf: Option[Manifest] = None,
-                                      streamSince: Option[String] = None)
+                                      streamOpts: Map[String, String] = Map.empty)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -254,7 +255,7 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, row, desc)) => new KeyedLocalAggScan(schema, row, desc)
-    case None => new KeyedScan(meta, dataDir, required, pushed, mf, streamSince)
+    case None => new KeyedScan(meta, dataDir, required, pushed, mf, streamOpts)
   }
 }
 
@@ -272,7 +273,7 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
                                pushed: Array[Filter] = Array.empty,
                                mf: Option[Manifest] = None,
-                               streamSince: Option[String] = None)
+                               streamOpts: Map[String, String] = Map.empty)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -305,7 +306,7 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KeyedMicroBatchStream(meta, dataDir, readDataSchema,
-      readPartitionSchema, dataFilters, fileMayMatch, streamSince)
+      readPartitionSchema, dataFilters, fileMayMatch, streamOpts)
 
   override def description(): String =
     s"graft keyed table $dataDir (buckets=$numBuckets, " +

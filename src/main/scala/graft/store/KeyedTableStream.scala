@@ -5,7 +5,7 @@ import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
@@ -57,10 +57,51 @@ private[store] class KeyedMicroBatchStream(
     readDataSchema: StructType, readPartitionSchema: StructType,
     dataFilters: Array[Filter],
     fileMayMatch: ManifestFile => Boolean,
-    sinceVersion: Option[String]) extends MicroBatchStream {
+    streamOpts: Map[String, String])
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private val sinceVersion: Option[String] = streamOpts.get("sinceVersion")
+
+  /** Admission control: at most this many manifest VERSIONS per
+    * micro-batch — a backfill over a long commit history then proceeds
+    * in bounded, checkpointed steps instead of one giant first batch.
+    * (Versions, not rows: a version is the store's commit quantum and
+    * the offset's unit, so the bound is exact and replayable.) */
+  private val maxVersionsPerTrigger: Option[Long] =
+    streamOpts.get("maxVersionsPerTrigger").map { s =>
+      val v = s.toLongOption.getOrElse(throw new StoreException(
+        s"bad maxVersionsPerTrigger '$s': a positive number"))
+      if (v <= 0) throw new StoreException(
+        s"bad maxVersionsPerTrigger '$s': a positive number")
+      v
+    }
 
   private val tableDir: String = new Path(dataDir).getParent.toString
   private def spark: SparkSession = SparkSession.active
+
+  /** Trigger.AvailableNow pins the horizon ONCE at stream start; the
+    * run then drains (start, horizon] — in maxVersionsPerTrigger-sized
+    * steps when set — and stops, even while new commits keep landing. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap =
+      Some(Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[KeyedVersionOffset].version
+    val live = Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L)
+    val capped = availableNowCap.fold(live)(math.min(live, _))
+    KeyedVersionOffset(
+      maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m)))
+  }
+
+  override def reportLatestOffset(): Offset =
+    KeyedVersionOffset(
+      Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L))
 
   override def initialOffset(): Offset = {
     val v = sinceVersion match {
@@ -73,9 +114,9 @@ private[store] class KeyedMicroBatchStream(
     KeyedVersionOffset(v)
   }
 
-  override def latestOffset(): Offset =
-    KeyedVersionOffset(
-      Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L))
+  // the no-limit overload is unused once SupportsAdmissionControl is
+  // implemented, but keep it truthful for any direct caller
+  override def latestOffset(): Offset = reportLatestOffset()
 
   override def deserializeOffset(json: String): Offset =
     KeyedVersionOffset.parse(json)
@@ -130,9 +171,13 @@ object KeyedTableStream {
     * first, Some(-1L) idem; pass the poll cursor to resume a derived
     * pipeline without a checkpoint. */
   def readStream(spark: SparkSession, warehouse: String, table: String,
-                 sinceVersion: Option[Long] = None) = {
-    val r = spark.readStream.format(classOf[KeyedTableSource].getName)
+                 sinceVersion: Option[Long] = None,
+                 maxVersionsPerTrigger: Option[Long] = None) = {
+    var r = spark.readStream.format(classOf[KeyedTableSource].getName)
       .option("warehouse", warehouse).option("table", table)
-    sinceVersion.fold(r)(v => r.option("sinceVersion", v.toString)).load()
+    sinceVersion.foreach(v => r = r.option("sinceVersion", v.toString))
+    maxVersionsPerTrigger.foreach(m =>
+      r = r.option("maxVersionsPerTrigger", m.toString))
+    r.load()
   }
 }

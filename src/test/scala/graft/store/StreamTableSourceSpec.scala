@@ -68,6 +68,28 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(ids(out) == Set(3L))
   }
 
+  test("maxVersionsPerTrigger drains in bounded steps, exactly once") {
+    val t = "t_stream_rate"
+    val out = TempDirs.tempDir("graft-streamsrc-out5")
+    val ck = TempDirs.tempDir("graft-streamsrc-ck5")
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2) // v0
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v1
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v2
+    val q = KeyedTableStream
+      .readStream(spark, wh, t, maxVersionsPerTrigger = Some(1L))
+      .drop(KeyedTable.BucketCol)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // one version per micro-batch: (−1,0], (0,1], (1,2] = 3 data batches
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3)
+    val all = spark.read.parquet(out).select("id").collect().map(_.getLong(0))
+    assert(all.sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("a non-additive commit in the window fails loudly toward the changelog") {
     val t = "t_stream_nonadd"
     val out = TempDirs.tempDir("graft-streamsrc-out3")
