@@ -829,6 +829,36 @@ object PbQueries {
     }
   }
 
+  /** #11ah (`pb_meta_tables`): Iceberg-style SQL metadata tables —
+    * `t$history` joined to `t$tags` answers "which snapshots exist,
+    * how big was each, which are pinned" entirely from manifests:
+    * zero data IO, a driver-local scan with no executor tasks. The
+    * observability surface retention/maintenance decisions read. */
+  private val metaTN = new java.util.concurrent.atomic.AtomicLong()
+  def metaTablesQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 2 === 0),
+      wh, "customer", pk = Seq("c_custkey"), buckets = 8) // v0
+    KeyedTable.tagSnapshot(spark, wh, "customer", "cut")
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 2 === 1),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append) // v1
+    val cat = s"graft_gate_meta${metaTN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val out = spark.sql(
+        s"SELECT h.version, h.n_rows, t.tag FROM $cat.`customer" + "$history` h " +
+        s"LEFT JOIN $cat.`customer" + "$tags` t ON h.version = t.version")
+      out.cache().count() // materialize before the catalog conf is unset
+      out
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -868,6 +898,7 @@ object PbQueries {
     "pb_restore" -> restoreQ,
     "pb_stream_read" -> streamReadQ,
     "pb_sql_alter" -> sqlAlter,
+    "pb_meta_tables" -> metaTablesQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -949,6 +980,14 @@ object PbQueries {
     "pb_restore" -> "SELECT * FROM customer",
     // two checkpointed AvailableNow drains = the whole table, once each
     "pb_stream_read" -> "SELECT * FROM orders",
+    // snapshot log (+ n_rows from manifests) left-joined to tag pins
+    "pb_meta_tables" -> """
+      SELECT 0::BIGINT AS version,
+             (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)::BIGINT AS n_rows,
+             'cut' AS tag
+      UNION ALL
+      SELECT 1::BIGINT, (SELECT count(*) FROM customer)::BIGINT, NULL
+    """.trim,
     // ADD COLUMNS (NULL history) + UPDATE fill + DROP COLUMN
     "pb_sql_alter" -> """
       SELECT c_custkey, c_name, c_nationkey, c_acctbal,

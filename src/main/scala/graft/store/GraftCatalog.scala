@@ -64,6 +64,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .exists(sch => Catalog.hasTable(spark, warehouse, ident.name, sch))
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `graft.`t$history`` / `$tags` /
+    // `$files` resolve against the BASE table's manifests (MetaTables)
+    MetaTables.parse(ident.name).foreach { case (base, kind) =>
+      val sch = schemaOf(ident.namespace)
+      if (sch.exists(s => Catalog.hasTable(spark, warehouse, base, s))) {
+        val dir = KeyedTable.tableDir(
+          KeyedTable.schemaDir(warehouse, sch.get), base)
+        return MetaTables.table(spark, dir, ident.name, kind)
+      }
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val sch = schemaOf(ident.namespace).get
     val dir = KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, sch), ident.name)

@@ -1,0 +1,108 @@
+package graft.store
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan, ScanBuilder}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Iceberg-style SQL METADATA TABLES: `SELECT * FROM
+  * graft.`t$history`` (and `$tags`, `$files`) expose the table's
+  * snapshot log, tag pins, and current live file set as queryable
+  * relations — the observability surface for time travel, retention,
+  * and maintenance decisions, priced entirely from manifests
+  * (zero data IO, zero footer opens; they plan as a driver-local scan
+  * with no executor tasks).
+  *
+  *  - `t$history`: one row per unexpired snapshot —
+  *    (version, buckets, n_files, n_rows, bytes); n_rows NULL when an
+  *    adopted legacy file lacks a recorded count.
+  *  - `t$tags`: (tag, version) pins ([[Tags]]).
+  *  - `t$files`: the CURRENT snapshot's live files —
+  *    (bucket, file, bytes, rows); empty for pre-manifest tables.
+  *
+  * Read-only by construction (no SupportsWrite); rows are computed
+  * when the scan is BUILT, so each query sees one consistent listing.
+  */
+private[store] object MetaTables {
+  private val Kinds = Set("history", "tags", "files")
+
+  /** `name$kind` → (base table name, kind), for known kinds only —
+    * anything else is a normal (possibly weird) table name. */
+  def parse(name: String): Option[(String, String)] = {
+    val i = name.lastIndexOf('$')
+    if (i <= 0) None
+    else {
+      val (b, k) = (name.substring(0, i), name.substring(i + 1))
+      if (Kinds(k)) Some((b, k)) else None
+    }
+  }
+
+  private def schemaOf(kind: String): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("buckets", IntegerType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = false)))
+    case "tags" => StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("version", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true)))
+  }
+
+  private def rowsOf(spark: SparkSession, tableDir: String,
+                     kind: String): Array[InternalRow] = kind match {
+    case "history" =>
+      Manifest.all(spark, tableDir).map { m =>
+        val fls = m.files.valuesIterator.flatten.toSeq
+        new GenericInternalRow(Array[Any](
+          m.version, m.buckets, fls.size.toLong,
+          if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else null,
+          fls.map(_.len).sum)): InternalRow
+      }.toArray
+    case "tags" =>
+      Tags.read(spark, tableDir).toSeq.sortBy(_._1).map { case (t, v) =>
+        new GenericInternalRow(Array[Any](
+          UTF8String.fromString(t), v)): InternalRow
+      }.toArray
+    case "files" =>
+      Manifest.current(spark, tableDir).toSeq.flatMap { m =>
+        m.files.toSeq.sortBy(_._1).flatMap { case (b, fls) =>
+          fls.sortBy(_.name).map { f =>
+            new GenericInternalRow(Array[Any](
+              b, UTF8String.fromString(f.name), f.len,
+              f.rows.map(Long.box).orNull)): InternalRow
+          }
+        }
+      }.toArray
+  }
+
+  def table(spark: SparkSession, tableDir: String, display: String,
+            kind: String): Table = new Table with SupportsRead {
+    override def name(): String = display
+    override def schema(): StructType = schemaOf(kind)
+    override def capabilities(): util.Set[TableCapability] =
+      util.EnumSet.of(TableCapability.BATCH_READ)
+    override def newScanBuilder(options: CaseInsensitiveStringMap)
+        : ScanBuilder = new ScanBuilder {
+      override def build(): Scan = {
+        val r = rowsOf(spark, tableDir, kind)
+        new LocalScan {
+          override def readSchema(): StructType = schemaOf(kind)
+          override def rows(): Array[InternalRow] = r
+          override def description(): String = s"graft metadata $display"
+        }
+      }
+    }
+  }
+}

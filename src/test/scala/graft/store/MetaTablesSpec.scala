@@ -1,0 +1,70 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.TempDirs
+
+/** SQL metadata tables (#11ah): `t$history` / `t$tags` / `t$files`
+  * resolve through the catalog against the base table's manifests. */
+class MetaTablesSpec extends SparkSpec {
+
+  private lazy val wh: String = TempDirs.tempDir("graft-metatables")
+  private val catN = new java.util.concurrent.atomic.AtomicLong()
+
+  private def df(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name", "v")
+  }
+
+  private def withCat[A](body: String => A): A = {
+    val cat = s"graft_metaspec${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("history, tags, and files read from manifests through SQL") {
+    val t = "t_meta"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2) // v0
+    KeyedTable.tagSnapshot(spark, wh, t, "cut")
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v1
+    withCat { cat =>
+      val hist = spark.sql(s"SELECT version, n_rows FROM $cat.`$t" + "$history`")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hist == Set((0L, 2L), (1L, 3L)))
+      val tags = spark.sql(s"SELECT tag, version FROM $cat.`$t" + "$tags`")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(tags == Seq(("cut", 0L)))
+      // current snapshot's live files: per-file rows sum to the table
+      val files = spark.sql(s"SELECT bucket, rows FROM $cat.`$t" + "$files`")
+      assert(files.collect().map(_.getLong(1)).sum == 3L)
+      // the file count agrees with the manifest
+      val mf = Manifest.current(spark, wh + s"/$t").get
+      assert(files.count() == mf.files.valuesIterator.map(_.size).sum)
+    }
+  }
+
+  test("unknown $kind and missing base fail as missing tables; read-only") {
+    val t = "t_meta_neg"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    withCat { cat =>
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT * FROM $cat.`$t" + "$bogus`").collect()
+      }
+      intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"SELECT * FROM $cat.`nope" + "$history`").collect()
+      }
+      // metadata tables accept no writes
+      intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.`$t" + "$tags` VALUES ('x', 0)")
+      }
+    }
+  }
+}
