@@ -859,6 +859,59 @@ object PbQueries {
     }
   }
 
+  /** #11k as a driver row (`pb_agg_pushdown`): unfiltered global
+    * COUNT(*)/COUNT(col)/MIN/MAX over the catalog table answer from
+    * parquet FOOTER metadata via the DSv2 aggregate pushdown — planned
+    * as a driver-local scan, zero executor tasks, zero data bytes. The
+    * row pins the VALUES against DuckDB's full-scan answer (the
+    * LocalScan plan shape is pinned by AggPushdownSpec). */
+  private val aggPdN = new java.util.concurrent.atomic.AtomicLong()
+  def aggPushdownQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false)
+    val cat = s"graft_gate_aggpd${aggPdN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val out = spark.sql(
+        s"""SELECT count(*) AS n, count(o_custkey) AS n_cust,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+           FROM $cat.orders""")
+      out.cache().count() // materialize before the catalog conf is unset
+      out
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  /** #11h as a driver row (`pb_namespace`): schema namespaces — the
+    * reference's `schema=` kwarg — end-to-end: write into schema `raw`,
+    * read back through the two-level SQL identifier `cat.raw.customer`
+    * after creating the namespace through SQL DDL. */
+  private val nsN = new java.util.concurrent.atomic.AtomicLong()
+  def namespaceQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_ns${nsN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.raw")
+      KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+        pk = Seq("c_custkey"), schema = Some("raw"))
+      val out = spark.sql(s"SELECT * FROM $cat.raw.customer")
+        .drop(KeyedTable.BucketCol)
+      out.cache().count() // materialize before the catalog conf is unset
+      out
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -899,6 +952,8 @@ object PbQueries {
     "pb_stream_read" -> streamReadQ,
     "pb_sql_alter" -> sqlAlter,
     "pb_meta_tables" -> metaTablesQ,
+    "pb_agg_pushdown" -> aggPushdownQ,
+    "pb_namespace" -> namespaceQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -980,6 +1035,15 @@ object PbQueries {
     "pb_restore" -> "SELECT * FROM customer",
     // two checkpointed AvailableNow drains = the whole table, once each
     "pb_stream_read" -> "SELECT * FROM orders",
+    // footer-metadata global aggregates == the full-scan answer
+    "pb_agg_pushdown" -> """
+      SELECT count(*)::BIGINT AS n, count(o_custkey)::BIGINT AS n_cust,
+             min(o_orderkey)::BIGINT AS min_key,
+             max(o_orderkey)::BIGINT AS max_key
+      FROM orders
+    """.trim,
+    // written into schema 'raw', read via cat.raw.customer
+    "pb_namespace" -> "SELECT * FROM customer",
     // snapshot log (+ n_rows from manifests) left-joined to tag pins
     "pb_meta_tables" -> """
       SELECT 0::BIGINT AS version,
