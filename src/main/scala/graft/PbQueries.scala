@@ -596,7 +596,8 @@ object PbQueries {
     KeyedTable.toSql(orders.filter(k % 2 === 1), wh, "orders",
       pk = Seq("o_orderkey"), how = WriteMode.Append, strictUtc = false)
     KeyedTable.delete(spark, wh, "orders", k % 5 === 0)
-    KeyedTable.history(spark, wh, "orders").select("version", "n_rows")
+    KeyedTable.history(spark, wh, "orders")
+      .select("version", "op", "n_rows")
   }
 
   /** #11e as a DRIVER ROW (`pb_rebucket`): re-layout under a new bucket
@@ -1014,12 +1015,13 @@ object PbQueries {
     // each version's row count replayed: create slice, full table,
     // post-delete complement
     "pb_history" -> """
-      SELECT 0::BIGINT AS version, count(*)::BIGINT AS n_rows
+      SELECT 0::BIGINT AS version, 'create' AS op, count(*)::BIGINT AS n_rows
       FROM orders WHERE o_orderkey % 2 = 0
       UNION ALL
-      SELECT 1::BIGINT, count(*)::BIGINT FROM orders
+      SELECT 1::BIGINT, 'append', count(*)::BIGINT FROM orders
       UNION ALL
-      SELECT 2::BIGINT, count(*)::BIGINT FROM orders WHERE o_orderkey % 5 <> 0
+      SELECT 2::BIGINT, 'delete', count(*)::BIGINT
+      FROM orders WHERE o_orderkey % 5 <> 0
     """.trim,
     "pb_zorder" -> "SELECT * FROM orders",
     // the TAGGED v0 snapshot: the post-tag upsert must NOT appear, and

@@ -335,7 +335,8 @@ object KeyedTable {
           mfF.copy(rows = rows, stats = stats.get(pkCols.head))
         }
       }
-      Manifest.commit(spark, dir, Manifest(0L, buckets, v0Files))
+      Manifest.commit(spark, dir,
+        Manifest(0L, buckets, v0Files, op = Some("create")))
       TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema, maxIdx))
     } finally f.delete(new Path(staging), true)
   }
@@ -679,10 +680,10 @@ object KeyedTable {
             if (removeMissing) None else base.files.get(b).map(b -> _)
         }
       }.toMap
-    val mf = Manifest(base.version + 1, newBuckets, newFiles)
+    val mf = Manifest(base.version + 1, newBuckets, newFiles,
+      op = Some(op))
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
-    mf
   }
 
   /** Raw bucket-partitioned read with the evolved logical schema (old
@@ -1966,12 +1967,13 @@ object KeyedTable {
     // re-list the manifests dir per version)
     val rows = Manifest.all(spark, dir).map { m =>
       val fls = m.files.valuesIterator.flatten.toSeq
-      (m.version, m.buckets, fls.size.toLong,
+      (m.version, m.op.orNull, m.buckets, fls.size.toLong,
         if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else -1L,
-        fls.map(_.len).sum)
+        fls.map(_.len).sum, m.tsMs.map(Long.box).orNull: java.lang.Long)
     }
     import spark.implicits._
-    rows.toDF("version", "buckets", "n_files", "n_rows", "bytes")
+    rows.toDF("version", "op", "buckets", "n_files", "n_rows", "bytes",
+      "ts_ms")
   }
 
   /** Tag a snapshot version under a stable name (see [[Tags]]): the
@@ -2175,7 +2177,7 @@ object KeyedTable {
       } else None
       try {
         Manifest.commit(spark, dir, Manifest(cur.version + 1, target.buckets,
-          target.files))
+          target.files, op = Some(s"restore(${target.version})")))
         clCommit.foreach { case (src, dst) =>
           commitChangelogBatch(f, "restore", src, dst)
         }

@@ -72,7 +72,9 @@ final case class ManifestFile(name: String, len: Long,
   * mutation adopts the listing as the version-0 baseline.
   */
 final case class Manifest(version: Long, buckets: Int,
-                          files: Map[Int, Seq[ManifestFile]]) {
+                          files: Map[Int, Seq[ManifestFile]],
+                          op: Option[String] = None,
+                          tsMs: Option[Long] = None) {
 
   /** Absolute path of every live file (order: bucket, then name). */
   def absolutePaths(dataDir: String): Seq[String] =
@@ -83,9 +85,11 @@ final case class Manifest(version: Long, buckets: Int,
   def totalBytes: Long = files.valuesIterator.flatten.map(_.len).sum
 
   def toJson: String = compact(render(JObject(
-    "version" -> JInt(version),
-    "buckets" -> JInt(buckets),
-    "files" -> JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
+    List("version" -> (JInt(version): JValue),
+      "buckets" -> (JInt(buckets): JValue)) ++
+    op.map(o => "op" -> (JString(o): JValue)).toList ++
+    tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList :+
+    "files" -> (JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
       b.toString -> JArray(fs.toList.map { f =>
         // arity encodes presence: [name, len] | [name, len, rows] |
         // [name, len, rows, min, max] (stats imply rows — same footer) |
@@ -107,7 +111,7 @@ final case class Manifest(version: Long, buckets: Int,
           }): JValue)
         JArray(base ++ lead ++ ext)
       })
-    }))))
+    }): JValue))))
 }
 
 object Manifest {
@@ -224,6 +228,9 @@ object Manifest {
     val JInt(version) = (j \ "version"): @unchecked
     val JInt(buckets) = (j \ "buckets"): @unchecked
     val JObject(fields) = (j \ "files"): @unchecked
+    // optional commit metadata (older manifests lack it)
+    val op = (j \ "op") match { case JString(o) => Some(o); case _ => None }
+    val ts = (j \ "ts_ms") match { case JInt(t) => Some(t.toLong); case _ => None }
     Manifest(version.toLong, buckets.toInt,
       fields.map { case (b, JArray(fs)) =>
         def lead(mn: JValue, mx: JValue): Option[ColStats] = (mn, mx) match {
@@ -252,7 +259,7 @@ object Manifest {
           case o => throw new StoreException(s"bad manifest file entry: $o")
         }
       case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
-      }.toMap)
+      }.toMap, op, ts)
   }
 
   /** All committed versions, ascending (one listing). */
@@ -328,7 +335,12 @@ object Manifest {
     * rename into `_manifests/v<N>.json` — the commit point of every
     * mutation. Fails loudly if the rename fails or the version already
     * exists (two writers racing would mean a write-lock violation). */
-  def commit(spark: SparkSession, tableDir: String, m: Manifest): Unit = {
+  def commit(spark: SparkSession, tableDir: String, m0: Manifest): Manifest = {
+    // stamp the commit wall-clock once, here (the mtime-independent
+    // timestamp history/$history surface; atTimestamp keeps using the
+    // file mtime, which exists for pre-metadata manifests too)
+    val m = if (m0.tsMs.isDefined) m0
+            else m0.copy(tsMs = Some(System.currentTimeMillis()))
     val f = fsOf(spark, tableDir)
     val d = dir(tableDir)
     f.mkdirs(d)
@@ -347,5 +359,6 @@ object Manifest {
         "(the previous snapshot is still current)")
     }
     cachePut(finalPath.toString, m)
+    m
   }
 }

@@ -46,10 +46,12 @@ private[store] object MetaTables {
   private def schemaOf(kind: String): StructType = kind match {
     case "history" => StructType(Seq(
       StructField("version", LongType, nullable = false),
+      StructField("op", StringType, nullable = true),
       StructField("buckets", IntegerType, nullable = false),
       StructField("n_files", LongType, nullable = false),
       StructField("n_rows", LongType, nullable = true),
-      StructField("bytes", LongType, nullable = false)))
+      StructField("bytes", LongType, nullable = false),
+      StructField("ts_ms", LongType, nullable = true)))
     case "tags" => StructType(Seq(
       StructField("tag", StringType, nullable = false),
       StructField("version", LongType, nullable = false)))
@@ -66,9 +68,10 @@ private[store] object MetaTables {
       Manifest.all(spark, tableDir).map { m =>
         val fls = m.files.valuesIterator.flatten.toSeq
         new GenericInternalRow(Array[Any](
-          m.version, m.buckets, fls.size.toLong,
+          m.version, m.op.map(UTF8String.fromString).orNull, m.buckets,
+          fls.size.toLong,
           if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else null,
-          fls.map(_.len).sum)): InternalRow
+          fls.map(_.len).sum, m.tsMs.map(Long.box).orNull)): InternalRow
       }.toArray
     case "tags" =>
       Tags.read(spark, tableDir).toSeq.sortBy(_._1).map { case (t, v) =>

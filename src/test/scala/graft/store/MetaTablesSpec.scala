@@ -39,6 +39,13 @@ class MetaTablesSpec extends SparkSpec {
       val hist = spark.sql(s"SELECT version, n_rows FROM $cat.`$t" + "$history`")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(hist == Set((0L, 2L), (1L, 3L)))
+      // commit metadata: operation name + wall-clock ride in the manifest
+      val ops = spark.sql(
+        s"SELECT version, op, ts_ms FROM $cat.`$t" + "$history`")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+        .sortBy(_._1)
+      assert(ops.map(o => (o._1, o._2)) == Seq((0L, "create"), (1L, "append")))
+      assert(ops.forall(_._3 != null))
       val tags = spark.sql(s"SELECT tag, version FROM $cat.`$t" + "$tags`")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       assert(tags == Seq(("cut", 0L)))
