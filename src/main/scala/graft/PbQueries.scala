@@ -913,6 +913,36 @@ object PbQueries {
     }
   }
 
+  /** #11ai (`pb_check`): CHECK constraints as an ingest contract — a
+    * violating upsert must be rejected ATOMICALLY (caught here; the
+    * row errors loudly if the write is accepted), then a valid
+    * predicate UPDATE proceeds under the same constraint: the final
+    * table reflects exactly the valid mutation and none of the
+    * rejected one. */
+  def checkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.addCheckConstraint(spark, wh, "customer",
+      "bal_floor", "c_acctbal >= -1000.0")
+    val bad = customer.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_acctbal", lit(-99999.0))
+    val rejected =
+      try {
+        KeyedTable.toSql(bad, wh, "customer",
+          pk = Seq("c_custkey"), how = WriteMode.Upsert)
+        false
+      } catch {
+        case e: graft.store.StoreException => e.getMessage.contains("bal_floor")
+      }
+    if (!rejected)
+      throw new graft.store.StoreException(
+        "pb_check: a violating upsert was ACCEPTED")
+    KeyedTable.update(spark, wh, "customer", col("c_custkey") % 2 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 100.0)))
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pb_create_read" -> createRead,
     "pb_append" -> append,
@@ -955,6 +985,7 @@ object PbQueries {
     "pb_meta_tables" -> metaTablesQ,
     "pb_agg_pushdown" -> aggPushdownQ,
     "pb_namespace" -> namespaceQ,
+    "pb_check" -> checkQ,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1046,6 +1077,14 @@ object PbQueries {
     """.trim,
     // written into schema 'raw', read via cat.raw.customer
     "pb_namespace" -> "SELECT * FROM customer",
+    // the rejected upsert left nothing; the valid update applied
+    "pb_check" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    """.trim,
     // snapshot log (+ n_rows from manifests) left-joined to tag pins
     "pb_meta_tables" -> """
       SELECT 0::BIGINT AS version,

@@ -59,6 +59,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           .map(t => Identifier.of(namespace, t)).toArray
     }
 
+  /** SQL `ALTER TABLE … ADD CONSTRAINT … CHECK` requires the catalog to
+    * declare constraint support; the store enforces CHECKs on every
+    * write path (see [[KeyedTable.addCheckConstraint]]). */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
   override def tableExists(ident: Identifier): Boolean =
     schemaOf(ident.namespace)
       .exists(sch => Catalog.hasTable(spark, warehouse, ident.name, sch))
@@ -207,17 +216,38 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       topLevel(d.fieldNames, "DROP COLUMN")
     }
+    val checkAdds = changes.collect { case a: TableChange.AddConstraint =>
+      a.constraint() match {
+        case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+          c.name() -> c.predicateSql()
+        case c => throw new UnsupportedOperationException(
+          s"only CHECK constraints are supported on graft tables " +
+          s"(got ${c.toDDL}); the PK is declared at create time")
+      }
+    }
+    val checkDrops = changes.collect {
+      case d: TableChange.DropConstraint => d.name()
+    }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
-        c.isInstanceOf[TableChange.DeleteColumn])
+        c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.AddConstraint] ||
+        c.isInstanceOf[TableChange.DropConstraint])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
-        "only ADD COLUMNS and DROP COLUMN are supported on graft " +
-        s"tables (got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
+        "only ADD COLUMNS, DROP COLUMN, and ADD/DROP CONSTRAINT (CHECK) " +
+        s"are supported on graft tables " +
+        s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     if (adds.nonEmpty)
       KeyedTable.addColumns(spark, warehouse, ident.name(), adds.toSeq, sch)
     if (drops.nonEmpty)
       KeyedTable.dropColumns(spark, warehouse, ident.name(), drops.toSeq, sch)
+    checkAdds.foreach { case (n, e) =>
+      KeyedTable.addCheckConstraint(spark, warehouse, ident.name(), n, e, sch)
+    }
+    checkDrops.foreach { n =>
+      KeyedTable.dropCheckConstraint(spark, warehouse, ident.name(), n, sch): Unit
+    }
     loadTable(ident)
   }
 

@@ -752,6 +752,7 @@ object KeyedTable {
     val newB = withBucket(aligned0, meta.pk, base.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      enforceChecks(newB, meta.checks, "append")
       // validate AFTER persist so the (possibly expensive) incoming
       // pipeline is computed once; one fused job answers the PK check
       // and the touched-bucket set off the cache
@@ -913,6 +914,7 @@ object KeyedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val f = fs(spark, dir)
     try {
+      enforceChecks(newB, metaUsed.checks, "appendConcurrent")
       val touched = validateAndTouched(newB, metaUsed.pk,
         validate && !metaUsed.autoIndex)
       if (!metaUsed.autoIndex) {
@@ -1094,6 +1096,12 @@ object KeyedTable {
     val newB = withBucket(aligned, meta.pk, base.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // checks see the incoming images; merge tombstones are DELETES,
+      // exempt by construction (they remove rows, not write them)
+      enforceChecks(
+        if (tombstoned) newB.filter(!coalesce(col(MergeDelCol), lit(false)))
+        else newB,
+        meta.checks, if (tombstoned) "merge" else "upsert")
       // validate off the cache — one computation of the delta pipeline;
       // the same fused job returns the touched buckets (only those are
       // read or rewritten)
@@ -1582,6 +1590,12 @@ object KeyedTable {
                 .otherwise(lit("unchanged")).as("op") +: images): _*)
           Some(stageChangelogBatch(spark, dir, changes))
         } else None
+        // the check sees the POST-image of every matched row (one agg
+        // job bounded by the matched set), before anything stages
+        enforceChecks(
+          raw.filter(matched).select(meta.schema.fieldNames.toSeq
+            .map(c => newVal(c).as(c)): _*),
+          meta.checks, "update")
         val staging = s"$dir/.staging-update-${UUID.randomUUID()}"
         try {
           try {
@@ -1675,6 +1689,88 @@ object KeyedTable {
         schema = StructType(meta.schema.fields ++
           cols.map(_.copy(nullable = true)))))
     }
+  }
+
+  /** CHECK constraints (#11ai — the Delta/ANSI data-quality contract):
+    * register a named SQL predicate that every row must satisfy; from
+    * then on EVERY write path (append, appendConcurrent, upsert, merge
+    * inserts/updates, predicate update, SQL INSERT/UPDATE/MERGE) rejects
+    * the whole mutation — atomically, before any commit — if any
+    * incoming row evaluates the predicate to FALSE. SQL semantics: NULL
+    * passes (a constraint rejects provable violations, not unknowns —
+    * the ANSI CHECK rule, also what partial-column upserts need: absent
+    * columns arrive NULL and the stored value already passed when it
+    * was written). Registration validates the predicate against all
+    * EXISTING rows first, so a table with a constraint satisfies it in
+    * every snapshot from that version on. The 100 TB story: ingest
+    * contracts enforced at the one choke point every writer shares,
+    * priced as one aggregate over each mutation's delta — never a
+    * post-hoc table scan. */
+  def addCheckConstraint(spark: SparkSession, warehouse0: String,
+                         tableName: String, name: String, predicateSql: String,
+                         schema: Option[String] = None): Unit = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    if (Names.cleanName(name) != name)
+      throw new StoreException(s"bad constraint name '$name'")
+    WriteLock.withLock(spark, dir, s"addCheck($name)") {
+      val meta = TableMeta.read(spark, dir)
+      if (meta.checks.contains(name))
+        throw new StoreException(
+          s"check constraint $name already exists " +
+          s"(${meta.checks(name)}); drop it first to replace")
+      val bad =
+        try readRaw(spark, warehouse, tableName, meta)
+          .filter(expr(predicateSql) <=> lit(false)).count()
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new StoreException(
+            s"check constraint $name does not resolve against the " +
+            s"table schema: ${e.getMessage}")
+        }
+      if (bad > 0)
+        throw new StoreException(
+          s"cannot add check constraint $name ($predicateSql): " +
+          s"$bad existing row(s) violate it")
+      TableMeta.write(spark, dir,
+        meta.copy(checks = meta.checks + (name -> predicateSql)))
+    }
+  }
+
+  /** Drop a check constraint; false if the name is unknown. */
+  def dropCheckConstraint(spark: SparkSession, warehouse0: String,
+                          tableName: String, name: String,
+                          schema: Option[String] = None): Boolean = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    WriteLock.withLock(spark, dir, s"dropCheck($name)") {
+      val meta = TableMeta.read(spark, dir)
+      if (!meta.checks.contains(name)) false
+      else {
+        TableMeta.write(spark, dir, meta.copy(checks = meta.checks - name))
+        true
+      }
+    }
+  }
+
+  /** Enforce every registered check over a mutation's incoming rows —
+    * ONE aggregate job for all constraints together, run before any
+    * staging commit so a violation leaves the table untouched. FALSE
+    * violates; NULL passes (see [[addCheckConstraint]]). */
+  private def enforceChecks(df: DataFrame, checks: Map[String, String],
+                            op: String): Unit = {
+    if (checks.isEmpty) return
+    val named = checks.toSeq.sortBy(_._1)
+    val aggs = named.map { case (n, e) =>
+      sum(when(expr(e) <=> lit(false), 1L).otherwise(0L)).as(n)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val bad = named.zipWithIndex.collect {
+      case ((n, e), i) if !row.isNullAt(i) && row.getLong(i) > 0 =>
+        s"$n ($e): ${row.getLong(i)} row(s)"
+    }
+    if (bad.nonEmpty)
+      throw new StoreException(
+        s"$op rejected by check constraint(s): ${bad.mkString("; ")} " +
+        "(the table is unchanged)")
   }
 
   /** #11z per-column file statistics: register EXTRA columns (beyond the

@@ -57,7 +57,8 @@ final case class TableMeta(
     maxAutoIndex: Option[Long] = None,
     changelog: Boolean = false,
     statsCols: Seq[String] = Nil,
-    dropped: Seq[String] = Nil) {
+    dropped: Seq[String] = Nil,
+    checks: Map[String, String] = Map.empty) {
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
@@ -71,6 +72,10 @@ final case class TableMeta(
       else Nil) ++
      (if (dropped.nonEmpty)
         List("dropped" -> (JArray(dropped.map(JString(_)).toList): JValue))
+      else Nil) ++
+     (if (checks.nonEmpty)
+        List("checks" -> (JObject(checks.toList.sortBy(_._1).map {
+          case (n, e) => n -> (JString(e): JValue) }): JValue))
       else Nil)))))
 }
 
@@ -108,11 +113,15 @@ object TableMeta {
       case JArray(xs) => xs.collect { case JString(x) => x }
       case _ => Nil
     }
+    val ck = (j \ "checks") match {
+      case JObject(xs) => xs.collect { case (n, JString(e)) => n -> e }.toMap
+      case _ => Map.empty[String, String]
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx, cl, sc, dr)
+      maxIdx, cl, sc, dr, ck)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)
