@@ -76,7 +76,7 @@ class SqlAlterSpec extends SparkSpec {
       val rn = intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN name TO nm")
       }
-      assert(rn.getMessage.contains("only ADD COLUMNS and DROP COLUMN"))
+      assert(rn.getMessage.contains("only ADD COLUMNS, DROP COLUMN"))
       val pk = intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN id")
       }
