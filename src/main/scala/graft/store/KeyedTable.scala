@@ -954,6 +954,13 @@ object KeyedTable {
         WriteLock.withLockWait(spark, dir, "appendConcurrent(commit)",
             commitWaitMs) {
           val metaLatest = TableMeta.read(spark, dir)
+          // a CHECK constraint registered since this append staged was
+          // validated against a snapshot that excludes our rows — the
+          // commit must enforce the NEW constraints itself (the common
+          // case pays nothing: no new checks, no job)
+          enforceChecks(newB,
+            metaLatest.checks -- metaUsed.checks.keySet,
+            "appendConcurrent(commit)")
           val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
           if (baseLatest.buckets != base0.buckets)
             throw new ConcurrentWriteException(

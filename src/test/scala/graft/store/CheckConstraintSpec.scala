@@ -102,6 +102,47 @@ class CheckConstraintSpec extends SparkSpec {
     assert(!KeyedTable.dropCheckConstraint(spark, wh, t, "v_big"))
   }
 
+  test("a constraint added while appendConcurrent was staging is enforced at commit") {
+    val t = "t_check_race"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    val dir = wh + s"/$t"
+    // hold the write lock; start a violating appendConcurrent — it
+    // stages unlocked, then polls for the commit lock while we register
+    // the constraint under our lock (validated against a snapshot that
+    // excludes the staged rows). On release, the commit must enforce
+    // the NEW constraint itself and abort.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    @volatile var staged = false
+    val fut = WriteLock.withLock(spark, dir, "spec-hold") {
+      val f = Future {
+        intercept[StoreException] {
+          KeyedTable.appendConcurrent(df((2L, "b", -2.0)), wh, t,
+            commitWaitMs = 60000L)
+        }
+      }
+      // wait for the racer to finish staging (its .staging-append-* dir
+      // appears) before we mutate meta — deterministic ordering
+      val fsys = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!staged && System.nanoTime() < deadline) {
+        staged = fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+          .exists(_.getPath.getName.startsWith(".staging-append-"))
+        if (!staged) Thread.sleep(50)
+      }
+      assert(staged, "racer never staged")
+      val m = TableMeta.read(spark, dir)
+      TableMeta.write(spark, dir, m.copy(checks = m.checks + ("v_pos" -> "v >= 0")))
+      f
+    }
+    val e = Await.result(fut, 90.seconds)
+    assert(e.getMessage.contains("v_pos"))
+    // the violating row never landed
+    assert(values(KeyedTable.readSql(spark, wh, t)) == Set((1L, "a", 1.0)))
+  }
+
   test("SQL surface: ALTER TABLE ADD/DROP CONSTRAINT CHECK") {
     val t = "t_check_sql"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
