@@ -49,9 +49,12 @@ private[store] object KeyedVersionOffset {
   * when the stream starts (new commits only); a number starts just
   * after that version; absent, the first batch is the full snapshot.
   *
-  * Pushed filters ride along: each batch's added files are pruned with
-  * the same manifest min/max statistics as the batch scan, and the
-  * parquet reader gets the same row-group predicates. */
+  * Filters: Spark's DSv2 filter pushdown is a batch-optimizer rule and
+  * does NOT reach streaming scans, so each micro-batch reads every
+  * added file and predicates run above the source (pinned by spec).
+  * The scan still carries the batch path's manifest-stat file skipping
+  * so it activates automatically if Spark ever pushes filters into
+  * streaming scans. */
 private[store] class KeyedMicroBatchStream(
     meta: TableMeta, dataDir: String,
     readDataSchema: StructType, readPartitionSchema: StructType,

@@ -90,6 +90,32 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(all.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("filters apply ABOVE the stream scan (Spark pushes no filters into streaming scans)") {
+    val t = "t_stream_skip"
+    val out = TempDirs.tempDir("graft-streamsrc-out6")
+    val ck = TempDirs.tempDir("graft-streamsrc-ck6")
+    // one bucket → one file per commit, each with tight leading-PK stats
+    KeyedTable.toSql(df((1L to 10L).map(i => (i, s"r$i", i.toDouble)): _*),
+      wh, t, pk = Seq("id"), buckets = 1) // v0: ids 1..10
+    KeyedTable.toSql(df((11L to 20L).map(i => (i, s"r$i", i.toDouble)): _*),
+      wh, t, pk = Seq("id"), how = WriteMode.Append) // v1: ids 11..20
+    val q = KeyedTableStream.readStream(spark, wh, t)
+      .filter(org.apache.spark.sql.functions.col("id") >= 15L)
+      .drop(KeyedTable.BucketCol)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(ids(out) == (15L to 20L).toSet)
+    // pins Spark's CURRENT streaming contract: DSv2 filter pushdown is
+    // a batch-optimizer rule, so streaming scans read every added file
+    // and the filter runs above the source (numInputRows = all 20). If
+    // a Spark upgrade starts pushing filters into streaming scans, the
+    // source's manifest-stat file skipping activates and this becomes
+    // 10 — update the claim in SURVEY #11af alongside this assert.
+    assert(q.recentProgress.map(_.numInputRows).sum == 20L)
+  }
+
   test("a non-additive commit in the window fails loudly toward the changelog") {
     val t = "t_stream_nonadd"
     val out = TempDirs.tempDir("graft-streamsrc-out3")
