@@ -25,12 +25,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `t$tags`: (tag, version) pins ([[Tags]]).
   *  - `t$files`: the CURRENT snapshot's live files —
   *    (bucket, file, bytes, rows); empty for pre-manifest tables.
+  *  - `t$checks`: registered CHECK constraints — (name, predicate).
   *
   * Read-only by construction (no SupportsWrite); rows are computed
   * when the scan is BUILT, so each query sees one consistent listing.
   */
 private[store] object MetaTables {
-  private val Kinds = Set("history", "tags", "files")
+  private val Kinds = Set("history", "tags", "files", "checks")
 
   /** `name$kind` → (base table name, kind), for known kinds only —
     * anything else is a normal (possibly weird) table name. */
@@ -60,6 +61,9 @@ private[store] object MetaTables {
       StructField("file", StringType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("rows", LongType, nullable = true)))
+    case "checks" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("predicate", StringType, nullable = false)))
   }
 
   private def rowsOf(spark: SparkSession, tableDir: String,
@@ -87,6 +91,11 @@ private[store] object MetaTables {
               f.rows.map(Long.box).orNull)): InternalRow
           }
         }
+      }.toArray
+    case "checks" =>
+      TableMeta.read(spark, tableDir).checks.toSeq.sortBy(_._1).map {
+        case (n, e) => new GenericInternalRow(Array[Any](
+          UTF8String.fromString(n), UTF8String.fromString(e))): InternalRow
       }.toArray
   }
 

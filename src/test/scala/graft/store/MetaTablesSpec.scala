@@ -55,6 +55,11 @@ class MetaTablesSpec extends SparkSpec {
       // the file count agrees with the manifest
       val mf = Manifest.current(spark, wh + s"/$t").get
       assert(files.count() == mf.files.valuesIterator.map(_.size).sum)
+      // registered CHECK constraints surface as (name, predicate) rows
+      KeyedTable.addCheckConstraint(spark, wh, t, "v_pos", "v >= 0")
+      val checks = spark.sql(s"SELECT name, predicate FROM $cat.`$t" + "$checks`")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(checks == Seq(("v_pos", "v >= 0")))
     }
   }
 
