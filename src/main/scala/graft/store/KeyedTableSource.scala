@@ -158,7 +158,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema(), mf,
-      Seq("sinceVersion", "maxVersionsPerTrigger")
+      Seq("sinceVersion", "endingVersion", "maxVersionsPerTrigger")
         .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the

@@ -48,6 +48,8 @@ private[store] object KeyedVersionOffset {
   * `sinceVersion` read option: "latest" starts at the snapshot current
   * when the stream starts (new commits only); a number starts just
   * after that version; absent, the first batch is the full snapshot.
+  * `endingVersion` bounds consumption: the stream never reads past it,
+  * so (sinceVersion, endingVersion] is an exact, replayable window.
   *
   * Filters: Spark's DSv2 filter pushdown is a batch-optimizer rule and
   * does NOT reach streaming scans, so each micro-batch reads every
@@ -80,6 +82,16 @@ private[store] class KeyedMicroBatchStream(
       v
     }
 
+  /** Bounded replay: never consume past this version — with
+    * `sinceVersion` it pins an exact, deterministic commit window
+    * (sinceVersion, endingVersion] however long the stream runs and
+    * whatever lands meanwhile. */
+  private val endingVersion: Option[Long] =
+    streamOpts.get("endingVersion").map { s =>
+      s.toLongOption.getOrElse(throw new StoreException(
+        s"bad endingVersion '$s': a version number"))
+    }
+
   private val tableDir: String = new Path(dataDir).getParent.toString
   private def spark: SparkSession = SparkSession.active
 
@@ -97,7 +109,8 @@ private[store] class KeyedMicroBatchStream(
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[KeyedVersionOffset].version
     val live = Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L)
-    val capped = availableNowCap.fold(live)(math.min(live, _))
+    val capped = (availableNowCap.toSeq ++ endingVersion.toSeq)
+      .foldLeft(live)(math.min)
     KeyedVersionOffset(
       maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m)))
   }
@@ -175,12 +188,14 @@ object KeyedTableStream {
     * pipeline without a checkpoint. */
   def readStream(spark: SparkSession, warehouse: String, table: String,
                  sinceVersion: Option[Long] = None,
-                 maxVersionsPerTrigger: Option[Long] = None) = {
+                 maxVersionsPerTrigger: Option[Long] = None,
+                 endingVersion: Option[Long] = None) = {
     var r = spark.readStream.format(classOf[KeyedTableSource].getName)
       .option("warehouse", warehouse).option("table", table)
     sinceVersion.foreach(v => r = r.option("sinceVersion", v.toString))
     maxVersionsPerTrigger.foreach(m =>
       r = r.option("maxVersionsPerTrigger", m.toString))
+    endingVersion.foreach(v => r = r.option("endingVersion", v.toString))
     r.load()
   }
 }

@@ -116,6 +116,33 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(q.recentProgress.map(_.numInputRows).sum == 20L)
   }
 
+  test("endingVersion bounds the replay window exactly, across drains") {
+    val t = "t_stream_end"
+    val out = TempDirs.tempDir("graft-streamsrc-out7")
+    val ck = TempDirs.tempDir("graft-streamsrc-ck7")
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2) // v0
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v1
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v2
+    def drainTo(end: Long): Unit = KeyedTableStream
+      .readStream(spark, wh, t, endingVersion = Some(end))
+      .drop(KeyedTable.BucketCol)
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    drainTo(1L) // (−1, 1]: v2's rows stay out
+    assert(ids(out) == Set(1L, 2L))
+    // a later commit doesn't leak past the bound either
+    KeyedTable.toSql(df((4L, "d", 4.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append) // v3
+    drainTo(1L)
+    assert(ids(out) == Set(1L, 2L))
+    // raising the bound resumes from the checkpoint, exactly once
+    drainTo(2L)
+    assert(ids(out) == Set(1L, 2L, 3L))
+  }
+
   test("a non-additive commit in the window fails loudly toward the changelog") {
     val t = "t_stream_nonadd"
     val out = TempDirs.tempDir("graft-streamsrc-out3")
