@@ -428,6 +428,63 @@ object PbQueries {
     }
   }
 
+  /** #11x partial-clause MERGE shapes (`pb_sql_merge_upd` /
+    * `pb_sql_merge_ins` / `pb_sql_merge_del`): SQL MERGE treats an
+    * ABSENT clause as "no action" — update-only must not insert
+    * unmatched source rows, insert-only must not overwrite matched
+    * rows, delete-only must not insert phantom rows. Lowered with one
+    * pre-filter join against the target's key set (GraftMergeCommand);
+    * the full CDC-apply shape stays join-free. */
+  private def sqlMergePartial(clause: String)(
+      spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_mrg${sqlMrgN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      // matched rows (%6) carry CHANGED values (they must only land
+      // under an UPDATE clause) and a delete flag (%12); unmatched rows
+      // (+20000000, %89) must only land under an INSERT clause
+      customer.filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"),
+          lit("MRGPART").as("c_mktsegment"),
+          (col("c_custkey") % 12 === 0).as("is_del"))
+        .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+          .select((col("c_custkey") + 20000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment"), lit(true).as("is_del")))
+        .createOrReplaceTempView("graft_gate_mrg_part_feed")
+      spark.sql(s"""
+        MERGE INTO $cat.customer AS t USING graft_gate_mrg_part_feed AS s
+        ON t.c_custkey = s.c_custkey
+        $clause
+      """)
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  def sqlMergeUpdOnly(spark: SparkSession, sfDir: String): DataFrame =
+    sqlMergePartial("""
+      WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+        c_nationkey = s.c_nationkey, c_acctbal = s.c_acctbal,
+        c_mktsegment = s.c_mktsegment""")(spark, sfDir)
+
+  def sqlMergeInsOnly(spark: SparkSession, sfDir: String): DataFrame =
+    sqlMergePartial("""
+      WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey,
+        c_acctbal, c_mktsegment) VALUES (s.c_custkey, s.c_name,
+        s.c_nationkey, s.c_acctbal, s.c_mktsegment)""")(spark, sfDir)
+
+  def sqlMergeDelOnly(spark: SparkSession, sfDir: String): DataFrame =
+    sqlMergePartial("WHEN MATCHED AND s.is_del THEN DELETE")(spark, sfDir)
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -967,6 +1024,9 @@ object PbQueries {
     "pb_stats_skip" -> statsSkip,
     "pb_sql_update" -> sqlUpdate,
     "pb_sql_merge" -> sqlMerge,
+    "pb_sql_merge_upd" -> sqlMergeUpdOnly,
+    "pb_sql_merge_ins" -> sqlMergeInsOnly,
+    "pb_sql_merge_del" -> sqlMergeDelOnly,
     "pb_drop_column" -> dropColumnQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
@@ -1138,6 +1198,32 @@ object PbQueries {
       UNION ALL
       SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
+    // update-only MERGE: matched (%6) rows take the feed's changed
+    // values; unmatched feed rows must NOT appear (no INSERT clause)
+    "pb_sql_merge_upd" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 6 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 6 = 0 THEN 'MRGPART'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    """.trim,
+    // insert-only MERGE: matched feed rows must NOT overwrite (no
+    // UPDATE clause); only the shifted unmatched rows land
+    "pb_sql_merge_ins" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
+    // delete-only MERGE: only matched rows the condition selects
+    // (%12 of the %6 feed) disappear; unmatched tombstones are no-ops,
+    // never phantom all-NULL inserts
+    "pb_sql_merge_del" -> """
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 12 <> 0
     """.trim,
     // survivors (non-tombstoned) with the %7 full-row update applied,
     // plus the shifted inserts

@@ -45,11 +45,17 @@ object Packing {
     // the operator's ONE driver action: shards-1 approximate id edges,
     // re-inlined as literals so every branch shards identically (see
     // ExactRank on why a lazy sketch subtree would not be safe)
-    val edgeRow = base.agg(
-      percentile_approx(col(idCol).cast("double"), typedlit(qs), lit(1000)))
-      .head().getSeq[Double](0)
+    // try_cast (not cast): a non-numeric id must not throw under ANSI —
+    // it yields NULL, and percentile_approx returns NULL (not an empty
+    // array) over zero input rows or an all-null cast; treat both as
+    // "no edges": a single shard, an empty/zero result (the window
+    // below still orders by the raw id, so string ids pack correctly)
+    val idNum: Column = col(idCol).try_cast("double")
+    val edgeRow = Option(base.agg(
+      percentile_approx(idNum, typedlit(qs), lit(1000)))
+      .head().getSeq[Double](0)).getOrElse(Seq.empty)
     val shardOf: Column = edgeRow.foldLeft(lit(0)) { (acc, e) =>
-      acc + when(col(idCol).cast("double") > lit(e), 1).otherwise(0)
+      acc + when(idNum > lit(e), 1).otherwise(0)
     }
     val sharded = base.withColumn(ShardCol, shardOf)
     // exact per-shard token totals → global offsets: ≤ `shards` rows to

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.BooleanType
 
 import graft.store.{KeyedTable, KeyedTableSource, StoreException}
@@ -101,6 +101,16 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       if (keyPairs.map(_._1).toSet != pk.toSet)
         unsupported(s"merge condition on ${keyPairs.map(_._1)} (the full " +
           s"primary key $pk is required)")
+      // two ON conjuncts constraining the SAME target key column with
+      // DIFFERENT source expressions (t.k = s.a AND t.k = s.b) cannot
+      // lower onto a single per-column join key — refuse rather than
+      // silently joining on fewer conditions than the statement wrote
+      keyPairs.groupBy(_._1).foreach { case (c, ps) =>
+        val exprs = ps.map(_._2)
+        if (exprs.exists(e => !e.semanticEquals(exprs.head)))
+          unsupported(s"the ON clause equating target key column $c " +
+            s"with multiple different source expressions (${exprs.mkString(", ")})")
+      }
       // actions
       val (updates, deletes) = (
         matched.collect { case a: UpdateAction => a },
@@ -203,7 +213,9 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         pk.map(c => Alias(keyExpr(c), c)()) ++
         valueCols2.map { case (c, e) => Alias(e, c)() } :+
         Alias(delWhen.getOrElse(Literal(false, BooleanType)), DelCol)()
-      GraftMergeCommand(wh, name, Project(feedCols, source), DelCol)
+      GraftMergeCommand(wh, name, Project(feedCols, source), DelCol, pk,
+        hasUpdate = updates.nonEmpty, hasInsert = inserts.nonEmpty,
+        hasDelete = deletes.nonEmpty)
   }
 }
 
@@ -227,13 +239,42 @@ case class GraftUpdateCommand(warehouse: String, table: String,
 /** `MERGE INTO <graft table>` lowered onto [[KeyedTable.merge]]: the
   * pre-validated feed projection (key columns, agreed value columns,
   * tombstone flag) executes as its own plan; one store commit, one
-  * changelog batch. */
+  * changelog batch.
+  *
+  * SQL MERGE treats an ABSENT clause as "no action", while the store's
+  * merge applies every feed row (update-or-insert, tombstone deletes).
+  * When both UPDATE and INSERT are present every source row IS an
+  * action and the feed flows through whole (the CDC-apply fast path —
+  * no extra join). A partial clause set pre-filters the feed against
+  * the target's current key set with one left join: rows that match
+  * the target survive only if UPDATE is present (or DELETE, for rows
+  * the delete condition selects); rows that don't match survive only
+  * if INSERT is present. An unmatched row satisfying the DELETE
+  * condition stays a no-op tombstone in every shape (change-feed
+  * semantics, pinned by SqlUpdateMergeSpec). */
 case class GraftMergeCommand(warehouse: String, table: String,
-                             feed: LogicalPlan, delCol: String)
+                             feed: LogicalPlan, delCol: String,
+                             pk: Seq[String], hasUpdate: Boolean,
+                             hasInsert: Boolean, hasDelete: Boolean)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val df: DataFrame = GraftBridge.ofRows(spark, feed)
-    KeyedTable.merge(df, warehouse, table,
+    val pre: DataFrame =
+      if (hasUpdate && hasInsert) df // full shape: every row acts
+      else {
+        val marker = "_graft_sql_matched"
+        val tgtKeys = KeyedTable.readSql(spark, warehouse, table)
+          .select(pk.map(col): _*).withColumn(marker, lit(true))
+        val keepMatched: Column =
+          if (hasUpdate) lit(true)
+          else if (hasDelete) coalesce(col(delCol), lit(false))
+          else lit(false)
+        df.join(tgtKeys, pk, "left")
+          .filter(when(col(marker).isNotNull, keepMatched)
+            .otherwise(lit(hasInsert)))
+          .drop(marker)
+      }
+    KeyedTable.merge(pre, warehouse, table,
       deleteWhen = coalesce(col(delCol), lit(false)),
       strictUtc = false) // values already passed the table's write checks
     Seq.empty

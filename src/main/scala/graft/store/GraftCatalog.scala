@@ -74,13 +74,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     // Iceberg-style metadata tables: `graft.`t$history`` / `$tags` /
-    // `$files` resolve against the BASE table's manifests (MetaTables)
-    MetaTables.parse(ident.name).foreach { case (base, kind) =>
-      val sch = schemaOf(ident.namespace)
-      if (sch.exists(s => Catalog.hasTable(spark, warehouse, base, s))) {
-        val dir = KeyedTable.tableDir(
-          KeyedTable.schemaDir(warehouse, sch.get), base)
-        return MetaTables.table(spark, dir, ident.name, kind)
+    // `$files` resolve against the BASE table's manifests (MetaTables).
+    // A REAL table whose name happens to contain `$` wins: the
+    // synthetic view only resolves when no stored table matches the
+    // full identifier, so nothing becomes unreadable through SQL.
+    if (!tableExists(ident)) {
+      MetaTables.parse(ident.name).foreach { case (base, kind) =>
+        val sch = schemaOf(ident.namespace)
+        if (sch.exists(s => Catalog.hasTable(spark, warehouse, base, s))) {
+          val dir = KeyedTable.tableDir(
+            KeyedTable.schemaDir(warehouse, sch.get), base)
+          return MetaTables.table(spark, dir, ident.name, kind)
+        }
       }
     }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)

@@ -931,8 +931,13 @@ object KeyedTable {
             "(reference: sql.py:264 append raises on repeated index)")
       }
       // changelog images staged UNLOCKED (append images need no
-      // pre-image join); batch number + rename happen inside the lock
-      val clStaging: Option[Path] = if (wantChangelog) {
+      // pre-image join); batch number + rename happen inside the lock.
+      // The same staging runs INSIDE the lock if a concurrent writer
+      // enabled the changelog property while we staged without one —
+      // every mutation on a CDC table must land a batch (the invariant
+      // readChangelog documents), and newB is persisted, so the
+      // lock-time job is one cached-scan write, not a recompute.
+      def stageInsertImages(): Path = {
         val nonPk = evolved.fieldNames.filterNot(metaUsed.pk.contains).toSeq
         val images = nonPk.flatMap { c =>
           Seq(lit(null).cast(evolved(c).dataType).as(s"old_$c"),
@@ -942,8 +947,11 @@ object KeyedTable {
           .select(metaUsed.pk.map(col) ++ (lit("insert").as("op") +: images): _*)
         val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
         changes.write.parquet(p.toString)
-        Some(p)
-      } else None
+        p
+      }
+      val clStaging: Option[Path] =
+        if (wantChangelog) Some(stageInsertImages()) else None
+      var clLate: Option[Path] = None
       val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
       try {
         // the expensive job — OUTSIDE the lock
@@ -989,10 +997,16 @@ object KeyedTable {
                   "(or use upsert semantics if overwrite is intended)")
             }
           }
+          // a concurrent writer may have ENABLED the changelog property
+          // since this append staged without one — commit must still
+          // land this append's batch or downstream log consumers would
+          // silently miss these rows (see readChangelog's invariant)
+          if (metaLatest.changelog && clStaging.isEmpty)
+            clLate = Some(stageInsertImages())
           commitStaged(spark, f, dir, data, staging, touched,
             "appendConcurrent", baseLatest, baseLatest.buckets,
             metaLatest.copy(schema = mergedSchema), add = true)
-          clStaging.foreach { src =>
+          (clStaging orElse clLate).foreach { src =>
             val clRoot = new Path(dir, ChangelogDir)
             val nextBatch =
               if (!f.exists(clRoot)) 0L
@@ -1010,7 +1024,7 @@ object KeyedTable {
         }
       } finally {
         f.delete(new Path(staging), true)
-        clStaging.foreach(p => f.delete(p, true))
+        (clStaging.toSeq ++ clLate.toSeq).foreach(p => f.delete(p, true))
       }
     } finally newB.unpersist()
   }

@@ -43,4 +43,19 @@ class PackingSpec extends SparkSpec {
     // doc 2 starts in pack 0 (offset 10), doc 3 starts at offset 510 → pack 5
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 5L), s"got $out")
   }
+
+  test("empty input and non-numeric ids degrade to a single shard, no NPE") {
+    // percentile_approx yields NULL (not []) over zero rows or an
+    // all-null numeric cast — both must mean "one shard", not an NPE
+    val empty = Seq.empty[(Long, Int)].toDF("id", "toks")
+    assert(Packing.withPackId(empty, "id", col("toks"), 100L).count() == 0L)
+    val strIds = Seq(("doc-a", 60), ("doc-b", 60), ("doc-c", 60))
+      .toDF("id", "toks")
+    val out = Packing.withPackId(strIds, "id", col("toks"), budget = 100L)
+      .select("id", "pack").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // single stream in id order: offsets 0,60,120 → packs 0,0,1
+    assert(out == Map("doc-a" -> 0L, "doc-b" -> 0L, "doc-c" -> 1L),
+      s"got $out")
+  }
 }

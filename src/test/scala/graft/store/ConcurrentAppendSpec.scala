@@ -175,6 +175,38 @@ class ConcurrentAppendSpec extends SparkSpec {
     noStagingLeft(t)
   }
 
+  test("a changelog enabled mid-flight still captures the append's batch") {
+    val t = "t_capp_cdc_race"
+    KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 2)
+    ConcurrentAppendGates.reset()
+    val pool = Executors.newFixedThreadPool(1)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // the appender snapshots meta BEFORE the hold: wantChangelog=false
+      val appender = Future {
+        KeyedTable.appendConcurrent(slowDf((10L, "mine"), (11L, "mine")),
+          wh, t)
+      }
+      assert(ConcurrentAppendGates.entered.await(30, TimeUnit.SECONDS))
+      // a concurrent capturing upsert flips the table property ON while
+      // the append is staging without changelog images
+      KeyedTable.toSql(df((2L, "b")), wh, t, pk = Seq("id"),
+        how = WriteMode.Upsert, changelog = true)
+      ConcurrentAppendGates.gate.countDown()
+      Await.result(appender, 2.minutes)
+    } finally pool.shutdown()
+    assert(ids(KeyedTable.readSql(spark, wh, t)) == Seq(1L, 2L, 10L, 11L))
+    // the commit-time re-check staged the append's insert images: the
+    // CDC invariant (every mutation on a capturing table logs a batch)
+    // holds even though the append began before capture was enabled
+    val cl = KeyedTable.readChangelog(spark, wh, t)
+      .select(col("id"), col("op")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cl == Set((2L, "insert"), (10L, "insert"), (11L, "insert")),
+      s"got $cl")
+    noStagingLeft(t)
+  }
+
   test("legacy (pre-manifest) table falls back to the locked append and adopts") {
     val t = "t_capp_legacy"
     KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 2)

@@ -79,4 +79,28 @@ class MetaTablesSpec extends SparkSpec {
       }
     }
   }
+
+  test("a REAL table whose name matches the $-pattern wins over the view") {
+    // the store's own toSql rejects `$` in names, but an
+    // externally-materialized table dir can carry one — the synthetic
+    // metadata view must not make such a table unreadable through SQL
+    val t = "t_meta_shadow"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(wh, t)
+    val dst = new org.apache.hadoop.fs.Path(wh, t + "$history")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false,
+      spark.sparkContext.hadoopConfiguration)
+    withCat { cat =>
+      // resolves to the REAL copied table (data columns), not the
+      // synthetic history view of base `t_meta_shadow`
+      val rows = spark.sql(
+        s"SELECT id, name, v FROM $cat.`$t" + "$history`")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set((1L, "a", 1.0), (2L, "b", 2.0)), s"got $rows")
+    }
+  }
 }

@@ -130,6 +130,105 @@ class SqlUpdateMergeSpec extends SparkSpec {
     assert(KeyedTable.readSql(spark, w, "t").head().getDouble(2) == 1.0)
   }
 
+  test("MERGE with only WHEN MATCHED UPDATE leaves unmatched source rows alone") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=1 matches (update), k=7 does not (SQL: no INSERT clause = no action)
+    Seq((1L, "A", 11.0), (7L, "q", 70.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("dml_updonly_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_updonly_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (2L, "b", 20.0)), s"got $rows")
+  }
+
+  test("MERGE with only WHEN NOT MATCHED INSERT leaves matched rows alone") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=1 matches (SQL: no UPDATE clause = no action), k=7 inserts
+    Seq((1L, "X", 99.0), (7L, "q", 70.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("dml_insonly_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_insonly_feed AS s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 10.0), (2L, "b", 20.0), (7L, "q", 70.0)),
+      s"got $rows")
+  }
+
+  test("delete-only MERGE removes only matched rows the condition selects") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=2 matched+selected (delete), k=3 matched+unselected (no action),
+    // k=9 unmatched (no action — never a phantom all-NULL insert)
+    Seq((2L, true), (3L, false), (9L, true)).toDF("k", "is_del")
+      .createOrReplaceTempView("dml_delonly_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_delonly_feed AS s ON t.k = s.k
+        WHEN MATCHED AND s.is_del THEN DELETE
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 10.0), (3L, "c", 30.0)), s"got $rows")
+  }
+
+  test("DELETE+INSERT MERGE: matched rows delete-or-keep, unmatched insert") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=2 matched+del (delete), k=1 matched, not del (NO update clause:
+    // values must NOT overwrite), k=7 unmatched (insert)
+    Seq((2L, "x", 0.0, true), (1L, "X", 99.0, false), (7L, "q", 70.0, false))
+      .toDF("k", "g", "v", "is_del")
+      .createOrReplaceTempView("dml_delins_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_delins_feed AS s ON t.k = s.k
+        WHEN MATCHED AND s.is_del THEN DELETE
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "a", 10.0), (7L, "q", 70.0)), s"got $rows")
+  }
+
+  test("duplicate ON conjuncts binding one key to different sources are rejected") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", 1.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    Seq((1L, 2L, "a", 2.0, false)).toDF("k", "k2", "g", "v", "is_del")
+      .createOrReplaceTempView("dml_dupkey_feed")
+    withCatalog(w) { cat =>
+      val e = intercept[Exception](spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_dupkey_feed AS s
+        ON t.k = s.k AND t.k = s.k2
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """))
+      assert(e.getMessage.contains("multiple different source expressions"))
+    }
+    assert(KeyedTable.readSql(spark, w, "t").head().getDouble(2) == 1.0)
+  }
+
   test("SQL UPDATE and MERGE capture CDC under the table property") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
