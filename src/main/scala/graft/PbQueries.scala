@@ -485,6 +485,89 @@ object PbQueries {
   def sqlMergeDelOnly(spark: SparkSession, sfDir: String): DataFrame =
     sqlMergePartial("WHEN MATCHED AND s.is_del THEN DELETE")(spark, sfDir)
 
+  /** #11x full-snapshot sync (`pb_sql_merge_sync`): ONE MERGE applies a
+    * complete snapshot — matched rows update, new rows insert, and
+    * `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE` retires target
+    * rows the snapshot no longer carries (target-only condition guards
+    * a keep-list). The anti-join runs against the same target scan the
+    * pre-filter join uses; at 100 TB both are one pk-shuffled pass over
+    * feed ∪ target, never a per-row loop. */
+  def sqlMergeSync(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_mrg${sqlMrgN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      // the snapshot: every %3 key (updated balance) + brand-new keys
+      customer.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"))
+        .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+          .select((col("c_custkey") + 20000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment")))
+        .createOrReplaceTempView("graft_gate_mrg_sync_feed")
+      spark.sql(s"""
+        MERGE INTO $cat.customer AS t USING graft_gate_mrg_sync_feed AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED THEN UPDATE SET c_name = s.c_name,
+          c_nationkey = s.c_nationkey, c_acctbal = s.c_acctbal,
+          c_mktsegment = s.c_mktsegment
+        WHEN NOT MATCHED THEN INSERT (c_custkey, c_name, c_nationkey,
+          c_acctbal, c_mktsegment) VALUES (s.c_custkey, s.c_name,
+          s.c_nationkey, s.c_acctbal, s.c_mktsegment)
+        WHEN NOT MATCHED BY SOURCE AND t.c_acctbal < 5000 THEN DELETE
+      """)
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  /** #11x conditional clauses (`pb_sql_merge_cond`): `WHEN MATCHED AND
+    * c THEN UPDATE` / `WHEN NOT MATCHED AND c THEN INSERT` — the
+    * conditions ride the feed as boolean columns; rows failing them
+    * are NO ACTION, exactly as SQL says. */
+  def sqlMergeCond(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_mrg${sqlMrgN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      customer.filter(col("c_custkey") % 6 === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"),
+          lit("MRGCOND").as("c_mktsegment"))
+        .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+          .select((col("c_custkey") + 20000000L).as("c_custkey"),
+            col("c_name"), col("c_nationkey"), col("c_acctbal"),
+            col("c_mktsegment")))
+        .createOrReplaceTempView("graft_gate_mrg_cond_feed")
+      spark.sql(s"""
+        MERGE INTO $cat.customer AS t USING graft_gate_mrg_cond_feed AS s
+        ON t.c_custkey = s.c_custkey
+        WHEN MATCHED AND s.c_custkey % 12 = 0 THEN UPDATE SET
+          c_name = s.c_name, c_nationkey = s.c_nationkey,
+          c_acctbal = s.c_acctbal, c_mktsegment = s.c_mktsegment
+        WHEN NOT MATCHED AND s.c_nationkey < 13 THEN INSERT (c_custkey,
+          c_name, c_nationkey, c_acctbal, c_mktsegment) VALUES
+          (s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+          s.c_mktsegment)
+      """)
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1027,6 +1110,8 @@ object PbQueries {
     "pb_sql_merge_upd" -> sqlMergeUpdOnly,
     "pb_sql_merge_ins" -> sqlMergeInsOnly,
     "pb_sql_merge_del" -> sqlMergeDelOnly,
+    "pb_sql_merge_sync" -> sqlMergeSync,
+    "pb_sql_merge_cond" -> sqlMergeCond,
     "pb_drop_column" -> dropColumnQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
@@ -1224,6 +1309,33 @@ object PbQueries {
     "pb_sql_merge_del" -> """
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM customer WHERE c_custkey % 12 <> 0
+    """.trim,
+    // full-snapshot sync: %3 keys updated, snapshot-absent keys deleted
+    // unless the BY SOURCE condition (c_acctbal >= 5000) protects them,
+    // new keys inserted
+    "pb_sql_merge_sync" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal * 2 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 3 <> 0 AND c_acctbal >= 5000
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
+    // conditional clauses: only %12 of the matched %6 feed updates;
+    // only nationkey<13 of the unmatched inserts lands
+    "pb_sql_merge_cond" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 12 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 12 = 0 THEN 'MRGCOND'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0 AND c_nationkey < 13
     """.trim,
     // survivors (non-tombstoned) with the %7 full-row update applied,
     // plus the shifted inserts

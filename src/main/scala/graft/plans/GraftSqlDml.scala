@@ -27,14 +27,20 @@ import graft.store.{KeyedTable, KeyedTableSource, StoreException}
   * (SELECT + time travel, INSERT, DELETE, UPDATE, MERGE).
   *
   * MERGE supports the change-feed shape the store's merge expresses:
-  * an equality join on the FULL primary key, at most one unconditional
-  * `WHEN MATCHED THEN UPDATE`, at most one `WHEN MATCHED [AND c] THEN
-  * DELETE` whose condition reads only source columns, and at most one
-  * unconditional `WHEN NOT MATCHED THEN INSERT`, with UPDATE and
-  * INSERT assigning the SAME source expression per column (`SET *` /
-  * `INSERT *` — the CDC-apply idiom — always qualifies). Everything
-  * else raises a clear unsupported error rather than planning
-  * something subtly different.
+  * an equality join on the FULL primary key, at most one `WHEN MATCHED
+  * [AND c] THEN UPDATE`, at most one `WHEN MATCHED [AND c] THEN
+  * DELETE` (conditions read only source columns; DELETE must come
+  * first when both appear so tombstone priority matches SQL's
+  * first-clause-wins), at most one `WHEN NOT MATCHED [AND c] THEN
+  * INSERT`, with UPDATE and INSERT assigning the SAME source
+  * expression per column (`SET *` / `INSERT *` — the CDC-apply idiom —
+  * always qualifies), and at most one `WHEN NOT MATCHED BY SOURCE
+  * THEN DELETE | UPDATE` (target-only expressions — the full-snapshot
+  * sync idiom). An absent clause is NO ACTION, exactly as SQL says:
+  * partial shapes route matched/unmatched rows with one pre-filter
+  * join against the target's key set (the unconditional full shape
+  * stays join-free). Everything else raises a clear unsupported error
+  * rather than planning something subtly different.
   *
   * Star actions expand (in Spark's analyzer, before this rule runs)
   * against the table's SQL shape, which includes the synthetic
@@ -81,7 +87,6 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         "UPDATE/INSERT assigning the same source expressions, DELETE " +
         "condition over source columns only)")
       if (withSchemaEvolution) unsupported("WITH SCHEMA EVOLUTION")
-      if (notMatchedBySource.nonEmpty) unsupported("WHEN NOT MATCHED BY SOURCE")
       val targetIds = t.outputSet
       val sourceIds = source.outputSet
       def sourceOnly(e: Expression): Boolean =
@@ -119,8 +124,14 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
         unsupported("a matched action other than UPDATE/DELETE")
       if (updates.size > 1 || deletes.size > 1)
         unsupported("multiple matched actions of the same kind")
-      updates.foreach(a => if (a.condition.isDefined)
-        unsupported("a conditional WHEN MATCHED UPDATE"))
+      // a conditional WHEN MATCHED UPDATE rides the feed as a boolean
+      // column (matched & !cond = no action); source-only, like DELETE
+      val updWhen: Option[Expression] = updates.headOption.flatMap(_.condition)
+        .map { c =>
+          if (!sourceOnly(c))
+            unsupported(s"an UPDATE condition referencing target columns ($c)")
+          c
+        }
       // SQL gives the FIRST matching clause priority; the store's merge
       // gives tombstones priority — those agree only when DELETE comes
       // first (the CDC-apply pattern: WHEN MATCHED AND del THEN DELETE,
@@ -133,8 +144,14 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       val inserts = notMatched.collect { case a: InsertAction => a }
       if (inserts.size != notMatched.size || inserts.size > 1)
         unsupported("a not-matched action other than one INSERT")
-      inserts.foreach(a => if (a.condition.isDefined)
-        unsupported("a conditional WHEN NOT MATCHED INSERT"))
+      // a conditional WHEN NOT MATCHED INSERT is source-only by nature
+      // (there is no matched target row to reference)
+      val insWhen: Option[Expression] = inserts.headOption.flatMap(_.condition)
+        .map { c =>
+          if (!sourceOnly(c))
+            unsupported(s"an INSERT condition referencing target columns ($c)")
+          c
+        }
       val delWhen: Option[Expression] = deletes.headOption.map { d =>
         val c = d.condition.getOrElse(Literal(true, BooleanType))
         if (!sourceOnly(c))
@@ -205,19 +222,81 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
       // (SET * / INSERT * naturally pick it up from a source that
       // mirrors the table's SQL shape)
       val valueCols2 = valueCols.filterNot(_._1 == KeyedTable.BucketCol)
+      // WHEN NOT MATCHED BY SOURCE (target rows without a source match;
+      // the full-snapshot-sync idiom): at most one action — DELETE, or
+      // UPDATE over target-only expressions whose assigned columns the
+      // feed already carries (so the by-source rows union in with the
+      // same schema; unassigned columns keep their current values read
+      // off the target scan). Conditions may reference target columns
+      // ONLY — there is no source row to reference.
+      def targetOnly(e: Expression): Boolean =
+        e.references.subsetOf(targetIds)
+      val bySource: Option[BySourceAction] = notMatchedBySource match {
+        case Seq() => None
+        case Seq(a) =>
+          val (isDel, cond, sets) = a match {
+            case d: DeleteAction => (true, d.condition, Nil)
+            case u: UpdateAction => (false, u.condition,
+              u.assignments.flatMap { as =>
+                val k = as.key match {
+                  case ar: AttributeReference => ar.name
+                  case o => unsupported(s"BY SOURCE assignment target $o")
+                }
+                if (pk.contains(k))
+                  unsupported(s"a BY SOURCE UPDATE assigning key column $k")
+                if (k == KeyedTable.BucketCol) None
+                else as.value match {
+                  // identity (alignment fill): keep stored, not a set
+                  case va: AttributeReference if va.name == k &&
+                      targetIds.contains(va) => None
+                  case v =>
+                    if (!targetOnly(v))
+                      unsupported(s"a BY SOURCE assignment for $k " +
+                        s"referencing source columns ($v)")
+                    Some(k -> v)
+                }
+              })
+            case o => unsupported(s"BY SOURCE action $o")
+          }
+          cond.foreach(c => if (!targetOnly(c))
+            unsupported(s"a BY SOURCE condition referencing source columns ($c)"))
+          val missing = sets.map(_._1).filterNot(valueCols2.map(_._1).contains)
+          if (missing.nonEmpty)
+            unsupported(s"BY SOURCE UPDATE assigning ${missing.mkString(", ")} " +
+              "which the matched/not-matched clauses do not carry (the " +
+              "feed holds one value slot per assigned column)")
+          if (!isDel && sets.isEmpty && valueCols2.nonEmpty)
+            unsupported("a BY SOURCE UPDATE with only identity assignments")
+          Some(BySourceAction(isDel, cond, sets))
+        case _ => unsupported("multiple WHEN NOT MATCHED BY SOURCE actions")
+      }
       // the feed: one projection over the source — key columns from the
-      // join pairs, value columns from the agreed assignments, plus the
-      // tombstone flag
+      // join pairs, value columns from the agreed assignments, the
+      // tombstone flag, plus the optional clause-condition flags
       val DelCol = "_graft_sql_del"
+      val UpdCol = "_graft_sql_upd"
+      val InsCol = "_graft_sql_ins"
       val feedCols: Seq[Alias] =
         pk.map(c => Alias(keyExpr(c), c)()) ++
-        valueCols2.map { case (c, e) => Alias(e, c)() } :+
-        Alias(delWhen.getOrElse(Literal(false, BooleanType)), DelCol)()
+        valueCols2.map { case (c, e) => Alias(e, c)() } ++
+        Seq(Alias(delWhen.getOrElse(Literal(false, BooleanType)), DelCol)()) ++
+        updWhen.map(c => Alias(c, UpdCol)()) ++
+        insWhen.map(c => Alias(c, InsCol)())
       GraftMergeCommand(wh, name, Project(feedCols, source), DelCol, pk,
+        valueColNames = valueCols2.map(_._1),
         hasUpdate = updates.nonEmpty, hasInsert = inserts.nonEmpty,
-        hasDelete = deletes.nonEmpty)
+        hasDelete = deletes.nonEmpty,
+        updCondCol = updWhen.map(_ => UpdCol),
+        insCondCol = insWhen.map(_ => InsCol),
+        bySource = bySource)
   }
 }
+
+/** The parsed `WHEN NOT MATCHED BY SOURCE` action: DELETE, or UPDATE
+  * with target-only SET expressions (re-resolved by name against the
+  * store's own target read at run time). */
+case class BySourceAction(isDelete: Boolean, condition: Option[Expression],
+                          sets: Seq[(String, Expression)])
 
 /** `UPDATE <graft table> SET … [WHERE …]` lowered onto
   * [[KeyedTable.update]]: bucket-pruned rewrite, typed SET casts, CDC
@@ -254,25 +333,63 @@ case class GraftUpdateCommand(warehouse: String, table: String,
   * semantics, pinned by SqlUpdateMergeSpec). */
 case class GraftMergeCommand(warehouse: String, table: String,
                              feed: LogicalPlan, delCol: String,
-                             pk: Seq[String], hasUpdate: Boolean,
-                             hasInsert: Boolean, hasDelete: Boolean)
+                             pk: Seq[String], valueColNames: Seq[String],
+                             hasUpdate: Boolean, hasInsert: Boolean,
+                             hasDelete: Boolean,
+                             updCondCol: Option[String] = None,
+                             insCondCol: Option[String] = None,
+                             bySource: Option[BySourceAction] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val df: DataFrame = GraftBridge.ofRows(spark, feed)
+    val del: Column = coalesce(col(delCol), lit(false))
+    // the unconditional full shape needs no matched/unmatched routing:
+    // every source row acts (update-or-insert, tombstone delete)
+    val fastPath = hasUpdate && hasInsert &&
+      updCondCol.isEmpty && insCondCol.isEmpty && bySource.isEmpty
     val pre: DataFrame =
-      if (hasUpdate && hasInsert) df // full shape: every row acts
+      if (fastPath) df
       else {
         val marker = "_graft_sql_matched"
-        val tgtKeys = KeyedTable.readSql(spark, warehouse, table)
-          .select(pk.map(col): _*).withColumn(marker, lit(true))
+        val target = KeyedTable.readSql(spark, warehouse, table)
+        val tgtKeys = target.select(pk.map(col): _*)
+          .withColumn(marker, lit(true))
+        // matched: DELETE wins (clause order enforces delete-first),
+        // then a (possibly conditional) UPDATE, else no action;
+        // unmatched: a (possibly conditional) INSERT, else no action
+        val updCond: Column = updCondCol
+          .map(c => coalesce(col(c), lit(false))).getOrElse(lit(true))
+        val insCond: Column = insCondCol
+          .map(c => coalesce(col(c), lit(false))).getOrElse(lit(true))
         val keepMatched: Column =
-          if (hasUpdate) lit(true)
-          else if (hasDelete) coalesce(col(delCol), lit(false))
-          else lit(false)
-        df.join(tgtKeys, pk, "left")
+          (if (hasDelete) del else lit(false)) ||
+          (if (hasUpdate) updCond else lit(false))
+        val keepUnmatched: Column =
+          if (hasInsert) insCond else lit(false)
+        val main = df.join(tgtKeys, pk.toSeq, "left")
           .filter(when(col(marker).isNotNull, keepMatched)
-            .otherwise(lit(hasInsert)))
-          .drop(marker)
+            .otherwise(keepUnmatched))
+          .drop((marker +: (updCondCol.toSeq ++ insCondCol.toSeq)): _*)
+        bySource match {
+          case None => main
+          case Some(bs) =>
+            // target rows WITHOUT a source match: anti-join on the pk,
+            // optional target-only condition, then either tombstones or
+            // updated values (unassigned columns keep their current
+            // values, read off the same target scan — no second pass)
+            val anti0 = target.join(df.select(pk.map(col): _*), pk.toSeq,
+              "left_anti")
+            val anti = bs.condition
+              .map(c => anti0.filter(GraftSqlDml.byName(c))).getOrElse(anti0)
+            val sets = bs.sets.map { case (c, e) =>
+              c -> GraftSqlDml.byName(e)
+            }.toMap
+            val bsRows = anti.select(
+              (pk.map(col) ++
+                valueColNames.map(c => sets.getOrElse(c, col(c)).as(c)) :+
+                lit(bs.isDelete).as(delCol)): _*)
+            main.unionByName(bsRows)
+        }
       }
     KeyedTable.merge(pre, warehouse, table,
       deleteWhen = coalesce(col(delCol), lit(false)),

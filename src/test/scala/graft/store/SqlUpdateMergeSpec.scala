@@ -229,6 +229,122 @@ class SqlUpdateMergeSpec extends SparkSpec {
     assert(KeyedTable.readSql(spark, w, "t").head().getDouble(2) == 1.0)
   }
 
+  test("conditional WHEN MATCHED UPDATE: matched rows failing the condition keep") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=1 matched+selected (update), k=2 matched+unselected (keep),
+    // k=7 unmatched (insert)
+    Seq((1L, "A", 11.0, true), (2L, "X", 99.0, false), (7L, "q", 70.0, true))
+      .toDF("k", "g", "v", "sel")
+      .createOrReplaceTempView("dml_condupd_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_condupd_feed AS s ON t.k = s.k
+        WHEN MATCHED AND s.sel THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (2L, "b", 20.0), (3L, "c", 30.0),
+      (7L, "q", 70.0)), s"got $rows")
+  }
+
+  test("conditional WHEN NOT MATCHED INSERT: unmatched rows failing it drop") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", 10.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // k=1 matched (update), k=7 unmatched+selected (insert), k=8
+    // unmatched+unselected (no action)
+    Seq((1L, "A", 11.0, true), (7L, "q", 70.0, true), (8L, "r", 80.0, false))
+      .toDF("k", "g", "v", "sel")
+      .createOrReplaceTempView("dml_condins_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_condins_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED AND s.sel THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (7L, "q", 70.0)), s"got $rows")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN DELETE: full-snapshot sync in one MERGE") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // snapshot: k=1 updated, k=5 new; k=2,3,4 absent → deleted, except
+    // the BY SOURCE condition protects v >= 40
+    Seq((1L, "A", 11.0), (5L, "e", 50.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("dml_sync_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_sync_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, g, v) VALUES (s.k, s.g, s.v)
+        WHEN NOT MATCHED BY SOURCE AND t.v < 40 THEN DELETE
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "A", 11.0), (4L, "d", 40.0), (5L, "e", 50.0)),
+      s"got $rows")
+  }
+
+  test("WHEN NOT MATCHED BY SOURCE THEN UPDATE marks stale target rows") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "live", 10.0), (2L, "live", 20.0), (3L, "live", 30.0))
+        .toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    Seq((1L, "live", 11.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("dml_stale_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_stale_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET g = 'stale', v = t.v * 0.5
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "live", 11.0), (2L, "stale", 10.0),
+      (3L, "stale", 15.0)), s"got $rows")
+  }
+
+  test("BY SOURCE guards: source references and unfed columns are rejected") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", 1.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    Seq((1L, "a", 2.0)).toDF("k", "g", "v")
+      .createOrReplaceTempView("dml_bs_bad_feed")
+    withCatalog(w) { cat =>
+      // a BY SOURCE condition has no source row to reference
+      val e1 = intercept[Exception](spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_bs_bad_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE
+      """))
+      assert(e1.getMessage.contains("BY SOURCE") ||
+        e1.getMessage.contains("cannot be resolved")) // analyzer may catch first
+      // assigning a column the matched clause does not carry: the feed
+      // has no slot for it
+      val e2 = intercept[Exception](spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_bs_bad_feed AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET g = 'x'
+      """))
+      assert(e2.getMessage.contains("do not carry"), e2.getMessage)
+    }
+    assert(KeyedTable.readSql(spark, w, "t").head().getDouble(2) == 1.0)
+  }
+
   test("SQL UPDATE and MERGE capture CDC under the table property") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
