@@ -568,6 +568,18 @@ object PbQueries {
     }
   }
 
+  /** #11ak (`pb_rename`): table rename — ONE directory rename under
+    * the write lock, metadata-only at any scale; history and data read
+    * back whole under the new name, and the old name is recyclable
+    * without ever serving a stale manifest. */
+  def renameQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer_v0",
+      pk = Seq("c_custkey"))
+    graft.store.Catalog.renameTable(spark, wh, "customer_v0", "customer_live")
+    KeyedTable.readSql(spark, wh, "customer_live")
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1113,6 +1125,7 @@ object PbQueries {
     "pb_sql_merge_sync" -> sqlMergeSync,
     "pb_sql_merge_cond" -> sqlMergeCond,
     "pb_drop_column" -> dropColumnQ,
+    "pb_rename" -> renameQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1260,6 +1273,7 @@ object PbQueries {
     """.trim,
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
+    "pb_rename" -> "SELECT * FROM customer",
     "pb_drop_column" -> """
       SELECT c_custkey, c_name, c_nationkey,
              CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 5.0

@@ -75,6 +75,53 @@ object Catalog {
     WriteLock.withLock(spark, dir, "drop") {
       fs.delete(p, true)
     }
+    // the dir may be recycled by a same-name recreate: stale parsed
+    // manifests at the identical v<N> paths must not survive the drop
+    Manifest.invalidate(dir)
+  }
+
+  /** Rename a table: ONE directory rename under the table's write lock
+    * — a metadata operation at any scale (no data moves; on HDFS/local
+    * the rename is a single namenode/kernel op). Mutators contending
+    * on the old name fail cleanly (lock first, then their existence
+    * check sees the dir gone); a mid-scan reader of the old name fails
+    * with missing paths, the same contract a concurrent drop already
+    * has. Object-store caveat: directory "rename" is copy+delete
+    * there, mirroring [[WriteLock]]'s atomicity caveat. */
+  def renameTable(spark: SparkSession, warehouse: String, oldName: String,
+                  newName: String, schema: Option[String] = None): Unit = {
+    if (Names.cleanName(newName) != newName)
+      throw new StoreException(
+        s"Illegal characters in table name: $newName. " +
+        s"try: ${Names.cleanName(newName)}")
+    val wh = KeyedTable.schemaDir(warehouse, schema)
+    val oldDir = KeyedTable.tableDir(wh, oldName)
+    val newDir = KeyedTable.tableDir(wh, newName)
+    val oldP = new Path(oldDir)
+    val newP = new Path(newDir)
+    val fs = oldP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(oldP))
+      throw new StoreException(
+        s"no such table: ${schema.fold(oldName)(s => s"$s.$oldName")}")
+    WriteLock.withLock(spark, oldDir, "renameTable") {
+      if (!TableMeta.exists(spark, oldDir))
+        throw new StoreException(
+          s"no such table: ${schema.fold(oldName)(s => s"$s.$oldName")}")
+      if (fs.exists(newP))
+        throw new StoreException(
+          s"rename target already exists: " +
+          s"${schema.fold(newName)(s => s"$s.$newName")}")
+      if (!fs.rename(oldP, newP))
+        throw new StoreException(s"rename $oldDir -> $newDir failed")
+      // the rename carried our lock file into the new dir; remove it
+      // there (we still hold the token — no other writer can have
+      // locked a path that only just appeared). withLock's release on
+      // the OLD path then finds nothing, which it tolerates.
+      fs.delete(new Path(newDir, WriteLock.FileName), false): Unit
+    }
+    // parsed manifests cached under the old path must not serve a
+    // future same-name recreate
+    Manifest.invalidate(oldDir)
   }
 
   /** Register every table of a warehouse as a session temp view (named

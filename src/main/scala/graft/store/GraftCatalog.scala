@@ -256,6 +256,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("graft tables cannot be renamed through SQL")
+  /** SQL `ALTER TABLE graft.old RENAME TO graft.new`: one directory
+    * rename under the write lock ([[Catalog.renameTable]]) — metadata
+    * only, no data moves. Cross-namespace moves are rejected (a
+    * rename is not a relocation between schemas). */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!(oldIdent.namespace() sameElements newIdent.namespace()))
+      throw new UnsupportedOperationException(
+        s"cannot rename across namespaces (${oldIdent.namespace().mkString(".")} " +
+        s"-> ${newIdent.namespace().mkString(".")})")
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    val sch = schemaOf(oldIdent.namespace).getOrElse(
+      throw new NoSuchTableException(oldIdent))
+    Catalog.renameTable(spark, warehouse, oldIdent.name, newIdent.name, sch)
+  }
 }

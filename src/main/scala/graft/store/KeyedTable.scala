@@ -252,6 +252,10 @@ object KeyedTable {
     val f = fs(spark, dir)
     if (f.exists(data))
       throw new StoreException(s"Table data already exists at $data")
+    // the dir may be a recycled name (drop via an out-of-band delete):
+    // stale parsed manifests at identical v<N> paths must never
+    // resolve this NEW table's reads to the old table's files
+    Manifest.invalidate(dir)
 
     // The input may be an arbitrarily expensive pipeline, so it runs
     // exactly ONCE: one bucket-partitioned staging write. PK validation

@@ -186,6 +186,18 @@ object Manifest {
     cache.put(key, m): Unit
   }
 
+  /** Drop every cached manifest under `tableDir` — the immutability
+    * argument above fails when the DIRECTORY is recycled: dropping a
+    * table and recreating it under the same name re-mints `v0` at the
+    * identical path, and a stale hit would resolve the new table's
+    * reads to the old table's (deleted) files. dropTable/renameTable
+    * call this; a same-JVM recreate then re-reads cleanly. */
+  private[store] def invalidate(tableDir: String): Unit = {
+    val prefix = dir(tableDir).toString + "/"
+    val it = cache.keySet.iterator()
+    while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+  }
+
   def dir(tableDir: String): Path = new Path(tableDir, DirName)
 
   /** Zero-padded so lexicographic name order = numeric version order. */
