@@ -580,6 +580,34 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer_live")
   }
 
+  /** #11al (`pb_branch_wap`): branches + write-audit-publish — fork a
+    * branch (one manifest copy, zero data IO), stage an upsert and an
+    * append ON the branch (ordinary mutations addressed `t@branch`,
+    * sharing the base's immutable data files), audit it in isolation,
+    * then PUBLISH with one guarded fast-forward flip. The 100 TB
+    * story: a risky pipeline write lands invisible to production
+    * readers, gets validated in place, and goes live as one metadata
+    * commit — or gets dropped without a trace. */
+  def branchWapQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    graft.store.Branches.create(spark, wh, "customer", "stage")
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2),
+      wh, "customer@stage", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L),
+      wh, "customer@stage", pk = Seq("c_custkey"), how = WriteMode.Append)
+    // audit: the base must still be the pristine snapshot
+    require(KeyedTable.readSql(spark, wh, "customer").count() ==
+      customer.count(), "branch write leaked into the base")
+    graft.store.Branches.fastForward(spark, wh, "customer", "stage")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1126,6 +1154,7 @@ object PbQueries {
     "pb_sql_merge_cond" -> sqlMergeCond,
     "pb_drop_column" -> dropColumnQ,
     "pb_rename" -> renameQ,
+    "pb_branch_wap" -> branchWapQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1274,6 +1303,18 @@ object PbQueries {
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
     "pb_rename" -> "SELECT * FROM customer",
+    // fork → branch upsert (%7 doubled) + append (+20000000 for %89) →
+    // audit → fast-forward publish: the base equals the branch head
+    "pb_branch_wap" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
     "pb_drop_column" -> """
       SELECT c_custkey, c_name, c_nationkey,
              CASE WHEN c_custkey % 9 = 0 THEN c_acctbal + 5.0

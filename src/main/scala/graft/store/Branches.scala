@@ -1,0 +1,226 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.JsonMethods.{compact, render}
+
+/** Table BRANCHES over the manifest snapshot store — the Iceberg
+  * branch / write-audit-publish model, re-expressed on graft's own
+  * commit protocol:
+  *
+  *  - A branch is a named ref at `<table>/_branches/<name>` holding its
+  *    OWN meta + manifest chain (+ tags, changelog, write lock) but
+  *    sharing the BASE table's immutable data files — every path in a
+  *    manifest resolves against the base `data/` dir
+  *    ([[KeyedTable.dataDir]] strips the `@branch` suffix).
+  *  - FORK ([[create]]) copies one manifest + the meta: O(1) metadata,
+  *    zero data IO, at any scale.
+  *  - Branch WRITES are ordinary mutations addressed as `t@branch`
+  *    (toSql append/upsert, merge, delete, update, zorder, compact —
+  *    the whole surface): they stage into the shared data dir under
+  *    commit-unique names (additive, invisible to base readers — the
+  *    same invariant concurrent base writers already rely on) and flip
+  *    manifests only under the branch dir. Base and branch writers
+  *    hold DIFFERENT locks and never conflict.
+  *  - AUDIT is just reading `t@branch` (readSql, time travel, SQL via
+  *    the catalog) — full snapshot isolation from the base.
+  *  - PUBLISH ([[fastForward]]) flips the base to the branch head in
+  *    ONE manifest commit + meta write, guarded against divergence:
+  *    the base must still sit at the fork point (version AND meta),
+  *    else the caller re-forks. After publish the fork point advances,
+  *    so a long-lived branch supports continuous WAP cycles.
+  *  - DROP ([[drop]]) deletes the ref; files only the branch
+  *    referenced become unreferenced and the base's [[KeyedTable.vacuum]]
+  *    (whose liveness set spans base + every branch) reaps them after
+  *    the age bound.
+  *
+  * CDC restriction: fastForward refuses when either ref maintains a
+  * changelog — a publish is one wholesale snapshot flip and writes no
+  * row images, which would silently violate the every-mutation-logs-a-
+  * batch invariant downstream log consumers depend on.
+  */
+object Branches {
+
+  val DirName = "_branches"
+  private val ForkFile = "_fork"
+
+  private def baseOnly(table: String): String = {
+    val (t, br) = KeyedTable.splitRef(table)
+    if (br.isDefined)
+      throw new StoreException(
+        s"'$table' is already a branch ref; pass the base table name")
+    t
+  }
+
+  private def branchDirOf(baseDir: String, branch: String): String =
+    s"$baseDir/$DirName/$branch"
+
+  private final case class Fork(baseVersion: Long, baseMetaJson: String)
+
+  private def writeFork(spark: SparkSession, branchDir: String,
+                        fk: Fork): Unit = {
+    val p = new Path(branchDir, ForkFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(compact(render(JObject(
+      "baseVersion" -> (JInt(fk.baseVersion): JValue),
+      "baseMetaJson" -> (JString(fk.baseMetaJson): JValue))))
+      .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readFork(spark: SparkSession, branchDir: String): Fork = {
+    val p = new Path(branchDir, ForkFile)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = f.open(p)
+    val s = try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    val j = JsonMethods.parse(s)
+    (j \ "baseVersion", j \ "baseMetaJson") match {
+      case (JInt(v), JString(m)) => Fork(v.toLong, m)
+      case _ => throw new StoreException(s"unreadable fork record at $p")
+    }
+  }
+
+  /** Fork a branch off the table's current (or a pinned) snapshot:
+    * one manifest copy + one meta copy under the base write lock —
+    * metadata-only at any scale. Returns the fork version. */
+  def create(spark: SparkSession, warehouse0: String, tableName: String,
+             branch: String, schema: Option[String] = None,
+             atVersion: Option[Long] = None): Long = {
+    if (Names.cleanName(branch) != branch)
+      throw new StoreException(
+        s"Illegal characters in branch name: $branch. " +
+        s"try: ${Names.cleanName(branch)}")
+    val wh = KeyedTable.schemaDir(warehouse0, schema)
+    val baseDir = KeyedTable.tableDir(wh, baseOnly(tableName))
+    if (!TableMeta.exists(spark, baseDir))
+      throw new StoreException(s"no such table: $tableName")
+    WriteLock.withLock(spark, baseDir, s"branch($branch)") {
+      val meta = TableMeta.read(spark, baseDir)
+      val head = Manifest.current(spark, baseDir).getOrElse(
+        throw new StoreException(
+          s"$tableName has no manifest snapshot yet (legacy layout); " +
+          "run one mutation to adopt a baseline, then branch"))
+      val m = atVersion.map(Manifest.at(spark, baseDir, _)).getOrElse(head)
+      val brDir = branchDirOf(baseDir, branch)
+      if (TableMeta.exists(spark, brDir))
+        throw new StoreException(
+          s"branch '$branch' already exists on $tableName")
+      TableMeta.write(spark, brDir, meta)
+      Manifest.commit(spark, brDir,
+        m.copy(op = Some("fork"), tsMs = None))
+      writeFork(spark, brDir, Fork(m.version, meta.toJson))
+      m.version
+    }
+  }
+
+  /** All branches of a table: (branch, fork_version, head_version). */
+  def list(spark: SparkSession, warehouse0: String, tableName: String,
+           schema: Option[String] = None): DataFrame = {
+    val wh = KeyedTable.schemaDir(warehouse0, schema)
+    val baseDir = KeyedTable.tableDir(wh, baseOnly(tableName))
+    val rows = branchDirs(spark, baseDir).map { case (name, brDir) =>
+      Row(name, readFork(spark, brDir).baseVersion,
+        Manifest.current(spark, brDir).map(_.version).getOrElse(-1L))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.sortBy(_.getString(0)), 1),
+      StructType(Seq(
+        StructField("branch", StringType, nullable = false),
+        StructField("fork_version", LongType, nullable = false),
+        StructField("head_version", LongType, nullable = false))))
+  }
+
+  /** Every existing (name, dir) branch ref of a base table — vacuum's
+    * union-liveness and [[list]] both resolve through here. */
+  private[store] def branchDirs(spark: SparkSession,
+                                baseDir: String): Seq[(String, String)] = {
+    val d = new Path(baseDir, DirName)
+    val f = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.filter(_.isDirectory)
+      .map(st => st.getPath.getName -> st.getPath.toUri.getPath)
+      .filter { case (_, brDir) => TableMeta.exists(spark, brDir) }
+  }
+
+  /** Delete a branch ref. Data files only this branch referenced stay
+    * on disk until the BASE table's vacuum reaps them (its liveness
+    * set no longer includes the dropped branch's manifests). */
+  def drop(spark: SparkSession, warehouse0: String, tableName: String,
+           branch: String, schema: Option[String] = None): Unit = {
+    val wh = KeyedTable.schemaDir(warehouse0, schema)
+    val baseDir = KeyedTable.tableDir(wh, baseOnly(tableName))
+    val brDir = branchDirOf(baseDir, branch)
+    val p = new Path(brDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!TableMeta.exists(spark, brDir))
+      throw new StoreException(s"no such branch: $tableName@$branch")
+    // same protocol as dropTable: lock out an in-flight branch mutator,
+    // then remove the ref (the lock file goes with the dir)
+    WriteLock.withLock(spark, brDir, "dropBranch") {
+      f.delete(p, true)
+    }
+    Manifest.invalidate(brDir)
+  }
+
+  /** PUBLISH: fast-forward the base table to the branch head — one
+    * manifest commit (the branch head's file set, already living in
+    * the base data dir) + the branch's meta, under BOTH write locks.
+    * Refused when the base moved past the fork point (version or
+    * meta) — re-fork to rebase — or when either ref maintains a CDC
+    * changelog (a snapshot flip writes no row images). Returns the new
+    * base version; the branch's fork point advances so the next WAP
+    * cycle can continue on the same branch. */
+  def fastForward(spark: SparkSession, warehouse0: String,
+                  tableName: String, branch: String,
+                  schema: Option[String] = None): Long = {
+    val wh = KeyedTable.schemaDir(warehouse0, schema)
+    val baseDir = KeyedTable.tableDir(wh, baseOnly(tableName))
+    val brDir = branchDirOf(baseDir, branch)
+    if (!TableMeta.exists(spark, brDir))
+      throw new StoreException(s"no such branch: $tableName@$branch")
+    WriteLock.withLock(spark, baseDir, s"fastForward($branch)") {
+      WriteLock.withLock(spark, brDir, "fastForward(publish)") {
+        val fk = readFork(spark, brDir)
+        val baseMeta = TableMeta.read(spark, baseDir)
+        val brMeta = TableMeta.read(spark, brDir)
+        if (baseMeta.changelog || brMeta.changelog)
+          throw new StoreException(
+            "fastForward on a changelog-maintained table is not " +
+            "supported: a snapshot flip writes no row images, which " +
+            "would break the every-mutation-logs-a-batch invariant; " +
+            "apply the branch with merge/readIncremental instead")
+        val baseHead = Manifest.current(spark, baseDir).getOrElse(
+          throw new StoreException(s"$tableName has no manifest snapshot"))
+        if (baseHead.version != fk.baseVersion)
+          throw new StoreException(
+            s"cannot fast-forward: $tableName advanced to version " +
+            s"${baseHead.version} since the branch forked at " +
+            s"${fk.baseVersion} — re-fork to rebase")
+        if (baseMeta.toJson != fk.baseMetaJson)
+          throw new StoreException(
+            s"cannot fast-forward: $tableName's metadata changed since " +
+            "the branch forked (schema/constraint evolution) — re-fork " +
+            "to rebase")
+        val brHead = Manifest.current(spark, brDir).getOrElse(
+          throw new StoreException(s"branch $branch has no snapshot"))
+        if (brHead.version == fk.baseVersion) baseHead.version // nothing new
+        else {
+          val published = Manifest.commit(spark, baseDir, brHead.copy(
+            version = baseHead.version + 1,
+            op = Some("fastForward"), tsMs = None))
+          TableMeta.write(spark, baseDir, brMeta)
+          writeFork(spark, brDir, Fork(published.version, brMeta.toJson))
+          published.version
+        }
+      }
+    }
+  }
+}

@@ -91,8 +91,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val sch = schemaOf(ident.namespace).get
     val dir = KeyedTable.tableDir(KeyedTable.schemaDir(warehouse, sch), ident.name)
-    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+    new KeyedBatchTable(TableMeta.read(spark, dir),
+      KeyedTable.dataDir(KeyedTable.schemaDir(warehouse, sch), ident.name),
       Manifest.current(spark, dir))
+  }
+
+  private def dataDirOf(ident: Identifier): String = {
+    val sch = schemaOf(ident.namespace).get
+    KeyedTable.dataDir(KeyedTable.schemaDir(warehouse, sch), ident.name)
   }
 
   private def tableDirOf(ident: Identifier): String = {
@@ -110,7 +116,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val dir = tableDirOf(ident)
     val v = version.toLongOption
       .getOrElse(KeyedTable.resolveTag(spark, dir, version))
-    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+    new KeyedBatchTable(TableMeta.read(spark, dir), dataDirOf(ident),
       Some(Manifest.at(spark, dir, v)))
   }
 
@@ -118,7 +124,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * the given instant (Spark hands micros since epoch). */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val dir = tableDirOf(ident)
-    new KeyedBatchTable(TableMeta.read(spark, dir), s"$dir/data",
+    new KeyedBatchTable(TableMeta.read(spark, dir), dataDirOf(ident),
       Some(Manifest.atTimestamp(spark, dir, timestampMicros / 1000L)))
   }
 

@@ -54,7 +54,31 @@ object KeyedTable {
 
   val DefaultBuckets = 32
 
-  def tableDir(warehouse: String, table: String) = s"$warehouse/$table"
+  /** Split a `table@branch` reference; a bare name has no branch. `@`
+    * can never appear in a stored table name ([[Names.cleanName]]
+    * rejects it), so the separator is unambiguous. */
+  private[store] def splitRef(table: String): (String, Option[String]) = {
+    val i = table.indexOf('@')
+    if (i < 0) (table, None)
+    else {
+      val (t, br) = (table.substring(0, i), table.substring(i + 1))
+      if (t.isEmpty || br.isEmpty || br.contains('@'))
+        throw new StoreException(
+          s"bad branch reference '$table' (expected table@branch)")
+      (t, Some(br))
+    }
+  }
+
+  /** A branch ref `t@br` resolves to the branch's OWN metadata dir
+    * (`<t>/_branches/<br>` — meta, manifests, tags, changelog, lock),
+    * while [[dataDir]] stays the BASE table's: branches share immutable
+    * data files, so fork and fast-forward are metadata-only
+    * ([[Branches]]). */
+  def tableDir(warehouse: String, table: String): String =
+    splitRef(table) match {
+      case (t, None) => s"$warehouse/$t"
+      case (t, Some(br)) => s"$warehouse/$t/${Branches.DirName}/$br"
+    }
 
   /** Resolve the reference's `schema=` namespace kwarg
     * (/root/reference/pandabase/util.py:5-15, sql.py:46: `schema.table`
@@ -72,7 +96,8 @@ object KeyedTable {
             s"Illegal characters in schema name: $s. try: ${Names.cleanName(s)}")
         s"$warehouse/$s"
     }
-  private def dataDir(warehouse: String, table: String) = s"$warehouse/$table/data"
+  private[store] def dataDir(warehouse: String, table: String) =
+    s"$warehouse/${splitRef(table)._1}/data"
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -129,9 +154,12 @@ object KeyedTable {
             changelog: Boolean = false): Unit = {
     val wh = schemaDir(warehouse, schema)
     val spark = df.sparkSession
-    if (Names.cleanName(tableName) != tableName)
-      throw new IllegalNameException(
-        s"Illegal characters in table name: $tableName. try: ${Names.cleanName(tableName)}")
+    val (baseName, branchName) = splitRef(tableName)
+    (baseName +: branchName.toSeq).foreach { n =>
+      if (Names.cleanName(n) != n)
+        throw new IllegalNameException(
+          s"Illegal characters in table name: $n. try: ${Names.cleanName(n)}")
+    }
     if (autoIndex && pk.nonEmpty)
       throw new StoreException("pass either pk or autoIndex=true, not both")
     if (strictUtc) {
@@ -182,6 +210,11 @@ object KeyedTable {
           throw new StoreException(
             s"cannot create table '$tableName': $dir is a SCHEMA namespace " +
             "(contains tables); schema and table names must not collide")
+        if (branchName.isDefined)
+          throw new StoreException(
+            s"branch $tableName does not exist; branches FORK from a " +
+            "table snapshot (Branches.create), they are not created " +
+            "like tables")
         if (!autoIndex && pkClean.isEmpty)
           throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
         create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
@@ -1986,25 +2019,45 @@ object KeyedTable {
   def vacuum(spark: SparkSession, warehouse0: String, tableName: String,
              olderThanMs: Long = 24L * 3600 * 1000,
              schema: Option[String] = None): Int = {
+    if (splitRef(tableName)._2.isDefined)
+      throw new StoreException(
+        s"vacuum the BASE table, not a branch ref ($tableName): branches " +
+        "share the base's data files and the reap must see every ref's " +
+        "live set at once")
     val dir = tableDir(schemaDir(warehouse0, schema), tableName)
     val p = new Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) return 0
-    // under the WRITE lock: an in-flight commit's just-moved files are
-    // unreferenced until its manifest flips, and an aggressive cutoff
-    // (olderThanMs = 0) must not reap them mid-commit. Readers are
-    // unaffected — they never take the lock; their protection is the
-    // age bound itself.
+    // under the WRITE lock — and every BRANCH's lock, taken below — an
+    // in-flight commit's just-moved files are unreferenced until its
+    // manifest flips, and an aggressive cutoff (olderThanMs = 0) must
+    // not reap them mid-commit. Readers are unaffected — they never
+    // take the lock; their protection is the age bound itself.
     WriteLock.withLock(spark, dir, "vacuum") {
+      val branches = Branches.branchDirs(spark, dir)
+      def withBranchLocks[A](rest: Seq[(String, String)])(body: => A): A =
+        rest match {
+          case Seq() => body
+          case (name, brDir) +: tail =>
+            WriteLock.withLock(spark, brDir, s"vacuum(branch $name)") {
+              withBranchLocks(tail)(body)
+            }
+        }
+      withBranchLocks(branches.sortBy(_._1)) {
       val cutoff = System.currentTimeMillis() - olderThanMs
-      var removed = f.listStatus(p).count { st =>
-        val n = st.getPath.getName
-        val stale = st.isDirectory &&
-          (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
-          st.getModificationTime < cutoff
-        if (stale) f.delete(st.getPath, true)
-        stale
-      }
+      // abandoned staging under the base dir AND under every branch ref
+      // (branch mutations stage in their own dir before moving files
+      // into the shared data dir)
+      var removed = (p +: branches.map(b => new Path(b._2))).map { root =>
+        f.listStatus(root).count { st =>
+          val n = st.getPath.getName
+          val stale = st.isDirectory &&
+            (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
+            st.getModificationTime < cutoff
+          if (stale) f.delete(st.getPath, true)
+          stale
+        }
+      }.sum
       // Manifest-commit temp files (`_manifests/.tmp-<uuid>`): by
       // construction never referenced once Manifest.commit returns —
       // a crash between create and rename is the only way one survives.
@@ -2047,7 +2100,12 @@ object KeyedTable {
               removed += 1
           }
         }
-        val live: Set[String] = Manifest.all(spark, dir).iterator
+        // union-liveness spans EVERY ref sharing the data dir: the base
+        // chain plus each branch's chain — a file live only on a branch
+        // must survive the base's reap (and vice versa after a publish)
+        val live: Set[String] =
+          (Manifest.all(spark, dir).iterator ++
+            branches.iterator.flatMap(b => Manifest.all(spark, b._2)))
           .flatMap(_.files.iterator).flatMap { case (b, fls) =>
             fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
           }.toSet
@@ -2071,6 +2129,7 @@ object KeyedTable {
         }
       }
       removed
+      }
     }
   }
 

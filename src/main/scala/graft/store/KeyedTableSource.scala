@@ -55,7 +55,8 @@ class KeyedTableSource extends TableProvider {
     // snapshot pinned at table resolution: every scan planned from this
     // DataFrame reads one consistent manifest version, however long the
     // query runs and whatever commits land meanwhile
-    (TableMeta.read(spark, dir), s"$dir/data", Manifest.current(spark, dir))
+    (TableMeta.read(spark, dir), KeyedTable.dataDir(warehouse, table),
+      Manifest.current(spark, dir))
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {

@@ -1,0 +1,188 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.TempDirs
+
+/** Branches + write-audit-publish (#11al): fork is one manifest copy,
+  * branch writes are ordinary mutations addressed as `t@branch`
+  * sharing the base's data files, audit is snapshot-isolated reads of
+  * the ref, publish is a guarded fast-forward flip. */
+class BranchSpec extends SparkSpec {
+
+  private lazy val wh: String = TempDirs.tempDir("graft-branch")
+  private val catN = new java.util.concurrent.atomic.AtomicLong()
+
+  private def df(rows: (Long, String, Double)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "g", "v")
+  }
+
+  private def ids(table: String): Seq[Long] =
+    KeyedTable.readSql(spark, wh, table)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("fork, write on the branch, audit: base is snapshot-isolated") {
+    val t = "br_t1"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 4)
+    val forkV = Branches.create(spark, wh, t, "audit")
+    assert(forkV == 0L)
+    // branch writes: an append and an upsert through the ordinary API
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@audit",
+      pk = Seq("id"), how = WriteMode.Append)
+    KeyedTable.toSql(df((2L, "B", 20.0)), wh, s"$t@audit",
+      pk = Seq("id"), how = WriteMode.Upsert)
+    // audit the branch; the base is untouched
+    assert(ids(s"$t@audit") == Seq(1L, 2L, 3L))
+    assert(KeyedTable.readSql(spark, wh, s"$t@audit")
+      .filter(org.apache.spark.sql.functions.col("id") === 2L)
+      .head().getDouble(2) == 20.0)
+    assert(ids(t) == Seq(1L, 2L))
+    assert(KeyedTable.readSql(spark, wh, t)
+      .filter(org.apache.spark.sql.functions.col("id") === 2L)
+      .head().getDouble(2) == 2.0)
+    // listing
+    val ls = Branches.list(spark, wh, t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ls == Seq(("audit", 0L, 2L)), s"got $ls")
+  }
+
+  test("SQL reads a branch ref through the catalog") {
+    val t = "br_sql"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "wip")
+    KeyedTable.toSql(df((9L, "z", 9.0)), wh, s"$t@wip",
+      pk = Seq("id"), how = WriteMode.Append)
+    val cat = s"graft_br${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      assert(spark.sql(s"SELECT * FROM $cat.`$t@wip`").count() == 2L)
+      assert(spark.sql(s"SELECT * FROM $cat.$t").count() == 1L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("publish fast-forwards the base; a second WAP cycle continues") {
+    val t = "br_wap"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "stage")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    val v1 = Branches.fastForward(spark, wh, t, "stage")
+    assert(v1 == 1L)
+    assert(ids(t) == Seq(1L, 2L))
+    // cycle 2 on the SAME branch: the fork point advanced with publish
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    val v2 = Branches.fastForward(spark, wh, t, "stage")
+    assert(v2 == 2L)
+    assert(ids(t) == Seq(1L, 2L, 3L))
+    // time travel on the base still resolves the pre-publish snapshot
+    assert(KeyedTable.readSql(spark, wh, t, asOfVersion = Some(0L))
+      .count() == 1L)
+  }
+
+  test("publish is refused after the base diverges; re-fork rebases") {
+    val t = "br_div"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "stage")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    // base moves past the fork point
+    KeyedTable.toSql(df((5L, "e", 5.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    val e = intercept[StoreException](
+      Branches.fastForward(spark, wh, t, "stage"))
+    assert(e.getMessage.contains("re-fork"), e.getMessage)
+    // base kept its own write; branch kept its own
+    assert(ids(t) == Seq(1L, 5L))
+    assert(ids(s"$t@stage") == Seq(1L, 2L))
+    // schema drift alone (metadata-only addColumns) also blocks publish
+    Branches.drop(spark, wh, t, "stage")
+    Branches.create(spark, wh, t, "stage2")
+    KeyedTable.toSql(df((7L, "g", 7.0)), wh, s"$t@stage2",
+      pk = Seq("id"), how = WriteMode.Append)
+    KeyedTable.addColumns(spark, wh, t, Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.DoubleType)))
+    val e2 = intercept[StoreException](
+      Branches.fastForward(spark, wh, t, "stage2"))
+    assert(e2.getMessage.contains("metadata changed"), e2.getMessage)
+  }
+
+  test("drop + vacuum reap branch-only files; shared files survive") {
+    val t = "br_gc"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "tmp")
+    KeyedTable.toSql(df((3L, "c", 3.0), (4L, "d", 4.0)), wh, s"$t@tmp",
+      pk = Seq("id"), how = WriteMode.Append)
+    val data = new Path(KeyedTable.tableDir(wh, t), "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles: Int = fs.listStatus(data)
+      .filter(_.getPath.getName.startsWith("pb_bucket="))
+      .map(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet"))).sum
+    val withBranch = nFiles
+    // while the branch lives, vacuum must NOT reap its files
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L)
+    assert(nFiles == withBranch, "vacuum reaped live branch files")
+    assert(ids(s"$t@tmp") == Seq(1L, 2L, 3L, 4L))
+    Branches.drop(spark, wh, t, "tmp")
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L)
+    assert(nFiles < withBranch, "dropped branch's files were not reaped")
+    // the base is whole
+    assert(ids(t) == Seq(1L, 2L))
+    intercept[Exception](
+      KeyedTable.readSql(spark, wh, s"$t@tmp").collect())
+  }
+
+  test("guards: create-on-branch-ref, vacuum-on-ref, CDC publish, bad refs") {
+    val t = "br_guard"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    // a branch must fork, not be created like a table
+    val e1 = intercept[StoreException](
+      KeyedTable.toSql(df((1L, "a", 1.0)), wh, s"$t@nope", pk = Seq("id")))
+    assert(e1.getMessage.contains("fork", 0) ||
+      e1.getMessage.toLowerCase.contains("fork"), e1.getMessage)
+    intercept[StoreException](
+      KeyedTable.vacuum(spark, wh, s"$t@x", olderThanMs = 0L))
+    intercept[StoreException](KeyedTable.splitRef(s"$t@"))
+    intercept[StoreException](KeyedTable.splitRef(s"$t@a@b"))
+    intercept[StoreException](
+      Branches.create(spark, wh, t, "Bad Name!"))
+    intercept[StoreException](Branches.drop(spark, wh, t, "missing"))
+    // CDC tables refuse fast-forward (a flip writes no row images)
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, t, pk = Seq("id"),
+      how = WriteMode.Upsert, changelog = true)
+    Branches.create(spark, wh, t, "cdc")
+    val e2 = intercept[StoreException](
+      Branches.fastForward(spark, wh, t, "cdc"))
+    assert(e2.getMessage.contains("changelog"), e2.getMessage)
+  }
+
+  test("base and branch writers commit concurrently on different locks") {
+    val t = "br_conc"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "side")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val a = Future(KeyedTable.toSql(df((2L, "b", 2.0)), wh, t,
+        pk = Seq("id"), how = WriteMode.Append))
+      val b = Future(KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@side",
+        pk = Seq("id"), how = WriteMode.Append))
+      Await.result(Future.sequence(Seq(a, b)), 2.minutes)
+    } finally pool.shutdown()
+    assert(ids(t) == Seq(1L, 2L))
+    assert(ids(s"$t@side") == Seq(1L, 3L))
+  }
+}
