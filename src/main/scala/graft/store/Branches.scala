@@ -138,6 +138,12 @@ object Branches {
         StructField("head_version", LongType, nullable = false))))
   }
 
+  /** Fork version of a branch dir — the `t$branches` metadata table's
+    * row source. */
+  private[store] def forkVersionOf(spark: SparkSession,
+                                   branchDir: String): Long =
+    readFork(spark, branchDir).baseVersion
+
   /** Every existing (name, dir) branch ref of a base table — vacuum's
     * union-liveness and [[list]] both resolve through here. */
   private[store] def branchDirs(spark: SparkSession,

@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * when the scan is BUILT, so each query sees one consistent listing.
   */
 private[store] object MetaTables {
-  private val Kinds = Set("history", "tags", "files", "checks")
+  private val Kinds = Set("history", "tags", "files", "checks", "branches")
 
   /** `name$kind` → (base table name, kind), for known kinds only —
     * anything else is a normal (possibly weird) table name. */
@@ -64,6 +64,10 @@ private[store] object MetaTables {
     case "checks" => StructType(Seq(
       StructField("name", StringType, nullable = false),
       StructField("predicate", StringType, nullable = false)))
+    case "branches" => StructType(Seq(
+      StructField("branch", StringType, nullable = false),
+      StructField("fork_version", LongType, nullable = false),
+      StructField("head_version", LongType, nullable = false)))
   }
 
   private def rowsOf(spark: SparkSession, tableDir: String,
@@ -96,6 +100,15 @@ private[store] object MetaTables {
       TableMeta.read(spark, tableDir).checks.toSeq.sortBy(_._1).map {
         case (n, e) => new GenericInternalRow(Array[Any](
           UTF8String.fromString(n), UTF8String.fromString(e))): InternalRow
+      }.toArray
+    case "branches" =>
+      Branches.branchDirs(spark, tableDir).sortBy(_._1).map {
+        case (name, brDir) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(name),
+            Branches.forkVersionOf(spark, brDir),
+            Manifest.current(spark, brDir)
+              .map(_.version).getOrElse(-1L))): InternalRow
       }.toArray
   }
 

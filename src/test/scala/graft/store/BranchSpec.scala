@@ -68,6 +68,27 @@ class BranchSpec extends SparkSpec {
     }
   }
 
+  test("t$branches metadata table lists refs through SQL") {
+    val t = "br_meta"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "b1")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@b1",
+      pk = Seq("id"), how = WriteMode.Append)
+    Branches.create(spark, wh, t, "b2")
+    val cat = s"graft_br${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val rows = spark.sql(
+        s"SELECT branch, fork_version, head_version FROM $cat.`$t" + "$branches`")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows == Seq(("b1", 0L, 1L), ("b2", 0L, 0L)), s"got $rows")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("publish fast-forwards the base; a second WAP cycle continues") {
     val t = "br_wap"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
