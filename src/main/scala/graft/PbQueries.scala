@@ -608,6 +608,41 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11am (`pb_sql_call`): the maintenance surface from pure SQL —
+    * `CALL graft.system.*` procedures (Spark 4 ProcedureCatalog) drive
+    * a full WAP cycle plus tag/compact/vacuum, each lowering onto the
+    * identical programmatic primitive. */
+  private val sqlCallN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlCallQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_call${sqlCallN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      spark.sql(s"CALL $cat.system.create_tag('customer', 'pristine')")
+      spark.sql(s"CALL $cat.system.create_branch('customer', 'stage')")
+      KeyedTable.toSql(
+        customer.filter(col("c_custkey") % 5 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+        wh, "customer@stage", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+      spark.sql(s"CALL $cat.system.fast_forward('customer', 'stage')")
+      spark.sql(s"CALL $cat.system.drop_branch('customer', 'stage')")
+      spark.sql(s"CALL $cat.system.compact('customer', min_files => 1)")
+      spark.sql(s"CALL $cat.system.vacuum('customer', older_than_ms => 0)")
+      // the pristine tag still resolves post-vacuum (tag = retention)
+      require(spark.sql(
+        s"SELECT * FROM $cat.customer VERSION AS OF 'pristine'").count() ==
+        customer.count(), "tagged snapshot must survive vacuum")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1155,6 +1190,7 @@ object PbQueries {
     "pb_drop_column" -> dropColumnQ,
     "pb_rename" -> renameQ,
     "pb_branch_wap" -> branchWapQ,
+    "pb_sql_call" -> sqlCallQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1303,6 +1339,15 @@ object PbQueries {
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
     "pb_rename" -> "SELECT * FROM customer",
+    // CALL-driven WAP: the %5 branch upsert (+100) published, then
+    // compact + vacuum leave the data identical
+    "pb_sql_call" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    """.trim,
     // fork → branch upsert (%7 doubled) + append (+20000000 for %89) →
     // audit → fast-forward publish: the base equals the branch head
     "pb_branch_wap" -> """

@@ -27,7 +27,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * CREATE NAMESPACE makes the directory. Deeper nesting is rejected —
   * the reference's namespace model is a single schema level.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -133,6 +134,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       Catalog.dropTable(spark, warehouse, ident.name, schemaOf(ident.namespace).get)
       true
     }
+
+  // ------------------------------------------------- ProcedureCatalog
+
+  /** SQL `CALL graft.system.<proc>(…)` — the store's maintenance
+    * surface from pure SQL ([[GraftProcedures]]): branches + WAP,
+    * tags, restore, vacuum, compact, rebucket, zorder, rename. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!GraftProcedures.validNamespace(ident.namespace()))
+      throw new StoreException(
+        s"no such procedure namespace: ${ident.namespace().mkString(".")} " +
+        "(procedures live in `system`)")
+    GraftProcedures.load(warehouse, ident.name()).getOrElse(
+      throw new StoreException(
+        s"no such procedure: ${ident.name()} " +
+        s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (!GraftProcedures.validNamespace(namespace)) Array.empty
+    else GraftProcedures.names
+      .map(n => Identifier.of(Array("system"), n)).toArray
 
   // ------------------------------------------------ SupportsNamespaces
 
