@@ -99,6 +99,18 @@ object KeyedTable {
   private[store] def dataDir(warehouse: String, table: String) =
     s"$warehouse/${splitRef(table)._1}/data"
 
+  /** Invert [[tableDir]]: (warehouse, table-or-branch ref). A dir under
+    * `_branches/` maps back to the `t@branch` addressing form. */
+  private[store] def refOf(tableDir: String): (String, String) = {
+    val p = new Path(tableDir)
+    val parent = p.getParent
+    if (parent != null && parent.getName == Branches.DirName &&
+        parent.getParent != null) {
+      val baseDir = parent.getParent
+      (baseDir.getParent.toString, s"${baseDir.getName}@${p.getName}")
+    } else (parent.toString, p.getName)
+  }
+
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -67,7 +67,9 @@ class KeyedTableSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val (m, dataDir, mf) = meta(new CaseInsensitiveStringMap(properties))
-    new KeyedBatchTable(m, dataDir, mf)
+    new KeyedBatchTable(m, dataDir, mf,
+      KeyedTable.tableDir(new CaseInsensitiveStringMap(properties).get("warehouse"),
+        new CaseInsensitiveStringMap(properties).get("table")))
   }
 
   override def supportsExternalMetadata(): Boolean = false
@@ -89,19 +91,29 @@ object KeyedTableSource {
   def storeTarget(t: org.apache.spark.sql.connector.catalog.Table)
       : Option[(String, String, Seq[String])] = t match {
     case k: KeyedBatchTable =>
-      val tableDir = new Path(k.name()).getParent
-      Some((tableDir.getParent.toString, tableDir.getName, k.meta.pk))
+      val (wh, ref) = KeyedTable.refOf(k.tableDir)
+      Some((wh, ref, k.meta.pk))
     case _ => None
   }
 }
 
 private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
-                                     mf: Option[Manifest] = None)
+                                     mf: Option[Manifest] = None,
+                                     tableDir0: String = null)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
-  override def name(): String = dataDir
+  /** The ref's OWN metadata dir — for a branch handle this is the
+    * `_branches/<name>` dir, NOT dataDir's parent (branches share the
+    * base's data files); every DML/stream surface below must resolve
+    * through it or a statement addressed `t@branch` would silently hit
+    * the base table. */
+  val tableDir: String =
+    if (tableDir0 != null) tableDir0
+    else new Path(dataDir).getParent.toString
+
+  override def name(): String = tableDir
 
   /** SQL delete surface: `DELETE FROM graft.t WHERE …` routes through
     * [[KeyedTable.delete]] — bucket-pruned rewrite, writer lock,
@@ -145,9 +157,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     import org.apache.spark.sql.functions.lit
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    val tableDir = new Path(dataDir).getParent
-    KeyedTable.delete(SparkSession.active, tableDir.getParent.toString,
-      tableDir.getName, cond): Unit
+    val (wh, ref) = KeyedTable.refOf(tableDir)
+    KeyedTable.delete(SparkSession.active, wh, ref, cond): Unit
   }
 
   override def schema(): StructType =
@@ -160,7 +171,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema(), mf,
       Seq("sinceVersion", "endingVersion", "maxVersionsPerTrigger")
-        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap)
+        .flatMap(k => Option(options.get(k)).map(k -> _)).toMap, tableDir)
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the
     * store's own write path — a V1 write fallback hands the whole
@@ -177,10 +188,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
-    // dataDir is always <warehouse>/<table>/data (see KeyedTableSource)
-    val tableDir = new Path(dataDir).getParent
-    val wh = tableDir.getParent.toString
-    val tbl = tableDir.getName
+    val (wh, tbl) = KeyedTable.refOf(tableDir)
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
@@ -202,7 +210,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
                                       full: StructType,
                                       mf: Option[Manifest] = None,
-                                      streamOpts: Map[String, String] = Map.empty)
+                                      streamOpts: Map[String, String] = Map.empty,
+                                      tableDir: String = null)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
@@ -256,7 +265,8 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
 
   override def build(): Scan = aggResult match {
     case Some((schema, row, desc)) => new KeyedLocalAggScan(schema, row, desc)
-    case None => new KeyedScan(meta, dataDir, required, pushed, mf, streamOpts)
+    case None =>
+      new KeyedScan(meta, dataDir, required, pushed, mf, streamOpts, tableDir)
   }
 }
 
@@ -274,7 +284,8 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                                required: StructType,
                                pushed: Array[Filter] = Array.empty,
                                mf: Option[Manifest] = None,
-                               streamOpts: Map[String, String] = Map.empty)
+                               streamOpts: Map[String, String] = Map.empty,
+                               tableDir0: String = null)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -307,7 +318,9 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new KeyedMicroBatchStream(meta, dataDir, readDataSchema,
-      readPartitionSchema, dataFilters, fileMayMatch, streamOpts)
+      readPartitionSchema, dataFilters, fileMayMatch, streamOpts,
+      if (tableDir0 != null) tableDir0
+      else new Path(dataDir).getParent.toString)
 
   override def description(): String =
     s"graft keyed table $dataDir (buckets=$numBuckets, " +

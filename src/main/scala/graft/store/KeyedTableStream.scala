@@ -62,7 +62,8 @@ private[store] class KeyedMicroBatchStream(
     readDataSchema: StructType, readPartitionSchema: StructType,
     dataFilters: Array[Filter],
     fileMayMatch: ManifestFile => Boolean,
-    streamOpts: Map[String, String])
+    streamOpts: Map[String, String],
+    tableDir0: String = null)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -92,7 +93,11 @@ private[store] class KeyedMicroBatchStream(
         s"bad endingVersion '$s': a version number"))
     }
 
-  private val tableDir: String = new Path(dataDir).getParent.toString
+  // for a BRANCH handle the manifest chain lives under the ref's own
+  // dir, not dataDir's parent (branches share the base's data files)
+  private val tableDir: String =
+    if (tableDir0 != null) tableDir0
+    else new Path(dataDir).getParent.toString
   private def spark: SparkSession = SparkSession.active
 
   /** Trigger.AvailableNow pins the horizon ONCE at stream start; the

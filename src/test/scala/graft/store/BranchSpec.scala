@@ -188,6 +188,61 @@ class BranchSpec extends SparkSpec {
     assert(e2.getMessage.contains("changelog"), e2.getMessage)
   }
 
+  test("SQL DML on a branch ref mutates the BRANCH, never the base") {
+    val t = "br_dml"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "wip")
+    val cat = s"graft_br${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"INSERT INTO $cat.`$t@wip` VALUES (3, 'c', 3.0, NULL)")
+      spark.sql(s"UPDATE $cat.`$t@wip` SET v = v * 10 WHERE id = 1")
+      spark.sql(s"DELETE FROM $cat.`$t@wip` WHERE id = 2")
+      import spark.implicits._
+      Seq((3L, "C", 30.0, false)).toDF("id", "g", "v", "is_del")
+        .createOrReplaceTempView("br_dml_feed")
+      spark.sql(s"""
+        MERGE INTO $cat.`$t@wip` AS t USING br_dml_feed AS s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET g = s.g, v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, g, v) VALUES (s.id, s.g, s.v)
+      """)
+      val br = KeyedTable.readSql(spark, wh, s"$t@wip")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(br == Set((1L, "a", 10.0), (3L, "C", 30.0)), s"got $br")
+      // the BASE saw none of it
+      val base = KeyedTable.readSql(spark, wh, t)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(base == Set((1L, "a", 1.0), (2L, "b", 2.0)), s"got $base")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("streaming from a branch ref follows the BRANCH's commits") {
+    val t = "br_stream"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "feed")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@feed",
+      pk = Seq("id"), how = WriteMode.Append)
+    // base moves too — its commit must NOT appear in the branch stream
+    KeyedTable.toSql(df((9L, "z", 9.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    val out = java.nio.file.Files.createTempDirectory("br-stream-out").toString
+    val q = spark.readStream.format(classOf[KeyedTableSource].getName)
+      .option("warehouse", wh).option("table", s"$t@feed").load()
+      .writeStream.format("memory").queryName("br_stream_mem")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$out/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT id FROM br_stream_mem")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(1L, 2L), s"got $got")
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
