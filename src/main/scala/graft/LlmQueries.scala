@@ -176,6 +176,18 @@ object LlmQueries {
     * into 1000 bins (md5-based so any engine replays the assignment);
     * 98/1/1 split. Narrow, no shuffle — at 100 TB the split is a free
     * column on the scan, stable across runs/engines/backfills. */
+  /** #30ai deterministic stratified reservoir: exactly 25 docs per
+    * source, chosen by smallest md5-derived hash — reproducible
+    * sampling as a pure function of the id, per-group bounded heap
+    * (≤ k rows per stratum cross the exchange, never a corpus-wide
+    * window sort). The inspection/eval-set sampler a 100 TB corpus
+    * needs: stable across runs, engines, and backfills. */
+  def sampleStratified(s: SparkSession, d: String): DataFrame =
+    graft.operators.Curation.stratifiedReservoir(
+      docs(s, d).select(col("doc_id"), col("source")),
+      stratumCol = "source", idCol = "doc_id", k = 25)
+      .withColumn("rank", col("rank").cast("long"))
+
   def sampleSplit(s: SparkSession, d: String): DataFrame = {
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 1000L).as("bucket")
@@ -1299,6 +1311,7 @@ object LlmQueries {
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
     "sample_split" -> sampleSplit,
+    "sample_stratified" -> sampleStratified,
     "text_rarity" -> textRarity,
     "text_keywords" -> textKeywords,
     "length_buckets" -> lengthBuckets,
@@ -1712,6 +1725,15 @@ object LlmQueries {
       s AS (SELECT doc_id, cjk, $langScoresSql FROM t)
       SELECT doc_id, $langCaseSql AS lang_pred
       FROM s""".trim,
+    // deterministic stratified reservoir: smallest-hash 25 per source
+    "sample_stratified" -> """
+      SELECT source, doc_id, h, rank FROM (
+        SELECT source, doc_id, h,
+               row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rank
+        FROM (SELECT source, doc_id,
+                ('0x' || substr(md5('strat:' || doc_id::VARCHAR), 1, 8))::BIGINT AS h
+              FROM documents))
+      WHERE rank <= 25""".trim,
     "sample_split" -> """
       SELECT doc_id, bucket,
              CASE WHEN bucket < 980 THEN 'train'

@@ -14,6 +14,27 @@ import graft.functions.TextFunctions._
   */
 object Curation {
 
+  /** #30ai deterministic stratified reservoir: exactly `min(k, |stratum|)`
+    * rows per stratum, chosen by SMALLEST md5-derived hash of the id
+    * (ties by id). Sampling is a pure function of the id — re-runs and
+    * backfills keep identical samples, and the md5-hex-prefix hash is
+    * engine-portable (the DuckDB oracle replays it bit-for-bit).
+    * Scale: the per-group bounded heap ([[Knn.topKByScore]]'s
+    * CollectTopK) map-side-combines, so the exchange carries ≤ k rows
+    * per stratum per task — never a full window sort of the corpus.
+    * The classic alternative (rand() + row_number window) is neither
+    * reproducible nor bounded; this is. */
+  def stratifiedReservoir(df: DataFrame, stratumCol: String, idCol: String,
+                          k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val h = conv(substring(md5(concat(lit("strat:"),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long").as("h")
+    graft.operators.Knn.topKByScore(
+      df.select(col(stratumCol) +: col(idCol) +: Seq(h): _*),
+      groupCols = Seq(stratumCol), scoreCol = "h", tieCol = idCol,
+      k = k, ascending = true)
+  }
+
   /** #30l token-budget curation: per source, keep the highest-quality
     * docs until a token budget fills — "give me the best N tokens of
     * each source", the selection step between scoring and mixing.
