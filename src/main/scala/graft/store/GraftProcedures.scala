@@ -151,6 +151,17 @@ private[store] object GraftProcedures {
           schema = sch)
         Seq(true)
       }),
+    ProcDef("set_stats_columns",
+      "register extra per-file min/max stat columns (comma-separated); " +
+      "later commits record them for planning-time file skipping",
+      Seq(in("table", StringType), in("columns", StringType)),
+      out("columns" -> StringType),
+      (sp, wh, r) => {
+        val (t, sch) = split(str(r, 0))
+        val cols = str(r, 1).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        KeyedTable.setStatsColumns(sp, wh, t, cols, sch)
+        Seq(cols.mkString(","))
+      }),
     ProcDef("rename_table",
       "rename a table: one directory rename under the write lock",
       Seq(in("table", StringType), in("to", StringType)),

@@ -243,6 +243,23 @@ class BranchSpec extends SparkSpec {
     assert(got == Seq(1L, 2L), s"got $got")
   }
 
+  test("incremental audit: readIncremental on a branch yields exactly its delta") {
+    val t = "br_incr"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    val fork = Branches.create(spark, wh, t, "stage")
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    KeyedTable.toSql(df((4L, "d", 4.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    // base commits after the fork must NOT leak into the branch window
+    KeyedTable.toSql(df((9L, "z", 9.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    val delta = KeyedTable.readIncremental(spark, wh, s"$t@stage", fork)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(delta == Seq(3L, 4L), s"got $delta")
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)

@@ -91,6 +91,22 @@ class ProceduresSpec extends SparkSpec {
     }
   }
 
+  test("SHOW PROCEDURES lists the system namespace; set_stats_columns works") {
+    val t = "pr_show"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    withCat { cat =>
+      val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system")
+        .collect().map(_.toString).mkString("\n")
+      assert(listed.contains("create_branch") && listed.contains("vacuum"),
+        listed)
+      assert(spark.sql(
+        s"CALL $cat.system.set_stats_columns('$t', 'v, g')")
+        .head().getString(0) == "v,g")
+      assert(TableMeta.read(spark,
+        KeyedTable.tableDir(wh, t)).statsCols == Seq("v", "g"))
+    }
+  }
+
   test("unknown procedure and bad namespace fail clearly") {
     val t = "pr_neg"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
