@@ -643,6 +643,37 @@ object PbQueries {
     }
   }
 
+  /** #11an (`pb_tblprops`): `ALTER TABLE … SET TBLPROPERTIES
+    * ('changelog'='true')` — CDC capture enabled from pure SQL; the
+    * next mutation (no per-call flag) logs classified before/after
+    * images, read back through the changelog. */
+  private val tblPropsN = new java.util.concurrent.atomic.AtomicLong()
+  def tblPropsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_props${tblPropsN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+      spark.sql(
+        s"ALTER TABLE $cat.customer SET TBLPROPERTIES('changelog'='true')")
+      KeyedTable.toSql(
+        customer.filter(col("c_custkey") % 7 === 0)
+          .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+          .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+            .withColumn("c_custkey", col("c_custkey") + 20000000L)),
+        wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+      KeyedTable.readChangelog(spark, wh, "customer")
+        .select(col("c_custkey"), col("op"),
+          col("new_c_acctbal").cast("double").as("new_c_acctbal"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1191,6 +1222,7 @@ object PbQueries {
     "pb_rename" -> renameQ,
     "pb_branch_wap" -> branchWapQ,
     "pb_sql_call" -> sqlCallQ,
+    "pb_tblprops" -> tblPropsQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1339,6 +1371,16 @@ object PbQueries {
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
     "pb_rename" -> "SELECT * FROM customer",
+    // SQL-enabled CDC: the upsert after SET TBLPROPERTIES logs the %7
+    // value updates and the shifted %89 inserts
+    "pb_tblprops" -> """
+      SELECT c_custkey, 'update' AS op,
+             c_acctbal + 100.0 AS new_c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 20000000, 'insert', c_acctbal
+      FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
     // CALL-driven WAP: the %5 branch upsert (+100) published, then
     // compact + vacuum leave the data identical
     "pb_sql_call" -> """

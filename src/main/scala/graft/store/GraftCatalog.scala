@@ -262,15 +262,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val checkDrops = changes.collect {
       case d: TableChange.DropConstraint => d.name()
     }
+    // SET TBLPROPERTIES: `changelog` toggles table-property CDC capture
+    // (the only mutable property — pk/buckets/auto_index are structure,
+    // changed through their own operations: rebucket, create)
+    val propSets = changes.collect {
+      case p: TableChange.SetProperty =>
+        if (p.property() != "changelog")
+          throw new UnsupportedOperationException(
+            s"table property '${p.property()}' is not settable " +
+            "(only 'changelog'; bucket/pk structure changes go through " +
+            "rebucket/create)")
+        p.value().toLowerCase match {
+          case "true" => true
+          case "false" => false
+          case v => throw new UnsupportedOperationException(
+            s"changelog must be 'true' or 'false', got '$v'")
+        }
+      case p: TableChange.RemoveProperty =>
+        if (p.property() != "changelog")
+          throw new UnsupportedOperationException(
+            s"table property '${p.property()}' is not removable")
+        false
+    }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
-        c.isInstanceOf[TableChange.DropConstraint])
+        c.isInstanceOf[TableChange.DropConstraint] ||
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
-        "only ADD COLUMNS, DROP COLUMN, and ADD/DROP CONSTRAINT (CHECK) " +
-        s"are supported on graft tables " +
+        "only ADD COLUMNS, DROP COLUMN, ADD/DROP CONSTRAINT (CHECK), " +
+        "and SET/UNSET TBLPROPERTIES('changelog') are supported on " +
+        s"graft tables " +
         s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     if (adds.nonEmpty)
       KeyedTable.addColumns(spark, warehouse, ident.name(), adds.toSeq, sch)
@@ -282,6 +307,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkDrops.foreach { n =>
       KeyedTable.dropCheckConstraint(spark, warehouse, ident.name(), n, sch): Unit
     }
+    propSets.foreach(on =>
+      KeyedTable.setChangelog(spark, warehouse, ident.name(), on, sch))
     loadTable(ident)
   }
 

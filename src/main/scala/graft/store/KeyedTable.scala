@@ -2395,6 +2395,23 @@ object KeyedTable {
     * consumer reads only the new batches, never the history). Throws
     * [[StoreException]] if the table has no changelog yet (no
     * changelog-enabled upsert has run). */
+  /** Toggle the table-property CDC flag (#11l) — the programmatic core
+    * of SQL `ALTER TABLE … SET TBLPROPERTIES('changelog'='true')`.
+    * Enabling makes EVERY later mutation log a batch (the invariant
+    * readChangelog documents); disabling stops the log at the current
+    * batch — existing batches stay readable, downstream consumers
+    * simply see no further batches. Metadata-only, under the lock. */
+  def setChangelog(spark: SparkSession, warehouse0: String,
+                   tableName: String, enabled: Boolean,
+                   schema: Option[String] = None): Unit = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    WriteLock.withLock(spark, dir, s"setChangelog($enabled)") {
+      val meta = TableMeta.read(spark, dir)
+      if (meta.changelog != enabled)
+        TableMeta.write(spark, dir, meta.copy(changelog = enabled))
+    }
+  }
+
   def readChangelog(spark: SparkSession, warehouse0: String,
                     tableName: String, sinceBatch: Long = 0L,
                     schema: Option[String] = None): DataFrame = {

@@ -115,6 +115,22 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
   override def name(): String = tableDir
 
+  /** `SHOW TBLPROPERTIES graft.t` surface: the store's structural and
+    * behavioral metadata as read-only properties (mutable ones go
+    * through ALTER TABLE SET TBLPROPERTIES — today only `changelog`). */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    m.put("format", "parquet")
+    m.put("primary_key", meta.pk.mkString(","))
+    m.put("buckets", mf.map(_.buckets).getOrElse(meta.buckets).toString)
+    m.put("auto_index", meta.autoIndex.toString)
+    m.put("changelog", meta.changelog.toString)
+    if (meta.statsCols.nonEmpty)
+      m.put("stats_columns", meta.statsCols.mkString(","))
+    mf.foreach(s => m.put("current_version", s.version.toString))
+    m
+  }
+
   /** SQL delete surface: `DELETE FROM graft.t WHERE …` routes through
     * [[KeyedTable.delete]] — bucket-pruned rewrite, writer lock,
     * manifest commit, optional changelog semantics all identical to the

@@ -83,4 +83,39 @@ class SqlAlterSpec extends SparkSpec {
       assert(pk.getMessage.contains("primary-key"))
     }
   }
+
+  test("SET TBLPROPERTIES('changelog') toggles CDC; SHOW TBLPROPERTIES reads") {
+    import spark.implicits._
+    val w = TempDirs.tempDir("graft-alter-props")
+    KeyedTable.toSql(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"),
+      w, "tp", pk = Seq("k"))
+    val cat = s"graft_props${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+    try {
+      val props0 = spark.sql(s"SHOW TBLPROPERTIES $cat.tp")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props0("primary_key") == "k" && props0("changelog") == "false",
+        s"got $props0")
+      spark.sql(s"ALTER TABLE $cat.tp SET TBLPROPERTIES('changelog'='true')")
+      // every later mutation logs a batch — no per-call flag
+      KeyedTable.toSql(Seq((2L, 21.0), (3L, 30.0)).toDF("k", "v"),
+        w, "tp", pk = Seq("k"), how = WriteMode.Upsert)
+      val log = KeyedTable.readChangelog(spark, w, "tp")
+        .select(col("k"), col("op")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(log == Set((2L, "update"), (3L, "insert")), s"got $log")
+      // UNSET stops the log; existing batches stay readable
+      spark.sql(s"ALTER TABLE $cat.tp UNSET TBLPROPERTIES('changelog')")
+      KeyedTable.toSql(Seq((4L, 40.0)).toDF("k", "v"),
+        w, "tp", pk = Seq("k"), how = WriteMode.Upsert)
+      assert(KeyedTable.readChangelog(spark, w, "tp").count() == 2L)
+      // non-changelog properties are refused loudly
+      intercept[Exception](spark.sql(
+        s"ALTER TABLE $cat.tp SET TBLPROPERTIES('buckets'='64')"))
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
 }
