@@ -158,7 +158,8 @@ class GraftSqlDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
           unsupported(s"a DELETE condition referencing target columns ($c)")
         c
       }
-      if (updates.isEmpty && inserts.isEmpty && deletes.isEmpty)
+      if (updates.isEmpty && inserts.isEmpty && deletes.isEmpty &&
+          notMatchedBySource.isEmpty)
         unsupported("a MERGE with no actions")
       // per-column source expression: UPDATE and INSERT must agree —
       // one feed row carries one value per column for both paths.

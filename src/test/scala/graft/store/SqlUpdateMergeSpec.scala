@@ -318,6 +318,25 @@ class SqlUpdateMergeSpec extends SparkSpec {
       (3L, "stale", 15.0)), s"got $rows")
   }
 
+  test("a BY-SOURCE-only MERGE prunes target rows absent from the source") {
+    val w = wh()
+    KeyedTable.toSql(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    // the keep-list: rows 1 and 3; row 2 is absent => deleted
+    Seq((1L, 0), (3L, 0)).toDF("k", "pad")
+      .createOrReplaceTempView("dml_bsonly_feed")
+    withCatalog(w) { cat =>
+      spark.sql(s"""
+        MERGE INTO $cat.t AS t USING dml_bsonly_feed AS s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+      """)
+    }
+    val rows = KeyedTable.readSql(spark, w, "t")
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(1L, 3L), s"got $rows")
+  }
+
   test("BY SOURCE guards: source references and unfed columns are rejected") {
     val w = wh()
     KeyedTable.toSql(Seq((1L, "a", 1.0)).toDF("k", "g", "v"),
