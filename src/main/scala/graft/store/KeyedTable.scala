@@ -2112,6 +2112,31 @@ object KeyedTable {
               removed += 1
           }
         }
+        // branch-chain expiry, same rule as the base chain: never the
+        // branch's CURRENT manifest, never a branch-TAGGED one, and
+        // never the FORK-version manifest (readIncremental's audit diff
+        // and the publish guard both resolve through it). Runs BEFORE
+        // the liveness union below, so files only expired branch
+        // snapshots referenced become reapable in the same pass.
+        branches.foreach { case (_, brDir) =>
+          val bmdir = Manifest.dir(brDir)
+          Manifest.current(spark, brDir).foreach { bm =>
+            val keepB: Set[String] =
+              Tags.read(spark, brDir).values.map(Manifest.versionName).toSet +
+                Manifest.versionName(bm.version) +
+                Manifest.versionName(Branches.forkVersionOf(spark, brDir))
+            if (f.exists(bmdir)) {
+              f.listStatus(bmdir).foreach { st =>
+                val keep = !Manifest.isVersionName(st.getPath.getName) ||
+                  keepB.contains(st.getPath.getName)
+                if (st.isFile && !keep &&
+                    st.getModificationTime < cutoff &&
+                    f.delete(st.getPath, false))
+                  removed += 1
+              }
+            }
+          }
+        }
         // union-liveness spans EVERY ref sharing the data dir: the base
         // chain plus each branch's chain — a file live only on a branch
         // must survive the base's reap (and vice versa after a publish)

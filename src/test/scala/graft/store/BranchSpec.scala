@@ -260,6 +260,30 @@ class BranchSpec extends SparkSpec {
     assert(delta == Seq(3L, 4L), s"got $delta")
   }
 
+  test("vacuum expires old branch manifests but never current/fork/tagged") {
+    val t = "br_expire"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "long") // fork at v0
+    (2L to 5L).foreach(i =>
+      KeyedTable.toSql(df((i, "x", i.toDouble)), wh, s"$t@long",
+        pk = Seq("id"), how = WriteMode.Append)) // branch v1..v4
+    KeyedTable.tagSnapshot(spark, wh, s"$t@long", "mid", version = Some(2L))
+    val brDir = KeyedTable.tableDir(wh, s"$t@long")
+    val mdir = Manifest.dir(brDir)
+    val fs = mdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def versions: Seq[String] = fs.listStatus(mdir)
+      .map(_.getPath.getName).filter(Manifest.isVersionName).sorted.toSeq
+    assert(versions.size == 5) // v0 (fork copy) .. v4
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L)
+    // kept: v0 (fork), v2 (tagged), v4 (current); expired: v1, v3
+    assert(versions == Seq(0L, 2L, 4L).map(Manifest.versionName),
+      s"got $versions")
+    // the audit diff and the branch read both still resolve
+    assert(KeyedTable.readSql(spark, wh, s"$t@long").count() == 5L)
+    assert(KeyedTable.readIncremental(spark, wh, s"$t@long", 0L)
+      .count() == 4L)
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
