@@ -219,6 +219,14 @@ object Branches {
           throw new StoreException(s"branch $branch has no snapshot"))
         if (brHead.version == fk.baseVersion) baseHead.version // nothing new
         else {
+          // crash ordering: manifest commit FIRST (the flip IS the
+          // publish — readers resolve the new file set atomically),
+          // meta second (a crash between the two leaves the base
+          // readable under its pre-publish schema: parquet columns the
+          // old schema lacks are simply not projected), fork record
+          // last (a crash before it makes the NEXT publish fail the
+          // divergence check — the safe failure: re-fork, never a
+          // double-publish or a torn base)
           val published = Manifest.commit(spark, baseDir, brHead.copy(
             version = baseHead.version + 1,
             op = Some("fastForward"), tsMs = None))
