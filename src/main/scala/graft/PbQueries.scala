@@ -674,6 +674,24 @@ object PbQueries {
     }
   }
 
+  /** #11ao (`pb_snapshot_diff`): version-to-version diff — every PK
+    * classified insert/update/delete between snapshot v0 and the
+    * current head, pruned at the MANIFEST level (identical per-bucket
+    * file sets are never read). The changelog-free WAP audit report. */
+  def snapshotDiffQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey")) // v0
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0)
+        .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 20000000L)),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert) // v1
+    KeyedTable.delete(spark, wh, "customer", col("c_custkey") % 5 === 0) // v2
+    KeyedTable.snapshotDiff(spark, wh, "customer", fromVersion = 0L)
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1223,6 +1241,7 @@ object PbQueries {
     "pb_branch_wap" -> branchWapQ,
     "pb_sql_call" -> sqlCallQ,
     "pb_tblprops" -> tblPropsQ,
+    "pb_snapshot_diff" -> snapshotDiffQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1371,6 +1390,19 @@ object PbQueries {
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
     "pb_rename" -> "SELECT * FROM customer",
+    // snapshot diff v0 -> head after an upsert (+100 on %7, shifted %89
+    // inserts) and a %5 delete: deletes win where both apply; inserted
+    // keys later deleted appear in neither end and never in the diff
+    "pb_snapshot_diff" -> """
+      SELECT c_custkey, 'delete' AS op
+      FROM customer WHERE c_custkey % 5 = 0
+      UNION ALL
+      SELECT c_custkey, 'update'
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 5 <> 0
+      UNION ALL
+      SELECT c_custkey + 20000000, 'insert'
+      FROM customer WHERE c_custkey % 89 = 0 AND c_custkey % 5 <> 0
+    """.trim,
     // SQL-enabled CDC: the upsert after SET TBLPROPERTIES logs the %7
     // value updates and the shifted %89 inserts
     "pb_tblprops" -> """

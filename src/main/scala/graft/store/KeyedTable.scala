@@ -2420,6 +2420,64 @@ object KeyedTable {
     * consumer reads only the new batches, never the history). Throws
     * [[StoreException]] if the table has no changelog yet (no
     * changelog-enabled upsert has run). */
+  /** #11ao snapshot DIFF: classify every PK as insert / update / delete
+    * between two snapshot versions — the audit report a write-audit-
+    * publish reviewer reads (diff a branch head against its fork
+    * point: `snapshotDiff("t@stage", fork)`), and the changelog-free
+    * answer to "what changed between v1 and v2".
+    *
+    * Scale: the manifest diff prunes FIRST — a bucket whose live-file
+    * set (names + lengths) is identical in both snapshots holds
+    * identical rows and is never read, so diffing adjacent snapshots
+    * of a 100 TB table reads only the buckets the commits between them
+    * touched. The two pruned sides then full-outer join on the PK
+    * (same bucket layout both sides — one co-partitioned shuffle
+    * pair), and per-column null-safe comparison classifies the rest.
+    * Unchanged rows never leave the join. */
+  def snapshotDiff(spark: SparkSession, warehouse0: String,
+                   tableName: String, fromVersion: Long,
+                   toVersion: Option[Long] = None,
+                   schema: Option[String] = None): DataFrame = {
+    val wh = schemaDir(warehouse0, schema)
+    val dir = tableDir(wh, tableName)
+    val meta = TableMeta.read(spark, dir)
+    val mFrom = Manifest.at(spark, dir, fromVersion)
+    val mTo = toVersion.map(Manifest.at(spark, dir, _))
+      .orElse(Manifest.current(spark, dir)).getOrElse(
+        throw new StoreException(
+          s"$tableName has no manifest snapshot to diff against"))
+    // bucket pruning off the manifests alone: identical live-file sets
+    // => identical rows => skip the bucket (a rebucket between the two
+    // versions makes bucket ids incomparable — diff everything)
+    val (fa, fb) =
+      if (mFrom.buckets == mTo.buckets) {
+        val changed = (0 until mTo.buckets).filter { b =>
+          mFrom.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet !=
+            mTo.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet
+        }.toSet
+        (mFrom.copy(files = mFrom.files.filter(kv => changed(kv._1))),
+         mTo.copy(files = mTo.files.filter(kv => changed(kv._1))))
+      } else (mFrom, mTo)
+    val a = readRawWith(spark, wh, tableName, meta, Some(fa))
+      .drop(BucketCol).alias("a")
+    val b = readRawWith(spark, wh, tableName, meta, Some(fb))
+      .drop(BucketCol).alias("b")
+    val joined = a.join(b,
+      meta.pk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _),
+      "full_outer")
+    val aPresent = col(s"a.${meta.pk.head}").isNotNull
+    val bPresent = col(s"b.${meta.pk.head}").isNotNull
+    val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+    val differs = nonPk.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined.select(
+      meta.pk.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c)) :+
+      when(!aPresent, lit("insert")).when(!bPresent, lit("delete"))
+        .when(differs, lit("update")).otherwise(lit("unchanged")).as("op")
+        : _*)
+      .filter(col("op") =!= "unchanged")
+  }
+
   /** Toggle the table-property CDC flag (#11l) — the programmatic core
     * of SQL `ALTER TABLE … SET TBLPROPERTIES('changelog'='true')`.
     * Enabling makes EVERY later mutation log a batch (the invariant

@@ -284,6 +284,24 @@ class BranchSpec extends SparkSpec {
       .count() == 4L)
   }
 
+  test("snapshotDiff on a branch against its fork is the WAP audit report") {
+    val t = "br_diff"
+    KeyedTable.toSql(
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF,
+      wh, t, pk = Seq("id"), buckets = 4)
+    val fork = Branches.create(spark, wh, t, "stage")
+    KeyedTable.toSql(df((2L, "B", 20.0), (9L, "z", 9.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Upsert)
+    KeyedTable.delete(spark, wh, s"$t@stage",
+      org.apache.spark.sql.functions.col("id") === 3L)
+    val diff = KeyedTable.snapshotDiff(spark, wh, s"$t@stage", fork)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "update"), (9L, "insert"), (3L, "delete")),
+      s"got $diff")
+    // unchanged row 1 never appears; the base's diff is empty
+    assert(KeyedTable.snapshotDiff(spark, wh, t, fork).count() == 0L)
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
