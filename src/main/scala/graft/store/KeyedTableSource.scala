@@ -448,6 +448,16 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
         Manifest.normBound(v).map(n => c -> (None: Option[Any], Some(n): Option[Any]))
       case LessThanOrEqual(c, v) if tracked(c) =>
         Manifest.normBound(v).map(n => c -> (None: Option[Any], Some(n): Option[Any]))
+      // a prefix predicate is the range [prefix, successor): lo is the
+      // prefix itself; hi is the prefix with its last char incremented
+      // (only when that stays below the surrogate range — otherwise
+      // lo-only, which still prunes; inclusive hi admits at most one
+      // extra boundary file, conservative by construction)
+      case StringStartsWith(c, p) if tracked(c) && p.nonEmpty =>
+        val hi: Option[Any] =
+          if (p.last < 0xD7FF.toChar) Some(p.init + (p.last + 1).toChar)
+          else None
+        Some(c -> (Some(p): Option[Any], hi))
       case In(c, vs) if tracked(c) && vs.nonEmpty =>
         val ns = vs.toSeq.map(Manifest.normBound)
         if (ns.forall(_.isDefined) &&

@@ -71,6 +71,34 @@ class StatsColumnsSpec extends SparkSpec {
     assert(df.select("id").as[Long].collect().sorted.toSeq == (201L to 300L))
   }
 
+  test("a prefix predicate (LIKE 'x%') file-skips on string stats") {
+    val t = "t_prefix_stats"
+    def slice(tag: String, lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, s"$tag$i")).toDF("id", "name")
+    KeyedTable.toSql(slice("aa", 1, 50), wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.setStatsColumns(spark, wh, t, Seq("name"))
+    // three appends with disjoint name prefixes -> disjoint string stats
+    KeyedTable.toSql(slice("bb", 101, 150), wh, t, pk = Seq("id"),
+      how = WriteMode.Append)
+    KeyedTable.toSql(slice("cc", 201, 250), wh, t, pk = Seq("id"),
+      how = WriteMode.Append)
+    KeyedTable.toSql(slice("dd", 301, 350), wh, t, pk = Seq("id"),
+      how = WriteMode.Append)
+    val total = Manifest.current(spark, s"$wh/$t").get
+      .files.values.flatten.size
+    val df = KeyedTableSource.read(spark, wh, t)
+      .filter(col("name").startsWith("cc"))
+    val planned = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.head.inputPartitions.collect {
+      case p: KeyedFilePartition => p.files.length
+    }.sum
+    assert(planned < total,
+      s"prefix predicate planned all $total files (no stat skip)")
+    assert(df.select("id").as[Long].collect().sorted.toSeq ==
+      (201L to 250L))
+  }
+
   test("zorderCompact auto-registers its clustering columns") {
     val t = "t_zstats"
     KeyedTable.toSql(
