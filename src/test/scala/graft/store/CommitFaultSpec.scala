@@ -149,6 +149,28 @@ class CommitFaultSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq == Seq(3L))
   }
 
+  test("fastForward: manifest flip fails -> base unpublished, branch whole, retry clean") {
+    val t = freshTable("t_ff_fault")
+    val fork = Branches.create(spark, wh, t, "stage")
+    KeyedTable.toSql(df((7L, "g", 7.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    // arm exactly the BASE manifest flip (tmp -> v<N>.json under the
+    // base _manifests dir, not the branch's)
+    intercept[StoreException] {
+      FaultyFileSystem.armed(s"/$t/_manifests/.tmp-",
+          s"/$t/_manifests/v") {
+        Branches.fastForward(spark, wh, t, "stage")
+      }
+    }
+    // nothing published: base at the fork point, branch head intact
+    assert(rowsOf(t) == base)
+    assert(version(t) == fork)
+    assert(KeyedTable.readSql(spark, wh, s"$t@stage").count() == 7L)
+    // the retry publishes cleanly (fork record untouched by the abort)
+    assert(Branches.fastForward(spark, wh, t, "stage") == fork + 1)
+    assert(rowsOf(t).map(_._1) == (1L to 7L))
+  }
+
   test("failed commits leave only vacuumable leftovers, never live-data gaps") {
     val t = freshTable("t_leftovers")
     intercept[StoreException] {
