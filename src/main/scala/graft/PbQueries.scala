@@ -692,6 +692,23 @@ object PbQueries {
     KeyedTable.snapshotDiff(spark, wh, "customer", fromVersion = 0L)
   }
 
+  /** #11g (`pb_runtime_prune`): runtime bucket pruning driver-gated —
+    * a broadcast join hands the selective dim side's join-key values
+    * to the keyed scan at EXECUTION time (SupportsRuntimeFiltering);
+    * the fact side reads only the buckets those keys hash into. The
+    * oracle checks the join result; the pruning is the free IO win. */
+  def runtimePruneQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false)
+    val dim = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity") === 50)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    graft.store.KeyedTableSource.read(spark, wh, "orders")
+      .join(broadcast(dim), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"), col("l_linenumber"))
+  }
+
   /** #11aa (`pb_drop_column`): metadata-only column drop — the column
     * leaves the logical schema with ZERO data IO (no new snapshot), and
     * a later upsert aligns to the reduced schema. At 100 TB, dropping a
@@ -1242,6 +1259,7 @@ object PbQueries {
     "pb_sql_call" -> sqlCallQ,
     "pb_tblprops" -> tblPropsQ,
     "pb_snapshot_diff" -> snapshotDiffQ,
+    "pb_runtime_prune" -> runtimePruneQ,
     "pb_zorder" -> zorderQ,
     "cdc_stream_agg" -> cdcStreamAgg,
     "pb_time_travel" -> timeTravel,
@@ -1390,6 +1408,13 @@ object PbQueries {
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
     "pb_rename" -> "SELECT * FROM customer",
+    // broadcast join vs a selective dim: the result is the oracle; the
+    // runtime bucket pruning is the execution-time IO win
+    "pb_runtime_prune" -> """
+      SELECT o.o_orderkey, o.o_totalprice, l.l_linenumber
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_quantity = 50
+    """.trim,
     // snapshot diff v0 -> head after an upsert (+100 on %7, shifted %89
     // inserts) and a %5 delete: deletes win where both apply; inserted
     // keys later deleted appear in neither end and never in the diff
