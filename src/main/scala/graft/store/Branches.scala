@@ -113,10 +113,20 @@ object Branches {
       if (TableMeta.exists(spark, brDir))
         throw new StoreException(
           s"branch '$branch' already exists on $tableName")
-      TableMeta.write(spark, brDir, meta)
+      // a crashed earlier fork may have left a meta-less dir (the meta
+      // marker is written LAST below, so a torn attempt is invisible to
+      // exists/list/vacuum) — clean it so this fork starts whole
+      val brPath = new Path(brDir)
+      val f = brPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (f.exists(brPath)) f.delete(brPath, true)
+      // mark-after-content: fork record + manifest first, the meta
+      // marker (what makes the branch EXIST) last — a crash anywhere
+      // in between leaves a dir the next create cleans, never a branch
+      // that lists but cannot resolve
+      writeFork(spark, brDir, Fork(m.version, meta.toJson))
       Manifest.commit(spark, brDir,
         m.copy(op = Some("fork"), tsMs = None))
-      writeFork(spark, brDir, Fork(m.version, meta.toJson))
+      TableMeta.write(spark, brDir, meta)
       m.version
     }
   }

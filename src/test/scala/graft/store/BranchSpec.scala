@@ -302,6 +302,26 @@ class BranchSpec extends SparkSpec {
     assert(KeyedTable.snapshotDiff(spark, wh, t, fork).count() == 0L)
   }
 
+  test("a torn fork (no meta marker) is invisible and the re-fork cleans it") {
+    val t = "br_torn"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    // simulate a crash between the manifest copy and the meta marker:
+    // fork record + manifest exist, _graft_meta does not
+    val brDir = KeyedTable.tableDir(wh, s"$t@torn")
+    val fs = new org.apache.hadoop.fs.Path(brDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(Manifest.dir(brDir))
+    val out = fs.create(new org.apache.hadoop.fs.Path(brDir, "_fork"), true)
+    out.write("""{"baseVersion":0,"baseMetaJson":"{}"}""".getBytes("UTF-8"))
+    out.close()
+    // invisible: not listed, vacuum unaffected
+    assert(Branches.list(spark, wh, t).count() == 0L)
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L)
+    // the re-fork cleans the torn dir and succeeds
+    assert(Branches.create(spark, wh, t, "torn") == 0L)
+    assert(KeyedTable.readSql(spark, wh, s"$t@torn").count() == 1L)
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
