@@ -322,6 +322,60 @@ class BranchSpec extends SparkSpec {
     assert(KeyedTable.readSql(spark, wh, s"$t@torn").count() == 1L)
   }
 
+  test("restore on a branch ref rolls the BRANCH back; base untouched") {
+    val t = "br_restore"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    val fork = Branches.create(spark, wh, t, "wip")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@wip",
+      pk = Seq("id"), how = WriteMode.Append)
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@wip",
+      pk = Seq("id"), how = WriteMode.Append)
+    // metadata-only restore WITHIN the branch chain, back to the fork
+    KeyedTable.restoreSnapshot(spark, wh, s"$t@wip", version = Some(fork))
+    assert(ids(s"$t@wip") == Seq(1L))
+    assert(ids(t) == Seq(1L))
+    // the branch keeps working after the restore
+    KeyedTable.toSql(df((9L, "z", 9.0)), wh, s"$t@wip",
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(ids(s"$t@wip") == Seq(1L, 9L))
+  }
+
+  test("snapshotDiff across a rebucket falls back to the full diff") {
+    val t = "br_diff_rebucket"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    KeyedTable.toSql(df((2L, "B", 20.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Upsert)
+    KeyedTable.rebucket(spark, wh, t, 4) // bucket ids incomparable now
+    KeyedTable.toSql(df((5L, "e", 5.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    val diff = KeyedTable.snapshotDiff(spark, wh, t, 0L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(diff == Set((2L, "update"), (5L, "insert")), s"got $diff")
+  }
+
+  test("two publishers race: one wins the lock, the loser fails cleanly") {
+    val t = "br_race"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "s1")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@s1",
+      pk = Seq("id"), how = WriteMode.Append)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val racers = Seq(
+        Future(scala.util.Try(Branches.fastForward(spark, wh, t, "s1"))),
+        Future(scala.util.Try(Branches.fastForward(spark, wh, t, "s1"))))
+      val results = Await.result(Future.sequence(racers), 2.minutes)
+      // at least one publish succeeded; a loser (if any) failed on the
+      // lock or on the advanced fork point — never a torn base
+      assert(results.exists(_.isSuccess), results.toString)
+    } finally pool.shutdown()
+    assert(ids(t) == Seq(1L, 2L))
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)

@@ -107,6 +107,23 @@ class ProceduresSpec extends SparkSpec {
     }
   }
 
+  test("procedures address schema-namespaced tables as 'schema.table'") {
+    val t = "pr_ns"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"),
+      schema = Some("raw"))
+    withCat { cat =>
+      assert(spark.sql(s"CALL $cat.system.create_tag('raw.$t', 'cut')")
+        .head().getLong(0) == 0L)
+      assert(spark.sql(s"CALL $cat.system.create_branch('raw.$t', 'b')")
+        .head().getLong(0) == 0L)
+      KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@b",
+        pk = Seq("id"), how = WriteMode.Upsert, schema = Some("raw"))
+      assert(spark.sql(s"CALL $cat.system.fast_forward('raw.$t', 'b')")
+        .head().getLong(0) == 1L)
+      assert(spark.sql(s"SELECT * FROM $cat.raw.$t").count() == 2L)
+    }
+  }
+
   test("unknown procedure and bad namespace fail clearly") {
     val t = "pr_neg"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
