@@ -376,6 +376,62 @@ class BranchSpec extends SparkSpec {
     assert(ids(t) == Seq(1L, 2L))
   }
 
+  test("optimistic appendConcurrent lands on a branch ref") {
+    val t = "br_capp"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "opt")
+    KeyedTable.appendConcurrent(df((2L, "b", 2.0), (3L, "c", 3.0)),
+      wh, s"$t@opt")
+    assert(ids(s"$t@opt") == Seq(1L, 2L, 3L))
+    assert(ids(t) == Seq(1L))
+  }
+
+  test("CHECK constraints travel with the fork and guard branch writes") {
+    val t = "br_check"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.addCheckConstraint(spark, wh, t, "v_pos", "v >= 0")
+    Branches.create(spark, wh, t, "chk")
+    val e = intercept[StoreException] {
+      KeyedTable.toSql(df((2L, "b", -5.0)), wh, s"$t@chk",
+        pk = Seq("id"), how = WriteMode.Append)
+    }
+    assert(e.getMessage.contains("v_pos"), e.getMessage)
+    assert(ids(s"$t@chk") == Seq(1L))
+    // a passing write still lands
+    KeyedTable.toSql(df((2L, "b", 5.0)), wh, s"$t@chk",
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(ids(s"$t@chk") == Seq(1L, 2L))
+  }
+
+  test("a branch keeps its own CDC changelog; tags resolve via SQL on the ref") {
+    val t = "br_cdc"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "log")
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@log",
+      pk = Seq("id"), how = WriteMode.Upsert, changelog = true)
+    val log = KeyedTable.readChangelog(spark, wh, s"$t@log")
+      .select("id", "op").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(log == Set((2L, "insert")), s"got $log")
+    // the BASE has no changelog
+    intercept[StoreException](KeyedTable.readChangelog(spark, wh, t))
+    // tag the branch head; SQL time travel on the ref resolves it
+    KeyedTable.tagSnapshot(spark, wh, s"$t@log", "cut")
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@log",
+      pk = Seq("id"), how = WriteMode.Append)
+    val cat = s"graft_br${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      assert(spark.sql(
+        s"SELECT * FROM $cat.`$t@log` VERSION AS OF 'cut'").count() == 2L)
+      assert(spark.sql(s"SELECT * FROM $cat.`$t@log`").count() == 3L)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   test("base and branch writers commit concurrently on different locks") {
     val t = "br_conc"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
