@@ -326,12 +326,17 @@ case class GraftUpdateCommand(warehouse: String, table: String,
   * When both UPDATE and INSERT are present every source row IS an
   * action and the feed flows through whole (the CDC-apply fast path —
   * no extra join). A partial clause set pre-filters the feed against
-  * the target's current key set with one left join: rows that match
-  * the target survive only if UPDATE is present (or DELETE, for rows
-  * the delete condition selects); rows that don't match survive only
-  * if INSERT is present. An unmatched row satisfying the DELETE
-  * condition stays a no-op tombstone in every shape (change-feed
-  * semantics, pinned by SqlUpdateMergeSpec). */
+  * the target's PINNED snapshot key set with one left join (routing
+  * and commit pin the same version — a racing commit aborts the merge
+  * with ConcurrentWriteException instead of silently mis-routing):
+  * rows that match the target survive only if UPDATE is present (or
+  * DELETE, for rows the delete condition selects); rows that don't
+  * match survive only if INSERT is present. In every shape the store
+  * merge runs with deleteOnlyMatched: a WHEN MATCHED DELETE applies
+  * only to matched rows, so an unmatched source row satisfying the
+  * delete condition inserts when an INSERT clause selects it and is a
+  * no-op otherwise — standard SQL clause semantics, pinned by
+  * SqlUpdateMergeSpec. */
 case class GraftMergeCommand(warehouse: String, table: String,
                              feed: LogicalPlan, delCol: String,
                              pk: Seq[String], valueColNames: Seq[String],
@@ -345,14 +350,25 @@ case class GraftMergeCommand(warehouse: String, table: String,
     val df: DataFrame = GraftBridge.ofRows(spark, feed)
     val del: Column = coalesce(col(delCol), lit(false))
     // the unconditional full shape needs no matched/unmatched routing:
-    // every source row acts (update-or-insert, tombstone delete)
+    // every source row acts (update-or-insert or — matched only —
+    // tombstone delete; merge's deleteOnlyMatched turns an unmatched
+    // tombstone into the insert SQL requires of it)
     val fastPath = hasUpdate && hasInsert &&
       updCondCol.isEmpty && insCondCol.isEmpty && bySource.isEmpty
+    // pin routing and commit to ONE snapshot: the pre-filter join below
+    // reads this version, and merge refuses to commit if the table
+    // moved past it meanwhile (ConcurrentWriteException — retry), so a
+    // commit racing this statement can never silently mis-route rows
+    val pinned: Option[Long] =
+      if (fastPath) None
+      else graft.store.Manifest.current(spark,
+        KeyedTable.tableDir(warehouse, table)).map(_.version)
     val pre: DataFrame =
       if (fastPath) df
       else {
         val marker = "_graft_sql_matched"
-        val target = KeyedTable.readSql(spark, warehouse, table)
+        val target = KeyedTable.readSql(spark, warehouse, table,
+          asOfVersion = pinned)
         val tgtKeys = target.select(pk.map(col): _*)
           .withColumn(marker, lit(true))
         // matched: DELETE wins (clause order enforces delete-first),
@@ -394,7 +410,12 @@ case class GraftMergeCommand(warehouse: String, table: String,
       }
     KeyedTable.merge(pre, warehouse, table,
       deleteWhen = coalesce(col(delCol), lit(false)),
-      strictUtc = false) // values already passed the table's write checks
+      strictUtc = false, // values already passed the table's write checks
+      // SQL clause semantics: a WHEN MATCHED DELETE never applies to an
+      // unmatched source row — with an INSERT clause present, that row
+      // inserts (standard SQL), never a silent no-op tombstone
+      deleteOnlyMatched = true,
+      expectedVersion = pinned)
     Seq.empty
   }
 }

@@ -58,7 +58,15 @@ object Branches {
   private def branchDirOf(baseDir: String, branch: String): String =
     s"$baseDir/$DirName/$branch"
 
-  private final case class Fork(baseVersion: Long, baseMetaJson: String)
+  /** `publishedBranchVersion`: the BRANCH-chain head version the last
+    * fork/publish synchronized to — the correct "nothing new" cursor
+    * for [[fastForward]]. `baseVersion` alone cannot express it: the
+    * two chains number independently after the first branch commit, so
+    * comparing the branch head against a BASE version would let a
+    * repeated no-op publish slip through whenever the numbers happen
+    * to diverge (and commit redundant identical base snapshots). */
+  private final case class Fork(baseVersion: Long, baseMetaJson: String,
+                                publishedBranchVersion: Long)
 
   private def writeFork(spark: SparkSession, branchDir: String,
                         fk: Fork): Unit = {
@@ -67,7 +75,8 @@ object Branches {
     val out = f.create(p, true)
     try out.write(compact(render(JObject(
       "baseVersion" -> (JInt(fk.baseVersion): JValue),
-      "baseMetaJson" -> (JString(fk.baseMetaJson): JValue))))
+      "baseMetaJson" -> (JString(fk.baseMetaJson): JValue),
+      "publishedBranchVersion" -> (JInt(fk.publishedBranchVersion): JValue))))
       .getBytes("UTF-8"))
     finally out.close()
   }
@@ -83,7 +92,16 @@ object Branches {
     } finally in.close()
     val j = JsonMethods.parse(s)
     (j \ "baseVersion", j \ "baseMetaJson") match {
-      case (JInt(v), JString(m)) => Fork(v.toLong, m)
+      case (JInt(v), JString(m)) =>
+        // records written before the field existed: at fork time the
+        // branch head IS the base fork version (the chains share
+        // numbering until the first branch commit), so it is the only
+        // backward-compatible cursor available
+        val pub = (j \ "publishedBranchVersion") match {
+          case JInt(b) => b.toLong
+          case _ => v.toLong
+        }
+        Fork(v.toLong, m, pub)
       case _ => throw new StoreException(s"unreadable fork record at $p")
     }
   }
@@ -123,7 +141,7 @@ object Branches {
       // marker (what makes the branch EXIST) last — a crash anywhere
       // in between leaves a dir the next create cleans, never a branch
       // that lists but cannot resolve
-      writeFork(spark, brDir, Fork(m.version, meta.toJson))
+      writeFork(spark, brDir, Fork(m.version, meta.toJson, m.version))
       Manifest.commit(spark, brDir,
         m.copy(op = Some("fork"), tsMs = None))
       TableMeta.write(spark, brDir, meta)
@@ -227,7 +245,10 @@ object Branches {
             "to rebase")
         val brHead = Manifest.current(spark, brDir).getOrElse(
           throw new StoreException(s"branch $branch has no snapshot"))
-        if (brHead.version == fk.baseVersion) baseHead.version // nothing new
+        // nothing-new compares within the BRANCH chain: the head the
+        // last fork/publish synchronized to (never a cross-chain
+        // version comparison — see Fork.publishedBranchVersion)
+        if (brHead.version == fk.publishedBranchVersion) baseHead.version
         else {
           // crash ordering: manifest commit FIRST (the flip IS the
           // publish — readers resolve the new file set atomically),
@@ -241,7 +262,8 @@ object Branches {
             version = baseHead.version + 1,
             op = Some("fastForward"), tsMs = None))
           TableMeta.write(spark, baseDir, brMeta)
-          writeFork(spark, brDir, Fork(published.version, brMeta.toJson))
+          writeFork(spark, brDir,
+            Fork(published.version, brMeta.toJson, brHead.version))
           published.version
         }
       }

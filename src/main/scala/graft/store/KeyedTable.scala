@@ -1137,10 +1137,17 @@ object KeyedTable {
     * [[MergeDelCol]]; marked rows DELETE their stored match instead of
     * upserting. Returns (inserted, updated, deleted) — computed only on
     * the merge path (one extra delta-sized job); (0,0,0) otherwise. */
+  /** `deleteOnlyMatched` (merge path only): SQL MERGE semantics for
+    * tombstones — a WHEN MATCHED DELETE can only ever apply to MATCHED
+    * rows, so an unmatched tombstone row is an ordinary insert
+    * candidate (it reached this commit because an INSERT clause
+    * selected it). The default (false) keeps the programmatic change-
+    * feed contract: an unmatched tombstone is a no-op. */
   private def upsert(df: DataFrame, warehouse: String, table: String,
                      addNewColumns: Boolean, validate: Boolean,
                      changelog0: Boolean = false,
-                     tombstoned: Boolean = false): (Long, Long, Long) = {
+                     tombstoned: Boolean = false,
+                     deleteOnlyMatched: Boolean = false): (Long, Long, Long) = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta = TableMeta.read(spark, dir)
@@ -1166,12 +1173,6 @@ object KeyedTable {
     val newB = withBucket(aligned, meta.pk, base.buckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // checks see the incoming images; merge tombstones are DELETES,
-      // exempt by construction (they remove rows, not write them)
-      enforceChecks(
-        if (tombstoned) newB.filter(!coalesce(col(MergeDelCol), lit(false)))
-        else newB,
-        meta.checks, if (tombstoned) "merge" else "upsert")
       // validate off the cache — one computation of the delta pipeline;
       // the same fused job returns the touched buckets (only those are
       // read or rewritten)
@@ -1180,15 +1181,37 @@ object KeyedTable {
       val oldTouched = readRawWith(spark, warehouse, table,
           meta.copy(schema = evolved), manifestOf(base))
         .filter(col(BucketCol).isin(touched: _*))
+      // checks see the incoming images; merge tombstones are DELETES,
+      // exempt by construction (they remove rows, not write them) —
+      // except under deleteOnlyMatched, where an UNMATCHED tombstone is
+      // an insert candidate and must pass like any other written row
+      enforceChecks(
+        if (!tombstoned) newB
+        else {
+          val keep = newB.filter(!coalesce(col(MergeDelCol), lit(false)))
+          if (!deleteOnlyMatched) keep
+          else keep.unionByName(
+            newB.filter(coalesce(col(MergeDelCol), lit(false)))
+              .join(oldTouched.select(meta.pk.map(col): _*),
+                meta.pk.toIndexedSeq, "left_anti"))
+        },
+        meta.checks, if (tombstoned) "merge" else "upsert")
       // One full-outer merge per touched bucket: survivors keep old rows,
       // matches take incoming values for incoming columns (old otherwise),
       // inserts take incoming values; merge's tombstoned matches drop
       // out. Single shuffle, no union.
       val marked = newB.withColumn("_graft_new", lit(true))
-      // incoming row is a tombstone (merge path; never-true otherwise)
-      val del: Column =
-        if (tombstoned) coalesce(col(s"n.$MergeDelCol"), lit(false))
-        else lit(false)
+      // the target row exists (both join shapes below alias it "o")
+      val presentOld = col(s"o.$BucketCol").isNotNull
+      // incoming row is a tombstone (merge path; never-true otherwise);
+      // under deleteOnlyMatched a tombstone acts only on a MATCHED key —
+      // unmatched it degrades to an ordinary insert (SQL MERGE clauses)
+      val del: Column = {
+        val flag =
+          if (tombstoned) coalesce(col(s"n.$MergeDelCol"), lit(false))
+          else lit(false)
+        if (deleteOnlyMatched) flag && presentOld else flag
+      }
       val nonPk = evolved.fieldNames.filterNot(meta.pk.contains)
       val out = oldTouched.as("o")
         .join(marked.as("n"), meta.pk.toIndexedSeq, "full_outer")
@@ -1205,7 +1228,6 @@ object KeyedTable {
       // classification join needs the pre-image), commit by rename only
       // AFTER the swap — an upsert that fails mid-commit leaves no
       // batch directory claiming changes that never landed.
-      val presentOld = col(s"o.$BucketCol").isNotNull
       val clCommit: Option[(Path, Path)] = if (changelog) {
         val valueCols = incomingCols.toSeq.filterNot(meta.pk.contains).sorted
         val changedCond = valueCols
@@ -1915,11 +1937,25 @@ object KeyedTable {
     * Reference concept: sql.py:299's upsert generalized with tombstones
     * (the reference cannot delete through its upsert; its users issue
     * separate SQL DELETEs — merge is the one-commit form). */
+  /** `deleteOnlyMatched`: SQL MERGE clause semantics — tombstones act
+    * only on MATCHED keys; an unmatched tombstone row inserts (see
+    * [[upsert]]). Default false = change-feed semantics (unmatched
+    * tombstone is a no-op).
+    *
+    * `expectedVersion`: optimistic snapshot pin — the commit aborts
+    * with [[ConcurrentWriteException]] (table unchanged; retry) if the
+    * table's current manifest version moved past it. The SQL MERGE
+    * lowering pins its pre-filter routing read here, so a commit
+    * landing between routing and merge can never silently mis-route
+    * rows (drop a concurrently-inserted key in an update-only MERGE,
+    * or double-handle it in a BY SOURCE clause). */
   def merge(df: DataFrame, warehouse0: String, tableName: String,
             deleteWhen: Column, schema: Option[String] = None,
             addNewColumns: Boolean = false, validate: Boolean = true,
             changelog: Boolean = false,
-            strictUtc: Boolean = true): (Long, Long, Long) = {
+            strictUtc: Boolean = true,
+            deleteOnlyMatched: Boolean = false,
+            expectedVersion: Option[Long] = None): (Long, Long, Long) = {
     val wh = schemaDir(warehouse0, schema)
     val spark = df.sparkSession
     if (strictUtc) {
@@ -1945,11 +1981,20 @@ object KeyedTable {
       if (!TableMeta.exists(spark, dir))
         throw new StoreException(
           s"merge target $tableName does not exist (create it with toSql first)")
+      expectedVersion.foreach { v =>
+        val cur = Manifest.current(spark, dir).map(_.version).getOrElse(-1L)
+        if (cur != v)
+          throw new ConcurrentWriteException(
+            s"merge into $tableName planned against snapshot $v but the " +
+            s"table is now at $cur (concurrent commit since the routing " +
+            "read); table unchanged — retry the merge")
+      }
       val meta = TableMeta.read(spark, dir)
       val keep = cleaned.columns.filter(c =>
         c == MergeDelCol || addNewColumns || meta.schema.fieldNames.contains(c))
       upsert(cleaned.select(keep.map(col).toIndexedSeq: _*), wh, tableName,
-        addNewColumns, validate, changelog, tombstoned = true)
+        addNewColumns, validate, changelog, tombstoned = true,
+        deleteOnlyMatched = deleteOnlyMatched)
     }
   }
 

@@ -109,6 +109,31 @@ class BranchSpec extends SparkSpec {
       .count() == 1L)
   }
 
+  test("repeated no-op fastForward commits nothing, even after multi-commit cycles") {
+    val t = "br_noop"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
+    Branches.create(spark, wh, t, "stage")
+    // TWO branch commits before publishing: branch head (3) and the
+    // post-publish base version (2) now diverge numerically — the
+    // nothing-new check must compare within the branch chain, or the
+    // repeats below would commit redundant identical base snapshots
+    KeyedTable.toSql(df((2L, "b", 2.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    val published = Branches.fastForward(spark, wh, t, "stage")
+    val history = Manifest.versions(spark, KeyedTable.tableDir(wh, t))
+    assert(Branches.fastForward(spark, wh, t, "stage") == published)
+    assert(Branches.fastForward(spark, wh, t, "stage") == published)
+    assert(Manifest.versions(spark, KeyedTable.tableDir(wh, t)) == history,
+      "no-op fastForward must not append to the base history")
+    // the branch is still usable for the next real cycle
+    KeyedTable.toSql(df((4L, "d", 4.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    assert(Branches.fastForward(spark, wh, t, "stage") == published + 1)
+    assert(ids(t) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("publish is refused after the base diverges; re-fork rebases") {
     val t = "br_div"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)

@@ -62,7 +62,10 @@ class SqlUpdateMergeSpec extends SparkSpec {
     KeyedTable.toSql(
       Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "g", "v"),
       w, "t", pk = Seq("k"))
-    // feed: delete k=2, update k=1, insert k=4, absent tombstone k=9
+    // feed: delete k=2, update k=1, insert k=4; k=9 satisfies the
+    // DELETE condition but is UNMATCHED — a matched clause cannot
+    // apply to it, so the unconditional INSERT does (standard SQL;
+    // Spark/Delta/Iceberg agree)
     Seq((2L, "x", 0.0, true), (1L, "A", 11.0, false),
         (4L, "d", 40.0, false), (9L, "z", 0.0, true))
       .toDF("k", "g", "v", "is_del")
@@ -77,8 +80,8 @@ class SqlUpdateMergeSpec extends SparkSpec {
     }
     val rows = KeyedTable.readSql(spark, w, "t")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
-    assert(rows == Set((1L, "A", 11.0), (3L, "c", 30.0), (4L, "d", 40.0)),
-      s"got $rows")
+    assert(rows == Set((1L, "A", 11.0), (3L, "c", 30.0), (4L, "d", 40.0),
+      (9L, "z", 0.0)), s"got $rows")
   }
 
   test("MERGE INTO with star actions against a table-shaped source") {
@@ -390,5 +393,29 @@ class SqlUpdateMergeSpec extends SparkSpec {
       (1L, 1L, "update"),   // SQL UPDATE
       (2L, 2L, "delete"), (2L, 4L, "insert")), // SQL MERGE, one batch
       s"got $log")
+  }
+
+  test("merge with expectedVersion refuses to commit past a newer snapshot") {
+    val w = wh()
+    KeyedTable.toSql(Seq((1L, "a", 1.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    val pinned = Manifest.current(spark,
+      KeyedTable.tableDir(w, "t")).map(_.version)
+    // a commit lands between the (hypothetical) routing read and merge
+    KeyedTable.toSql(Seq((2L, "b", 2.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Append)
+    val feed = Seq((1L, "A", 9.0, false)).toDF("k", "g", "v", "is_del")
+    intercept[ConcurrentWriteException] {
+      KeyedTable.merge(feed, w, "t", deleteWhen = col("is_del"),
+        expectedVersion = pinned)
+    }
+    // the table is unchanged by the refused merge; a re-pinned retry lands
+    assert(KeyedTable.readSql(spark, w, "t")
+      .filter(col("k") === 1L).head().getDouble(2) == 1.0)
+    KeyedTable.merge(feed, w, "t", deleteWhen = col("is_del"),
+      expectedVersion = Manifest.current(spark,
+        KeyedTable.tableDir(w, "t")).map(_.version))
+    assert(KeyedTable.readSql(spark, w, "t")
+      .filter(col("k") === 1L).head().getDouble(2) == 9.0)
   }
 }
