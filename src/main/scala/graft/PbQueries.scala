@@ -364,6 +364,46 @@ object PbQueries {
     }
   }
 
+  /** #11ap (`pb_sql_create`): SQL `CREATE TABLE` + CTAS — a SQL-first
+    * user's very first statements. The PK + bucket layout rides
+    * TBLPROPERTIES; the empty table then fills through the SQL INSERT
+    * path (PK validation, bucket staging, writer lock), and a CTAS
+    * derives a second keyed table from it — all without one
+    * programmatic call. Unknown properties refuse loudly. */
+  private val sqlCrtN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlCreate(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_crt${sqlCrtN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      Tables.customer(spark, sfDir)
+        .createOrReplaceTempView("graft_gate_crt_src")
+      spark.sql(s"""
+        CREATE TABLE $cat.customer (
+          c_custkey BIGINT, c_name STRING, c_nationkey INT,
+          c_acctbal DOUBLE, c_mktsegment STRING)
+        TBLPROPERTIES ('primary_key'='c_custkey', 'buckets'='8')""")
+      // by-position: the exposed pb_bucket column takes NULL (the store
+      // assigns the real hash bucket itself)
+      spark.sql(s"""INSERT INTO $cat.customer
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment, NULL
+        FROM graft_gate_crt_src""")
+      // CTAS: schema from the query, layout from TBLPROPERTIES, rows
+      // through the same store append path
+      spark.sql(s"""
+        CREATE TABLE $cat.big_spenders
+        TBLPROPERTIES ('primary_key'='c_custkey', 'buckets'='4')
+        AS SELECT c_custkey, c_acctbal FROM $cat.customer
+           WHERE c_acctbal > 5000.0""")
+      KeyedTable.readSql(spark, wh, "big_spenders")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   /** `pb_sql_update` (#11w as SQL): `UPDATE <catalog>.customer SET … WHERE …`
     * lowered by GraftSqlDmlRule onto the store's bucket-pruned predicate
     * update — the identical commit/CDC contract as the programmatic call. */
@@ -1242,6 +1282,7 @@ object PbQueries {
     "pb_companda" -> companda,
     "cdc_incremental_agg" -> cdcIncrementalAgg,
     "pb_sql_insert" -> sqlInsert,
+    "pb_sql_create" -> sqlCreate,
     "pb_delete" -> deleteQ,
     "pb_update" -> updateQ,
     "pb_merge" -> mergeQ,
@@ -1299,6 +1340,10 @@ object PbQueries {
       FROM eff GROUP BY g ORDER BY g
     """.trim,
     "pb_sql_insert" -> "SELECT * FROM customer",
+    // CREATE TABLE + INSERT + CTAS, all through SQL: the CTAS-derived
+    // table equals the filtered projection
+    "pb_sql_create" ->
+      "SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 5000.0",
     // the streaming fold must converge to the identical final state
     "cdc_stream_agg" -> """
       WITH eff AS (

@@ -213,12 +213,103 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         fs.exists(p) && fs.delete(p, true)
     }
 
+  /** SQL `CREATE TABLE graft.t (cols…) TBLPROPERTIES('primary_key'=…)`
+    * — the store's create from pure SQL (a SQL-first user's very first
+    * statement). The PK + bucket layout rides TBLPROPERTIES:
+    *
+    * {{{
+    *   CREATE TABLE graft.t (k BIGINT, v DOUBLE)
+    *   TBLPROPERTIES ('primary_key'='k', 'buckets'='32')
+    * }}}
+    *
+    * Recognized properties: `primary_key` (comma-separated; required
+    * unless `auto_index`='true'), `buckets`, `auto_index`, `changelog`.
+    * Unknown properties are refused loudly — a typo'd 'primary_kei'
+    * must never silently create a keyless table. CTAS works: Spark
+    * calls this with the query's schema, then INSERTs through the
+    * store's own append path (PK validation, bucket staging, writer
+    * lock — the identical contract as programmatic creates).
+    * `PARTITIONED BY` is rejected: the hash-bucket layout IS the
+    * store's partitioning, derived from the PK. */
   override def createTable(ident: Identifier,
                            columns: Array[org.apache.spark.sql.connector.catalog.Column],
                            partitions: Array[org.apache.spark.sql.connector.expressions.Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft tables are created through KeyedTable.toSql (PK + bucket layout)")
+                           properties: java.util.Map[String, String]): Table = {
+    import scala.jdk.CollectionConverters._
+    val sch = schemaOf(ident.namespace).getOrElse(
+      throw new NoSuchNamespaceException(ident.namespace.toSeq))
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported on graft tables: the layout is " +
+        "hash buckets over the primary key (TBLPROPERTIES 'primary_key' " +
+        "+ 'buckets'), derived by the store")
+    val props = properties.asScala.toMap
+    // Spark injects bookkeeping properties of its own (provider from
+    // USING / the session default, owner); CTAS may add engine hints.
+    // Everything else unknown is refused loudly.
+    val reserved = Set("provider", "owner", "comment",
+      org.apache.spark.sql.connector.catalog.TableCatalog.PROP_EXTERNAL)
+    if (props.contains(org.apache.spark.sql.connector.catalog.TableCatalog.PROP_LOCATION))
+      throw new UnsupportedOperationException(
+        "LOCATION is not supported: graft tables live in the catalog " +
+        s"warehouse ($warehouse)")
+    val known = Set("primary_key", "buckets", "auto_index", "changelog")
+    val unknown = props.keySet
+      .filterNot(known).filterNot(reserved)
+      .filterNot(_.startsWith("option."))
+    if (unknown.nonEmpty)
+      throw new StoreException(
+        s"unknown table propert${if (unknown.size == 1) "y" else "ies"} " +
+        s"${unknown.toSeq.sorted.mkString(", ")} (recognized: " +
+        s"${known.toSeq.sorted.mkString(", ")})")
+    def boolProp(k: String): Boolean = props.get(k) match {
+      case None => false
+      case Some(v) if v.equalsIgnoreCase("true") => true
+      case Some(v) if v.equalsIgnoreCase("false") => false
+      case Some(v) => throw new StoreException(
+        s"table property '$k' must be true/false, got '$v'")
+    }
+    val autoIndex = boolProp("auto_index")
+    val pk: Seq[String] = props.get("primary_key")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    if (!autoIndex && pk.isEmpty)
+      throw new StoreException(
+        "CREATE TABLE on a graft catalog needs " +
+        "TBLPROPERTIES('primary_key'='col[,col…]') or " +
+        "('auto_index'='true') (reference: sql.py:117 — every table is " +
+        "keyed)")
+    val buckets = props.get("buckets")
+      .map(s => s.toIntOption.filter(_ > 0).getOrElse(throw new StoreException(
+        s"table property 'buckets' must be a positive integer, got '$s'")))
+      .getOrElse(KeyedTable.DefaultBuckets)
+    if (columns.exists(_.name == KeyedTable.BucketCol))
+      throw new StoreException(
+        s"column ${KeyedTable.BucketCol} is the store's synthetic bucket " +
+        "column and cannot be declared")
+    columns.find(_.defaultValue != null).foreach(c =>
+      throw new UnsupportedOperationException(
+        s"column ${c.name} DEFAULT values are not supported on graft tables"))
+    val structFields = columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable))
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(structFields))
+    // the declared types are authoritative: no {0,1}->bool inference
+    KeyedTable.toSql(empty, warehouse, ident.name, pk = pk,
+      autoIndex = autoIndex, buckets = buckets, inferBool = false,
+      schema = sch)
+    if (boolProp("changelog"))
+      KeyedTable.setChangelog(spark, warehouse, ident.name, enabled = true, sch)
+    // CTAS writes to the RETURNED table: its schema must be exactly the
+    // declared/query columns (writeShape — no synthetic slots)
+    val whSch = KeyedTable.schemaDir(warehouse, sch)
+    val dir = KeyedTable.tableDir(whSch, ident.name)
+    new KeyedBatchTable(TableMeta.read(spark, dir),
+      KeyedTable.dataDir(whSch, ident.name),
+      Manifest.current(spark, dir), dir,
+      writeShape = org.apache.spark.sql.types.StructType(structFields))
+  }
 
   /** SQL DDL surface for the two schema evolutions the store defines —
     * `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` (metadata-only,

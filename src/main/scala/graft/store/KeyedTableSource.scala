@@ -97,9 +97,15 @@ object KeyedTableSource {
   }
 }
 
+/** `writeShape`: CTAS hands the table returned by `createTable`
+  * straight to the write — its schema must be exactly the columns the
+  * query provides (no synthetic `pb_bucket`, no auto-index slot), or
+  * Spark's output resolution fails on arity. Reads always re-resolve
+  * through `loadTable`, which never sets this. */
 private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                                      mf: Option[Manifest] = None,
-                                     tableDir0: String = null)
+                                     tableDir0: String = null,
+                                     writeShape: StructType = null)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -177,8 +183,16 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     KeyedTable.delete(SparkSession.active, wh, ref, cond): Unit
   }
 
+  /** The synthetic auto-index PK surfaces NULLABLE in SQL: the store
+    * GENERATES it, so `INSERT INTO` passes NULL for its slot (the same
+    * contract as `pb_bucket`) — a non-nullable field would fail the
+    * statement at analysis before the store could assign ids. */
   override def schema(): StructType =
-    StructType(meta.schema.fields :+ KeyedTableSource.bucketField)
+    if (writeShape != null) writeShape
+    else StructType(meta.schema.fields.map { f =>
+      if (meta.autoIndex && f.name == Names.AutoIndex) f.copy(nullable = true)
+      else f
+    } :+ KeyedTableSource.bucketField)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
@@ -215,8 +229,14 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                 throw new StoreException(
                   "INSERT OVERWRITE is not supported on keyed tables: " +
                   "drop + recreate, or upsert through KeyedTable.toSql")
-              KeyedTable.toSql(data.drop(KeyedTable.BucketCol), wh, tbl,
-                how = WriteMode.Append)
+              // synthetic columns are never accepted from SQL: the
+              // store derives the bucket and (on auto-index tables)
+              // generates the id — their INSERT slots carry NULL
+              val cleaned0 = data.drop(KeyedTable.BucketCol)
+              val cleaned =
+                if (meta.autoIndex) cleaned0.drop(Names.AutoIndex)
+                else cleaned0
+              KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
             }
         }
     }
