@@ -780,6 +780,29 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "orders")
   }
 
+  /** #11aq (`pb_delete_mor`): merge-on-read delete — a small predicate
+    * delete commits positional DELETE-VECTOR sidecars in the manifest
+    * instead of rewriting the matched buckets (write cost ∝ |matches|,
+    * the Iceberg-v2 position-delete slope), and the DSv2 scan applies
+    * the mask inside its per-file readers — zero join, zero shuffle,
+    * SPJ/pruning untouched. The require pins that the path really was
+    * MoR: identical data files, tombstones in the snapshot. */
+  def deleteMorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
+      pk = Seq("o_orderkey"), strictUtc = false)
+    val dir = graft.store.KeyedTable.tableDir(wh, "orders")
+    val before = graft.store.Manifest.current(spark, dir).get
+    KeyedTable.delete(spark, wh, "orders", col("o_orderkey") % 97 === 0,
+      mode = graft.store.DeleteMode.MergeOnRead)
+    val after = graft.store.Manifest.current(spark, dir).get
+    require(after.files == before.files && after.dvs.nonEmpty,
+      "MoR delete must add tombstones without touching a data file")
+    // the DSv2 scan path: masks apply inside the partition readers
+    graft.store.KeyedTableSource.read(spark, wh, "orders")
+      .select(Tables.orders(spark, sfDir).columns.toIndexedSeq.map(col): _*)
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1284,6 +1307,7 @@ object PbQueries {
     "pb_sql_insert" -> sqlInsert,
     "pb_sql_create" -> sqlCreate,
     "pb_delete" -> deleteQ,
+    "pb_delete_mor" -> deleteMorQ,
     "pb_update" -> updateQ,
     "pb_merge" -> mergeQ,
     "pb_stats_skip" -> statsSkip,
@@ -1440,6 +1464,10 @@ object PbQueries {
       SELECT * FROM orders
       WHERE NOT (o_orderkey % 3 = 0 OR o_totalprice > 400000.0)
     """.trim,
+    // merge-on-read: tombstone sidecars, not a rewrite — read-back is
+    // still exactly the complementary filter
+    "pb_delete_mor" ->
+      "SELECT * FROM orders WHERE o_orderkey % 97 <> 0",
     // both SET expressions replay against the PRE-update row (the CASE
     // reads original c_mktsegment/c_acctbal on both output columns)
     "pb_update" -> """

@@ -19,6 +19,25 @@ object WriteMode {
   case object Upsert extends WriteMode
 }
 
+/** How [[KeyedTable.delete]] physically removes matched rows. */
+sealed trait DeleteMode
+object DeleteMode {
+  /** Decide per call from manifest row counts alone: merge-on-read
+    * when the matched set is a small fraction of the touched buckets'
+    * live rows (write cost ∝ |matches|), copy-on-write when most of
+    * the touched data is dying anyway (the rewrite then SHRINKS the
+    * table instead of stacking tombstones over doomed files). */
+  case object Auto extends DeleteMode
+  /** Rewrite every touched bucket without the matched rows (the
+    * pre-r14 behavior): write cost ∝ touched-bucket bytes. */
+  case object CopyOnWrite extends DeleteMode
+  /** Commit positional delete-vector sidecars in the manifest; reads
+    * anti-join them and rewriting commits materialize them. Write
+    * cost ∝ |matches| — the Iceberg-v2 position-delete slope a daily
+    * CDC purge on a 100 TB table needs. */
+  case object MergeOnRead extends DeleteMode
+}
+
 /** A primary-keyed parquet table — the Spark-native re-expression of the
   * reference's pandas↔SQL table (/root/reference/pandabase/sql.py).
   *
@@ -507,7 +526,11 @@ object KeyedTable {
       .map { d =>
         val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
         b -> f.listStatus(d.getPath).toSeq
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet") &&
+            // a delete-vector sidecar must never be adopted as DATA
+            // (only reachable if a vacuumed-away manifest chain left
+            // orphans; tables with DVs always have manifests)
+            !st.getPath.getName.contains("-dv-"))
           .sortBy(_.getPath.getName)
           .map(st => ManifestFile(st.getPath.getName, st.getLen))
       }.filter(_._2.nonEmpty).toMap
@@ -729,8 +752,76 @@ object KeyedTable {
             if (removeMissing) None else base.files.get(b).map(b -> _)
         }
       }.toMap
+    // Delete vectors ride along per bucket — EXCEPT where this commit
+    // REPLACED the bucket's files (non-additive staging: upsert /
+    // update / CoW delete / compact / zorder / rebucket). Those
+    // rewrites read through the DV mask, so their output already
+    // excludes the tombstoned rows — dropping the DVs here IS the
+    // materialization step. Additive commits (append) keep them: the
+    // old files, and the tombstones against them, are still live.
+    val newDvs: Map[Int, Seq[ManifestFile]] =
+      base.dvs.filter { case (b, _) =>
+        val replaced = staged.contains(b) && !add
+        !replaced && newFiles.contains(b)
+      }
     val mf = Manifest(base.version + 1, newBuckets, newFiles,
-      op = Some(op))
+      op = Some(op), dvs = newDvs)
+    try Manifest.commit(spark, dir, mf)
+    catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
+  }
+
+  /** Commit a MoR delete's staged DELETE-VECTOR files as manifest
+    * version N+1: the dual of [[commitStaged]] for tombstone sidecars.
+    * Staged DV parquet (rows `(file, pos)`, partitioned by bucket) is
+    * renamed INTO the live bucket dirs under commit-unique `-dv-`
+    * names — additive and invisible until the manifest flip, exactly
+    * the data-file protocol — and the new snapshot carries the SAME
+    * data files with the bucket's DV list extended. One footer open
+    * per DV file records its position count, keeping live-row
+    * arithmetic (COUNT(*), statistics, history) pure driver math.
+    * Any rename failure deletes the moved-in files and aborts with the
+    * current snapshot untouched (CommitFaultSpec contract). */
+  private def commitStagedDvs(spark: SparkSession, f: FileSystem, dir: String,
+                              data: String, staging: String,
+                              touched: Seq[Int], base: Manifest): Manifest = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val commitId = UUID.randomUUID().toString.take(8)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def abort(msg: String): Nothing = {
+      moved.foreach(p => f.delete(p, false))
+      throw new StoreException(msg)
+    }
+    val movedByBucket: Map[Int, Seq[(Path, Long)]] = touched.flatMap { b =>
+      val sdir = new Path(staging, s"$BucketCol=$b")
+      if (!f.exists(sdir)) None
+      else {
+        val files = f.listStatus(sdir)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        val tdir = new Path(data, s"$BucketCol=$b")
+        if (!f.exists(tdir))
+          abort(s"delete(mor): bucket dir $tdir vanished mid-commit; " +
+            "commit aborted, current snapshot unchanged")
+        Some(b -> files.toSeq.map { st =>
+          val dst = new Path(tdir, s"$commitId-dv-${st.getPath.getName}")
+          if (!f.rename(st.getPath, dst))
+            abort(s"delete(mor): could not move staged DV ${st.getPath} -> " +
+              s"$dst; commit aborted, current snapshot unchanged")
+          moved += dst
+          (dst, st.getLen)
+        })
+      }
+    }.toMap
+    val footer = pkFileStatsAll(conf,
+      movedByBucket.valuesIterator.flatten.map(_._1).toSeq, Nil)
+    val newDvs: Map[Int, Seq[ManifestFile]] =
+      base.dvs ++ movedByBucket.map { case (b, fls) =>
+        b -> (base.dvs.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
+          ManifestFile(dst.getName, len, footer(dst)._1)
+        })
+      }
+    val mf = Manifest(base.version + 1, base.buckets, base.files,
+      op = Some("delete"), dvs = newDvs)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
@@ -744,23 +835,92 @@ object KeyedTable {
     readRawWith(spark, warehouse, table, meta,
       Manifest.current(spark, tableDir(warehouse, table)))
 
+  /** Internal (file, position) identity columns a position-exposing
+    * read carries — what a MoR delete writes into its DV sidecars. */
+  private[store] val FileCol = "_graft_file"
+  private[store] val PosCol = "_graft_pos"
+
+  /** DV mask join strategy: broadcast the tombstone set when its total
+    * position count (recorded in the manifest — zero IO to decide) is
+    * small enough that shipping it beats shuffling the DATA side.
+    * Beyond the bound the mask joins sort-merge; the auto-compaction
+    * policy exists precisely to keep tables out of that regime (a
+    * bucket past `maxDeleteFraction` rewrites and its DVs drop). The
+    * DSv2 scan path never shuffles at all — masks apply inside the
+    * per-file readers. */
+  private val DvBroadcastMaxRows = 1000000L
+
+  /** Auto delete-mode threshold: MoR while matches ≤ this fraction of
+    * the touched buckets' live rows; past it, most of the touched data
+    * is dying and the CoW rewrite (which also SHRINKS the table) wins. */
+  private val MorMaxFraction = 0.2
+
   private def readRawWith(spark: SparkSession, warehouse: String,
                           table: String, meta: TableMeta,
-                          mf: Option[Manifest]): DataFrame = {
+                          mf: Option[Manifest]): DataFrame =
+    readRawPos(spark, warehouse, table, meta, mf, withPos = false)
+
+  /** The raw read, optionally exposing each row's physical identity
+    * ([[FileCol]], [[PosCol]] — parquet file name + row ordinal via
+    * `_metadata.row_index`), and ALWAYS applying the snapshot's delete
+    * vectors: rows a DV tombstones are anti-joined out here, so every
+    * v1 consumer (readSql, mutation pre-images, diff, restore, probes)
+    * sees live rows only. The no-DV case adds zero plan nodes. */
+  private def readRawPos(spark: SparkSession, warehouse: String,
+                         table: String, meta: TableMeta,
+                         mf: Option[Manifest],
+                         withPos: Boolean): DataFrame = {
     val withBucketField = StructType(
       meta.schema.fields :+ StructField(BucketCol, IntegerType, nullable = true))
     val data = dataDir(warehouse, table)
     mf match {
       case Some(m) =>
         val paths = m.absolutePaths(data)
-        if (paths.isEmpty)
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], withBucketField)
-        else
+        val dvPaths = m.dvPaths(data)
+        if (paths.isEmpty) {
+          val s =
+            if (!withPos) withBucketField
+            else StructType(withBucketField.fields :+
+              StructField(FileCol, StringType) :+ StructField(PosCol, LongType))
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s)
+        } else {
           // basePath keeps pb_bucket recoverable from the dir names of
           // the explicitly listed files (partition-style read)
-          spark.read.option("basePath", data)
+          val base = spark.read.option("basePath", data)
             .schema(withBucketField).parquet(paths: _*)
-      case None => // legacy pre-manifest table
+          if (dvPaths.isEmpty && !withPos) base
+          else {
+            val withId = base
+              .withColumn(FileCol, col("_metadata.file_name"))
+              .withColumn(PosCol, col("_metadata.row_index"))
+            val masked =
+              if (dvPaths.isEmpty) withId
+              else {
+                // a row's identity is (bucket, file, pos): one staging
+                // TASK can write same-named part files into several
+                // bucket dirs, so the file name alone is NOT globally
+                // unique — the bucket term (recovered from the DV
+                // sidecar's own directory via basePath) disambiguates
+                val dv0 = spark.read.option("basePath", data)
+                  .schema(StructType(Seq(StructField("file", StringType),
+                    StructField("pos", LongType),
+                    StructField(BucketCol, IntegerType))))
+                  .parquet(dvPaths: _*)
+                val dv =
+                  if (m.dvRows.exists(_ <= DvBroadcastMaxRows)) broadcast(dv0)
+                  else dv0
+                withId.join(dv,
+                  withId(BucketCol) === dv(BucketCol) &&
+                    withId(FileCol) === dv("file") && withId(PosCol) === dv("pos"),
+                  "left_anti")
+              }
+            if (withPos) masked else masked.drop(FileCol, PosCol)
+          }
+        }
+      case None => // legacy pre-manifest table (never carries DVs)
+        if (withPos)
+          throw new StoreException(
+            "position-exposing read requires a manifest snapshot")
         spark.read.schema(withBucketField).parquet(data)
     }
   }
@@ -1421,11 +1581,28 @@ object KeyedTable {
   def compactIfNeeded(spark: SparkSession, warehouse0: String,
                       tableName: String, maxFilesPerBucket: Int = 4,
                       minAvgRowsPerFile: Long = 0,
-                      schema: Option[String] = None): Seq[Int] = {
+                      schema: Option[String] = None,
+                      maxDeleteFraction: Double = 0.2): Seq[Int] = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "compactIfNeeded") {
       val meta = TableMeta.read(spark, dir)
+      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      // delete-vector density straight from the manifest (zero IO): a
+      // bucket whose tombstoned fraction breaches the bound rewrites —
+      // the read-side anti-join cost is bounded BY POLICY, and the
+      // rewrite both materializes the DVs and reclaims the dead bytes
+      val dvCrowded: Seq[Int] = base.dvs.toSeq.collect {
+        case (b, dvFls)
+          if {
+            val dead = dvFls.flatMap(_.rows).sum
+            val fls = base.files.getOrElse(b, Nil)
+            dead > 0 && fls.forall(_.rows.isDefined) && {
+              val total = fls.flatMap(_.rows).sum
+              total > 0 && dead.toDouble / total > maxDeleteFraction
+            }
+          } => b
+      }
       // the report is buckets-bounded: collecting it is O(buckets), and
       // it reads footers only — never data pages
       val crowded = bucketStats(spark, warehouse0, tableName, schema)
@@ -1436,9 +1613,9 @@ object KeyedTable {
             (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
         }
         .map(_.getInt(0))
-      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
-      compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
-      crowded
+      val all = (crowded ++ dvCrowded).distinct.sorted
+      compactBuckets(spark, warehouse, tableName, dir, meta, base, all)
+      all
     }
   }
 
@@ -1542,19 +1719,34 @@ object KeyedTable {
     }
   }
 
-  /** #11q predicate delete: remove every row matching `where`, rewriting
-    * ONLY the buckets that contain a match (staging + per-bucket swap
-    * under the write lock — the upsert commit protocol, so readers never
-    * observe a half state; a bucket whose rows ALL match simply loses
-    * its directory). The touched-bucket probe is one aggregation whose
-    * result is bounded by the bucket count; when `where` pins the PK,
-    * parquet row-group stats prune the probe's scan the same way a
-    * range read prunes. At 100 TB a PK-ranged purge (GDPR erasure, bad
-    * ingest rollback) therefore rewrites only its share of buckets —
-    * never the table. Returns the number of rows deleted. */
+  /** #11q predicate delete: remove every row matching `where`, touching
+    * ONLY the buckets that contain a match, under the write lock with
+    * the manifest-flip commit protocol (readers never observe a half
+    * state). Two physical strategies ([[DeleteMode]]):
+    *
+    *  - **merge-on-read** (the small-delete path, chosen by Auto when
+    *    the matched set is ≤ [[MorMaxFraction]] of the touched buckets'
+    *    live rows): the matched rows' positions — `(file, row ordinal)`
+    *    via `_metadata.row_index` — are written as per-bucket DELETE
+    *    VECTOR parquet sidecars and committed in the manifest
+    *    ([[commitStagedDvs]]); no data file is rewritten, so a 1-row
+    *    GDPR erasure in a crowded bucket moves kilobytes, not the
+    *    bucket. Reads anti-join the DVs ([[readRawPos]] and the DSv2
+    *    scan's in-reader mask); the next rewriting commit of the
+    *    bucket (upsert/update/compact/zorder/rebucket/CoW delete)
+    *    materializes and drops them.
+    *  - **copy-on-write** (chosen by Auto for bulk deletes, or when
+    *    the table predates manifests): rewrite the touched buckets
+    *    without the matched rows — a bucket whose rows ALL match
+    *    simply leaves the snapshot.
+    *
+    * The touched-bucket probe is one aggregation bounded by the bucket
+    * count; when `where` pins the PK, stats prune its scan like a
+    * range read. Returns the number of rows deleted. */
   def delete(spark: SparkSession, warehouse0: String, tableName: String,
              where: Column, schema: Option[String] = None,
-             changelog: Boolean = false): Long = {
+             changelog: Boolean = false,
+             mode: DeleteMode = DeleteMode.Auto): Long = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "delete") {
@@ -1570,6 +1762,27 @@ object KeyedTable {
         .agg(count(lit(1)).as("n")).collect()
       val touched = probe.map(_.getInt(0)).toSeq
       val deleted = probe.map(_.getLong(1)).sum
+      // strategy decision from manifest arithmetic alone (zero IO):
+      // MoR needs a manifest (positions resolve against its file set);
+      // Auto compares |matches| against the touched buckets' live rows
+      val mor: Boolean = manifestOf(base) match {
+        case None => false // legacy layout: adopt a baseline via CoW first
+        case Some(m) => mode match {
+          case DeleteMode.CopyOnWrite => false
+          case DeleteMode.MergeOnRead => true
+          case DeleteMode.Auto =>
+            val touchedSet = touched.toSet
+            val fls = m.files.filter(kv => touchedSet(kv._1))
+              .valuesIterator.flatten.toSeq
+            val dvDead = m.dvs.filter(kv => touchedSet(kv._1))
+              .valuesIterator.flatten.flatMap(_.rows).sum
+            if (!fls.forall(_.rows.isDefined)) false // unknown sizes: CoW
+            else {
+              val live = fls.flatMap(_.rows).sum - dvDead
+              deleted <= (live * MorMaxFraction).toLong
+            }
+        }
+      }
       if (touched.nonEmpty) {
         val data = dataDir(warehouse, tableName)
         val f = fs(spark, dir)
@@ -1592,17 +1805,34 @@ object KeyedTable {
         val staging = s"$dir/.staging-delete-${UUID.randomUUID()}"
         try {
           try {
-            // NULL predicate rows are NOT matches — keep them (a bare
-            // !where would silently drop them from the rewrite)
-            raw.filter(col(BucketCol).isin(touched: _*))
-              .filter(!coalesce(where, lit(false)))
-              .repartition(touched.size, col(BucketCol))
-              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
-              .write.partitionBy(BucketCol).parquet(staging)
-            // removeMissing: a bucket whose rows ALL matched has no
-            // staged replacement — it leaves the new snapshot entirely
-            commitStaged(spark, f, dir, data, staging, touched, "delete",
-              base, base.buckets, meta, removeMissing = true)
+            if (mor) {
+              // merge-on-read: stage ONLY the matched rows' physical
+              // positions — one DV parquet per touched bucket, sorted
+              // by (file, pos) so the sidecar compresses and scans
+              // well. The scan re-applies existing DVs (readRawPos),
+              // so positions are never tombstoned twice.
+              readRawPos(spark, warehouse, tableName, meta,
+                  manifestOf(base), withPos = true)
+                .filter(coalesce(where, lit(false)))
+                .select(col(BucketCol), col(FileCol).as("file"),
+                  col(PosCol).as("pos"))
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                .write.partitionBy(BucketCol).parquet(staging)
+              commitStagedDvs(spark, f, dir, data, staging, touched, base)
+            } else {
+              // copy-on-write: NULL predicate rows are NOT matches —
+              // keep them (a bare !where would silently drop them)
+              raw.filter(col(BucketCol).isin(touched: _*))
+                .filter(!coalesce(where, lit(false)))
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .write.partitionBy(BucketCol).parquet(staging)
+              // removeMissing: a bucket whose rows ALL matched has no
+              // staged replacement — it leaves the new snapshot entirely
+              commitStaged(spark, f, dir, data, staging, touched, "delete",
+                base, base.buckets, meta, removeMissing = true)
+            }
           } finally f.delete(new Path(staging), true)
           clCommit.foreach { case (src, dst) =>
             commitChangelogBatch(f, "delete", src, dst)
@@ -2185,10 +2415,15 @@ object KeyedTable {
         // union-liveness spans EVERY ref sharing the data dir: the base
         // chain plus each branch's chain — a file live only on a branch
         // must survive the base's reap (and vice versa after a publish)
+        // data files AND delete-vector sidecars: a DV is live exactly
+        // while some surviving snapshot references it; a rewriting
+        // commit drops the bucket's DVs from its new manifest, and the
+        // sidecars become reapable here once the older snapshots expire
         val live: Set[String] =
           (Manifest.all(spark, dir).iterator ++
             branches.iterator.flatMap(b => Manifest.all(spark, b._2)))
-          .flatMap(_.files.iterator).flatMap { case (b, fls) =>
+          .flatMap(m => m.files.iterator ++ m.dvs.iterator)
+          .flatMap { case (b, fls) =>
             fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
           }.toSet
         val data = new Path(dir, "data")
@@ -2229,8 +2464,16 @@ object KeyedTable {
     // re-list the manifests dir per version)
     val rows = Manifest.all(spark, dir).map { m =>
       val fls = m.files.valuesIterator.flatten.toSeq
-      (m.version, m.op.orNull, m.buckets, fls.size.toLong,
-        if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else -1L,
+      // n_rows = LIVE rows: data-file counts minus delete-vector
+      // positions (each tombstones exactly one live row — MoR deletes
+      // read through the existing mask, so positions never repeat)
+      val nRows =
+        (if (fls.forall(_.rows.isDefined)) Some(fls.flatMap(_.rows).sum)
+         else None, m.dvRows) match {
+          case (Some(d), Some(dv)) => d - dv
+          case _ => -1L
+        }
+      (m.version, m.op.orNull, m.buckets, fls.size.toLong, nRows,
         fls.map(_.len).sum, m.tsMs.map(Long.box).orNull: java.lang.Long)
     }
     import spark.implicits._
@@ -2338,6 +2581,11 @@ object KeyedTable {
       "use readChangelog for row-level incremental consumption")
     if (to.buckets != since.buckets)
       nonAdditive(s"bucket count changed ${since.buckets} -> ${to.buckets}")
+    // a merge-on-read delete adds no data files but still removes rows
+    // — "added files = new rows" no longer holds across it
+    if (since.dvs.view.mapValues(_.map(_.name).toSet).toMap !=
+        to.dvs.view.mapValues(_.map(_.name).toSet).toMap)
+      nonAdditive("delete vectors changed (merge-on-read delete)")
     val added: Map[Int, Seq[ManifestFile]] = {
       val diffs = (since.files.keySet ++ to.files.keySet).toSeq.sorted.map { b =>
         val old = since.files.getOrElse(b, Nil).map(_.name).toSet
@@ -2348,8 +2596,11 @@ object KeyedTable {
       }
       diffs.filter(_._2.nonEmpty).toMap
     }
+    // dvs cleared: any DV in force tombstones only PRE-window files
+    // (the window is dv-stable per the guard above), and added files
+    // are too new for any DV to name them
     readRawWith(spark, warehouse, tableName, meta,
-      Some(to.copy(files = added)))
+      Some(to.copy(files = added, dvs = Map.empty)))
       .select(meta.schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
@@ -2401,16 +2652,21 @@ object KeyedTable {
       val cdc = changelog || meta.changelog
       val f = fs(spark, dir)
       val clCommit: Option[(Path, Path)] = if (cdc) {
-        // buckets whose live file set differs between the two snapshots
-        // (a rebucket in the window makes that all of them — every file
-        // name is commit-unique, so name-set equality is exact)
+        // buckets whose live file set OR delete-vector set differs
+        // between the two snapshots (a rebucket in the window makes
+        // that all of them — every file name is commit-unique, so
+        // name-set equality is exact; identical files under different
+        // DVs hold different live rows, hence the dv term)
         val changed: Set[Int] =
           (cur.files.keySet ++ target.files.keySet).filter { b =>
             cur.files.getOrElse(b, Nil).map(_.name).toSet !=
-              target.files.getOrElse(b, Nil).map(_.name).toSet
+              target.files.getOrElse(b, Nil).map(_.name).toSet ||
+            cur.dvs.getOrElse(b, Nil).map(_.name).toSet !=
+              target.dvs.getOrElse(b, Nil).map(_.name).toSet
           }
         val restrict = (m: Manifest) =>
-          m.copy(files = m.files.view.filterKeys(changed).toMap)
+          m.copy(files = m.files.view.filterKeys(changed).toMap,
+            dvs = m.dvs.view.filterKeys(changed).toMap)
         val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
         val o = readRawWith(spark, warehouse, tableName, meta,
           Some(restrict(cur))).drop(BucketCol)
@@ -2438,8 +2694,11 @@ object KeyedTable {
         Some(stageChangelogBatch(spark, dir, changes))
       } else None
       try {
+        // delete vectors are part of the snapshot's live-row state and
+        // restore with it (union-liveness keeps their sidecars on disk)
         Manifest.commit(spark, dir, Manifest(cur.version + 1, target.buckets,
-          target.files, op = Some(s"restore(${target.version})")))
+          target.files, op = Some(s"restore(${target.version})"),
+          dvs = target.dvs))
         clCommit.foreach { case (src, dst) =>
           commitChangelogBatch(f, "restore", src, dst)
         }
@@ -2498,10 +2757,16 @@ object KeyedTable {
       if (mFrom.buckets == mTo.buckets) {
         val changed = (0 until mTo.buckets).filter { b =>
           mFrom.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet !=
-            mTo.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet
+            mTo.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet ||
+          // identical data files under different delete vectors hold
+          // different LIVE rows — the bucket must be diffed
+          mFrom.dvs.getOrElse(b, Nil).map(_.name).toSet !=
+            mTo.dvs.getOrElse(b, Nil).map(_.name).toSet
         }.toSet
-        (mFrom.copy(files = mFrom.files.filter(kv => changed(kv._1))),
-         mTo.copy(files = mTo.files.filter(kv => changed(kv._1))))
+        (mFrom.copy(files = mFrom.files.filter(kv => changed(kv._1)),
+           dvs = mFrom.dvs.filter(kv => changed(kv._1))),
+         mTo.copy(files = mTo.files.filter(kv => changed(kv._1)),
+           dvs = mTo.dvs.filter(kv => changed(kv._1))))
       } else (mFrom, mTo)
     val a = readRawWith(spark, wh, tableName, meta, Some(fa))
       .drop(BucketCol).alias("a")

@@ -289,7 +289,11 @@ private[store] class KeyedScanBuilder(meta: TableMeta, dataDir: String,
     * row-group chunk. Anything else declines and the normal scan runs —
     * pushdown is an optimization surface, never a correctness one. */
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    FooterAgg.supported(agg, meta) && pushed.isEmpty
+    FooterAgg.supported(agg, meta) && pushed.isEmpty &&
+      // delete vectors remove rows the footers still count (and may
+      // hold the extreme min/max values): never push over a DV'd
+      // snapshot — the masked scan answers exactly
+      mf.forall(_.dvs.isEmpty)
 
   override def pushAggregation(agg: Aggregation): Boolean = {
     if (!supportCompletePushDown(agg)) return false
@@ -507,6 +511,16 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       else mfF.mayOverlapOn(c, lo, hi)
     }
 
+  /** Per-bucket, per-file delete-vector masks, resolved ONCE per scan
+    * on the driver (the two planInputPartitions calls BatchScanExec
+    * makes share it). Empty for the common no-DV snapshot. */
+  private lazy val dvMasks: Map[Int, Map[String, Array[Long]]] = mf match {
+    case Some(m) if m.dvs.nonEmpty =>
+      DeleteVectors.masks(
+        SparkSession.active.sparkContext.hadoopConfiguration, dataDir, m)
+    case _ => Map.empty
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     // static (pushdown) ∩ runtime (dynamic pruning) bucket sets; the
     // runtime set can arrive between the two planInputPartitions calls
@@ -533,7 +547,10 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                   0L, mfF.len, Array.empty[String], 0L, mfF.len,
                   Map.empty[String, Any])
               }.toArray
-          new KeyedFilePartition(b, files, key): InputPartition
+          // each task carries only ITS bucket's tombstones
+          new KeyedFilePartition(b, files, key,
+            dvMasks.getOrElse(b, Map.empty),
+            rowOnly = dvMasks.nonEmpty): InputPartition
         }.toArray
       case None => // legacy pre-manifest table: one listing of data/
         val spark = SparkSession.active
@@ -561,10 +578,16 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-      .readerFactory(SparkSession.active, meta.schema, readDataSchema,
-        readPartitionSchema, dataFilters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def mk(filters: Array[Filter]) =
+      org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
+        .readerFactory(SparkSession.active, meta.schema, readDataSchema,
+          readPartitionSchema, filters)
+    if (mf.forall(_.dvs.isEmpty)) mk(dataFilters)
+    // masked files read through the no-filter delegate (the ordinal
+    // counter must see every row); clean files keep row-group pruning
+    else new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty))
+  }
 
   /** Size statistics from ONE directory listing of the (statically
     * pruned) bucket dirs — no footer opens, no data bytes. Without this
@@ -601,13 +624,18 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     val scaled = math.max(1L, (bytes * factor).toLong)
     // row counts ride in the manifest (recorded at commit time), so the
     // estimate costs nothing; files missing counts (legacy/adopted)
-    // decline rather than under-report
+    // decline rather than under-report. Delete-vector positions
+    // subtract — each tombstones exactly one live row.
     val rowsOpt: Option[Long] = mf.flatMap { m =>
       val kept = m.files.toSeq.collect {
         case (b, fls) if keptBuckets.forall(_.contains(b)) => fls
       }.flatten
-      if (kept.nonEmpty && kept.forall(_.rows.isDefined))
-        Some(kept.flatMap(_.rows).sum)
+      val dead = m.dvs.toSeq.collect {
+        case (b, fls) if keptBuckets.forall(_.contains(b)) => fls
+      }.flatten
+      if (kept.nonEmpty && kept.forall(_.rows.isDefined) &&
+          dead.forall(_.rows.isDefined))
+        Some(kept.flatMap(_.rows).sum - dead.flatMap(_.rows).sum)
       else None
     }
     new Statistics {
@@ -662,6 +690,9 @@ private[store] object FooterAgg {
   def compute(agg: Aggregation, meta: TableMeta, dataDir: String,
               mf: Option[Manifest] = None): Option[(StructType, InternalRow, String)] =
     try {
+      // defense in depth (the builder already declines): footer counts
+      // and extrema are pre-delete-vector values
+      if (mf.exists(_.dvs.nonEmpty)) return None
       // COUNT(*)-only aggregations over a manifest whose every file
       // carries its row count are pure driver ARITHMETIC — zero footer
       // opens, zero filesystem calls: `SELECT count(*) FROM graft.t`
@@ -769,11 +800,20 @@ private[store] object FooterAgg {
 
 /** A FilePartition that also exposes its bucket id as the partition
   * key, which is what lets BatchScanExec group partitions into a
-  * catalyst KeyGroupedPartitioning. */
+  * catalyst KeyGroupedPartitioning. `masks` carries THIS bucket's
+  * delete-vector tombstones (file name → ascending dead ordinals);
+  * [[DvMaskReaderFactory]] applies them inside the per-file readers,
+  * so the partitioning report — and every SPJ built on it — is
+  * untouched by merge-on-read deletes. */
+/** `rowOnly` is set on EVERY partition of a scan/micro-batch that has
+  * any mask anywhere: Spark refuses to mix columnar and row partitions
+  * within one scan, so the whole batch reads row-based together. */
 private[store] class KeyedFilePartition(
     override val index: Int,
     override val files: Array[PartitionedFile],
-    key: InternalRow)
+    key: InternalRow,
+    val masks: Map[String, Array[Long]] = Map.empty,
+    val rowOnly: Boolean = false)
     extends FilePartition(index, files) with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }

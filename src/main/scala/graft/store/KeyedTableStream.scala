@@ -158,6 +158,22 @@ private[store] class KeyedMicroBatchStream(
       "(KeyedTable.readChangelog / streaming CDC) instead")
     if (to.buckets != since.buckets)
       nonAdditive(s"bucket count changed ${since.buckets} -> ${to.buckets}")
+    // merge-on-read deletes: the INITIAL full-snapshot batch applies
+    // the head snapshot's delete vectors in its readers (masks below) —
+    // a table with live DVs streams from scratch exactly as it reads.
+    // An INCREMENTAL window that changes the DV set is refused like any
+    // non-additive commit: rows already delivered cannot be retracted.
+    val masks: Map[Int, Map[String, Array[Long]]] =
+      if (sinceV < 0) {
+        if (to.dvs.isEmpty) Map.empty
+        else DeleteVectors.masks(
+          spark.sparkContext.hadoopConfiguration, dataDir, to)
+      } else {
+        if (since.dvs.view.mapValues(_.map(_.name).toSet).toMap !=
+            to.dvs.view.mapValues(_.map(_.name).toSet).toMap)
+          nonAdditive("delete vectors changed (merge-on-read delete)")
+        Map.empty
+      }
     (since.files.keySet ++ to.files.keySet).toSeq.sorted.flatMap { b =>
       val old = since.files.getOrElse(b, Nil).map(_.name).toSet
       val cur = to.files.getOrElse(b, Nil)
@@ -173,14 +189,21 @@ private[store] class KeyedMicroBatchStream(
             Map.empty[String, Any])
         }.toArray
       if (files.isEmpty) None
-      else Some(new KeyedFilePartition(b, files, key): InputPartition)
+      else Some(new KeyedFilePartition(b, files, key,
+        masks.getOrElse(b, Map.empty),
+        rowOnly = masks.nonEmpty): InputPartition)
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-      .readerFactory(spark, meta.schema, readDataSchema,
-        readPartitionSchema, dataFilters)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    def mk(filters: Array[Filter]) =
+      org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
+        .readerFactory(spark, meta.schema, readDataSchema,
+          readPartitionSchema, filters)
+    // the masked initial batch needs the DV-aware factory; incremental
+    // windows carry no masks and pass through it untouched
+    new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty))
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -71,10 +71,26 @@ final case class ManifestFile(name: String, len: Long,
   * path falls back to directory listing for them, and their first
   * mutation adopts the listing as the version-0 baseline.
   */
+/** `dvs` — DELETE VECTORS (merge-on-read): per bucket, the positional
+  * tombstone sidecar files a MoR delete committed instead of rewriting
+  * the bucket (the Iceberg-v2 position-delete model on this manifest
+  * protocol). Each DV file is ordinary parquet in the bucket dir with
+  * rows `(file STRING, pos BIGINT)` — the NAME of a live data file of
+  * that bucket and a row ordinal within it (Spark's
+  * `_metadata.row_index`). Readers anti-join the union of a bucket's
+  * DVs; rewriting commits (upsert/update/compact/zorder/rebucket/CoW
+  * delete) read through the mask and DROP the bucket's DVs — the
+  * rewrite materializes them. Because data file names are
+  * commit-unique, a DV entry can never resurrect against a
+  * re-inserted key: the new row lives in a NEW file the entry does
+  * not name. `rows` on a DV entry is its position count, so live-row
+  * arithmetic (COUNT(*), statistics, history) stays pure driver math:
+  * live = data rows − DV rows. */
 final case class Manifest(version: Long, buckets: Int,
                           files: Map[Int, Seq[ManifestFile]],
                           op: Option[String] = None,
-                          tsMs: Option[Long] = None) {
+                          tsMs: Option[Long] = None,
+                          dvs: Map[Int, Seq[ManifestFile]] = Map.empty) {
 
   /** Absolute path of every live file (order: bucket, then name). */
   def absolutePaths(dataDir: String): Seq[String] =
@@ -82,13 +98,40 @@ final case class Manifest(version: Long, buckets: Int,
       fs.map(mf => s"$dataDir/${KeyedTable.BucketCol}=$b/${mf.name}")
     }
 
+  /** Absolute path of every delete-vector file, restricted to buckets
+    * that still hold live data files (a DV without data is dead). */
+  def dvPaths(dataDir: String): Seq[String] =
+    dvs.toSeq.filter(kv => files.contains(kv._1)).sortBy(_._1)
+      .flatMap { case (b, fs) =>
+        fs.map(mf => s"$dataDir/${KeyedTable.BucketCol}=$b/${mf.name}")
+      }
+
+  /** Total deleted-position count of the live buckets' DVs; None when
+    * some DV entry lacks a recorded row count (never written by this
+    * code — defensive for hand-edited manifests). */
+  def dvRows: Option[Long] = {
+    val live = dvs.valuesIterator.flatten.toSeq
+    if (live.forall(_.rows.isDefined)) Some(live.flatMap(_.rows).sum)
+    else None
+  }
+
   def totalBytes: Long = files.valuesIterator.flatten.map(_.len).sum
 
   def toJson: String = compact(render(JObject(
     List("version" -> (JInt(version): JValue),
       "buckets" -> (JInt(buckets): JValue)) ++
     op.map(o => "op" -> (JString(o): JValue)).toList ++
-    tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList :+
+    tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList ++
+    // delete vectors, same [name, len, rows] arity encoding as files;
+    // absent entirely when the snapshot carries none (older manifests
+    // and the common no-deletes case parse identically)
+    (if (dvs.isEmpty) Nil
+     else List("dvs" -> (JObject(dvs.toList.sortBy(_._1).map { case (b, fs) =>
+       b.toString -> (JArray(fs.toList.map { f =>
+         JArray(List(JString(f.name), JInt(f.len)) ++
+           f.rows.map(r => JInt(r): JValue).toList)
+       }): JValue)
+     }): JValue))) :+
     "files" -> (JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
       b.toString -> JArray(fs.toList.map { f =>
         // arity encodes presence: [name, len] | [name, len, rows] |
@@ -243,6 +286,18 @@ object Manifest {
     // optional commit metadata (older manifests lack it)
     val op = (j \ "op") match { case JString(o) => Some(o); case _ => None }
     val ts = (j \ "ts_ms") match { case JInt(t) => Some(t.toLong); case _ => None }
+    val dvs: Map[Int, Seq[ManifestFile]] = (j \ "dvs") match {
+      case JObject(ds) => ds.map {
+        case (b, JArray(fs)) => b.toInt -> fs.map {
+          case JArray(List(JString(n), JInt(l))) => ManifestFile(n, l.toLong)
+          case JArray(List(JString(n), JInt(l), JInt(r))) =>
+            ManifestFile(n, l.toLong, Some(r.toLong))
+          case o => throw new StoreException(s"bad manifest dv entry: $o")
+        }
+        case (b, o) => throw new StoreException(s"bad manifest dv bucket $b: $o")
+      }.toMap
+      case _ => Map.empty
+    }
     Manifest(version.toLong, buckets.toInt,
       fields.map { case (b, JArray(fs)) =>
         def lead(mn: JValue, mx: JValue): Option[ColStats] = (mn, mx) match {
@@ -271,7 +326,7 @@ object Manifest {
           case o => throw new StoreException(s"bad manifest file entry: $o")
         }
       case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
-      }.toMap, op, ts)
+      }.toMap, op, ts, dvs)
   }
 
   /** All committed versions, ascending (one listing). */
