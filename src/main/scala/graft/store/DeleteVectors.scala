@@ -2,9 +2,11 @@ package graft.store
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.util.SerializableConfiguration
 
 /** Delete-vector support for the DSv2 scan path: masks are applied
   * INSIDE the per-file partition readers — no join, no shuffle, no
@@ -12,49 +14,48 @@ import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFil
   * joins, runtime bucket pruning, and streaming reads keep their plans
   * while never surfacing a tombstoned row.
   *
-  * The driver resolves each scan's DV sidecars (parquet rows
-  * `(file, pos)`, see [[Manifest.dvs]]) into per-file sorted position
-  * arrays with parquet-hadoop's Group reader — a few driver-side
-  * footer+page reads over files whose total size the auto-compaction
-  * policy bounds (a bucket past `maxDeleteFraction` rewrites and its
-  * DVs drop). Masks ship inside each [[KeyedFilePartition]], so a task
-  * carries only ITS bucket's tombstones. */
+  * The DRIVER never opens a sidecar: scan planning puts only the DV
+  * file PATHS (already recorded in the manifest — zero IO to resolve)
+  * into each [[KeyedFilePartition]], and each task loads its OWN
+  * bucket's masks in `createReader` (the Iceberg model: the driver
+  * plans delete-file paths, executors read delete-file content). Task
+  * descriptors therefore stay O(file names), and a 100 TB table's
+  * tombstone volume — bounded only as a FRACTION of live rows by the
+  * auto-compaction policy — never funnels through the driver or rides
+  * inside serialized tasks. */
 private[store] object DeleteVectors {
 
-  /** bucket → (file name → ascending row ordinals to drop), for every
-    * DV sidecar of the manifest. Driver-side, no Spark job. Keyed PER
-    * BUCKET because file names are only unique within a bucket dir
-    * (one staging task can write same-named part files into several
-    * buckets); a sidecar's entries reference files of its OWN bucket,
-    * so the sidecar's directory is the bucket key. */
-  def masks(conf: Configuration, dataDir: String,
-            m: Manifest): Map[Int, Map[String, Array[Long]]] = {
+  /** file name → ascending row ordinals to drop, from the given DV
+    * sidecar files (absolute paths) of ONE bucket. Runs on the EXECUTOR
+    * that reads the bucket — a few footer+page reads over files whose
+    * total size the compaction policy bounds per bucket. Keyed by bare
+    * file name because a sidecar's entries reference data files of its
+    * own bucket directory (names are only unique within a bucket). */
+  def bucketMasks(conf: Configuration,
+                  dvPaths: Seq[String]): Map[String, Array[Long]] = {
     import org.apache.parquet.hadoop.ParquetReader
     import org.apache.parquet.hadoop.example.GroupReadSupport
-    m.dvs.keys.map { b =>
-      val acc = scala.collection.mutable.Map
-        .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
-      m.dvs(b).foreach { mfF =>
-        val p = s"$dataDir/${KeyedTable.BucketCol}=$b/${mfF.name}"
-        val reader = ParquetReader
-          .builder(new GroupReadSupport(), new Path(p)).withConf(conf).build()
-        try {
-          var g = reader.read()
-          while (g != null) {
-            val f = g.getString("file", 0)
-            val pos = g.getLong("pos", 0)
-            acc.getOrElseUpdate(f,
-              scala.collection.mutable.ArrayBuffer.empty) += pos
-            g = reader.read()
-          }
-        } finally reader.close()
-      }
-      b -> acc.view.mapValues(_.toArray.sorted).toMap
-    }.toMap
+    val acc = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    dvPaths.foreach { p =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), new Path(p)).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val f = g.getString("file", 0)
+          val pos = g.getLong("pos", 0)
+          acc.getOrElseUpdate(f,
+            scala.collection.mutable.ArrayBuffer.empty) += pos
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    acc.view.mapValues(_.toArray.sorted).toMap
   }
 }
 
-/** Wraps the parquet reader factory: partitions carrying masks read
+/** Wraps the parquet reader factory: partitions carrying DV paths read
   * row-based, file by file, with tombstoned ordinals skipped; clean
   * partitions delegate untouched (columnar included — the no-DV case
   * costs nothing). Masked files read through the NO-FILTER delegate:
@@ -62,10 +63,13 @@ private[store] object DeleteVectors {
   * below must equal the true file ordinal (`_metadata.row_index`
   * semantics, which is what the DV writer recorded). Spark re-applies
   * every predicate above the scan — filters here are an IO reduction,
-  * never a correctness surface. */
+  * never a correctness surface. `conf` ships the session Hadoop
+  * configuration (broadcast once per scan) so executors can open their
+  * bucket's sidecars themselves. */
 private[store] class DvMaskReaderFactory(
     withFilters: PartitionReaderFactory,
-    noFilters: PartitionReaderFactory)
+    noFilters: PartitionReaderFactory,
+    conf: Broadcast[SerializableConfiguration])
     extends PartitionReaderFactory {
 
   /** Row-based for the WHOLE scan whenever any partition of it carries
@@ -86,8 +90,10 @@ private[store] class DvMaskReaderFactory(
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = partition match {
-    case k: KeyedFilePartition if k.masks.nonEmpty =>
-      new DvChainedReader(k.files, k.index, k.masks, withFilters, noFilters)
+    case k: KeyedFilePartition if k.dvPaths.nonEmpty =>
+      // executor-side: THIS task resolves THIS bucket's tombstones
+      val masks = DeleteVectors.bucketMasks(conf.value.value, k.dvPaths.toSeq)
+      new DvChainedReader(k.files, k.index, masks, withFilters, noFilters)
     case p => withFilters.createReader(p)
   }
 }

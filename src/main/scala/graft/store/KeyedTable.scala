@@ -765,7 +765,7 @@ object KeyedTable {
         !replaced && newFiles.contains(b)
       }
     val mf = Manifest(base.version + 1, newBuckets, newFiles,
-      op = Some(op), dvs = newDvs)
+      op = Some(op), dvs = newDvs, streams = base.streams)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
@@ -783,7 +783,8 @@ object KeyedTable {
     * current snapshot untouched (CommitFaultSpec contract). */
   private def commitStagedDvs(spark: SparkSession, f: FileSystem, dir: String,
                               data: String, staging: String,
-                              touched: Seq[Int], base: Manifest): Manifest = {
+                              touched: Seq[Int], base: Manifest,
+                              op: String = "delete"): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
@@ -800,12 +801,12 @@ object KeyedTable {
           .sortBy(_.getPath.getName)
         val tdir = new Path(data, s"$BucketCol=$b")
         if (!f.exists(tdir))
-          abort(s"delete(mor): bucket dir $tdir vanished mid-commit; " +
+          abort(s"$op(mor): bucket dir $tdir vanished mid-commit; " +
             "commit aborted, current snapshot unchanged")
         Some(b -> files.toSeq.map { st =>
           val dst = new Path(tdir, s"$commitId-dv-${st.getPath.getName}")
           if (!f.rename(st.getPath, dst))
-            abort(s"delete(mor): could not move staged DV ${st.getPath} -> " +
+            abort(s"$op(mor): could not move staged DV ${st.getPath} -> " +
               s"$dst; commit aborted, current snapshot unchanged")
           moved += dst
           (dst, st.getLen)
@@ -821,7 +822,7 @@ object KeyedTable {
         })
       }
     val mf = Manifest(base.version + 1, base.buckets, base.files,
-      op = Some("delete"), dvs = newDvs)
+      op = Some(op), dvs = newDvs, streams = base.streams)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
@@ -1766,7 +1767,18 @@ object KeyedTable {
       // MoR needs a manifest (positions resolve against its file set);
       // Auto compares |matches| against the touched buckets' live rows
       val mor: Boolean = manifestOf(base) match {
-        case None => false // legacy layout: adopt a baseline via CoW first
+        case None =>
+          // legacy layout: positions can only resolve against a manifest
+          // file set. Auto quietly takes the CoW path (which adopts a
+          // baseline); an EXPLICIT MergeOnRead request must not silently
+          // degrade into a full bucket rewrite — fail with the remedy
+          if (mode == DeleteMode.MergeOnRead)
+            throw new StoreException(
+              s"delete(mode=MergeOnRead) on $tableName: the table predates " +
+              "manifest snapshots, so positional delete vectors cannot " +
+              "resolve. Run any rewriting mutation (or delete with " +
+              "mode=Auto) once to adopt a manifest baseline, then retry")
+          false
         case Some(m) => mode match {
           case DeleteMode.CopyOnWrite => false
           case DeleteMode.MergeOnRead => true
@@ -2696,9 +2708,12 @@ object KeyedTable {
       try {
         // delete vectors are part of the snapshot's live-row state and
         // restore with it (union-liveness keeps their sidecars on disk)
+        // streams carry from CUR, not the target: a restore rewinds the
+        // DATA, never a streaming sink's epoch high-water mark — a
+        // rewound epoch would make the sink double-apply on replay
         Manifest.commit(spark, dir, Manifest(cur.version + 1, target.buckets,
           target.files, op = Some(s"restore(${target.version})"),
-          dvs = target.dvs))
+          dvs = target.dvs, streams = cur.streams))
         clCommit.foreach { case (src, dst) =>
           commitChangelogBatch(f, "restore", src, dst)
         }
@@ -2750,42 +2765,83 @@ object KeyedTable {
       .orElse(Manifest.current(spark, dir)).getOrElse(
         throw new StoreException(
           s"$tableName has no manifest snapshot to diff against"))
-    // bucket pruning off the manifests alone: identical live-file sets
-    // => identical rows => skip the bucket (a rebucket between the two
-    // versions makes bucket ids incomparable — diff everything)
-    val (fa, fb) =
-      if (mFrom.buckets == mTo.buckets) {
-        val changed = (0 until mTo.buckets).filter { b =>
-          mFrom.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet !=
-            mTo.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet ||
-          // identical data files under different delete vectors hold
-          // different LIVE rows — the bucket must be diffed
-          mFrom.dvs.getOrElse(b, Nil).map(_.name).toSet !=
-            mTo.dvs.getOrElse(b, Nil).map(_.name).toSet
-        }.toSet
-        (mFrom.copy(files = mFrom.files.filter(kv => changed(kv._1)),
-           dvs = mFrom.dvs.filter(kv => changed(kv._1))),
-         mTo.copy(files = mTo.files.filter(kv => changed(kv._1)),
-           dvs = mTo.dvs.filter(kv => changed(kv._1))))
-      } else (mFrom, mTo)
-    val a = readRawWith(spark, wh, tableName, meta, Some(fa))
-      .drop(BucketCol).alias("a")
-    val b = readRawWith(spark, wh, tableName, meta, Some(fb))
-      .drop(BucketCol).alias("b")
-    val joined = a.join(b,
-      meta.pk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _),
-      "full_outer")
     val aPresent = col(s"a.${meta.pk.head}").isNotNull
     val bPresent = col(s"b.${meta.pk.head}").isNotNull
     val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
     val differs = nonPk.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    joined.select(
-      meta.pk.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c)) :+
-      when(!aPresent, lit("insert")).when(!bPresent, lit("delete"))
-        .when(differs, lit("update")).otherwise(lit("unchanged")).as("op")
-        : _*)
-      .filter(col("op") =!= "unchanged")
+    snapshotDiffJoined(spark, wh, tableName, meta, mFrom, mTo) match {
+      case None => // nothing changed between the two snapshots
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
+          meta.pk.map(c => meta.schema(c)) :+
+            StructField("op", StringType, nullable = false)))
+      case Some(joined) =>
+        joined.select(
+          meta.pk.map(c => coalesce(col(s"b.$c"), col(s"a.$c")).as(c)) :+
+          when(!aPresent, lit("insert")).when(!bPresent, lit("delete"))
+            .when(differs, lit("update")).otherwise(lit("unchanged")).as("op")
+            : _*)
+          .filter(col("op") =!= "unchanged")
+    }
+  }
+
+  /** The full-outer diff join of two snapshots, aliased `a` (from) and
+    * `b` (to) — the shared core of [[snapshotDiff]] (pk + op) and the
+    * WAP publish-time CDC synthesis (needs the full before/after
+    * images). None when manifest arithmetic alone proves the snapshots
+    * hold identical rows (no bucket changed).
+    *
+    * Scale shape: both sides plan through the DSv2 source PINNED to
+    * their manifest version, so each scan reports
+    * `KeyGroupedPartitioning(identity(pb_bucket))` and masks its own
+    * snapshot's delete vectors inside the readers; the join condition
+    * includes `pb_bucket` equality, so Catalyst plans a
+    * storage-partitioned sort-merge join with ZERO exchange on either
+    * side — a post-backfill diff of a 100 TB table reads only the
+    * changed buckets (manifest pruning below) and never shuffles
+    * either snapshot. A rebucket between the versions makes bucket ids
+    * incomparable: only then does the diff fall back to a plain PK
+    * join over everything (the rehash moved every row anyway). */
+  private def snapshotDiffJoined(spark: SparkSession, wh: String,
+                                 tableName: String, meta: TableMeta,
+                                 mFrom: Manifest, mTo: Manifest)
+      : Option[DataFrame] = {
+    val comparable = mFrom.buckets == mTo.buckets
+    // bucket pruning off the manifests alone: identical live-file sets
+    // (and DV sets — same data files under different delete vectors
+    // hold different LIVE rows) => identical rows => skip the bucket
+    val changed: Option[Seq[Int]] =
+      if (!comparable) None
+      else Some((0 until mTo.buckets).filter { b =>
+        mFrom.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet !=
+          mTo.files.getOrElse(b, Nil).map(f => (f.name, f.len)).toSet ||
+        mFrom.dvs.getOrElse(b, Nil).map(_.name).toSet !=
+          mTo.dvs.getOrElse(b, Nil).map(_.name).toSet
+      })
+    if (changed.exists(_.isEmpty)) return None
+    // storage-partitioned join gates (idempotent, session-scoped; the
+    // second relaxes exact-match so [pb_bucket] ⊂ [bucket, pk…] still
+    // co-partitions — same setup as PkJoin)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val a0 = KeyedTableSource.readAt(spark, wh, tableName, mFrom.version)
+    val b0 = KeyedTableSource.readAt(spark, wh, tableName, mTo.version)
+    // the changed-bucket filter pushes down to DIRECTORY-level pruning
+    // (keptBuckets) while every bucket partition is still emitted, so
+    // the two sides always zip
+    val (a1, b1) = changed match {
+      case Some(bs) =>
+        (a0.filter(col(BucketCol).isin(bs: _*)),
+         b0.filter(col(BucketCol).isin(bs: _*)))
+      case None => (a0, b0)
+    }
+    val a = a1.alias("a")
+    val b = b1.alias("b")
+    val pkCond = meta.pk.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _)
+    val cond =
+      if (comparable) col(s"a.$BucketCol") === col(s"b.$BucketCol") && pkCond
+      else pkCond
+    Some(a.hint("merge").join(b, cond, "full_outer"))
   }
 
   /** Toggle the table-property CDC flag (#11l) — the programmatic core

@@ -54,9 +54,18 @@ class KeyedTableSource extends TableProvider {
     val dir = KeyedTable.tableDir(warehouse, table)
     // snapshot pinned at table resolution: every scan planned from this
     // DataFrame reads one consistent manifest version, however long the
-    // query runs and whatever commits land meanwhile
-    (TableMeta.read(spark, dir), KeyedTable.dataDir(warehouse, table),
-      Manifest.current(spark, dir))
+    // query runs and whatever commits land meanwhile. An explicit
+    // `version` option pins a PAST snapshot instead (time travel
+    // through the full DSv2 machinery: SPJ partitioning, pushdown,
+    // that version's own delete vectors) — how snapshotDiff plans its
+    // two sides shuffle-free.
+    val mf = Option(options.get("version")) match {
+      case Some(v) => Some(Manifest.at(spark, dir,
+        v.toLongOption.getOrElse(throw new StoreException(
+          s"bad version option '$v': expected a snapshot version number"))))
+      case None => Manifest.current(spark, dir)
+    }
+    (TableMeta.read(spark, dir), KeyedTable.dataDir(warehouse, table), mf)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -84,6 +93,15 @@ object KeyedTableSource {
   def read(spark: SparkSession, warehouse: String, table: String) =
     spark.read.format(classOf[KeyedTableSource].getName)
       .option("warehouse", warehouse).option("table", table).load()
+
+  /** Same, pinned to a specific snapshot version (time travel with the
+    * full scan machinery: that snapshot's files, stats, and delete
+    * vectors; SPJ partitioning intact). */
+  def readAt(spark: SparkSession, warehouse: String, table: String,
+             version: Long) =
+    spark.read.format(classOf[KeyedTableSource].getName)
+      .option("warehouse", warehouse).option("table", table)
+      .option("version", version.toString).load()
 
   /** (warehouse, tableName, pk) when `t` is a keyed-table DSv2 handle —
     * how graft's SQL DML rule recognizes its own tables inside a plan
@@ -231,11 +249,24 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                   "drop + recreate, or upsert through KeyedTable.toSql")
               // synthetic columns are never accepted from SQL: the
               // store derives the bucket and (on auto-index tables)
-              // generates the id — their INSERT slots carry NULL
+              // generates the id — their INSERT slots carry NULL. A
+              // NON-NULL value in the auto-index slot is rejected, not
+              // silently discarded: the user supplied an explicit id
+              // the store would otherwise regenerate out from under them
               val cleaned0 = data.drop(KeyedTable.BucketCol)
               val cleaned =
-                if (meta.autoIndex) cleaned0.drop(Names.AutoIndex)
-                else cleaned0
+                if (!meta.autoIndex) cleaned0
+                else {
+                  if (data.columns.contains(Names.AutoIndex) &&
+                      !data.filter(data(Names.AutoIndex).isNotNull)
+                        .isEmpty)
+                    throw new StoreException(
+                      s"INSERT into $tbl supplies explicit values for the " +
+                      s"auto-generated index column ${Names.AutoIndex}; " +
+                      "the store assigns ids itself — pass NULL for that " +
+                      "slot (or create the table without auto_index)")
+                  cleaned0.drop(Names.AutoIndex)
+                }
               KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
             }
         }
@@ -511,13 +542,17 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
       else mfF.mayOverlapOn(c, lo, hi)
     }
 
-  /** Per-bucket, per-file delete-vector masks, resolved ONCE per scan
-    * on the driver (the two planInputPartitions calls BatchScanExec
-    * makes share it). Empty for the common no-DV snapshot. */
-  private lazy val dvMasks: Map[Int, Map[String, Array[Long]]] = mf match {
+  /** Per-bucket delete-vector sidecar PATHS, straight from the manifest
+    * (names + bucket dirs — ZERO IO to resolve): the driver plans which
+    * DV files exist; each executor task loads its own bucket's masks in
+    * `createReader` (see [[DvMaskReaderFactory]]). Empty for the common
+    * no-DV snapshot. */
+  private lazy val dvPathsByBucket: Map[Int, Array[String]] = mf match {
     case Some(m) if m.dvs.nonEmpty =>
-      DeleteVectors.masks(
-        SparkSession.active.sparkContext.hadoopConfiguration, dataDir, m)
+      m.dvs.map { case (b, fls) =>
+        b -> fls.map(f =>
+          s"$dataDir/${KeyedTable.BucketCol}=$b/${f.name}").toArray
+      }
     case _ => Map.empty
   }
 
@@ -547,10 +582,12 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
                   0L, mfF.len, Array.empty[String], 0L, mfF.len,
                   Map.empty[String, Any])
               }.toArray
-          // each task carries only ITS bucket's tombstones
+          // each task carries only ITS bucket's tombstone file names
+          // (an empty/pruned bucket loads nothing)
           new KeyedFilePartition(b, files, key,
-            dvMasks.getOrElse(b, Map.empty),
-            rowOnly = dvMasks.nonEmpty): InputPartition
+            if (files.isEmpty) Array.empty[String]
+            else dvPathsByBucket.getOrElse(b, Array.empty[String]),
+            rowOnly = dvPathsByBucket.nonEmpty): InputPartition
         }.toArray
       case None => // legacy pre-manifest table: one listing of data/
         val spark = SparkSession.active
@@ -585,8 +622,13 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
           readPartitionSchema, filters)
     if (mf.forall(_.dvs.isEmpty)) mk(dataFilters)
     // masked files read through the no-filter delegate (the ordinal
-    // counter must see every row); clean files keep row-group pruning
-    else new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty))
+    // counter must see every row); clean files keep row-group pruning.
+    // The broadcast conf lets executors open their bucket's sidecars —
+    // the driver never reads DV content.
+    else new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty),
+      org.apache.spark.sql.GraftBridge.broadcastConf(
+        SparkSession.active.sparkContext,
+        SparkSession.active.sparkContext.hadoopConfiguration))
   }
 
   /** Size statistics from ONE directory listing of the (statically
@@ -800,11 +842,13 @@ private[store] object FooterAgg {
 
 /** A FilePartition that also exposes its bucket id as the partition
   * key, which is what lets BatchScanExec group partitions into a
-  * catalyst KeyGroupedPartitioning. `masks` carries THIS bucket's
-  * delete-vector tombstones (file name → ascending dead ordinals);
-  * [[DvMaskReaderFactory]] applies them inside the per-file readers,
-  * so the partitioning report — and every SPJ built on it — is
-  * untouched by merge-on-read deletes. */
+  * catalyst KeyGroupedPartitioning. `dvPaths` names THIS bucket's
+  * delete-vector sidecar files (absolute paths — the manifest already
+  * knows them, so planning does zero IO); [[DvMaskReaderFactory]] loads
+  * and applies them inside the per-file readers ON THE EXECUTOR, so the
+  * partitioning report — and every SPJ built on it — is untouched by
+  * merge-on-read deletes, and the task descriptor stays O(file names)
+  * however many positions are tombstoned. */
 /** `rowOnly` is set on EVERY partition of a scan/micro-batch that has
   * any mask anywhere: Spark refuses to mix columnar and row partitions
   * within one scan, so the whole batch reads row-based together. */
@@ -812,7 +856,7 @@ private[store] class KeyedFilePartition(
     override val index: Int,
     override val files: Array[PartitionedFile],
     key: InternalRow,
-    val masks: Map[String, Array[Long]] = Map.empty,
+    val dvPaths: Array[String] = Array.empty,
     val rowOnly: Boolean = false)
     extends FilePartition(index, files) with HasPartitionKey {
   override def partitionKey(): InternalRow = key

@@ -159,15 +159,18 @@ private[store] class KeyedMicroBatchStream(
     if (to.buckets != since.buckets)
       nonAdditive(s"bucket count changed ${since.buckets} -> ${to.buckets}")
     // merge-on-read deletes: the INITIAL full-snapshot batch applies
-    // the head snapshot's delete vectors in its readers (masks below) —
-    // a table with live DVs streams from scratch exactly as it reads.
-    // An INCREMENTAL window that changes the DV set is refused like any
-    // non-additive commit: rows already delivered cannot be retracted.
-    val masks: Map[Int, Map[String, Array[Long]]] =
+    // the head snapshot's delete vectors in its readers — the driver
+    // plans only the sidecar PATHS (manifest names, zero IO); each task
+    // loads its own bucket's masks executor-side. A table with live DVs
+    // streams from scratch exactly as it reads. An INCREMENTAL window
+    // that changes the DV set is refused like any non-additive commit:
+    // rows already delivered cannot be retracted.
+    val dvPathsByBucket: Map[Int, Array[String]] =
       if (sinceV < 0) {
-        if (to.dvs.isEmpty) Map.empty
-        else DeleteVectors.masks(
-          spark.sparkContext.hadoopConfiguration, dataDir, to)
+        to.dvs.map { case (b, fls) =>
+          b -> fls.map(f =>
+            s"$dataDir/${KeyedTable.BucketCol}=$b/${f.name}").toArray
+        }
       } else {
         if (since.dvs.view.mapValues(_.map(_.name).toSet).toMap !=
             to.dvs.view.mapValues(_.map(_.name).toSet).toMap)
@@ -190,8 +193,8 @@ private[store] class KeyedMicroBatchStream(
         }.toArray
       if (files.isEmpty) None
       else Some(new KeyedFilePartition(b, files, key,
-        masks.getOrElse(b, Map.empty),
-        rowOnly = masks.nonEmpty): InputPartition)
+        dvPathsByBucket.getOrElse(b, Array.empty[String]),
+        rowOnly = dvPathsByBucket.nonEmpty): InputPartition)
     }.toArray
   }
 
@@ -202,7 +205,9 @@ private[store] class KeyedMicroBatchStream(
           readPartitionSchema, filters)
     // the masked initial batch needs the DV-aware factory; incremental
     // windows carry no masks and pass through it untouched
-    new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty))
+    new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty),
+      org.apache.spark.sql.GraftBridge.broadcastConf(
+        spark.sparkContext, spark.sparkContext.hadoopConfiguration))
   }
 
   override def commit(end: Offset): Unit = ()

@@ -86,11 +86,25 @@ final case class ManifestFile(name: String, len: Long,
   * not name. `rows` on a DV entry is its position count, so live-row
   * arithmetic (COUNT(*), statistics, history) stays pure driver math:
   * live = data rows − DV rows. */
+/** `streams` — last committed streaming-sink epoch per query id (see
+  * [[KeyedStreamingWrite]]): carried forward on every commit so a
+  * restarted streaming query can recognize an epoch it already
+  * committed and make its replay a no-op (exactly-once sink semantics
+  * over at-least-once micro-batch replay). */
 final case class Manifest(version: Long, buckets: Int,
                           files: Map[Int, Seq[ManifestFile]],
                           op: Option[String] = None,
                           tsMs: Option[Long] = None,
-                          dvs: Map[Int, Seq[ManifestFile]] = Map.empty) {
+                          dvs: Map[Int, Seq[ManifestFile]] = Map.empty,
+                          streams: Map[String, Long] = Map.empty) {
+
+  /** The READER format version this snapshot requires (the Iceberg
+    * format-version gate): 1 = plain file lists; 2 = carries delete
+    * vectors (a reader that ignored `dvs` would silently resurrect
+    * deleted rows); 3 = carries streaming-sink epochs (a writer that
+    * dropped `streams` would break a sink's exactly-once replay). */
+  def formatVersion: Int =
+    if (streams.nonEmpty) 3 else if (dvs.nonEmpty) 2 else 1
 
   /** Absolute path of every live file (order: bucket, then name). */
   def absolutePaths(dataDir: String): Seq[String] =
@@ -120,8 +134,18 @@ final case class Manifest(version: Long, buckets: Int,
   def toJson: String = compact(render(JObject(
     List("version" -> (JInt(version): JValue),
       "buckets" -> (JInt(buckets): JValue)) ++
+    // format gate: written only when this snapshot needs capabilities a
+    // format-1 reader lacks — older binaries then REJECT it loudly in
+    // fromJson instead of parsing the file, ignoring the new field, and
+    // returning wrong data (resurrected rows / replayed epochs)
+    (if (formatVersion > 1)
+       List("format" -> (JInt(formatVersion): JValue)) else Nil) ++
     op.map(o => "op" -> (JString(o): JValue)).toList ++
     tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList ++
+    (if (streams.isEmpty) Nil
+     else List("streams" -> (JObject(streams.toList.sortBy(_._1).map {
+       case (q, e) => q -> (JInt(e): JValue)
+     }): JValue))) ++
     // delete vectors, same [name, len, rows] arity encoding as files;
     // absent entirely when the snapshot carries none (older manifests
     // and the common no-deletes case parse identically)
@@ -278,14 +302,36 @@ object Manifest {
     case o => throw new StoreException(s"bad file stat: $o")
   }
 
+  /** Highest manifest format this binary understands (see
+    * [[Manifest.formatVersion]]). */
+  val SupportedFormat = 3
+
   def fromJson(s: String): Manifest = {
     val j = JsonMethods.parse(s)
+    // the format gate comes FIRST: a snapshot demanding a newer reader
+    // must fail loudly before any field is interpreted
+    (j \ "format") match {
+      case JInt(f) if f.toInt > SupportedFormat =>
+        throw new StoreException(
+          s"manifest requires format $f but this reader supports up to " +
+          s"$SupportedFormat — upgrade the graft library before reading " +
+          "this table (refusing to parse: ignoring unknown fields could " +
+          "silently return wrong data)")
+      case _ => ()
+    }
     val JInt(version) = (j \ "version"): @unchecked
     val JInt(buckets) = (j \ "buckets"): @unchecked
     val JObject(fields) = (j \ "files"): @unchecked
     // optional commit metadata (older manifests lack it)
     val op = (j \ "op") match { case JString(o) => Some(o); case _ => None }
     val ts = (j \ "ts_ms") match { case JInt(t) => Some(t.toLong); case _ => None }
+    val streams: Map[String, Long] = (j \ "streams") match {
+      case JObject(qs) => qs.map {
+        case (q, JInt(e)) => q -> e.toLong
+        case (q, o) => throw new StoreException(s"bad manifest stream epoch $q: $o")
+      }.toMap
+      case _ => Map.empty
+    }
     val dvs: Map[Int, Seq[ManifestFile]] = (j \ "dvs") match {
       case JObject(ds) => ds.map {
         case (b, JArray(fs)) => b.toInt -> fs.map {
@@ -326,7 +372,7 @@ object Manifest {
           case o => throw new StoreException(s"bad manifest file entry: $o")
         }
       case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
-      }.toMap, op, ts, dvs)
+      }.toMap, op, ts, dvs, streams)
   }
 
   /** All committed versions, ascending (one listing). */

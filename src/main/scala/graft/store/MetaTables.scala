@@ -75,10 +75,19 @@ private[store] object MetaTables {
     case "history" =>
       Manifest.all(spark, tableDir).map { m =>
         val fls = m.files.valuesIterator.flatten.toSeq
+        // n_rows = LIVE rows: data-file counts minus delete-vector
+        // positions — the same arithmetic as KeyedTable.history, so the
+        // two history surfaces always agree after a MoR delete; NULL
+        // when either side lacks recorded counts
+        val nRows: Any =
+          (if (fls.forall(_.rows.isDefined)) Some(fls.flatMap(_.rows).sum)
+           else None, m.dvRows) match {
+            case (Some(d), Some(dv)) => d - dv
+            case _ => null
+          }
         new GenericInternalRow(Array[Any](
           m.version, m.op.map(UTF8String.fromString).orNull, m.buckets,
-          fls.size.toLong,
-          if (fls.forall(_.rows.isDefined)) fls.flatMap(_.rows).sum else null,
+          fls.size.toLong, nRows,
           fls.map(_.len).sum, m.tsMs.map(Long.box).orNull)): InternalRow
       }.toArray
     case "tags" =>

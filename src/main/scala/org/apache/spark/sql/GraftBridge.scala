@@ -21,4 +21,14 @@ object GraftBridge {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Broadcast the Hadoop configuration for executor-side file IO (the
+    * `SerializableConfiguration` companion is `private[spark]`) — how
+    * graft's delete-vector reader factory ships the conf its tasks use
+    * to open their own bucket's sidecar files. */
+  def broadcastConf(sc: org.apache.spark.SparkContext,
+                    conf: org.apache.hadoop.conf.Configuration)
+      : org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.SerializableConfiguration] =
+    org.apache.spark.util.SerializableConfiguration.broadcast(sc, conf)
 }

@@ -231,4 +231,38 @@ class DeleteVectorSpec extends SparkSpec {
       s"PK join over a DV'd table must stay shuffle-free:\n$plan")
     assert(joined.count() == (1L to 200L).count(_ % 13 != 0).toLong)
   }
+
+  test("scan planning does ZERO sidecar IO; masks load on the executor") {
+    val w = wh(); mk(w, "t")
+    assert(KeyedTable.delete(spark, w, "t", col("k") % 9 === 0,
+      mode = DeleteMode.MergeOnRead) == 200L / 9)
+    val m = manifest(w, "t")
+    val data = new org.apache.hadoop.fs.Path(
+      KeyedTable.tableDir(w, "t"), "data")
+    val fs = data.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dvPaths = m.dvs.toSeq.flatMap { case (b, fls) =>
+      fls.map(f => new org.apache.hadoop.fs.Path(data,
+        s"${KeyedTable.BucketCol}=$b/${f.name}"))
+    }
+    assert(dvPaths.nonEmpty)
+    // hide every sidecar: if the driver tried to read DV CONTENT while
+    // planning (resolving partitions), planning would throw right here
+    dvPaths.foreach { p =>
+      assert(fs.rename(p, p.suffix(".hidden")), s"could not hide $p")
+    }
+    try {
+      val df = KeyedTableSource.read(spark, w, "t")
+      // forces BatchScanExec partition planning (planInputPartitions)
+      // without running a job — must succeed with sidecars unreadable
+      assert(df.queryExecution.toRdd.getNumPartitions == 4)
+      // and the masked EXECUTION must fail loudly (each task loads its
+      // own bucket's masks — proving the read path truly consumes the
+      // sidecars rather than silently skipping the mask)
+      intercept[Exception] { df.count() }
+    } finally dvPaths.foreach { p =>
+      assert(fs.rename(p.suffix(".hidden"), p), s"could not restore $p")
+    }
+    val want = (1L to 200L).filterNot(_ % 9 == 0)
+    assert(keysOf(KeyedTableSource.read(spark, w, "t")) == want)
+  }
 }

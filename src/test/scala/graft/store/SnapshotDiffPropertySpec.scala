@@ -81,4 +81,23 @@ class SnapshotDiffPropertySpec extends SparkSpec {
         s"diff($from,$to): got ${got.toSeq.sorted}, want ${want.toSeq.sorted}")
     }
   }
+
+  test("snapshotDiff plans a storage-partitioned join: ZERO exchange") {
+    val t = "t_diff_plan"
+    KeyedTable.toSql((1L to 400L).map(k => (k, s"g$k", k * 1.0))
+      .toDF("id", "g", "v"), wh, t, pk = Seq("id"), buckets = 4)
+    KeyedTable.toSql((1L to 50L).map(k => (k, "new", k * 2.0))
+      .toDF("id", "g", "v"), wh, t, pk = Seq("id"), how = WriteMode.Upsert)
+    KeyedTable.delete(spark, wh, t, col("id") % 7 === 0,
+      mode = DeleteMode.MergeOnRead) // a DV'd side must not disturb SPJ
+    val diff = KeyedTable.snapshotDiff(spark, wh, t, 0L)
+    val plan = diff.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"snapshotDiff must zip the two co-partitioned snapshots " +
+      s"shuffle-free (both sides read the SAME bucket layout):\n$plan")
+    // and it still answers correctly on top of that plan
+    val got = diff.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = bruteDiff(t, 0L, 2L)
+    assert(got == want)
+  }
 }
