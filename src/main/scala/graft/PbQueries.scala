@@ -803,6 +803,64 @@ object PbQueries {
       .select(Tables.orders(spark, sfDir).columns.toIndexedSeq.map(col): _*)
   }
 
+  /** #11ar (`pb_update_mor`): merge-on-read UPDATE — the matched rows'
+    * old positions tombstone via DELETE VECTORS and their post-images
+    * land in delta-sized appended files; every pre-existing data file
+    * survives by name (write cost ∝ |matches|, the Iceberg-v2 UPDATE
+    * decomposition). The require pins the physical shape; the read-back
+    * through the DSv2 masked scan is the oracle-checked result. */
+  def updateMorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+      pk = Seq("c_custkey"))
+    val dir = graft.store.KeyedTable.tableDir(wh, "customer")
+    val before = graft.store.Manifest.current(spark, dir).get
+    KeyedTable.update(spark, wh, "customer", col("c_custkey") % 31 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") + 50.0),
+          "c_mktsegment" -> lit("MORSEG")),
+      mode = graft.store.DeleteMode.MergeOnRead)
+    val after = graft.store.Manifest.current(spark, dir).get
+    val beforeNames = before.files.view
+      .mapValues(_.map(_.name).toSet).toMap
+    require(before.files.forall { case (b, fls) =>
+      fls.forall(f => after.files.getOrElse(b, Nil).exists(_.name == f.name))
+    } && after.dvs.nonEmpty,
+      s"MoR update must keep every data file and add tombstones " +
+      s"($beforeNames)")
+    graft.store.KeyedTableSource.read(spark, wh, "customer")
+      .select(Tables.customer(spark, sfDir).columns.toIndexedSeq.map(col): _*)
+  }
+
+  /** #11as (`pb_merge_mor`): merge-on-read MERGE — one commit applies a
+    * mixed feed (updates %31 doubled balance, deletes %41, inserts %89
+    * shifted) with ONLY delta-sized writes: matched old positions
+    * tombstone via DVs, surviving images append; no pre-existing data
+    * file is rewritten. Same Auto arithmetic as delete's. */
+  def mergeMorQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    val dir = graft.store.KeyedTable.tableDir(wh, "customer")
+    val before = graft.store.Manifest.current(spark, dir).get
+    val feed = customer
+      .filter(col("c_custkey") % 31 === 0 || col("c_custkey") % 41 === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
+        (col("c_custkey") % 41 === 0).as("is_del"))
+      .unionByName(customer.filter(col("c_custkey") % 89 === 0)
+        .select((col("c_custkey") + 20000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+          lit(false).as("is_del")))
+    KeyedTable.merge(feed, wh, "customer", deleteWhen = col("is_del"),
+      mode = graft.store.DeleteMode.MergeOnRead)
+    val after = graft.store.Manifest.current(spark, dir).get
+    require(before.files.forall { case (b, fls) =>
+      fls.forall(f => after.files.getOrElse(b, Nil).exists(_.name == f.name))
+    } && after.dvs.nonEmpty,
+      "MoR merge must keep every data file and add tombstones")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1309,7 +1367,9 @@ object PbQueries {
     "pb_delete" -> deleteQ,
     "pb_delete_mor" -> deleteMorQ,
     "pb_update" -> updateQ,
+    "pb_update_mor" -> updateMorQ,
     "pb_merge" -> mergeQ,
+    "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
     "pb_sql_update" -> sqlUpdate,
     "pb_sql_merge" -> sqlMerge,
@@ -1477,6 +1537,26 @@ object PbQueries {
              CASE WHEN c_mktsegment = 'BUILDING' AND c_acctbal < 0
                   THEN 'RESCUED' ELSE c_mktsegment END AS c_mktsegment
       FROM customer
+    """.trim,
+    "pb_update_mor" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 31 = 0
+                  THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal,
+             CASE WHEN c_custkey % 31 = 0
+                  THEN 'MORSEG' ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+    """.trim,
+    // MoR merge replay: deletes (%41) win over updates (%31); the %89
+    // shifted copies insert with their ORIGINAL balances
+    "pb_merge_mor" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 31 = 0 THEN c_acctbal * 2
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 41 <> 0
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
     """.trim,
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",

@@ -827,6 +827,124 @@ object KeyedTable {
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
 
+  /** Shared Auto/CoW/MoR strategy decision for every row-mutating
+    * commit (delete, update, merge) — pure manifest arithmetic, zero
+    * IO: MoR needs a manifest (positions resolve against its file
+    * set); Auto takes MoR while the matched row count stays within
+    * [[MorMaxFraction]] of the touched buckets' live rows (past that,
+    * most of the touched data is changing and the CoW rewrite — which
+    * also re-compacts — wins). An EXPLICIT MergeOnRead request on a
+    * pre-manifest table fails with the remedy rather than silently
+    * degrading into a full bucket rewrite. */
+  private def morDecision(baseM: Option[Manifest], mode: DeleteMode,
+                          touched: Seq[Int], matched: Long,
+                          what: String, tableName: String): Boolean =
+    baseM match {
+      case None =>
+        if (mode == DeleteMode.MergeOnRead)
+          throw new StoreException(
+            s"$what(mode=MergeOnRead) on $tableName: the table predates " +
+            "manifest snapshots, so positional delete vectors cannot " +
+            "resolve. Run any rewriting mutation (or use mode=Auto) " +
+            "once to adopt a manifest baseline, then retry")
+        false
+      case Some(m) => mode match {
+        case DeleteMode.CopyOnWrite => false
+        case DeleteMode.MergeOnRead => true
+        case DeleteMode.Auto =>
+          val touchedSet = touched.toSet
+          val fls = m.files.filter(kv => touchedSet(kv._1))
+            .valuesIterator.flatten.toSeq
+          val dvDead = m.dvs.filter(kv => touchedSet(kv._1))
+            .valuesIterator.flatten.flatMap(_.rows).sum
+          if (!fls.forall(_.rows.isDefined)) false // unknown sizes: CoW
+          else {
+            val live = fls.flatMap(_.rows).sum - dvDead
+            matched <= (live * MorMaxFraction).toLong
+          }
+      }
+    }
+
+  /** Commit a merge-on-read UPDATE/MERGE: the staged POST-IMAGE data
+    * files EXTEND the touched buckets' file lists (additive, the
+    * append protocol) while the staged DELETE-VECTOR sidecars
+    * tombstone the matched rows' old positions — both in ONE manifest
+    * flip, so a reader sees either the full old state or the full new
+    * state. This is the Iceberg-v2 decomposition of UPDATE/MERGE:
+    * write cost ∝ |matched + inserted| rows, never the touched
+    * buckets' bytes — the slope that makes a daily CDC feed over a
+    * 100 TB table affordable. Any rename failure deletes the moved-in
+    * files and aborts with the current snapshot untouched. */
+  private def commitStagedMorMut(spark: SparkSession, f: FileSystem,
+                                 dir: String, data: String,
+                                 dataStaging: String, dvStaging: String,
+                                 touched: Seq[Int], op: String,
+                                 base: Manifest, meta: TableMeta): Manifest = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val statCol = meta.pk.headOption
+    val statColsTyped: Seq[(String, DataType)] =
+      (statCol.toSeq ++ meta.statsCols).distinct
+        .filter(meta.schema.fieldNames.contains)
+        .map(c => c -> meta.schema(c).dataType)
+    val commitId = UUID.randomUUID().toString.take(8)
+    val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def abort(msg: String): Nothing = {
+      moved.foreach(p => f.delete(p, false))
+      throw new StoreException(msg)
+    }
+    def moveIn(staging: String, pfx: String): Map[Int, Seq[(Path, Long)]] =
+      touched.flatMap { b =>
+        val sdir = new Path(staging, s"$BucketCol=$b")
+        if (!f.exists(sdir)) None
+        else {
+          val files = f.listStatus(sdir)
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+          if (files.isEmpty) None
+          else {
+            val tdir = new Path(data, s"$BucketCol=$b")
+            if (!f.mkdirs(tdir))
+              abort(s"$op(mor): could not create bucket dir $tdir; " +
+                "commit aborted, current snapshot unchanged")
+            Some(b -> files.toSeq.map { st =>
+              val dst = new Path(tdir, s"$commitId-$pfx${st.getPath.getName}")
+              if (!f.rename(st.getPath, dst))
+                abort(s"$op(mor): could not move staged file " +
+                  s"${st.getPath} -> $dst; commit aborted, current " +
+                  "snapshot unchanged")
+              moved += dst
+              (dst, st.getLen)
+            })
+          }
+        }
+      }.toMap
+    val dataMoved = moveIn(dataStaging, "")
+    val dvMoved = moveIn(dvStaging, "dv-")
+    val footer = pkFileStatsAll(conf,
+      dataMoved.valuesIterator.flatten.map(_._1).toSeq, statColsTyped)
+    val dvFooter = pkFileStatsAll(conf,
+      dvMoved.valuesIterator.flatten.map(_._1).toSeq, Nil)
+    val newFiles: Map[Int, Seq[ManifestFile]] =
+      base.files ++ dataMoved.map { case (b, fls) =>
+        b -> (base.files.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
+          val (rows, colStats) = footer(dst)
+          ManifestFile(dst.getName, len, rows,
+            statCol.flatMap(colStats.get),
+            statCol.fold(colStats)(colStats - _))
+        })
+      }
+    val newDvs: Map[Int, Seq[ManifestFile]] =
+      base.dvs ++ dvMoved.map { case (b, fls) =>
+        b -> (base.dvs.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
+          ManifestFile(dst.getName, len, dvFooter(dst)._1)
+        })
+      }
+    val mf = Manifest(base.version + 1, base.buckets, newFiles,
+      op = Some(op), dvs = newDvs, streams = base.streams)
+    try Manifest.commit(spark, dir, mf)
+    catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
+  }
+
   /** Raw bucket-partitioned read with the evolved logical schema (old
     * files lacking evolved columns yield NULLs). Resolves the file set
     * through the current manifest snapshot when one exists — never a
@@ -1308,7 +1426,8 @@ object KeyedTable {
                      addNewColumns: Boolean, validate: Boolean,
                      changelog0: Boolean = false,
                      tombstoned: Boolean = false,
-                     deleteOnlyMatched: Boolean = false): (Long, Long, Long) = {
+                     deleteOnlyMatched: Boolean = false,
+                     mode: DeleteMode = DeleteMode.CopyOnWrite): (Long, Long, Long) = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta = TableMeta.read(spark, dir)
@@ -1426,22 +1545,66 @@ object KeyedTable {
           (r.getLong(0), r.getLong(1), r.getLong(2))
         }
 
+      // merge-on-read eligibility (merge path only): the matched rows
+      // — updates and tombstones — decompose into position deletes +
+      // a delta-sized appended file; inserts are additive anyway. The
+      // shared Auto arithmetic compares |updated + deleted| against
+      // the touched buckets' live rows.
+      val mor = tombstoned && morDecision(manifestOf(base), mode, touched,
+        stats._2 + stats._3, "merge", table)
+
       // Commit: write to staging, move the staged files in, flip the
-      // manifest (see commitStaged) — one atomic snapshot publish;
-      // readers of the previous snapshot are undisturbed.
-      val staging = s"$dir/.staging-${UUID.randomUUID()}"
+      // manifest — one atomic snapshot publish; readers of the
+      // previous snapshot are undisturbed.
       val f = fs(spark, dir)
       try {
-        clusterByBucket(out, base.buckets, meta.pk)
-          .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
-        try {
-          // removeMissing on the merge path: a touched bucket whose rows
-          // ALL tombstoned has no staged replacement and leaves the
-          // snapshot (the delete semantics); plain upserts always stage
-          // every touched bucket
-          commitStaged(spark, f, dir, data, staging, touched, "upsert",
-            base, base.buckets, meta, removeMissing = tombstoned)
-        } finally f.delete(new Path(staging), true)
+        if (mor) {
+          // delta-driven: one LEFT join of the (delta-sized) change
+          // feed against the touched buckets' position-exposing read —
+          // every matched old row's position tombstones; every
+          // surviving delta row (update post-image or insert) lands in
+          // a NEW file of its bucket. Untouched rows never move.
+          val oldPos = readRawPos(spark, warehouse, table,
+              meta.copy(schema = evolved), manifestOf(base), withPos = true)
+            .filter(col(BucketCol).isin(touched: _*))
+          val j = marked.as("n")
+            .join(oldPos.as("o"), meta.pk.toIndexedSeq, "left")
+          val dvStaging = s"$dir/.staging-merge-dv-${UUID.randomUUID()}"
+          val dataStaging = s"$dir/.staging-merge-${UUID.randomUUID()}"
+          try {
+            j.filter(presentOld)
+              .select(col(s"o.$BucketCol").as(BucketCol),
+                col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
+              .repartition(touched.size, col(BucketCol))
+              .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+              .write.partitionBy(BucketCol).parquet(dvStaging)
+            j.filter(!del)
+              .select(meta.pk.map(col) ++ nonPk.toSeq.map { c =>
+                (if (incomingCols.contains(c)) col(s"n.$c")
+                 else col(s"o.$c")).as(c)
+              } :+ col(s"n.$BucketCol").as(BucketCol): _*)
+              .repartition(touched.size, col(BucketCol))
+              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+              .write.partitionBy(BucketCol).parquet(dataStaging)
+            commitStagedMorMut(spark, f, dir, data, dataStaging,
+              dvStaging, touched, "upsert", base, meta)
+          } finally {
+            f.delete(new Path(dvStaging), true)
+            f.delete(new Path(dataStaging), true)
+          }
+        } else {
+          val staging = s"$dir/.staging-${UUID.randomUUID()}"
+          try {
+            clusterByBucket(out, base.buckets, meta.pk)
+              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
+            // removeMissing on the merge path: a touched bucket whose rows
+            // ALL tombstoned has no staged replacement and leaves the
+            // snapshot (the delete semantics); plain upserts always stage
+            // every touched bucket
+            commitStaged(spark, f, dir, data, staging, touched, "upsert",
+              base, base.buckets, meta, removeMissing = tombstoned)
+          } finally f.delete(new Path(staging), true)
+        }
         // data swap done — the changelog batch may now claim it happened
         clCommit.foreach { case (src, dst) =>
           commitChangelogBatch(f, "upsert", src, dst)
@@ -1763,38 +1926,10 @@ object KeyedTable {
         .agg(count(lit(1)).as("n")).collect()
       val touched = probe.map(_.getInt(0)).toSeq
       val deleted = probe.map(_.getLong(1)).sum
-      // strategy decision from manifest arithmetic alone (zero IO):
-      // MoR needs a manifest (positions resolve against its file set);
-      // Auto compares |matches| against the touched buckets' live rows
-      val mor: Boolean = manifestOf(base) match {
-        case None =>
-          // legacy layout: positions can only resolve against a manifest
-          // file set. Auto quietly takes the CoW path (which adopts a
-          // baseline); an EXPLICIT MergeOnRead request must not silently
-          // degrade into a full bucket rewrite — fail with the remedy
-          if (mode == DeleteMode.MergeOnRead)
-            throw new StoreException(
-              s"delete(mode=MergeOnRead) on $tableName: the table predates " +
-              "manifest snapshots, so positional delete vectors cannot " +
-              "resolve. Run any rewriting mutation (or delete with " +
-              "mode=Auto) once to adopt a manifest baseline, then retry")
-          false
-        case Some(m) => mode match {
-          case DeleteMode.CopyOnWrite => false
-          case DeleteMode.MergeOnRead => true
-          case DeleteMode.Auto =>
-            val touchedSet = touched.toSet
-            val fls = m.files.filter(kv => touchedSet(kv._1))
-              .valuesIterator.flatten.toSeq
-            val dvDead = m.dvs.filter(kv => touchedSet(kv._1))
-              .valuesIterator.flatten.flatMap(_.rows).sum
-            if (!fls.forall(_.rows.isDefined)) false // unknown sizes: CoW
-            else {
-              val live = fls.flatMap(_.rows).sum - dvDead
-              deleted <= (live * MorMaxFraction).toLong
-            }
-        }
-      }
+      // strategy decision from manifest arithmetic alone (zero IO)
+      val mor: Boolean =
+        morDecision(manifestOf(base), mode, touched, deleted,
+          "delete", tableName)
       if (touched.nonEmpty) {
         val data = dataDir(warehouse, tableName)
         val f = fs(spark, dir)
@@ -1876,10 +2011,17 @@ object KeyedTable {
     * Reference concept: `df.loc[mask, col] = expr` applied to the
     * stored table (pandabase's pandas-side mutation idiom made a store
     * commit). */
+  /** `mode` ([[DeleteMode]], shared decision arithmetic with
+    * [[delete]]): merge-on-read UPDATE decomposes into a positional
+    * delete of the matched rows' OLD images plus an appended file of
+    * their POST-images — write cost ∝ |matches|, not touched-bucket
+    * bytes (the Iceberg-v2 model; Auto picks it while matches stay
+    * under [[MorMaxFraction]] of the touched buckets' live rows). */
   def update(spark: SparkSession, warehouse0: String, tableName: String,
              where: Column, set: Map[String, Column],
              schema: Option[String] = None,
-             changelog: Boolean = false): Long = {
+             changelog: Boolean = false,
+             mode: DeleteMode = DeleteMode.Auto): Long = {
     require(set.nonEmpty, "update needs at least one SET column")
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
@@ -1930,21 +2072,56 @@ object KeyedTable {
           raw.filter(matched).select(meta.schema.fieldNames.toSeq
             .map(c => newVal(c).as(c)): _*),
           meta.checks, "update")
-        val staging = s"$dir/.staging-update-${UUID.randomUUID()}"
+        val mor = morDecision(manifestOf(base), mode, touched, nMatched,
+          "update", tableName)
         try {
-          try {
-            val rewritten = meta.schema.fieldNames.toSeq.map { c =>
-              (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
-               else col(c)).as(c)
-            } :+ col(BucketCol)
-            raw.filter(col(BucketCol).isin(touched: _*))
-              .select(rewritten: _*)
-              .repartition(touched.size, col(BucketCol))
-              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
-              .write.partitionBy(BucketCol).parquet(staging)
-            commitStaged(spark, f, dir, data, staging, touched, "update",
-              base, base.buckets, meta)
-          } finally f.delete(new Path(staging), true)
+          if (mor) {
+            // merge-on-read: tombstone the matched rows' positions and
+            // append their post-images — moves |matches| rows, never
+            // the buckets. One read of the matched set feeds both
+            // staged writes (persisted: the filter job runs once).
+            val posFrame = readRawPos(spark, warehouse, tableName, meta,
+                manifestOf(base), withPos = true)
+              .filter(matched)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val dvStaging = s"$dir/.staging-update-dv-${UUID.randomUUID()}"
+            val dataStaging = s"$dir/.staging-update-${UUID.randomUUID()}"
+            try {
+              posFrame
+                .select(col(BucketCol), col(FileCol).as("file"),
+                  col(PosCol).as("pos"))
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                .write.partitionBy(BucketCol).parquet(dvStaging)
+              posFrame
+                .select(meta.schema.fieldNames.toSeq
+                  .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .write.partitionBy(BucketCol).parquet(dataStaging)
+              commitStagedMorMut(spark, f, dir, data, dataStaging,
+                dvStaging, touched, "update", base, meta)
+            } finally {
+              posFrame.unpersist()
+              f.delete(new Path(dvStaging), true)
+              f.delete(new Path(dataStaging), true)
+            }
+          } else {
+            val staging = s"$dir/.staging-update-${UUID.randomUUID()}"
+            try {
+              val rewritten = meta.schema.fieldNames.toSeq.map { c =>
+                (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
+                 else col(c)).as(c)
+              } :+ col(BucketCol)
+              raw.filter(col(BucketCol).isin(touched: _*))
+                .select(rewritten: _*)
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .write.partitionBy(BucketCol).parquet(staging)
+              commitStaged(spark, f, dir, data, staging, touched, "update",
+                base, base.buckets, meta)
+            } finally f.delete(new Path(staging), true)
+          }
           clCommit.foreach { case (src, dst) =>
             commitChangelogBatch(f, "update", src, dst)
           }
@@ -2191,13 +2368,20 @@ object KeyedTable {
     * landing between routing and merge can never silently mis-route
     * rows (drop a concurrently-inserted key in an update-only MERGE,
     * or double-handle it in a BY SOURCE clause). */
+  /** `mode` ([[DeleteMode]], the shared Auto arithmetic of [[delete]]/
+    * [[update]]): merge-on-read MERGE tombstones matched rows'
+    * positions and appends the delta's surviving images as new files —
+    * one commit whose write cost is ∝ |delta|, never touched-bucket
+    * bytes. Auto picks it while |updates + deletes| stay under
+    * [[MorMaxFraction]] of the touched buckets' live rows. */
   def merge(df: DataFrame, warehouse0: String, tableName: String,
             deleteWhen: Column, schema: Option[String] = None,
             addNewColumns: Boolean = false, validate: Boolean = true,
             changelog: Boolean = false,
             strictUtc: Boolean = true,
             deleteOnlyMatched: Boolean = false,
-            expectedVersion: Option[Long] = None): (Long, Long, Long) = {
+            expectedVersion: Option[Long] = None,
+            mode: DeleteMode = DeleteMode.Auto): (Long, Long, Long) = {
     val wh = schemaDir(warehouse0, schema)
     val spark = df.sparkSession
     if (strictUtc) {
@@ -2236,7 +2420,7 @@ object KeyedTable {
         c == MergeDelCol || addNewColumns || meta.schema.fieldNames.contains(c))
       upsert(cleaned.select(keep.map(col).toIndexedSeq: _*), wh, tableName,
         addNewColumns, validate, changelog, tombstoned = true,
-        deleteOnlyMatched = deleteOnlyMatched)
+        deleteOnlyMatched = deleteOnlyMatched, mode = mode)
     }
   }
 
