@@ -861,6 +861,41 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  private val sinkN = new java.util.concurrent.atomic.AtomicLong()
+
+  /** #11at (`pb_stream_sink`): the keyed table as a NATIVE Structured
+    * Streaming SINK — `df.writeStream.toTable("graft.t")` drains a file
+    * backlog through [[graft.store.KeyedStreamingWrite]] (executors
+    * stage per-bucket parquet; the driver commits each epoch as ONE
+    * manifest flip carrying the (queryId → epoch) ledger — exactly-once
+    * over replay) and the converged table equals the batch result. */
+  def streamSinkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_sink${sinkN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val customer = Tables.customer(spark, sfDir)
+    // head seeds the table; the tail arrives as the streaming backlog
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 10 === 0),
+      wh, "customer", pk = Seq("c_custkey"))
+    val src = graft.TempDirs.tempDir("graft-sink-src-")
+    customer.filter(col("c_custkey") % 10 =!= 0)
+      .write.mode("overwrite").parquet(src)
+    val ck = graft.TempDirs.tempDir("graft-sink-ck-")
+    spark.readStream.schema(customer.schema).parquet(src)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.customer")
+      .awaitTermination()
+    val m = graft.store.Manifest.current(spark,
+      graft.store.KeyedTable.tableDir(wh, "customer")).get
+    require(m.streams.nonEmpty && m.op.contains("stream"),
+      "the sink must commit through the manifest epoch ledger")
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1368,6 +1403,7 @@ object PbQueries {
     "pb_delete_mor" -> deleteMorQ,
     "pb_update" -> updateQ,
     "pb_update_mor" -> updateMorQ,
+    "pb_stream_sink" -> streamSinkQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1538,6 +1574,9 @@ object PbQueries {
                   THEN 'RESCUED' ELSE c_mktsegment END AS c_mktsegment
       FROM customer
     """.trim,
+    // the sink converges to the full table: head (batch create) + tail
+    // (streamed backlog) = every customer row exactly once
+    "pb_stream_sink" -> "SELECT * FROM customer",
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,
              CASE WHEN c_custkey % 31 = 0

@@ -694,7 +694,8 @@ object KeyedTable {
                            op: String, base: Manifest, newBuckets: Int,
                            meta: TableMeta,
                            add: Boolean = false,
-                           removeMissing: Boolean = false): Manifest = {
+                           removeMissing: Boolean = false,
+                           streamEpoch: Option[(String, Long)] = None): Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
     // leading PK first, then the configured extra stat columns — ONE
@@ -765,7 +766,10 @@ object KeyedTable {
         !replaced && newFiles.contains(b)
       }
     val mf = Manifest(base.version + 1, newBuckets, newFiles,
-      op = Some(op), dvs = newDvs, streams = base.streams)
+      op = Some(op), dvs = newDvs,
+      // the streaming sink's epoch ledger rides in the SAME atomic
+      // flip as its data — exactly-once by construction
+      streams = base.streams ++ streamEpoch)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
@@ -825,6 +829,98 @@ object KeyedTable {
       op = Some(op), dvs = newDvs, streams = base.streams)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
+  }
+
+  /** Commit ONE streaming-sink epoch (see [[KeyedStreamingWrite]]):
+    * under the write lock, an epoch at or below the query's recorded
+    * high-water mark is a NO-OP (exactly-once over replay — the ledger
+    * lives in the manifest, same atomic flip as the data); otherwise
+    * zombie-task leftovers are dropped (only files named by successful
+    * commit messages move in), the epoch is validated with the batch
+    * append contract (intra-epoch PK dups, overlap vs stored keys,
+    * CHECK constraints — all delta-bounded jobs), and the staged files
+    * commit additively with `streams(queryId) = epochId`. */
+  private[store] def commitStreamEpoch(spark: SparkSession, tblDir: String,
+                                       data: String, queryId: String,
+                                       epochId: Long, staging: String,
+                                       writerBuckets: Int,
+                                       allowedFiles: Set[String]): Unit = {
+    val f = fs(spark, tblDir)
+    val stagingPath = new Path(staging)
+    try {
+      WriteLock.withLock(spark, tblDir, "stream-sink") {
+        val meta = TableMeta.read(spark, tblDir)
+        val base = snapshotForWrite(spark, tblDir, data, meta)
+        val replayed = base.streams.get(queryId).exists(_ >= epochId)
+        if (!replayed && base.buckets != writerBuckets)
+          throw new ConcurrentWriteException(
+            s"stream sink epoch $epochId of $tblDir: table rebucketed " +
+            s"$writerBuckets -> ${base.buckets} mid-stream; epoch " +
+            "aborted (table unchanged) — restart the streaming query " +
+            "so its writers pick up the new layout")
+        // sweep staging: keep only successful tasks' files; collect the
+        // touched buckets from what actually staged
+        val touched: Seq[Int] =
+          if (replayed || !f.exists(stagingPath)) Nil
+          else f.listStatus(stagingPath).filter(_.isDirectory).toSeq.flatMap { d =>
+            val bName = d.getPath.getName
+            var live = 0
+            f.listStatus(d.getPath).foreach { st =>
+              val rel = s"$bName/${st.getPath.getName}"
+              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                  allowedFiles.contains(rel)) live += 1
+              else f.delete(st.getPath, false)
+            }
+            bName.stripPrefix(s"$BucketCol=").toIntOption.filter(_ => live > 0)
+          }
+        if (!replayed && touched.nonEmpty) {
+          val (wh, ref) = refOf(tblDir)
+          val withBucketField = StructType(meta.schema.fields :+
+            StructField(BucketCol, IntegerType, nullable = true))
+          val staged = spark.read.option("basePath", staging)
+            .schema(withBucketField).parquet(staging)
+          val dups = staged.groupBy(meta.pk.map(col): _*)
+            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+            .limit(5).select(meta.pk.map(col): _*).collect()
+          if (dups.nonEmpty)
+            throw new StoreException(
+              s"stream sink epoch $epochId: duplicate PKs within the " +
+              s"batch, e.g. ${dups.mkString(", ")} — deduplicate the " +
+              "stream (dropDuplicates on the PK) before the sink")
+          val old = readRawWith(spark, wh, ref, meta, manifestOf(base))
+            .filter(col(BucketCol).isin(touched: _*))
+          val overlap = staged.join(old, meta.pk.toIndexedSeq, "left_semi")
+            .limit(5).select(meta.pk.map(col): _*).collect()
+          if (overlap.nonEmpty)
+            throw new StoreException(
+              s"stream sink epoch $epochId would overwrite existing PKs, " +
+              s"e.g. ${overlap.mkString(", ")} (the sink appends; " +
+              "replays are handled by the epoch ledger, not upserts)")
+          enforceChecks(staged, meta.checks, "stream-sink")
+          // changelog: the epoch's rows as ONE insert-image batch,
+          // staged before the flip, renamed in only after it
+          val clCommit: Option[(Path, Path)] = if (meta.changelog) {
+            val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+            val images = nonPk.flatMap { c =>
+              Seq(lit(null).cast(meta.schema(c).dataType).as(s"old_$c"),
+                col(c).as(s"new_$c"))
+            }
+            Some(stageChangelogBatch(spark, tblDir, staged.select(
+              meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)))
+          } else None
+          try {
+            commitStaged(spark, f, tblDir, data, staging, touched,
+              "stream", base, base.buckets, meta, add = true,
+              streamEpoch = Some(queryId -> epochId))
+            clCommit.foreach { case (src, dst) =>
+              commitChangelogBatch(f, "stream", src, dst)
+            }
+          } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+        }
+        // replayed or empty epoch: nothing to commit — a replay
+        // re-stages the same rows and lands here again harmlessly
+      }
+    } finally f.delete(stagingPath, true): Unit
   }
 
   /** Shared Auto/CoW/MoR strategy decision for every row-mutating

@@ -214,7 +214,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema(), mf,
@@ -240,6 +240,16 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
+          /** The NATIVE streaming sink (`df.writeStream.table("graft.t")`):
+            * executors stage per-bucket parquet, the driver commits each
+            * epoch as one manifest flip carrying the (queryId → epoch)
+            * ledger — exactly-once over micro-batch replay. See
+            * [[KeyedStreamingWrite]]. */
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new KeyedStreamingWrite(meta, tableDir,
+              KeyedTable.dataDir(wh, tbl), info.queryId(), info.schema())
+
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {

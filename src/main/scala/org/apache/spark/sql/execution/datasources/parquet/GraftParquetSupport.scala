@@ -58,4 +58,23 @@ object GraftParquetSupport {
       sqlConf, broadcasted, dataSchema, readDataSchema, readPartitionSchema,
       filters, None, new ParquetOptions(Map.empty[String, String], sqlConf))
   }
+
+  /** The WRITE-side twin: an [[org.apache.spark.sql.execution.datasources.OutputWriterFactory]]
+    * (serializable) plus the prepared Hadoop configuration it needs on
+    * the executor — exactly what Spark's own parquet write path builds
+    * via `ParquetUtils.prepareWrite` (write-support class, schema,
+    * codec, committer flags). Graft's streaming SINK ships the conf
+    * broadcast and opens per-bucket writers with
+    * `factory.newInstance(path, schema, taskAttemptContext)`. */
+  def writerFactory(spark: SparkSession, dataSchema: StructType)
+      : (org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+         org.apache.hadoop.conf.Configuration) = {
+    val session = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val sqlConf = session.sessionState.conf
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      session.sessionState.newHadoopConf())
+    val factory = ParquetUtils.prepareWrite(sqlConf, job, dataSchema,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+    (factory, job.getConfiguration)
+  }
 }

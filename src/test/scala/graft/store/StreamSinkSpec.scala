@@ -1,0 +1,192 @@
+package graft.store
+
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** The keyed table as a NATIVE Structured Streaming SINK
+  * (`writeStream.table("graft.t")` → [[KeyedStreamingWrite]]):
+  * executor-staged per-bucket parquet, one manifest flip per epoch
+  * carrying the (queryId → epoch) ledger — exactly-once over replay,
+  * converging to the batch result. */
+class StreamSinkSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val catN = new AtomicLong(0)
+
+  /** Fresh catalog per test: Spark caches catalog INSTANCES by name. */
+  private def mkCatalog(): (String, String) = {
+    val wh = Files.createTempDirectory("graft-sink-wh-").toString
+    val cat = s"graft_sink${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    (cat, wh)
+  }
+
+  /** Stage `df` as one parquet file in a fresh dir and return a file
+    * stream over it (the arriving-backlog fixture). */
+  private def fileStream(df: DataFrame): DataFrame = {
+    val src = Files.createTempDirectory("graft-sink-src-").toString
+    df.coalesce(1).write.mode("overwrite").parquet(src)
+    spark.readStream.schema(df.schema).parquet(src)
+  }
+
+  private def drain(stream: DataFrame, cat: String, table: String): Unit = {
+    val ck = Files.createTempDirectory("graft-sink-ck-").toString
+    val q = stream.writeStream
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.$table")
+    q.awaitTermination()
+  }
+
+  test("writeStream.table drains a backlog and converges to the batch result") {
+    val (cat, wh) = mkCatalog()
+    val head = (1L to 40L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "g", "v")
+    KeyedTable.toSql(head, wh, "t", pk = Seq("k"), buckets = 4)
+    val tail = (41L to 200L).map(i => (i, s"v$i", i * 1.0)).toDF("k", "g", "v")
+    drain(fileStream(tail), cat, "t")
+    val got = KeyedTable.readSql(spark, wh, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == (1L to 200L).map(i => (i, s"v$i", i * 1.0)))
+    // the epoch ledger landed in the manifest, same flip as the data
+    val m = Manifest.current(spark, KeyedTable.tableDir(wh, "t")).get
+    assert(m.streams.size == 1 && m.op.contains("stream"))
+    // the DSv2 read and SPJ machinery see the streamed rows too
+    assert(KeyedTableSource.read(spark, wh, "t").count() == 200L)
+  }
+
+  test("replayed epochs are no-ops: the ledger makes the sink exactly-once") {
+    val (_, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((1L, 1.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 2)
+    val dir = KeyedTable.tableDir(wh, "t")
+    val meta = TableMeta.read(spark, dir)
+    def stageEpoch(epoch: Long, rows: Seq[(Long, Double)]): (String, Set[String]) = {
+      val staging = s"$dir/.staging-stream-q1/epoch=$epoch"
+      rows.toDF("k", "v")
+        .withColumn(KeyedTable.BucketCol,
+          pmod(xxhash64(col("k")), lit(2L)).cast("int"))
+        .write.partitionBy(KeyedTable.BucketCol).parquet(staging)
+      val p = new org.apache.hadoop.fs.Path(staging)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(p).filter(_.isDirectory).flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => s"${d.getPath.getName}/${st.getPath.getName}")
+      }.toSet
+      (staging, files)
+    }
+    val (s0, f0) = stageEpoch(0L, Seq((2L, 2.0), (3L, 3.0)))
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "q1", 0L, s0, 2, f0)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 3L)
+    val v1 = Manifest.current(spark, dir).get.version
+    // REPLAY the same epoch (restart semantics): rows already committed
+    // must not land twice, no new snapshot, staging swept
+    val (s0b, f0b) = stageEpoch(0L, Seq((2L, 2.0), (3L, 3.0)))
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "q1", 0L, s0b, 2, f0b)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 3L)
+    assert(Manifest.current(spark, dir).get.version == v1)
+    assert(!new java.io.File(s0b).exists(), "replayed staging must be swept")
+    // the NEXT epoch still lands
+    val (s1, f1) = stageEpoch(1L, Seq((4L, 4.0)))
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "q1", 1L, s1, 2, f1)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 4L)
+    assert(Manifest.current(spark, dir).get.streams == Map("q1" -> 1L))
+  }
+
+  test("zombie-task leftovers never reach the table") {
+    val (_, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((1L, 1.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 2)
+    val dir = KeyedTable.tableDir(wh, "t")
+    val staging = s"$dir/.staging-stream-q2/epoch=0"
+    Seq((2L, 2.0)).toDF("k", "v")
+      .withColumn(KeyedTable.BucketCol,
+        pmod(xxhash64(col("k")), lit(2L)).cast("int"))
+      .write.partitionBy(KeyedTable.BucketCol).parquet(staging)
+    val p = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = fs.listStatus(p).filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (d.getPath.getName, st.getPath))
+    }
+    assert(all.nonEmpty)
+    // a zombie task's partial file sits next to the good one — it is
+    // NOT in any commit message, so commit must drop it
+    val (bDir, good) = all.head
+    val zombie = new org.apache.hadoop.fs.Path(good.getParent, "part-zombie.parquet")
+    val out = fs.create(zombie, false)
+    out.write(Array[Byte](1, 2, 3)); out.close()
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "q2", 0L, staging, 2, Set(s"$bDir/${good.getName}"))
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 2L)
+    val m = Manifest.current(spark, dir).get
+    assert(!m.files.valuesIterator.flatten.exists(_.name.contains("zombie")))
+  }
+
+  test("append contract holds per epoch: PK overlap fails the epoch, table unchanged") {
+    val (_, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 2)
+    val dir = KeyedTable.tableDir(wh, "t")
+    val staging = s"$dir/.staging-stream-q3/epoch=0"
+    Seq((2L, 99.0), (3L, 3.0)).toDF("k", "v")
+      .withColumn(KeyedTable.BucketCol,
+        pmod(xxhash64(col("k")), lit(2L)).cast("int"))
+      .write.partitionBy(KeyedTable.BucketCol).parquet(staging)
+    val p = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => s"${d.getPath.getName}/${st.getPath.getName}")
+    }.toSet
+    val v0 = Manifest.current(spark, dir).get.version
+    val e = intercept[StoreException] {
+      KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+        "q3", 0L, staging, 2, files)
+    }
+    assert(e.getMessage.contains("overwrite existing PKs"))
+    assert(Manifest.current(spark, dir).get.version == v0)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 2L)
+  }
+
+  test("CDC: a changelog-enabled table logs each epoch as insert images") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((1L, 10.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 2)
+    KeyedTable.setChangelog(spark, wh, "t", enabled = true)
+    drain(fileStream(Seq((2L, 20.0), (3L, 30.0)).toDF("k", "v")), cat, "t")
+    val log = KeyedTable.readChangelog(spark, wh, "t")
+      .select("k", "op", "new_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1)
+    assert(log.toSeq == Seq((2L, "insert", 20.0), (3L, "insert", 30.0)))
+  }
+
+  test("streaming write into an auto-index table is refused loudly") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql(Seq(("a", 1.0)).toDF("g", "v"), wh, "t",
+      autoIndex = true)
+    val e = intercept[Exception] {
+      drain(fileStream(Seq(("b", 2.0)).toDF("g", "v")), cat, "t")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).flatMap(c => Option(c.getMessage)).mkString
+        .contains("auto-index"))
+  }
+}
