@@ -896,6 +896,49 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11au (`pb_wap_cdc`): write-audit-publish COMPOSES with
+    * table-property CDC — the branch stages an update (%23 doubled
+    * balance), a delete (%29), and an append (%97 shifted) in
+    * isolation; `fastForward` publishes them as one snapshot flip AND
+    * synthesizes the exact row-image batch the flip represents into the
+    * base's changelog. The proof is the CDC consumer: a derived
+    * aggregate snapshotted BEFORE the branch work, folded forward with
+    * ONLY the publish's images, equals the oracle's recompute from the
+    * final state. */
+  def wapCdcQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    graft.store.KeyedTable.setChangelog(spark, wh, "customer", enabled = true)
+    // the derived aggregate at the pre-publish horizon
+    val derived = s"$wh/derived_by_segment"
+    KeyedTable.readSql(spark, wh, "customer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).as("total"))
+      .write.parquet(derived)
+    // WAP cycle: fork → stage three mutations on the branch → publish
+    graft.store.Branches.create(spark, wh, "customer", "stage")
+    KeyedTable.update(spark, wh, "customer@stage",
+      col("c_custkey") % 23 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") * 2)))
+    graft.store.KeyedTable.delete(spark, wh, "customer@stage",
+      col("c_custkey") % 29 === 0)
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 30000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      wh, "customer@stage", pk = Seq("c_custkey"), how = WriteMode.Append)
+    graft.store.Branches.fastForward(spark, wh, "customer", "stage")
+    // fold the PUBLISH's image batch into the derived aggregate — the
+    // changelog consumer lands on the published state
+    val log = graft.store.KeyedTable.readChangelog(spark, wh, "customer")
+    graft.operators.CdcConsumer.applyGroupedAgg(
+      spark.read.parquet(derived), log,
+      "c_mktsegment", "n_rows", "total", "c_acctbal")
+      .select(col("c_mktsegment"), col("n_rows"),
+        round(col("total"), 2).cast("double").as("total"))
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1404,6 +1447,7 @@ object PbQueries {
     "pb_update" -> updateQ,
     "pb_update_mor" -> updateMorQ,
     "pb_stream_sink" -> streamSinkQ,
+    "pb_wap_cdc" -> wapCdcQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1577,6 +1621,21 @@ object PbQueries {
     // the sink converges to the full table: head (batch create) + tail
     // (streamed backlog) = every customer row exactly once
     "pb_stream_sink" -> "SELECT * FROM customer",
+    // the publish-synthesized image batch, folded into the pre-publish
+    // aggregate, equals the recompute from the published state:
+    // deletes (%29) win over updates (%23 doubled), %97 shifted inserts
+    "pb_wap_cdc" -> """
+      WITH eff AS (
+        SELECT c_mktsegment,
+               CASE WHEN c_custkey % 23 = 0 THEN c_acctbal * 2
+                    ELSE c_acctbal END AS bal
+        FROM customer WHERE c_custkey % 29 <> 0
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal FROM customer WHERE c_custkey % 97 = 0)
+      SELECT c_mktsegment, count(*) AS n_rows,
+             round(sum(CAST(bal AS DECIMAL(18,6))), 2)::DOUBLE AS total
+      FROM eff GROUP BY c_mktsegment
+    """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,
              CASE WHEN c_custkey % 31 = 0

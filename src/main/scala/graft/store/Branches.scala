@@ -37,10 +37,13 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *    (whose liveness set spans base + every branch) reaps them after
   *    the age bound.
   *
-  * CDC restriction: fastForward refuses when either ref maintains a
-  * changelog — a publish is one wholesale snapshot flip and writes no
-  * row images, which would silently violate the every-mutation-logs-a-
-  * batch invariant downstream log consumers depend on.
+  * CDC composes with WAP: a publish on a changelog-maintained table
+  * SYNTHESIZES the exact row-image batch its snapshot flip represents
+  * (one manifest-pruned diff of fork-point vs branch head over the
+  * shared data dir — [[KeyedTable.stageWapImages]]) and commits it to
+  * the base's changelog after the flip, so the every-mutation-logs-a-
+  * batch invariant holds across publishes. Only a schema-evolved
+  * branch refuses (its images would change the log's column set).
   */
 object Branches {
 
@@ -225,12 +228,16 @@ object Branches {
         val fk = readFork(spark, brDir)
         val baseMeta = TableMeta.read(spark, baseDir)
         val brMeta = TableMeta.read(spark, brDir)
-        if (baseMeta.changelog || brMeta.changelog)
+        // CDC composes with WAP: the publish SYNTHESIZES the exact
+        // row-image batch its flip represents (below). Only the
+        // schema-evolved case stays refused — its images would change
+        // the changelog's column set mid-log.
+        val cdc = baseMeta.changelog || brMeta.changelog
+        if (cdc && baseMeta.schema.json != brMeta.schema.json)
           throw new StoreException(
-            "fastForward on a changelog-maintained table is not " +
-            "supported: a snapshot flip writes no row images, which " +
-            "would break the every-mutation-logs-a-batch invariant; " +
-            "apply the branch with merge/readIncremental instead")
+            "fastForward with CDC across a schema change is not " +
+            "supported (the image batch would change the changelog's " +
+            "column set mid-log); apply the branch with merge instead")
         val baseHead = Manifest.current(spark, baseDir).getOrElse(
           throw new StoreException(s"$tableName has no manifest snapshot"))
         if (baseHead.version != fk.baseVersion)
@@ -250,21 +257,41 @@ object Branches {
         // version comparison — see Fork.publishedBranchVersion)
         if (brHead.version == fk.publishedBranchVersion) baseHead.version
         else {
-          // crash ordering: manifest commit FIRST (the flip IS the
-          // publish — readers resolve the new file set atomically),
-          // meta second (a crash between the two leaves the base
-          // readable under its pre-publish schema: parquet columns the
-          // old schema lacks are simply not projected), fork record
-          // last (a crash before it makes the NEXT publish fail the
-          // divergence check — the safe failure: re-fork, never a
-          // double-publish or a torn base)
-          val published = Manifest.commit(spark, baseDir, brHead.copy(
-            version = baseHead.version + 1,
-            op = Some("fastForward"), tsMs = None))
-          TableMeta.write(spark, baseDir, brMeta)
-          writeFork(spark, brDir,
-            Fork(published.version, brMeta.toJson, brHead.version))
-          published.version
+          // CDC: synthesize the publish's image batch BEFORE the flip
+          // (the pre-image reads the from-snapshot's files, which the
+          // flip doesn't disturb, but staging-before-commit is the
+          // ordering every mutation uses). `from` is the branch-chain
+          // snapshot the base currently equals — the fork guard above
+          // proved the base never moved — so the diff runs entirely in
+          // the branch chain over the SHARED data dir.
+          val f = new Path(baseDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val clCommit: Option[(Path, Path)] =
+            if (!cdc) None
+            else Some(KeyedTable.stageWapImages(spark, wh,
+              baseOnly(tableName), baseDir, brMeta,
+              Manifest.at(spark, brDir, fk.publishedBranchVersion), brHead))
+          try {
+            // crash ordering: manifest commit FIRST (the flip IS the
+            // publish — readers resolve the new file set atomically),
+            // meta second (a crash between the two leaves the base
+            // readable under its pre-publish schema: parquet columns the
+            // old schema lacks are simply not projected), fork record
+            // last (a crash before it makes the NEXT publish fail the
+            // divergence check — the safe failure: re-fork, never a
+            // double-publish or a torn base), changelog batch rename
+            // after everything (a torn publish leaves no phantom batch)
+            val published = Manifest.commit(spark, baseDir, brHead.copy(
+              version = baseHead.version + 1,
+              op = Some("fastForward"), tsMs = None))
+            TableMeta.write(spark, baseDir, brMeta)
+            writeFork(spark, brDir,
+              Fork(published.version, brMeta.toJson, brHead.version))
+            clCommit.foreach { case (src, dst) =>
+              KeyedTable.commitChangelogBatchRef(f, "fastForward", src, dst)
+            }
+            published.version
+          } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
         }
       }
     }

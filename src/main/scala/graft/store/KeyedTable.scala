@@ -2773,6 +2773,66 @@ object KeyedTable {
       "ts_ms")
   }
 
+  /** Synthesize the row-image batch a branch PUBLISH represents — the
+    * exact diff between the base's current content (`from`: the
+    * branch-chain snapshot the last fork/publish synchronized to, which
+    * by the fast-forward divergence guard IS the base's live state) and
+    * the branch head (`to`) — and stage it into the BASE's changelog
+    * (commit only AFTER the publish flip, via
+    * [[commitChangelogBatchRef]]). Both manifests resolve against the
+    * SHARED base data dir, so this is the restoreSnapshot image recipe
+    * applied across the WAP boundary: bucket-pruned by manifest
+    * arithmetic, one full-outer join over only the changed buckets.
+    * This is what lets write-audit-publish and table-property CDC
+    * compose: the publish logs the same images the branch's mutations
+    * would have logged applied directly. */
+  private[store] def stageWapImages(spark: SparkSession, warehouse: String,
+                                    baseTable: String, dir: String,
+                                    meta: TableMeta, from: Manifest,
+                                    to: Manifest): (Path, Path) = {
+    val changed: Set[Int] =
+      (from.files.keySet ++ to.files.keySet).filter { b =>
+        from.files.getOrElse(b, Nil).map(_.name).toSet !=
+          to.files.getOrElse(b, Nil).map(_.name).toSet ||
+        from.dvs.getOrElse(b, Nil).map(_.name).toSet !=
+          to.dvs.getOrElse(b, Nil).map(_.name).toSet
+      }
+    val restrict = (m: Manifest) =>
+      m.copy(files = m.files.view.filterKeys(changed).toMap,
+        dvs = m.dvs.view.filterKeys(changed).toMap)
+    val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+    val o = readRawWith(spark, warehouse, baseTable, meta,
+      Some(restrict(from))).drop(BucketCol)
+      .withColumn("_o", lit(true)).as("o")
+    val n = readRawWith(spark, warehouse, baseTable, meta,
+      Some(restrict(to))).drop(BucketCol)
+      .withColumn("_n", lit(true)).as("n")
+    val joined = o.join(n,
+      meta.pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _),
+      "full_outer")
+    val changedCond = nonPk
+      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val images = nonPk.flatMap { c =>
+      Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
+    }
+    val op = when(col("o._o").isNull, lit("insert"))
+      .when(col("n._n").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    val changes = joined
+      .filter(col("o._o").isNull || col("n._n").isNull || changedCond)
+      .select(meta.pk.map(c =>
+        coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++
+        (op.as("op") +: images): _*)
+    stageChangelogBatch(spark, dir, changes)
+  }
+
+  /** [[commitChangelogBatch]] for same-package callers (Branches'
+    * publish commits its synthesized batch after the manifest flip). */
+  private[store] def commitChangelogBatchRef(f: FileSystem, op: String,
+                                             src: Path, dst: Path): Unit =
+    commitChangelogBatch(f, op, src, dst)
+
   /** Tag a snapshot version under a stable name (see [[Tags]]): the
     * snapshot — and every data file it references — then survives
     * [[vacuum]] until [[dropTag]] releases it, and reads resolve it via

@@ -204,13 +204,59 @@ class BranchSpec extends SparkSpec {
     intercept[StoreException](
       Branches.create(spark, wh, t, "Bad Name!"))
     intercept[StoreException](Branches.drop(spark, wh, t, "missing"))
-    // CDC tables refuse fast-forward (a flip writes no row images)
+    // CDC publish across a SCHEMA CHANGE stays refused (the image
+    // batch would change the changelog's column set mid-log)
     KeyedTable.toSql(df((2L, "b", 2.0)), wh, t, pk = Seq("id"),
       how = WriteMode.Upsert, changelog = true)
     Branches.create(spark, wh, t, "cdc")
+    KeyedTable.addColumns(spark, wh, s"$t@cdc",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.DoubleType))))
+    KeyedTable.toSql(df((9L, "z", 9.0)), wh, s"$t@cdc",
+      pk = Seq("id"), how = WriteMode.Upsert)
     val e2 = intercept[StoreException](
       Branches.fastForward(spark, wh, t, "cdc"))
-    assert(e2.getMessage.contains("changelog"), e2.getMessage)
+    assert(e2.getMessage.contains("schema change"), e2.getMessage)
+  }
+
+  test("WAP + CDC: a publish logs the exact image batch its flip represents") {
+    val t = "br_wap_cdc"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)),
+      wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.setChangelog(spark, wh, t, enabled = true)
+    Branches.create(spark, wh, t, "stage")
+    // mutate the BRANCH: update id=2, delete id=3, insert id=4 — three
+    // commits on the branch become ONE image batch at publish
+    KeyedTable.toSql(df((2L, "B", 20.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Upsert)
+    KeyedTable.delete(spark, wh, s"$t@stage",
+      org.apache.spark.sql.functions.col("id") === 3L)
+    KeyedTable.toSql(df((4L, "d", 4.0)), wh, s"$t@stage",
+      pk = Seq("id"), how = WriteMode.Append)
+    Branches.fastForward(spark, wh, t, "stage")
+    // the base's state is the branch head
+    assert(ids(t) == Seq(1L, 2L, 4L))
+    // and the base's changelog carries exactly the publish's images —
+    // the folding consumer lands on the published state
+    val log = KeyedTable.readChangelog(spark, wh, t)
+      .select("id", "op", "old_v", "new_v").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1).toSeq
+    assert(log == Seq(
+      (2L, "update", 2.0, 20.0),
+      (3L, "delete", 3.0, -1.0),
+      (4L, "insert", -1.0, 4.0)), log.toString)
+    // a second WAP cycle on the same branch keeps logging
+    KeyedTable.delete(spark, wh, s"$t@stage",
+      org.apache.spark.sql.functions.col("id") === 1L)
+    Branches.fastForward(spark, wh, t, "stage")
+    assert(ids(t) == Seq(2L, 4L))
+    val ops = KeyedTable.readChangelog(spark, wh, t)
+      .select("id", "op", "batch").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(ops.contains((1L, "delete")))
   }
 
   test("SQL DML on a branch ref mutates the BRANCH, never the base") {
