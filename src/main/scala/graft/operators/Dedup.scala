@@ -800,10 +800,31 @@ object Dedup {
     * the candidate shuffle; vectors are re-joined narrowly for the
     * verify scoring. At larger corpus sizes raise `planes`
     * (bucket occupancy ~ n/2^planes per table).
-    */
+    *
+    * Two skew dials bound the LSH path (the [[cappedBandPairs]] move,
+    * extended to multi-probe; both off on the exact path):
+    *  - `maxBucket`: within each (table, signature) bucket only the
+    *    `maxBucket` lowest-id "core" members join as the build side —
+    *    a probe meets ≤ maxBucket rows per bucket, so candidate volume
+    *    is O(n · tables · probes · maxBucket), LINEAR however hard a
+    *    crawl duplicates one document — and every overflow member
+    *    still emits one star edge to its bucket's min-id hub, so a
+    *    duplicate-skew clique stays one connected component (exact
+    *    under duplicate-skew overflow; best-effort for pairs between
+    *    overflow members of a chance-collision bucket — the
+    *    cappedBandPairs contract).
+    *  - `maxPairsPerId`: a per-doc OUTPUT budget — each id_a keeps its
+    *    `maxPairsPerId` strongest pairs (cos desc, id_b asc) through
+    *    the bounded-heap top-k aggregate (≤ budget rows per id cross
+    *    the exchange, map-side partials — never a global sort). For
+    *    dedup decisions the strongest matches are the answer; a doc
+    *    with 10⁴ near-copies does not need 10⁴ listed pairs. Requires
+    *    a numeric id column. Int.MaxValue = uncapped. */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, exact: Boolean = false,
-                     planes: Int = 8, tables: Int = 4): DataFrame = {
+                     planes: Int = 8, tables: Int = 4,
+                     maxBucket: Int = 1024,
+                     maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions._
     // norm precomputed once per ROW, not once per PAIR — the pair-level
     // work is a single dot-product fold (3× less lambda work in the join)
@@ -824,20 +845,36 @@ object Dedup {
           col("a.vec").as("vec_a"), col("b.vec").as("vec_b"),
           col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b")))
     } else {
+      import org.apache.spark.sql.expressions.Window
       val sigs = v.select(col("id"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneLshSignature(col("vec"), planes, t)): _*)).as(Seq("t", "sig")))
+      // bucket cap: rank members per (table, signature); probes join
+      // only the CORE (lowest maxBucket ids), overflow members emit one
+      // star edge to the bucket hub — candidate volume stays linear
+      // under duplicate skew (contract in the scaladoc above)
+      val ranked = sigs.withColumn("_r", row_number().over(
+        Window.partitionBy(col("t"), col("sig")).orderBy(col("id"))))
+      val core = ranked.filter(col("_r") <= maxBucket).drop("_r")
       val masks = 0L +: (0 until planes).map(p => 1L << p)
       val probes = sigs.select(col("id"), col("t"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("psig"))
-      val cand = probes.as("a").join(sigs.as("b"),
+      val cand0 = probes.as("a").join(core.as("b"),
           col("a.t") === col("b.t") && col("a.psig") === col("b.sig") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
-      score(cand
+      val stars = ranked.filter(col("_r") > maxBucket)
+        .select(col("t"), col("sig"), col("id").as("id_b"))
+        .join(ranked.filter(col("_r") === 1)
+          .select(col("t"), col("sig"), col("id").as("id_a")), Seq("t", "sig"))
+        .select(col("id_a"), col("id_b")) // hub id < member id by rank order
+      val cand = cand0.unionByName(stars).dropDuplicates("id_a", "id_b")
+      val scored = score(cand
         .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), "id_a")
         .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b"))
+      if (maxPairsPerId == Int.MaxValue) scored
+      else Knn.topKByScore(scored, Seq("id_a"), "cos", "id_b", maxPairsPerId)
+        .select(col("id_a"), col("id_b"), col("cos"))
     }
   }
 
@@ -853,11 +890,23 @@ object Dedup {
     *
     * At 100 TB the seen side's signatures are a stored index (tables ×
     * 8 bytes per vector); a daily delta joins its probes against that
-    * index, so incremental cost scales with |delta|, not |corpus|. */
+    * index, so incremental cost scales with |delta|, not |corpus|.
+    *
+    * `maxBucket` caps the SEEN side per (table, signature) bucket at
+    * its lowest-id members (the [[capSeenBuckets]] move): one incoming
+    * vector probing a viral-duplicate bucket meets ≤ maxBucket
+    * reference rows per probe instead of every copy — candidate volume
+    * O(|delta| · tables · probes · maxBucket). A bucket only overflows
+    * under duplicate skew, and then its kept members represent the
+    * duplicate for the verify; the incoming side is never capped. The
+    * best-match fold is the bounded-heap top-1 aggregate (map-side
+    * partials, ≤ 1 row per incoming id through the exchange — never a
+    * global window sort over the candidate product). */
   def incrementalEmbeddingLsh(incoming: DataFrame, seen: DataFrame,
                               idCol: String, vecCol: String,
                               threshold: Double,
-                              planes: Int = 8, tables: Int = 4): DataFrame = {
+                              planes: Int = 8, tables: Int = 4,
+                              maxBucket: Int = 1024): DataFrame = {
     import graft.functions.VectorFunctions._
     def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm2(col(vecCol)).as("nrm"))
@@ -871,7 +920,12 @@ object Dedup {
       explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("psig"))
     val seenSigs = sigsOf(sn)
       .withColumnsRenamed(Map("id" -> "id_seen", "t" -> "st", "sig" -> "ssig"))
-    val cand = probes.join(seenSigs,
+    // seen-side bucket cap: lowest-id members represent a duplicate-
+    // skew bucket (contract in the scaladoc)
+    val cappedSeen = seenSigs.withColumn("_r", row_number().over(
+        Window.partitionBy(col("st"), col("ssig")).orderBy(col("id_seen"))))
+      .filter(col("_r") <= maxBucket).drop("_r")
+    val cand = probes.join(cappedSeen,
         col("t") === col("st") && col("psig") === col("ssig"))
       .select(col("id").as("id_new"), col("id_seen"))
       .dropDuplicates("id_new", "id_seen")
@@ -884,8 +938,9 @@ object Dedup {
         graft.functions.Rounding.portableRound(dot(col("vec_a"), col("vec_b")) / (col("nrm_a") * col("nrm_b")), 4)
           .as("cos"))
       .filter(col("cos") >= threshold)
-    val w = Window.partitionBy(col("id_new")).orderBy(col("cos").desc, col("id_seen"))
-    val best = scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    // best match per incoming via the bounded-heap top-1 (cos desc,
+    // id_seen asc) — the window-sort-free form of row_number = 1
+    val best = Knn.topKByScore(scored, Seq("id_new"), "cos", "id_seen", 1)
     in.select(col("id"))
       .join(best.select(col("id_new"), col("id_seen").as("matched_id"), col("cos")),
         col("id") === col("id_new"), "left")

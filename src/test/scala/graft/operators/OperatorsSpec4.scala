@@ -243,4 +243,44 @@ class OperatorsSpec4 extends SparkSpec {
         .as[(String, Double, Long, Double)].collect().toSeq
     assert(run(e) == run(e.repartition(17)))
   }
+
+  test("embedding LSH caps: duplicate skew stays linear and connected") {
+    import spark.implicits._
+    // a crawl-duplicate clique: 120 near-identical vectors (one base
+    // direction, id-scaled magnitude so cosine = 1.0 across the clique)
+    // plus a handful of distinct directions
+    val dim = 8
+    val clique = (1L to 120L).map { i =>
+      (i, Array.tabulate(dim)(j => ((j + 1) * (1.0f + i * 1e-6f))))
+    }
+    val distinct = (200L to 205L).map { i =>
+      (i, Array.tabulate(dim)(j => if (j == (i % dim).toInt) 1.0f else 0.01f))
+    }
+    val df = (clique ++ distinct).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "vec_id", "embedding",
+      threshold = 0.9, exact = false, planes = 4, tables = 2,
+      maxBucket = 8, maxPairsPerId = 6)
+    val rows = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // output budget: at most 6 pairs per id_a
+    val perId = rows.groupBy(_._1).view.mapValues(_.size)
+    assert(perId.values.forall(_ <= 6), s"budget violated: $perId")
+    // linear, not quadratic: 120 clique members × budget bounds the
+    // output far below the 7140-pair uncapped clique
+    assert(rows.length <= 126 * 6)
+    // star edges keep the clique ONE connected component
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+      .filter(col("id") <= 120L)
+      .select("cluster_id").distinct().count()
+    assert(comp == 1L, "duplicate-skew clique must stay one component")
+    // and the capped form agrees with exact on a NON-skewed corpus
+    val small = distinct.toDF("vec_id", "embedding")
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(norm(Dedup.embeddingPairs(small, "vec_id", "embedding",
+        threshold = 0.35, exact = false, planes = 4, tables = 2,
+        maxBucket = 8, maxPairsPerId = 6)).subsetOf(
+      norm(Dedup.embeddingPairs(small, "vec_id", "embedding",
+        threshold = 0.35, exact = true))))
+  }
 }
