@@ -896,6 +896,60 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  private val usinkN = new java.util.concurrent.atomic.AtomicLong()
+
+  /** #11av (`pb_stream_upsert_sink`): the native sink in UPSERT mode —
+    * `windowedAgg(stream).writeStream.outputMode(Update)
+    * .option("sink_mode","upsert").toTable(...)`, NO foreachBatch:
+    * each epoch updates by PK through the merge-on-read decomposition
+    * (matched positions tombstone, the epoch's rows append as
+    * post-images — epoch cost ∝ |epoch|). The table is pre-seeded with
+    * BOGUS partial rows (n_events = −1) that the update stream must
+    * overwrite; convergence to the batch aggregate is the oracle. */
+  def streamUpsertSinkQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_usink${usinkN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val events = Tables.events(spark, sfDir)
+    // seed: one event type's windows with poisoned counts — proof the
+    // upsert epochs REPLACE matched keys rather than appending
+    val firstType = events.select(min(col("event_type"))).head().getString(0)
+    val seed = graft.streaming.StreamingIngest
+      .windowedAgg(events.filter(col("event_type") === firstType))
+      .withColumn("n_events", lit(-1L))
+    KeyedTable.toSql(seed, wh, "win_agg", pk = Seq("win_key"))
+    // the stream: same file-backlog fixture as stream_upsert
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val srcDir = java.nio.file.Paths.get(graft.TempDirs.tempDir("graft-usink-src-"))
+    java.nio.file.Files.createSymbolicLink(
+      srcDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val sch = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(sch).parquet(srcDir.toString))
+    val ck = graft.TempDirs.tempDir("graft-usink-ck-")
+    graft.streaming.StreamingIngest.windowedAgg(stream)
+      .writeStream
+      .outputMode("update")
+      .option("checkpointLocation", ck)
+      .option("sink_mode", "upsert")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable(s"$cat.win_agg")
+      .awaitTermination()
+    val m = graft.store.Manifest.current(spark,
+      graft.store.KeyedTable.tableDir(wh, "win_agg")).get
+    require(m.streams.nonEmpty,
+      "the upsert sink must commit through the manifest epoch ledger")
+    val out = KeyedTable.readSql(spark, wh, "win_agg")
+      .select(col("win_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+    require(out.filter(col("n_events") < 0).isEmpty,
+      "poisoned seed rows must be overwritten by the update stream")
+    out
+  }
+
   /** #11au (`pb_wap_cdc`): write-audit-publish COMPOSES with
     * table-property CDC — the branch stages an update (%23 doubled
     * balance), a delete (%29), and an append (%97 shifted) in
@@ -1447,6 +1501,7 @@ object PbQueries {
     "pb_update" -> updateQ,
     "pb_update_mor" -> updateMorQ,
     "pb_stream_sink" -> streamSinkQ,
+    "pb_stream_upsert_sink" -> streamUpsertSinkQ,
     "pb_wap_cdc" -> wapCdcQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
@@ -1621,6 +1676,16 @@ object PbQueries {
     // the sink converges to the full table: head (batch create) + tail
     // (streamed backlog) = every customer row exactly once
     "pb_stream_sink" -> "SELECT * FROM customer",
+    // update-mode epochs converge to the batch windowed aggregate and
+    // overwrite the poisoned seed rows — identical oracle to
+    // stream_upsert, now through the NATIVE sink (no foreachBatch)
+    "pb_stream_upsert_sink" -> """
+      SELECT date_trunc('hour', ts) AS win_start, event_type,
+             count(*) AS n_events,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2)::DOUBLE AS sum_value
+      FROM events
+      GROUP BY 1, 2
+    """.trim,
     // the publish-synthesized image batch, folded into the pre-publish
     // aggregate, equals the recompute from the published state:
     // deletes (%29) win over updates (%23 doubled), %97 shifted inserts

@@ -38,9 +38,21 @@ import org.apache.spark.util.SerializableConfiguration
   * PKs and overlap with stored keys fail the epoch (delta-bounded
   * jobs), CHECK constraints are enforced, and a changelog-enabled
   * table logs the epoch's rows as one `insert` image batch. */
+/** `upsertMode` (write option `sink_mode=upsert`): each epoch UPSERTS
+  * by PK via the merge-on-read decomposition — matched stored rows'
+  * positions tombstone, the epoch's staged files are their post-images
+  * — which is what `outputMode(Update)` windowed aggregates and CDC
+  * folds need from a native sink (the builder's
+  * SupportsStreamingUpdateAsAppend marker admits Update mode; changed
+  * rows then arrive as appends and upsert into place). After each
+  * upsert epoch the auto-compaction policy runs (manifest arithmetic —
+  * a no-op until a bucket breaches the file-count or delete-fraction
+  * bound), so a long-running update stream cannot accumulate DVs or
+  * small files without bound. */
 private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
                                          dataDir: String, queryId: String,
-                                         inputSchema: StructType)
+                                         inputSchema: StructType,
+                                         upsertMode: Boolean = false)
     extends StreamingWrite {
 
   if (meta.autoIndex)
@@ -86,7 +98,15 @@ private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
       case m: KeyedStreamCommitMessage => m.files
     }.flatten.toSet
     KeyedTable.commitStreamEpoch(SparkSession.active, tableDir, dataDir,
-      queryId, epochId, s"$stagingRoot/epoch=$epochId", buckets, files)
+      queryId, epochId, s"$stagingRoot/epoch=$epochId", buckets, files,
+      upsertMode = upsertMode)
+    if (upsertMode) {
+      // maintenance rides the stream: a no-op (one manifest read) until
+      // a bucket actually breaches the layout/delete-fraction bounds
+      val (wh, ref) = KeyedTable.refOf(tableDir)
+      KeyedTable.compactIfNeeded(SparkSession.active, wh, ref,
+        maxFilesPerBucket = 16): Unit
+    }
   }
 
   override def abort(epochId: Long,

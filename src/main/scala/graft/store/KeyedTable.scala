@@ -840,11 +840,19 @@ object KeyedTable {
     * append contract (intra-epoch PK dups, overlap vs stored keys,
     * CHECK constraints — all delta-bounded jobs), and the staged files
     * commit additively with `streams(queryId) = epochId`. */
+  /** `upsertMode` (sink option `sink_mode=upsert`): instead of the
+    * append contract, the epoch UPSERTS by PK — matched stored rows'
+    * positions tombstone via delete vectors and the staged files land
+    * as their post-images (the merge-on-read decomposition, so every
+    * epoch writes ∝ |epoch| bytes however large the table). The shape
+    * `outputMode(Update)` windowed aggregates and CDC folds need from
+    * a native sink; replays stay no-ops through the same ledger. */
   private[store] def commitStreamEpoch(spark: SparkSession, tblDir: String,
                                        data: String, queryId: String,
                                        epochId: Long, staging: String,
                                        writerBuckets: Int,
-                                       allowedFiles: Set[String]): Unit = {
+                                       allowedFiles: Set[String],
+                                       upsertMode: Boolean = false): Unit = {
     val f = fs(spark, tblDir)
     val stagingPath = new Path(staging)
     try {
@@ -887,35 +895,82 @@ object KeyedTable {
               s"stream sink epoch $epochId: duplicate PKs within the " +
               s"batch, e.g. ${dups.mkString(", ")} — deduplicate the " +
               "stream (dropDuplicates on the PK) before the sink")
-          val old = readRawWith(spark, wh, ref, meta, manifestOf(base))
-            .filter(col(BucketCol).isin(touched: _*))
-          val overlap = staged.join(old, meta.pk.toIndexedSeq, "left_semi")
-            .limit(5).select(meta.pk.map(col): _*).collect()
-          if (overlap.nonEmpty)
-            throw new StoreException(
-              s"stream sink epoch $epochId would overwrite existing PKs, " +
-              s"e.g. ${overlap.mkString(", ")} (the sink appends; " +
-              "replays are handled by the epoch ledger, not upserts)")
           enforceChecks(staged, meta.checks, "stream-sink")
-          // changelog: the epoch's rows as ONE insert-image batch,
-          // staged before the flip, renamed in only after it
-          val clCommit: Option[(Path, Path)] = if (meta.changelog) {
-            val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
-            val images = nonPk.flatMap { c =>
-              Seq(lit(null).cast(meta.schema(c).dataType).as(s"old_$c"),
-                col(c).as(s"new_$c"))
+          val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+          if (!upsertMode) {
+            val old = readRawWith(spark, wh, ref, meta, manifestOf(base))
+              .filter(col(BucketCol).isin(touched: _*))
+            val overlap = staged.join(old, meta.pk.toIndexedSeq, "left_semi")
+              .limit(5).select(meta.pk.map(col): _*).collect()
+            if (overlap.nonEmpty)
+              throw new StoreException(
+                s"stream sink epoch $epochId would overwrite existing PKs, " +
+                s"e.g. ${overlap.mkString(", ")} (the sink appends; " +
+                "replays are handled by the epoch ledger, not upserts — " +
+                "for update-by-key semantics set option sink_mode=upsert)")
+            // changelog: the epoch's rows as ONE insert-image batch,
+            // staged before the flip, renamed in only after it
+            val clCommit: Option[(Path, Path)] = if (meta.changelog) {
+              val images = nonPk.flatMap { c =>
+                Seq(lit(null).cast(meta.schema(c).dataType).as(s"old_$c"),
+                  col(c).as(s"new_$c"))
+              }
+              Some(stageChangelogBatch(spark, tblDir, staged.select(
+                meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)))
+            } else None
+            try {
+              commitStaged(spark, f, tblDir, data, staging, touched,
+                "stream", base, base.buckets, meta, add = true,
+                streamEpoch = Some(queryId -> epochId))
+              clCommit.foreach { case (src, dst) =>
+                commitChangelogBatch(f, "stream", src, dst)
+              }
+            } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+          } else {
+            // UPSERT epoch = the merge-on-read decomposition: matched
+            // stored rows' positions tombstone, the staged files ARE
+            // the post-images, one manifest flip carries data + DVs +
+            // the epoch ledger. Epoch write cost ∝ |epoch|, never the
+            // table — the shape a continuously-updating windowed
+            // aggregate needs.
+            val oldPos = readRawPos(spark, wh, ref, meta,
+                manifestOf(base), withPos = true)
+              .filter(col(BucketCol).isin(touched: _*))
+            val j = staged.as("n")
+              .join(oldPos.as("o"), meta.pk.toIndexedSeq, "left")
+            val presentOld = col(s"o.$BucketCol").isNotNull
+            val clCommit: Option[(Path, Path)] = if (meta.changelog) {
+              val changedCond = nonPk
+                .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+                .foldLeft(lit(false))(_ || _)
+              val images = nonPk.flatMap { c =>
+                Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
+              }
+              Some(stageChangelogBatch(spark, tblDir, j.select(
+                meta.pk.map(col) ++ (
+                  when(!presentOld, lit("insert"))
+                    .when(changedCond, lit("update"))
+                    .otherwise(lit("unchanged")).as("op") +: images): _*)))
+            } else None
+            val dvStaging = s"$tblDir/.staging-stream-dv-${UUID.randomUUID()}"
+            try {
+              j.filter(presentOld)
+                .select(col(s"o.$BucketCol").as(BucketCol),
+                  col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
+                .repartition(touched.size, col(BucketCol))
+                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                .write.partitionBy(BucketCol).parquet(dvStaging)
+              commitStagedMorMut(spark, f, tblDir, data, staging, dvStaging,
+                touched, "stream-upsert", base, meta,
+                streamEpoch = Some(queryId -> epochId))
+              clCommit.foreach { case (src, dst) =>
+                commitChangelogBatch(f, "stream-upsert", src, dst)
+              }
+            } finally {
+              f.delete(new Path(dvStaging), true)
+              clCommit.foreach { case (src, _) => f.delete(src, true) }
             }
-            Some(stageChangelogBatch(spark, tblDir, staged.select(
-              meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)))
-          } else None
-          try {
-            commitStaged(spark, f, tblDir, data, staging, touched,
-              "stream", base, base.buckets, meta, add = true,
-              streamEpoch = Some(queryId -> epochId))
-            clCommit.foreach { case (src, dst) =>
-              commitChangelogBatch(f, "stream", src, dst)
-            }
-          } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
+          }
         }
         // replayed or empty epoch: nothing to commit — a replay
         // re-stages the same rows and lands here again harmlessly
@@ -975,7 +1030,9 @@ object KeyedTable {
                                  dir: String, data: String,
                                  dataStaging: String, dvStaging: String,
                                  touched: Seq[Int], op: String,
-                                 base: Manifest, meta: TableMeta): Manifest = {
+                                 base: Manifest, meta: TableMeta,
+                                 streamEpoch: Option[(String, Long)] = None)
+      : Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
     val statColsTyped: Seq[(String, DataType)] =
@@ -1036,7 +1093,7 @@ object KeyedTable {
         })
       }
     val mf = Manifest(base.version + 1, base.buckets, newFiles,
-      op = Some(op), dvs = newDvs, streams = base.streams)
+      op = Some(op), dvs = newDvs, streams = base.streams ++ streamEpoch)
     try Manifest.commit(spark, dir, mf)
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }

@@ -237,18 +237,32 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val (wh, tbl) = KeyedTable.refOf(tableDir)
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    // SupportsStreamingUpdateAsAppend admits outputMode(Update) streams
+    // (changed rows arrive as appends); whether an epoch APPENDS or
+    // UPSERTS those rows is the sink_mode option below
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           /** The NATIVE streaming sink (`df.writeStream.table("graft.t")`):
             * executors stage per-bucket parquet, the driver commits each
             * epoch as one manifest flip carrying the (queryId → epoch)
-            * ledger — exactly-once over micro-batch replay. See
-            * [[KeyedStreamingWrite]]. */
+            * ledger — exactly-once over micro-batch replay. Write option
+            * `sink_mode`: `append` (default, the batch append contract
+            * per epoch) or `upsert` (epochs update by PK through the
+            * merge-on-read decomposition — for outputMode(Update)
+            * aggregates and CDC folds). See [[KeyedStreamingWrite]]. */
           override def toStreaming
-              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+            val mode = Option(info.options.get("sink_mode"))
+              .getOrElse("append").toLowerCase
+            if (mode != "append" && mode != "upsert")
+              throw new StoreException(
+                s"unknown sink_mode '$mode': expected 'append' or 'upsert'")
             new KeyedStreamingWrite(meta, tableDir,
-              KeyedTable.dataDir(wh, tbl), info.queryId(), info.schema())
+              KeyedTable.dataDir(wh, tbl), info.queryId(), info.schema(),
+              upsertMode = mode == "upsert")
+          }
 
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =

@@ -176,6 +176,111 @@ class StreamSinkSpec extends SparkSpec {
     assert(log.toSeq == Seq((2L, "insert", 20.0), (3L, "insert", 30.0)))
   }
 
+  test("sink_mode=upsert: epochs update by PK through merge-on-read") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql((1L to 100L).map(i => (i, "old", i * 1.0))
+      .toDF("k", "g", "v"), wh, "t", pk = Seq("k"), buckets = 4)
+    val delta = (50L to 150L).map(i => (i, "new", i * 2.0)).toDF("k", "g", "v")
+    val ck = Files.createTempDirectory("graft-sink-ck-").toString
+    fileStream(delta).writeStream
+      .option("checkpointLocation", ck)
+      .option("sink_mode", "upsert")
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.t")
+      .awaitTermination()
+    val got = KeyedTable.readSql(spark, wh, "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val want = (1L to 49L).map(i => (i, "old", i * 1.0)) ++
+      (50L to 150L).map(i => (i, "new", i * 2.0))
+    assert(got == want)
+    val m = Manifest.current(spark, KeyedTable.tableDir(wh, "t")).get
+    assert(m.streams.size == 1, "epoch ledger must land with the upsert")
+  }
+
+  test("outputMode(Update) aggregate converges across restarts via upsert epochs") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql(Seq(("seed", 0L)).toDF("g", "n"), wh, "agg",
+      pk = Seq("g"), buckets = 2)
+    val src = Files.createTempDirectory("graft-sink-usrc-").toString
+    val ck = Files.createTempDirectory("graft-sink-uck-").toString
+    def drainAgg(): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("x",
+            org.apache.spark.sql.types.LongType))))
+        .parquet(src)
+        .groupBy(col("g")).agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .option("sink_mode", "upsert")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.agg")
+      q.awaitTermination()
+    }
+    // epoch 1: a/b counts land as inserts
+    Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("g", "x")
+      .write.mode("append").parquet(src)
+    drainAgg()
+    // epoch 2 (same checkpoint = restored state): counts GROW and the
+    // updated groups upsert into place — the update-mode contract a
+    // foreachBatch-free sink must honor
+    Seq(("a", 4L), ("c", 5L)).toDF("g", "x")
+      .write.mode("append").parquet(src)
+    drainAgg()
+    val got = KeyedTable.readSql(spark, wh, "agg")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(got == Seq(("a", 3L), ("b", 1L), ("c", 1L), ("seed", 0L)), got.toString)
+  }
+
+  test("upsert epochs replay as no-ops; CDC logs exact upsert images") {
+    val (_, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 2)
+    KeyedTable.setChangelog(spark, wh, "t", enabled = true)
+    val dir = KeyedTable.tableDir(wh, "t")
+    def stage(epoch: Long): (String, Set[String]) = {
+      val staging = s"$dir/.staging-stream-qu/epoch=$epoch"
+      Seq((2L, 99.0), (3L, 30.0)).toDF("k", "v")
+        .withColumn(KeyedTable.BucketCol,
+          pmod(xxhash64(col("k")), lit(2L)).cast("int"))
+        .write.partitionBy(KeyedTable.BucketCol).parquet(staging)
+      val p = new org.apache.hadoop.fs.Path(staging)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(p).filter(_.isDirectory).flatMap { d =>
+        fs.listStatus(d.getPath)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => s"${d.getPath.getName}/${st.getPath.getName}")
+      }.toSet
+      (staging, files)
+    }
+    val (s0, f0) = stage(0L)
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "qu", 0L, s0, 2, f0, upsertMode = true)
+    def state(): Seq[(Long, Double)] =
+      KeyedTable.readSql(spark, wh, "t").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(state() == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    val v1 = Manifest.current(spark, dir).get.version
+    // replay: no double-apply, no new snapshot
+    val (s0b, f0b) = stage(0L)
+    KeyedTable.commitStreamEpoch(spark, dir, KeyedTable.dataDir(wh, "t"),
+      "qu", 0L, s0b, 2, f0b, upsertMode = true)
+    assert(state() == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+    assert(Manifest.current(spark, dir).get.version == v1)
+    // CDC: one batch with update (2: 20->99) + insert (3) images
+    val log = KeyedTable.readChangelog(spark, wh, "t")
+      .select("k", "op", "old_v", "new_v").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(log == Seq((2L, "update", 20.0, 99.0), (3L, "insert", -1.0, 30.0)),
+      log.toString)
+  }
+
   test("streaming write into an auto-index table is refused loudly") {
     val (cat, wh) = mkCatalog()
     KeyedTable.toSql(Seq(("a", 1.0)).toDF("g", "v"), wh, "t",
