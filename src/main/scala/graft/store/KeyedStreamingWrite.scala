@@ -53,7 +53,30 @@ private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
                                          dataDir: String, queryId: String,
                                          inputSchema: StructType,
                                          upsertMode: Boolean = false)
-    extends StreamingWrite {
+    extends StreamingWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+
+  /** PK-clustered input in `buckets` partitions: without this every
+    * shuffle partition of the upstream query writes its own file into
+    * every bucket it touches (shuffle.partitions × buckets staged files
+    * PER EPOCH — the small-files treadmill that forces compaction every
+    * trigger). Clustering caps the writer task count at the table's
+    * bucket count, so an epoch stages ≤ buckets files per bucket and
+    * typically far fewer. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      meta.pk.map(c => org.apache.spark.sql.connector.expressions.Expressions
+        .column(c): org.apache.spark.sql.connector.expressions.Expression)
+        .toArray)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+
+  override def requiredNumPartitions(): Int =
+    Manifest.current(SparkSession.active, tableDir)
+      .map(_.buckets).getOrElse(meta.buckets)
 
   if (meta.autoIndex)
     throw new StoreException(

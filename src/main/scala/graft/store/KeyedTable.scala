@@ -1920,16 +1920,27 @@ object KeyedTable {
             }
           } => b
       }
-      // the report is buckets-bounded: collecting it is O(buckets), and
-      // it reads footers only — never data pages
-      val crowded = bucketStats(spark, warehouse0, tableName, schema)
-        .collect().toSeq
-        .filter { r =>
-          val (nf, nr) = (r.getLong(1), r.getLong(2))
-          nf > maxFilesPerBucket ||
-            (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
-        }
-        .map(_.getInt(0))
+      // layout health from the MANIFEST alone whenever it carries row
+      // counts (every file this code writes does): the no-op case then
+      // costs one manifest read — which is what lets maintenance ride
+      // every streaming-sink epoch. Tables with uncounted files
+      // (legacy/adopted) fall back to the footer-only bucketStats
+      // report (O(files) footer opens, still zero data pages).
+      val crowded: Seq[Int] =
+        if (base.version >= 0 &&
+            base.files.valuesIterator.flatten.forall(_.rows.isDefined))
+          base.files.toSeq.collect { case (b, fls)
+            if fls.size > maxFilesPerBucket ||
+              (fls.size > 1 && minAvgRowsPerFile > 0 &&
+               fls.flatMap(_.rows).sum / fls.size < minAvgRowsPerFile) => b }
+        else bucketStats(spark, warehouse0, tableName, schema)
+          .collect().toSeq
+          .filter { r =>
+            val (nf, nr) = (r.getLong(1), r.getLong(2))
+            nf > maxFilesPerBucket ||
+              (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
+          }
+          .map(_.getInt(0))
       val all = (crowded ++ dvCrowded).distinct.sorted
       compactBuckets(spark, warehouse, tableName, dir, meta, base, all)
       all
