@@ -701,14 +701,14 @@ object LlmQueries {
     * (OperatorsSpec). */
   def dedupEmbeddingLsh(s: SparkSession, d: String): DataFrame =
     // both skew dials pinned (and replayed by the oracle): bucket cap
-    // 64 (core×probe join linear under duplicate skew; overflow star
+    // 32 (core×probe join linear under duplicate skew; overflow star
     // edges keep cliques connected) + a 64-pair output budget per doc
     // (bounded-heap top-k by cos) — the caps never bind on the gate
     // corpora (max bucket 29, max pairs/doc 7 at sf0.1) but bound the
     // sf1+ replication blowup to a linear slope
     Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
       threshold = 0.35, exact = false, planes = 8, tables = 4,
-      maxBucket = 64, maxPairsPerId = 64)
+      maxBucket = 32, maxPairsPerId = 64)
 
   /** #25c near-dup clusters: MinHash-LSH pairs → connected components →
     * canonical member per cluster. */
@@ -1351,7 +1351,7 @@ object LlmQueries {
       val e = embs(s, d)
       Dedup.incrementalEmbeddingLsh(
         e.filter(col("vec_id") % 5 === 0), e.filter(col("vec_id") % 5 =!= 0),
-        "vec_id", "embedding", threshold = 0.35, maxBucket = 64)
+        "vec_id", "embedding", threshold = 0.35, maxBucket = 32)
     }),
     "dedup_cluster" -> dedupCluster,
     "dedup_cluster_best" -> dedupClusterBest,
@@ -2515,8 +2515,8 @@ object LlmQueries {
     // hyperplane weights replayed for 4 seeded tables × 8 planes
     // (HyperplaneLsh.weights, sp = t·100003 + p); candidates agree
     // within hamming ≤ 1 in any table (the masks are the multi-probe)
-    // replays BOTH skew dials: (1) per-(table,signature) bucket cap 64 —
-    // probes join only the 64 lowest-id core members, overflow members
+    // replays BOTH skew dials: (1) per-(table,signature) bucket cap 32 —
+    // probes join only the 32 lowest-id core members, overflow members
     // star-edge to the bucket's min-id hub; (2) the 64-pair output
     // budget per id_a (strongest by cos desc, id_b asc)
     "dedup_embedding_lsh" -> s"""
@@ -2535,14 +2535,14 @@ object LlmQueries {
       cand AS (SELECT DISTINCT id_a, id_b FROM (
                  SELECT a.vec_id id_a, b.vec_id id_b
                  FROM sigs a JOIN ranked b
-                   ON b.t = a.t AND a.vec_id < b.vec_id AND b.r <= 64,
+                   ON b.t = a.t AND a.vec_id < b.vec_id AND b.r <= 32,
                    (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
                  WHERE b.sig = xor(a.sig, m.m::BIGINT)
                  UNION ALL
                  SELECT h.vec_id id_a, o.vec_id id_b
                  FROM ranked o JOIN ranked h
                    ON h.t = o.t AND h.sig = o.sig AND h.r = 1
-                 WHERE o.r > 64)),
+                 WHERE o.r > 32)),
       pr AS (SELECT id_a, id_b, floor((${cos("ea.v", "eb.v")}) * 10000 + 0.5) / 10000 cos
              FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b),
       kept AS (SELECT id_a, id_b, cos,
@@ -2564,7 +2564,7 @@ object LlmQueries {
                     row_number() OVER (PARTITION BY t, sig ORDER BY vec_id) r
                   FROM sigs WHERE vec_id % 5 != 0),
       cand AS (SELECT DISTINCT a.vec_id id_new, b.vec_id id_seen
-               FROM sigs a JOIN sranked b ON b.t = a.t AND b.r <= 64,
+               FROM sigs a JOIN sranked b ON b.t = a.t AND b.r <= 32,
                  (VALUES (0),(1),(2),(4),(8),(16),(32),(64),(128)) m(m)
                WHERE b.sig = xor(a.sig, m.m::BIGINT)
                  AND a.vec_id % 5 = 0),
