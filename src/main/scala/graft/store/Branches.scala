@@ -211,10 +211,15 @@ object Branches {
     * manifest commit (the branch head's file set, already living in
     * the base data dir) + the branch's meta, under BOTH write locks.
     * Refused when the base moved past the fork point (version or
-    * meta) — re-fork to rebase — or when either ref maintains a CDC
-    * changelog (a snapshot flip writes no row images). Returns the new
-    * base version; the branch's fork point advances so the next WAP
-    * cycle can continue on the same branch. */
+    * meta) — re-fork to rebase. CDC composes: on a changelog-maintained
+    * ref the publish synthesizes the exact row-image batch its flip
+    * represents ([[KeyedTable.stageWapImages]] — a zero-exchange,
+    * manifest-pruned diff of fork point vs branch head over the shared
+    * data dir) and commits it to the base's changelog after the flip;
+    * only a schema-EVOLVED branch refuses (its images would change the
+    * changelog's column set mid-log — apply with merge instead).
+    * Returns the new base version; the branch's fork point advances so
+    * the next WAP cycle can continue on the same branch. */
   def fastForward(spark: SparkSession, warehouse0: String,
                   tableName: String, branch: String,
                   schema: Option[String] = None): Long = {
@@ -269,7 +274,7 @@ object Branches {
           val clCommit: Option[(Path, Path)] =
             if (!cdc) None
             else Some(KeyedTable.stageWapImages(spark, wh,
-              baseOnly(tableName), baseDir, brMeta,
+              s"${baseOnly(tableName)}@$branch", baseDir, brMeta,
               Manifest.at(spark, brDir, fk.publishedBranchVersion), brHead))
           try {
             // crash ordering: manifest commit FIRST (the flip IS the

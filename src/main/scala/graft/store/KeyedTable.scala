@@ -2849,51 +2849,22 @@ object KeyedTable {
     * (commit only AFTER the publish flip, via
     * [[commitChangelogBatchRef]]). Both manifests resolve against the
     * SHARED base data dir, so this is the restoreSnapshot image recipe
-    * applied across the WAP boundary: bucket-pruned by manifest
-    * arithmetic, one full-outer join over only the changed buckets.
-    * This is what lets write-audit-publish and table-property CDC
-    * compose: the publish logs the same images the branch's mutations
-    * would have logged applied directly. */
+    * applied across the WAP boundary: [[diffImages]] over the branch
+    * ref's manifest chain — manifest-pruned to changed buckets and
+    * joined via the zero-exchange [[snapshotDiffJoined]] SPJ core (both
+    * sides plan through the DSv2 source pinned to their branch-chain
+    * version, zipped on `pb_bucket`). This is what lets
+    * write-audit-publish and table-property CDC compose: the publish
+    * logs the same images the branch's mutations would have logged
+    * applied directly. */
   private[store] def stageWapImages(spark: SparkSession, warehouse: String,
-                                    baseTable: String, dir: String,
+                                    branchRef: String, dir: String,
                                     meta: TableMeta, from: Manifest,
-                                    to: Manifest): (Path, Path) = {
-    val changed: Set[Int] =
-      (from.files.keySet ++ to.files.keySet).filter { b =>
-        from.files.getOrElse(b, Nil).map(_.name).toSet !=
-          to.files.getOrElse(b, Nil).map(_.name).toSet ||
-        from.dvs.getOrElse(b, Nil).map(_.name).toSet !=
-          to.dvs.getOrElse(b, Nil).map(_.name).toSet
-      }
-    val restrict = (m: Manifest) =>
-      m.copy(files = m.files.view.filterKeys(changed).toMap,
-        dvs = m.dvs.view.filterKeys(changed).toMap)
-    val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
-    val o = readRawWith(spark, warehouse, baseTable, meta,
-      Some(restrict(from))).drop(BucketCol)
-      .withColumn("_o", lit(true)).as("o")
-    val n = readRawWith(spark, warehouse, baseTable, meta,
-      Some(restrict(to))).drop(BucketCol)
-      .withColumn("_n", lit(true)).as("n")
-    val joined = o.join(n,
-      meta.pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _),
-      "full_outer")
-    val changedCond = nonPk
-      .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
-      .foldLeft(lit(false))(_ || _)
-    val images = nonPk.flatMap { c =>
-      Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
+                                    to: Manifest): (Path, Path) =
+    withSpjConf(spark) {
+      stageChangelogBatch(spark, dir,
+        diffImages(spark, warehouse, branchRef, meta, from, to))
     }
-    val op = when(col("o._o").isNull, lit("insert"))
-      .when(col("n._n").isNull, lit("delete"))
-      .otherwise(lit("update"))
-    val changes = joined
-      .filter(col("o._o").isNull || col("n._n").isNull || changedCond)
-      .select(meta.pk.map(c =>
-        coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++
-        (op.as("op") +: images): _*)
-    stageChangelogBatch(spark, dir, changes)
-  }
 
   /** [[commitChangelogBatch]] for same-package callers (Branches'
     * publish commits its synthesized batch after the manifest flip). */
@@ -3072,46 +3043,15 @@ object KeyedTable {
       val cdc = changelog || meta.changelog
       val f = fs(spark, dir)
       val clCommit: Option[(Path, Path)] = if (cdc) {
-        // buckets whose live file set OR delete-vector set differs
-        // between the two snapshots (a rebucket in the window makes
-        // that all of them — every file name is commit-unique, so
-        // name-set equality is exact; identical files under different
-        // DVs hold different live rows, hence the dv term)
-        val changed: Set[Int] =
-          (cur.files.keySet ++ target.files.keySet).filter { b =>
-            cur.files.getOrElse(b, Nil).map(_.name).toSet !=
-              target.files.getOrElse(b, Nil).map(_.name).toSet ||
-            cur.dvs.getOrElse(b, Nil).map(_.name).toSet !=
-              target.dvs.getOrElse(b, Nil).map(_.name).toSet
-          }
-        val restrict = (m: Manifest) =>
-          m.copy(files = m.files.view.filterKeys(changed).toMap,
-            dvs = m.dvs.view.filterKeys(changed).toMap)
-        val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
-        val o = readRawWith(spark, warehouse, tableName, meta,
-          Some(restrict(cur))).drop(BucketCol)
-          .withColumn("_o", lit(true)).as("o")
-        val n = readRawWith(spark, warehouse, tableName, meta,
-          Some(restrict(target))).drop(BucketCol)
-          .withColumn("_n", lit(true)).as("n")
-        val joined = o.join(n,
-          meta.pk.map(c => col(s"o.$c") <=> col(s"n.$c")).reduce(_ && _),
-          "full_outer")
-        val changedCond = nonPk
-          .map(c => !(col(s"o.$c") <=> col(s"n.$c")))
-          .foldLeft(lit(false))(_ || _)
-        val images = nonPk.flatMap { c =>
-          Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
-        }
-        val op = when(col("o._o").isNull, lit("insert"))
-          .when(col("n._n").isNull, lit("delete"))
-          .otherwise(lit("update"))
-        val changes = joined
-          .filter(col("o._o").isNull || col("n._n").isNull || changedCond)
-          .select(meta.pk.map(c =>
-            coalesce(col(s"o.$c"), col(s"n.$c")).as(c)) ++
-            (op.as("op") +: images): _*)
-        Some(stageChangelogBatch(spark, dir, changes))
+        // the restore's row-image batch is [[diffImages]] current→target
+        // over this ref's own chain: manifest-pruned to the buckets the
+        // restore actually rewinds, zipped shuffle-free by the
+        // snapshotDiffJoined SPJ core (cost ∝ the restore's footprint,
+        // and neither co-partitioned snapshot ever re-shuffles)
+        Some(withSpjConf(spark) {
+          stageChangelogBatch(spark, dir,
+            diffImages(spark, warehouse, tableName, meta, cur, target))
+        })
       } else None
       try {
         // delete vectors are part of the snapshot's live-row state and
@@ -3160,7 +3100,13 @@ object KeyedTable {
     * touched. The two pruned sides then full-outer join on the PK
     * (same bucket layout both sides — one co-partitioned shuffle
     * pair), and per-column null-safe comparison classifies the rest.
-    * Unchanged rows never leave the join. */
+    * Unchanged rows never leave the join.
+    *
+    * Note: enables the two storage-partitioned-join session confs
+    * (`spark.sql.sources.v2.bucketing.enabled`,
+    * `spark.sql.requireAllClusterKeysForCoPartition=false`) for the
+    * returned plan, session-scoped — the same documented flip as
+    * [[pkJoin]]. */
   def snapshotDiff(spark: SparkSession, warehouse0: String,
                    tableName: String, fromVersion: Long,
                    toVersion: Option[Long] = None,
@@ -3194,10 +3140,17 @@ object KeyedTable {
   }
 
   /** The full-outer diff join of two snapshots, aliased `a` (from) and
-    * `b` (to) — the shared core of [[snapshotDiff]] (pk + op) and the
-    * WAP publish-time CDC synthesis (needs the full before/after
-    * images). None when manifest arithmetic alone proves the snapshots
-    * hold identical rows (no bucket changed).
+    * `b` (to) — the shared core of [[snapshotDiff]] (pk + op) and, via
+    * [[diffImages]], of the two CDC image synthesizers (the WAP
+    * publish's [[stageWapImages]] and [[restoreSnapshot]]'s row-level
+    * diff — both need the full before/after images). None when manifest
+    * arithmetic alone proves the snapshots hold identical rows (no
+    * bucket changed).
+    *
+    * Sets the two SPJ session confs as a side effect (they must hold at
+    * physical-planning time, which for the lazy public [[snapshotDiff]]
+    * is after this returns); the EAGER internal consumers run under
+    * [[withSpjConf]], which restores the caller's values.
     *
     * Scale shape: both sides plan through the DSv2 source PINNED to
     * their manifest version, so each scan reports
@@ -3250,6 +3203,69 @@ object KeyedTable {
       if (comparable) col(s"a.$BucketCol") === col(s"b.$BucketCol") && pkCond
       else pkCond
     Some(a.hint("merge").join(b, cond, "full_outer"))
+  }
+
+  /** Run `body` with the storage-partitioned-join confs
+    * [[snapshotDiffJoined]] flips, restoring the caller's previous
+    * values afterwards — for the eager internal consumers (the CDC
+    * image synthesizers execute their plan to completion inside, so
+    * the flip never leaks into the session). The lazy public
+    * [[snapshotDiff]] cannot restore (its plan executes after return)
+    * and documents the session-scoped flip instead. */
+  private def withSpjConf[T](spark: SparkSession)(body: => T): T = {
+    val keys = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** Row-image CHANGE frame between two snapshots of `ref`'s own
+    * manifest chain — (pk…, op, old_<c>…, new_<c>…), op ∈
+    * insert/update/delete, identical rows emit nothing — the one batch
+    * shape both CDC image synthesizers log ([[stageWapImages]] with a
+    * branch ref whose chain holds fork point and head;
+    * [[restoreSnapshot]] with the base ref's current and target).
+    *
+    * Plan shape is [[snapshotDiffJoined]]'s: manifest-pruned to changed
+    * buckets, both sides through the DSv2 source pinned to their
+    * version (that snapshot's own delete vectors applied in-reader),
+    * zipped on `pb_bucket` with ZERO exchange — a publish or restore
+    * that rewrote 10% of a 100 TB table diffs that 10% without ever
+    * shuffling either co-partitioned snapshot. Caller is responsible
+    * for the SPJ confs ([[withSpjConf]] when eager). */
+  private[store] def diffImages(spark: SparkSession, wh: String,
+                                ref: String, meta: TableMeta,
+                                mFrom: Manifest, mTo: Manifest): DataFrame = {
+    val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+    snapshotDiffJoined(spark, wh, ref, meta, mFrom, mTo) match {
+      case None => // manifest arithmetic proved the snapshots identical
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType(
+          meta.pk.map(c => meta.schema(c)) ++
+            (StructField("op", StringType, nullable = false) +:
+              nonPk.flatMap(c => Seq(
+                meta.schema(c).copy(name = s"old_$c", nullable = true),
+                meta.schema(c).copy(name = s"new_$c", nullable = true))))))
+      case Some(joined) =>
+        val aPresent = col(s"a.${meta.pk.head}").isNotNull
+        val bPresent = col(s"b.${meta.pk.head}").isNotNull
+        val changedCond = nonPk.map(c => !(col(s"a.$c") <=> col(s"b.$c")))
+          .foldLeft(lit(false))(_ || _)
+        val images = nonPk.flatMap { c =>
+          Seq(col(s"a.$c").as(s"old_$c"), col(s"b.$c").as(s"new_$c"))
+        }
+        val op = when(!aPresent, lit("insert"))
+          .when(!bPresent, lit("delete"))
+          .otherwise(lit("update"))
+        joined
+          .filter(!aPresent || !bPresent || changedCond)
+          .select(meta.pk.map(c =>
+            coalesce(col(s"a.$c"), col(s"b.$c")).as(c)) ++
+            (op.as("op") +: images): _*)
+    }
   }
 
   /** Toggle the table-property CDC flag (#11l) — the programmatic core
