@@ -598,10 +598,15 @@ object LlmQueries {
       "doc_id", "text", n = 5, window = 4, minShared = 2)
   }
 
-  /** #24b near-subset (containment) pairs, same df-cut. */
+  /** #24b near-subset (containment) pairs, same df-cut, plus the
+    * 64-pair output budget the embedding emitters carry (replayed by
+    * the oracle; never binds on the gate corpora, but bounds the sf1+
+    * replication blowup — the true pair count grows quadratically in a
+    * doc's copy count, and an uncapped emitter is output-bound however
+    * well the df-cut tames the candidate side). */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     Dedup.containmentPairs(docs(s, d), "doc_id", "text", n = 5,
-      threshold = 0.9, maxDf = 100)
+      threshold = 0.9, maxDf = 100, maxPairsPerId = 64)
 
   /** #22c LSH recall report: how much of the EXACT near-dup pair set
     * (inverted-index n-gram Jaccard, no df-cut — the recall
@@ -2388,8 +2393,11 @@ object LlmQueries {
       c AS (SELECT id_a, id_b, n_common,
               floor((CAST(n_common AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE))
                     * 10000 + 0.5) / 10000 containment
-            FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b)
-      SELECT id_a, id_b, n_common, containment FROM c WHERE containment >= 0.9""".trim,
+            FROM common JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b),
+      kept AS (SELECT id_a, id_b, n_common, containment,
+                 row_number() OVER (PARTITION BY id_a ORDER BY containment DESC, id_b) rn
+               FROM c WHERE containment >= 0.9)
+      SELECT id_a, id_b, n_common, containment FROM kept WHERE rn <= 64""".trim,
     // winnowing: positional 5-gram hash stream (NOT the distinct set),
     // each 4-window's min hash, distinct selected values = fingerprints
     "dedup_winnow" -> """

@@ -202,10 +202,22 @@ object Dedup {
     * [[ngramJaccardPairs]] — shuffle on the shingle, fanout bounded by
     * maxDf²/2 — only the verify formula changes. Full set sizes stay
     * in the denominator, so the cut only lowers scores.
-    * Returns (id_a, id_b, n_common, containment) ≥ `threshold`. */
+    * Returns (id_a, id_b, n_common, containment) ≥ `threshold`.
+    *
+    * `maxPairsPerId` is the per-doc OUTPUT budget the embedding
+    * emitters carry ([[embeddingPairs]]): under real crawl duplication
+    * the TRUE pair count grows quadratically in a document's copy
+    * count, so an uncapped emitter is output-bound however well the
+    * df-cut tames the candidate side. Each id_a keeps its strongest
+    * `maxPairsPerId` pairs (containment desc, id_b asc) through the
+    * bounded-heap top-k aggregate — ≤ budget rows per id cross the
+    * exchange, map-side partials, never a global sort. For dedup
+    * decisions the strongest near-subsets are the answer. Opt-in
+    * (Int.MaxValue = uncapped, the default). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5, threshold: Double = 0.9,
-                       maxDf: Int = Int.MaxValue): DataFrame = {
+                       maxDf: Int = Int.MaxValue,
+                       maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     val sh = shingled(docs, idCol, textCol, n)
     val invAll = sh.select(col("id"), explode(col("shingles")).as("s"))
     val inv =
@@ -219,7 +231,7 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_common"))
     val sizes = sh.select(col("id"), size(col("shingles")).as("n_sh"))
-    common
+    val verified = common
       .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "n_sh" -> "n_a")), "id_a")
       .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "n_sh" -> "n_b")), "id_b")
       .withColumn("containment",
@@ -229,6 +241,10 @@ object Dedup {
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
       .dropDuplicates("id_a", "id_b")
+    if (maxPairsPerId == Int.MaxValue) verified
+    else Knn.topKByScore(verified, Seq("id_a"), "containment", "id_b",
+        maxPairsPerId)
+      .select(col("id_a"), col("id_b"), col("n_common"), col("containment"))
   }
 
   /** #24c winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
@@ -812,7 +828,10 @@ object Dedup {
     *    duplicate-skew clique stays one connected component (exact
     *    under duplicate-skew overflow; best-effort for pairs between
     *    overflow members of a chance-collision bucket — the
-    *    cappedBandPairs contract).
+    *    cappedBandPairs contract). OPT-IN (Int.MaxValue = uncapped,
+    *    the default): capping is a recall trade — a multi-probe match
+    *    landing on an overflow member is kept only via its star edge —
+    *    so callers choose it explicitly, like `maxPairsPerId`.
     *  - `maxPairsPerId`: a per-doc OUTPUT budget — each id_a keeps its
     *    `maxPairsPerId` strongest pairs (cos desc, id_b asc) through
     *    the bounded-heap top-k aggregate (≤ budget rows per id cross
@@ -823,7 +842,7 @@ object Dedup {
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, exact: Boolean = false,
                      planes: Int = 8, tables: Int = 4,
-                     maxBucket: Int = 1024,
+                     maxBucket: Int = Int.MaxValue,
                      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions._
     // norm precomputed once per ROW, not once per PAIR — the pair-level
@@ -849,26 +868,32 @@ object Dedup {
       val sigs = v.select(col("id"),
         posexplode(array((0 until tables).map(t =>
           hyperplaneLshSignature(col("vec"), planes, t)): _*)).as(Seq("t", "sig")))
-      // bucket cap: rank members per (table, signature); probes join
-      // only the CORE (lowest maxBucket ids), overflow members emit one
-      // star edge to the bucket hub — candidate volume stays linear
-      // under duplicate skew (contract in the scaladoc above)
-      val ranked = sigs.withColumn("_r", row_number().over(
-        Window.partitionBy(col("t"), col("sig")).orderBy(col("id"))))
-      val core = ranked.filter(col("_r") <= maxBucket).drop("_r")
       val masks = 0L +: (0 until planes).map(p => 1L << p)
       val probes = sigs.select(col("id"), col("t"),
         explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("psig"))
-      val cand0 = probes.as("a").join(core.as("b"),
-          col("a.t") === col("b.t") && col("a.psig") === col("b.sig") &&
-            col("a.id") < col("b.id"))
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      val stars = ranked.filter(col("_r") > maxBucket)
-        .select(col("t"), col("sig"), col("id").as("id_b"))
-        .join(ranked.filter(col("_r") === 1)
-          .select(col("t"), col("sig"), col("id").as("id_a")), Seq("t", "sig"))
-        .select(col("id_a"), col("id_b")) // hub id < member id by rank order
-      val cand = cand0.unionByName(stars).dropDuplicates("id_a", "id_b")
+      def probeJoin(build: DataFrame): DataFrame =
+        probes.as("a").join(build.as("b"),
+            col("a.t") === col("b.t") && col("a.psig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      val cand =
+        if (maxBucket == Int.MaxValue) // uncapped: no rank window at all
+          probeJoin(sigs).dropDuplicates("id_a", "id_b")
+        else {
+          // bucket cap: rank members per (table, signature); probes join
+          // only the CORE (lowest maxBucket ids), overflow members emit
+          // one star edge to the bucket hub — candidate volume stays
+          // linear under duplicate skew (contract in the scaladoc above)
+          val ranked = sigs.withColumn("_r", row_number().over(
+            Window.partitionBy(col("t"), col("sig")).orderBy(col("id"))))
+          val core = ranked.filter(col("_r") <= maxBucket).drop("_r")
+          val stars = ranked.filter(col("_r") > maxBucket)
+            .select(col("t"), col("sig"), col("id").as("id_b"))
+            .join(ranked.filter(col("_r") === 1)
+              .select(col("t"), col("sig"), col("id").as("id_a")), Seq("t", "sig"))
+            .select(col("id_a"), col("id_b")) // hub id < member id by rank
+          probeJoin(core).unionByName(stars).dropDuplicates("id_a", "id_b")
+        }
       val scored = score(cand
         .join(v.select(col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a")), "id_a")
         .join(v.select(col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b")), "id_b"))
@@ -898,7 +923,9 @@ object Dedup {
     * reference rows per probe instead of every copy — candidate volume
     * O(|delta| · tables · probes · maxBucket). A bucket only overflows
     * under duplicate skew, and then its kept members represent the
-    * duplicate for the verify; the incoming side is never capped. The
+    * duplicate for the verify; the incoming side is never capped.
+    * Opt-in (Int.MaxValue = uncapped, the default) — capping trades
+    * recall on matches to dropped bucket members, so callers choose it. The
     * best-match fold is the bounded-heap top-1 aggregate (map-side
     * partials, ≤ 1 row per incoming id through the exchange — never a
     * global window sort over the candidate product). */
@@ -906,7 +933,7 @@ object Dedup {
                               idCol: String, vecCol: String,
                               threshold: Double,
                               planes: Int = 8, tables: Int = 4,
-                              maxBucket: Int = 1024): DataFrame = {
+                              maxBucket: Int = Int.MaxValue): DataFrame = {
     import graft.functions.VectorFunctions._
     def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       norm2(col(vecCol)).as("nrm"))
@@ -921,10 +948,13 @@ object Dedup {
     val seenSigs = sigsOf(sn)
       .withColumnsRenamed(Map("id" -> "id_seen", "t" -> "st", "sig" -> "ssig"))
     // seen-side bucket cap: lowest-id members represent a duplicate-
-    // skew bucket (contract in the scaladoc)
-    val cappedSeen = seenSigs.withColumn("_r", row_number().over(
-        Window.partitionBy(col("st"), col("ssig")).orderBy(col("id_seen"))))
-      .filter(col("_r") <= maxBucket).drop("_r")
+    // skew bucket (contract in the scaladoc); opt-in — uncapped skips
+    // the rank window entirely
+    val cappedSeen =
+      if (maxBucket == Int.MaxValue) seenSigs
+      else seenSigs.withColumn("_r", row_number().over(
+          Window.partitionBy(col("st"), col("ssig")).orderBy(col("id_seen"))))
+        .filter(col("_r") <= maxBucket).drop("_r")
     val cand = probes.join(cappedSeen,
         col("t") === col("st") && col("psig") === col("ssig"))
       .select(col("id").as("id_new"), col("id_seen"))

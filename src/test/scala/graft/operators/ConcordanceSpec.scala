@@ -63,6 +63,34 @@ class ConcordanceSpec extends SparkSpec {
     assert(out3.toSeq == Seq((1L, 2L, 2L, math.floor(2.0 / 3 * 10000 + 0.5) / 10000)))
   }
 
+  test("containmentPairs: maxPairsPerId keeps each id_a's strongest pairs") {
+    // doc 1 contains doc 2 fully (containment 1.0 by the smaller set)
+    // and docs 3..5 partially (2/3 each): with budget 2, id_a=1 keeps
+    // the 1.0 pair plus the lowest-id 2/3 pair (score desc, id_b asc)
+    val base = "a b c d e f"
+    val docs = Seq(
+      (1L, base),            // shingles(2): {ab, bc, cd, de, ef}
+      (2L, "a b c d"),       // {ab, bc, cd} ⊂ doc1 -> 1.0
+      (3L, "b c d x"),       // {bc, cd, dx} -> 2/3
+      (4L, "c d e y"),       // {cd, de, ey} -> 2/3
+      (5L, "d e f z")        // {de, ef, fz} -> 2/3
+    ).toDF("doc_id", "text")
+    val all = Dedup.containmentPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.6).as[(Long, Long, Long, Double)].collect().toSet
+    // (2,3) also pairs: {bc,cd} of doc3's 3 shingles -> 2/3
+    assert(all.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L), (2L, 3L)))
+    // budget is per id_a: id_a=1 keeps 2 of its 4 pairs, id_a=2 keeps
+    // its only pair
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text", n = 2,
+        threshold = 0.6, maxPairsPerId = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(capped.map(p => (p._1, p._2)) ==
+      Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // capped output rows are identical to the uncapped rows they keep
+    assert(capped.subsetOf(all))
+  }
+
   test("winnowPairs: shared run of w+k-1 tokens guarantees a shared fingerprint") {
     // k=5, w=4: docs 1 and 2 embed the same 8-token run (= w+k-1) in
     // different contexts -> the guarantee applies; doc 3 is disjoint
