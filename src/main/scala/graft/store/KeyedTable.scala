@@ -653,17 +653,25 @@ object KeyedTable {
     * under the write lock. */
   private def stageChangelogBatch(spark: SparkSession, dir: String,
                                   changes: DataFrame): (Path, Path) = {
+    val clStaging = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+    changes.write.parquet(clStaging.toString)
+    (clStaging, nextChangelogDst(fs(spark, dir), dir))
+  }
+
+  /** Next `_changelog/batch=<n>` target. Batch numbers are monotonic
+    * UNDER THE WRITE LOCK — the optimistic paths (appendConcurrent,
+    * stream epochs) stage their images unlocked but must compute the
+    * destination inside the lock, or two committers would claim the
+    * same number. */
+  private def nextChangelogDst(f: FileSystem, dir: String): Path = {
     val clRoot = new Path(dir, ChangelogDir)
-    val f0 = fs(spark, dir)
-    val nextBatch =
-      if (!f0.exists(clRoot)) 0L
-      else f0.listStatus(clRoot)
+    val next =
+      if (!f.exists(clRoot)) 0L
+      else f.listStatus(clRoot)
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
         .map(_.getPath.getName.stripPrefix("batch=").toLong)
         .foldLeft(-1L)(math.max) + 1L
-    val clStaging = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
-    changes.write.parquet(clStaging.toString)
-    (clStaging, new Path(clRoot, s"batch=$nextBatch"))
+    new Path(clRoot, s"batch=$next")
   }
 
   private def commitChangelogBatch(f: FileSystem, op: String,
@@ -831,151 +839,259 @@ object KeyedTable {
     catch { case e: Throwable => moved.foreach(p => f.delete(p, false)); throw e }
   }
 
-  /** Commit ONE streaming-sink epoch (see [[KeyedStreamingWrite]]):
-    * under the write lock, an epoch at or below the query's recorded
-    * high-water mark is a NO-OP (exactly-once over replay — the ledger
-    * lives in the manifest, same atomic flip as the data); otherwise
+  /** Commit ONE streaming-sink epoch (see [[KeyedStreamingWrite]]) —
+    * OPTIMISTICALLY, the [[appendConcurrent]] protocol: every
+    * delta-bounded validation job (intra-epoch PK dups, overlap vs
+    * stored keys, CHECK constraints, the upsert decomposition's
+    * pre-image join) runs against the epoch-START snapshot OUTSIDE the
+    * write lock, so a table fed by a sink and concurrent batch writers
+    * never serializes behind an epoch's validation; the LOCKED section
+    * re-validates only what its window ADDED (usually nothing ⇒ zero
+    * IO) and holds for the manifest flip. An epoch at or below the
+    * query's recorded high-water mark is a NO-OP (exactly-once over
+    * replay — the ledger lives in the manifest, same atomic flip as
+    * the data, and is MONOTONIC, so the unlocked fast-exit is sound);
     * zombie-task leftovers are dropped (only files named by successful
-    * commit messages move in), the epoch is validated with the batch
-    * append contract (intra-epoch PK dups, overlap vs stored keys,
-    * CHECK constraints — all delta-bounded jobs), and the staged files
-    * commit additively with `streams(queryId) = epochId`. */
+    * commit messages move in); the staged files commit with
+    * `streams(queryId) = epochId`. */
   /** `upsertMode` (sink option `sink_mode=upsert`): instead of the
     * append contract, the epoch UPSERTS by PK — matched stored rows'
     * positions tombstone via delete vectors and the staged files land
     * as their post-images (the merge-on-read decomposition, so every
     * epoch writes ∝ |epoch| bytes however large the table). The shape
     * `outputMode(Update)` windowed aggregates and CDC folds need from
-    * a native sink; replays stay no-ops through the same ledger. */
+    * a native sink; replays stay no-ops through the same ledger. The
+    * tombstoned positions must reference the COMMIT-TIME snapshot, so
+    * if the lock window changed a touched bucket's live set the
+    * decomposition re-derives inside the lock (still delta-bounded,
+    * and only in that rare race). */
   private[store] def commitStreamEpoch(spark: SparkSession, tblDir: String,
                                        data: String, queryId: String,
                                        epochId: Long, staging: String,
                                        writerBuckets: Int,
                                        allowedFiles: Set[String],
-                                       upsertMode: Boolean = false): Unit = {
+                                       upsertMode: Boolean = false,
+                                       commitWaitMs: Long = 60000L): Unit = {
     val f = fs(spark, tblDir)
     val stagingPath = new Path(staging)
+    val cleanups = scala.collection.mutable.ArrayBuffer.empty[Path]
+    def rebucketError(buckets: Int): Nothing =
+      throw new ConcurrentWriteException(
+        s"stream sink epoch $epochId of $tblDir: table rebucketed " +
+        s"$writerBuckets -> $buckets mid-stream; epoch " +
+        "aborted (table unchanged) — restart the streaming query " +
+        "so its writers pick up the new layout")
     try {
-      WriteLock.withLock(spark, tblDir, "stream-sink") {
-        val meta = TableMeta.read(spark, tblDir)
-        val base = snapshotForWrite(spark, tblDir, data, meta)
-        val replayed = base.streams.get(queryId).exists(_ >= epochId)
-        if (!replayed && base.buckets != writerBuckets)
-          throw new ConcurrentWriteException(
-            s"stream sink epoch $epochId of $tblDir: table rebucketed " +
-            s"$writerBuckets -> ${base.buckets} mid-stream; epoch " +
-            "aborted (table unchanged) — restart the streaming query " +
-            "so its writers pick up the new layout")
-        // sweep staging: keep only successful tasks' files; collect the
-        // touched buckets from what actually staged
-        val touched: Seq[Int] =
-          if (replayed || !f.exists(stagingPath)) Nil
-          else f.listStatus(stagingPath).filter(_.isDirectory).toSeq.flatMap { d =>
-            val bName = d.getPath.getName
-            var live = 0
-            f.listStatus(d.getPath).foreach { st =>
-              val rel = s"$bName/${st.getPath.getName}"
-              if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                  allowedFiles.contains(rel)) live += 1
-              else f.delete(st.getPath, false)
-            }
-            bName.stripPrefix(s"$BucketCol=").toIntOption.filter(_ => live > 0)
+      // ------- UNLOCKED: sweep, validate, derive (vs snapshot-at-start)
+      val meta0 = TableMeta.read(spark, tblDir)
+      val base0 = snapshotForWrite(spark, tblDir, data, meta0)
+      if (base0.streams.get(queryId).exists(_ >= epochId)) return
+      if (base0.buckets != writerBuckets) rebucketError(base0.buckets)
+      // sweep staging: keep only successful tasks' files; collect the
+      // touched buckets from what actually staged (the staging dir is
+      // private to this query, so no lock is needed)
+      val touched: Seq[Int] =
+        if (!f.exists(stagingPath)) Nil
+        else f.listStatus(stagingPath).filter(_.isDirectory).toSeq.flatMap { d =>
+          val bName = d.getPath.getName
+          var live = 0
+          f.listStatus(d.getPath).foreach { st =>
+            val rel = s"$bName/${st.getPath.getName}"
+            if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                allowedFiles.contains(rel)) live += 1
+            else f.delete(st.getPath, false)
           }
-        if (!replayed && touched.nonEmpty) {
-          val (wh, ref) = refOf(tblDir)
-          val withBucketField = StructType(meta.schema.fields :+
-            StructField(BucketCol, IntegerType, nullable = true))
-          val staged = spark.read.option("basePath", staging)
-            .schema(withBucketField).parquet(staging)
-          val dups = staged.groupBy(meta.pk.map(col): _*)
-            .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-            .limit(5).select(meta.pk.map(col): _*).collect()
-          if (dups.nonEmpty)
-            throw new StoreException(
-              s"stream sink epoch $epochId: duplicate PKs within the " +
-              s"batch, e.g. ${dups.mkString(", ")} — deduplicate the " +
-              "stream (dropDuplicates on the PK) before the sink")
-          enforceChecks(staged, meta.checks, "stream-sink")
-          val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
+          bName.stripPrefix(s"$BucketCol=").toIntOption.filter(_ => live > 0)
+        }
+      // empty epoch: nothing to commit — a replay re-stages the same
+      // rows and exits at the ledger check again harmlessly
+      if (touched.isEmpty) return
+      val (wh, ref) = refOf(tblDir)
+      val withBucketField = StructType(meta0.schema.fields :+
+        StructField(BucketCol, IntegerType, nullable = true))
+      val staged = spark.read.option("basePath", staging)
+        .schema(withBucketField).parquet(staging)
+      val dups = staged.groupBy(meta0.pk.map(col): _*)
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .limit(5).select(meta0.pk.map(col): _*).collect()
+      if (dups.nonEmpty)
+        throw new StoreException(
+          s"stream sink epoch $epochId: duplicate PKs within the " +
+          s"batch, e.g. ${dups.mkString(", ")} — deduplicate the " +
+          "stream (dropDuplicates on the PK) before the sink")
+      enforceChecks(staged, meta0.checks, "stream-sink")
+      val nonPk = meta0.schema.fieldNames.filterNot(meta0.pk.contains).toSeq
+
+      def stageImages(changes: DataFrame): Path = {
+        val p = new Path(tblDir, s".staging-changelog-${UUID.randomUUID()}")
+        changes.write.parquet(p.toString)
+        cleanups += p
+        p
+      }
+      // append mode: the epoch's rows as ONE insert-image batch (no
+      // pre-image join — base-independent, so never re-derived)
+      def stageInsertImages(): Path = {
+        val images = nonPk.flatMap { c =>
+          Seq(lit(null).cast(meta0.schema(c).dataType).as(s"old_$c"),
+            col(c).as(s"new_$c"))
+        }
+        stageImages(staged.select(
+          meta0.pk.map(col) ++ (lit("insert").as("op") +: images): _*))
+      }
+      // upsert mode: the merge-on-read decomposition against a given
+      // base — pre-image join classifies CDC images and collects the
+      // matched rows' (bucket, file, pos) tombstones. A function of the
+      // base manifest: derived against base0 here, re-derived inside
+      // the lock only if its window changed a touched bucket.
+      def deriveUpsert(baseM: Manifest, metaM: TableMeta)
+          : (Option[Path], String) = {
+        val oldPos = readRawPos(spark, wh, ref, metaM,
+            manifestOf(baseM), withPos = true)
+          .filter(col(BucketCol).isin(touched: _*))
+        val j = staged.as("n")
+          .join(oldPos.as("o"), metaM.pk.toIndexedSeq, "left")
+        val presentOld = col(s"o.$BucketCol").isNotNull
+        val clSrc: Option[Path] = if (metaM.changelog) {
+          val changedCond = nonPk
+            .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+            .foldLeft(lit(false))(_ || _)
+          val images = nonPk.flatMap { c =>
+            Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
+          }
+          Some(stageImages(j.select(
+            metaM.pk.map(col) ++ (
+              when(!presentOld, lit("insert"))
+                .when(changedCond, lit("update"))
+                .otherwise(lit("unchanged")).as("op") +: images): _*)))
+        } else None
+        val dvStaging = s"$tblDir/.staging-stream-dv-${UUID.randomUUID()}"
+        cleanups += new Path(dvStaging)
+        j.filter(presentOld)
+          .select(col(s"o.$BucketCol").as(BucketCol),
+            col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
+          .repartition(touched.size, col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+          .write.partitionBy(BucketCol).parquet(dvStaging)
+        (clSrc, dvStaging)
+      }
+      var clSrc0: Option[Path] = None
+      var dvStaging0: String = null
+      if (!upsertMode) {
+        // overlap pre-check vs the snapshot-at-start (the locked
+        // re-check below covers files added since, so together they
+        // cover the commit-time snapshot exactly)
+        val old = readRawWith(spark, wh, ref, meta0, manifestOf(base0))
+          .filter(col(BucketCol).isin(touched: _*))
+        val overlap = staged.join(old, meta0.pk.toIndexedSeq, "left_semi")
+          .limit(5).select(meta0.pk.map(col): _*).collect()
+        if (overlap.nonEmpty)
+          throw new StoreException(
+            s"stream sink epoch $epochId would overwrite existing PKs, " +
+            s"e.g. ${overlap.mkString(", ")} (the sink appends; " +
+            "replays are handled by the epoch ledger, not upserts — " +
+            "for update-by-key semantics set option sink_mode=upsert)")
+        if (meta0.changelog) clSrc0 = Some(stageInsertImages())
+      } else {
+        val (c, d) = deriveUpsert(base0, meta0)
+        clSrc0 = c; dvStaging0 = d
+      }
+
+      StreamEpochHooks.betweenPhases()
+
+      // ------- LOCKED (briefly — queue behind other committers rather
+      // than fail the query; the section is a flip plus rare re-checks)
+      WriteLock.withLockWait(spark, tblDir, "stream-sink", commitWaitMs) {
+        val metaL = TableMeta.read(spark, tblDir)
+        val baseL = snapshotForWrite(spark, tblDir, data, metaL)
+        // authoritative replay re-check (another instance of the same
+        // query may have committed this epoch while we staged)
+        if (!baseL.streams.get(queryId).exists(_ >= epochId)) {
+          if (baseL.buckets != writerBuckets) rebucketError(baseL.buckets)
+          if (metaL.schema.json != meta0.schema.json)
+            throw new ConcurrentWriteException(
+              s"stream sink epoch $epochId of $tblDir: table schema " +
+              "changed while the epoch staged; epoch aborted (table " +
+              "unchanged) — restart the streaming query so its writers " +
+              "pick up the new schema")
+          // a CHECK registered since we staged was validated against a
+          // snapshot excluding our rows — enforce only the new ones
+          enforceChecks(staged, metaL.checks -- meta0.checks.keySet,
+            "stream-sink(commit)")
+          val windowMoved = baseL.version != base0.version
           if (!upsertMode) {
-            val old = readRawWith(spark, wh, ref, meta, manifestOf(base))
-              .filter(col(BucketCol).isin(touched: _*))
-            val overlap = staged.join(old, meta.pk.toIndexedSeq, "left_semi")
-              .limit(5).select(meta.pk.map(col): _*).collect()
-            if (overlap.nonEmpty)
-              throw new StoreException(
-                s"stream sink epoch $epochId would overwrite existing PKs, " +
-                s"e.g. ${overlap.mkString(", ")} (the sink appends; " +
-                "replays are handled by the epoch ledger, not upserts — " +
-                "for update-by-key semantics set option sink_mode=upsert)")
-            // changelog: the epoch's rows as ONE insert-image batch,
-            // staged before the flip, renamed in only after it
-            val clCommit: Option[(Path, Path)] = if (meta.changelog) {
-              val images = nonPk.flatMap { c =>
-                Seq(lit(null).cast(meta.schema(c).dataType).as(s"old_$c"),
-                  col(c).as(s"new_$c"))
+            if (windowMoved) {
+              // re-check overlap against only the files ADDED since our
+              // snapshot in the buckets we touch — usually none ⇒ no IO
+              val addedByBucket = touched.flatMap { b =>
+                val before = base0.files.getOrElse(b, Nil).map(_.name).toSet
+                val now = baseL.files.getOrElse(b, Nil)
+                  .filterNot(x => before.contains(x.name))
+                if (now.isEmpty) None else Some(b -> now)
+              }.toMap
+              if (addedByBucket.nonEmpty) {
+                val addedDf = readRawWith(spark, wh, ref, metaL,
+                  Some(baseL.copy(files = addedByBucket)))
+                val clash = staged.join(addedDf, meta0.pk.toIndexedSeq,
+                    "left_semi")
+                  .limit(5).select(meta0.pk.map(col): _*).collect()
+                if (clash.nonEmpty)
+                  throw new StoreException(
+                    s"stream sink epoch $epochId would overwrite PK(s) " +
+                    s"${clash.mkString(", ")} written by a concurrent " +
+                    "mutation while the epoch staged (the sink appends — " +
+                    "for update-by-key semantics set option " +
+                    "sink_mode=upsert)")
               }
-              Some(stageChangelogBatch(spark, tblDir, staged.select(
-                meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)))
-            } else None
-            try {
-              commitStaged(spark, f, tblDir, data, staging, touched,
-                "stream", base, base.buckets, meta, add = true,
-                streamEpoch = Some(queryId -> epochId))
-              clCommit.foreach { case (src, dst) =>
-                commitChangelogBatch(f, "stream", src, dst)
-              }
-            } finally clCommit.foreach { case (src, _) => f.delete(src, true) }
-          } else {
-            // UPSERT epoch = the merge-on-read decomposition: matched
-            // stored rows' positions tombstone, the staged files ARE
-            // the post-images, one manifest flip carries data + DVs +
-            // the epoch ledger. Epoch write cost ∝ |epoch|, never the
-            // table — the shape a continuously-updating windowed
-            // aggregate needs.
-            val oldPos = readRawPos(spark, wh, ref, meta,
-                manifestOf(base), withPos = true)
-              .filter(col(BucketCol).isin(touched: _*))
-            val j = staged.as("n")
-              .join(oldPos.as("o"), meta.pk.toIndexedSeq, "left")
-            val presentOld = col(s"o.$BucketCol").isNotNull
-            val clCommit: Option[(Path, Path)] = if (meta.changelog) {
-              val changedCond = nonPk
-                .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
-                .foldLeft(lit(false))(_ || _)
-              val images = nonPk.flatMap { c =>
-                Seq(col(s"o.$c").as(s"old_$c"), col(s"n.$c").as(s"new_$c"))
-              }
-              Some(stageChangelogBatch(spark, tblDir, j.select(
-                meta.pk.map(col) ++ (
-                  when(!presentOld, lit("insert"))
-                    .when(changedCond, lit("update"))
-                    .otherwise(lit("unchanged")).as("op") +: images): _*)))
-            } else None
-            val dvStaging = s"$tblDir/.staging-stream-dv-${UUID.randomUUID()}"
-            try {
-              j.filter(presentOld)
-                .select(col(s"o.$BucketCol").as(BucketCol),
-                  col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
-                .write.partitionBy(BucketCol).parquet(dvStaging)
-              commitStagedMorMut(spark, f, tblDir, data, staging, dvStaging,
-                touched, "stream-upsert", base, meta,
-                streamEpoch = Some(queryId -> epochId))
-              clCommit.foreach { case (src, dst) =>
-                commitChangelogBatch(f, "stream-upsert", src, dst)
-              }
-            } finally {
-              f.delete(new Path(dvStaging), true)
-              clCommit.foreach { case (src, _) => f.delete(src, true) }
             }
+            // changelog enabled mid-window: this epoch must still land
+            // its batch (readChangelog's every-mutation invariant)
+            val clSrc =
+              clSrc0 orElse (if (metaL.changelog) Some(stageInsertImages())
+                             else None)
+            commitStaged(spark, f, tblDir, data, staging, touched,
+              "stream", baseL, baseL.buckets, metaL, add = true,
+              streamEpoch = Some(queryId -> epochId))
+            clSrc.foreach(src =>
+              commitChangelogBatch(f, "stream", src,
+                nextChangelogDst(f, tblDir)))
+          } else {
+            // the DVs must tombstone COMMIT-TIME positions: re-derive
+            // iff the lock window changed a touched bucket's live set
+            // (files added/removed or DVs added — e.g. a concurrent
+            // batch upsert of the same keys), or CDC flipped on since
+            // we staged without images
+            val liveSetMoved = windowMoved && touched.exists { b =>
+              base0.files.getOrElse(b, Nil).map(_.name).toSet !=
+                baseL.files.getOrElse(b, Nil).map(_.name).toSet ||
+              base0.dvs.getOrElse(b, Nil).map(_.name).toSet !=
+                baseL.dvs.getOrElse(b, Nil).map(_.name).toSet
+            }
+            val (clSrc, dvStaging) =
+              if (liveSetMoved || (metaL.changelog && clSrc0.isEmpty))
+                deriveUpsert(baseL, metaL)
+              else (clSrc0, dvStaging0)
+            commitStagedMorMut(spark, f, tblDir, data, staging, dvStaging,
+              touched, "stream-upsert", baseL, metaL,
+              streamEpoch = Some(queryId -> epochId))
+            clSrc.foreach(src =>
+              commitChangelogBatch(f, "stream-upsert", src,
+                nextChangelogDst(f, tblDir)))
           }
         }
-        // replayed or empty epoch: nothing to commit — a replay
-        // re-stages the same rows and lands here again harmlessly
       }
-    } finally f.delete(stagingPath, true): Unit
+    } finally {
+      f.delete(stagingPath, true)
+      cleanups.foreach(p => f.delete(p, true))
+    }
+  }
+
+  /** Test-only interleave seam: invoked between [[commitStreamEpoch]]'s
+    * unlocked validation phase and its locked commit, so a spec can
+    * land an interfering mutation deterministically inside the window
+    * the optimistic protocol must re-validate. A no-op in production
+    * (same-JVM static, like the spec gates it mirrors). */
+  private[store] object StreamEpochHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
   }
 
   /** Shared Auto/CoW/MoR strategy decision for every row-mutating
@@ -1488,16 +1604,8 @@ object KeyedTable {
             "appendConcurrent", baseLatest, baseLatest.buckets,
             metaLatest.copy(schema = mergedSchema), add = true)
           (clStaging orElse clLate).foreach { src =>
-            val clRoot = new Path(dir, ChangelogDir)
-            val nextBatch =
-              if (!f.exists(clRoot)) 0L
-              else f.listStatus(clRoot)
-                .filter(st => st.isDirectory &&
-                  st.getPath.getName.startsWith("batch="))
-                .map(_.getPath.getName.stripPrefix("batch=").toLong)
-                .foldLeft(-1L)(math.max) + 1L
             commitChangelogBatch(f, "appendConcurrent", src,
-              new Path(clRoot, s"batch=$nextBatch"))
+              nextChangelogDst(f, dir))
           }
           val metaFinal = metaLatest.copy(schema = mergedSchema,
             changelog = wantChangelog || metaLatest.changelog)
