@@ -162,6 +162,16 @@ private[store] object GraftProcedures {
         KeyedTable.setStatsColumns(sp, wh, t, cols, sch)
         Seq(cols.mkString(","))
       }),
+    ProcDef("drop_stream_ledger",
+      "drop a RETIRED streaming query's epoch-ledger entry (its replay " +
+      "protection — only for queries that will never run again); the " +
+      "ledger is readable as the t$streams metadata table",
+      Seq(in("table", StringType), in("query_id", StringType)),
+      out("dropped" -> BooleanType),
+      (sp, wh, r) => {
+        val (t, sch) = split(str(r, 0))
+        Seq(KeyedTable.dropStreamLedger(sp, wh, t, str(r, 1), sch))
+      }),
     ProcDef("rename_table",
       "rename a table: one directory rename under the write lock",
       Seq(in("table", StringType), in("to", StringType)),

@@ -1094,6 +1094,35 @@ object KeyedTable {
     @volatile var betweenPhases: () => Unit = () => ()
   }
 
+  /** Drop a RETIRED streaming query's epoch-ledger entry — one metadata
+    * flip committing the current manifest minus `streams(queryId)`
+    * (the SQL surface is `CALL graft.system.drop_stream_ledger`; the
+    * ledger is readable as the `t$streams` metadata table). Without
+    * this, every entry rides EVERY future commit of the table forever.
+    *
+    * Only for queries that will never run again: the entry is exactly
+    * what makes an epoch replay a no-op ([[commitStreamEpoch]]), so
+    * dropping a LIVE query's entry lets its replayed epochs re-apply.
+    * It also releases the query's `.staging-stream-<queryId>` root to
+    * [[vacuum]] (which skips roots holding a ledger entry). Returns
+    * false when the query holds no entry. Branch refs address their
+    * own chain's ledger. */
+  def dropStreamLedger(spark: SparkSession, warehouse0: String,
+                       tableName: String, queryId: String,
+                       schema: Option[String] = None): Boolean = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    WriteLock.withLock(spark, dir, s"dropStreamLedger($queryId)") {
+      Manifest.current(spark, dir) match {
+        case Some(m) if m.streams.contains(queryId) =>
+          Manifest.commit(spark, dir, m.copy(version = m.version + 1,
+            op = Some(s"dropStreamLedger($queryId)"), tsMs = None,
+            streams = m.streams - queryId))
+          true
+        case _ => false
+      }
+    }
+  }
+
   /** Shared Auto/CoW/MoR strategy decision for every row-mutating
     * commit (delete, update, merge) — pure manifest arithmetic, zero
     * IO: MoR needs a manifest (positions resolve against its file
@@ -2762,7 +2791,13 @@ object KeyedTable {
     * removed. Three kinds, each safe by construction:
     *  - `.staging-*` / `.retired-*` dirs a crashed write abandoned
     *    (never the only copy of live data — commits are additive file
-    *    moves + a manifest flip, see [[Manifest]]);
+    *    moves + a manifest flip, see [[Manifest]]). The UNLOCKED
+    *    stagers are special-cased: `.staging-append-*`
+    *    ([[appendConcurrent]]) and `.staging-stream-*` (sink epochs)
+    *    roots are reaped only past a [[WriteLock.DefaultStaleMs]] floor
+    *    however aggressive `olderThanMs`, and a stream root whose query
+    *    still holds a ledger entry is never reaped (see
+    *    [[dropStreamLedger]]);
     *  - data files the CURRENT manifest does not reference: superseded
     *    by later commits (kept until now precisely so readers of recent
     *    snapshots stay undisturbed) or moved in by a commit that died
@@ -2800,15 +2835,33 @@ object KeyedTable {
         }
       withBranchLocks(branches.sortBy(_._1)) {
       val cutoff = System.currentTimeMillis() - olderThanMs
+      // The UNLOCKED stagers — appendConcurrent and the streaming
+      // sink's epochs — write staging while we hold this lock, so the
+      // lock proves nothing about them: their roots get a floor on the
+      // age bound (a zero-age vacuum cannot reap an epoch or optimistic
+      // append mid-stage), and a `.staging-stream-<queryId>` root whose
+      // query holds a ledger entry in THAT ref's manifest is skipped at
+      // ANY age — the sink is (or recently was) live; retire it with
+      // dropStreamLedger first. Everything else staged under the lock
+      // keeps the pure age bound (the documented contract).
+      val unlockedCutoff = System.currentTimeMillis() -
+        math.max(olderThanMs, WriteLock.DefaultStaleMs)
       // abandoned staging under the base dir AND under every branch ref
       // (branch mutations stage in their own dir before moving files
       // into the shared data dir)
       var removed = (p +: branches.map(b => new Path(b._2))).map { root =>
+        val ledger: Set[String] = Manifest.current(spark, root.toString)
+          .map(_.streams.keySet).getOrElse(Set.empty)
         f.listStatus(root).count { st =>
           val n = st.getPath.getName
-          val stale = st.isDirectory &&
-            (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
-            st.getModificationTime < cutoff
+          val stale = st.isDirectory && (
+            if (n.startsWith(".staging-stream-"))
+              !ledger.contains(n.stripPrefix(".staging-stream-")) &&
+                st.getModificationTime < unlockedCutoff
+            else if (n.startsWith(".staging-append-"))
+              st.getModificationTime < unlockedCutoff
+            else (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
+              st.getModificationTime < cutoff)
           if (stale) f.delete(st.getPath, true)
           stale
         }

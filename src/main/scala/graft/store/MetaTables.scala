@@ -26,12 +26,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `t$files`: the CURRENT snapshot's live files —
   *    (bucket, file, bytes, rows); empty for pre-manifest tables.
   *  - `t$checks`: registered CHECK constraints — (name, predicate).
+  *  - `t$streams`: the streaming-sink epoch ledger — one
+  *    (query_id, epoch_id) high-water mark per sink query that ever
+  *    committed ([[KeyedTable.commitStreamEpoch]]); entries of retired
+  *    queries persist until `CALL graft.system.drop_stream_ledger`.
   *
   * Read-only by construction (no SupportsWrite); rows are computed
   * when the scan is BUILT, so each query sees one consistent listing.
   */
 private[store] object MetaTables {
-  private val Kinds = Set("history", "tags", "files", "checks", "branches")
+  private val Kinds =
+    Set("history", "tags", "files", "checks", "branches", "streams")
 
   /** `name$kind` → (base table name, kind), for known kinds only —
     * anything else is a normal (possibly weird) table name. */
@@ -68,6 +73,9 @@ private[store] object MetaTables {
       StructField("branch", StringType, nullable = false),
       StructField("fork_version", LongType, nullable = false),
       StructField("head_version", LongType, nullable = false)))
+    case "streams" => StructType(Seq(
+      StructField("query_id", StringType, nullable = false),
+      StructField("epoch_id", LongType, nullable = false)))
   }
 
   private def rowsOf(spark: SparkSession, tableDir: String,
@@ -118,6 +126,13 @@ private[store] object MetaTables {
             Branches.forkVersionOf(spark, brDir),
             Manifest.current(spark, brDir)
               .map(_.version).getOrElse(-1L))): InternalRow
+      }.toArray
+    case "streams" =>
+      Manifest.current(spark, tableDir).toSeq.flatMap { m =>
+        m.streams.toSeq.sortBy(_._1).map { case (q, e) =>
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(q), e)): InternalRow
+        }
       }.toArray
   }
 

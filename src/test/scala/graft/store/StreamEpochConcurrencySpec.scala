@@ -184,6 +184,93 @@ class StreamEpochConcurrencySpec extends SparkSpec with BeforeAndAfterEach {
     noStagingLeft(t)
   }
 
+  private val catN = new java.util.concurrent.atomic.AtomicLong()
+  private def withCat[A](body: String => A): A = {
+    val cat = s"graft_sepoch${catN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try body(cat)
+    finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
+  test("t$streams exposes the ledger; drop_stream_ledger retires an entry") {
+    val t = "t_ep_ledger"
+    KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 4)
+    Seq(("qa", 0L, 300L), ("qa", 1L, 301L), ("qb", 7L, 302L)).foreach {
+      case (q, e, k) =>
+        val (staging, files) = stageEpoch(t, df((k, s"$q-$e")), 4, q, e)
+        commitEpoch(t, staging, files, q, e, 4)
+    }
+    withCat { cat =>
+      def ledger(): Set[(String, Long)] =
+        spark.sql(s"SELECT query_id, epoch_id FROM $cat.`$t" + "$streams`")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(ledger() == Set(("qa", 1L), ("qb", 7L)))
+      // drop a retired query's entry through SQL CALL
+      val dropped = spark.sql(
+        s"CALL $cat.system.drop_stream_ledger('$t', 'qa')").collect()
+      assert(dropped.length == 1 && dropped(0).getBoolean(0))
+      assert(ledger() == Set(("qb", 7L)))
+      // unknown query: false, no commit
+      val v = Manifest.current(spark, KeyedTable.tableDir(wh, t)).get.version
+      val again = spark.sql(
+        s"CALL $cat.system.drop_stream_ledger('$t', 'qa')").collect()
+      assert(!again(0).getBoolean(0))
+      assert(Manifest.current(spark,
+        KeyedTable.tableDir(wh, t)).get.version == v)
+      // round trip: the query can re-commit — its ledger re-creates
+      // (this is also the documented hazard: a replayed epoch of a
+      // DROPPED query re-applies, which is why the CALL is only for
+      // queries that never run again)
+      val (staging, files) = stageEpoch(t, df((400L, "qa-back")), 4, "qa", 5L)
+      commitEpoch(t, staging, files, "qa", 5L, 4)
+      assert(ledger() == Set(("qa", 5L), ("qb", 7L)))
+      // the data survived every metadata flip
+      assert(values(t).keySet == Set(1L, 300L, 301L, 302L, 400L))
+    }
+  }
+
+  test("vacuum never reaps live sink staging; retired roots reap after drop") {
+    val t = "t_ep_vac"
+    KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 4)
+    val (staging, files) = stageEpoch(t, df((2L, "s")), 4, "qlive", 0L)
+    commitEpoch(t, staging, files, "qlive", 0L, 4)
+    val dir = new java.io.File(KeyedTable.tableDir(wh, t))
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    // a mid-epoch staged file of the LIVE query (ledger entry held):
+    // a zero-age vacuum must not touch it, at any mtime
+    val live = new java.io.File(dir, ".staging-stream-qlive/epoch=1")
+    live.mkdirs()
+    val liveFile = new java.io.File(live, "part-0.parquet")
+    assert(liveFile.createNewFile())
+    new java.io.File(dir, ".staging-stream-qlive").setLastModified(old)
+    // a FIRST-epoch root of a new query (no ledger entry yet, fresh
+    // mtime): protected by the unlocked-stager age floor
+    new java.io.File(dir, ".staging-stream-qfirst").mkdirs()
+    // an optimistic append mid-stage: same floor
+    new java.io.File(dir, ".staging-append-deadbeef").mkdirs()
+    // a long-dead query that never got a ledger entry: reapable once old
+    val deadRoot = new java.io.File(dir, ".staging-stream-qdead")
+    deadRoot.mkdirs()
+    deadRoot.setLastModified(old)
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
+    assert(liveFile.exists(), "live sink staging reaped by zero-age vacuum")
+    assert(new java.io.File(dir, ".staging-stream-qfirst").exists())
+    assert(new java.io.File(dir, ".staging-append-deadbeef").exists())
+    assert(!deadRoot.exists(), "dead unledgered stream root should reap")
+    // retiring the ledger releases the root to vacuum (once past age)
+    assert(KeyedTable.dropStreamLedger(spark, wh, t, "qlive"))
+    new java.io.File(dir, ".staging-stream-qlive").setLastModified(old)
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
+    assert(!liveFile.exists() &&
+      !new java.io.File(dir, ".staging-stream-qlive").exists())
+    // the table itself is untouched throughout
+    assert(values(t) == Map(1L -> "a", 2L -> "s"))
+  }
+
   test("sink epochs and concurrent batch appends interleave safely") {
     val t = "t_ep_race"
     KeyedTable.toSql(df((0L, "base")), wh, t, pk = Seq("id"), buckets = 4)
