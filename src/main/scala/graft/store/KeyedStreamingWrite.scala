@@ -44,15 +44,29 @@ import org.apache.spark.util.SerializableConfiguration
   * — which is what `outputMode(Update)` windowed aggregates and CDC
   * folds need from a native sink (the builder's
   * SupportsStreamingUpdateAsAppend marker admits Update mode; changed
-  * rows then arrive as appends and upsert into place). After each
-  * upsert epoch the auto-compaction policy runs (manifest arithmetic —
-  * a no-op until a bucket breaches the file-count or delete-fraction
-  * bound), so a long-running update stream cannot accumulate DVs or
-  * small files without bound. */
+  * rows then arrive as appends and upsert into place).
+  *
+  * `autoCompact` (write option `auto_compact=true|false`): whether the
+  * auto-compaction policy runs after each committed epoch (manifest
+  * arithmetic — a no-op until a bucket breaches the file-count or
+  * delete-fraction bound). Defaults ON for upsert mode (its epochs are
+  * already non-additive — position deletes change the DV set — so
+  * inline compaction costs downstream consumers nothing extra, and a
+  * long-running update stream must not accumulate DVs or small files
+  * without bound) and OFF for append mode: a compaction commit is
+  * NON-additive, so it would break any consumer tailing the table
+  * through [[KeyedTable.readIncremental]] or the streaming source
+  * (their append-only-window contract refuses, loudly, across it).
+  * An append sink with no tailing incremental consumers should set
+  * `auto_compact=true` — otherwise each epoch adds one-plus file per
+  * touched bucket forever and the operator owns scheduling
+  * [[KeyedTable.compact]] externally (e.g. between consumer cursor
+  * bumps, which keeps the rewrite outside every polled window). */
 private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
                                          dataDir: String, queryId: String,
                                          inputSchema: StructType,
-                                         upsertMode: Boolean = false)
+                                         upsertMode: Boolean = false,
+                                         autoCompact: Option[Boolean] = None)
     extends StreamingWrite
     with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
@@ -123,7 +137,7 @@ private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
     KeyedTable.commitStreamEpoch(SparkSession.active, tableDir, dataDir,
       queryId, epochId, s"$stagingRoot/epoch=$epochId", buckets, files,
       upsertMode = upsertMode)
-    if (upsertMode) {
+    if (autoCompact.getOrElse(upsertMode)) {
       // maintenance rides the stream: a no-op (one manifest read) until
       // a bucket actually breaches the layout/delete-fraction bounds
       val (wh, ref) = KeyedTable.refOf(tableDir)

@@ -2060,7 +2060,8 @@ object KeyedTable {
       // layout health from the MANIFEST alone whenever it carries row
       // counts (every file this code writes does): the no-op case then
       // costs one manifest read — which is what lets maintenance ride
-      // every streaming-sink epoch. Tables with uncounted files
+      // every upsert-mode (and opt-in append-mode, see auto_compact)
+      // streaming-sink epoch. Tables with uncounted files
       // (legacy/adopted) fall back to the footer-only bucketStats
       // report (O(files) footer opens, still zero data pages).
       val crowded: Seq[Int] =

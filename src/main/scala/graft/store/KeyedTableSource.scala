@@ -251,7 +251,11 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
             * `sink_mode`: `append` (default, the batch append contract
             * per epoch) or `upsert` (epochs update by PK through the
             * merge-on-read decomposition — for outputMode(Update)
-            * aggregates and CDC folds). See [[KeyedStreamingWrite]]. */
+            * aggregates and CDC folds). Write option `auto_compact`:
+            * run the compaction policy after each epoch (defaults to
+            * the sink mode's safe choice — ON for upsert, OFF for
+            * append, whose tailing incremental consumers a compaction
+            * commit would break). See [[KeyedStreamingWrite]]. */
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
             val mode = Option(info.options.get("sink_mode"))
@@ -259,9 +263,16 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
             if (mode != "append" && mode != "upsert")
               throw new StoreException(
                 s"unknown sink_mode '$mode': expected 'append' or 'upsert'")
+            val autoCompact = Option(info.options.get("auto_compact"))
+              .map(_.toLowerCase match {
+                case "true" => true
+                case "false" => false
+                case v => throw new StoreException(
+                  s"bad auto_compact '$v': expected 'true' or 'false'")
+              })
             new KeyedStreamingWrite(meta, tableDir,
               KeyedTable.dataDir(wh, tbl), info.queryId(), info.schema(),
-              upsertMode = mode == "upsert")
+              upsertMode = mode == "upsert", autoCompact = autoCompact)
           }
 
           override def toInsertableRelation
@@ -278,20 +289,47 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
               // silently discarded: the user supplied an explicit id
               // the store would otherwise regenerate out from under them
               val cleaned0 = data.drop(KeyedTable.BucketCol)
+              import org.apache.spark.sql.functions.{col, raise_error, when}
+              val explicitIdMsg =
+                s"INSERT into $tbl supplies explicit values for the " +
+                s"auto-generated index column ${Names.AutoIndex}; " +
+                "the store assigns ids itself — pass NULL for that " +
+                "slot (or create the table without auto_index)"
+              val keep = cleaned0.columns.filterNot(_ == Names.AutoIndex)
               val cleaned =
-                if (!meta.autoIndex) cleaned0
-                else {
-                  if (data.columns.contains(Names.AutoIndex) &&
-                      !data.filter(data(Names.AutoIndex).isNotNull)
-                        .isEmpty)
-                    throw new StoreException(
-                      s"INSERT into $tbl supplies explicit values for the " +
-                      s"auto-generated index column ${Names.AutoIndex}; " +
-                      "the store assigns ids itself — pass NULL for that " +
-                      "slot (or create the table without auto_index)")
+                if (!meta.autoIndex ||
+                    !data.columns.contains(Names.AutoIndex)) cleaned0
+                else if (keep.isEmpty) {
+                  // degenerate id-only table: nothing to fold into
+                  if (!data.filter(data(Names.AutoIndex).isNotNull).isEmpty)
+                    throw new StoreException(explicitIdMsg)
                   cleaned0.drop(Names.AutoIndex)
+                } else {
+                  // LAZY guard: an eager probe would recompute the whole
+                  // incoming plan once just to check a slot that is NULL
+                  // in every well-formed INSERT. Folded into one kept
+                  // column, the check instead rides the write's own
+                  // first pass over the rows (before anything commits)
+                  // for free; the cause-chain rewrap below restores the
+                  // clean StoreException surface
+                  cleaned0.withColumn(keep.head,
+                    when(data(Names.AutoIndex).isNotNull,
+                      raise_error(org.apache.spark.sql.functions
+                        .lit(explicitIdMsg))
+                        .cast(cleaned0.schema(keep.head).dataType))
+                    .otherwise(col(keep.head)))
+                    .drop(Names.AutoIndex)
                 }
-              KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
+              try KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
+              catch {
+                case e: Exception =>
+                  val inChain = Iterator.iterate(e: Throwable)(_.getCause)
+                    .takeWhile(_ != null)
+                    .exists(t => Option(t.getMessage)
+                      .exists(_.contains("assigns ids itself")))
+                  if (inChain) throw new StoreException(explicitIdMsg)
+                  else throw e
+              }
             }
         }
     }

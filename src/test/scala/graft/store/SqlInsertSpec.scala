@@ -60,6 +60,25 @@ class SqlInsertSpec extends SparkSpec {
     }
   }
 
+  test("explicit auto-index values are rejected (lazily) as a StoreException") {
+    withCatalog("graft_w4") { w =>
+      KeyedTable.toSql(Seq(("a", 1.0)).toDF("g", "v"), w, "t",
+        autoIndex = true)
+      // a NON-NULL id slot fails — caught mid-write (the guard rides the
+      // write's own pass, never its own job) but surfaced clean
+      val e = intercept[StoreException](
+        spark.sql("INSERT INTO graft_w4.t VALUES (77, 'b', 2.0, NULL)"))
+      assert(e.getMessage.contains("assigns ids itself"), s"got $e")
+      assert(KeyedTable.readSql(spark, w, "t").count() == 1,
+        "failed insert wrote nothing")
+      // NULL slots pass and the store assigns the next id
+      spark.sql("INSERT INTO graft_w4.t VALUES (NULL, 'b', 2.0, NULL)")
+      val ids = KeyedTable.readSql(spark, w, "t")
+        .select(Names.AutoIndex).as[Long].collect().sorted.toSeq
+      assert(ids == Seq(0L, 1L), ids.toString)
+    }
+  }
+
   test("INSERT OVERWRITE is rejected") {
     withCatalog("graft_w3") { w =>
       KeyedTable.toSql(Seq((1L, "a")).toDF("k", "v"), w, "t", pk = Seq("k"))

@@ -281,6 +281,57 @@ class StreamSinkSpec extends SparkSpec {
       log.toString)
   }
 
+  /** One-row source files drained one-per-epoch (AvailableNow honors
+    * maxFilesPerTrigger admission), so `n` files = `n` sink epochs. */
+  private def drainEpochs(cat: String, table: String, n: Int,
+                          opts: Map[String, String]): Unit = {
+    val src = Files.createTempDirectory("graft-sink-ac-src-").toString
+    (1 to n).foreach { i =>
+      Seq((i.toLong, i * 1.0)).toDF("k", "v")
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    val ck = Files.createTempDirectory("graft-sink-ac-ck-").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.DoubleType)))
+    var q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+    opts.foreach { case (k, v) => q = q.option(k, v) }
+    q.toTable(s"$cat.$table").awaitTermination()
+  }
+
+  test("append-mode epochs do NOT auto-compact by default (tailing consumers)") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((0L, 0.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 1)
+    val v0 = Manifest.current(spark, KeyedTable.tableDir(wh, "t")).get.version
+    drainEpochs(cat, "t", 20, Map.empty)
+    val m = Manifest.current(spark, KeyedTable.tableDir(wh, "t")).get
+    // one file per epoch accumulated: every commit stayed additive, so
+    // an incremental consumer can tail the whole window
+    assert(m.files(0).size == 21, s"got ${m.files(0).size} files")
+    assert(KeyedTable.readIncremental(spark, wh, "t", v0).count() == 20L)
+    assert(KeyedTable.readSql(spark, wh, "t").count() == 21L)
+  }
+
+  test("auto_compact=true bounds an append sink's files per bucket") {
+    val (cat, wh) = mkCatalog()
+    KeyedTable.toSql(Seq((0L, 0.0)).toDF("k", "v"), wh, "t",
+      pk = Seq("k"), buckets = 1)
+    drainEpochs(cat, "t", 20, Map("auto_compact" -> "true"))
+    val m = Manifest.current(spark, KeyedTable.tableDir(wh, "t")).get
+    // the policy (maxFilesPerBucket=16) fired mid-stream: the layout
+    // never ran away, and the data is intact
+    assert(m.files(0).size <= 17, s"got ${m.files(0).size} files")
+    val got = KeyedTable.readSql(spark, wh, "t")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(got == (0L to 20L).map(i => (i, i * 1.0)))
+  }
+
   test("streaming write into an auto-index table is refused loudly") {
     val (cat, wh) = mkCatalog()
     KeyedTable.toSql(Seq(("a", 1.0)).toDF("g", "v"), wh, "t",
