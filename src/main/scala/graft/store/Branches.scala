@@ -42,8 +42,11 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * (one manifest-pruned diff of fork-point vs branch head over the
   * shared data dir — [[KeyedTable.stageWapImages]]) and commits it to
   * the base's changelog after the flip, so the every-mutation-logs-a-
-  * batch invariant holds across publishes. Only a schema-evolved
-  * branch refuses (its images would change the log's column set).
+  * batch invariant holds across publishes — including a SCHEMA-EVOLVED
+  * branch: its images synthesize under the branch head's schema, and
+  * batches logged before the evolution surface NULL for the new
+  * columns through [[KeyedTable.readChangelog]]'s mergeSchema (the
+  * correct pre-image of a column before its birth).
   */
 object Branches {
 
@@ -215,9 +218,11 @@ object Branches {
     * ref the publish synthesizes the exact row-image batch its flip
     * represents ([[KeyedTable.stageWapImages]] — a zero-exchange,
     * manifest-pruned diff of fork point vs branch head over the shared
-    * data dir) and commits it to the base's changelog after the flip;
-    * only a schema-EVOLVED branch refuses (its images would change the
-    * changelog's column set mid-log — apply with merge instead).
+    * data dir) and commits it to the base's changelog after the flip —
+    * a schema-EVOLVED branch included: the diff plans BOTH snapshots
+    * under the branch head's schema (the fork point's files simply
+    * read NULL for columns born after them), so its batch carries the
+    * evolved column set and earlier batches merge as NULL images.
     * Returns the new base version; the branch's fork point advances so
     * the next WAP cycle can continue on the same branch. */
   def fastForward(spark: SparkSession, warehouse0: String,
@@ -234,15 +239,11 @@ object Branches {
         val baseMeta = TableMeta.read(spark, baseDir)
         val brMeta = TableMeta.read(spark, brDir)
         // CDC composes with WAP: the publish SYNTHESIZES the exact
-        // row-image batch its flip represents (below). Only the
-        // schema-evolved case stays refused — its images would change
-        // the changelog's column set mid-log.
+        // row-image batch its flip represents (below) — under the
+        // branch HEAD's schema when the branch evolved, which the
+        // changelog absorbs (readChangelog merges batch schemas;
+        // pre-evolution batches read NULL images for the new columns)
         val cdc = baseMeta.changelog || brMeta.changelog
-        if (cdc && baseMeta.schema.json != brMeta.schema.json)
-          throw new StoreException(
-            "fastForward with CDC across a schema change is not " +
-            "supported (the image batch would change the changelog's " +
-            "column set mid-log); apply the branch with merge instead")
         val baseHead = Manifest.current(spark, baseDir).getOrElse(
           throw new StoreException(s"$tableName has no manifest snapshot"))
         if (baseHead.version != fk.baseVersion)

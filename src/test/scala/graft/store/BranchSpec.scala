@@ -204,20 +204,56 @@ class BranchSpec extends SparkSpec {
     intercept[StoreException](
       Branches.create(spark, wh, t, "Bad Name!"))
     intercept[StoreException](Branches.drop(spark, wh, t, "missing"))
-    // CDC publish across a SCHEMA CHANGE stays refused (the image
-    // batch would change the changelog's column set mid-log)
-    KeyedTable.toSql(df((2L, "b", 2.0)), wh, t, pk = Seq("id"),
-      how = WriteMode.Upsert, changelog = true)
+  }
+
+  test("CDC publish across a branch SCHEMA CHANGE: images carry the evolved columns") {
+    import org.apache.spark.sql.functions.{col, row_number}
+    val t = "br_cdc_evolve"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0)), wh, t,
+      pk = Seq("id"), buckets = 2)
+    KeyedTable.setChangelog(spark, wh, t, enabled = true)
+    // a PRE-evolution batch in the base log (must merge as NULL images)
+    KeyedTable.toSql(df((3L, "c", 3.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
     Branches.create(spark, wh, t, "cdc")
-    KeyedTable.addColumns(spark, wh, s"$t@cdc",
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("extra",
-          org.apache.spark.sql.types.DoubleType))))
-    KeyedTable.toSql(df((9L, "z", 9.0)), wh, s"$t@cdc",
+    KeyedTable.addColumns(spark, wh, s"$t@cdc", Seq(
+      org.apache.spark.sql.types.StructField("extra",
+        org.apache.spark.sql.types.DoubleType)))
+    import spark.implicits._
+    KeyedTable.toSql(Seq((2L, "B", 20.0, 0.5), (9L, "z", 9.0, 0.9))
+      .toDF("id", "g", "v", "extra"), wh, s"$t@cdc",
       pk = Seq("id"), how = WriteMode.Upsert)
-    val e2 = intercept[StoreException](
-      Branches.fastForward(spark, wh, t, "cdc"))
-    assert(e2.getMessage.contains("schema change"), e2.getMessage)
+    Branches.fastForward(spark, wh, t, "cdc")
+    // the base converged on the branch head under the evolved schema
+    val base = KeyedTable.readSql(spark, wh, t).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1).toSeq
+    assert(base == Seq((1L, "a", 1.0, -1.0), (2L, "B", 20.0, 0.5),
+      (3L, "c", 3.0, -1.0), (9L, "z", 9.0, 0.9)), base.toString)
+    // the publish batch carries the evolved column set; the batch
+    // logged BEFORE the evolution reads NULL for it (mergeSchema)
+    val log = KeyedTable.readChangelog(spark, wh, t)
+    assert(log.columns.contains("old_extra") &&
+      log.columns.contains("new_extra"), log.columns.mkString(","))
+    val img = log
+      .select("id", "op", "old_extra", "new_extra").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) -1.0 else r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet
+    assert(img((2L, "update", -1.0, 0.5)), img.toString) // born at publish
+    assert(img((9L, "insert", -1.0, 0.9)), img.toString)
+    assert(img((3L, "insert", -1.0, -1.0)), img.toString) // pre-birth batch
+    // FOLDING CONSUMER: last image per id over the merged log equals
+    // the published state for every logged id
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("batch").desc)
+    val folded = log.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1 && col("op") =!= "delete")
+      .select("id", "new_g", "new_v", "new_extra").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).sortBy(_._1).toSeq
+    assert(folded == base.filter(_._1 != 1L), // id=1 predates the log
+      s"folded=$folded base=$base")
   }
 
   test("WAP + CDC: a publish logs the exact image batch its flip represents") {
