@@ -993,6 +993,42 @@ object PbQueries {
         round(col("total"), 2).cast("double").as("total"))
   }
 
+  /** #11au (`pb_wap_cdc_evolve`): the CDC publish composes across a
+    * branch SCHEMA CHANGE — the branch adds `c_bonus`, mutates under it
+    * (update doubles %13 balances and backfills the bonus from the
+    * pre-update balance), and publishes; the synthesized image batch
+    * carries the EVOLVED column set while the batch logged before the
+    * evolution (a %97 shifted append) merges with NULL bonus images —
+    * the pre-image of a column before its birth. Output = the whole
+    * changelog's (key, op, new balance, new bonus) rows; the oracle
+    * replays both batches in SQL. */
+  def wapCdcEvolveQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    graft.store.KeyedTable.setChangelog(spark, wh, "customer", enabled = true)
+    // PRE-evolution batch: logged without the bonus column
+    KeyedTable.toSql(customer.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 30000000L).as("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
+    graft.store.Branches.create(spark, wh, "customer", "evolve")
+    KeyedTable.addColumns(spark, wh, "customer@evolve",
+      Seq(org.apache.spark.sql.types.StructField("c_bonus",
+        org.apache.spark.sql.types.DoubleType)))
+    // SET expressions read the row's CURRENT values: the bonus
+    // backfills from the PRE-update balance
+    KeyedTable.update(spark, wh, "customer@evolve",
+      col("c_custkey") % 13 === 0,
+      Map("c_acctbal" -> (col("c_acctbal") * 2),
+          "c_bonus" -> col("c_acctbal").cast("double")))
+    graft.store.Branches.fastForward(spark, wh, "customer", "evolve")
+    graft.store.KeyedTable.readChangelog(spark, wh, "customer")
+      .select(col("c_custkey"), col("op"),
+        round(col("new_c_acctbal"), 2).cast("double").as("new_bal"),
+        round(col("new_c_bonus"), 2).cast("double").as("new_bonus"))
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1503,6 +1539,7 @@ object PbQueries {
     "pb_stream_sink" -> streamSinkQ,
     "pb_stream_upsert_sink" -> streamUpsertSinkQ,
     "pb_wap_cdc" -> wapCdcQ,
+    "pb_wap_cdc_evolve" -> wapCdcEvolveQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1700,6 +1737,26 @@ object PbQueries {
       SELECT c_mktsegment, count(*) AS n_rows,
              round(sum(CAST(bal AS DECIMAL(18,6))), 2)::DOUBLE AS total
       FROM eff GROUP BY c_mktsegment
+    """.trim,
+    // two changelog batches: the pre-evolution append (%97 shifted,
+    // bonus not yet born => NULL) and the publish batch from the
+    // schema-evolved branch (update doubles %13 balances over
+    // base+appended keys; the bonus backfills from the old balance)
+    "pb_wap_cdc_evolve" -> """
+      WITH aug AS (
+        SELECT c_custkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey + 30000000, c_acctbal FROM customer
+        WHERE c_custkey % 97 = 0)
+      SELECT c_custkey + 30000000 AS c_custkey, 'insert' AS op,
+             round(CAST(c_acctbal AS DECIMAL(18,6)), 2)::DOUBLE AS new_bal,
+             CAST(NULL AS DOUBLE) AS new_bonus
+      FROM customer WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT c_custkey, 'update',
+             round(CAST(c_acctbal * 2 AS DECIMAL(18,6)), 2)::DOUBLE,
+             round(CAST(c_acctbal AS DECIMAL(18,6)), 2)::DOUBLE
+      FROM aug WHERE c_custkey % 13 = 0
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,
