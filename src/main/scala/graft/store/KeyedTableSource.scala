@@ -218,7 +218,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KeyedScanBuilder(meta, dataDir, schema(), mf,
-      Seq("sinceVersion", "endingVersion", "maxVersionsPerTrigger")
+      Seq("sinceVersion", "endingVersion", "maxVersionsPerTrigger",
+          "maxBytesPerTrigger", "maxFilesPerTrigger")
         .flatMap(k => Option(options.get(k)).map(k -> _)).toMap, tableDir)
 
   /** SQL write surface: `INSERT INTO graft.t …` appends THROUGH the

@@ -93,6 +93,31 @@ private[store] class KeyedMicroBatchStream(
         s"bad endingVersion '$s': a version number"))
     }
 
+  private def posLongOpt(key: String): Option[Long] =
+    streamOpts.get(key).map { s =>
+      val v = s.toLongOption.getOrElse(throw new StoreException(
+        s"bad $key '$s': a positive number"))
+      if (v <= 0) throw new StoreException(
+        s"bad $key '$s': a positive number")
+      v
+    }
+
+  /** VOLUME admission (the Delta `maxBytesPerTrigger`/
+    * `maxFilesPerTrigger` knobs): bound each micro-batch by the BYTES
+    * (or file count) its commit window ADDED — answered from manifest
+    * arithmetic alone, zero data IO. Versions stay the offset quantum
+    * (a commit is never split), so the budget is soft by at most one
+    * version: the walk admits versions while the running added-bytes/
+    * files total stays within budget, and always admits at least one
+    * pending version (a single commit larger than the budget still
+    * proceeds — bounded progress, never a stall). Unlike
+    * `maxVersionsPerTrigger` (exact but blind to size — one version can
+    * be a 10 TB backfill), this is the knob that holds a tailing
+    * pipeline's per-trigger cluster load steady at 100 TB; all three
+    * caps compose (the tightest wins). */
+  private val maxBytesPerTrigger: Option[Long] = posLongOpt("maxBytesPerTrigger")
+  private val maxFilesPerTrigger: Option[Long] = posLongOpt("maxFilesPerTrigger")
+
   // for a BRANCH handle the manifest chain lives under the ref's own
   // dir, not dataDir's parent (branches share the base's data files)
   private val tableDir: String =
@@ -116,8 +141,48 @@ private[store] class KeyedMicroBatchStream(
     val live = Manifest.current(spark, tableDir).map(_.version).getOrElse(-1L)
     val capped = (availableNowCap.toSeq ++ endingVersion.toSeq)
       .foldLeft(live)(math.min)
+    val vCap =
+      maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m))
     KeyedVersionOffset(
-      maxVersionsPerTrigger.fold(capped)(m => math.min(capped, from + m)))
+      if (maxBytesPerTrigger.isEmpty && maxFilesPerTrigger.isEmpty) vCap
+      else admitByVolume(from, vCap))
+  }
+
+  /** Walk versions (from, cap] admitting while the running ADDED
+    * bytes/files stay within the trigger budgets — manifest reads only
+    * (each cached), cost ∝ versions admitted, not table size. The walk
+    * is pure manifest arithmetic, so a replayed `latestOffset` after a
+    * driver restart re-derives the identical end offset. */
+  private def admitByVolume(from: Long, cap: Long): Long = {
+    if (cap <= from) return cap
+    var prevNames: Map[Int, Set[String]] =
+      if (from < 0) Map.empty
+      else Manifest.at(spark, tableDir, from).files
+        .view.mapValues(_.map(_.name).toSet).toMap
+    var admitted = from
+    var bytes = 0L
+    var files = 0L
+    var v = from + 1
+    var stop = false
+    while (!stop && v <= cap) {
+      val m = Manifest.at(spark, tableDir, v)
+      val added = m.files.toSeq.flatMap { case (b, fls) =>
+        val old = prevNames.getOrElse(b, Set.empty)
+        fls.filterNot(f => old(f.name))
+      }
+      bytes += added.map(_.len).sum
+      files += added.size
+      val over = maxBytesPerTrigger.exists(bytes > _) ||
+        maxFilesPerTrigger.exists(files > _)
+      // always admit at least one version; an over-budget LATER version
+      // waits for the next trigger
+      if (!over || admitted == from) {
+        admitted = v
+        prevNames = m.files.view.mapValues(_.map(_.name).toSet).toMap
+      }
+      if (over) stop = true else v += 1
+    }
+    admitted
   }
 
   override def reportLatestOffset(): Offset =
@@ -222,13 +287,19 @@ object KeyedTableStream {
   def readStream(spark: SparkSession, warehouse: String, table: String,
                  sinceVersion: Option[Long] = None,
                  maxVersionsPerTrigger: Option[Long] = None,
-                 endingVersion: Option[Long] = None) = {
+                 endingVersion: Option[Long] = None,
+                 maxBytesPerTrigger: Option[Long] = None,
+                 maxFilesPerTrigger: Option[Long] = None) = {
     var r = spark.readStream.format(classOf[KeyedTableSource].getName)
       .option("warehouse", warehouse).option("table", table)
     sinceVersion.foreach(v => r = r.option("sinceVersion", v.toString))
     maxVersionsPerTrigger.foreach(m =>
       r = r.option("maxVersionsPerTrigger", m.toString))
     endingVersion.foreach(v => r = r.option("endingVersion", v.toString))
+    maxBytesPerTrigger.foreach(m =>
+      r = r.option("maxBytesPerTrigger", m.toString))
+    maxFilesPerTrigger.foreach(m =>
+      r = r.option("maxFilesPerTrigger", m.toString))
     r.load()
   }
 }

@@ -90,6 +90,38 @@ class StreamTableSourceSpec extends SparkSpec {
     assert(all.sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("maxFilesPerTrigger / maxBytesPerTrigger bound batches by ADDED volume") {
+    val t = "t_stream_vol"
+    // one bucket → each append adds exactly ONE file
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 1) // v0
+    (2L to 4L).foreach(i => KeyedTable.toSql(df((i, s"r$i", i.toDouble)),
+      wh, t, pk = Seq("id"), how = WriteMode.Append)) // v1..v3
+    def drainWith(bytes: Option[Long], files: Option[Long]): (Int, Seq[Long]) = {
+      val out = TempDirs.tempDir("graft-streamsrc-vout")
+      val ck = TempDirs.tempDir("graft-streamsrc-vck")
+      val q = KeyedTableStream.readStream(spark, wh, t,
+          maxBytesPerTrigger = bytes, maxFilesPerTrigger = files)
+        .drop(KeyedTable.BucketCol)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      (q.recentProgress.count(_.numInputRows > 0),
+        spark.read.parquet(out).select("id").collect()
+          .map(_.getLong(0)).sorted.toSeq)
+    }
+    // 4 one-file versions under a 2-file budget: (−1,1], (1,3] — two
+    // batches, every row exactly once
+    val (nb2, rows2) = drainWith(None, Some(2L))
+    assert(nb2 == 2, s"expected 2 batches, got $nb2")
+    assert(rows2 == Seq(1L, 2L, 3L, 4L))
+    // a 1-byte budget is smaller than ANY version: each trigger still
+    // admits one version (bounded progress, never a stall) — 4 batches
+    val (nb1, rows1) = drainWith(Some(1L), None)
+    assert(nb1 == 4, s"expected 4 batches, got $nb1")
+    assert(rows1 == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("filters apply ABOVE the stream scan (Spark pushes no filters into streaming scans)") {
     val t = "t_stream_skip"
     val out = TempDirs.tempDir("graft-streamsrc-out6")
