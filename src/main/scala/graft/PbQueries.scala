@@ -1029,6 +1029,28 @@ object PbQueries {
         round(col("new_c_bonus"), 2).cast("double").as("new_bonus"))
   }
 
+  /** #11ax (`pb_append_idem`): IDEMPOTENT batch appends — the Delta
+    * txnAppId/txnVersion model. The ingest job appends %89 shifted
+    * copies under token ("ingest", 1); the orchestrator RETRY replays
+    * the identical call and becomes a NO-OP (the token rides the
+    * manifest's streams ledger in the same atomic flip as the data) —
+    * without the token the retry would fail loudly on PK overlap, and
+    * without the ledger it would double the rows. The read-back equals
+    * the oracle's single application. */
+  def appendIdemQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    def attempt(): Unit = KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append,
+      txn = Some(("ingest", 1L)))
+    attempt() // first attempt commits rows + token in one flip
+    attempt() // the retry: exactly-once by the ledger, not by luck
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1540,6 +1562,7 @@ object PbQueries {
     "pb_stream_upsert_sink" -> streamUpsertSinkQ,
     "pb_wap_cdc" -> wapCdcQ,
     "pb_wap_cdc_evolve" -> wapCdcEvolveQ,
+    "pb_append_idem" -> appendIdemQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1757,6 +1780,14 @@ object PbQueries {
              round(CAST(c_acctbal * 2 AS DECIMAL(18,6)), 2)::DOUBLE,
              round(CAST(c_acctbal AS DECIMAL(18,6)), 2)::DOUBLE
       FROM aug WHERE c_custkey % 13 = 0
+    """.trim,
+    // the append applied ONCE despite the replayed attempt
+    "pb_append_idem" -> """
+      SELECT * FROM customer
+      UNION ALL
+      SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,

@@ -182,9 +182,27 @@ object KeyedTable {
             inferBool: Boolean = true,
             strictUtc: Boolean = true,
             schema: Option[String] = None,
-            changelog: Boolean = false): Unit = {
+            changelog: Boolean = false,
+            txn: Option[(String, Long)] = None): Unit = {
     val wh = schemaDir(warehouse, schema)
     val spark = df.sparkSession
+    // IDEMPOTENT appends (the Delta txnAppId/txnVersion model): a
+    // (appId, version) token rides the manifest's `streams` ledger in
+    // the SAME atomic flip as the data, so a retried ingest job whose
+    // first attempt committed becomes a NO-OP instead of a PK-overlap
+    // failure. Append-shaped writes only — the one retry-able mutation
+    // where "did my attempt land?" is otherwise unanswerable. The token
+    // shares the streaming-sink ledger namespace: observable through
+    // `t$streams`, retired via `drop_stream_ledger`, monotonic per
+    // appId (an attempt at or below the recorded version no-ops).
+    txn.foreach { case (id, _) =>
+      if (id.isEmpty)
+        throw new StoreException("txn appId must be non-empty")
+      if (how != WriteMode.Append)
+        throw new StoreException(
+          "txn tokens are an append-retry contract (how=Append); " +
+          "upserts are naturally idempotent — retry them without a token")
+    }
     val (baseName, branchName) = splitRef(tableName)
     (baseName +: branchName.toSeq).foreach { n =>
       if (Names.cleanName(n) != n)
@@ -249,14 +267,15 @@ object KeyedTable {
         if (!autoIndex && pkClean.isEmpty)
           throw new StoreException("pk columns required unless autoIndex=true (reference: sql.py:117)")
         create(cleaned, wh, tableName, pkClean, autoIndex, buckets,
-          validate, inferBool)
+          validate, inferBool, txn)
       } else {
         how match {
           case WriteMode.CreateOnly =>
             throw new StoreException(
               s"Table $tableName already exists; how=CreateOnly (reference: sql.py:171)")
           case WriteMode.Append =>
-            append(cleaned, wh, tableName, addNewColumns, validate, changelog)
+            append(cleaned, wh, tableName, addNewColumns, validate, changelog,
+              txn)
           case WriteMode.Upsert =>
             upsert(cleaned, wh, tableName, addNewColumns, validate, changelog)
             ()
@@ -292,7 +311,8 @@ object KeyedTable {
 
   private def create(df0: DataFrame, warehouse: String, tableName: String,
                      pk: Seq[String], autoIndex: Boolean, buckets: Int,
-                     validate: Boolean, inferBool: Boolean = false): Unit = {
+                     validate: Boolean, inferBool: Boolean = false,
+                     txn: Option[(String, Long)] = None): Unit = {
     val spark = df0.sparkSession
     val (df1, pkCols, maxIdx) =
       if (autoIndex) {
@@ -404,7 +424,10 @@ object KeyedTable {
         }
       }
       Manifest.commit(spark, dir,
-        Manifest(0L, buckets, v0Files, op = Some("create")))
+        // a creating how=Append with a txn token records it on v0, so
+        // a retry of a create-if-missing ingest job no-ops too
+        Manifest(0L, buckets, v0Files, op = Some("create"),
+          streams = txn.toList.toMap))
       TableMeta.write(spark, dir, TableMeta(pkCols, buckets, autoIndex, schema, maxIdx))
     } finally f.delete(new Path(staging), true)
   }
@@ -1344,10 +1367,17 @@ object KeyedTable {
 
   private def append(df: DataFrame, warehouse: String, table: String,
                      addNewColumns: Boolean, validate: Boolean,
-                     changelog0: Boolean = false): Unit = {
+                     changelog0: Boolean = false,
+                     txn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     val dir = tableDir(warehouse, table)
     val meta0 = TableMeta.read(spark, dir)
+    // idempotent-retry fast exit (see toSql's txn contract): the whole
+    // mutation runs under the table lock, so one check here is
+    // race-free — BEFORE the auto-index mark bumps or any job runs
+    if (txn.exists { case (id, v) =>
+          Manifest.current(spark, dir).exists(_.streams.get(id).exists(_ >= v))
+        }) return
     // table-property CDC (see TableMeta.changelog): an append to a
     // changelog-maintained table logs its rows as `insert` ops — old_*
     // all NULL, new_* = the incoming values; no pre-image join needed
@@ -1415,7 +1445,7 @@ object KeyedTable {
           clusterByBucket(newB, base.buckets, meta.pk)
             .write.partitionBy(BucketCol).parquet(staging)
           commitStaged(spark, f, dir, data, staging, touched, "append",
-            base, base.buckets, meta, add = true)
+            base, base.buckets, meta, add = true, streamEpoch = txn)
         } finally f.delete(new Path(staging), true)
         clCommit.foreach { case (src, dst) =>
           commitChangelogBatch(f, "append", src, dst)
@@ -1477,7 +1507,8 @@ object KeyedTable {
                        validate: Boolean = true,
                        schema: Option[String] = None,
                        changelog: Boolean = false,
-                       commitWaitMs: Long = 60000L): Unit = {
+                       commitWaitMs: Long = 60000L,
+                       txn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     val wh = schemaDir(warehouse0, schema)
     val dir = tableDir(wh, tableName)
@@ -1501,10 +1532,17 @@ object KeyedTable {
       // append (which adopts a manifest, so the NEXT call is optimistic)
       WriteLock.withLockWait(spark, dir, "appendConcurrent(legacy)",
         commitWaitMs) {
-        append(cleaned, wh, tableName, addNewColumns, validate, changelog)
+        append(cleaned, wh, tableName, addNewColumns, validate, changelog,
+          txn)
       }
       return
     }
+    // idempotent-retry fast exit against the snapshot-at-start (cheap,
+    // unlocked); the LOCKED commit below re-checks against the latest
+    // snapshot, which is what makes two racing attempts with the same
+    // token commit exactly once
+    if (txn.exists { case (id, v) =>
+          base0.streams.get(id).exists(_ >= v) }) return
     val wantChangelog = changelog || meta0.changelog
 
     // ---------------- UNLOCKED: plan, validate, stage ----------------
@@ -1588,6 +1626,12 @@ object KeyedTable {
         WriteLock.withLockWait(spark, dir, "appendConcurrent(commit)",
             commitWaitMs) {
           val metaLatest = TableMeta.read(spark, dir)
+          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+          // a racing attempt with the same txn token committed while
+          // this one staged: no-op (staging cleaned by the finally) —
+          // checked FIRST so a replay never trips the conflict guards
+          if (txn.exists { case (id, v) =>
+                baseLatest.streams.get(id).exists(_ >= v) }) return
           // a CHECK constraint registered since this append staged was
           // validated against a snapshot that excludes our rows — the
           // commit must enforce the NEW constraints itself (the common
@@ -1595,7 +1639,6 @@ object KeyedTable {
           enforceChecks(newB,
             metaLatest.checks -- metaUsed.checks.keySet,
             "appendConcurrent(commit)")
-          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
           if (baseLatest.buckets != base0.buckets)
             throw new ConcurrentWriteException(
               s"bucket count changed ${base0.buckets} -> " +
@@ -1631,7 +1674,8 @@ object KeyedTable {
             clLate = Some(stageInsertImages())
           commitStaged(spark, f, dir, data, staging, touched,
             "appendConcurrent", baseLatest, baseLatest.buckets,
-            metaLatest.copy(schema = mergedSchema), add = true)
+            metaLatest.copy(schema = mergedSchema), add = true,
+            streamEpoch = txn)
           (clStaging orElse clLate).foreach { src =>
             commitChangelogBatch(f, "appendConcurrent", src,
               nextChangelogDst(f, dir))
