@@ -63,6 +63,8 @@ private[store] object GraftProcedures {
     if (r.isNullAt(i)) None else Some(r.getLong(i))
   private def optStr(r: InternalRow, i: Int): Option[String] =
     if (r.isNullAt(i)) None else Some(r.getUTF8String(i).toString)
+  private def optBool(r: InternalRow, i: Int): Option[Boolean] =
+    if (r.isNullAt(i)) None else Some(r.getBoolean(i))
 
   private val defs: Seq[ProcDef] = Seq(
     ProcDef("create_branch",
@@ -116,13 +118,16 @@ private[store] object GraftProcedures {
           optStr(r, 2), sch))
       }),
     ProcDef("vacuum",
-      "reap expired snapshots, superseded files, crashed staging",
-      Seq(in("table", StringType), inOpt("older_than_ms", LongType)),
+      "reap expired snapshots, superseded files, crashed staging " +
+        "(dry_run => true rehearses: identical decisions, no deletes)",
+      Seq(in("table", StringType), inOpt("older_than_ms", LongType),
+        inOpt("dry_run", BooleanType)),
       out("removed" -> IntegerType),
       (sp, wh, r) => {
         val (t, sch) = split(str(r, 0))
         Seq(KeyedTable.vacuum(sp, wh, t,
-          optLong(r, 1).getOrElse(24L * 3600 * 1000), sch))
+          optLong(r, 1).getOrElse(24L * 3600 * 1000), sch,
+          dryRun = optBool(r, 2).getOrElse(false)))
       }),
     ProcDef("compact",
       "rewrite buckets whose live-file count breaches the threshold",

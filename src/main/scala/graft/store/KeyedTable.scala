@@ -2850,10 +2850,19 @@ object KeyedTable {
     *  - manifests older than the current one (expiring those snapshots
     *    ends their time-travel window — the Iceberg expire-snapshots
     *    trade, made explicit by the age bound).
-    * Returns the number of directories/files removed. */
+    * Returns the number of directories/files removed.
+    *
+    * `dryRun` (the Delta `VACUUM ... DRY RUN` move): walk the identical
+    * decision tree — including the liveness union computed AS IF the
+    * age-expired manifests were gone, so the count PREDICTS the real
+    * run — but delete nothing. The one divergence: bucket dirs that
+    * would only become empty by the reap are not counted (emptiness is
+    * observable only after real deletes). Retention changes at 100 TB
+    * get rehearsed, not discovered. */
   def vacuum(spark: SparkSession, warehouse0: String, tableName: String,
              olderThanMs: Long = 24L * 3600 * 1000,
-             schema: Option[String] = None): Int = {
+             schema: Option[String] = None,
+             dryRun: Boolean = false): Int = {
     if (splitRef(tableName)._2.isDefined)
       throw new StoreException(
         s"vacuum the BASE table, not a branch ref ($tableName): branches " +
@@ -2863,6 +2872,15 @@ object KeyedTable {
     val p = new Path(dir)
     val f = fs(spark, dir)
     if (!f.exists(p)) return 0
+    // dryRun: every reap DECISION runs identically — only the delete is
+    // suppressed. `expired` records the manifests the pass (would have)
+    // removed so the liveness union below can exclude them in both
+    // modes; without it a dry run would count data files against a
+    // liveness set that still includes the to-be-expired snapshots and
+    // systematically under-predict the real reap.
+    val expired = scala.collection.mutable.Set.empty[String]
+    def reap(path: Path, recursive: Boolean): Boolean =
+      dryRun || f.delete(path, recursive)
     // under the WRITE lock — and every BRANCH's lock, taken below — an
     // in-flight commit's just-moved files are unreferenced until its
     // manifest flips, and an aggressive cutoff (olderThanMs = 0) must
@@ -2907,7 +2925,7 @@ object KeyedTable {
               st.getModificationTime < unlockedCutoff
             else (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
               st.getModificationTime < cutoff)
-          if (stale) f.delete(st.getPath, true)
+          if (stale) reap(st.getPath, true): Unit
           stale
         }
       }.sum
@@ -2921,7 +2939,7 @@ object KeyedTable {
       if (f.exists(mdir)) {
         f.listStatus(mdir).foreach { st =>
           if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
-              st.getModificationTime < cutoff && f.delete(st.getPath, false))
+              st.getModificationTime < cutoff && reap(st.getPath, false))
             removed += 1
         }
       }
@@ -2929,7 +2947,7 @@ object KeyedTable {
       // rename leaves one behind — same reap rule as manifest temps.
       f.listStatus(p).foreach { st =>
         if (st.isFile && st.getPath.getName.startsWith(".tmp-tags-") &&
-            st.getModificationTime < cutoff && f.delete(st.getPath, false))
+            st.getModificationTime < cutoff && reap(st.getPath, false))
           removed += 1
       }
       Manifest.current(spark, dir).foreach { m =>
@@ -2949,8 +2967,10 @@ object KeyedTable {
             val keep = !Manifest.isVersionName(st.getPath.getName) ||
               protected0.contains(st.getPath.getName)
             if (st.isFile && !keep &&
-                st.getModificationTime < cutoff && f.delete(st.getPath, false))
+                st.getModificationTime < cutoff && reap(st.getPath, false)) {
+              expired += s"$dir/${st.getPath.getName}"
               removed += 1
+            }
           }
         }
         // branch-chain expiry, same rule as the base chain: never the
@@ -2972,8 +2992,10 @@ object KeyedTable {
                   keepB.contains(st.getPath.getName)
                 if (st.isFile && !keep &&
                     st.getModificationTime < cutoff &&
-                    f.delete(st.getPath, false))
+                    reap(st.getPath, false)) {
+                  expired += s"$brDir/${st.getPath.getName}"
                   removed += 1
+                }
               }
             }
           }
@@ -2985,9 +3007,11 @@ object KeyedTable {
         // while some surviving snapshot references it; a rewriting
         // commit drops the bucket's DVs from its new manifest, and the
         // sidecars become reapable here once the older snapshots expire
+        def surviving(refDir: String): Iterator[Manifest] =
+          Manifest.all(spark, refDir).iterator.filterNot(mf =>
+            expired.contains(s"$refDir/${Manifest.versionName(mf.version)}"))
         val live: Set[String] =
-          (Manifest.all(spark, dir).iterator ++
-            branches.iterator.flatMap(b => Manifest.all(spark, b._2)))
+          (surviving(dir) ++ branches.iterator.flatMap(b => surviving(b._2)))
           .flatMap(m => m.files.iterator ++ m.dvs.iterator)
           .flatMap { case (b, fls) =>
             fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
@@ -3001,12 +3025,14 @@ object KeyedTable {
                 val rel = s"${d.getPath.getName}/${st.getPath.getName}"
                 if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
                     !live.contains(rel) && st.getModificationTime < cutoff) {
-                  if (f.delete(st.getPath, false)) removed += 1
+                  if (reap(st.getPath, false)) removed += 1
                 }
               }
               // a bucket dir emptied by the reap (e.g. fully deleted
-              // bucket) is itself garbage
-              if (f.listStatus(d.getPath).isEmpty && f.delete(d.getPath, false))
+              // bucket) is itself garbage — observable only after REAL
+              // deletes, so the dry run skips it (the one divergence)
+              if (!dryRun && f.listStatus(d.getPath).isEmpty &&
+                  f.delete(d.getPath, false))
                 removed += 1
             }
         }

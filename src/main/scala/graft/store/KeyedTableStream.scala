@@ -157,7 +157,7 @@ private[store] class KeyedMicroBatchStream(
     if (cap <= from) return cap
     var prevNames: Map[Int, Set[String]] =
       if (from < 0) Map.empty
-      else Manifest.at(spark, tableDir, from).files
+      else Manifest.atKnown(spark, tableDir, from).files
         .view.mapValues(_.map(_.name).toSet).toMap
     var admitted = from
     var bytes = 0L
@@ -165,7 +165,7 @@ private[store] class KeyedMicroBatchStream(
     var v = from + 1
     var stop = false
     while (!stop && v <= cap) {
-      val m = Manifest.at(spark, tableDir, v)
+      val m = Manifest.atKnown(spark, tableDir, v)
       val added = m.files.toSeq.flatMap { case (b, fls) =>
         val old = prevNames.getOrElse(b, Set.empty)
         fls.filterNot(f => old(f.name))

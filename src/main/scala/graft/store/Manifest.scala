@@ -384,6 +384,15 @@ object Manifest {
       .flatMap(st => versionOf(st.getPath.getName)).sorted
   }
 
+  /** [[at]] without the per-call existence LISTING — for callers that
+    * already hold the version list (the streaming admission walk reads
+    * several manifests per trigger; one listing serves them all).
+    * Reading a vacuum-expired version fails on open, not with `at`'s
+    * friendlier available-versions message. */
+  private[store] def atKnown(spark: SparkSession, tableDir: String,
+                             version: Long): Manifest =
+    read(spark, tableDir, version)
+
   private def read(spark: SparkSession, tableDir: String,
                    version: Long): Manifest = {
     val p = new Path(dir(tableDir), nameOf(version))

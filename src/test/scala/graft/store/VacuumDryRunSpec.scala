@@ -1,0 +1,84 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+import graft.{SparkSpec, TempDirs}
+
+/** `vacuum(dryRun = true)` — the Delta VACUUM DRY RUN move: the
+  * identical decision tree (including the liveness union computed as
+  * if the age-expired manifests were gone), zero deletes, and a count
+  * that PREDICTS the real run. */
+class VacuumDryRunSpec extends SparkSpec {
+
+  private lazy val wh: String = TempDirs.tempDir("graft-vdry")
+
+  private def df(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("id", "name")
+  }
+
+  /** Every path under the table dir (files and dirs), relative. */
+  private def tree(t: String): Set[String] = {
+    val root = new Path(KeyedTable.tableDir(wh, t))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def walk(p: Path): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val rel = st.getPath.toString.stripPrefix(root.toString)
+        if (st.isDirectory) rel +: walk(st.getPath) else Seq(rel)
+      }
+    walk(root).toSet
+  }
+
+  test("dry run deletes nothing and predicts the real reap exactly") {
+    val t = "t_vdry"
+    KeyedTable.toSql(df((1L, "a"), (2L, "b"), (3L, "c")), wh, t,
+      pk = Seq("id"), buckets = 2)
+    // two upserts: superseded bucket files + two expirable manifests
+    KeyedTable.toSql(df((2L, "B")), wh, t, how = WriteMode.Upsert)
+    KeyedTable.toSql(df((3L, "C")), wh, t, how = WriteMode.Upsert)
+    // plus an abandoned staging dir a crashed write would leave
+    val dir = KeyedTable.tableDir(wh, t)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir, ".staging-upsert-deadbeef"))
+    val before = tree(t)
+    val predicted = KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L,
+      dryRun = true)
+    assert(predicted > 0, "fixture must have garbage to predict")
+    assert(tree(t) == before, "dry run must not touch the filesystem")
+    // table still reads whole, history intact
+    assert(KeyedTable.readSql(spark, wh, t).count() == 3L)
+    val real = KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L)
+    assert(real == predicted,
+      s"dry run predicted $predicted, real reap removed $real")
+    // a second dry run over the clean table predicts zero
+    assert(KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L,
+      dryRun = true) == 0)
+    assert(KeyedTable.readSql(spark, wh, t)
+      .select("name").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("B", "C", "a"))
+  }
+
+  test("dry run through CALL graft.system.vacuum(dry_run => true)") {
+    val t = "t_vdry_sql"
+    KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.toSql(df((1L, "A")), wh, t, how = WriteMode.Upsert)
+    val cat = "graft_vdry_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val before = tree(t)
+      val n = spark.sql(
+        s"CALL $cat.system.vacuum('$t', older_than_ms => 0, dry_run => true)")
+        .head().getInt(0)
+      assert(n > 0 && tree(t) == before)
+      val real = spark.sql(
+        s"CALL $cat.system.vacuum('$t', older_than_ms => 0)")
+        .head().getInt(0)
+      assert(real == n)
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+}
