@@ -694,10 +694,15 @@ object LlmQueries {
 
   /** #25 exact (O(n²) broadcast product) — kept as the recall
     * cross-check for the LSH path; the scale path is
-    * [[dedupEmbeddingLsh]]. */
+    * [[dedupEmbeddingLsh]]. The gate runs it on a FIXED audit sample
+    * (`vec_id < 2000` — the whole corpus at every gate scale, where
+    * the bound never binds): a recall audit is an all-pairs join by
+    * definition, so at sweep scales it runs on a bounded sample — the
+    * uncapped product over a replicated corpus is exactly the plan the
+    * LSH twin exists to avoid. The oracle replays the same bound. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(embs(s, d), "vec_id", "embedding",
-      threshold = 0.35, exact = true)
+    Dedup.embeddingPairs(embs(s, d).filter(col("vec_id") < 2000L),
+      "vec_id", "embedding", threshold = 0.35, exact = true)
 
   /** #25 scale path: hyperplane-LSH bucketed candidates (4 seeded
     * tables of 8-bit sign signatures, hamming-1 multi-probe), so the
@@ -2518,7 +2523,8 @@ object LlmQueries {
     "dedup_embedding" -> s"""
       WITH $cosCte,
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, floor((${cos("a.v", "b.v")}) * 10000 + 0.5) / 10000 cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id)
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 2000 AND b.vec_id < 2000)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
     // hyperplane weights replayed for 4 seeded tables × 8 planes
     // (HyperplaneLsh.weights, sp = t·100003 + p); candidates agree
