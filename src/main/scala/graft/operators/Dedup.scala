@@ -406,12 +406,18 @@ object Dedup {
     * contract (exact under duplicate-skew overflow; best-effort for
     * pairs between overflow members of a chance-collision bucket) is
     * stated at [[cappedBandPairs]]; `maxBucket = Int.MaxValue` restores
-    * the exact uncapped join.
+    * the exact uncapped join. `maxPairsPerId` (opt-in,
+    * Int.MaxValue = uncapped) additionally budgets the verified OUTPUT
+    * per id_a — under crawl duplication the true pair count grows
+    * quadratically in a document's copy count even when candidates are
+    * capped, and for dedup decisions the strongest matches are the
+    * answer (same dial as [[embeddingPairs]]/[[containmentPairs]]).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4,
                       threshold: Double = 0.5,
-                      maxBucket: Int = 64): DataFrame = {
+                      maxBucket: Int = 64,
+                      maxPairsPerId: Int = Int.MaxValue): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
     // band keys travel WITHOUT the shingle arrays: the candidate join
@@ -424,7 +430,7 @@ object Dedup {
         .as(Seq("band", "key")))
     val cand = cappedBandPairs(banded, maxBucket, Nil)
       .dropDuplicates("id_a", "id_b")
-    cand
+    val verified = cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", graft.functions.Rounding.portableRound(jaccard(col("sh_a"), col("sh_b")), 4))
@@ -434,6 +440,15 @@ object Dedup {
       // verify joins above fan out; this dedup runs on the (tiny)
       // verified-pair set, so the extra exchange is negligible
       .dropDuplicates("id_a", "id_b")
+    // per-doc OUTPUT budget (opt-in, the embedding emitters' dial): a
+    // document duplicated k times verifies ~k²/2 true pairs however
+    // well the bucket cap bounds CANDIDATES — each id_a keeps its
+    // strongest pairs (jaccard desc, id_b asc) through the bounded-heap
+    // top-k, ≤ budget rows per id across the exchange
+    if (maxPairsPerId == Int.MaxValue) verified
+    else Knn.topKByScore(verified, Seq("id_a"), "jaccard", "id_b",
+        maxPairsPerId)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** #22b incremental MinHash-LSH near-dup: flag which `incoming` docs

@@ -40,6 +40,30 @@ class LshBucketCapSpec extends SparkSpec {
     assert(nPairs >= k - 8.toLong, s"star edges missing: only $nPairs pairs")
   }
 
+  test("maxPairsPerId budgets the verified OUTPUT; never binds on tame corpora") {
+    // viral duplication: uncapped-output would emit every verified pair;
+    // the budget keeps each id_a's strongest `maxPairsPerId`
+    val budgeted = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+      maxBucket = 8, maxPairsPerId = 4)
+    val perId = budgeted.groupBy("id_a").count()
+      .agg(max("count")).head().getLong(0)
+    assert(perId <= 4L, s"budget violated: $perId pairs for one id")
+    // every kept pair is a true near-dup (jaccard filter ran first) and
+    // the budget keeps the STRONGEST: viral self-pairs score 1.0
+    assert(budgeted.filter(col("id_a") === 0L).select("jaccard")
+      .collect().forall(_.getDouble(0) == 1.0))
+    // on a corpus where no id exceeds the budget, results are identical
+    val tame = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "storage partitioned joins exchange nothing when buckets align")
+    ).toDF("doc_id", "text")
+    def pairs(budget: Int) =
+      Dedup.minhashLshPairs(tame, "doc_id", "text", maxPairsPerId = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(4) == pairs(Int.MaxValue))
+  }
+
   test("connected components equal the uncapped run") {
     def components(maxBucket: Int): Map[Long, Long] =
       Dedup.connectedComponents(
