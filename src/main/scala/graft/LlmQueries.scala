@@ -458,8 +458,19 @@ object LlmQueries {
       val out = Curation.budgetSample(surviving, "doc_id", "text", "source",
           budgetTokens = 800L)
         .withColumnRenamed("id", "doc_id")
+      // eager driver materialization is safe ONLY because the mixture
+      // is budget-bounded (≤ budgetTokens rows per source at ≥1
+      // token/doc; 800 here). The guard makes that bound load-bearing:
+      // a caller cloning this pattern with a cluster-sized token budget
+      // fails loudly instead of OOMing the driver.
+      val maxEager = 1 << 20
+      val rows = out.limit(maxEager + 1).collect()
+      if (rows.length > maxEager) throw new IllegalStateException(
+        s"corpusCurate: budget mixture exceeds $maxEager rows — too " +
+        "large for eager driver materialization; keep the result " +
+        "distributed (skip the collect) at this budget")
       s.createDataFrame(
-        s.sparkContext.parallelize(out.collect().toIndexedSeq, 1), out.schema)
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), out.schema)
     } finally surviving.unpersist(false)
   }
 
@@ -615,11 +626,22 @@ object LlmQueries {
     * volume against missed pairs, and this query measures the miss
     * side with exact integer counts (one final division for the
     * recall ratio). LSH pairs post-verify with exact Jaccard, so
-    * precision is 1.0 by construction — recall is the open number. */
+    * precision is 1.0 by construction — recall is the open number.
+    *
+    * Both tiers run on the FIXED AUDIT SAMPLE [[LshRecallAuditPred]]
+    * (the [[dedupEmbedding]] pattern): the exact tier is a no-df-cut
+    * inverted-index self-join — genuinely quadratic under shingle skew
+    * at corpus scale — so past gate scales (where the sample is the
+    * whole corpus and the audit is exact) it runs on the bounded,
+    * replication-covering sub-corpus. Recall semantics are unchanged
+    * on the sample: both tiers see the same docs, and the LSH tier is
+    * deliberately UNBUDGETED here — this row measures band geometry's
+    * miss rate, not the production output cap. */
   def dedupLshRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text",
+    val sample = docs(s, d).filter(expr(LshRecallAuditPred))
+    val exact = Dedup.ngramJaccardPairs(sample, "doc_id", "text",
       n = 5, threshold = 0.5)
-    val lsh = Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
+    val lsh = Dedup.minhashLshPairs(sample, "doc_id", "text",
       n = 5, numHashes = 16, bands = 4, threshold = 0.5)
     val missed = exact.join(lsh, Seq("id_a", "id_b"), "left_anti")
     exact.agg(count(lit(1)).as("n_exact"))
@@ -683,10 +705,19 @@ object LlmQueries {
       "doc_id", "text")
   }
 
-  /** #22 */
+  /** #22 — both skew dials pinned (and replayed by the oracle):
+    * (band,key) bucket cap 64 on the candidate side, plus the 64-pair
+    * OUTPUT budget per doc the embedding/containment emitters carry.
+    * Neither binds on the gate corpora (25 verified pairs at sf0.01),
+    * but under crawl duplication the true pair count grows
+    * quadratically in a doc's copy count however well the bucket cap
+    * tames candidates — the budget keeps each id_a's strongest pairs
+    * (jaccard desc, id_b asc) and bounds the sf1+ replication blowup
+    * to a linear slope. */
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(docs(s, d), "doc_id", "text",
-      n = 5, numHashes = 16, bands = 4, threshold = 0.5)
+      n = 5, numHashes = 16, bands = 4, threshold = 0.5,
+      maxPairsPerId = 64)
 
   /** #23 */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -694,14 +725,17 @@ object LlmQueries {
 
   /** #25 exact (O(n²) broadcast product) — kept as the recall
     * cross-check for the LSH path; the scale path is
-    * [[dedupEmbeddingLsh]]. The gate runs it on a FIXED audit sample
-    * (`vec_id < 2000` — the whole corpus at every gate scale, where
-    * the bound never binds): a recall audit is an all-pairs join by
-    * definition, so at sweep scales it runs on a bounded sample — the
-    * uncapped product over a replicated corpus is exactly the plan the
-    * LSH twin exists to avoid. The oracle replays the same bound. */
+    * [[dedupEmbeddingLsh]]. The gate runs it on the FIXED audit sample
+    * [[EmbAuditPred]] (the whole corpus at every gate scale, where the
+    * bound never binds; at sweep scales the `% 16` arm samples across
+    * the full — including replicated — id range): a recall audit is an
+    * all-pairs join by definition, so at sweep scales it runs on a
+    * bounded sample — the uncapped product over a replicated corpus is
+    * exactly the plan the LSH twin exists to avoid. The oracle
+    * interpolates the SAME predicate constant, so the two sides cannot
+    * drift. */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingPairs(embs(s, d).filter(col("vec_id") < 2000L),
+    Dedup.embeddingPairs(embs(s, d).filter(expr(EmbAuditPred)),
       "vec_id", "embedding", threshold = 0.35, exact = true)
 
   /** #25 scale path: hyperplane-LSH bucketed candidates (4 seeded
@@ -1437,14 +1471,30 @@ object LlmQueries {
     "ingest_csv" -> ingestCsv,
   )
 
-  // Shared oracle fragments (DuckDB dialect).
-  private val shingleCte = """
-    d AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+  /** Fixed audit-sample predicates, shared VERBATIM by the Spark query
+    * (via `expr(...)`) and the DuckDB oracle (string-interpolated) so
+    * the two can never drift. A recall/exact audit is an all-pairs (or
+    * no-df-cut inverted-index) join by definition, so at sweep scales
+    * it must run on a bounded sub-corpus; the predicate's two arms keep
+    * it honest at both ends: the `< N` arm covers the ENTIRE corpus at
+    * gate scales (ids 0..499 at sf0.001/sf0.01; the audit is exact
+    * there), and the `% K` arm samples uniformly across the FULL id
+    * range at sweep scales, so the key-shifted replicated region —
+    * exactly where LSH recall under duplication is most at risk — is
+    * exercised rather than silently excluded. */
+  private[graft] val EmbAuditPred = "vec_id < 2000 OR vec_id % 16 = 0"
+  private[graft] val LshRecallAuditPred = "doc_id < 1000 OR doc_id % 8 = 0"
+
+  // Shared oracle fragments (DuckDB dialect). `where` restricts the
+  // document sub-corpus (audit sampling); "TRUE" = whole corpus.
+  private def shingleCteFor(where: String) = s"""
+    d AS (SELECT doc_id, string_split(text, ' ') w FROM documents WHERE $where),
     sh AS (SELECT doc_id,
       list_distinct(CASE WHEN len(w) >= 5
         THEN list_transform(range(len(w)-4), i -> array_to_string(w[i+1:i+5], ' '))
         ELSE [array_to_string(w, ' ')] END) AS sset
       FROM d)"""
+  private val shingleCte = shingleCteFor("TRUE")
 
   private val cosCte = """
     e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)"""
@@ -1453,7 +1503,7 @@ object LlmQueries {
     * and dedup_cluster): same hash family as
     * TextFunctions.minhashFromBase — base 32-bit hash from the md5-hex
     * prefix, then h_i(x) = ((2i+3)x + 7919i) % p. */
-  private lazy val minhashCtes = s"""$shingleCte,
+  private def minhashCtesFor(where: String) = s"""${shingleCteFor(where)},
       sig AS (SELECT doc_id, sset,
         list_transform(range(16), i -> list_min(list_transform(sset,
           s -> ((2*i+3) * ('0x' || substr(md5(s), 1, 8))::BIGINT + 7919*i) % 1000000007))) mh
@@ -1468,6 +1518,7 @@ object LlmQueries {
         floor((len(list_intersect(sa.sset, sb.sset)) /
               (len(sa.sset) + len(sb.sset) - len(list_intersect(sa.sset, sb.sset)))) * 10000 + 0.5) / 10000 jaccard
         FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)"""
+  private lazy val minhashCtes = minhashCtesFor("TRUE")
 
   private def cos(a: String, b: String) =
     s"list_dot_product($a,$b)/(sqrt(list_dot_product($a,$a))*sqrt(list_dot_product($b,$b)))"
@@ -2440,12 +2491,20 @@ object LlmQueries {
              sum(CASE WHEN seen.f IS NULL THEN 0 ELSE 1 END) >= 2 AS is_dup
       FROM delta LEFT JOIN seen ON seen.f = delta.f
       GROUP BY 1""".trim,
-    "dedup_minhash_lsh" ->
-      s"WITH $minhashCtes\n      SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5",
-    // exact ground truth (no df-cut) vs the banded LSH pair set;
-    // integer counts + one final division
-    "dedup_lsh_recall" -> s"""
+    // replays the 64-pair output budget: each id_a keeps its strongest
+    // verified pairs (jaccard DESC, id_b ASC) — same rank-cut recipe
+    // as dedup_containment / dedup_embedding_lsh
+    "dedup_minhash_lsh" -> s"""
       WITH $minhashCtes,
+      kept AS (SELECT id_a, id_b, jaccard,
+                 row_number() OVER (PARTITION BY id_a ORDER BY jaccard DESC, id_b) rn
+               FROM j WHERE jaccard >= 0.5)
+      SELECT id_a, id_b, jaccard FROM kept WHERE rn <= 64""".trim,
+    // exact ground truth (no df-cut) vs the banded LSH pair set;
+    // integer counts + one final division. Both tiers replay the fixed
+    // audit-sample predicate (whole corpus at gate scales).
+    "dedup_lsh_recall" -> s"""
+      WITH ${minhashCtesFor(s"($LshRecallAuditPred)")},
       lsh AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
       inv AS (SELECT doc_id, unnest(sset) s FROM sh),
       common AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) n_common
@@ -2520,11 +2579,13 @@ object LlmQueries {
                    ELSE least(255, greatest(0, floor((v - mn) / (mx - mn) * 256)))
               END - 128)::INT AS q
       FROM x JOIN s USING (dim)""".trim,
+    // the audit-sample predicate is interpolated from the same constant
+    // the Spark query filters with (EmbAuditPred) — no hand-sync
     "dedup_embedding" -> s"""
       WITH $cosCte,
+      es AS (SELECT * FROM e WHERE $EmbAuditPred),
       p AS (SELECT a.vec_id id_a, b.vec_id id_b, floor((${cos("a.v", "b.v")}) * 10000 + 0.5) / 10000 cos
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE a.vec_id < 2000 AND b.vec_id < 2000)
+            FROM es a JOIN es b ON a.vec_id < b.vec_id)
       SELECT id_a, id_b, cos FROM p WHERE cos >= 0.35""".trim,
     // hyperplane weights replayed for 4 seeded tables × 8 planes
     // (HyperplaneLsh.weights, sp = t·100003 + p); candidates agree

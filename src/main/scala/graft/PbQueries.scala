@@ -1051,6 +1051,55 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11ay (`pb_changelog_expire`): changelog RETENTION — the lifecycle
+    * piece table-property CDC needs at 100 TB, where every mutation
+    * appends a batch forever and the log eventually dwarfs the data.
+    * Three mutations land batches 0/1/2 (updates, inserts, deletes);
+    * `expireChangelog(beforeBatch = 2)` reaps the two folded batches
+    * and persists the floor; the query PROVES all three contract
+    * points inline: the expired dirs are gone (the survivor set is
+    * exactly batch 2), a cursor at the floor reads on unaffected, and
+    * an expired cursor fails loudly toward a re-sync instead of
+    * silently yielding a gapped stream. Output = the surviving delete
+    * images, which the oracle replays from the base table. */
+  def changelogExpireQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.setChangelog(spark, wh, "customer", enabled = true)
+    // batch 0: update images (%13 balance bump)
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 13 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+    // batch 1: insert images (%89 shifted copies)
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 89 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 20000000L),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
+    // batch 2: delete images (%41 keys — including %13-bumped rows,
+    // whose old_* images must carry the bumped balances, and any
+    // shifted batch-1 inserts the predicate happens to catch)
+    KeyedTable.delete(spark, wh, "customer",
+      col("c_custkey") % 41 === 0): Unit
+    val removed = KeyedTable.expireChangelog(spark, wh, "customer",
+      beforeBatch = Some(2L))
+    require(removed == 2, s"expected 2 expired batches, got $removed")
+    val survived = KeyedTable.readChangelog(spark, wh, "customer",
+      sinceBatch = 2)
+    val expiredCursorFails =
+      try { KeyedTable.readChangelog(spark, wh, "customer"); false }
+      catch {
+        case e: graft.store.StoreException =>
+          e.getMessage.contains("re-sync")
+      }
+    require(expiredCursorFails,
+      "an expired changelog cursor must fail loudly toward a re-sync")
+    survived.select(col("c_custkey"), col("op"),
+      col("old_c_acctbal").cast("double").as("old_c_acctbal"),
+      col("new_c_acctbal").cast("double").as("new_c_acctbal"))
+  }
+
   /** #11w (`pb_update`): predicate update — both SET expressions read the
     * row's CURRENT values (the CASE replay in the oracle), only matching
     * buckets rewrite. The ops story: a backfill/correction over a 100 TB
@@ -1563,6 +1612,7 @@ object PbQueries {
     "pb_wap_cdc" -> wapCdcQ,
     "pb_wap_cdc_evolve" -> wapCdcEvolveQ,
     "pb_append_idem" -> appendIdemQ,
+    "pb_changelog_expire" -> changelogExpireQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1788,6 +1838,20 @@ object PbQueries {
       SELECT c_custkey + 20000000, c_name, c_nationkey, c_acctbal,
              c_mktsegment
       FROM customer WHERE c_custkey % 89 = 0
+    """.trim,
+    // the surviving batch's delete images: %41 keys, old balances with
+    // the batch-0 %13 bump applied, new_* NULL (the rows are gone)
+    "pb_changelog_expire" -> """
+      SELECT c_custkey, 'delete' AS op,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN c_acctbal + 100.0 ELSE c_acctbal END AS old_c_acctbal,
+             CAST(NULL AS DOUBLE) AS new_c_acctbal
+      FROM customer WHERE c_custkey % 41 = 0
+      UNION ALL
+      SELECT c_custkey + 20000000, 'delete', c_acctbal,
+             CAST(NULL AS DOUBLE)
+      FROM customer
+      WHERE c_custkey % 89 = 0 AND (c_custkey + 20000000) % 41 = 0
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,

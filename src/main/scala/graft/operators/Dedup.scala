@@ -213,7 +213,15 @@ object Dedup {
     * bounded-heap top-k aggregate — ≤ budget rows per id cross the
     * exchange, map-side partials, never a global sort. For dedup
     * decisions the strongest near-subsets are the answer. Opt-in
-    * (Int.MaxValue = uncapped, the default). */
+    * (Int.MaxValue = uncapped, the default).
+    *
+    * The budget is ONE-SIDED: it bounds TOTAL output to O(n · budget)
+    * (each id_a emits ≤ budget rows), not per-document participation —
+    * a heavily duplicated doc with a large id still appears as id_b
+    * inside other ids' budgets, so its appearance count is O(copies).
+    * That is the intended contract (total output volume is what goes
+    * quadratic); apply a second top-k pass on id_b downstream if a
+    * true per-document cap is wanted. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 5, threshold: Double = 0.9,
                        maxDf: Int = Int.MaxValue,
@@ -411,7 +419,8 @@ object Dedup {
     * per id_a — under crawl duplication the true pair count grows
     * quadratically in a document's copy count even when candidates are
     * capped, and for dedup decisions the strongest matches are the
-    * answer (same dial as [[embeddingPairs]]/[[containmentPairs]]).
+    * answer (same dial as [[embeddingPairs]]/[[containmentPairs]];
+    * same one-sided contract — see [[containmentPairs]]).
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 5, numHashes: Int = 16, bands: Int = 4,
@@ -853,7 +862,9 @@ object Dedup {
     *    the exchange, map-side partials — never a global sort). For
     *    dedup decisions the strongest matches are the answer; a doc
     *    with 10⁴ near-copies does not need 10⁴ listed pairs. Requires
-    *    a numeric id column. Int.MaxValue = uncapped. */
+    *    a numeric id column. Int.MaxValue = uncapped. One-sided: see
+    *    [[containmentPairs]] — total output is O(n · budget), but a
+    *    doc's id_b-side participation is not capped. */
   def embeddingPairs(embs: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, exact: Boolean = false,
                      planes: Int = 8, tables: Int = 4,

@@ -119,7 +119,9 @@ private[store] object GraftProcedures {
       }),
     ProcDef("vacuum",
       "reap expired snapshots, superseded files, crashed staging " +
-        "(dry_run => true rehearses: identical decisions, no deletes)",
+        "(dry_run => true rehearses: same file decisions, no deletes; " +
+        "count is a lower bound — bucket dirs emptied by the real " +
+        "reap are deleted and counted only then)",
       Seq(in("table", StringType), inOpt("older_than_ms", LongType),
         inOpt("dry_run", BooleanType)),
       out("removed" -> IntegerType),
@@ -176,6 +178,18 @@ private[store] object GraftProcedures {
       (sp, wh, r) => {
         val (t, sch) = split(str(r, 0))
         Seq(KeyedTable.dropStreamLedger(sp, wh, t, str(r, 1), sch))
+      }),
+    ProcDef("expire_changelog",
+      "expire folded changelog batches below a batch/age floor (both " +
+      "dials compose; the newest batch never expires); cursors below " +
+      "the persisted floor fail loudly toward a re-sync",
+      Seq(in("table", StringType), inOpt("before_batch", LongType),
+        inOpt("older_than_ms", LongType)),
+      out("removed" -> IntegerType),
+      (sp, wh, r) => {
+        val (t, sch) = split(str(r, 0))
+        Seq(KeyedTable.expireChangelog(sp, wh, t, optLong(r, 1),
+          optLong(r, 2), sch))
       }),
     ProcDef("rename_table",
       "rename a table: one directory rename under the write lock",

@@ -68,8 +68,16 @@ object KeyedTable {
   val BucketCol = "pb_bucket"
 
   /** Changelog subdirectory name (sibling of `data/`, never touched by
-    * vacuum, invisible to the bucket reader). */
+    * vacuum, invisible to the bucket reader). Retention is its own
+    * explicit call — [[expireChangelog]] — because snapshot expiry and
+    * change-stream retention are different lifecycles with different
+    * consumers. */
   val ChangelogDir = "_changelog"
+
+  /** Floor marker inside [[ChangelogDir]] recording the first surviving
+    * batch after an [[expireChangelog]] (underscore-prefixed, so the
+    * merged parquet read skips it). */
+  private val ChangelogFloorFile = "_floor.json"
 
   val DefaultBuckets = 32
 
@@ -3517,6 +3525,98 @@ object KeyedTable {
     }
   }
 
+  /** Changelog RETENTION — expire folded `_changelog/batch=<n>`
+    * batches below a batch/age floor. [[vacuum]] stays hands-off the
+    * changelog by design (snapshot expiry and change-stream retention
+    * are different lifecycles with different consumers), but on a
+    * table-property-CDC table EVERY mutation appends a batch forever —
+    * at 100 TB with daily merges the log eventually dwarfs the data —
+    * so retention is its own explicit locked call (SQL surface:
+    * `CALL graft.system.expire_changelog`).
+    *
+    * A batch expires only while BOTH dials admit it — number below
+    * `beforeBatch` (when set) AND commit file-time at least
+    * `olderThanMs` old (when set); at least one dial is required (an
+    * undialed call refuses rather than default to a full wipe). The
+    * expired set is always a PREFIX of the batch sequence: the walk
+    * stops at the first non-expirable batch, so the floor invariant
+    * ("everything below the floor is gone, everything at/above is
+    * intact") holds even under odd file times. The NEWEST batch never
+    * expires — it anchors the merged read's schema and keeps the
+    * every-mutation invariant observable.
+    *
+    * Consumer contract (the Iceberg-tag model): changelog cursors are
+    * the CALLER's responsibility — the store registers WRITERS in the
+    * manifest `streams` ledger, not readers, so expiry cannot know
+    * which `sinceBatch` values are live. What it does guarantee: the
+    * floor is persisted (`_changelog/_floor.json`) BEFORE any batch
+    * dir is deleted, and a later [[readChangelog]] whose cursor
+    * reaches below the floor fails loudly toward a re-sync (snapshot
+    * read, resume at the floor) — never a silently gapped change
+    * stream. Returns the number of batches expired. */
+  def expireChangelog(spark: SparkSession, warehouse0: String,
+                      tableName: String,
+                      beforeBatch: Option[Long] = None,
+                      olderThanMs: Option[Long] = None,
+                      schema: Option[String] = None): Int = {
+    if (beforeBatch.isEmpty && olderThanMs.isEmpty)
+      throw new StoreException(
+        "expireChangelog: pass beforeBatch and/or olderThanMs — an " +
+        "undialed call would mean 'drop the whole log'")
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    val clRoot = new Path(dir, ChangelogDir)
+    WriteLock.withLock(spark, dir, "expireChangelog") {
+      val f = fs(spark, dir)
+      if (!f.exists(clRoot))
+        throw new StoreException(
+          s"table $tableName has no changelog — nothing to expire")
+      val batches = f.listStatus(clRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+        .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st))
+        .sortBy(_._1)
+      val newest = batches.lastOption.map(_._1).getOrElse(-1L)
+      val now = System.currentTimeMillis()
+      // prefix walk: stop at the first batch either dial refuses
+      val expire = batches.takeWhile { case (n, st) =>
+        n != newest &&
+          beforeBatch.forall(n < _) &&
+          olderThanMs.forall(a => st.getModificationTime <= now - a)
+      }
+      if (expire.isEmpty) 0
+      else {
+        // floor FIRST, deletes second: a crash in between leaves a
+        // floor claiming slightly more than was reaped — readers below
+        // it fail toward a re-sync (conservative); the reverse order
+        // could leave reaped batches with no floor, i.e. a silently
+        // gapped stream
+        val floor = expire.last._1 + 1
+        val fp = new Path(clRoot, ChangelogFloorFile)
+        val out = f.create(fp, true)
+        try out.write(s"""{"firstBatch": $floor}""".getBytes("UTF-8"))
+        finally out.close()
+        expire.foreach { case (_, st) => f.delete(st.getPath, true) }
+        expire.size
+      }
+    }
+  }
+
+  /** First surviving batch per the floor marker; 0 when never expired. */
+  private def changelogFloor(f: FileSystem, clRoot: Path): Long = {
+    val fp = new Path(clRoot, ChangelogFloorFile)
+    if (!f.exists(fp)) return 0L
+    val in = f.open(fp)
+    val s = try {
+      val bytes = new Array[Byte](f.getFileStatus(fp).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+    """"firstBatch"\s*:\s*(\d+)""".r.findFirstMatchIn(s) match {
+      case Some(m) => m.group(1).toLong
+      case None => throw new StoreException(
+        s"corrupt changelog floor marker $fp: $s")
+    }
+  }
+
   def readChangelog(spark: SparkSession, warehouse0: String,
                     tableName: String, sinceBatch: Long = 0L,
                     schema: Option[String] = None): DataFrame = {
@@ -3526,6 +3626,12 @@ object KeyedTable {
     if (!f.exists(clRoot))
       throw new StoreException(
         s"table $tableName has no changelog (upsert with changelog=true to start one)")
+    val floor = changelogFloor(f, clRoot)
+    if (sinceBatch < floor)
+      throw new StoreException(
+        s"changelog batches below $floor were expired (expireChangelog); " +
+        s"cursor $sinceBatch is gone — re-sync from a snapshot read and " +
+        s"resume with sinceBatch >= $floor")
     // mergeSchema: batches written before a schema evolution lack the
     // evolved columns' images — without the merge, an arbitrary batch's
     // file schema would win and image columns could silently vanish;

@@ -296,6 +296,13 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                 s"auto-generated index column ${Names.AutoIndex}; " +
                 "the store assigns ids itself — pass NULL for that " +
                 "slot (or create the table without auto_index)"
+              // unique sentinel embedded in the raise_error payload and
+              // matched EXACTLY below — a cause-chain scan for the
+              // human-readable phrase would also catch unrelated
+              // failures (a CHECK constraint or user data echoing the
+              // words) and rewrap them into a misleading explicit-id
+              // error
+              val sentinel = "[GRAFT-AUTOIDX-8c24f1d0]"
               val keep = cleaned0.columns.filterNot(_ == Names.AutoIndex)
               val cleaned =
                 if (!meta.autoIndex ||
@@ -312,11 +319,16 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                   // column, the check instead rides the write's own
                   // first pass over the rows (before anything commits)
                   // for free; the cause-chain rewrap below restores the
-                  // clean StoreException surface
+                  // clean StoreException surface. Because the check now
+                  // fires MID-WRITE, a rejected INSERT can leave the
+                  // auto-index high-water mark already bumped — ids are
+                  // unique-and-monotone, never gap-free (the standard
+                  // sequence contract; the old eager probe's
+                  // no-side-effect behavior is not promised)
                   cleaned0.withColumn(keep.head,
                     when(data(Names.AutoIndex).isNotNull,
                       raise_error(org.apache.spark.sql.functions
-                        .lit(explicitIdMsg))
+                        .lit(s"$sentinel $explicitIdMsg"))
                         .cast(cleaned0.schema(keep.head).dataType))
                     .otherwise(col(keep.head)))
                     .drop(Names.AutoIndex)
@@ -327,7 +339,7 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                   val inChain = Iterator.iterate(e: Throwable)(_.getCause)
                     .takeWhile(_ != null)
                     .exists(t => Option(t.getMessage)
-                      .exists(_.contains("assigns ids itself")))
+                      .exists(_.contains(sentinel)))
                   if (inChain) throw new StoreException(explicitIdMsg)
                   else throw e
               }

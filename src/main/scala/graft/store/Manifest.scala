@@ -386,12 +386,22 @@ object Manifest {
 
   /** [[at]] without the per-call existence LISTING — for callers that
     * already hold the version list (the streaming admission walk reads
-    * several manifests per trigger; one listing serves them all).
-    * Reading a vacuum-expired version fails on open, not with `at`'s
-    * friendlier available-versions message. */
+    * several manifests per trigger; one listing serves them all). The
+    * listing is skipped only on the happy path: if the open fails (a
+    * long-idle stream's cursor version vacuum-expired underneath it),
+    * the ERROR path pays one listing to rethrow `at`'s friendly
+    * available-versions StoreException instead of a raw file-open
+    * error. */
   private[store] def atKnown(spark: SparkSession, tableDir: String,
                              version: Long): Manifest =
-    read(spark, tableDir, version)
+    try read(spark, tableDir, version)
+    catch {
+      case e: java.io.IOException =>
+        val vs = versions(spark, tableDir)
+        if (vs.contains(version)) throw e // transient IO, not expiry
+        throw new StoreException(
+          s"no manifest version $version (available: ${vs.mkString(", ")})")
+    }
 
   private def read(spark: SparkSession, tableDir: String,
                    version: Long): Manifest = {
