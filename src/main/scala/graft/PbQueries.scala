@@ -1386,6 +1386,54 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11az (`pb_upsert_concurrent`): bucket-level optimistic
+    * concurrency for upserts — three threads upsert disjoint KEY
+    * slices through [[KeyedTable.upsertConcurrent]] (merge job staged
+    * outside the write lock; a brief locked flip re-validates the
+    * touched-bucket manifest window). Disjoint keys still hash across
+    * overlapping BUCKETS, so losers see ConcurrentWriteException and
+    * retry — the multi-writer contract is "abort-and-retry, never
+    * corrupt", and the final state must equal the oracle's replay
+    * regardless of commit order. The 100 TB story: N upsert jobs into
+    * N key ranges overlap their (expensive) merge work and serialize
+    * only on manifest flips. */
+  def upsertConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def retrying(body: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: graft.store.ConcurrentWriteException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              "upsertConcurrent retry budget exhausted")
+        }
+      }
+    }
+    try {
+      Await.result(Future.sequence((1 to 3).map { r =>
+        Future {
+          // partial-column update: only c_acctbal overwrites
+          retrying(KeyedTable.upsertConcurrent(
+            customer.filter(k % 4 === r)
+              .select(k, (col("c_acctbal") + r * 100.0).as("c_acctbal")),
+            wh, "customer"))
+        }
+      }), 5.minutes)
+    } finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
     * (v0), corrupt a slice via upsert (v1), delete another (v2), then
     * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
@@ -1613,6 +1661,7 @@ object PbQueries {
     "pb_wap_cdc_evolve" -> wapCdcEvolveQ,
     "pb_append_idem" -> appendIdemQ,
     "pb_changelog_expire" -> changelogExpireQ,
+    "pb_upsert_concurrent" -> upsertConcurrentQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1852,6 +1901,14 @@ object PbQueries {
              CAST(NULL AS DOUBLE)
       FROM customer
       WHERE c_custkey % 89 = 0 AND (c_custkey + 20000000) % 41 = 0
+    """.trim,
+    // each %4 slice's balance bumped by its writer's offset (%4==0 gets
+    // +0, untouched); partial-column upsert leaves other columns alone
+    "pb_upsert_concurrent" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,

@@ -1727,6 +1727,196 @@ object KeyedTable {
     StructType(metaLatest.schema.fields ++ extra)
   }
 
+  /** Upsert WITHOUT holding the write lock for the merge job — the
+    * [[appendConcurrent]] protocol extended to a REPLACE-shaped
+    * mutation via a BUCKET-LEVEL conflict window (the Delta/Iceberg
+    * multi-writer story): two upserts into DISJOINT bucket sets both
+    * commit; overlapping ones abort-and-retry instead of corrupting
+    * each other's pre-image.
+    *
+    *  1. UNLOCKED: snapshot-at-start, bucket + validate the delta,
+    *     full-outer-merge it against the snapshot's TOUCHED buckets,
+    *     stage the replacement bucket files (CoW) and the changelog
+    *     images (classified against the same pre-image);
+    *  2. LOCKED (briefly — a manifest flip, not a write job):
+    *     re-validate against the LATEST state and commit.
+    *
+    * Commit-time conflict rules (all throw [[ConcurrentWriteException]]
+    * with the table unchanged and staging cleaned; retry the call):
+    *  - bucket count changed (a rebucket won the race);
+    *  - schema conflict (a staged column re-typed or dropped since);
+    *  - TOUCHED-BUCKET overlap: any touched bucket whose manifest
+    *    window (file set OR delete-vector set) changed since the start
+    *    snapshot — the staged merge read a pre-image that is no longer
+    *    the truth. Disjoint-bucket writers never trip this: their
+    *    buckets carry over untouched through each other's commits, so
+    *    N upsert jobs into N key ranges overlap their merge work and
+    *    serialize only on the flip.
+    *
+    * Versus [[appendConcurrent]] the window is per-BUCKET, not per-KEY:
+    * an upsert rewrites whole buckets, so a same-bucket concurrent
+    * write invalidates the staged output even when the KEYS are
+    * disjoint — the bucket window is exactly the granularity the
+    * commit replaces. Plain upserts only (partial-column semantics
+    * included); merge feeds and deletes keep the locked path.
+    * Auto-index tables refuse (same contract as [[upsert]]); a
+    * pre-manifest legacy table falls back to the classic locked
+    * upsert. */
+  def upsertConcurrent(df: DataFrame, warehouse0: String, tableName: String,
+                       addNewColumns: Boolean = false,
+                       validate: Boolean = true,
+                       schema: Option[String] = None,
+                       changelog: Boolean = false,
+                       commitWaitMs: Long = 60000L): Unit = {
+    val spark = df.sparkSession
+    val wh = schemaDir(warehouse0, schema)
+    val dir = tableDir(wh, tableName)
+    if (!TableMeta.exists(spark, dir))
+      throw new StoreException(
+        s"upsertConcurrent: table $tableName does not exist " +
+        "(create it with toSql first — creation must arbitrate under the lock)")
+    val naive = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (naive.nonEmpty)
+      throw new StoreException(
+        s"Column(s) ${naive.map(_.name).mkString(", ")} timezone must be set " +
+        "(naive TimestampNTZ rejected, as in toSql strictUtc)")
+    val cleaned = df.columns.foldLeft(df) { (d, c) =>
+      val cc = Names.cleanName(c)
+      if (cc == c) d else d.withColumnRenamed(c, cc)
+    }
+    val data = dataDir(wh, tableName)
+    val meta0 = TableMeta.read(spark, dir)
+    if (meta0.autoIndex)
+      throw new StoreException(
+        "Cannot upsert into a table with an automatically generated index (reference: sql.py:177)")
+    val base0 = Manifest.current(spark, dir).getOrElse {
+      // legacy table: no snapshot to window against — classic locked
+      // upsert (which adopts a manifest, so the NEXT call is optimistic)
+      WriteLock.withLockWait(spark, dir, "upsertConcurrent(legacy)",
+        commitWaitMs) {
+        upsert(cleaned, wh, tableName, addNewColumns, validate, changelog)
+      }
+      return
+    }
+    val wantChangelog = changelog || meta0.changelog
+    // partial-column contract: only columns PRESENT in the incoming
+    // frame overwrite; the rest keep stored values (reference
+    // sql.py:299) — captured before align pads the schema
+    val incomingCols = cleaned.columns.toSet
+    val (aligned, evolved) = align(cleaned, meta0, addNewColumns)
+    val newB = withBucket(aligned, meta0.pk, base0.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = fs(spark, dir)
+    try {
+      enforceChecks(newB, meta0.checks, "upsertConcurrent")
+      val touched = validateAndTouched(newB, meta0.pk, validate)
+      val oldTouched = readRawWith(spark, wh, tableName,
+          meta0.copy(schema = evolved), Some(base0))
+        .filter(col(BucketCol).isin(touched: _*))
+      val marked = newB.withColumn("_graft_new", lit(true))
+      val nonPk = evolved.fieldNames.filterNot(meta0.pk.contains)
+      val out = oldTouched.as("o")
+        .join(marked.as("n"), meta0.pk.toIndexedSeq, "full_outer")
+        .select(meta0.pk.map(col) ++ nonPk.map { c =>
+          val merged =
+            if (incomingCols.contains(c))
+              when(col("n._graft_new").isNotNull, col(s"n.$c"))
+                .otherwise(col(s"o.$c"))
+            else col(s"o.$c")
+          merged.as(c)
+        } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol"))
+          .as(BucketCol): _*)
+      // changelog images classified against the snapshot-at-start
+      // pre-image — valid at commit BECAUSE the touched-bucket window
+      // check proves that pre-image is still the live truth
+      def stageImages(): Path = {
+        val presentOld = col(s"o.$BucketCol").isNotNull
+        val valueCols = incomingCols.toSeq
+          .filterNot(meta0.pk.contains).filter(nonPk.contains).sorted
+        val changedCond = valueCols
+          .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val images = nonPk.toSeq.flatMap { c =>
+          val post =
+            if (incomingCols.contains(c)) col(s"n.$c") else col(s"o.$c")
+          Seq(col(s"o.$c").as(s"old_$c"), post.as(s"new_$c"))
+        }
+        val changes = marked.as("n")
+          .join(oldTouched.as("o"), meta0.pk.toIndexedSeq, "left")
+          .select(meta0.pk.map(col) ++ (
+            when(!presentOld, lit("insert"))
+              .when(changedCond, lit("update"))
+              .otherwise(lit("unchanged")).as("op") +: images): _*)
+        val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+        changes.write.parquet(p.toString)
+        p
+      }
+      val clStaging: Option[Path] =
+        if (wantChangelog) Some(stageImages()) else None
+      var clLate: Option[Path] = None
+      val staging = s"$dir/.staging-upsertc-${UUID.randomUUID()}"
+      try {
+        // the expensive merge job — OUTSIDE the lock
+        clusterByBucket(out, base0.buckets, meta0.pk)
+          .write.partitionBy(BucketCol).parquet(staging)
+        UpsertConcurrentHooks.betweenPhases()
+
+        // ---------------- LOCKED: re-validate, commit ----------------
+        WriteLock.withLockWait(spark, dir, "upsertConcurrent(commit)",
+            commitWaitMs) {
+          val metaLatest = TableMeta.read(spark, dir)
+          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+          enforceChecks(newB,
+            metaLatest.checks -- meta0.checks.keySet,
+            "upsertConcurrent(commit)")
+          if (baseLatest.buckets != base0.buckets)
+            throw new ConcurrentWriteException(
+              s"bucket count changed ${base0.buckets} -> " +
+              s"${baseLatest.buckets} (concurrent rebucket); staged files " +
+              "use the old layout — retry the upsert")
+          val mergedSchema = mergeEvolved(evolved, meta0, metaLatest)
+          if (baseLatest.version != base0.version) {
+            def window(m: Manifest, b: Int): (Set[String], Set[String]) =
+              (m.files.getOrElse(b, Nil).map(_.name).toSet,
+                m.dvs.getOrElse(b, Nil).map(_.name).toSet)
+            val dirty = touched
+              .filter(b => window(base0, b) != window(baseLatest, b))
+            if (dirty.nonEmpty)
+              throw new ConcurrentWriteException(
+                s"bucket(s) ${dirty.sorted.take(5).mkString(", ")} changed " +
+                "since this upsert staged (concurrent mutation with an " +
+                "overlapping touched-bucket set); the staged merge read a " +
+                "stale pre-image — retry the upsert")
+          }
+          if (metaLatest.changelog && clStaging.isEmpty)
+            clLate = Some(stageImages())
+          commitStaged(spark, f, dir, data, staging, touched,
+            "upsertConcurrent", baseLatest, baseLatest.buckets,
+            metaLatest.copy(schema = mergedSchema))
+          (clStaging orElse clLate).foreach { src =>
+            commitChangelogBatch(f, "upsertConcurrent", src,
+              nextChangelogDst(f, dir))
+          }
+          val metaFinal = metaLatest.copy(schema = mergedSchema,
+            changelog = wantChangelog || metaLatest.changelog)
+          if (metaFinal != metaLatest) TableMeta.write(spark, dir, metaFinal)
+        }
+      } finally {
+        f.delete(new Path(staging), true)
+        (clStaging.toSeq ++ clLate.toSeq).foreach(p => f.delete(p, true))
+      }
+    } finally newB.unpersist()
+  }
+
+  /** Test-only interleave seam: invoked between [[upsertConcurrent]]'s
+    * unlocked stage phase and its locked commit, so a spec can land an
+    * interfering mutation deterministically inside the window the
+    * bucket-level conflict check must catch (or, for a disjoint-bucket
+    * writer, must NOT catch). A no-op in production. */
+  private[store] object UpsertConcurrentHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
   /** Change-data-capture: with `changelog = true` an upsert also writes,
     * per incoming row, one (pk…, op, old_<c>…, new_<c>…) record —
     * op ∈ insert (key absent before) / update (key present, some
