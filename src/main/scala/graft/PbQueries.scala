@@ -1163,15 +1163,17 @@ object PbQueries {
   }
 
   /** #11r (`pb_zorder`): Z-order clustering is a pure layout rewrite —
-    * create, zorderCompact on (o_custkey, o_totalprice), read back
-    * EVERYTHING: identical content, now row-group-prunable on both
-    * clustered dimensions (ZorderSpec measures that from footers). */
+    * create, zorderCompact on THREE columns (o_custkey, o_totalprice,
+    * o_orderkey — the n-ary Morton interleave), read back EVERYTHING:
+    * identical content, now row-group-prunable on all three clustered
+    * dimensions (ZorderSpec measures the bound tightness, including
+    * the third dimension, from footers). */
   def zorderQ(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     KeyedTable.toSql(Tables.orders(spark, sfDir), wh, "orders",
       pk = Seq("o_orderkey"), strictUtc = false) // NTZ testdata is semantically UTC
     KeyedTable.zorderCompact(spark, wh, "orders",
-      Seq("o_custkey", "o_totalprice"))
+      Seq("o_custkey", "o_totalprice", "o_orderkey"))
     KeyedTable.readSql(spark, wh, "orders")
   }
 

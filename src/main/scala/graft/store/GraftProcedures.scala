@@ -148,13 +148,15 @@ private[store] object GraftProcedures {
         KeyedTable.rebucket(sp, wh, t, r.getInt(1), sch); Seq(r.getInt(1))
       }),
     ProcDef("zorder",
-      "Z-order-cluster the table on two columns (full rewrite)",
+      "Z-order-cluster the table on 2-4 columns (full rewrite)",
       Seq(in("table", StringType), in("col1", StringType),
-        in("col2", StringType)),
+        in("col2", StringType), inOpt("col3", StringType),
+        inOpt("col4", StringType)),
       out("done" -> BooleanType),
       (sp, wh, r) => {
         val (t, sch) = split(str(r, 0))
-        KeyedTable.zorderCompact(sp, wh, t, Seq(str(r, 1), str(r, 2)),
+        KeyedTable.zorderCompact(sp, wh, t,
+          Seq(str(r, 1), str(r, 2)) ++ optStr(r, 3) ++ optStr(r, 4),
           schema = sch)
         Seq(true)
       }),

@@ -2327,19 +2327,28 @@ object KeyedTable {
     }
   }
 
-  /** Morton (Z-order) value of two numeric columns, 21 bits each:
-    * values scale affinely onto [0, 2²¹) against broadcast min/max
-    * scalars, then bit-interleave via the classic mask-spread chain —
-    * pure long arithmetic, codegen-friendly, no UDF. Constant columns
-    * map to 0 (any order is clustered). */
-  private def zValue(a: Column, b: Column,
-                     aMin: Double, aMax: Double,
-                     bMin: Double, bMax: Double): Column = {
-    def scaled(c: Column, mn: Double, mx: Double): Column =
-      if (mx == mn) lit(0L)
-      else ((c.cast("double") - lit(mn)) / lit(mx - mn) *
-        lit(((1L << 21) - 1).toDouble)).cast("long")
-    def spread(x0: Column): Column = {
+  /** Morton (Z-order) value of 2–4 numeric columns: values scale
+    * affinely onto [0, 2^bits) against broadcast min/max scalars, then
+    * bit-interleave via the classic per-stride mask-spread chains —
+    * pure long arithmetic, codegen-friendly, no UDF. Bits per
+    * dimension: 21 for 2 or 3 columns, 15 for 4 (the widest spread
+    * whose top bit, shifted by the last column's lane offset, stays
+    * below the sign bit — Morton order must compare as UNSIGNED, and
+    * keeping every z value non-negative makes the signed long sort
+    * agree). Constant and all-NULL columns map to 0 (any order is
+    * clustered). */
+  private def zValue(cols: Seq[Column],
+                     mins: Seq[Option[Double]],
+                     maxs: Seq[Option[Double]]): Column = {
+    val n = cols.size
+    val bits = if (n <= 3) 21 else 15
+    def scaled(c: Column, mn: Option[Double], mx: Option[Double]): Column =
+      if (mn.isEmpty || mx.isEmpty || mx == mn) lit(0L)
+      else ((c.cast("double") - lit(mn.get)) / lit(mx.get - mn.get) *
+        lit(((1L << bits) - 1).toDouble)).cast("long")
+    // each chain doubles the gap between bit groups until single bits
+    // sit `n` apart; the masks are the standard 2D/3D/4D Morton magic
+    def spread2(x0: Column): Column = { // 21 bits, stride 2
       var v = x0.bitwiseAND(lit(0x1FFFFFL))
       v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
       v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
@@ -2347,20 +2356,46 @@ object KeyedTable {
       v = v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x3333333333333333L))
       v.bitwiseOR(shiftleft(v, 1)).bitwiseAND(lit(0x5555555555555555L))
     }
-    spread(scaled(a, aMin, aMax))
-      .bitwiseOR(shiftleft(spread(scaled(b, bMin, bMax)), 1))
+    def spread3(x0: Column): Column = { // 21 bits, stride 3
+      var v = x0.bitwiseAND(lit(0x1FFFFFL))
+      v = v.bitwiseOR(shiftleft(v, 32)).bitwiseAND(lit(0x001F00000000FFFFL))
+      v = v.bitwiseOR(shiftleft(v, 16)).bitwiseAND(lit(0x001F0000FF0000FFL))
+      v = v.bitwiseOR(shiftleft(v, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+      v = v.bitwiseOR(shiftleft(v, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+      v.bitwiseOR(shiftleft(v, 2)).bitwiseAND(lit(0x1249249249249249L))
+    }
+    def spread4(x0: Column): Column = { // 15 bits, stride 4
+      var v = x0.bitwiseAND(lit(0x7FFFL))
+      v = v.bitwiseOR(shiftleft(v, 24)).bitwiseAND(lit(0x000000FF000000FFL))
+      v = v.bitwiseOR(shiftleft(v, 12)).bitwiseAND(lit(0x000F000F000F000FL))
+      v = v.bitwiseOR(shiftleft(v, 6)).bitwiseAND(lit(0x0303030303030303L))
+      v.bitwiseOR(shiftleft(v, 3)).bitwiseAND(lit(0x1111111111111111L))
+    }
+    val spread: Column => Column =
+      n match { case 2 => spread2; case 3 => spread3; case _ => spread4 }
+    cols.indices.map { i =>
+      val s = spread(scaled(cols(i), mins(i), maxs(i)))
+      if (i == 0) s else shiftleft(s, i)
+    }.reduce(_ bitwiseOR _)
   }
 
   /** #11r Z-order clustering: rewrite every bucket with rows sorted by
-    * the Morton interleave of TWO columns, so parquet row-group min/max
-    * stats become tight on BOTH dimensions — a range predicate on
-    * either column (or both) prunes row groups, where a PK-sorted
-    * layout prunes only on the leading key. This is the standard
-    * multi-dimensional clustering move at 100 TB (Delta/Iceberg
-    * Z-ORDER): the bucket layout (PK hashing, co-partitioned joins,
-    * commit protocol) is untouched — only the order WITHIN each
-    * bucket's files changes, via the same staging + swap as compaction.
-    * NULLs in a z column sort first (cast yields NULL → z NULL).
+    * the Morton interleave of 2–4 columns, so parquet row-group
+    * min/max stats become tight on EVERY clustered dimension — a range
+    * predicate on any of them (or several) prunes row groups, where a
+    * PK-sorted layout prunes only on the leading key. This is the
+    * standard multi-dimensional clustering move at 100 TB
+    * (Delta/Iceberg Z-ORDER, which also accept n columns): the bucket
+    * layout (PK hashing, co-partitioned joins, commit protocol) is
+    * untouched — only the order WITHIN each bucket's files changes,
+    * via the same staging + swap as compaction. Per-dimension
+    * resolution is 21 bits for 2–3 columns, 15 for 4 ([[zValue]]) —
+    * still far finer than any row-group boundary. More dimensions
+    * dilute each one's clustering (the bits interleave), so 2–3 is
+    * the sweet spot and 4 the ceiling, matching the engines above.
+    * NULLs in a z column sort first (cast yields NULL → z NULL); an
+    * all-NULL or constant column contributes 0 bits and the remaining
+    * dimensions cluster as if it were absent.
     * `parquetBlockBytes` caps the row-group size so large buckets split
     * into several stat-pruned groups (None = parquet default, the right
     * choice at real scale).
@@ -2368,12 +2403,13 @@ object KeyedTable {
     * Scale shape: one footer-free min/max aggregate (2 scalars per
     * column), then exactly the compaction rewrite — one shuffle by
     * bucket, sort within, swap. Cost equals one compact; the payoff is
-    * every subsequent selective scan on either z dimension. */
+    * every subsequent selective scan on any z dimension. */
   def zorderCompact(spark: SparkSession, warehouse0: String,
                     tableName: String, zCols: Seq[String],
                     parquetBlockBytes: Option[Long] = None,
                     schema: Option[String] = None): Unit = {
-    require(zCols.size == 2, "zorderCompact interleaves exactly 2 columns")
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"zorderCompact interleaves 2 to 4 columns, got ${zCols.size}")
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
     WriteLock.withLock(spark, dir, "zorder") {
@@ -2398,14 +2434,18 @@ object KeyedTable {
       val data = dataDir(warehouse, tableName)
       val base = snapshotForWrite(spark, dir, data, meta)
       val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
-      val Seq(a, b) = zCols
-      // 4 scalars from one aggregate — broadcast into the sort key
-      val mm = raw.agg(
-        min(col(a).cast("double")), max(col(a).cast("double")),
-        min(col(b).cast("double")), max(col(b).cast("double"))).head()
-      if (!mm.isNullAt(0) && !mm.isNullAt(2)) { // all-NULL/empty: no-op
-        val z = zValue(col(a), col(b),
-          mm.getDouble(0), mm.getDouble(1), mm.getDouble(2), mm.getDouble(3))
+      // 2 scalars per column from one aggregate — broadcast into the
+      // sort key; a column whose min is NULL (all-NULL/empty) degrades
+      // to a constant-0 lane in zValue
+      val mmExprs = zCols.flatMap(c => Seq(
+        min(col(c).cast("double")), max(col(c).cast("double"))))
+      val mm = raw.agg(mmExprs.head, mmExprs.tail: _*).head()
+      def at(i: Int): Option[Double] =
+        if (mm.isNullAt(i)) None else Some(mm.getDouble(i))
+      val mins = zCols.indices.map(i => at(2 * i))
+      val maxs = zCols.indices.map(i => at(2 * i + 1))
+      if (mins.exists(_.isDefined)) { // fully NULL/empty table: no-op
+        val z = zValue(zCols.map(col), mins, maxs)
         val f = fs(spark, dir)
         val staging = s"$dir/.staging-zorder-${UUID.randomUUID()}"
         try {

@@ -76,6 +76,54 @@ class ZorderSpec extends SparkSpec {
     assert(coverage(zy, span) < 0.6, s"z left y at ${coverage(zy, span)}")
   }
 
+  test("3-column z-order tightens row-group bounds on the THIRD dimension " +
+      "where a 2-column interleave leaves it at full width") {
+    val rnd = new scala.util.Random(7)
+    def data3() = (1L to 100000L).map(i =>
+      (i, rnd.nextInt(1048576).toLong, rnd.nextInt(1048576).toLong,
+        rnd.nextInt(1048576).toLong))
+      .toDF("k", "x", "y", "w")
+    val d = data3()
+    // small row groups: a 3-way interleave spreads the sort resolution
+    // across three dimensions, so per-dimension tightness needs more
+    // groups than the 2-D test to show up decisively in footer stats
+    val blk = Some(32L * 1024)
+    val w3 = wh()
+    KeyedTable.toSql(d, w3, "t", pk = Seq("k"), buckets = 2)
+    KeyedTable.zorderCompact(spark, w3, "t", Seq("x", "y", "w"),
+      parquetBlockBytes = blk)
+    // baseline: 2-column interleave over (x, y) only
+    val w2 = wh()
+    KeyedTable.toSql(d, w2, "t", pk = Seq("k"), buckets = 2)
+    KeyedTable.zorderCompact(spark, w2, "t", Seq("x", "y"),
+      parquetBlockBytes = blk)
+
+    val t3w = rowGroupRanges(w3, "w")
+    val t2w = rowGroupRanges(w2, "w")
+    assert(t3w.size >= 8, s"expected many row groups, got ${t3w.size}")
+    // the 2-col interleave never saw w: its ranges span ~ the domain
+    assert(coverage(t2w, span) > 0.8,
+      s"(x,y) z-order should NOT cluster w: ${coverage(t2w, span)}")
+    // the 3-col interleave bounds w too — coarser than a 1-D sort (the
+    // bits three-way interleave) but decisively below the unclustered
+    // baseline, absolutely and relatively
+    assert(coverage(t3w, span) < 0.75,
+      s"3-col z left w at ${coverage(t3w, span)}")
+    assert(coverage(t3w, span) < coverage(t2w, span) - 0.15,
+      s"3-col z on w (${coverage(t3w, span)}) must beat the 2-col " +
+      s"baseline (${coverage(t2w, span)}) decisively")
+    // and still clusters the first two dimensions
+    assert(coverage(rowGroupRanges(w3, "x"), span) < 0.75)
+    assert(coverage(rowGroupRanges(w3, "y"), span) < 0.75)
+    // content intact
+    assert(KeyedTable.readSql(spark, w3, "t").count() == 100000L)
+    // dial bounds: 1 and 5 columns refuse
+    intercept[IllegalArgumentException](
+      KeyedTable.zorderCompact(spark, w3, "t", Seq("x")))
+    intercept[IllegalArgumentException](
+      KeyedTable.zorderCompact(spark, w3, "t", Seq("x", "y", "w", "k", "x")))
+  }
+
   test("content, PK reads, and bucket layout survive the rewrite") {
     val w = wh()
     val df = data()
