@@ -1436,6 +1436,50 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11ba (`pb_delete_concurrent`): the optimistic protocol's DELETE
+    * face — three threads erase disjoint key slices through
+    * [[KeyedTable.deleteConcurrent]] (survivor rewrite / DV staging
+    * outside the lock, bucket-window re-validation inside). Slices
+    * share buckets, so losers retry; the final table must equal the
+    * oracle's single-pass predicate regardless of commit order. The
+    * ops story: a GDPR erasure sweep partitioned by key range runs N
+    * jobs that serialize only on manifest flips. */
+  def deleteConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def retrying(body: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: graft.store.ConcurrentWriteException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              "deleteConcurrent retry budget exhausted")
+        }
+      }
+    }
+    try {
+      Await.result(Future.sequence((1 to 3).map { r =>
+        Future {
+          retrying {
+            KeyedTable.deleteConcurrent(spark, wh, "customer",
+              k % 10 === r): Unit
+          }
+        }
+      }), 5.minutes)
+    } finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
     * (v0), corrupt a slice via upsert (v1), delete another (v2), then
     * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
@@ -1664,6 +1708,7 @@ object PbQueries {
     "pb_append_idem" -> appendIdemQ,
     "pb_changelog_expire" -> changelogExpireQ,
     "pb_upsert_concurrent" -> upsertConcurrentQ,
+    "pb_delete_concurrent" -> deleteConcurrentQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1903,6 +1948,10 @@ object PbQueries {
              CAST(NULL AS DOUBLE)
       FROM customer
       WHERE c_custkey % 89 = 0 AND (c_custkey + 20000000) % 41 = 0
+    """.trim,
+    // three racing erasure slices; the union of their predicates gone
+    "pb_delete_concurrent" -> """
+      SELECT * FROM customer WHERE c_custkey % 10 NOT IN (1, 2, 3)
     """.trim,
     // each %4 slice's balance bumped by its writer's offset (%4==0 gets
     // +0, untouched); partial-column upsert leaves other columns alone

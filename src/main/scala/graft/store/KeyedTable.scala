@@ -1917,6 +1917,159 @@ object KeyedTable {
     @volatile var betweenPhases: () => Unit = () => ()
   }
 
+  /** [[UpsertConcurrentHooks]]'s twin for [[deleteConcurrent]] (its own
+    * object, so concurrently-running suites never share a seam). */
+  private[store] object DeleteConcurrentHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
+  /** Predicate delete WITHOUT holding the write lock for the rewrite —
+    * [[upsertConcurrent]]'s bucket-level optimistic protocol applied
+    * to [[delete]]: the matched-bucket probe, the CoW survivor rewrite
+    * (or the MoR delete-vector staging — [[DeleteMode]].Auto decides
+    * from the same manifest arithmetic), and the CDC delete images all
+    * run against the snapshot-at-start OUTSIDE the lock; a brief
+    * locked flip re-validates and commits. Abort-and-retry
+    * ([[ConcurrentWriteException]], table unchanged, staging cleaned)
+    * when the manifest window shows a rebucket, ANY schema change (a
+    * full-bucket rewrite staged under the old schema must not publish
+    * over a new one), or a TOUCHED bucket whose file/delete-vector set
+    * changed — the staged survivors (or staged positions: MoR DV
+    * ordinals are only valid against the exact files they indexed)
+    * read a pre-image that is no longer the truth. Disjoint-bucket
+    * deletes and upserts interleave freely: a GDPR erasure sweep
+    * partitioned by key range runs N jobs that serialize only on
+    * manifest flips. Returns the number of deleted rows. */
+  def deleteConcurrent(spark: SparkSession, warehouse0: String,
+                       tableName: String, where: Column,
+                       schema: Option[String] = None,
+                       changelog: Boolean = false,
+                       mode: DeleteMode = DeleteMode.Auto,
+                       commitWaitMs: Long = 60000L): Long = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    if (!TableMeta.exists(spark, dir))
+      throw new StoreException(
+        s"deleteConcurrent: table $tableName does not exist")
+    val meta0 = TableMeta.read(spark, dir)
+    val base0 = Manifest.current(spark, dir).getOrElse {
+      // legacy table: no snapshot to window against — classic locked
+      // delete (which adopts a manifest, so the NEXT call is optimistic)
+      return WriteLock.withLockWait(spark, dir, "deleteConcurrent(legacy)",
+        commitWaitMs) {
+        delete(spark, warehouse0, tableName, where, schema, changelog, mode)
+      }
+    }
+    val cdc = changelog || meta0.changelog
+    val data = dataDir(warehouse, tableName)
+    val raw = readRawWith(spark, warehouse, tableName, meta0, Some(base0))
+    val probe = raw.filter(where).groupBy(col(BucketCol))
+      .agg(count(lit(1)).as("n")).collect()
+    val touched = probe.map(_.getInt(0)).toSeq
+    val deleted = probe.map(_.getLong(1)).sum
+    if (touched.isEmpty) {
+      // parity with [[delete]]: an explicit changelog request on a
+      // no-match delete still arms table-property CDC for later writers
+      if (cdc && !meta0.changelog)
+        WriteLock.withLockWait(spark, dir, "deleteConcurrent(cdc-flag)",
+            commitWaitMs) {
+          val m = TableMeta.read(spark, dir)
+          if (!m.changelog) TableMeta.write(spark, dir, m.copy(changelog = true))
+        }
+      return 0L
+    }
+    val f = fs(spark, dir)
+    val mor = morDecision(Some(base0), mode, touched, deleted,
+      "delete", tableName)
+    // CDC delete images against the snapshot-at-start pre-image —
+    // valid at commit BECAUSE the window check proves that pre-image
+    // is still the live truth
+    def stageImages(): Path = {
+      val nonPk = meta0.schema.fieldNames.filterNot(meta0.pk.contains)
+      val images = nonPk.toSeq.flatMap { c =>
+        Seq(col(c).as(s"old_$c"),
+          lit(null).cast(meta0.schema(c).dataType).as(s"new_$c"))
+      }
+      val changes = raw.filter(where)
+        .select(meta0.pk.map(col) ++ (lit("delete").as("op") +: images): _*)
+      val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+      changes.write.parquet(p.toString)
+      p
+    }
+    val clStaging: Option[Path] = if (cdc) Some(stageImages()) else None
+    var clLate: Option[Path] = None
+    val staging = s"$dir/.staging-deletec-${UUID.randomUUID()}"
+    try {
+      // the expensive rewrite/position job — OUTSIDE the lock
+      if (mor) {
+        readRawPos(spark, warehouse, tableName, meta0, Some(base0),
+            withPos = true)
+          .filter(coalesce(where, lit(false)))
+          .select(col(BucketCol), col(FileCol).as("file"),
+            col(PosCol).as("pos"))
+          .repartition(touched.size, col(BucketCol))
+          .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+          .write.partitionBy(BucketCol).parquet(staging)
+      } else {
+        raw.filter(col(BucketCol).isin(touched: _*))
+          .filter(!coalesce(where, lit(false)))
+          .repartition(touched.size, col(BucketCol))
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .write.partitionBy(BucketCol).parquet(staging)
+      }
+      DeleteConcurrentHooks.betweenPhases()
+
+      // ---------------- LOCKED: re-validate, commit ----------------
+      WriteLock.withLockWait(spark, dir, "deleteConcurrent(commit)",
+          commitWaitMs) {
+        val metaLatest = TableMeta.read(spark, dir)
+        val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+        if (baseLatest.buckets != base0.buckets)
+          throw new ConcurrentWriteException(
+            s"bucket count changed ${base0.buckets} -> " +
+            s"${baseLatest.buckets} (concurrent rebucket); staged files " +
+            "use the old layout — retry the delete")
+        if (metaLatest.schema != meta0.schema)
+          throw new ConcurrentWriteException(
+            "table schema changed while this delete staged (the CoW " +
+            "rewrite republished whole buckets under the old schema); " +
+            "retry the delete")
+        def window(m: Manifest, b: Int): (Set[String], Set[String]) =
+          (m.files.getOrElse(b, Nil).map(_.name).toSet,
+            m.dvs.getOrElse(b, Nil).map(_.name).toSet)
+        if (baseLatest.version != base0.version) {
+          val dirty = touched
+            .filter(b => window(base0, b) != window(baseLatest, b))
+          if (dirty.nonEmpty)
+            throw new ConcurrentWriteException(
+              s"bucket(s) ${dirty.sorted.take(5).mkString(", ")} changed " +
+              "since this delete staged (concurrent mutation with an " +
+              "overlapping touched-bucket set); the staged rewrite read " +
+              "a stale pre-image — retry the delete")
+        }
+        if (metaLatest.changelog && clStaging.isEmpty)
+          clLate = Some(stageImages())
+        if (mor)
+          commitStagedDvs(spark, f, dir, data, staging, touched, baseLatest,
+            op = "deleteConcurrent")
+        else
+          commitStaged(spark, f, dir, data, staging, touched,
+            "deleteConcurrent", baseLatest, baseLatest.buckets, metaLatest,
+            removeMissing = true)
+        (clStaging orElse clLate).foreach { src =>
+          commitChangelogBatch(f, "deleteConcurrent", src,
+            nextChangelogDst(f, dir))
+        }
+        if (cdc && !metaLatest.changelog)
+          TableMeta.write(spark, dir, metaLatest.copy(changelog = true))
+      }
+      deleted
+    } finally {
+      f.delete(new Path(staging), true)
+      (clStaging.toSeq ++ clLate.toSeq).foreach(p => f.delete(p, true))
+    }
+  }
+
   /** Change-data-capture: with `changelog = true` an upsert also writes,
     * per incoming row, one (pk…, op, old_<c>…, new_<c>…) record —
     * op ∈ insert (key absent before) / update (key present, some
