@@ -1480,6 +1480,56 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11bb (`pb_merge_concurrent`): the optimistic protocol's MERGE
+    * face — three threads apply mixed change feeds (tombstoned
+    * deletes, doubled-balance updates, shifted inserts) over disjoint
+    * key slices through [[KeyedTable.mergeConcurrent]]. Slices share
+    * buckets, so losers retry; the final table equals the oracle's
+    * one-pass replay regardless of commit order. */
+  def mergeConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def retrying(body: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { body; done = true }
+        catch {
+          case _: graft.store.ConcurrentWriteException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              "mergeConcurrent retry budget exhausted")
+        }
+      }
+    }
+    try {
+      Await.result(Future.sequence((1 to 3).map { r =>
+        Future {
+          val slice = customer.filter(k % 10 === r)
+            .select(k, col("c_name"), col("c_nationkey"),
+              (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
+              (k % 20 === r).as("is_del"))
+            .unionByName(customer.filter(k % 97 === 0)
+              .select((k + r * 10000000L).as("c_custkey"), col("c_name"),
+                col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+                lit(false).as("is_del")))
+          retrying {
+            KeyedTable.mergeConcurrent(slice, wh, "customer",
+              deleteWhen = col("is_del")): Unit
+          }
+        }
+      }), 5.minutes)
+    } finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
     * (v0), corrupt a slice via upsert (v1), delete another (v2), then
     * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
@@ -1709,6 +1759,7 @@ object PbQueries {
     "pb_changelog_expire" -> changelogExpireQ,
     "pb_upsert_concurrent" -> upsertConcurrentQ,
     "pb_delete_concurrent" -> deleteConcurrentQ,
+    "pb_merge_concurrent" -> mergeConcurrentQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1948,6 +1999,21 @@ object PbQueries {
              CAST(NULL AS DOUBLE)
       FROM customer
       WHERE c_custkey % 89 = 0 AND (c_custkey + 20000000) % 41 = 0
+    """.trim,
+    // three racing change feeds: %20-in-(1,2,3) keys tombstoned,
+    // surviving %10-in-(1,2,3) keys doubled, %97 keys inserted thrice
+    // under three shifted ranges at original balances
+    "pb_merge_concurrent" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 10 IN (1, 2, 3)
+                  THEN c_acctbal * 2 ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 20 NOT IN (1, 2, 3)
+      UNION ALL
+      SELECT c_custkey + r.r * 10000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer, (VALUES (1), (2), (3)) r(r)
+      WHERE c_custkey % 97 = 0
     """.trim,
     // three racing erasure slices; the union of their predicates gone
     "pb_delete_concurrent" -> """

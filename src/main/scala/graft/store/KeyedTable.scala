@@ -1923,6 +1923,213 @@ object KeyedTable {
     @volatile var betweenPhases: () => Unit = () => ()
   }
 
+  /** [[UpsertConcurrentHooks]]'s twin for [[mergeConcurrent]]. */
+  private[store] object MergeConcurrentHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
+  /** MERGE (mixed insert/update/delete change feed) WITHOUT holding the
+    * write lock for the merge job — the third face of the bucket-level
+    * optimistic protocol ([[upsertConcurrent]], [[deleteConcurrent]]).
+    * Same contract as [[merge]]: `deleteWhen` rows tombstone their
+    * stored match (under `deleteOnlyMatched`, SQL MERGE semantics — an
+    * unmatched tombstone inserts instead of no-op'ing); everything
+    * else upserts with partial-column semantics. Returns (inserted,
+    * updated, deleted).
+    *
+    * The full-outer merge, the stats job, the CDC images, and the CoW
+    * rewrite all run against the snapshot-at-start OUTSIDE the lock;
+    * the locked flip re-validates the same window as
+    * [[upsertConcurrent]] (bucket count, schema, touched buckets'
+    * file+DV sets) and commits. CoW only: the MoR decomposition's
+    * position ordinals would also survive the window, but a change
+    * feed large enough to want the optimistic path is usually past
+    * [[MorMaxFraction]] anyway — explicit `DeleteMode` dialing stays
+    * on the locked [[merge]]. N change feeds into N key ranges overlap
+    * their merge work and serialize only on manifest flips. */
+  def mergeConcurrent(df: DataFrame, warehouse0: String, tableName: String,
+                      deleteWhen: Column,
+                      schema: Option[String] = None,
+                      addNewColumns: Boolean = false,
+                      validate: Boolean = true,
+                      changelog: Boolean = false,
+                      strictUtc: Boolean = true,
+                      deleteOnlyMatched: Boolean = false,
+                      commitWaitMs: Long = 60000L): (Long, Long, Long) = {
+    val spark = df.sparkSession
+    val wh = schemaDir(warehouse0, schema)
+    val dir = tableDir(wh, tableName)
+    if (strictUtc) {
+      val naive = df.schema.fields.filter(_.dataType == TimestampNTZType)
+      if (naive.nonEmpty)
+        throw new StoreException(
+          s"Column(s) ${naive.map(_.name).mkString(", ")} timezone must be set " +
+          "(naive TimestampNTZ rejected, as in toSql strictUtc)")
+    }
+    if (!TableMeta.exists(spark, dir))
+      throw new StoreException(
+        s"mergeConcurrent target $tableName does not exist (create it with toSql first)")
+    // tombstone flag FIRST (over the raw delta columns), then the same
+    // identifier cleaning as merge; feed-only columns drop after
+    val flagged = df.withColumn(MergeDelCol, coalesce(deleteWhen, lit(false)))
+    val cleaned0 = df.columns.foldLeft(flagged) { (d, c) =>
+      val cc = Names.cleanName(c)
+      if (cc == c) d else d.withColumnRenamed(c, cc)
+    }
+    val meta0 = TableMeta.read(spark, dir)
+    if (meta0.autoIndex)
+      throw new StoreException(
+        "Cannot upsert into a table with an automatically generated index (reference: sql.py:177)")
+    val keep = cleaned0.columns.filter(c =>
+      c == MergeDelCol || addNewColumns || meta0.schema.fieldNames.contains(c))
+    val cleaned = cleaned0.select(keep.map(col).toIndexedSeq: _*)
+    val base0 = Manifest.current(spark, dir).getOrElse {
+      // legacy table: classic locked merge
+      return WriteLock.withLockWait(spark, dir, "mergeConcurrent(legacy)",
+        commitWaitMs) {
+        upsert(cleaned, wh, tableName, addNewColumns, validate, changelog,
+          tombstoned = true, deleteOnlyMatched = deleteOnlyMatched)
+      }
+    }
+    val wantChangelog = changelog || meta0.changelog
+    val incomingCols = cleaned.columns.toSet - MergeDelCol
+    val (aligned, evolved) = align(cleaned, meta0, addNewColumns,
+      passthrough = Set(MergeDelCol))
+    val data = dataDir(wh, tableName)
+    val newB = withBucket(aligned, meta0.pk, base0.buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = fs(spark, dir)
+    try {
+      val touched = validateAndTouched(newB, meta0.pk, validate)
+      val oldTouched = readRawWith(spark, wh, tableName,
+          meta0.copy(schema = evolved), Some(base0))
+        .filter(col(BucketCol).isin(touched: _*))
+      val marked = newB.withColumn("_graft_new", lit(true))
+      val presentOld = col(s"o.$BucketCol").isNotNull
+      val del: Column = {
+        val flag = coalesce(col(s"n.$MergeDelCol"), lit(false))
+        if (deleteOnlyMatched) flag && presentOld else flag
+      }
+      // checks see the incoming images; tombstones are deletes, exempt
+      // — except an UNMATCHED tombstone under deleteOnlyMatched, which
+      // is an insert candidate (same contract as [[upsert]])
+      enforceChecks({
+        val keepRows = newB.filter(!coalesce(col(MergeDelCol), lit(false)))
+        if (!deleteOnlyMatched) keepRows
+        else keepRows.unionByName(
+          newB.filter(coalesce(col(MergeDelCol), lit(false)))
+            .join(oldTouched.select(meta0.pk.map(col): _*),
+              meta0.pk.toIndexedSeq, "left_anti"))
+      }, meta0.checks, "mergeConcurrent")
+      val nonPk = evolved.fieldNames.filterNot(meta0.pk.contains)
+      val out = oldTouched.as("o")
+        .join(marked.as("n"), meta0.pk.toIndexedSeq, "full_outer")
+        .filter(!del)
+        .select(meta0.pk.map(col) ++ nonPk.map { c =>
+          val merged =
+            if (incomingCols.contains(c))
+              when(col("n._graft_new").isNotNull, col(s"n.$c"))
+                .otherwise(col(s"o.$c"))
+            else col(s"o.$c")
+          merged.as(c)
+        } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol"))
+          .as(BucketCol): _*)
+      def stageImages(): Path = {
+        val valueCols = incomingCols.toSeq
+          .filterNot(meta0.pk.contains).filter(nonPk.contains).sorted
+        val changedCond = valueCols
+          .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        val images = nonPk.toSeq.flatMap { c =>
+          val post =
+            if (incomingCols.contains(c)) col(s"n.$c") else col(s"o.$c")
+          Seq(col(s"o.$c").as(s"old_$c"),
+            when(del, lit(null)).otherwise(post).as(s"new_$c"))
+        }
+        val changes = marked.as("n")
+          .join(oldTouched.as("o"), meta0.pk.toIndexedSeq, "left")
+          // a tombstone for an ABSENT key changed nothing — no log row
+          .filter(!(del && !presentOld))
+          .select(meta0.pk.map(col) ++ (
+            when(del, lit("delete"))
+              .when(!presentOld, lit("insert"))
+              .when(changedCond, lit("update"))
+              .otherwise(lit("unchanged")).as("op") +: images): _*)
+        val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+        changes.write.parquet(p.toString)
+        p
+      }
+      val clStaging: Option[Path] =
+        if (wantChangelog) Some(stageImages()) else None
+      var clLate: Option[Path] = None
+      // merge reports what it did (one delta-sized job)
+      val stats: (Long, Long, Long) = {
+        val r = marked.as("n")
+          .join(oldTouched.as("o"), meta0.pk.toIndexedSeq, "left")
+          .agg(
+            coalesce(sum(when(!del && !presentOld, 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(!del && presentOld, 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(when(del && presentOld, 1L).otherwise(0L)), lit(0L)))
+          .head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      val staging = s"$dir/.staging-mergec-${UUID.randomUUID()}"
+      try {
+        // the expensive merge job — OUTSIDE the lock
+        clusterByBucket(out, base0.buckets, meta0.pk)
+          .write.partitionBy(BucketCol).parquet(staging)
+        MergeConcurrentHooks.betweenPhases()
+
+        // ---------------- LOCKED: re-validate, commit ----------------
+        WriteLock.withLockWait(spark, dir, "mergeConcurrent(commit)",
+            commitWaitMs) {
+          val metaLatest = TableMeta.read(spark, dir)
+          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+          enforceChecks(newB.filter(!coalesce(col(MergeDelCol), lit(false))),
+            metaLatest.checks -- meta0.checks.keySet,
+            "mergeConcurrent(commit)")
+          if (baseLatest.buckets != base0.buckets)
+            throw new ConcurrentWriteException(
+              s"bucket count changed ${base0.buckets} -> " +
+              s"${baseLatest.buckets} (concurrent rebucket); staged files " +
+              "use the old layout — retry the merge")
+          val mergedSchema = mergeEvolved(evolved, meta0, metaLatest)
+          if (baseLatest.version != base0.version) {
+            def window(m: Manifest, b: Int): (Set[String], Set[String]) =
+              (m.files.getOrElse(b, Nil).map(_.name).toSet,
+                m.dvs.getOrElse(b, Nil).map(_.name).toSet)
+            val dirty = touched
+              .filter(b => window(base0, b) != window(baseLatest, b))
+            if (dirty.nonEmpty)
+              throw new ConcurrentWriteException(
+                s"bucket(s) ${dirty.sorted.take(5).mkString(", ")} changed " +
+                "since this merge staged (concurrent mutation with an " +
+                "overlapping touched-bucket set); the staged merge read a " +
+                "stale pre-image — retry the merge")
+          }
+          if (metaLatest.changelog && clStaging.isEmpty)
+            clLate = Some(stageImages())
+          // removeMissing: a touched bucket whose rows ALL tombstoned
+          // has no staged replacement and leaves the snapshot
+          commitStaged(spark, f, dir, data, staging, touched,
+            "mergeConcurrent", baseLatest, baseLatest.buckets,
+            metaLatest.copy(schema = mergedSchema), removeMissing = true)
+          (clStaging orElse clLate).foreach { src =>
+            commitChangelogBatch(f, "mergeConcurrent", src,
+              nextChangelogDst(f, dir))
+          }
+          val metaFinal = metaLatest.copy(schema = mergedSchema,
+            changelog = wantChangelog || metaLatest.changelog)
+          if (metaFinal != metaLatest) TableMeta.write(spark, dir, metaFinal)
+        }
+        stats
+      } finally {
+        f.delete(new Path(staging), true)
+        (clStaging.toSeq ++ clLate.toSeq).foreach(p => f.delete(p, true))
+      }
+    } finally newB.unpersist()
+  }
+
   /** Predicate delete WITHOUT holding the write lock for the rewrite —
     * [[upsertConcurrent]]'s bucket-level optimistic protocol applied
     * to [[delete]]: the matched-bucket probe, the CoW survivor rewrite
