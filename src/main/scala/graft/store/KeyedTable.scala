@@ -4143,7 +4143,12 @@ object KeyedTable {
     * dir is deleted, and a later [[readChangelog]] whose cursor
     * reaches below the floor fails loudly toward a re-sync (snapshot
     * read, resume at the floor) — never a silently gapped change
-    * stream. Returns the number of batches expired. */
+    * stream. The STREAMING consumer
+    * ([[graft.streaming.StreamingCdc]]) enforces the same contract:
+    * its file stream would simply never list a reaped batch dir, so
+    * it checks its fold position against [[changelogFloor]] at start
+    * and per epoch, failing toward a re-seed when retention crossed
+    * it. Returns the number of batches expired. */
   def expireChangelog(spark: SparkSession, warehouse0: String,
                       tableName: String,
                       beforeBatch: Option[Long] = None,
@@ -4188,6 +4193,20 @@ object KeyedTable {
         expire.size
       }
     }
+  }
+
+  /** First surviving changelog batch id — the [[expireChangelog]]
+    * floor (0 when never expired). The number every consumer cursor
+    * must stay at-or-above: [[readChangelog]] enforces it for batch
+    * reads, and the streaming consumer
+    * ([[graft.streaming.StreamingCdc]]) checks its fold position
+    * against it per epoch. */
+  def changelogFloor(spark: SparkSession, warehouse0: String,
+                     tableName: String,
+                     schema: Option[String] = None): Long = {
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    val clRoot = new Path(dir, ChangelogDir)
+    changelogFloor(fs(spark, dir), clRoot)
   }
 
   /** First surviving batch per the floor marker; 0 when never expired. */

@@ -195,6 +195,28 @@ object StreamingCdc {
     (hwm, frontier.filter(_._1 > hwm))
   }
 
+  /** Changelog-retention guard: the FILE STREAM simply never lists an
+    * expired batch dir, so a fold position below the
+    * `expireChangelog` floor would silently skip the reaped batches —
+    * fail loudly toward a re-seed instead. A consumer with NO folded
+    * state yet (`hwm` None) is exempt: its seed snapshot asserts the
+    * horizon (the caller's documented responsibility to seed at or
+    * above the floor). */
+  private def guardFloor(spark: org.apache.spark.sql.SparkSession,
+                         warehouse: String, table: String,
+                         hwm: Option[Long]): Unit =
+    hwm.foreach { h =>
+      val floor = graft.store.KeyedTable.changelogFloor(
+        spark, warehouse, table)
+      if (floor > h + 1)
+        throw new graft.store.StoreException(
+          s"changelog batches (${h + 1} .. ${floor - 1}) of $table " +
+          "were expired (expireChangelog) under this consumer's fold " +
+          "position — the stream would silently skip them; re-seed " +
+          "the derived state from a current snapshot and restart with " +
+          "a fresh checkpoint")
+    }
+
   /** Start the consumer over `<warehouse>/<table>/_changelog/batch=*`.
     *
     * @param derivedPath seed snapshot holding the aggregate state
@@ -220,6 +242,14 @@ object StreamingCdc {
             crashAfterEpochs: Option[Int] = None): StreamingQuery = {
     val clRoot = s"$warehouse/$table/${graft.store.KeyedTable.ChangelogDir}"
     val clGlob = s"$clRoot/batch=*"
+    // eager changelog-retention guard (re-checked per epoch): fail at
+    // START even when no new batch would fire an epoch
+    locally {
+      val fsD = new Path(derivedPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val (_, _, meta0) = currentState(fsD, derivedPath)
+      guardFloor(spark, warehouse, table, meta0.map(_.hwm))
+    }
     // schema from the committed batches, WITH the `batch` partition
     // value — the fold position is tracked per batch id. basePath
     // keeps the partition column visible despite the glob consuming
@@ -250,6 +280,9 @@ object StreamingCdc {
         } else {
           val curHwm = curMeta.map(_.hwm).getOrElse(-1L)
           val curFrontier = curMeta.map(_.frontier).getOrElse(Nil)
+          // changelog-retention guard (also checked eagerly at start)
+          guardFloor(s, warehouse, table,
+            if (curMeta.isDefined) Some(curHwm) else None)
           // track WHICH file each image row came from: the fold position
           // must be file-grained, because a micro-batch boundary can
           // split one changelog batch's files across epochs

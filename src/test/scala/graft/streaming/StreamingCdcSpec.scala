@@ -163,4 +163,51 @@ class StreamingCdcSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet,
       "fresh checkpoint dropped a never-folded batch")
   }
+
+  test("changelog retention: expiry at-or-below the fold position is " +
+       "transparent; expiry past it fails the stream toward a re-seed") {
+    val root = Files.createTempDirectory("graft-spec-scdc-").toString
+    val w = s"$root/wh"
+    val derived = s"$root/derived"
+    val ckpt = s"$root/ckpt"
+    KeyedTable.toSql(Seq((1L, "a", 10.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"))
+    agg(KeyedTable.readSql(spark, w, "t")).write.parquet(derived)
+    // batches 0, 1, 2; fold them all -> hwm = 2
+    KeyedTable.toSql(Seq((2L, "a", 2.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    KeyedTable.toSql(Seq((3L, "b", 3.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    KeyedTable.toSql(Seq((4L, "b", 4.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    StreamingCdc.start(spark, w, "t", derived, ckpt,
+      "g", "n", "s", "v").awaitTermination()
+    // SAFE expiry: everything reaped is already folded (floor 2 <= hwm+1)
+    assert(KeyedTable.expireChangelog(spark, w, "t",
+      beforeBatch = Some(2L)) == 2)
+    // batch 3 lands; the restart folds it on, unbothered by retention
+    KeyedTable.toSql(Seq((5L, "c", 5.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    StreamingCdc.start(spark, w, "t", derived, ckpt,
+      "g", "n", "s", "v").awaitTermination()
+    assert(snap(derived) == agg(KeyedTable.readSql(spark, w, "t")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet)
+    // UNSAFE expiry: batches 4 and 5 land but expire (floor 6) before
+    // the consumer (hwm 3) ever folds them — the file stream would
+    // silently never list them, so start() must fail loudly instead
+    KeyedTable.toSql(Seq((6L, "c", 6.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    KeyedTable.toSql(Seq((7L, "a", 7.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    KeyedTable.toSql(Seq((8L, "a", 8.0)).toDF("k", "g", "v"),
+      w, "t", pk = Seq("k"), how = WriteMode.Upsert, changelog = true)
+    assert(KeyedTable.expireChangelog(spark, w, "t",
+      beforeBatch = Some(6L)) == 4) // reaps 2, 3 (folded) + 4, 5 (never folded)
+    val e = intercept[graft.store.StoreException] {
+      StreamingCdc.start(spark, w, "t", derived, ckpt,
+        "g", "n", "s", "v")
+    }
+    assert(e.getMessage.contains("re-seed"), e.getMessage)
+    assert(e.getMessage.contains("4 .. 5"), e.getMessage)
+  }
 }
