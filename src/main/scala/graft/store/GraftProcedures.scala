@@ -184,14 +184,15 @@ private[store] object GraftProcedures {
     ProcDef("expire_changelog",
       "expire folded changelog batches below a batch/age floor (both " +
       "dials compose; the newest batch never expires); cursors below " +
-      "the persisted floor fail loudly toward a re-sync",
+      "the persisted floor fail loudly toward a re-sync; dry_run => " +
+      "true rehearses with an exact count",
       Seq(in("table", StringType), inOpt("before_batch", LongType),
-        inOpt("older_than_ms", LongType)),
+        inOpt("older_than_ms", LongType), inOpt("dry_run", BooleanType)),
       out("removed" -> IntegerType),
       (sp, wh, r) => {
         val (t, sch) = split(str(r, 0))
         Seq(KeyedTable.expireChangelog(sp, wh, t, optLong(r, 1),
-          optLong(r, 2), sch))
+          optLong(r, 2), optBool(r, 3).getOrElse(false), sch))
       }),
     ProcDef("rename_table",
       "rename a table: one directory rename under the write lock",

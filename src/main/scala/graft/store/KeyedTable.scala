@@ -4148,11 +4148,17 @@ object KeyedTable {
     * its file stream would simply never list a reaped batch dir, so
     * it checks its fold position against [[changelogFloor]] at start
     * and per epoch, failing toward a re-seed when retention crossed
-    * it. Returns the number of batches expired. */
+    * it. Returns the number of batches expired.
+    *
+    * `dryRun` (the [[vacuum]] move): the identical prefix walk under
+    * the same lock, zero deletes, no floor write — the count predicts
+    * the real run EXACTLY (expiry has no reap-time divergence the way
+    * vacuum's emptied bucket dirs do). */
   def expireChangelog(spark: SparkSession, warehouse0: String,
                       tableName: String,
                       beforeBatch: Option[Long] = None,
                       olderThanMs: Option[Long] = None,
+                      dryRun: Boolean = false,
                       schema: Option[String] = None): Int = {
     if (beforeBatch.isEmpty && olderThanMs.isEmpty)
       throw new StoreException(
@@ -4178,6 +4184,7 @@ object KeyedTable {
           olderThanMs.forall(a => st.getModificationTime <= now - a)
       }
       if (expire.isEmpty) 0
+      else if (dryRun) expire.size
       else {
         // floor FIRST, deletes second: a crash in between leaves a
         // floor claiming slightly more than was reaped — readers below
@@ -4207,6 +4214,30 @@ object KeyedTable {
     val dir = tableDir(schemaDir(warehouse0, schema), tableName)
     val clRoot = new Path(dir, ChangelogDir)
     changelogFloor(fs(spark, dir), clRoot)
+  }
+
+  /** Per-surviving-batch changelog stats for the `t$changelog`
+    * metadata table: (batch, n_files, bytes, dir mod-time ms, floor),
+    * ascending by batch — one listing walk, zero data IO. Empty when
+    * the table has no changelog. The retention dashboard: how much
+    * log accumulated, how old each batch is, where the expiry floor
+    * stands. */
+  private[store] def changelogBatchStats(spark: SparkSession,
+      tableDir: String): Seq[(Long, Long, Long, Long, Long)] = {
+    val clRoot = new Path(tableDir, ChangelogDir)
+    val f = fs(spark, tableDir)
+    if (!f.exists(clRoot)) return Nil
+    val floor = changelogFloor(f, clRoot)
+    f.listStatus(clRoot).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .map { st =>
+        val b = st.getPath.getName.stripPrefix("batch=").toLong
+        val files = f.listStatus(st.getPath)
+          .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
+        (b, files.length.toLong, files.map(_.getLen).sum,
+          st.getModificationTime, floor)
+      }
+      .sortBy(_._1)
   }
 
   /** First surviving batch per the floor marker; 0 when never expired. */

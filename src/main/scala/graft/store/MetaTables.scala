@@ -30,13 +30,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *    (query_id, epoch_id) high-water mark per sink query that ever
   *    committed ([[KeyedTable.commitStreamEpoch]]); entries of retired
   *    queries persist until `CALL graft.system.drop_stream_ledger`.
+  *  - `t$changelog`: one row per SURVIVING CDC batch —
+  *    (batch, n_files, bytes, ts_ms, floor) — the retention dashboard
+  *    behind `CALL graft.system.expire_changelog`: how much log has
+  *    accumulated, how old each batch is, and the current expiry
+  *    floor (constant per row; 0 = never expired). Empty when the
+  *    table has no changelog.
   *
   * Read-only by construction (no SupportsWrite); rows are computed
   * when the scan is BUILT, so each query sees one consistent listing.
   */
 private[store] object MetaTables {
   private val Kinds =
-    Set("history", "tags", "files", "checks", "branches", "streams")
+    Set("history", "tags", "files", "checks", "branches", "streams",
+      "changelog")
 
   /** `name$kind` → (base table name, kind), for known kinds only —
     * anything else is a normal (possibly weird) table name. */
@@ -76,6 +83,12 @@ private[store] object MetaTables {
     case "streams" => StructType(Seq(
       StructField("query_id", StringType, nullable = false),
       StructField("epoch_id", LongType, nullable = false)))
+    case "changelog" => StructType(Seq(
+      StructField("batch", LongType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("ts_ms", LongType, nullable = false),
+      StructField("floor", LongType, nullable = false)))
   }
 
   private def rowsOf(spark: SparkSession, tableDir: String,
@@ -133,6 +146,12 @@ private[store] object MetaTables {
           new GenericInternalRow(Array[Any](
             UTF8String.fromString(q), e)): InternalRow
         }
+      }.toArray
+    case "changelog" =>
+      KeyedTable.changelogBatchStats(spark, tableDir).map {
+        case (b, n, bytes, ts, floor) =>
+          new GenericInternalRow(Array[Any](b, n, bytes, ts, floor))
+            : InternalRow
       }.toArray
   }
 

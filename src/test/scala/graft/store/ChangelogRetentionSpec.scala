@@ -41,6 +41,12 @@ class ChangelogRetentionSpec extends SparkSpec {
     KeyedTable.toSql(df((3L, "C")), wh, t, how = WriteMode.Upsert) // batch 2
     assert(batchDirs(t) == Set(0L, 1L, 2L))
 
+    // dry run first: exact prediction, zero deletes, no floor
+    assert(KeyedTable.expireChangelog(spark, wh, t,
+      beforeBatch = Some(2L), dryRun = true) == 2)
+    assert(batchDirs(t) == Set(0L, 1L, 2L), "dry run must not delete")
+    KeyedTable.readChangelog(spark, wh, t).count(): Unit // no floor yet
+
     val removed = KeyedTable.expireChangelog(spark, wh, t,
       beforeBatch = Some(2L))
     assert(removed == 2)

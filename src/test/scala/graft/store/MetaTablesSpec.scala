@@ -103,4 +103,30 @@ class MetaTablesSpec extends SparkSpec {
       assert(rows == Set((1L, "a", 1.0), (2L, "b", 2.0)), s"got $rows")
     }
   }
+
+  test("t$changelog lists surviving CDC batches with the expiry floor") {
+    val t = "t_meta_cl"
+    KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"))
+    withCat { cat =>
+      // no changelog yet: empty, not an error
+      assert(spark.sql(s"SELECT * FROM $cat.`$t" + "$changelog`")
+        .count() == 0)
+      KeyedTable.setChangelog(spark, wh, t, enabled = true)
+      KeyedTable.toSql(df((2L, "b", 2.0)), wh, t, how = WriteMode.Append) // 0
+      KeyedTable.toSql(df((3L, "c", 3.0)), wh, t, how = WriteMode.Append) // 1
+      KeyedTable.toSql(df((4L, "d", 4.0)), wh, t, how = WriteMode.Append) // 2
+      val before = spark.sql(
+        s"SELECT batch, n_files, bytes, floor FROM $cat.`$t" + "$changelog`")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+      assert(before.map(_._1).toSeq.sorted == Seq(0L, 1L, 2L))
+      assert(before.forall(r => r._2 >= 1 && r._3 > 0 && r._4 == 0L))
+      assert(KeyedTable.expireChangelog(spark, wh, t,
+        beforeBatch = Some(2L)) == 2)
+      val after = spark.sql(
+        s"SELECT batch, floor FROM $cat.`$t" + "$changelog`")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(after.toSeq == Seq((2L, 2L)), s"got ${after.toSeq}")
+    }
+  }
 }
