@@ -1399,40 +1399,47 @@ object PbQueries {
     * regardless of commit order. The 100 TB story: N upsert jobs into
     * N key ranges overlap their (expensive) merge work and serialize
     * only on manifest flips. */
+  /** Three writers racing one table, each retried on
+    * ConcurrentWriteException — the harness behind the four
+    * `pb_*_concurrent` gate rows (abort-and-retry is the multi-writer
+    * contract; the final state must be order-independent). */
+  private def raceThree(what: String)(body: Int => Unit): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def retrying(b: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { b; done = true }
+        catch {
+          case _: graft.store.ConcurrentWriteException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              s"$what retry budget exhausted")
+        }
+      }
+    }
+    try Await.result(
+      Future.sequence((1 to 3).map(r => Future(retrying(body(r))))),
+      5.minutes)
+    finally pool.shutdown()
+  }
+
   def upsertConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
     val wh = tempWarehouse()
     val customer = Tables.customer(spark, sfDir)
     val k = col("c_custkey")
     KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
       buckets = 8)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def retrying(body: => Unit): Unit = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        try { body; done = true }
-        catch {
-          case _: graft.store.ConcurrentWriteException =>
-            attempts += 1
-            if (attempts > 50) throw new IllegalStateException(
-              "upsertConcurrent retry budget exhausted")
-        }
-      }
+    raceThree("upsertConcurrent") { r =>
+      // partial-column update: only c_acctbal overwrites
+      KeyedTable.upsertConcurrent(
+        customer.filter(k % 4 === r)
+          .select(k, (col("c_acctbal") + r * 100.0).as("c_acctbal")),
+        wh, "customer")
     }
-    try {
-      Await.result(Future.sequence((1 to 3).map { r =>
-        Future {
-          // partial-column update: only c_acctbal overwrites
-          retrying(KeyedTable.upsertConcurrent(
-            customer.filter(k % 4 === r)
-              .select(k, (col("c_acctbal") + r * 100.0).as("c_acctbal")),
-            wh, "customer"))
-        }
-      }), 5.minutes)
-    } finally pool.shutdown()
     KeyedTable.readSql(spark, wh, "customer")
   }
 
@@ -1450,33 +1457,10 @@ object PbQueries {
     val k = col("c_custkey")
     KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
       buckets = 8)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def retrying(body: => Unit): Unit = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        try { body; done = true }
-        catch {
-          case _: graft.store.ConcurrentWriteException =>
-            attempts += 1
-            if (attempts > 50) throw new IllegalStateException(
-              "deleteConcurrent retry budget exhausted")
-        }
-      }
+    raceThree("deleteConcurrent") { r =>
+      KeyedTable.deleteConcurrent(spark, wh, "customer",
+        k % 10 === r): Unit
     }
-    try {
-      Await.result(Future.sequence((1 to 3).map { r =>
-        Future {
-          retrying {
-            KeyedTable.deleteConcurrent(spark, wh, "customer",
-              k % 10 === r): Unit
-          }
-        }
-      }), 5.minutes)
-    } finally pool.shutdown()
     KeyedTable.readSql(spark, wh, "customer")
   }
 
@@ -1492,41 +1476,41 @@ object PbQueries {
     val k = col("c_custkey")
     KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
       buckets = 8)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration._
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    def retrying(body: => Unit): Unit = {
-      var attempts = 0
-      var done = false
-      while (!done) {
-        try { body; done = true }
-        catch {
-          case _: graft.store.ConcurrentWriteException =>
-            attempts += 1
-            if (attempts > 50) throw new IllegalStateException(
-              "mergeConcurrent retry budget exhausted")
-        }
-      }
+    raceThree("mergeConcurrent") { r =>
+      val slice = customer.filter(k % 10 === r)
+        .select(k, col("c_name"), col("c_nationkey"),
+          (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
+          (k % 20 === r).as("is_del"))
+        .unionByName(customer.filter(k % 97 === 0)
+          .select((k + r * 10000000L).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
+            lit(false).as("is_del")))
+      KeyedTable.mergeConcurrent(slice, wh, "customer",
+        deleteWhen = col("is_del")): Unit
     }
-    try {
-      Await.result(Future.sequence((1 to 3).map { r =>
-        Future {
-          val slice = customer.filter(k % 10 === r)
-            .select(k, col("c_name"), col("c_nationkey"),
-              (col("c_acctbal") * 2).as("c_acctbal"), col("c_mktsegment"),
-              (k % 20 === r).as("is_del"))
-            .unionByName(customer.filter(k % 97 === 0)
-              .select((k + r * 10000000L).as("c_custkey"), col("c_name"),
-                col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"),
-                lit(false).as("is_del")))
-          retrying {
-            KeyedTable.mergeConcurrent(slice, wh, "customer",
-              deleteWhen = col("is_del")): Unit
-          }
-        }
-      }), 5.minutes)
-    } finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #11bc (`pb_update_concurrent`): the optimistic protocol's UPDATE
+    * face — three threads backfill disjoint key slices through
+    * [[KeyedTable.updateConcurrent]] (matched-bucket rewrite staged
+    * outside the lock, bucket-window re-validation inside; each SET
+    * expression reads the row's CURRENT value, so the three sweeps
+    * compose whatever the commit order). The ops story: a predicate
+    * backfill partitioned by key range runs N jobs serializing only
+    * on manifest flips. */
+  def updateConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8)
+    raceThree("updateConcurrent") { r =>
+      KeyedTable.updateConcurrent(spark, wh, "customer",
+        k % 10 === r,
+        Map("c_acctbal" -> (col("c_acctbal") + r * 100.0),
+          "c_mktsegment" -> lit(s"SWEEP$r"))): Unit
+    }
     KeyedTable.readSql(spark, wh, "customer")
   }
 
@@ -1760,6 +1744,7 @@ object PbQueries {
     "pb_upsert_concurrent" -> upsertConcurrentQ,
     "pb_delete_concurrent" -> deleteConcurrentQ,
     "pb_merge_concurrent" -> mergeConcurrentQ,
+    "pb_update_concurrent" -> updateConcurrentQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -1999,6 +1984,17 @@ object PbQueries {
              CAST(NULL AS DOUBLE)
       FROM customer
       WHERE c_custkey % 89 = 0 AND (c_custkey + 20000000) % 41 = 0
+    """.trim,
+    // three racing backfill sweeps, each on its own %10 slice
+    "pb_update_concurrent" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + (CASE WHEN c_custkey % 10 IN (1, 2, 3)
+                               THEN (c_custkey % 10) * 100.0
+                               ELSE 0 END) AS c_acctbal,
+             CASE WHEN c_custkey % 10 IN (1, 2, 3)
+                  THEN 'SWEEP' || (c_custkey % 10)
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
     """.trim,
     // three racing change feeds: %20-in-(1,2,3) keys tombstoned,
     // surviving %10-in-(1,2,3) keys doubled, %97 keys inserted thrice

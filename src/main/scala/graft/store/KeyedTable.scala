@@ -1928,6 +1928,193 @@ object KeyedTable {
     @volatile var betweenPhases: () => Unit = () => ()
   }
 
+  /** [[UpsertConcurrentHooks]]'s twin for [[updateConcurrent]]. */
+  private[store] object UpdateConcurrentHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
+  /** Predicate UPDATE without holding the write lock for the rewrite —
+    * the fourth face of the bucket-level optimistic protocol
+    * ([[upsertConcurrent]] / [[deleteConcurrent]] / [[mergeConcurrent]]):
+    * every row-mutating verb now has an optimistic twin. Same contract
+    * as [[update]]: `set` maps existing NON-PK columns to expressions
+    * over the row's CURRENT values (cast to the stored type), only
+    * matching buckets rewrite (CoW) or tombstone + re-append (MoR,
+    * [[DeleteMode]].Auto deciding from the same manifest arithmetic),
+    * CHECKs see the post-images, CDC logs update/unchanged rows with
+    * exact before/after images. Returns the matched-row count.
+    *
+    * The probe, the staged rewrite (or DV positions + post-image
+    * files), and the CDC images run against the snapshot-at-start
+    * OUTSIDE the lock; the locked flip aborts on rebucket, ANY schema
+    * change, or a touched bucket whose file/DV window moved — the
+    * staged bucket images (and MoR position ordinals) are only valid
+    * against the exact pre-image they read. A backfill sweep
+    * partitioned by key range runs N update jobs that serialize only
+    * on manifest flips. */
+  def updateConcurrent(spark: SparkSession, warehouse0: String,
+                       tableName: String, where: Column,
+                       set: Map[String, Column],
+                       schema: Option[String] = None,
+                       changelog: Boolean = false,
+                       mode: DeleteMode = DeleteMode.Auto,
+                       commitWaitMs: Long = 60000L): Long = {
+    require(set.nonEmpty, "update needs at least one SET column")
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    if (!TableMeta.exists(spark, dir))
+      throw new StoreException(
+        s"updateConcurrent: table $tableName does not exist")
+    val meta0 = TableMeta.read(spark, dir)
+    set.keys.foreach { c =>
+      if (!meta0.schema.fieldNames.contains(c))
+        throw new StoreException(
+          s"update SET column $c not in table schema ${meta0.schema.fieldNames.toSeq}")
+      if (meta0.pk.contains(c))
+        throw new StoreException(
+          s"update cannot SET primary-key column $c (a key move is a " +
+          "delete + insert; use merge or delete/append)")
+    }
+    val base0 = Manifest.current(spark, dir).getOrElse {
+      // legacy table: classic locked update
+      return WriteLock.withLockWait(spark, dir, "updateConcurrent(legacy)",
+        commitWaitMs) {
+        update(spark, warehouse0, tableName, where, set, schema,
+          changelog, mode)
+      }
+    }
+    val cdc = changelog || meta0.changelog
+    val data = dataDir(warehouse, tableName)
+    val raw = readRawWith(spark, warehouse, tableName, meta0, Some(base0))
+    val matched = coalesce(where, lit(false))
+    val probe = raw.filter(matched).groupBy(col(BucketCol))
+      .agg(count(lit(1)).as("n")).collect()
+    val touched = probe.map(_.getInt(0)).toSeq
+    val nMatched = probe.map(_.getLong(1)).sum
+    if (touched.isEmpty) {
+      if (cdc && !meta0.changelog)
+        WriteLock.withLockWait(spark, dir, "updateConcurrent(cdc-flag)",
+            commitWaitMs) {
+          val m = TableMeta.read(spark, dir)
+          if (!m.changelog) TableMeta.write(spark, dir, m.copy(changelog = true))
+        }
+      return 0L
+    }
+    val f = fs(spark, dir)
+    def newVal(c: String): Column =
+      set.get(c).map(_.cast(meta0.schema(c).dataType)).getOrElse(col(c))
+    // the check sees the POST-image of every matched row, before staging
+    enforceChecks(
+      raw.filter(matched).select(meta0.schema.fieldNames.toSeq
+        .map(c => newVal(c).as(c)): _*),
+      meta0.checks, "updateConcurrent")
+    def stageImages(): Path = {
+      val nonPk = meta0.schema.fieldNames.filterNot(meta0.pk.contains).toSeq
+      val changedCond = set.keys.toSeq.sorted
+        .map(c => !(newVal(c) <=> col(c)))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      val images = nonPk.flatMap { c =>
+        Seq(col(c).as(s"old_$c"), newVal(c).as(s"new_$c"))
+      }
+      val changes = raw.filter(matched)
+        .select(meta0.pk.map(col) ++ (
+          when(changedCond, lit("update"))
+            .otherwise(lit("unchanged")).as("op") +: images): _*)
+      val p = new Path(dir, s".staging-changelog-${UUID.randomUUID()}")
+      changes.write.parquet(p.toString)
+      p
+    }
+    val clStaging: Option[Path] = if (cdc) Some(stageImages()) else None
+    var clLate: Option[Path] = None
+    val mor = morDecision(Some(base0), mode, touched, nMatched,
+      "update", tableName)
+    val staging = s"$dir/.staging-updatec-${UUID.randomUUID()}"
+    val dvStaging = s"$dir/.staging-updatec-dv-${UUID.randomUUID()}"
+    try {
+      // the expensive rewrite job(s) — OUTSIDE the lock
+      if (mor) {
+        val posFrame = readRawPos(spark, warehouse, tableName, meta0,
+            Some(base0), withPos = true)
+          .filter(matched)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          posFrame
+            .select(col(BucketCol), col(FileCol).as("file"),
+              col(PosCol).as("pos"))
+            .repartition(touched.size, col(BucketCol))
+            .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+            .write.partitionBy(BucketCol).parquet(dvStaging)
+          posFrame
+            .select(meta0.schema.fieldNames.toSeq
+              .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
+            .repartition(touched.size, col(BucketCol))
+            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+            .write.partitionBy(BucketCol).parquet(staging)
+        } finally posFrame.unpersist()
+      } else {
+        val rewritten = meta0.schema.fieldNames.toSeq.map { c =>
+          (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
+           else col(c)).as(c)
+        } :+ col(BucketCol)
+        raw.filter(col(BucketCol).isin(touched: _*))
+          .select(rewritten: _*)
+          .repartition(touched.size, col(BucketCol))
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .write.partitionBy(BucketCol).parquet(staging)
+      }
+      UpdateConcurrentHooks.betweenPhases()
+
+      // ---------------- LOCKED: re-validate, commit ----------------
+      WriteLock.withLockWait(spark, dir, "updateConcurrent(commit)",
+          commitWaitMs) {
+        val metaLatest = TableMeta.read(spark, dir)
+        val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+        if (baseLatest.buckets != base0.buckets)
+          throw new ConcurrentWriteException(
+            s"bucket count changed ${base0.buckets} -> " +
+            s"${baseLatest.buckets} (concurrent rebucket); staged files " +
+            "use the old layout — retry the update")
+        if (metaLatest.schema != meta0.schema)
+          throw new ConcurrentWriteException(
+            "table schema changed while this update staged (the rewrite " +
+            "republished bucket images under the old schema); retry the " +
+            "update")
+        def window(m: Manifest, b: Int): (Set[String], Set[String]) =
+          (m.files.getOrElse(b, Nil).map(_.name).toSet,
+            m.dvs.getOrElse(b, Nil).map(_.name).toSet)
+        if (baseLatest.version != base0.version) {
+          val dirty = touched
+            .filter(b => window(base0, b) != window(baseLatest, b))
+          if (dirty.nonEmpty)
+            throw new ConcurrentWriteException(
+              s"bucket(s) ${dirty.sorted.take(5).mkString(", ")} changed " +
+              "since this update staged (concurrent mutation with an " +
+              "overlapping touched-bucket set); the staged rewrite read " +
+              "a stale pre-image — retry the update")
+        }
+        if (metaLatest.changelog && clStaging.isEmpty)
+          clLate = Some(stageImages())
+        if (mor)
+          commitStagedMorMut(spark, f, dir, data, staging, dvStaging,
+            touched, "updateConcurrent", baseLatest, metaLatest)
+        else
+          commitStaged(spark, f, dir, data, staging, touched,
+            "updateConcurrent", baseLatest, baseLatest.buckets, metaLatest)
+        (clStaging orElse clLate).foreach { src =>
+          commitChangelogBatch(f, "updateConcurrent", src,
+            nextChangelogDst(f, dir))
+        }
+        if (cdc && !metaLatest.changelog)
+          TableMeta.write(spark, dir, metaLatest.copy(changelog = true))
+      }
+      nMatched
+    } finally {
+      f.delete(new Path(staging), true)
+      f.delete(new Path(dvStaging), true)
+      (clStaging.toSeq ++ clLate.toSeq).foreach(p => f.delete(p, true))
+    }
+  }
+
   /** MERGE (mixed insert/update/delete change feed) WITHOUT holding the
     * write lock for the merge job — the third face of the bucket-level
     * optimistic protocol ([[upsertConcurrent]], [[deleteConcurrent]]).
