@@ -1514,6 +1514,63 @@ object PbQueries {
     KeyedTable.readSql(spark, wh, "customer")
   }
 
+  /** #11bd (`pb_maintenance_concurrent`): optimistic LAYOUT
+    * MAINTENANCE — three writer threads sweep disjoint key slices
+    * through [[KeyedTable.upsertConcurrent]] WHILE a maintenance
+    * thread Z-orders and then policy-compacts the same table. The
+    * maintenance rewrite stages outside the write lock and re-stages
+    * on a touched-bucket window conflict ([[KeyedTable]]
+    * retryMaintenance); the writers never wait behind it and never
+    * abort FOR it (they retry only their own inter-writer conflicts).
+    * The final state must equal the oracle's replay regardless of how
+    * the four jobs interleaved — maintenance is content-neutral. The
+    * 100 TB story: the nightly Z-order is no longer a writer outage;
+    * it shares the table with live ingest and serializes only on
+    * manifest flips. */
+  def maintenanceConcurrentQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    val k = col("c_custkey")
+    KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+      buckets = 8)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def retrying(b: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { b; done = true }
+        catch {
+          case _: graft.store.ConcurrentWriteException =>
+            attempts += 1
+            if (attempts > 50) throw new IllegalStateException(
+              "maintenanceConcurrent writer retry budget exhausted")
+        }
+      }
+    }
+    val writers = (1 to 3).map { r =>
+      Future(retrying {
+        KeyedTable.upsertConcurrent(
+          customer.filter(k % 4 === r)
+            .select(k, (col("c_acctbal") + r * 100.0).as("c_acctbal")),
+          wh, "customer")
+      })
+    }
+    val maintenance = Future {
+      // retryMaintenance re-stages internally on window conflicts; the
+      // three writers commit at most once each, so it converges
+      KeyedTable.zorderCompact(spark, wh, "customer",
+        Seq("c_acctbal", "c_nationkey"), commitWaitMs = 120000L)
+      KeyedTable.compactIfNeeded(spark, wh, "customer",
+        maxFilesPerBucket = 1, commitWaitMs = 120000L): Unit
+    }
+    try Await.result(Future.sequence(writers :+ maintenance), 5.minutes)
+    finally pool.shutdown()
+    KeyedTable.readSql(spark, wh, "customer")
+  }
+
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
     * (v0), corrupt a slice via upsert (v1), delete another (v2), then
     * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
@@ -1745,6 +1802,7 @@ object PbQueries {
     "pb_delete_concurrent" -> deleteConcurrentQ,
     "pb_merge_concurrent" -> mergeConcurrentQ,
     "pb_update_concurrent" -> updateConcurrentQ,
+    "pb_maintenance_concurrent" -> maintenanceConcurrentQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -2018,6 +2076,14 @@ object PbQueries {
     // each %4 slice's balance bumped by its writer's offset (%4==0 gets
     // +0, untouched); partial-column upsert leaves other columns alone
     "pb_upsert_concurrent" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer
+    """.trim,
+    // same replay as pb_upsert_concurrent: the racing Z-order +
+    // policy compaction are LAYOUT-only — content-neutral by contract
+    "pb_maintenance_concurrent" -> """
       SELECT c_custkey, c_name, c_nationkey,
              c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
              c_mktsegment

@@ -2069,6 +2069,17 @@ object KeyedTable {
           commitWaitMs) {
         val metaLatest = TableMeta.read(spark, dir)
         val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+        // a CHECK registered while this update staged lives in
+        // TableMeta, so neither the manifest window nor the schema
+        // check below would catch it — re-enforce the delta against
+        // the matched rows' POST-images (the window check about to run
+        // proves the pre-image they were computed from is still the
+        // truth; on a window conflict the whole commit aborts anyway)
+        enforceChecks(
+          raw.filter(matched).select(meta0.schema.fieldNames.toSeq
+            .map(c => newVal(c).as(c)): _*),
+          metaLatest.checks -- meta0.checks.keySet,
+          "updateConcurrent(commit)")
         if (baseLatest.buckets != base0.buckets)
           throw new ConcurrentWriteException(
             s"bucket count changed ${base0.buckets} -> " +
@@ -2142,7 +2153,8 @@ object KeyedTable {
                       changelog: Boolean = false,
                       strictUtc: Boolean = true,
                       deleteOnlyMatched: Boolean = false,
-                      commitWaitMs: Long = 60000L): (Long, Long, Long) = {
+                      commitWaitMs: Long = 60000L,
+                      expectedVersion: Option[Long] = None): (Long, Long, Long) = {
     val spark = df.sparkSession
     val wh = schemaDir(warehouse0, schema)
     val dir = tableDir(wh, tableName)
@@ -2178,6 +2190,20 @@ object KeyedTable {
           tombstoned = true, deleteOnlyMatched = deleteOnlyMatched)
       }
     }
+    // SQL MERGE routing guard: a partial clause shape pre-filters the
+    // feed against a PINNED snapshot's key set before reaching here —
+    // if the table moved past that version before this call captured
+    // its own snapshot, the routing is stale and must abort (once
+    // base0 == pinned, the touched-bucket window check at the flip
+    // covers every later movement: feed rows route by their own PK,
+    // whose bucket is by construction in the touched set)
+    expectedVersion.foreach { v =>
+      if (base0.version != v)
+        throw new ConcurrentWriteException(
+          s"mergeConcurrent into $tableName planned against snapshot $v " +
+          s"but the table is now at ${base0.version} (concurrent commit " +
+          "since the routing read); table unchanged — retry the merge")
+    }
     val wantChangelog = changelog || meta0.changelog
     val incomingCols = cleaned.columns.toSet - MergeDelCol
     val (aligned, evolved) = align(cleaned, meta0, addNewColumns,
@@ -2199,15 +2225,20 @@ object KeyedTable {
       }
       // checks see the incoming images; tombstones are deletes, exempt
       // — except an UNMATCHED tombstone under deleteOnlyMatched, which
-      // is an insert candidate (same contract as [[upsert]])
-      enforceChecks({
+      // is an insert candidate (same contract as [[upsert]]). ONE
+      // construction, reused verbatim by the commit-time re-enforcement
+      // of concurrently-added checks below — filtering out ALL
+      // tombstones there would let an unmatched-tombstone INSERT bypass
+      // a check registered while this merge staged.
+      def checkRows: DataFrame = {
         val keepRows = newB.filter(!coalesce(col(MergeDelCol), lit(false)))
         if (!deleteOnlyMatched) keepRows
         else keepRows.unionByName(
           newB.filter(coalesce(col(MergeDelCol), lit(false)))
             .join(oldTouched.select(meta0.pk.map(col): _*),
               meta0.pk.toIndexedSeq, "left_anti"))
-      }, meta0.checks, "mergeConcurrent")
+      }
+      enforceChecks(checkRows, meta0.checks, "mergeConcurrent")
       val nonPk = evolved.fieldNames.filterNot(meta0.pk.contains)
       val out = oldTouched.as("o")
         .join(marked.as("n"), meta0.pk.toIndexedSeq, "full_outer")
@@ -2272,7 +2303,7 @@ object KeyedTable {
             commitWaitMs) {
           val metaLatest = TableMeta.read(spark, dir)
           val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
-          enforceChecks(newB.filter(!coalesce(col(MergeDelCol), lit(false))),
+          enforceChecks(checkRows,
             metaLatest.checks -- meta0.checks.keySet,
             "mergeConcurrent(commit)")
           if (baseLatest.buckets != base0.buckets)
@@ -2771,22 +2802,112 @@ object KeyedTable {
     rows.toDF("bucket", "n_files", "n_rows", "n_row_groups", "bytes")
   }
 
+  /** Test-only interleave seam for the OPTIMISTIC maintenance paths
+    * (compact / compactIfNeeded / zorderCompact / rebucket), invoked
+    * between the unlocked rewrite and the locked flip — a spec lands an
+    * interfering mutation deterministically inside the window the
+    * conflict check must catch (or, for a disjoint-bucket writer, must
+    * NOT catch). A no-op in production. */
+  private[store] object MaintenanceHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
+  /** Retry driver for optimistic LAYOUT MAINTENANCE: a layout rewrite
+    * has no logical change, so on a window conflict it is always the
+    * MAINTENANCE job that re-stages against the fresh snapshot —
+    * ingest writers never wait behind it and never abort for it (the
+    * inversion of the old full-lock design, where a nightly Z-order
+    * was an hours-long writer outage at 100 TB). Bounded attempts: a
+    * table too hot for maintenance to ever win surfaces loudly
+    * instead of spinning. */
+  private def retryMaintenance[A](op: String, maxAttempts: Int = 5)
+                                 (body: => A): A = {
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= maxAttempts)
+            throw new ConcurrentWriteException(
+              s"$op: gave up after $maxAttempts attempts, each aborted " +
+              s"by a concurrent writer (last: ${e.getMessage}); the " +
+              "table is unchanged — rerun when write traffic quiets")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The locked-flip conflict rules every optimistic maintenance
+    * rewrite shares ([[ConcurrentWriteException]] → the RETRY loop in
+    * [[retryMaintenance]] re-stages; the table is never corrupted and
+    * ingest never aborts):
+    *  - bucket count changed (a rebucket won the race — staged files
+    *    use the old layout);
+    *  - ANY schema change (the rewrite republished whole buckets under
+    *    the old schema);
+    *  - a TOUCHED bucket whose live file or delete-vector set moved
+    *    since the start snapshot (the staged rewrite read — and its
+    *    commit would drop the DVs of — a pre-image that is no longer
+    *    the truth). Buckets OUTSIDE the touched set carry over
+    *    untouched, so disjoint-bucket ingest and maintenance both
+    *    commit. */
+  private def maintenanceWindowCheck(base0: Manifest, baseLatest: Manifest,
+                                     meta0: TableMeta, metaLatest: TableMeta,
+                                     touched: Seq[Int], op: String): Unit = {
+    if (baseLatest.buckets != base0.buckets)
+      throw new ConcurrentWriteException(
+        s"bucket count changed ${base0.buckets} -> ${baseLatest.buckets} " +
+        s"(concurrent rebucket); $op staged files under the old layout — " +
+        "re-staging")
+    if (metaLatest.schema != meta0.schema)
+      throw new ConcurrentWriteException(
+        s"table schema changed while $op staged (the rewrite republished " +
+        "whole buckets under the old schema) — re-staging")
+    if (baseLatest.version != base0.version) {
+      def window(m: Manifest, b: Int): (Set[String], Set[String]) =
+        (m.files.getOrElse(b, Nil).map(_.name).toSet,
+          m.dvs.getOrElse(b, Nil).map(_.name).toSet)
+      val dirty = touched
+        .filter(b => window(base0, b) != window(baseLatest, b))
+      if (dirty.nonEmpty)
+        throw new ConcurrentWriteException(
+          s"bucket(s) ${dirty.sorted.take(5).mkString(", ")} changed " +
+          s"since $op staged (concurrent mutation with an overlapping " +
+          "touched-bucket set) — re-staging")
+    }
+  }
+
   def compact(spark: SparkSession, warehouse0: String, tableName: String,
-              minFiles: Int = 4, schema: Option[String] = None): Int = {
+              minFiles: Int = 4, schema: Option[String] = None,
+              commitWaitMs: Long = 60000L): Int = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
-    WriteLock.withLock(spark, dir, "compact") {
-      val meta = TableMeta.read(spark, dir)
-      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
-      val crowded = (0 until base.buckets).filter(b =>
-        base.files.getOrElse(b, Nil).size >= minFiles)
-      compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
+    if (Manifest.current(spark, dir).isEmpty)
+      // legacy table: no snapshot to window against — classic locked
+      // compact (which adopts a manifest, so the NEXT call is optimistic)
+      WriteLock.withLock(spark, dir, "compact") {
+        val meta = TableMeta.read(spark, dir)
+        val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+        val crowded = (0 until base.buckets).filter(b =>
+          base.files.getOrElse(b, Nil).size >= minFiles)
+        compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
+      }
+    else retryMaintenance("compact") {
+      val meta0 = TableMeta.read(spark, dir)
+      val base0 = Manifest.current(spark, dir).get
+      val crowded = (0 until base0.buckets).filter(b =>
+        base0.files.getOrElse(b, Nil).size >= minFiles)
+      compactBucketsConcurrent(spark, warehouse, tableName, dir, meta0,
+        base0, crowded, commitWaitMs)
     }
   }
 
   /** Rewrite exactly `crowded` buckets to one file each via staging +
     * per-bucket swap (the upsert commit protocol — readers never see a
-    * half state). Caller holds the write lock. Returns #rewritten. */
+    * half state). Caller holds the write lock (the LEGACY pre-manifest
+    * path; manifested tables go through
+    * [[compactBucketsConcurrent]]). Returns #rewritten. */
   private def compactBuckets(spark: SparkSession, warehouse: String,
                              tableName: String, dir: String, meta: TableMeta,
                              base: Manifest, crowded: Seq[Int]): Int = {
@@ -2803,6 +2924,49 @@ object KeyedTable {
           .write.partitionBy(BucketCol).parquet(staging)
         commitStaged(spark, f, dir, data, staging, crowded, "compact",
           base, base.buckets, meta)
+      } finally f.delete(new Path(staging), true)
+      crowded.size
+    }
+  }
+
+  /** [[compactBuckets]] WITHOUT holding the write lock for the rewrite
+    * — the [[upsertConcurrent]] bucket-window protocol applied to
+    * layout maintenance (its easiest client: no logical change, so the
+    * only conflict is a touched bucket's file/DV window moving). The
+    * crowded-bucket rewrite (reading THROUGH the buckets' delete
+    * vectors — the commit drops them, materializing the tombstones)
+    * stages against the snapshot-at-start outside the lock; a brief
+    * locked flip re-validates [[maintenanceWindowCheck]] and commits.
+    * Ingest writers racing this compact serialize only on the flip;
+    * on conflict the MAINTENANCE re-stages ([[retryMaintenance]]),
+    * never the ingest. Returns #rewritten. */
+  private def compactBucketsConcurrent(spark: SparkSession, warehouse: String,
+                                       tableName: String, dir: String,
+                                       meta0: TableMeta, base0: Manifest,
+                                       crowded: Seq[Int],
+                                       commitWaitMs: Long): Int = {
+    if (crowded.isEmpty) 0
+    else {
+      val data = dataDir(warehouse, tableName)
+      val f = fs(spark, dir)
+      val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
+      try {
+        // the rewrite job — OUTSIDE the lock
+        readRawWith(spark, warehouse, tableName, meta0, manifestOf(base0))
+          .filter(col(BucketCol).isin(crowded: _*))
+          .repartition(crowded.size, col(BucketCol))
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .write.partitionBy(BucketCol).parquet(staging)
+        MaintenanceHooks.betweenPhases()
+        // ---------------- LOCKED: re-validate, commit ----------------
+        WriteLock.withLockWait(spark, dir, "compact(commit)", commitWaitMs) {
+          val metaLatest = TableMeta.read(spark, dir)
+          val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+          maintenanceWindowCheck(base0, baseLatest, meta0, metaLatest,
+            crowded, "compact")
+          commitStaged(spark, f, dir, data, staging, crowded, "compact",
+            baseLatest, baseLatest.buckets, metaLatest)
+        }
       } finally f.delete(new Path(staging), true)
       crowded.size
     }
@@ -2825,12 +2989,36 @@ object KeyedTable {
                       tableName: String, maxFilesPerBucket: Int = 4,
                       minAvgRowsPerFile: Long = 0,
                       schema: Option[String] = None,
-                      maxDeleteFraction: Double = 0.2): Seq[Int] = {
+                      maxDeleteFraction: Double = 0.2,
+                      commitWaitMs: Long = 60000L): Seq[Int] = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
-    WriteLock.withLock(spark, dir, "compactIfNeeded") {
+    if (Manifest.current(spark, dir).isEmpty)
+      // legacy table: classic locked policy pass (adopts a manifest, so
+      // the NEXT call is optimistic) — breach decision from the
+      // footer-only bucketStats report (no manifest row counts yet)
+      return WriteLock.withLock(spark, dir, "compactIfNeeded") {
+        val meta = TableMeta.read(spark, dir)
+        val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+        val crowded = bucketStats(spark, warehouse0, tableName, schema)
+          .collect().toSeq
+          .filter { r =>
+            val (nf, nr) = (r.getLong(1), r.getLong(2))
+            nf > maxFilesPerBucket ||
+              (nf > 1 && minAvgRowsPerFile > 0 && nr / nf < minAvgRowsPerFile)
+          }
+          .map(_.getInt(0)).sorted
+        compactBuckets(spark, warehouse, tableName, dir, meta, base, crowded)
+        crowded
+      }
+    // OPTIMISTIC policy pass: the breach decision AND the rewrite both
+    // run against the current snapshot outside the lock — the healthy
+    // steady state (nothing crowded) now costs one manifest read and
+    // ZERO lock traffic, which is what lets this ride every streaming
+    // sink epoch without contending with the sink's own committers.
+    retryMaintenance("compactIfNeeded") {
       val meta = TableMeta.read(spark, dir)
-      val base = snapshotForWrite(spark, dir, dataDir(warehouse, tableName), meta)
+      val base = Manifest.current(spark, dir).get
       // delete-vector density straight from the manifest (zero IO): a
       // bucket whose tombstoned fraction breaches the bound rewrites —
       // the read-side anti-join cost is bounded BY POLICY, and the
@@ -2869,7 +3057,8 @@ object KeyedTable {
           }
           .map(_.getInt(0))
       val all = (crowded ++ dvCrowded).distinct.sorted
-      compactBuckets(spark, warehouse, tableName, dir, meta, base, all)
+      compactBucketsConcurrent(spark, warehouse, tableName, dir, meta,
+        base, all, commitWaitMs)
       all
     }
   }
@@ -2954,33 +3143,41 @@ object KeyedTable {
   def zorderCompact(spark: SparkSession, warehouse0: String,
                     tableName: String, zCols: Seq[String],
                     parquetBlockBytes: Option[Long] = None,
-                    schema: Option[String] = None): Unit = {
+                    schema: Option[String] = None,
+                    commitWaitMs: Long = 60000L): Unit = {
     require(zCols.size >= 2 && zCols.size <= 4,
       s"zorderCompact interleaves 2 to 4 columns, got ${zCols.size}")
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
-    WriteLock.withLock(spark, dir, "zorder") {
+    val data = dataDir(warehouse, tableName)
+    if (Manifest.current(spark, dir).isEmpty) {
+      // legacy table: adopt a manifest under the lock first (a trivial
+      // zero-touched commit), then the optimistic pass below runs
+      // against a real snapshot
+      WriteLock.withLock(spark, dir, "zorder(adopt)") {
+        val meta = TableMeta.read(spark, dir)
+        val base = snapshotForWrite(spark, dir, data, meta)
+        if (base.version < 0)
+          Manifest.commit(spark, dir, base.copy(version = 0,
+            op = Some("adopt"))): Unit
+      }
+    }
+    // OPTIMISTIC rewrite ([[maintenanceWindowCheck]] + retry): the
+    // min/max aggregate, the Morton sort, and the full bucket rewrite
+    // all run against the snapshot-at-start OUTSIDE the lock — a
+    // multi-hour Z-order of a 100 TB table is no longer a writer
+    // outage. The touched set is every bucket holding live files;
+    // ingest into a NEW bucket (keys hashing where no file lived yet)
+    // is disjoint and commits right through the rewrite window.
+    retryMaintenance("zorderCompact") {
       val meta0 = TableMeta.read(spark, dir)
       zCols.foreach { c =>
         if (!meta0.schema.fieldNames.contains(c))
           throw new StoreException(s"zorder column $c not in table schema")
       }
-      // Z-ordering makes per-file bounds on the clustered columns tight —
-      // exactly when per-column manifest stats pay off. Register them
-      // BEFORE the rewrite so this commit's files carry the stats.
-      val newStats = (meta0.statsCols ++
-        zCols.filter(c => statStorable(meta0.schema(c).dataType))
-          .filterNot(meta0.pk.headOption.contains)).distinct
-      val meta =
-        if (newStats == meta0.statsCols) meta0
-        else {
-          val m = meta0.copy(statsCols = newStats)
-          TableMeta.write(spark, dir, m)
-          m
-        }
-      val data = dataDir(warehouse, tableName)
-      val base = snapshotForWrite(spark, dir, data, meta)
-      val raw = readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
+      val base0 = Manifest.current(spark, dir).get
+      val touched = base0.files.keys.toSeq.sorted
+      val raw = readRawWith(spark, warehouse, tableName, meta0, Some(base0))
       // 2 scalars per column from one aggregate — broadcast into the
       // sort key; a column whose min is NULL (all-NULL/empty) degrades
       // to a constant-0 lane in zValue
@@ -2996,19 +3193,47 @@ object KeyedTable {
         val f = fs(spark, dir)
         val staging = s"$dir/.staging-zorder-${UUID.randomUUID()}"
         try {
+          // the sort + rewrite job — OUTSIDE the lock
           val writer = raw.withColumn("_z", z)
-            .repartition(base.buckets, col(BucketCol))
+            .repartition(base0.buckets, col(BucketCol))
             .sortWithinPartitions(col(BucketCol), col("_z"))
             .drop("_z")
             .write.partitionBy(BucketCol)
           parquetBlockBytes.fold(writer)(n =>
             writer.option("parquet.block.size", n.toString))
             .parquet(staging)
-          commitStaged(spark, f, dir, data, staging, 0 until base.buckets,
-            "zorder", base, base.buckets, meta)
-          // full rewrite: dropped names are re-addable again (dropColumns)
-          if (meta.dropped.nonEmpty)
-            TableMeta.write(spark, dir, meta.copy(dropped = Nil))
+          MaintenanceHooks.betweenPhases()
+          // -------------- LOCKED: re-validate, commit --------------
+          WriteLock.withLockWait(spark, dir, "zorder(commit)",
+              commitWaitMs) {
+            val metaLatest = TableMeta.read(spark, dir)
+            val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+            maintenanceWindowCheck(base0, baseLatest, meta0, metaLatest,
+              touched, "zorderCompact")
+            // Z-ordering makes per-file bounds on the clustered columns
+            // tight — exactly when per-column manifest stats pay off.
+            // Register them BEFORE the commit records footer stats, so
+            // this commit's files carry the stats. (Crash between this
+            // meta write and the flip: registered stats with the old
+            // layout — harmless, future commits just record extras.)
+            val newStats = (metaLatest.statsCols ++
+              zCols.filter(c => statStorable(metaLatest.schema(c).dataType))
+                .filterNot(metaLatest.pk.headOption.contains)).distinct
+            val metaStat =
+              if (newStats == metaLatest.statsCols) metaLatest
+              else {
+                val m = metaLatest.copy(statsCols = newStats)
+                TableMeta.write(spark, dir, m)
+                m
+              }
+            commitStaged(spark, f, dir, data, staging, touched,
+              "zorder", baseLatest, baseLatest.buckets, metaStat)
+            // full rewrite of every base0 bucket — and any bucket born
+            // AFTER the drop was already written post-drop — so dropped
+            // names are re-addable again (see dropColumns)
+            if (metaStat.dropped.nonEmpty)
+              TableMeta.write(spark, dir, metaStat.copy(dropped = Nil))
+          }
         } finally f.delete(new Path(staging), true)
       }
     }
@@ -3566,12 +3791,90 @@ object KeyedTable {
     * a reader that raced the swap still sees a consistent (old-count)
     * view resolve to the new files only with the new meta. */
   def rebucket(spark: SparkSession, warehouse0: String, tableName: String,
-               newBuckets: Int, schema: Option[String] = None): Unit = {
+               newBuckets: Int, schema: Option[String] = None,
+               commitWaitMs: Long = 60000L): Unit = {
     require(newBuckets > 0, s"bucket count must be positive, got $newBuckets")
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
-    WriteLock.withLock(spark, dir, "rebucket") {
-      rebucketLocked(spark, warehouse, tableName, newBuckets, dir)
+    if (Manifest.current(spark, dir).isEmpty)
+      // legacy table: classic locked rebucket (adopts a manifest)
+      return WriteLock.withLock(spark, dir, "rebucket") {
+        rebucketLocked(spark, warehouse, tableName, newBuckets, dir)
+      }
+    // OPTIMISTIC rebucket: rehashing moves every row, so the conflict
+    // window is necessarily COARSE — any manifest flip between the
+    // start snapshot and the commit invalidates the staged layout (the
+    // staged buckets were derived from every old bucket at once). But
+    // the expensive part — the full shuffle + rewrite — still stages
+    // OUTSIDE the lock: writers keep committing while the rebucket
+    // runs, and it is the REBUCKET that re-stages on conflict
+    // ([[retryMaintenance]]), never the ingest. On a table too hot for
+    // the shuffle to ever land, the bounded retries surface the
+    // contention loudly — quiesce writers (or schedule the rebucket
+    // into a low-traffic window) rather than silently stalling them
+    // for the job's duration, which is what the old full-lock design
+    // did by default.
+    retryMaintenance("rebucket") {
+      val meta0 = TableMeta.read(spark, dir)
+      val data = dataDir(warehouse, tableName)
+      val base0 = Manifest.current(spark, dir).get
+      if (base0.buckets == newBuckets) {
+        // keep meta honest if it lags the manifest (crash between a
+        // prior rebucket's manifest flip and its meta write)
+        if (meta0.buckets != newBuckets)
+          WriteLock.withLockWait(spark, dir, "rebucket(meta)",
+              commitWaitMs) {
+            val m = TableMeta.read(spark, dir)
+            if (m.buckets != newBuckets)
+              TableMeta.write(spark, dir, m.copy(buckets = newBuckets))
+          }
+      } else {
+        val f = fs(spark, dir)
+        val staging = s"$dir/.staging-rebucket-${UUID.randomUUID()}"
+        try {
+          // the full shuffle + rewrite — OUTSIDE the lock
+          withBucket(
+              readRawWith(spark, warehouse, tableName, meta0, Some(base0))
+                .drop(BucketCol),
+              meta0.pk, newBuckets)
+            .repartition(newBuckets, col(BucketCol))
+            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+            .write.partitionBy(BucketCol).parquet(staging)
+          MaintenanceHooks.betweenPhases()
+          // -------------- LOCKED: re-validate, commit --------------
+          WriteLock.withLockWait(spark, dir, "rebucket(commit)",
+              commitWaitMs) {
+            val metaLatest = TableMeta.read(spark, dir)
+            val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
+            if (baseLatest.version != base0.version)
+              throw new ConcurrentWriteException(
+                s"table advanced v${base0.version} -> v${baseLatest.version} " +
+                "while the rebucket staged (a rebucket touches every " +
+                "bucket, so ANY concurrent commit invalidates it) — " +
+                "re-staging")
+            if (metaLatest.schema != meta0.schema)
+              throw new ConcurrentWriteException(
+                "table schema changed while the rebucket staged (the " +
+                "rewrite republished every bucket under the old schema) " +
+                "— re-staging")
+            // ONE snapshot flip switches both the file set and the
+            // bucket count (the manifest carries `buckets`), so no
+            // reader can ever pair the old count with the new layout.
+            // Old-layout buckets with no staged replacement
+            // (newBuckets < old) leave the snapshot via removeMissing;
+            // the old files stay for readers of previous snapshots
+            // until vacuum. Meta updates after, as the mirror legacy
+            // (pre-manifest) code paths read.
+            commitStaged(spark, f, dir, data, staging,
+              0 until math.max(base0.buckets, newBuckets), "rebucket",
+              baseLatest, newBuckets, metaLatest, removeMissing = true)
+            // a full rewrite: every live file now carries the current
+            // schema, so dropped names may be re-added safely
+            TableMeta.write(spark, dir,
+              metaLatest.copy(buckets = newBuckets, dropped = Nil))
+          }
+        } finally f.delete(new Path(staging), true)
+      }
     }
   }
 
@@ -3621,13 +3924,14 @@ object KeyedTable {
     * removed. Three kinds, each safe by construction:
     *  - `.staging-*` / `.retired-*` dirs a crashed write abandoned
     *    (never the only copy of live data — commits are additive file
-    *    moves + a manifest flip, see [[Manifest]]). The UNLOCKED
-    *    stagers are special-cased: `.staging-append-*`
-    *    ([[appendConcurrent]]) and `.staging-stream-*` (sink epochs)
+    *    moves + a manifest flip, see [[Manifest]]). ALL `.staging-*`
     *    roots are reaped only past a [[WriteLock.DefaultStaleMs]] floor
-    *    however aggressive `olderThanMs`, and a stream root whose query
-    *    still holds a ledger entry is never reaped (see
-    *    [[dropStreamLedger]]);
+    *    however aggressive `olderThanMs` — the optimistic verbs
+    *    (append/upsert/update/merge/delete `*Concurrent`), layout
+    *    maintenance, sink epochs, and changelog images all stage
+    *    OUTSIDE the lock, so the lock held here proves nothing about
+    *    them — and a `.staging-stream-*` root whose query still holds
+    *    a ledger entry is never reaped (see [[dropStreamLedger]]);
     *  - data files the CURRENT manifest does not reference: superseded
     *    by later commits (kept until now precisely so readers of recent
     *    snapshots stay undisturbed) or moved in by a commit that died
@@ -3706,9 +4010,20 @@ object KeyedTable {
             if (n.startsWith(".staging-stream-"))
               !ledger.contains(n.stripPrefix(".staging-stream-")) &&
                 st.getModificationTime < unlockedCutoff
-            else if (n.startsWith(".staging-append-"))
+            else if (n.startsWith(".staging-"))
+              // EVERY stager gets the unlocked floor: the optimistic
+              // verbs (append/upsertc/updatec/mergec/deletec), layout
+              // maintenance (compact/zorder/rebucket), and changelog
+              // images all stage OUTSIDE the lock, so holding it here
+              // proves nothing about them — an aggressive olderThanMs
+              // reaping a mid-stage dir would leave a committed
+              // mutation with no CDC batch (or a maintenance flip with
+              // no files). The few still-locked stagers lose nothing:
+              // the floor only binds below WriteLock.DefaultStaleMs,
+              // where reaping "abandoned" staging younger than the
+              // stale-lock TTL was never sound anyway.
               st.getModificationTime < unlockedCutoff
-            else (n.startsWith(".staging-") || n.startsWith(".retired-")) &&
+            else n.startsWith(".retired-") &&
               st.getModificationTime < cutoff)
           if (stale) reap(st.getPath, true): Unit
           stale
@@ -4302,6 +4617,27 @@ object KeyedTable {
     }
   }
 
+  /** Table-property routing of SQL DML onto the OPTIMISTIC twins —
+    * `ALTER TABLE t SET TBLPROPERTIES('commit_mode'='optimistic')`
+    * (see [[TableMeta.optimisticDml]]). `mode` is `optimistic` or
+    * `locked`; anything else fails loudly. */
+  def setCommitMode(spark: SparkSession, warehouse0: String,
+                    tableName: String, mode: String,
+                    schema: Option[String] = None): Unit = {
+    val optimistic = mode.toLowerCase match {
+      case "optimistic" => true
+      case "locked" => false
+      case v => throw new StoreException(
+        s"commit_mode must be 'optimistic' or 'locked', got '$v'")
+    }
+    val dir = tableDir(schemaDir(warehouse0, schema), tableName)
+    WriteLock.withLock(spark, dir, s"setCommitMode($mode)") {
+      val meta = TableMeta.read(spark, dir)
+      if (meta.optimisticDml != optimistic)
+        TableMeta.write(spark, dir, meta.copy(optimisticDml = optimistic))
+    }
+  }
+
   /** Changelog RETENTION — expire folded `_changelog/batch=<n>`
     * batches below a batch/age floor. [[vacuum]] stays hands-off the
     * changelog by design (snapshot expiry and change-stream retention
@@ -4364,11 +4700,19 @@ object KeyedTable {
         .sortBy(_._1)
       val newest = batches.lastOption.map(_._1).getOrElse(-1L)
       val now = System.currentTimeMillis()
-      // prefix walk: stop at the first batch either dial refuses
+      // prefix walk: stop at the first batch either dial refuses. The
+      // age dial judges by the max FILE mtime inside the batch, not the
+      // directory's: object-store filesystems synthesize directory
+      // mtimes (often 0, or the copy time after a bucket migration), so
+      // a dir-mtime age gate would expire every non-newest batch
+      // regardless of real age. File mtimes are written at commit; the
+      // prefix bound and the newest-batch anchor keep even a skewed
+      // clock from gapping the stream.
       val expire = batches.takeWhile { case (n, st) =>
         n != newest &&
           beforeBatch.forall(n < _) &&
-          olderThanMs.forall(a => st.getModificationTime <= now - a)
+          olderThanMs.forall(a =>
+            batchCommitMs(f, st.getPath, st.getModificationTime) <= now - a)
       }
       if (expire.isEmpty) 0
       else if (dryRun) expire.size
@@ -4421,10 +4765,23 @@ object KeyedTable {
         val b = st.getPath.getName.stripPrefix("batch=").toLong
         val files = f.listStatus(st.getPath)
           .filter(x => x.isFile && x.getPath.getName.endsWith(".parquet"))
-        (b, files.length.toLong, files.map(_.getLen).sum,
-          st.getModificationTime, floor)
+        // same commit-time rule as expireChangelog's age dial: max FILE
+        // mtime (dir mtimes are synthetic on object stores)
+        val ts = if (files.isEmpty) st.getModificationTime
+                 else files.map(_.getModificationTime).max
+        (b, files.length.toLong, files.map(_.getLen).sum, ts, floor)
       }
       .sortBy(_._1)
+  }
+
+  /** Commit-time estimate of a changelog batch: the max mtime of the
+    * FILES inside the batch dir (files are written once, at commit —
+    * their mtimes survive object-store semantics where directory
+    * mtimes are synthetic). Empty dir falls back to the dir mtime. */
+  private def batchCommitMs(f: FileSystem, batchDir: Path,
+                            dirMtime: Long): Long = {
+    val files = f.listStatus(batchDir).filter(_.isFile)
+    if (files.isEmpty) dirMtime else files.map(_.getModificationTime).max
   }
 
   /** First surviving batch per the floor marker; 0 when never expired. */

@@ -105,6 +105,26 @@ class ChangelogRetentionSpec extends SparkSpec {
     assert(e.getMessage.contains("beforeBatch"), e.getMessage)
   }
 
+  test("the age dial judges by FILE mtimes, not the (object-store " +
+      "synthetic) directory mtime") {
+    val t = "t_clexp5"
+    KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"))
+    KeyedTable.setChangelog(spark, wh, t, enabled = true)
+    KeyedTable.toSql(df((1L, "A")), wh, t, how = WriteMode.Upsert) // 0
+    KeyedTable.toSql(df((2L, "b")), wh, t, how = WriteMode.Append) // 1
+    KeyedTable.toSql(df((3L, "c")), wh, t, how = WriteMode.Append) // 2
+    // simulate S3A-style synthetic directory mtimes: every batch DIR
+    // claims to be from 1970 while its files carry real commit times
+    val cl = new Path(KeyedTable.tableDir(wh, t), KeyedTable.ChangelogDir)
+    val fs = cl.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(cl).filter(_.getPath.getName.startsWith("batch="))
+      .foreach(st => fs.setTimes(st.getPath, 1000L, -1))
+    // a day's age floor must still admit nothing: the FILES are fresh
+    assert(KeyedTable.expireChangelog(spark, wh, t,
+      olderThanMs = Some(24L * 3600 * 1000)) == 0)
+    assert(batchDirs(t) == Set(0L, 1L, 2L))
+  }
+
   test("CALL graft.system.expire_changelog drives the same primitive") {
     val t = "t_clexp4"
     KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"))

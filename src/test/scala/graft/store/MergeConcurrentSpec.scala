@@ -102,4 +102,25 @@ class MergeConcurrentSpec extends SparkSpec {
     assert(log.filter("op = 'delete'").select("new_name")
       .collect().head.isNullAt(0))
   }
+
+  test("a CHECK added mid-stage also gates unmatched-tombstone INSERTS " +
+      "under deleteOnlyMatched") {
+    val t = "t_mrgc_check"
+    fixture(t): Unit
+    // key 5000 is absent: under deleteOnlyMatched its tombstone is an
+    // INSERT candidate (SQL MERGE semantics) — the commit-time check
+    // sweep must include it, not filter all tombstones out
+    val theFeed = feed((5000L, "BAD", -50.0, true))
+    KeyedTable.MergeConcurrentHooks.betweenPhases = () =>
+      KeyedTable.addCheckConstraint(spark, wh, t, "bal_pos", "bal >= 0")
+    val e =
+      try intercept[StoreException] {
+        KeyedTable.mergeConcurrent(theFeed, wh, t,
+          deleteWhen = col("is_del"), deleteOnlyMatched = true): Unit
+      } finally KeyedTable.MergeConcurrentHooks.betweenPhases = () => ()
+    assert(e.getMessage.contains("check constraint"), e.getMessage)
+    assert(KeyedTable.readSql(spark, wh, t)
+      .filter(col("id") === 5000L).count() == 0,
+      "the violating insert must not land")
+  }
 }

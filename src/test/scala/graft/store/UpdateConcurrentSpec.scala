@@ -100,4 +100,26 @@ class UpdateConcurrentSpec extends SparkSpec {
         Map("id" -> lit(99L)))
     }
   }
+
+  test("a CHECK registered while the update staged gates the " +
+      "post-images at commit") {
+    val t = "t_updc_check"
+    val (keysA, _) = fixture(t)
+    // checks live in TableMeta — no manifest flip, no schema change —
+    // so only the commit-time re-enforcement can catch this
+    KeyedTable.UpdateConcurrentHooks.betweenPhases = () =>
+      KeyedTable.addCheckConstraint(spark, wh, t, "bal_cap",
+        "bal <= 100000")
+    val e =
+      try intercept[StoreException] {
+        KeyedTable.updateConcurrent(spark, wh, t,
+          col("id").isin(keysA: _*),
+          Map("bal" -> (col("bal") + 1000000.0)))
+      } finally KeyedTable.UpdateConcurrentHooks.betweenPhases = () => ()
+    assert(e.getMessage.contains("check constraint"), e.getMessage)
+    val got = KeyedTable.readSql(spark, wh, t).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Double]("bal")).toMap
+    keysA.foreach(k => assert(got(k) == k * 1.0,
+      "the violating update must not land"))
+  }
 }

@@ -59,6 +59,37 @@ class VacuumDryRunSpec extends SparkSpec {
       Seq("B", "C", "a"))
   }
 
+  test("a zero-age vacuum never reaps FRESH staging of the unlocked " +
+      "stagers; stale staging and retired dirs still reap") {
+    val t = "t_vdry_floor"
+    KeyedTable.toSql(df((1L, "a"), (2L, "b")), wh, t, pk = Seq("id"),
+      buckets = 2)
+    val dir = KeyedTable.tableDir(wh, t)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every unlocked stager's prefix, FRESH — a mid-stage optimistic
+    // verb / maintenance rewrite / changelog batch an aggressive
+    // vacuum must not reap out from under its commit
+    val freshDirs = Seq(".staging-upsertc-x", ".staging-updatec-x",
+      ".staging-updatec-dv-x", ".staging-mergec-x", ".staging-deletec-x",
+      ".staging-changelog-x", ".staging-compact-x", ".staging-zorder-x",
+      ".staging-rebucket-x", ".staging-append-x")
+    freshDirs.foreach(d => fs.mkdirs(new Path(dir, d)))
+    // a STALE stager (past the WriteLock.DefaultStaleMs floor) and an
+    // old retired dir are genuine crash garbage: both reap
+    val stale = new Path(dir, ".staging-upsertc-stale")
+    val retired = new Path(dir, ".retired-old")
+    fs.mkdirs(stale)
+    fs.mkdirs(retired)
+    fs.setTimes(stale, 1000L, -1)
+    fs.setTimes(retired, 1000L, -1)
+    KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
+    freshDirs.foreach(d => assert(fs.exists(new Path(dir, d)),
+      s"$d is mid-stage (fresh) and must survive a zero-age vacuum"))
+    assert(!fs.exists(stale), "stale staging past the floor must reap")
+    assert(!fs.exists(retired), "old retired dirs must reap")
+    freshDirs.foreach(d => fs.delete(new Path(dir, d), true))
+  }
+
   test("dry run through CALL graft.system.vacuum(dry_run => true)") {
     val t = "t_vdry_sql"
     KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 2)
