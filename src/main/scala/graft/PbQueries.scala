@@ -1411,10 +1411,15 @@ object PbQueries {
     def retrying(b: => Unit): Unit = {
       var attempts = 0
       var done = false
+      // scan the cause chain: a conflict surfacing through spark.sql
+      // may arrive wrapped by the command-execution layer
+      def isConflict(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[graft.store.ConcurrentWriteException])
       while (!done) {
         try { b; done = true }
         catch {
-          case _: graft.store.ConcurrentWriteException =>
+          case e: Exception if isConflict(e) =>
             attempts += 1
             if (attempts > 50) throw new IllegalStateException(
               s"$what retry budget exhausted")
@@ -1569,6 +1574,45 @@ object PbQueries {
     try Await.result(Future.sequence(writers :+ maintenance), 5.minutes)
     finally pool.shutdown()
     KeyedTable.readSql(spark, wh, "customer")
+  }
+
+  /** #11be (`pb_sql_optimistic`): SQL DML routed onto the optimistic
+    * twins by `TBLPROPERTIES('commit_mode'='optimistic')` — three
+    * threads run plain `UPDATE <catalog>.customer` statements over
+    * disjoint key slices; each lowers onto
+    * [[KeyedTable.updateConcurrent]] (rewrite staged outside the
+    * lock, bucket-window flip), so the sweeps overlap their rewrite
+    * work and serialize only on manifest flips, retrying their own
+    * inter-writer conflicts. A SQL DELETE then routes onto
+    * [[KeyedTable.deleteConcurrent]]. Final state = the oracle's
+    * one-pass replay regardless of commit order. The ops story: an
+    * orchestrated Spark-SQL-only pipeline (the common case) gets the
+    * multi-writer contract without touching the programmatic API. */
+  private val sqlOptN = new java.util.concurrent.atomic.AtomicLong()
+  def sqlOptimisticQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_opt${sqlOptN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      KeyedTable.toSql(Tables.customer(spark, sfDir), wh, "customer",
+        pk = Seq("c_custkey"), buckets = 8)
+      spark.sql(s"ALTER TABLE $cat.customer " +
+        "SET TBLPROPERTIES('commit_mode'='optimistic')")
+      raceThree("sqlOptimistic") { r =>
+        spark.sql(s"UPDATE $cat.customer " +
+          s"SET c_acctbal = c_acctbal + ${r * 100}.0 " +
+          s"WHERE c_custkey % 4 = $r")
+      }
+      // key-range predicate: SQL DELETE plans only when every filter
+      // translates to a V2 source Filter (modulo does not)
+      spark.sql(s"DELETE FROM $cat.customer WHERE c_custkey <= 10")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
   }
 
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
@@ -1803,6 +1847,7 @@ object PbQueries {
     "pb_merge_concurrent" -> mergeConcurrentQ,
     "pb_update_concurrent" -> updateConcurrentQ,
     "pb_maintenance_concurrent" -> maintenanceConcurrentQ,
+    "pb_sql_optimistic" -> sqlOptimisticQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -2088,6 +2133,15 @@ object PbQueries {
              c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
              c_mktsegment
       FROM customer
+    """.trim,
+    // three racing SQL UPDATE sweeps (+r*100 on the %4==r slices; %4==0
+    // untouched) then a SQL DELETE of the low key range — all routed
+    // optimistically by the commit_mode table property
+    "pb_sql_optimistic" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey > 10
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,

@@ -11,7 +11,7 @@ import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 import org.apache.spark.sql.types.BooleanType
 
-import graft.store.{KeyedTable, KeyedTableSource, StoreException}
+import graft.store.{KeyedTable, KeyedTableSource, StoreException, TableMeta}
 
 /** SQL `UPDATE` and `MERGE INTO` for graft keyed tables — the custom
   * `Rule[LogicalPlan]` path (SparkSessionExtensions): Spark's own
@@ -310,8 +310,15 @@ case class GraftUpdateCommand(warehouse: String, table: String,
   override def run(spark: SparkSession): Seq[Row] = {
     if (sets.isEmpty) return Seq.empty // all-identity SET: a no-op
     val cond = condition.map(GraftSqlDml.byName).getOrElse(lit(true))
-    KeyedTable.update(spark, warehouse, table, cond,
-      sets.map { case (c, e) => c -> GraftSqlDml.byName(e) }.toMap)
+    val setMap = sets.map { case (c, e) => c -> GraftSqlDml.byName(e) }.toMap
+    // commit_mode=optimistic routes SQL UPDATE onto the bucket-level
+    // optimistic twin: the rewrite stages outside the write lock and a
+    // racing disjoint-bucket statement commits right through it
+    if (TableMeta.read(spark,
+        KeyedTable.tableDir(warehouse, table)).optimisticDml)
+      KeyedTable.updateConcurrent(spark, warehouse, table, cond, setMap): Unit
+    else
+      KeyedTable.update(spark, warehouse, table, cond, setMap): Unit
     Seq.empty
   }
 }
@@ -408,14 +415,26 @@ case class GraftMergeCommand(warehouse: String, table: String,
             main.unionByName(bsRows)
         }
       }
-    KeyedTable.merge(pre, warehouse, table,
-      deleteWhen = coalesce(col(delCol), lit(false)),
-      strictUtc = false, // values already passed the table's write checks
-      // SQL clause semantics: a WHEN MATCHED DELETE never applies to an
-      // unmatched source row — with an INSERT clause present, that row
-      // inserts (standard SQL), never a silent no-op tombstone
-      deleteOnlyMatched = true,
-      expectedVersion = pinned)
+    // commit_mode=optimistic: the full-outer merge stages outside the
+    // write lock; the pinned routing version transfers to the twin's
+    // snapshot-at-start guard, and the bucket-window flip covers the
+    // rest (feed rows route by their own PK, whose bucket is touched)
+    if (TableMeta.read(spark,
+        KeyedTable.tableDir(warehouse, table)).optimisticDml)
+      KeyedTable.mergeConcurrent(pre, warehouse, table,
+        deleteWhen = coalesce(col(delCol), lit(false)),
+        strictUtc = false,
+        deleteOnlyMatched = true,
+        expectedVersion = pinned): Unit
+    else
+      KeyedTable.merge(pre, warehouse, table,
+        deleteWhen = coalesce(col(delCol), lit(false)),
+        strictUtc = false, // values already passed the table's write checks
+        // SQL clause semantics: a WHEN MATCHED DELETE never applies to
+        // an unmatched source row — with an INSERT clause present, that
+        // row inserts (standard SQL), never a silent no-op tombstone
+        deleteOnlyMatched = true,
+        expectedVersion = pinned): Unit
     Seq.empty
   }
 }

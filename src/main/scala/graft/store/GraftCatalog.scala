@@ -253,7 +253,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       throw new UnsupportedOperationException(
         "LOCATION is not supported: graft tables live in the catalog " +
         s"warehouse ($warehouse)")
-    val known = Set("primary_key", "buckets", "auto_index", "changelog")
+    val known = Set("primary_key", "buckets", "auto_index", "changelog",
+      "commit_mode")
     val unknown = props.keySet
       .filterNot(known).filterNot(reserved)
       .filterNot(_.startsWith("option."))
@@ -301,6 +302,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       schema = sch)
     if (boolProp("changelog"))
       KeyedTable.setChangelog(spark, warehouse, ident.name, enabled = true, sch)
+    props.get("commit_mode").foreach(m =>
+      KeyedTable.setCommitMode(spark, warehouse, ident.name, m, sch))
     // CTAS writes to the RETURNED table: its schema must be exactly the
     // declared/query columns (writeShape — no synthetic slots)
     val whSch = KeyedTable.schemaDir(warehouse, sch)
@@ -353,27 +356,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val checkDrops = changes.collect {
       case d: TableChange.DropConstraint => d.name()
     }
-    // SET TBLPROPERTIES: `changelog` toggles table-property CDC capture
-    // (the only mutable property — pk/buckets/auto_index are structure,
-    // changed through their own operations: rebucket, create)
-    val propSets = changes.collect {
-      case p: TableChange.SetProperty =>
-        if (p.property() != "changelog")
-          throw new UnsupportedOperationException(
-            s"table property '${p.property()}' is not settable " +
-            "(only 'changelog'; bucket/pk structure changes go through " +
-            "rebucket/create)")
-        p.value().toLowerCase match {
-          case "true" => true
-          case "false" => false
-          case v => throw new UnsupportedOperationException(
-            s"changelog must be 'true' or 'false', got '$v'")
-        }
-      case p: TableChange.RemoveProperty =>
-        if (p.property() != "changelog")
-          throw new UnsupportedOperationException(
-            s"table property '${p.property()}' is not removable")
-        false
+    // SET TBLPROPERTIES: `changelog` toggles table-property CDC
+    // capture; `commit_mode` routes SQL DML onto the optimistic twins
+    // ('optimistic') or the locked primitives ('locked', the default).
+    // Everything else is structure (pk/buckets/auto_index), changed
+    // through its own operation: rebucket, create.
+    val propSets: Seq[() => Unit] = changes.collect {
+      case p: TableChange.SetProperty => p.property() match {
+        case "changelog" =>
+          val on = p.value().toLowerCase match {
+            case "true" => true
+            case "false" => false
+            case v => throw new UnsupportedOperationException(
+              s"changelog must be 'true' or 'false', got '$v'")
+          }
+          () => KeyedTable.setChangelog(spark, warehouse, ident.name(), on, sch)
+        case "commit_mode" =>
+          val m = p.value()
+          () => KeyedTable.setCommitMode(spark, warehouse, ident.name(), m, sch)
+        case other => throw new UnsupportedOperationException(
+          s"table property '$other' is not settable (only 'changelog' " +
+          "and 'commit_mode'; bucket/pk structure changes go through " +
+          "rebucket/create)")
+      }
+      case p: TableChange.RemoveProperty => p.property() match {
+        case "changelog" => () =>
+          KeyedTable.setChangelog(spark, warehouse, ident.name(),
+            enabled = false, sch)
+        case "commit_mode" => () =>
+          KeyedTable.setCommitMode(spark, warehouse, ident.name(),
+            "locked", sch)
+        case other => throw new UnsupportedOperationException(
+          s"table property '$other' is not removable")
+      }
     }
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
@@ -385,8 +400,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
         "only ADD COLUMNS, DROP COLUMN, ADD/DROP CONSTRAINT (CHECK), " +
-        "and SET/UNSET TBLPROPERTIES('changelog') are supported on " +
-        s"graft tables " +
+        "and SET/UNSET TBLPROPERTIES('changelog', 'commit_mode') are " +
+        s"supported on graft tables " +
         s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     if (adds.nonEmpty)
       KeyedTable.addColumns(spark, warehouse, ident.name(), adds.toSeq, sch)
@@ -398,8 +413,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     checkDrops.foreach { n =>
       KeyedTable.dropCheckConstraint(spark, warehouse, ident.name(), n, sch): Unit
     }
-    propSets.foreach(on =>
-      KeyedTable.setChangelog(spark, warehouse, ident.name(), on, sch))
+    propSets.foreach(_())
     loadTable(ident)
   }
 

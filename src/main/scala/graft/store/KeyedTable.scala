@@ -2802,6 +2802,14 @@ object KeyedTable {
     rows.toDF("bucket", "n_files", "n_rows", "n_row_groups", "bytes")
   }
 
+  /** Test-only interleave seam for [[vacuum]]: invoked between the
+    * UNLOCKED liveness pre-walk and the locked reap, so a spec can
+    * land a commit / tag deterministically inside the window the
+    * locked delta re-protection must cover. A no-op in production. */
+  private[store] object VacuumHooks {
+    @volatile var betweenPhases: () => Unit = () => ()
+  }
+
   /** Test-only interleave seam for the OPTIMISTIC maintenance paths
     * (compact / compactIfNeeded / zorderCompact / rebucket), invoked
     * between the unlocked rewrite and the locked flip — a spec lands an
@@ -3970,6 +3978,80 @@ object KeyedTable {
     val expired = scala.collection.mutable.Set.empty[String]
     def reap(path: Path, recursive: Boolean): Boolean =
       dryRun || f.delete(path, recursive)
+    // ---------- UNLOCKED pre-walk (the 100 TB long pole) ----------
+    // Reading every surviving snapshot and LISTING every bucket dir is
+    // O(files) IO; holding the write lock across it would pause every
+    // writer for the walk's duration — GC would be the next writer
+    // outage after maintenance went optimistic. So the walk runs
+    // FIRST, unlocked, against pinned manifest chains: it PREDICTS
+    // expiry (the same age + protection rules the locked pass applies)
+    // and collects the candidate reap set. The locked flip re-checks
+    // only the DELTA — any manifest surviving at flip time that the
+    // pre-walk's union did not include (committed during the walk, or
+    // predicted-expired but actually protected by a tag/branch added
+    // meanwhile) re-protects its references; the candidate set only
+    // ever SHRINKS inside the lock. Data files move into bucket dirs
+    // only under the lock (commitStaged), so no candidate can become
+    // live invisibly between the walk and the flip.
+    val preCutoff = System.currentTimeMillis() - olderThanMs
+    val preWalk: Option[(Set[(String, Long)], Seq[(String, Path)], Seq[Path])] =
+      Manifest.current(spark, dir).map { _ =>
+        val preBranches = Branches.branchDirs(spark, dir)
+        def predictedSurviving(refDir: String, extraProtected: Set[String])
+            : Seq[Manifest] = {
+          val prot: Set[String] =
+            Tags.read(spark, refDir).values.map(Manifest.versionName).toSet ++
+              extraProtected ++
+              Manifest.current(spark, refDir)
+                .map(mm => Manifest.versionName(mm.version)).toSet
+          val mdirR = Manifest.dir(refDir)
+          val mtimeOf: Map[String, Long] =
+            if (!f.exists(mdirR)) Map.empty
+            else f.listStatus(mdirR).iterator
+              .filter(st => st.isFile &&
+                Manifest.isVersionName(st.getPath.getName))
+              .map(st => st.getPath.getName -> st.getModificationTime)
+              .toMap
+          Manifest.all(spark, refDir).filter { mf =>
+            val n = Manifest.versionName(mf.version)
+            prot.contains(n) || mtimeOf.get(n).forall(_ >= preCutoff)
+          }
+        }
+        val survivors: Seq[(String, Manifest)] =
+          predictedSurviving(dir, Set.empty).map(dir -> _) ++
+          preBranches.flatMap { case (_, brDir) =>
+            predictedSurviving(brDir,
+              Set(Manifest.versionName(Branches.forkVersionOf(spark, brDir))))
+              .map(brDir -> _)
+          }
+        val unioned: Set[(String, Long)] =
+          survivors.map { case (rd, mf) => (rd, mf.version) }.toSet
+        val live0: Set[String] = survivors.iterator.map(_._2)
+          .flatMap(mm => mm.files.iterator ++ mm.dvs.iterator)
+          .flatMap { case (b, fls) =>
+            fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
+          }.toSet
+        val data = new Path(dir, "data")
+        val cands = scala.collection.mutable.ArrayBuffer.empty[(String, Path)]
+        val dataDirs = scala.collection.mutable.ArrayBuffer.empty[Path]
+        if (f.exists(data)) {
+          f.listStatus(data)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"$BucketCol="))
+            .foreach { d =>
+              dataDirs += d.getPath
+              f.listStatus(d.getPath).foreach { st =>
+                val rel = s"${d.getPath.getName}/${st.getPath.getName}"
+                if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
+                    !live0.contains(rel) &&
+                    st.getModificationTime < preCutoff)
+                  cands += ((rel, st.getPath))
+              }
+            }
+        }
+        (unioned, cands.toSeq, dataDirs.toSeq)
+      }
+    VacuumHooks.betweenPhases()
     // under the WRITE lock — and every BRANCH's lock, taken below — an
     // in-flight commit's just-moved files are unreferenced until its
     // manifest flips, and an aggressive cutoff (olderThanMs = 0) must
@@ -4106,35 +4188,35 @@ object KeyedTable {
         // data files AND delete-vector sidecars: a DV is live exactly
         // while some surviving snapshot references it; a rewriting
         // commit drops the bucket's DVs from its new manifest, and the
-        // sidecars become reapable here once the older snapshots expire
-        def surviving(refDir: String): Iterator[Manifest] =
-          Manifest.all(spark, refDir).iterator.filterNot(mf =>
-            expired.contains(s"$refDir/${Manifest.versionName(mf.version)}"))
-        val live: Set[String] =
-          (surviving(dir) ++ branches.iterator.flatMap(b => surviving(b._2)))
-          .flatMap(m => m.files.iterator ++ m.dvs.iterator)
-          .flatMap { case (b, fls) =>
-            fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
-          }.toSet
-        val data = new Path(dir, "data")
-        if (f.exists(data)) {
-          f.listStatus(data)
-            .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
-            .foreach { d =>
-              f.listStatus(d.getPath).foreach { st =>
-                val rel = s"${d.getPath.getName}/${st.getPath.getName}"
-                if (st.isFile && st.getPath.getName.endsWith(".parquet") &&
-                    !live.contains(rel) && st.getModificationTime < cutoff) {
-                  if (reap(st.getPath, false)) removed += 1
-                }
-              }
-              // a bucket dir emptied by the reap (e.g. fully deleted
-              // bucket) is itself garbage — observable only after REAL
-              // deletes, so the dry run skips it (the one divergence)
-              if (!dryRun && f.listStatus(d.getPath).isEmpty &&
-                  f.delete(d.getPath, false))
-                removed += 1
-            }
+        // sidecars become reapable once the older snapshots expire.
+        // The heavy union + listing ran UNLOCKED (pre-walk above); here
+        // only the WINDOW DELTA re-protects: references of manifests
+        // the pre-walk's union did not include — committed during the
+        // walk, or predicted-expired but surviving the actual expiry
+        // (a tag landed meanwhile). Candidates only shrink.
+        preWalk.foreach { case (unioned, cands, dataDirs) =>
+          def surviving(refDir: String): Iterator[(String, Manifest)] =
+            Manifest.all(spark, refDir).iterator.filterNot(mf =>
+              expired.contains(s"$refDir/${Manifest.versionName(mf.version)}"))
+              .map(refDir -> _)
+          val lateLive: Set[String] =
+            (surviving(dir) ++ branches.iterator.flatMap(b => surviving(b._2)))
+            .filterNot { case (rd, mf) => unioned((rd, mf.version)) }
+            .flatMap { case (_, mf) => mf.files.iterator ++ mf.dvs.iterator }
+            .flatMap { case (b, fls) =>
+              fls.map(mfF => s"$BucketCol=$b/${mfF.name}")
+            }.toSet
+          cands.foreach { case (rel, path) =>
+            if (!lateLive.contains(rel) && reap(path, false)) removed += 1
+          }
+          // a bucket dir emptied by the reap (e.g. fully deleted
+          // bucket) is itself garbage — observable only after REAL
+          // deletes, so the dry run skips it (the one divergence)
+          if (!dryRun) dataDirs.foreach { d =>
+            if (f.exists(d) && f.listStatus(d).isEmpty &&
+                f.delete(d, false))
+              removed += 1
+          }
         }
       }
       removed

@@ -149,6 +149,8 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     m.put("buckets", mf.map(_.buckets).getOrElse(meta.buckets).toString)
     m.put("auto_index", meta.autoIndex.toString)
     m.put("changelog", meta.changelog.toString)
+    m.put("commit_mode",
+      if (meta.optimisticDml) "optimistic" else "locked")
     if (meta.statsCols.nonEmpty)
       m.put("stats_columns", meta.statsCols.mkString(","))
     mf.foreach(s => m.put("current_version", s.version.toString))
@@ -198,7 +200,14 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     val cond = filters.flatMap(filterToColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
     val (wh, ref) = KeyedTable.refOf(tableDir)
-    KeyedTable.delete(SparkSession.active, wh, ref, cond): Unit
+    val spark = SparkSession.active
+    // commit_mode=optimistic (re-read: the property may have changed
+    // since this Table instance resolved) routes onto the optimistic
+    // twin — the survivor rewrite / DV staging runs outside the lock
+    if (TableMeta.read(spark, tableDir).optimisticDml)
+      KeyedTable.deleteConcurrent(spark, wh, ref, cond): Unit
+    else
+      KeyedTable.delete(spark, wh, ref, cond): Unit
   }
 
   /** The synthetic auto-index PK surfaces NULLABLE in SQL: the store
@@ -333,7 +342,19 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
                     .otherwise(col(keep.head)))
                     .drop(Names.AutoIndex)
                 }
-              try KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
+              // commit_mode=optimistic: SQL INSERT appends through the
+              // optimistic commit path (files staged outside the lock,
+              // per-key overlap re-check at the flip) — N orchestrated
+              // INSERT jobs into one table serialize only on the flips.
+              // Auto-index tables keep the locked path: id assignment
+              // must arbitrate the high-water mark under the lock.
+              def doAppend(): Unit =
+                if (!meta.autoIndex &&
+                    TableMeta.read(SparkSession.active, tableDir).optimisticDml)
+                  KeyedTable.appendConcurrent(cleaned, wh, tbl)
+                else
+                  KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
+              try doAppend()
               catch {
                 case e: Exception =>
                   val inChain = Iterator.iterate(e: Throwable)(_.getCause)

@@ -49,6 +49,17 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *   zorderCompact) has replaced every live file — those clear the
   *   list. The field-ID-free form of Iceberg's drop-column safety.
   */
+/** @param optimisticDml table-property routing of SQL DML
+  *   (`TBLPROPERTIES('commit_mode'='optimistic')`): when true, SQL
+  *   INSERT/UPDATE/DELETE/MERGE lower onto the bucket-level OPTIMISTIC
+  *   twins (`appendConcurrent`/`updateConcurrent`/`deleteConcurrent`/
+  *   `mergeConcurrent`) instead of the locked primitives — the
+  *   Spark-SQL-only writer (the common case for orchestrated
+  *   pipelines) then gets the same multi-writer behavior as the
+  *   programmatic API: stage outside the lock, bucket-window
+  *   re-validation at a brief flip, ConcurrentWriteException →
+  *   retry the statement. Default false: fail-fast lock contention,
+  *   the conservative single-writer contract. */
 final case class TableMeta(
     pk: Seq[String],
     buckets: Int,
@@ -58,7 +69,8 @@ final case class TableMeta(
     changelog: Boolean = false,
     statsCols: Seq[String] = Nil,
     dropped: Seq[String] = Nil,
-    checks: Map[String, String] = Map.empty) {
+    checks: Map[String, String] = Map.empty,
+    optimisticDml: Boolean = false) {
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
@@ -67,6 +79,8 @@ final case class TableMeta(
     "schema" -> JString(schema.json) ::
     (maxAutoIndex.map(m => List("maxAutoIndex" -> (JInt(m): JValue))).getOrElse(Nil) ++
      (if (changelog) List("changelog" -> (JBool(true): JValue)) else Nil) ++
+     (if (optimisticDml)
+        List("optimisticDml" -> (JBool(true): JValue)) else Nil) ++
      (if (statsCols.nonEmpty)
         List("statsCols" -> (JArray(statsCols.map(JString(_)).toList): JValue))
       else Nil) ++
@@ -117,11 +131,15 @@ object TableMeta {
       case JObject(xs) => xs.collect { case (n, JString(e)) => n -> e }.toMap
       case _ => Map.empty[String, String]
     }
+    val od = (j \ "optimisticDml") match {
+      case JBool(b) => b
+      case _ => false
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx, cl, sc, dr, ck)
+      maxIdx, cl, sc, dr, ck, od)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)

@@ -90,6 +90,47 @@ class VacuumDryRunSpec extends SparkSpec {
     freshDirs.foreach(d => fs.delete(new Path(dir, d), true))
   }
 
+  test("the unlocked liveness walk: a tag landed mid-walk re-protects " +
+      "a predicted-expired snapshot's files") {
+    val t = "t_vdry_tagwin"
+    KeyedTable.toSql(df((1L, "a"), (2L, "b"), (3L, "c")), wh, t,
+      pk = Seq("id"), buckets = 2) // v0
+    KeyedTable.toSql(df((2L, "B2")), wh, t, how = WriteMode.Upsert) // v1
+    KeyedTable.toSql(df((3L, "C3")), wh, t, how = WriteMode.Upsert) // v2
+    // the pre-walk predicts v0/v1 expired (zero age, untagged) and
+    // marks their unique files candidates; the tag lands INSIDE the
+    // window — the locked delta must re-protect v0's references
+    KeyedTable.VacuumHooks.betweenPhases = () =>
+      KeyedTable.tagSnapshot(spark, wh, t, "pin0", Some(0L)): Unit
+    try KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
+    finally KeyedTable.VacuumHooks.betweenPhases = () => ()
+    // the tagged snapshot still reads back whole
+    val v0 = KeyedTable.readSql(spark, wh, t, asOfTag = Some("pin0"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("name"))
+      .toMap
+    assert(v0 == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      "the mid-walk tag must keep v0 fully readable")
+    // and the head is untouched
+    assert(KeyedTable.readSql(spark, wh, t).collect()
+      .map(_.getAs[String]("name")).sorted.toSeq == Seq("B2", "C3", "a"))
+  }
+
+  test("the unlocked liveness walk: an optimistic append committed " +
+      "mid-walk is untouched by the reap") {
+    val t = "t_vdry_appwin"
+    KeyedTable.toSql(df((1L, "a"), (2L, "b")), wh, t,
+      pk = Seq("id"), buckets = 2)
+    KeyedTable.toSql(df((2L, "B")), wh, t, how = WriteMode.Upsert)
+    KeyedTable.VacuumHooks.betweenPhases = () =>
+      KeyedTable.appendConcurrent(df((50L, "mid")), wh, t)
+    try KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
+    finally KeyedTable.VacuumHooks.betweenPhases = () => ()
+    val got = KeyedTable.readSql(spark, wh, t).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("name")).toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 50L -> "mid"),
+      "the mid-walk commit's rows survive the reap")
+  }
+
   test("dry run through CALL graft.system.vacuum(dry_run => true)") {
     val t = "t_vdry_sql"
     KeyedTable.toSql(df((1L, "a")), wh, t, pk = Seq("id"), buckets = 2)
