@@ -1615,6 +1615,44 @@ object PbQueries {
     }
   }
 
+  /** #11bf (`pb_manifest_segments`): format-4 SEGMENTED manifests —
+    * the whole lifecycle (create, partial-column upsert, predicate
+    * delete with its DVs, shifted append) runs with the segment
+    * threshold forced to 1, so every commit writes per-bucket segment
+    * files plus a small reference list, untouched buckets reuse their
+    * segments verbatim, and every read resolves through the segmented
+    * path. Fails loudly if the chain did not actually segment. The
+    * 100 TB story: commit metadata is ∝ touched buckets, not O(live
+    * files) — a one-bucket commit on a million-file table writes one
+    * segment and one small list instead of re-serializing the full
+    * inventory (the Iceberg manifest-list model). */
+  def manifestSegmentsQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    spark.conf.set(graft.store.Manifest.SegmentThresholdConf, "1")
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      val k = col("c_custkey")
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+        buckets = 8)
+      KeyedTable.toSql(
+        customer.filter(k % 7 === 0)
+          .select(k, (col("c_acctbal") + 100.0).as("c_acctbal")),
+        wh, "customer", how = WriteMode.Upsert)
+      KeyedTable.delete(spark, wh, "customer", k % 11 === 0): Unit
+      KeyedTable.toSql(
+        customer.filter(k % 89 === 0)
+          .select((k + 30000000L).as("c_custkey"), col("c_name"),
+            col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+        wh, "customer", how = WriteMode.Append)
+      val head = graft.store.Manifest.current(spark,
+        KeyedTable.tableDir(wh, "customer")).get
+      if (head.segs.isEmpty)
+        throw new graft.store.StoreException(
+          "pb_manifest_segments: the manifest chain did not segment")
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally spark.conf.unset(graft.store.Manifest.SegmentThresholdConf)
+  }
+
   /** #11ae (`pb_restore`): snapshot restore as the undo button — create
     * (v0), corrupt a slice via upsert (v1), delete another (v2), then
     * `restoreSnapshot(version = 0)`: ONE metadata commit (zero data IO)
@@ -1848,6 +1886,7 @@ object PbQueries {
     "pb_update_concurrent" -> updateConcurrentQ,
     "pb_maintenance_concurrent" -> maintenanceConcurrentQ,
     "pb_sql_optimistic" -> sqlOptimisticQ,
+    "pb_manifest_segments" -> manifestSegmentsQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -2142,6 +2181,20 @@ object PbQueries {
              c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
              c_mktsegment
       FROM customer WHERE c_custkey > 10
+    """.trim,
+    // segmented-manifest lifecycle replay: %7 balances bumped (partial
+    // upsert), %11 deleted, shifted %89 copies appended (deletes run
+    // before the append, so shifted keys never match the %11 cut)
+    "pb_manifest_segments" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 11 <> 0
+      UNION ALL
+      SELECT c_custkey + 30000000, c_name, c_nationkey, c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 89 = 0
     """.trim,
     "pb_update_mor" -> """
       SELECT c_custkey, c_name, c_nationkey,

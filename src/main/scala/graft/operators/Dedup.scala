@@ -139,7 +139,7 @@ object Dedup {
   }
 
   /** Distinct-shingle prep: (id, shingles). */
-  private def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
+  private[operators] def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
 
   /** #24 n-gram Jaccard near-dup pairs: candidate pairs share ≥1
@@ -358,7 +358,7 @@ object Dedup {
     * The per-bucket window is partitioned by (band, key): a pathological
     * bucket of k members costs one O(k log k) sort task and emits O(k)
     * rows — linear where the join was quadratic. */
-  private def cappedBandPairs(banded: DataFrame, maxBucket: Int,
+  private[operators] def cappedBandPairs(banded: DataFrame, maxBucket: Int,
                               extra: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = banded.withColumn("_r",

@@ -4182,6 +4182,29 @@ object KeyedTable {
             }
           }
         }
+        // format-4 manifest SEGMENT files (`_manifests/seg-*.json`):
+        // reap those no SURVIVING snapshot of the owning ref references
+        // — superseded bucket rewrites whose snapshots just expired, or
+        // orphans of a commit that died between its segment writes and
+        // its list flip — past the same age bound as everything else.
+        (dir +: branches.map(_._2)).foreach { refDir =>
+          val mdirR = Manifest.dir(refDir)
+          if (f.exists(mdirR)) {
+            val referenced: Set[String] =
+              Manifest.all(spark, refDir).iterator.filterNot(mf =>
+                expired.contains(
+                  s"$refDir/${Manifest.versionName(mf.version)}"))
+                .flatMap(_.segs.valuesIterator).toSet
+            f.listStatus(mdirR).foreach { st =>
+              val n = st.getPath.getName
+              if (st.isFile && n.startsWith("seg-") && n.endsWith(".json") &&
+                  !referenced.contains(n) &&
+                  st.getModificationTime < cutoff &&
+                  reap(st.getPath, false))
+                removed += 1
+            }
+          }
+        }
         // union-liveness spans EVERY ref sharing the data dir: the base
         // chain plus each branch's chain — a file live only on a branch
         // must survive the base's reap (and vice versa after a publish)

@@ -91,20 +91,34 @@ final case class ManifestFile(name: String, len: Long,
   * restarted streaming query can recognize an epoch it already
   * committed and make its replay a no-op (exactly-once sink semantics
   * over at-least-once micro-batch replay). */
+/** `segs` — populated only when this snapshot was READ FROM (or
+  * WRITTEN AS) the SEGMENTED on-disk form (format 4): per bucket, the
+  * immutable `_manifests/seg-*.json` file its entries came from. The
+  * next commit reuses a bucket's segment VERBATIM (no write, no
+  * serialization) when the bucket's file+DV entries are unchanged —
+  * commit metadata cost becomes ∝ touched buckets + one small list,
+  * instead of O(live files): the Iceberg manifest-list move. Purely
+  * physical bookkeeping: never part of snapshot semantics, recomputed
+  * by every commit, and excluded from the correctness surface (two
+  * snapshots with the same files are the same snapshot). */
 final case class Manifest(version: Long, buckets: Int,
                           files: Map[Int, Seq[ManifestFile]],
                           op: Option[String] = None,
                           tsMs: Option[Long] = None,
                           dvs: Map[Int, Seq[ManifestFile]] = Map.empty,
-                          streams: Map[String, Long] = Map.empty) {
+                          streams: Map[String, Long] = Map.empty,
+                          segs: Map[Int, String] = Map.empty) {
 
   /** The READER format version this snapshot requires (the Iceberg
     * format-version gate): 1 = plain file lists; 2 = carries delete
     * vectors (a reader that ignored `dvs` would silently resurrect
     * deleted rows); 3 = carries streaming-sink epochs (a writer that
-    * dropped `streams` would break a sink's exactly-once replay). */
+    * dropped `streams` would break a sink's exactly-once replay);
+    * 4 = segmented (per-bucket entries live in `seg-*.json` files a
+    * format-3 reader would not resolve). */
   def formatVersion: Int =
-    if (streams.nonEmpty) 3 else if (dvs.nonEmpty) 2 else 1
+    if (segs.nonEmpty) 4
+    else if (streams.nonEmpty) 3 else if (dvs.nonEmpty) 2 else 1
 
   /** Absolute path of every live file (order: bucket, then name). */
   def absolutePaths(dataDir: String): Seq[String] =
@@ -137,9 +151,16 @@ final case class Manifest(version: Long, buckets: Int,
     // format gate: written only when this snapshot needs capabilities a
     // format-1 reader lacks — older binaries then REJECT it loudly in
     // fromJson instead of parsing the file, ignoring the new field, and
-    // returning wrong data (resurrected rows / replayed epochs)
-    (if (formatVersion > 1)
-       List("format" -> (JInt(formatVersion): JValue)) else Nil) ++
+    // returning wrong data (resurrected rows / replayed epochs).
+    // The INLINE form is never format 4 (that is the segmented list's
+    // gate, [[Manifest.commit]]); `segs` is physical bookkeeping from
+    // wherever this snapshot was read and does not survive re-encoding
+    {
+      val inlineFormat =
+        if (streams.nonEmpty) 3 else if (dvs.nonEmpty) 2 else 1
+      if (inlineFormat > 1)
+        List("format" -> (JInt(inlineFormat): JValue)) else Nil
+    } ++
     op.map(o => "op" -> (JString(o): JValue)).toList ++
     tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList ++
     (if (streams.isEmpty) Nil
@@ -151,38 +172,69 @@ final case class Manifest(version: Long, buckets: Int,
     // and the common no-deletes case parse identically)
     (if (dvs.isEmpty) Nil
      else List("dvs" -> (JObject(dvs.toList.sortBy(_._1).map { case (b, fs) =>
-       b.toString -> (JArray(fs.toList.map { f =>
-         JArray(List(JString(f.name), JInt(f.len)) ++
-           f.rows.map(r => JInt(r): JValue).toList)
-       }): JValue)
+       b.toString -> (JArray(fs.toList.map(Manifest.fileEntryJson)): JValue)
      }): JValue))) :+
     "files" -> (JObject(files.toList.sortBy(_._1).map { case (b, fs) =>
-      b.toString -> JArray(fs.toList.map { f =>
-        // arity encodes presence: [name, len] | [name, len, rows] |
-        // [name, len, rows, min, max] (stats imply rows — same footer) |
-        // [name, len, rows, min|null, max|null, {col: [min, max], …}]
-        // (extra per-column stats; leading slots JNull when absent)
-        val base = List(JString(f.name), JInt(f.len)) ++
-          f.rows.map(r => JInt(r): JValue).toList
-        val lead = f.stats match {
-          case Some(ColStats(mn, mx)) =>
-            List(Manifest.statJson(mn), Manifest.statJson(mx))
-          case None if f.extra.nonEmpty => List(JNull, JNull)
-          case None => Nil
-        }
-        val ext =
-          if (f.extra.isEmpty) Nil
-          else List(JObject(f.extra.toList.sortBy(_._1).map { case (c, s) =>
-            c -> (JArray(List(Manifest.statJson(s.min),
-              Manifest.statJson(s.max))): JValue)
-          }): JValue)
-        JArray(base ++ lead ++ ext)
-      })
+      b.toString -> JArray(fs.toList.map(Manifest.fileEntryJson))
     }): JValue))))
 }
 
 object Manifest {
   val DirName = "_manifests"
+
+  /** One file entry's JSON. Arity encodes presence: [name, len] |
+    * [name, len, rows] | [name, len, rows, min, max] (stats imply
+    * rows — same footer) | [name, len, rows, min|null, max|null,
+    * {col: [min, max], …}] (extra per-column stats; leading slots
+    * JNull when absent). Shared by the inline manifest form, the DV
+    * lists (whose entries never carry stats, so they encode to the
+    * historical [name, len, rows] shape unchanged), and the format-4
+    * segment files. */
+  private[store] def fileEntryJson(f: ManifestFile): JValue = {
+    val base = List(JString(f.name), JInt(f.len)) ++
+      f.rows.map(r => JInt(r): JValue).toList
+    val lead = f.stats match {
+      case Some(ColStats(mn, mx)) =>
+        List(statJson(mn), statJson(mx))
+      case None if f.extra.nonEmpty => List(JNull, JNull)
+      case None => Nil
+    }
+    val ext =
+      if (f.extra.isEmpty) Nil
+      else List(JObject(f.extra.toList.sortBy(_._1).map { case (c, s) =>
+        c -> (JArray(List(statJson(s.min), statJson(s.max))): JValue)
+      }): JValue)
+    JArray(base ++ lead ++ ext)
+  }
+
+  /** [[fileEntryJson]]'s decoder (all arities). */
+  private[store] def fileEntryFromJson(j: JValue): ManifestFile = {
+    def lead(mn: JValue, mx: JValue): Option[ColStats] = (mn, mx) match {
+      case (JNull, _) | (_, JNull) => None
+      case _ => Some(ColStats(statValue(mn), statValue(mx)))
+    }
+    def extras(o: JValue): Map[String, ColStats] = o match {
+      case JObject(cs) => cs.map {
+        case (c, JArray(List(mn, mx))) =>
+          c -> ColStats(statValue(mn), statValue(mx))
+        case (c, bad) =>
+          throw new StoreException(s"bad extra stats for $c: $bad")
+      }.toMap
+      case bad => throw new StoreException(s"bad extra stats: $bad")
+    }
+    j match {
+      case JArray(List(JString(n), JInt(l))) =>
+        ManifestFile(n, l.toLong)
+      case JArray(List(JString(n), JInt(l), JInt(r))) =>
+        ManifestFile(n, l.toLong, Some(r.toLong))
+      case JArray(List(JString(n), JInt(l), JInt(r), mn, mx)) =>
+        ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx))
+      case JArray(List(JString(n), JInt(l), JInt(r), mn, mx, ext)) =>
+        ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx),
+          extras(ext))
+      case o => throw new StoreException(s"bad manifest file entry: $o")
+    }
+  }
 
   /** Could a file with these stats hold a value in [lo, hi]? (null
     * bound = unbounded; missing stats or uncomparable bounds keep the
@@ -253,6 +305,19 @@ object Manifest {
     cache.put(key, m): Unit
   }
 
+  /** Parsed-SEGMENT cache (format 4): segment files are immutable and
+    * SHARED across manifest versions — that sharing is the whole
+    * point — so one parse serves every version referencing the
+    * segment. Same bounded-clear policy as the manifest cache. */
+  private val segCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[ManifestFile], Seq[ManifestFile])]()
+
+  private def segCachePut(key: String,
+                          v: (Seq[ManifestFile], Seq[ManifestFile])): Unit = {
+    if (segCache.size >= MaxCached) segCache.clear()
+    segCache.put(key, v): Unit
+  }
+
   /** Drop every cached manifest under `tableDir` — the immutability
     * argument above fails when the DIRECTORY is recycled: dropping a
     * table and recreating it under the same name re-mints `v0` at the
@@ -263,6 +328,8 @@ object Manifest {
     val prefix = dir(tableDir).toString + "/"
     val it = cache.keySet.iterator()
     while (it.hasNext) if (it.next().startsWith(prefix)) it.remove()
+    val it2 = segCache.keySet.iterator()
+    while (it2.hasNext) if (it2.next().startsWith(prefix)) it2.remove()
   }
 
   def dir(tableDir: String): Path = new Path(tableDir, DirName)
@@ -304,9 +371,20 @@ object Manifest {
 
   /** Highest manifest format this binary understands (see
     * [[Manifest.formatVersion]]). */
-  val SupportedFormat = 3
+  val SupportedFormat = 4
 
-  def fromJson(s: String): Manifest = {
+  /** Parse an INLINE manifest. Format-4 (segmented) lists need a
+    * filesystem to resolve their segments — only [[read]] can load
+    * those; handing one here fails loudly rather than returning an
+    * empty file set. */
+  def fromJson(s: String): Manifest =
+    parse(s, name => throw new StoreException(
+      s"segmented manifest references $name but no segment loader is " +
+      "available — read it through Manifest.read/at/current"))
+
+  private def parse(s: String,
+                    loadSeg: String => (Seq[ManifestFile], Seq[ManifestFile]))
+      : Manifest = {
     val j = JsonMethods.parse(s)
     // the format gate comes FIRST: a snapshot demanding a newer reader
     // must fail loudly before any field is interpreted
@@ -321,7 +399,6 @@ object Manifest {
     }
     val JInt(version) = (j \ "version"): @unchecked
     val JInt(buckets) = (j \ "buckets"): @unchecked
-    val JObject(fields) = (j \ "files"): @unchecked
     // optional commit metadata (older manifests lack it)
     val op = (j \ "op") match { case JString(o) => Some(o); case _ => None }
     val ts = (j \ "ts_ms") match { case JInt(t) => Some(t.toLong); case _ => None }
@@ -332,48 +409,79 @@ object Manifest {
       }.toMap
       case _ => Map.empty
     }
-    val dvs: Map[Int, Seq[ManifestFile]] = (j \ "dvs") match {
-      case JObject(ds) => ds.map {
-        case (b, JArray(fs)) => b.toInt -> fs.map {
-          case JArray(List(JString(n), JInt(l))) => ManifestFile(n, l.toLong)
-          case JArray(List(JString(n), JInt(l), JInt(r))) =>
-            ManifestFile(n, l.toLong, Some(r.toLong))
-          case o => throw new StoreException(s"bad manifest dv entry: $o")
-        }
-        case (b, o) => throw new StoreException(s"bad manifest dv bucket $b: $o")
-      }.toMap
-      case _ => Map.empty
-    }
-    Manifest(version.toLong, buckets.toInt,
-      fields.map { case (b, JArray(fs)) =>
-        def lead(mn: JValue, mx: JValue): Option[ColStats] = (mn, mx) match {
-          case (JNull, _) | (_, JNull) => None
-          case _ => Some(ColStats(statValue(mn), statValue(mx)))
-        }
-        def extras(o: JValue): Map[String, ColStats] = o match {
-          case JObject(cs) => cs.map {
-            case (c, JArray(List(mn, mx))) =>
-              c -> ColStats(statValue(mn), statValue(mx))
-            case (c, bad) =>
-              throw new StoreException(s"bad extra stats for $c: $bad")
+    (j \ "segs") match {
+      case JObject(sgs) =>
+        // format-4 SEGMENTED list: per-bucket entries live in immutable
+        // seg-*.json files; buckets absent from `segs` hold no files
+        val segs: Map[Int, String] = sgs.map {
+          case (b, JString(n)) => b.toInt -> n
+          case (b, o) => throw new StoreException(s"bad manifest segment $b: $o")
+        }.toMap
+        val loaded: Map[Int, (Seq[ManifestFile], Seq[ManifestFile])] =
+          segs.map { case (b, n) => b -> loadSeg(n) }
+        Manifest(version.toLong, buckets.toInt,
+          loaded.collect { case (b, (fls, _)) if fls.nonEmpty => b -> fls },
+          op, ts,
+          loaded.collect { case (b, (_, dvl)) if dvl.nonEmpty => b -> dvl },
+          streams, segs)
+      case _ =>
+        val JObject(fields) = (j \ "files"): @unchecked
+        val dvs: Map[Int, Seq[ManifestFile]] = (j \ "dvs") match {
+          case JObject(ds) => ds.map {
+            case (b, JArray(fs)) => b.toInt -> fs.map(fileEntryFromJson)
+            case (b, o) => throw new StoreException(s"bad manifest dv bucket $b: $o")
           }.toMap
-          case bad => throw new StoreException(s"bad extra stats: $bad")
+          case _ => Map.empty
         }
-        b.toInt -> fs.map {
-          case JArray(List(JString(n), JInt(l))) =>
-            ManifestFile(n, l.toLong)
-          case JArray(List(JString(n), JInt(l), JInt(r))) =>
-            ManifestFile(n, l.toLong, Some(r.toLong))
-          case JArray(List(JString(n), JInt(l), JInt(r), mn, mx)) =>
-            ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx))
-          case JArray(List(JString(n), JInt(l), JInt(r), mn, mx, ext)) =>
-            ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx),
-              extras(ext))
-          case o => throw new StoreException(s"bad manifest file entry: $o")
-        }
-      case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
-      }.toMap, op, ts, dvs, streams)
+        Manifest(version.toLong, buckets.toInt,
+          fields.map {
+            case (b, JArray(fs)) => b.toInt -> fs.map(fileEntryFromJson)
+            case (b, o) => throw new StoreException(s"bad manifest bucket $b: $o")
+          }.toMap, op, ts, dvs, streams)
+    }
   }
+
+  /** One bucket's segment file content (format 4): the bucket's live
+    * data-file entries plus its delete-vector entries, in the shared
+    * arity encoding. Segment files are IMMUTABLE once renamed into
+    * `_manifests/` — commits reference them, never rewrite them. */
+  private def segmentJson(files: Seq[ManifestFile],
+                          dvs: Seq[ManifestFile]): String =
+    compact(render(JObject(
+      List("files" -> (JArray(files.toList.map(fileEntryJson)): JValue)) ++
+      (if (dvs.isEmpty) Nil
+       else List("dvs" -> (JArray(dvs.toList.map(fileEntryJson)): JValue))))))
+
+  private def segmentFromJson(s: String)
+      : (Seq[ManifestFile], Seq[ManifestFile]) = {
+    val j = JsonMethods.parse(s)
+    val fls = (j \ "files") match {
+      case JArray(fs) => fs.map(fileEntryFromJson)
+      case o => throw new StoreException(s"bad segment files: $o")
+    }
+    val dvl = (j \ "dvs") match {
+      case JArray(fs) => fs.map(fileEntryFromJson)
+      case _ => Nil
+    }
+    (fls, dvl)
+  }
+
+  /** The format-4 manifest LIST: version header + per-bucket segment
+    * references. Size ∝ bucket count (a few dozen bytes per bucket),
+    * never ∝ live files. */
+  private def listJson(m: Manifest): String = compact(render(JObject(
+    List("version" -> (JInt(m.version): JValue),
+      "buckets" -> (JInt(m.buckets): JValue),
+      "format" -> (JInt(4): JValue)) ++
+    m.op.map(o => "op" -> (JString(o): JValue)).toList ++
+    m.tsMs.map(t => "ts_ms" -> (JInt(t): JValue)).toList ++
+    (if (m.streams.isEmpty) Nil
+     else List("streams" -> (JObject(m.streams.toList.sortBy(_._1).map {
+       case (q, e) => q -> (JInt(e): JValue)
+     }): JValue))) :+
+    "segs" -> (JObject(m.segs.toList.sortBy(_._1).map { case (b, n) =>
+      b.toString -> (JString(n): JValue)
+    }): JValue))))
 
   /** All committed versions, ascending (one listing). */
   def versions(spark: SparkSession, tableDir: String): Seq[Long] = {
@@ -403,6 +511,15 @@ object Manifest {
           s"no manifest version $version (available: ${vs.mkString(", ")})")
     }
 
+  private def readFileUtf8(f: FileSystem, p: Path): String = {
+    val in = f.open(p)
+    try {
+      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(bytes)
+      new String(bytes, "UTF-8")
+    } finally in.close()
+  }
+
   private def read(spark: SparkSession, tableDir: String,
                    version: Long): Manifest = {
     val p = new Path(dir(tableDir), nameOf(version))
@@ -410,14 +527,22 @@ object Manifest {
     val hit = cache.get(key)
     if (hit != null) return hit
     val f = fsOf(spark, tableDir)
-    val in = f.open(p)
-    val m = try {
-      val bytes = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-      in.readFully(bytes)
-      fromJson(new String(bytes, "UTF-8"))
-    } finally in.close()
+    val m = parse(readFileUtf8(f, p), loadSegment(f, tableDir, _))
     cachePut(key, m)
     m
+  }
+
+  /** Resolve one segment reference of a format-4 list (cached: segment
+    * files are immutable and shared across versions). */
+  private def loadSegment(f: FileSystem, tableDir: String, name: String)
+      : (Seq[ManifestFile], Seq[ManifestFile]) = {
+    val p = new Path(dir(tableDir), name)
+    val key = p.toString
+    val hit = segCache.get(key)
+    if (hit != null) return hit
+    val v = segmentFromJson(readFileUtf8(f, p))
+    segCachePut(key, v)
+    v
   }
 
   /** Latest committed snapshot, or None for a pre-manifest table. */
@@ -463,27 +588,96 @@ object Manifest {
     }
   }
 
+  /** Session conf dialing when a commit switches to the SEGMENTED
+    * (format 4) on-disk form: once total file+DV entries reach this
+    * count, per-bucket segments + a small list replace the inline
+    * JSON, and commit metadata cost becomes ∝ touched buckets. Small
+    * tables stay inline (one file per commit, simplest to operate);
+    * a segmented chain stays segmented (reuse needs the previous
+    * version's segment names). */
+  val SegmentThresholdConf = "spark.graft.manifest.segmentThreshold"
+  val SegmentThresholdDefault = 512
+
   /** Atomically publish a snapshot: write to a temp name, then ONE file
     * rename into `_manifests/v<N>.json` — the commit point of every
     * mutation. Fails loudly if the rename fails or the version already
-    * exists (two writers racing would mean a write-lock violation). */
+    * exists (two writers racing would mean a write-lock violation).
+    *
+    * SEGMENTED form (format 4, past [[SegmentThresholdConf]]): each
+    * bucket's entries serialize into an immutable
+    * `_manifests/seg-<uuid>.json`, and v<N>.json holds only the
+    * per-bucket references. A bucket whose file+DV entries are
+    * UNCHANGED from version N−1 reuses that version's segment file
+    * verbatim — zero bytes written — so a one-bucket commit on a
+    * million-file table writes one small segment plus one small list
+    * instead of re-serializing the full live-file inventory (the
+    * Iceberg manifest-list model). Segment files are written via
+    * tmp + rename (never partial under any crash) and become garbage
+    * only when no surviving snapshot references them — [[KeyedTable
+    * .vacuum]] reaps those with the manifests. `m0.segs` is ignored
+    * on input and recomputed: segment references never transfer
+    * across directories (branch fork/publish re-segments in the
+    * target chain). */
   def commit(spark: SparkSession, tableDir: String, m0: Manifest): Manifest = {
     // stamp the commit wall-clock once, here (the mtime-independent
     // timestamp history/$history surface; atTimestamp keeps using the
     // file mtime, which exists for pre-metadata manifests too)
-    val m = if (m0.tsMs.isDefined) m0
-            else m0.copy(tsMs = Some(System.currentTimeMillis()))
+    val m1 = (if (m0.tsMs.isDefined) m0
+              else m0.copy(tsMs = Some(System.currentTimeMillis())))
+      .copy(segs = Map.empty)
     val f = fsOf(spark, tableDir)
     val d = dir(tableDir)
     f.mkdirs(d)
-    val finalPath = new Path(d, nameOf(m.version))
+    val finalPath = new Path(d, nameOf(m1.version))
     if (f.exists(finalPath))
       throw new StoreException(
-        s"manifest version ${m.version} already exists at $finalPath " +
+        s"manifest version ${m1.version} already exists at $finalPath " +
         "(concurrent writer? the write lock should prevent this)")
+    val threshold = spark.conf.get(SegmentThresholdConf,
+      SegmentThresholdDefault.toString).toInt
+    val entries = m1.files.valuesIterator.map(_.size).sum +
+      m1.dvs.valuesIterator.map(_.size).sum
+    val prev: Option[Manifest] =
+      if (m1.version <= 0) None
+      else try Some(read(spark, tableDir, m1.version - 1))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val segmented = entries >= threshold || prev.exists(_.segs.nonEmpty)
+    val m =
+      if (!segmented) m1
+      else {
+        val segs: Map[Int, String] =
+          (m1.files.keySet ++ m1.dvs.keySet).iterator.map { b =>
+            val fls = m1.files.getOrElse(b, Nil)
+            val dvl = m1.dvs.getOrElse(b, Nil)
+            // verbatim reuse: the bucket's entries are IDENTICAL to the
+            // previous snapshot's — the untouched-bucket common case
+            val reuse = prev.flatMap(p => p.segs.get(b).filter(_ =>
+              p.files.getOrElse(b, Nil) == fls &&
+              p.dvs.getOrElse(b, Nil) == dvl))
+            val name = reuse.getOrElse {
+              val n = s"seg-${UUID.randomUUID()}.json"
+              val tmpSeg = new Path(d, s".tmp-${UUID.randomUUID()}")
+              val out = f.create(tmpSeg, false)
+              try out.write(segmentJson(fls, dvl).getBytes("UTF-8"))
+              finally out.close()
+              val segPath = new Path(d, n)
+              if (!f.rename(tmpSeg, segPath)) {
+                f.delete(tmpSeg, false)
+                throw new StoreException(
+                  s"could not write manifest segment $tmpSeg -> $segPath; " +
+                  "table unchanged (the previous snapshot is still current)")
+              }
+              segCachePut(segPath.toString, (fls, dvl))
+              n
+            }
+            b -> name
+          }.toMap
+        m1.copy(segs = segs)
+      }
+    val body = if (segmented) listJson(m) else m.toJson
     val tmp = new Path(d, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    try out.write(body.getBytes("UTF-8")) finally out.close()
     if (!f.rename(tmp, finalPath)) {
       f.delete(tmp, false)
       throw new StoreException(

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions.{jaccard, lshBandKeys, minhashSignature}
+
+/** MEASUREMENT probe (opt-in: `SPARK_GRAFT_MEASURE=1`), not a
+  * correctness test — it compares the two candidate-VERIFY strategies
+  * for [[Dedup.minhashLshPairs]] on real corpus data before any swap:
+  *
+  *  - the production form: ship both shingle arrays to each candidate
+  *    pair and intersect per pair (`array_intersect` via [[jaccard]]);
+  *  - the inverted-index form: explode shingles and count `n_common`
+  *    per pair with two equi-joins on the shingle string (the shape
+  *    [[Dedup.ngramJaccardPairs]] uses, where the index IS the
+  *    candidate generator and comes for free — here it is an extra
+  *    exchange of every (id, shingle) row).
+  *
+  * Both must return identical verified pairs (asserted); the printed
+  * medians are the committed measurement. CANCELED unless the env var
+  * is set, so the regular suite never times anything. */
+class MinhashVerifyProbeSpec extends SparkSpec {
+
+  test("MEASURE: minhash verify — per-pair array_intersect vs " +
+      "inverted-index n_common") {
+    assume(sys.env.contains("SPARK_GRAFT_MEASURE"),
+      "set SPARK_GRAFT_MEASURE=1 (and optionally " +
+      "SPARK_GRAFT_MEASURE_SF=<dir>) to run the measurement")
+    val sf = sys.env.getOrElse("SPARK_GRAFT_MEASURE_SF",
+      "/root/testdata/sf0.1")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val (n, numHashes, bands, thr, maxBucket, budget) =
+      (5, 16, 4, 0.5, 64, 64)
+    val rowsPerBand = numHashes / bands
+
+    def production(): Long =
+      Dedup.minhashLshPairs(docs, "doc_id", "text", n, numHashes, bands,
+        thr, maxBucket, budget).count()
+
+    def inverted(): Long = {
+      val sh = Dedup.shingled(docs, "doc_id", "text", n)
+      val banded = sh.select(col("id"),
+        posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
+          bands, rowsPerBand)).as(Seq("band", "key")))
+      val cand = Dedup.cappedBandPairs(banded, maxBucket, Nil)
+        .dropDuplicates("id_a", "id_b")
+      val inv = sh.select(col("id"), explode(col("shingles")).as("s"))
+      val sizes = sh.select(col("id"), size(col("shingles")).as("ns"))
+      val verified = cand
+        .join(inv.select(col("id").as("id_a"), col("s")), "id_a")
+        .join(inv.select(col("id").as("id_b"), col("s")), Seq("id_b", "s"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("id").as("id_a"), col("ns").as("n_a")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("ns").as("n_b")), "id_b")
+        .withColumn("jaccard", graft.functions.Rounding.portableRound(
+          col("n_common") / (col("n_a") + col("n_b") - col("n_common")), 4))
+        .filter(col("jaccard") >= thr)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      (if (budget == Int.MaxValue) verified
+       else Knn.topKByScore(verified, Seq("id_a"), "jaccard", "id_b", budget)
+         .select(col("id_a"), col("id_b"), col("jaccard"))).count()
+    }
+
+    def medianOf(reps: Int)(body: => Long): (Double, Long) = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      (runs.map(_._1).sorted.apply(reps / 2), runs.head._2)
+    }
+    val (tProd, nProd) = medianOf(3)(production())
+    val (tInv, nInv) = medianOf(3)(inverted())
+    // the two verifies must agree before any timing means anything.
+    // NOTE: n_common counts DISTINCT-shingle matches only if wordShingles
+    // dedups; the production jaccard has set semantics — assert equality
+    // of the verified-pair counts as the cheap agreement check
+    assert(nProd == nInv, s"verify strategies disagree: $nProd vs $nInv")
+    println(f"[measure] minhash verify @ $sf: production(array_intersect)" +
+      f"=$tProd%.2fs  inverted(n_common)=$tInv%.2fs  pairs=$nProd")
+  }
+}

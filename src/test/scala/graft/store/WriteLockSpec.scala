@@ -163,15 +163,24 @@ class WriteLockSpec extends SparkSpec {
     assert(counter == 40, s"lost ${40 - counter} increments to a double-acquire")
   }
 
-  test("compact and rebucket also run under the lock") {
+  test("maintenance stages OUTSIDE the lock: a no-op compact never " +
+      "touches it; a rebucket's flip waits, then fails loudly") {
     val wh = freshWarehouse()
     KeyedTable.toSql(sampleDf, wh, "t", pk = Seq("id"))
     val dir = KeyedTable.tableDir(wh, "t")
     WriteLock.withLock(spark, dir, "other") {
-      intercept[StoreException] { KeyedTable.compact(spark, wh, "t") }
-      intercept[StoreException] { KeyedTable.rebucket(spark, wh, "t", 8) }
+      // the optimistic-maintenance contract (round 18): the decision
+      // and the rewrite run unlocked — a nothing-crowded compact
+      // completes with ZERO lock traffic even while a writer holds it
+      assert(KeyedTable.compact(spark, wh, "t") == 0)
+      // a rebucket stages its shuffle unlocked but cannot FLIP while
+      // the lock is held: the brief commit wait expires loudly with
+      // the holder's context, the table unchanged
+      intercept[StoreException] {
+        KeyedTable.rebucket(spark, wh, "t", 8, commitWaitMs = 400L)
+      }
     }
-    // and both still work once the lock is free
+    // and the flip lands once the lock is free
     KeyedTable.rebucket(spark, wh, "t", 8)
     assert(KeyedTable.readSql(spark, wh, "t").count() == 2)
   }
