@@ -597,6 +597,43 @@ object KeyedTable {
     statsPool.invokeAll(tasks.asJava).asScala.map(_.get()).toMap
   }
 
+  /** The columns a commit records per-file stats for: leading PK plus
+    * the configured [[TableMeta.statsCols]], schema-present only. */
+  private def statColsTypedOf(meta: TableMeta): Seq[(String, DataType)] =
+    (meta.pk.headOption.toSeq ++ meta.statsCols).distinct
+      .filter(meta.schema.fieldNames.contains)
+      .map(c => c -> meta.schema(c).dataType)
+
+  /** Footer stats of every staged parquet file under `staging`,
+    * collected OUTSIDE the lock — the rename into the live bucket dirs
+    * preserves content, so [[commitStaged]] applies these verbatim via
+    * its `preStats` hook instead of re-opening O(staged files) footers
+    * inside the flip. Keyed by (bucket, staged file name). The
+    * optimistic maintenance paths (compact / zorder / rebucket) stage
+    * the WHOLE table at worst, which is exactly where in-lock footer
+    * IO would re-create the writer outage this round removed. */
+  private def stageFileStats(spark: SparkSession, f: FileSystem,
+                             staging: String,
+                             cols: Seq[(String, DataType)])
+      : Map[(Int, String), (Option[Long], Map[String, ColStats])] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(staging)
+    if (!f.exists(root)) Map.empty
+    else {
+      val byPath: Seq[((Int, String), Path)] = f.listStatus(root).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(s"$BucketCol="))
+        .flatMap { d =>
+          val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
+          f.listStatus(d.getPath).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => ((b, st.getPath.getName), st.getPath))
+        }
+      val stats = pkFileStatsAll(conf, byPath.map(_._2), cols)
+      byPath.map { case (k, p) => k -> stats(p) }.toMap
+    }
+  }
+
   /** A column type whose min/max the manifest can store and compare
     * (Long / Double / String — the [[ColStats]] value domain). */
   private[store] def statStorable(t: DataType): Boolean = t match {
@@ -727,22 +764,32 @@ object KeyedTable {
     *
     * `removeMissing`: when true (predicate delete, rebucket), a touched
     * bucket with no staged output is REMOVED from the new snapshot;
-    * when false, it is carried over unchanged. */
+    * when false, it is carried over unchanged.
+    *
+    * `preStats`: footer stats PRE-COLLECTED from the staging files
+    * OUTSIDE the lock, keyed by (bucket, staged file name) — see
+    * [[stageFileStats]]. Rename never changes content, so they apply
+    * verbatim to the moved files. The optimistic MAINTENANCE paths
+    * must pass this: a zorder/rebucket stages the WHOLE table, and
+    * paying O(table) footer opens inside the flip would turn the
+    * "brief" lock hold back into a writer outage. Any file the map
+    * misses (raced staging edits — never happens from this code) is
+    * read at commit as before. */
   private def commitStaged(spark: SparkSession, f: FileSystem, dir: String,
                            data: String, staging: String, touched: Seq[Int],
                            op: String, base: Manifest, newBuckets: Int,
                            meta: TableMeta,
                            add: Boolean = false,
                            removeMissing: Boolean = false,
-                           streamEpoch: Option[(String, Long)] = None): Manifest = {
+                           streamEpoch: Option[(String, Long)] = None,
+                           preStats: Option[Map[(Int, String),
+                             (Option[Long], Map[String, ColStats])]] = None)
+      : Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
     // leading PK first, then the configured extra stat columns — ONE
     // footer block walk collects them all
-    val statColsTyped: Seq[(String, DataType)] =
-      (statCol.toSeq ++ meta.statsCols).distinct
-        .filter(meta.schema.fieldNames.contains)
-        .map(c => c -> meta.schema(c).dataType)
+    val statColsTyped: Seq[(String, DataType)] = statColsTypedOf(meta)
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     def abort(msg: String): Nothing = {
@@ -772,9 +819,23 @@ object KeyedTable {
     }.toMap
     // ONE footer open per new file per commit — pooled, not serial —
     // buys both the row count (COUNT(*)/row estimates become driver
-    // arithmetic) and the file-skipping stats range reads plan against
-    val footer = pkFileStatsAll(conf,
-      movedByBucket.valuesIterator.flatten.map(_._1).toSeq, statColsTyped)
+    // arithmetic) and the file-skipping stats range reads plan against.
+    // `preStats` entries (collected unlocked from the staging paths —
+    // renames preserve content) skip the in-lock read entirely.
+    def stagedNameOf(dst: Path): String =
+      dst.getName.stripPrefix(s"$commitId-")
+    val pre: Map[Path, (Option[Long], Map[String, ColStats])] =
+      preStats.fold(Map.empty[Path, (Option[Long], Map[String, ColStats])]) {
+        ps =>
+          movedByBucket.iterator.flatMap { case (b, fls) =>
+            fls.flatMap { case (dst, _) =>
+              ps.get((b, stagedNameOf(dst))).map(dst -> _)
+            }
+          }.toMap
+      }
+    val footer = pre ++ pkFileStatsAll(conf,
+      movedByBucket.valuesIterator.flatten.map(_._1)
+        .filterNot(pre.contains).toSeq, statColsTyped)
     val staged: Map[Int, Seq[ManifestFile]] = movedByBucket.map {
       case (b, fls) => b -> fls.map { case (dst, len) =>
         val (rows, colStats) = footer(dst)
@@ -2965,6 +3026,10 @@ object KeyedTable {
           .repartition(crowded.size, col(BucketCol))
           .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
+        // footer stats of the staged files too — the flip must stay a
+        // flip even when every bucket was crowded
+        val preStats = stageFileStats(spark, f, staging,
+          statColsTypedOf(meta0))
         MaintenanceHooks.betweenPhases()
         // ---------------- LOCKED: re-validate, commit ----------------
         WriteLock.withLockWait(spark, dir, "compact(commit)", commitWaitMs) {
@@ -2973,7 +3038,8 @@ object KeyedTable {
           maintenanceWindowCheck(base0, baseLatest, meta0, metaLatest,
             crowded, "compact")
           commitStaged(spark, f, dir, data, staging, crowded, "compact",
-            baseLatest, baseLatest.buckets, metaLatest)
+            baseLatest, baseLatest.buckets, metaLatest,
+            preStats = Some(preStats))
         }
       } finally f.delete(new Path(staging), true)
       crowded.size
@@ -3210,6 +3276,15 @@ object KeyedTable {
           parquetBlockBytes.fold(writer)(n =>
             writer.option("parquet.block.size", n.toString))
             .parquet(staging)
+          // footer stats collected UNLOCKED, with the z columns already
+          // in the tracked set (the flip registers them as statsCols,
+          // so this commit's files must carry their bounds — that
+          // tight-bounds payoff is the point of the Z-order)
+          val zStats = (meta0.statsCols ++
+            zCols.filter(c => statStorable(meta0.schema(c).dataType))
+              .filterNot(meta0.pk.headOption.contains)).distinct
+          val preStats = stageFileStats(spark, f, staging,
+            statColsTypedOf(meta0.copy(statsCols = zStats)))
           MaintenanceHooks.betweenPhases()
           // -------------- LOCKED: re-validate, commit --------------
           WriteLock.withLockWait(spark, dir, "zorder(commit)",
@@ -3235,7 +3310,8 @@ object KeyedTable {
                 m
               }
             commitStaged(spark, f, dir, data, staging, touched,
-              "zorder", baseLatest, baseLatest.buckets, metaStat)
+              "zorder", baseLatest, baseLatest.buckets, metaStat,
+              preStats = Some(preStats))
             // full rewrite of every base0 bucket — and any bucket born
             // AFTER the drop was already written post-drop — so dropped
             // names are re-addable again (see dropColumns)
@@ -3848,6 +3924,10 @@ object KeyedTable {
             .repartition(newBuckets, col(BucketCol))
             .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
             .write.partitionBy(BucketCol).parquet(staging)
+          // a rebucket stages EVERY row — its footer stats must not be
+          // paid inside the flip (see stageFileStats)
+          val preStats = stageFileStats(spark, f, staging,
+            statColsTypedOf(meta0))
           MaintenanceHooks.betweenPhases()
           // -------------- LOCKED: re-validate, commit --------------
           WriteLock.withLockWait(spark, dir, "rebucket(commit)",
@@ -3875,7 +3955,8 @@ object KeyedTable {
             // (pre-manifest) code paths read.
             commitStaged(spark, f, dir, data, staging,
               0 until math.max(base0.buckets, newBuckets), "rebucket",
-              baseLatest, newBuckets, metaLatest, removeMissing = true)
+              baseLatest, newBuckets, metaLatest, removeMissing = true,
+              preStats = Some(preStats))
             // a full rewrite: every live file now carries the current
             // schema, so dropped names may be re-added safely
             TableMeta.write(spark, dir,
