@@ -611,7 +611,12 @@ object KeyedTable {
     * inside the flip. Keyed by (bucket, staged file name). The
     * optimistic maintenance paths (compact / zorder / rebucket) stage
     * the WHOLE table at worst, which is exactly where in-lock footer
-    * IO would re-create the writer outage this round removed. */
+    * IO would re-create the writer outage this round removed; the
+    * row verbs' flips shrink by their delta's footer IO too. Stats
+    * columns are pinned at STAGE time: a stat column registered
+    * mid-window simply has no bounds on this commit's files (the
+    * standard files-before-the-column-joined contract — they are
+    * never pruned on it). */
   private def stageFileStats(spark: SparkSession, f: FileSystem,
                              staging: String,
                              cols: Seq[(String, DataType)])
@@ -1690,6 +1695,8 @@ object KeyedTable {
         // the expensive job — OUTSIDE the lock
         clusterByBucket(newB, base0.buckets, metaUsed.pk)
           .write.partitionBy(BucketCol).parquet(staging)
+        val preStats = stageFileStats(spark, f, staging,
+          statColsTypedOf(metaUsed))
 
         // ---------------- LOCKED: re-validate, commit ----------------
         WriteLock.withLockWait(spark, dir, "appendConcurrent(commit)",
@@ -1744,7 +1751,7 @@ object KeyedTable {
           commitStaged(spark, f, dir, data, staging, touched,
             "appendConcurrent", baseLatest, baseLatest.buckets,
             metaLatest.copy(schema = mergedSchema), add = true,
-            streamEpoch = txn)
+            streamEpoch = txn, preStats = Some(preStats))
           (clStaging orElse clLate).foreach { src =>
             commitChangelogBatch(f, "appendConcurrent", src,
               nextChangelogDst(f, dir))
@@ -1920,6 +1927,8 @@ object KeyedTable {
         // the expensive merge job — OUTSIDE the lock
         clusterByBucket(out, base0.buckets, meta0.pk)
           .write.partitionBy(BucketCol).parquet(staging)
+        val preStats = stageFileStats(spark, f, staging,
+          statColsTypedOf(meta0))
         UpsertConcurrentHooks.betweenPhases()
 
         // ---------------- LOCKED: re-validate, commit ----------------
@@ -1953,7 +1962,8 @@ object KeyedTable {
             clLate = Some(stageImages())
           commitStaged(spark, f, dir, data, staging, touched,
             "upsertConcurrent", baseLatest, baseLatest.buckets,
-            metaLatest.copy(schema = mergedSchema))
+            metaLatest.copy(schema = mergedSchema),
+            preStats = Some(preStats))
           (clStaging orElse clLate).foreach { src =>
             commitChangelogBatch(f, "upsertConcurrent", src,
               nextChangelogDst(f, dir))
@@ -2123,6 +2133,9 @@ object KeyedTable {
           .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
       }
+      val preStats =
+        if (mor) Map.empty[(Int, String), (Option[Long], Map[String, ColStats])]
+        else stageFileStats(spark, f, staging, statColsTypedOf(meta0))
       UpdateConcurrentHooks.betweenPhases()
 
       // ---------------- LOCKED: re-validate, commit ----------------
@@ -2171,7 +2184,8 @@ object KeyedTable {
             touched, "updateConcurrent", baseLatest, metaLatest)
         else
           commitStaged(spark, f, dir, data, staging, touched,
-            "updateConcurrent", baseLatest, baseLatest.buckets, metaLatest)
+            "updateConcurrent", baseLatest, baseLatest.buckets, metaLatest,
+            preStats = Some(preStats))
         (clStaging orElse clLate).foreach { src =>
           commitChangelogBatch(f, "updateConcurrent", src,
             nextChangelogDst(f, dir))
@@ -2357,6 +2371,8 @@ object KeyedTable {
         // the expensive merge job — OUTSIDE the lock
         clusterByBucket(out, base0.buckets, meta0.pk)
           .write.partitionBy(BucketCol).parquet(staging)
+        val preStats = stageFileStats(spark, f, staging,
+          statColsTypedOf(meta0))
         MergeConcurrentHooks.betweenPhases()
 
         // ---------------- LOCKED: re-validate, commit ----------------
@@ -2392,7 +2408,8 @@ object KeyedTable {
           // has no staged replacement and leaves the snapshot
           commitStaged(spark, f, dir, data, staging, touched,
             "mergeConcurrent", baseLatest, baseLatest.buckets,
-            metaLatest.copy(schema = mergedSchema), removeMissing = true)
+            metaLatest.copy(schema = mergedSchema), removeMissing = true,
+            preStats = Some(preStats))
           (clStaging orElse clLate).foreach { src =>
             commitChangelogBatch(f, "mergeConcurrent", src,
               nextChangelogDst(f, dir))
@@ -2503,6 +2520,9 @@ object KeyedTable {
           .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
       }
+      val preStats =
+        if (mor) Map.empty[(Int, String), (Option[Long], Map[String, ColStats])]
+        else stageFileStats(spark, f, staging, statColsTypedOf(meta0))
       DeleteConcurrentHooks.betweenPhases()
 
       // ---------------- LOCKED: re-validate, commit ----------------
@@ -2541,7 +2561,7 @@ object KeyedTable {
         else
           commitStaged(spark, f, dir, data, staging, touched,
             "deleteConcurrent", baseLatest, baseLatest.buckets, metaLatest,
-            removeMissing = true)
+            removeMissing = true, preStats = Some(preStats))
         (clStaging orElse clLate).foreach { src =>
           commitChangelogBatch(f, "deleteConcurrent", src,
             nextChangelogDst(f, dir))
