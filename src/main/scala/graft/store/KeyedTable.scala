@@ -1093,6 +1093,12 @@ object KeyedTable {
         clSrc0 = c; dvStaging0 = d
       }
 
+      // the epoch's footer stats, collected OUTSIDE the lock (the
+      // sink is the highest-frequency committer — its flip must stay
+      // a flip however large the epoch)
+      val preStats = stageFileStats(spark, f, staging,
+        statColsTypedOf(meta0))
+
       StreamEpochHooks.betweenPhases()
 
       // ------- LOCKED (briefly — queue behind other committers rather
@@ -1147,7 +1153,8 @@ object KeyedTable {
                              else None)
             commitStaged(spark, f, tblDir, data, staging, touched,
               "stream", baseL, baseL.buckets, metaL, add = true,
-              streamEpoch = Some(queryId -> epochId))
+              streamEpoch = Some(queryId -> epochId),
+              preStats = Some(preStats))
             clSrc.foreach(src =>
               commitChangelogBatch(f, "stream", src,
                 nextChangelogDst(f, tblDir)))
@@ -1169,7 +1176,8 @@ object KeyedTable {
               else (clSrc0, dvStaging0)
             commitStagedMorMut(spark, f, tblDir, data, staging, dvStaging,
               touched, "stream-upsert", baseL, metaL,
-              streamEpoch = Some(queryId -> epochId))
+              streamEpoch = Some(queryId -> epochId),
+              preStats = Some(preStats))
             clSrc.foreach(src =>
               commitChangelogBatch(f, "stream-upsert", src,
                 nextChangelogDst(f, tblDir)))
@@ -1273,7 +1281,9 @@ object KeyedTable {
                                  dataStaging: String, dvStaging: String,
                                  touched: Seq[Int], op: String,
                                  base: Manifest, meta: TableMeta,
-                                 streamEpoch: Option[(String, Long)] = None)
+                                 streamEpoch: Option[(String, Long)] = None,
+                                 preStats: Option[Map[(Int, String),
+                                   (Option[Long], Map[String, ColStats])]] = None)
       : Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
@@ -1315,8 +1325,23 @@ object KeyedTable {
       }.toMap
     val dataMoved = moveIn(dataStaging, "")
     val dvMoved = moveIn(dvStaging, "dv-")
-    val footer = pkFileStatsAll(conf,
-      dataMoved.valuesIterator.flatten.map(_._1).toSeq, statColsTyped)
+    // post-image footer stats pre-collected OUTSIDE the lock when the
+    // caller staged them (see [[stageFileStats]]); DV position files
+    // stay in-lock — delta-sized, and the upsert-mode sink RE-DERIVES
+    // them inside the lock on a window conflict
+    val pre: Map[Path, (Option[Long], Map[String, ColStats])] =
+      preStats.fold(Map.empty[Path, (Option[Long], Map[String, ColStats])]) {
+        ps =>
+          dataMoved.iterator.flatMap { case (b, fls) =>
+            fls.flatMap { case (dst, _) =>
+              ps.get((b, dst.getName.stripPrefix(s"$commitId-")))
+                .map(dst -> _)
+            }
+          }.toMap
+      }
+    val footer = pre ++ pkFileStatsAll(conf,
+      dataMoved.valuesIterator.flatten.map(_._1)
+        .filterNot(pre.contains).toSeq, statColsTyped)
     val dvFooter = pkFileStatsAll(conf,
       dvMoved.valuesIterator.flatten.map(_._1).toSeq, Nil)
     val newFiles: Map[Int, Seq[ManifestFile]] =
@@ -2133,9 +2158,10 @@ object KeyedTable {
           .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
           .write.partitionBy(BucketCol).parquet(staging)
       }
-      val preStats =
-        if (mor) Map.empty[(Int, String), (Option[Long], Map[String, ColStats])]
-        else stageFileStats(spark, f, staging, statColsTypedOf(meta0))
+      // post-image staging has the same bucket layout in BOTH modes —
+      // pre-collect its footer stats outside the lock either way
+      val preStats = stageFileStats(spark, f, staging,
+        statColsTypedOf(meta0))
       UpdateConcurrentHooks.betweenPhases()
 
       // ---------------- LOCKED: re-validate, commit ----------------
@@ -2181,7 +2207,8 @@ object KeyedTable {
           clLate = Some(stageImages())
         if (mor)
           commitStagedMorMut(spark, f, dir, data, staging, dvStaging,
-            touched, "updateConcurrent", baseLatest, metaLatest)
+            touched, "updateConcurrent", baseLatest, metaLatest,
+            preStats = Some(preStats))
         else
           commitStaged(spark, f, dir, data, staging, touched,
             "updateConcurrent", baseLatest, baseLatest.buckets, metaLatest,
