@@ -4922,48 +4922,57 @@ object KeyedTable {
         "undialed call would mean 'drop the whole log'")
     val dir = tableDir(schemaDir(warehouse0, schema), tableName)
     val clRoot = new Path(dir, ChangelogDir)
-    WriteLock.withLock(spark, dir, "expireChangelog") {
-      val f = fs(spark, dir)
-      if (!f.exists(clRoot))
-        throw new StoreException(
-          s"table $tableName has no changelog — nothing to expire")
-      val batches = f.listStatus(clRoot).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-        .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st))
-        .sortBy(_._1)
-      val newest = batches.lastOption.map(_._1).getOrElse(-1L)
-      val now = System.currentTimeMillis()
-      // prefix walk: stop at the first batch either dial refuses. The
-      // age dial judges by the max FILE mtime inside the batch, not the
-      // directory's: object-store filesystems synthesize directory
-      // mtimes (often 0, or the copy time after a bucket migration), so
-      // a dir-mtime age gate would expire every non-newest batch
-      // regardless of real age. File mtimes are written at commit; the
-      // prefix bound and the newest-batch anchor keep even a skewed
-      // clock from gapping the stream.
-      val expire = batches.takeWhile { case (n, st) =>
-        n != newest &&
-          beforeBatch.forall(n < _) &&
-          olderThanMs.forall(a =>
-            batchCommitMs(f, st.getPath, st.getModificationTime) <= now - a)
+    val f = fs(spark, dir)
+    // LOCKED: the prefix decision + the floor write (monotone floor,
+    // arbitration with concurrent batch-number assignment); the
+    // physical deletes run AFTER release — once the floor persists,
+    // everything below it is logically expired (readers fail toward a
+    // re-sync regardless of deletion timing), so a large retention
+    // pass never queues writers behind its directory deletes
+    val (count, toReap): (Int, Seq[Path]) =
+      WriteLock.withLock(spark, dir, "expireChangelog") {
+        if (!f.exists(clRoot))
+          throw new StoreException(
+            s"table $tableName has no changelog — nothing to expire")
+        val batches = f.listStatus(clRoot).toSeq
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+          .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st))
+          .sortBy(_._1)
+        val newest = batches.lastOption.map(_._1).getOrElse(-1L)
+        val now = System.currentTimeMillis()
+        // prefix walk: stop at the first batch either dial refuses. The
+        // age dial judges by the max FILE mtime inside the batch, not
+        // the directory's: object-store filesystems synthesize
+        // directory mtimes (often 0, or the copy time after a bucket
+        // migration), so a dir-mtime age gate would expire every
+        // non-newest batch regardless of real age. File mtimes are
+        // written at commit; the prefix bound and the newest-batch
+        // anchor keep even a skewed clock from gapping the stream.
+        val expire = batches.takeWhile { case (n, st) =>
+          n != newest &&
+            beforeBatch.forall(n < _) &&
+            olderThanMs.forall(a =>
+              batchCommitMs(f, st.getPath, st.getModificationTime) <= now - a)
+        }
+        if (expire.isEmpty) (0, Nil)
+        else if (dryRun) (expire.size, Nil)
+        else {
+          // floor FIRST, deletes second: a crash in between leaves a
+          // floor claiming slightly more than was reaped — readers
+          // below it fail toward a re-sync (conservative); the reverse
+          // order could leave reaped batches with no floor, i.e. a
+          // silently gapped stream
+          val floor = expire.last._1 + 1
+          val fp = new Path(clRoot, ChangelogFloorFile)
+          val out = f.create(fp, true)
+          try out.write(s"""{"firstBatch": $floor}""".getBytes("UTF-8"))
+          finally out.close()
+          (expire.size, expire.map(_._2.getPath))
+        }
       }
-      if (expire.isEmpty) 0
-      else if (dryRun) expire.size
-      else {
-        // floor FIRST, deletes second: a crash in between leaves a
-        // floor claiming slightly more than was reaped — readers below
-        // it fail toward a re-sync (conservative); the reverse order
-        // could leave reaped batches with no floor, i.e. a silently
-        // gapped stream
-        val floor = expire.last._1 + 1
-        val fp = new Path(clRoot, ChangelogFloorFile)
-        val out = f.create(fp, true)
-        try out.write(s"""{"firstBatch": $floor}""".getBytes("UTF-8"))
-        finally out.close()
-        expire.foreach { case (_, st) => f.delete(st.getPath, true) }
-        expire.size
-      }
-    }
+    // a concurrent expireChangelog's duplicate delete is a no-op
+    toReap.foreach(p => f.delete(p, true): Unit)
+    count
   }
 
   /** First surviving changelog batch id — the [[expireChangelog]]
