@@ -1600,10 +1600,26 @@ object PbQueries {
         pk = Seq("c_custkey"), buckets = 8)
       spark.sql(s"ALTER TABLE $cat.customer " +
         "SET TBLPROPERTIES('commit_mode'='optimistic')")
-      raceThree("sqlOptimistic") { r =>
-        spark.sql(s"UPDATE $cat.customer " +
-          s"SET c_acctbal = c_acctbal + ${r * 100}.0 " +
-          s"WHERE c_custkey % 4 = $r")
+      // NO caller-side retry loop: optimistic SQL statements auto-retry
+      // their window conflicts internally (spark.graft.sql.maxRetries,
+      // each attempt re-staged fresh) — with 3 competing commits each
+      // statement needs at most 3 attempts, inside the default bound
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutor(pool)
+        try {
+          Await.result(
+            Future.sequence((1 to 3).map(r => Future {
+              spark.sql(s"UPDATE $cat.customer " +
+                s"SET c_acctbal = c_acctbal + ${r * 100}.0 " +
+                s"WHERE c_custkey % 4 = $r"): Unit
+            })),
+            5.minutes)
+          ()
+        } finally pool.shutdown()
       }
       // key-range predicate: SQL DELETE plans only when every filter
       // translates to a V2 source Filter (modulo does not)

@@ -313,10 +313,15 @@ case class GraftUpdateCommand(warehouse: String, table: String,
     val setMap = sets.map { case (c, e) => c -> GraftSqlDml.byName(e) }.toMap
     // commit_mode=optimistic routes SQL UPDATE onto the bucket-level
     // optimistic twin: the rewrite stages outside the write lock and a
-    // racing disjoint-bucket statement commits right through it
+    // racing disjoint-bucket statement commits right through it. An
+    // overlapping-bucket conflict auto-retries (bounded by
+    // spark.graft.sql.maxRetries) — each attempt re-stages against the
+    // fresh snapshot, so the statement semantics stay one-shot.
     if (TableMeta.read(spark,
         KeyedTable.tableDir(warehouse, table)).optimisticDml)
-      KeyedTable.updateConcurrent(spark, warehouse, table, cond, setMap): Unit
+      KeyedTable.retryOptimisticSql(spark, s"UPDATE $table") {
+        KeyedTable.updateConcurrent(spark, warehouse, table, cond, setMap)
+      }: Unit
     else
       KeyedTable.update(spark, warehouse, table, cond, setMap): Unit
     Seq.empty
@@ -333,9 +338,20 @@ case class GraftUpdateCommand(warehouse: String, table: String,
   * When both UPDATE and INSERT are present every source row IS an
   * action and the feed flows through whole (the CDC-apply fast path —
   * no extra join). A partial clause set pre-filters the feed against
-  * the target's PINNED snapshot key set with one left join (routing
-  * and commit pin the same version — a racing commit aborts the merge
-  * with ConcurrentWriteException instead of silently mis-routing):
+  * the target's PINNED snapshot key set with one left join. On the
+  * LOCKED path, routing and commit pin the same version — ANY racing
+  * commit aborts the merge with ConcurrentWriteException instead of
+  * silently mis-routing (strict serializable). Under
+  * `commit_mode=optimistic` the pin is enforced at STAGE-START and the
+  * flip re-validates only the touched buckets, so the statement is
+  * write-serializable: a concurrent insert into an UNTOUCHED bucket
+  * survives a full-snapshot-sync `WHEN NOT MATCHED BY SOURCE` that
+  * raced it (the row was not in the pinned routing set, so it is
+  * neither updated nor deleted — Delta's WriteSerializable anomaly).
+  * Dial `spark.graft.merge.bySourceStrict=true` to make BY SOURCE
+  * shapes abort on ANY version movement under optimistic mode too
+  * (auto-retry then re-pins, restoring the locked path's contract at
+  * the cost of retries under sustained ingest):
   * rows that match the target survive only if UPDATE is present (or
   * DELETE, for rows the delete condition selects); rows that don't
   * match survive only if INSERT is present. In every shape the store
@@ -353,7 +369,17 @@ case class GraftMergeCommand(warehouse: String, table: String,
                              insCondCol: Option[String] = None,
                              bySource: Option[BySourceAction] = None)
     extends LeafRunnableCommand {
-  override def run(spark: SparkSession): Seq[Row] = {
+  // the WHOLE body retries on a routing/window conflict (bounded by
+  // spark.graft.sql.maxRetries): each attempt re-pins the routing
+  // snapshot and re-runs the pre-filter join against it, so a retry can
+  // never mis-route rows planned against a stale key set. Applies to
+  // both modes — the locked path's commit-time pin (a racing commit
+  // between the routing read and the lock) aborts with the same
+  // ConcurrentWriteException and is equally safe to re-plan.
+  override def run(spark: SparkSession): Seq[Row] =
+    KeyedTable.retryOptimisticSql(spark, s"MERGE INTO $table")(runOnce(spark))
+
+  private def runOnce(spark: SparkSession): Seq[Row] = {
     val df: DataFrame = GraftBridge.ofRows(spark, feed)
     val del: Column = coalesce(col(delCol), lit(false))
     // the unconditional full shape needs no matched/unmatched routing:
@@ -425,7 +451,12 @@ case class GraftMergeCommand(warehouse: String, table: String,
         deleteWhen = coalesce(col(delCol), lit(false)),
         strictUtc = false,
         deleteOnlyMatched = true,
-        expectedVersion = pinned): Unit
+        expectedVersion = pinned,
+        // BY SOURCE reads the whole snapshot; the strict dial restores
+        // the locked path's any-movement abort for those shapes (class
+        // doc: the WriteSerializable anomaly) — auto-retry re-pins
+        strictVersion = bySource.isDefined &&
+          GraftSqlDml.bySourceStrict(spark)): Unit
     else
       KeyedTable.merge(pre, warehouse, table,
         deleteWhen = coalesce(col(delCol), lit(false)),
@@ -440,6 +471,21 @@ case class GraftMergeCommand(warehouse: String, table: String,
 }
 
 object GraftSqlDml {
+  /** Isolation dial for optimistic `WHEN NOT MATCHED BY SOURCE` merges:
+    * false (default) = write-serializable (touched-bucket window only;
+    * see [[GraftMergeCommand]]'s class doc for the anomaly); true =
+    * strict — abort on ANY version movement between stage-start and the
+    * flip, exactly the locked path's rule. */
+  val BySourceStrictConf = "spark.graft.merge.bySourceStrict"
+
+  private[graft] def bySourceStrict(spark: SparkSession): Boolean =
+    spark.conf.get(BySourceStrictConf, "false").toLowerCase match {
+      case "true" => true
+      case "false" => false
+      case v => throw new graft.store.StoreException(
+        s"$BySourceStrictConf must be true/false, got '$v'")
+    }
+
   /** Re-resolve an analyzed expression against the store's own read of
     * the table: attribute references become by-name lookups (the store
     * re-reads the table inside update/merge, so the original exprIds

@@ -271,6 +271,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"table property '$k' must be true/false, got '$v'")
     }
     val autoIndex = boolProp("auto_index")
+    // validate BEFORE creation (all-or-nothing like the other property
+    // checks): a bogus commit_mode must not leave the new table behind
+    props.get("commit_mode").foreach(KeyedTable.parseCommitMode)
     val pk: Seq[String] = props.get("primary_key")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)

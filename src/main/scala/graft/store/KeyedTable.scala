@@ -779,7 +779,12 @@ object KeyedTable {
     * paying O(table) footer opens inside the flip would turn the
     * "brief" lock hold back into a writer outage. Any file the map
     * misses (raced staging edits — never happens from this code) is
-    * read at commit as before. */
+    * read at commit as before.
+    *
+    * GUARD RAIL for new mutation verbs: commitStaged runs INSIDE the
+    * locked flip — keep it metadata arithmetic plus renames. Collect
+    * footer stats before the lock via [[stageFileStats]]/`preStats`
+    * hooks; never re-open parquet footers in here. */
   private def commitStaged(spark: SparkSession, f: FileSystem, dir: String,
                            data: String, staging: String, touched: Seq[Int],
                            op: String, base: Manifest, newBuckets: Int,
@@ -2169,17 +2174,6 @@ object KeyedTable {
           commitWaitMs) {
         val metaLatest = TableMeta.read(spark, dir)
         val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
-        // a CHECK registered while this update staged lives in
-        // TableMeta, so neither the manifest window nor the schema
-        // check below would catch it — re-enforce the delta against
-        // the matched rows' POST-images (the window check about to run
-        // proves the pre-image they were computed from is still the
-        // truth; on a window conflict the whole commit aborts anyway)
-        enforceChecks(
-          raw.filter(matched).select(meta0.schema.fieldNames.toSeq
-            .map(c => newVal(c).as(c)): _*),
-          metaLatest.checks -- meta0.checks.keySet,
-          "updateConcurrent(commit)")
         if (baseLatest.buckets != base0.buckets)
           throw new ConcurrentWriteException(
             s"bucket count changed ${base0.buckets} -> " +
@@ -2203,6 +2197,19 @@ object KeyedTable {
               "overlapping touched-bucket set); the staged rewrite read " +
               "a stale pre-image — retry the update")
         }
+        // a CHECK registered while this update staged lives in
+        // TableMeta, so neither the manifest window nor the schema
+        // check above would catch it — re-enforce the delta against
+        // the matched rows' POST-images. Runs AFTER the window/schema
+        // validation: with the schema proven unchanged, a new check can
+        // only reference columns this frame carries, so a clean
+        // constraint error (never a raw AnalysisException about a
+        // concurrently-added column) is what surfaces inside the lock.
+        enforceChecks(
+          raw.filter(matched).select(meta0.schema.fieldNames.toSeq
+            .map(c => newVal(c).as(c)): _*),
+          metaLatest.checks -- meta0.checks.keySet,
+          "updateConcurrent(commit)")
         if (metaLatest.changelog && clStaging.isEmpty)
           clLate = Some(stageImages())
         if (mor)
@@ -2256,7 +2263,8 @@ object KeyedTable {
                       strictUtc: Boolean = true,
                       deleteOnlyMatched: Boolean = false,
                       commitWaitMs: Long = 60000L,
-                      expectedVersion: Option[Long] = None): (Long, Long, Long) = {
+                      expectedVersion: Option[Long] = None,
+                      strictVersion: Boolean = false): (Long, Long, Long) = {
     val spark = df.sparkSession
     val wh = schemaDir(warehouse0, schema)
     val dir = tableDir(wh, tableName)
@@ -2407,9 +2415,17 @@ object KeyedTable {
             commitWaitMs) {
           val metaLatest = TableMeta.read(spark, dir)
           val baseLatest = snapshotForWrite(spark, dir, data, metaLatest)
-          enforceChecks(checkRows,
-            metaLatest.checks -- meta0.checks.keySet,
-            "mergeConcurrent(commit)")
+          // strictVersion: ANY movement aborts (the locked path's
+          // contract) — for shapes whose semantics read the WHOLE
+          // snapshot (SQL `WHEN NOT MATCHED BY SOURCE` sync), where the
+          // touched-bucket window alone would let a concurrent insert
+          // into an untouched bucket survive a full-table sync
+          // (write-serializable, Delta's WriteSerializable anomaly)
+          if (strictVersion && baseLatest.version != base0.version)
+            throw new ConcurrentWriteException(
+              s"table moved ${base0.version} -> ${baseLatest.version} " +
+              "while this merge staged and strict version enforcement is " +
+              "on (full-snapshot-sync merge); retry the merge")
           if (baseLatest.buckets != base0.buckets)
             throw new ConcurrentWriteException(
               s"bucket count changed ${base0.buckets} -> " +
@@ -2428,6 +2444,22 @@ object KeyedTable {
                 "since this merge staged (concurrent mutation with an " +
                 "overlapping touched-bucket set); the staged merge read a " +
                 "stale pre-image — retry the merge")
+          }
+          // re-enforce checks added while this merge staged, AFTER the
+          // window validation. Merge legally evolves schema, so a new
+          // check may reference a column this feed does not carry —
+          // that surfaces as a clean conflict (retry re-stages against
+          // the evolved schema), never a raw AnalysisException.
+          try enforceChecks(checkRows,
+            metaLatest.checks -- meta0.checks.keySet,
+            "mergeConcurrent(commit)")
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              throw new ConcurrentWriteException(
+                "a CHECK constraint added while this merge staged " +
+                "references column(s) this merge's frame does not carry " +
+                s"(concurrent schema change): ${e.getMessage}; retry the " +
+                "merge")
           }
           if (metaLatest.changelog && clStaging.isEmpty)
             clLate = Some(stageImages())
@@ -2948,6 +2980,45 @@ object KeyedTable {
               s"$op: gave up after $maxAttempts attempts, each aborted " +
               s"by a concurrent writer (last: ${e.getMessage}); the " +
               "table is unchanged — rerun when write traffic quiets")
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Bounded statement-level AUTO-RETRY for SQL DML lowered onto the
+    * optimistic verbs (`commit_mode=optimistic`): a window conflict
+    * aborts an attempt with [[ConcurrentWriteException]], which a
+    * programmatic caller handles in its own loop — but a
+    * Spark-SQL-only orchestrator would see a statement failure Delta
+    * would have absorbed, converting the multi-writer win back into
+    * orchestrator-side retry boilerplate. Each attempt re-runs the
+    * WHOLE lowering body (MERGE re-pins its routing snapshot, the
+    * rewrite re-stages against the fresh table), so retrying is always
+    * correct: the failed attempt committed nothing. Bounded by
+    * [[SqlMaxRetriesConf]] — a statement that cannot win against
+    * sustained write traffic surfaces loudly, naming the dial. */
+  val SqlMaxRetriesConf = "spark.graft.sql.maxRetries"
+  val SqlMaxRetriesDefault = 5
+
+  private[graft] def retryOptimisticSql[A](spark: SparkSession,
+                                           op: String)(body: => A): A = {
+    val raw = spark.conf.get(SqlMaxRetriesConf,
+      SqlMaxRetriesDefault.toString)
+    val max = raw.trim.toIntOption.filter(_ >= 1).getOrElse(
+      throw new StoreException(
+        s"$SqlMaxRetriesConf must be a positive integer, got '$raw'"))
+    var attempt = 1
+    while (true) {
+      try return body
+      catch {
+        case e: ConcurrentWriteException =>
+          if (attempt >= max)
+            throw new ConcurrentWriteException(
+              s"$op: gave up after $max attempts, each aborted by a " +
+              s"concurrent writer (last: ${e.getMessage}); the statement " +
+              s"committed nothing — raise $SqlMaxRetriesConf or rerun " +
+              "when write traffic quiets")
           attempt += 1
       }
     }
@@ -4253,10 +4324,11 @@ object KeyedTable {
             removed += 1
         }
       }
-      // Tag temp files (`.tmp-tags-*`): only a crash between create and
-      // rename leaves one behind — same reap rule as manifest temps.
+      // Table-root temp FILES (`.tmp-*`: tag temps, and the commit
+      // arbiter's lock-file temps): only a crash between create and
+      // publish leaves one behind — same reap rule as manifest temps.
       f.listStatus(p).foreach { st =>
-        if (st.isFile && st.getPath.getName.startsWith(".tmp-tags-") &&
+        if (st.isFile && st.getPath.getName.startsWith(".tmp-") &&
             st.getModificationTime < cutoff && reap(st.getPath, false))
           removed += 1
       }
@@ -4854,15 +4926,21 @@ object KeyedTable {
     * `ALTER TABLE t SET TBLPROPERTIES('commit_mode'='optimistic')`
     * (see [[TableMeta.optimisticDml]]). `mode` is `optimistic` or
     * `locked`; anything else fails loudly. */
+  /** Parses/validates a `commit_mode` property value; true =
+    * optimistic. Shared by [[setCommitMode]] and CREATE TABLE's
+    * pre-creation validation (all-or-nothing: a bogus value must fail
+    * before the table exists, like every other property check). */
+  def parseCommitMode(mode: String): Boolean = mode.toLowerCase match {
+    case "optimistic" => true
+    case "locked" => false
+    case v => throw new StoreException(
+      s"commit_mode must be 'optimistic' or 'locked', got '$v'")
+  }
+
   def setCommitMode(spark: SparkSession, warehouse0: String,
                     tableName: String, mode: String,
                     schema: Option[String] = None): Unit = {
-    val optimistic = mode.toLowerCase match {
-      case "optimistic" => true
-      case "locked" => false
-      case v => throw new StoreException(
-        s"commit_mode must be 'optimistic' or 'locked', got '$v'")
-    }
+    val optimistic = parseCommitMode(mode)
     val dir = tableDir(schemaDir(warehouse0, schema), tableName)
     WriteLock.withLock(spark, dir, s"setCommitMode($mode)") {
       val meta = TableMeta.read(spark, dir)
@@ -4934,10 +5012,20 @@ object KeyedTable {
         if (!f.exists(clRoot))
           throw new StoreException(
             s"table $tableName has no changelog — nothing to expire")
-        val batches = f.listStatus(clRoot).toSeq
+        val all = f.listStatus(clRoot).toSeq
           .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
           .map(st => (st.getPath.getName.stripPrefix("batch=").toLong, st))
           .sortBy(_._1)
+        // MONOTONE floor: batches below the existing floor are already
+        // logically expired — a previous call's post-lock physical
+        // deletes may still be in flight, or a crash left them behind.
+        // They are excluded from the prefix decision (so a second call
+        // with narrower dials can never write a SMALLER floor, which
+        // would leave the first call's deleted-but-above-floor batches
+        // silently gapping the stream) and re-enter the reap list as
+        // orphans instead.
+        val floor0 = changelogFloor(f, clRoot)
+        val (orphans, batches) = all.partition(_._1 < floor0)
         val newest = batches.lastOption.map(_._1).getOrElse(-1L)
         val now = System.currentTimeMillis()
         // prefix walk: stop at the first batch either dial refuses. The
@@ -4954,20 +5042,23 @@ object KeyedTable {
             olderThanMs.forall(a =>
               batchCommitMs(f, st.getPath, st.getModificationTime) <= now - a)
         }
-        if (expire.isEmpty) (0, Nil)
+        if (expire.isEmpty)
+          (0, if (dryRun) Nil else orphans.map(_._2.getPath))
         else if (dryRun) (expire.size, Nil)
         else {
           // floor FIRST, deletes second: a crash in between leaves a
           // floor claiming slightly more than was reaped — readers
           // below it fail toward a re-sync (conservative); the reverse
           // order could leave reaped batches with no floor, i.e. a
-          // silently gapped stream
+          // silently gapped stream. The prefix excluded sub-floor
+          // batches, so this floor is strictly above the existing one
+          // — never a regression.
           val floor = expire.last._1 + 1
           val fp = new Path(clRoot, ChangelogFloorFile)
           val out = f.create(fp, true)
           try out.write(s"""{"firstBatch": $floor}""".getBytes("UTF-8"))
           finally out.close()
-          (expire.size, expire.map(_._2.getPath))
+          (expire.size, orphans.map(_._2.getPath) ++ expire.map(_._2.getPath))
         }
       }
     // a concurrent expireChangelog's duplicate delete is a no-op

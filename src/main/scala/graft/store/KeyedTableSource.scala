@@ -203,9 +203,12 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
     val spark = SparkSession.active
     // commit_mode=optimistic (re-read: the property may have changed
     // since this Table instance resolved) routes onto the optimistic
-    // twin — the survivor rewrite / DV staging runs outside the lock
+    // twin — the survivor rewrite / DV staging runs outside the lock;
+    // a window conflict auto-retries (bounded, re-staged fresh)
     if (TableMeta.read(spark, tableDir).optimisticDml)
-      KeyedTable.deleteConcurrent(spark, wh, ref, cond): Unit
+      KeyedTable.retryOptimisticSql(spark, s"DELETE FROM $ref") {
+        KeyedTable.deleteConcurrent(spark, wh, ref, cond)
+      }: Unit
     else
       KeyedTable.delete(spark, wh, ref, cond): Unit
   }
@@ -351,7 +354,10 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
               def doAppend(): Unit =
                 if (!meta.autoIndex &&
                     TableMeta.read(SparkSession.active, tableDir).optimisticDml)
-                  KeyedTable.appendConcurrent(cleaned, wh, tbl)
+                  KeyedTable.retryOptimisticSql(SparkSession.active,
+                      s"INSERT INTO $tbl") {
+                    KeyedTable.appendConcurrent(cleaned, wh, tbl)
+                  }
                 else
                   KeyedTable.toSql(cleaned, wh, tbl, how = WriteMode.Append)
               try doAppend()

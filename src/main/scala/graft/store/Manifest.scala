@@ -598,10 +598,17 @@ object Manifest {
   val SegmentThresholdConf = "spark.graft.manifest.segmentThreshold"
   val SegmentThresholdDefault = 512
 
-  /** Atomically publish a snapshot: write to a temp name, then ONE file
-    * rename into `_manifests/v<N>.json` — the commit point of every
-    * mutation. Fails loudly if the rename fails or the version already
-    * exists (two writers racing would mean a write-lock violation).
+  /** Atomically publish a snapshot: ONE [[CommitArbiter]] put-if-absent
+    * of `_manifests/v<N>.json` — the commit point of every mutation.
+    * The arbiter (`spark.graft.commit.arbiter`) is the SAME primitive
+    * the write lock acquires through, so even on storage where the
+    * lock is advisory (object stores under the default `atomic`
+    * arbiter) a duplicate version can never silently win: the losing
+    * writer gets a [[ConcurrentWriteException]] and the table stays on
+    * exactly one linear history. Under the `conditional` arbiter the
+    * put itself is a conditional write (If-None-Match) — hard
+    * exactly-one-winner on object stores, proven by CommitArbiterSpec
+    * racing committers over an injected non-atomic filesystem.
     *
     * SEGMENTED form (format 4, past [[SegmentThresholdConf]]): each
     * bucket's entries serialize into an immutable
@@ -628,13 +635,21 @@ object Manifest {
     val f = fsOf(spark, tableDir)
     val d = dir(tableDir)
     f.mkdirs(d)
+    val arbiter = CommitArbiter.resolve(spark)
     val finalPath = new Path(d, nameOf(m1.version))
     if (f.exists(finalPath))
+      throw new ConcurrentWriteException(
+        s"manifest version ${m1.version} already exists at $finalPath — a " +
+        "concurrent writer committed it first; re-read the table and retry")
+    val thresholdStr = spark.conf.get(SegmentThresholdConf,
+      SegmentThresholdDefault.toString)
+    // validated, not bare .toInt: a malformed conf value would fail
+    // EVERY subsequent commit at the flip, and zero/negative would
+    // silently force segmentation of every table
+    val threshold = thresholdStr.trim.toIntOption.filter(_ > 0).getOrElse(
       throw new StoreException(
-        s"manifest version ${m1.version} already exists at $finalPath " +
-        "(concurrent writer? the write lock should prevent this)")
-    val threshold = spark.conf.get(SegmentThresholdConf,
-      SegmentThresholdDefault.toString).toInt
+        s"$SegmentThresholdConf must be a positive integer, " +
+        s"got '$thresholdStr'"))
     val entries = m1.files.valuesIterator.map(_.size).sum +
       m1.dvs.valuesIterator.map(_.size).sum
     val prev: Option[Manifest] =
@@ -655,18 +670,23 @@ object Manifest {
               p.files.getOrElse(b, Nil) == fls &&
               p.dvs.getOrElse(b, Nil) == dvl))
             val name = reuse.getOrElse {
+              // fresh UUID names never contend — the arbiter is used
+              // for its complete-before-visible write, not arbitration
               val n = s"seg-${UUID.randomUUID()}.json"
-              val tmpSeg = new Path(d, s".tmp-${UUID.randomUUID()}")
-              val out = f.create(tmpSeg, false)
-              try out.write(segmentJson(fls, dvl).getBytes("UTF-8"))
-              finally out.close()
               val segPath = new Path(d, n)
-              if (!f.rename(tmpSeg, segPath)) {
-                f.delete(tmpSeg, false)
+              val segWon =
+                try arbiter.putIfAbsent(f, segPath,
+                  segmentJson(fls, dvl).getBytes("UTF-8"))
+                catch {
+                  case e: java.io.IOException => throw new StoreException(
+                    s"could not write manifest segment $segPath ($e); " +
+                    "table unchanged (the previous snapshot is still current)")
+                }
+              if (!segWon)
                 throw new StoreException(
-                  s"could not write manifest segment $tmpSeg -> $segPath; " +
-                  "table unchanged (the previous snapshot is still current)")
-              }
+                  s"could not write manifest segment $segPath (a file with " +
+                  "this fresh name already exists?); table unchanged (the " +
+                  "previous snapshot is still current)")
               segCachePut(segPath.toString, (fls, dvl))
               n
             }
@@ -675,15 +695,23 @@ object Manifest {
         m1.copy(segs = segs)
       }
     val body = if (segmented) listJson(m) else m.toJson
-    val tmp = new Path(d, s".tmp-${UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, finalPath)) {
-      f.delete(tmp, false)
-      throw new StoreException(
-        s"could not commit manifest $tmp -> $finalPath; table unchanged " +
-        "(the previous snapshot is still current)")
-    }
+    // THE commit point: one-winner publish of the version file. A false
+    // return is a concurrent committer winning this exact version —
+    // possible only when the write lock was advisory (object stores) or
+    // broken; the loser's staged work is orphaned garbage for vacuum,
+    // never corruption, and its retry re-reads the winner's snapshot.
+    val won =
+      try arbiter.putIfAbsent(f, finalPath, body.getBytes("UTF-8"))
+      catch {
+        case e: java.io.IOException => throw new StoreException(
+          s"could not commit manifest $finalPath ($e); table unchanged " +
+          "(the previous snapshot is still current)")
+      }
+    if (!won)
+      throw new ConcurrentWriteException(
+        s"manifest version ${m1.version} already exists at $finalPath — a " +
+        "concurrent writer committed it first (lost the commit race); " +
+        "table unchanged by this writer — re-read and retry")
     cachePut(finalPath.toString, m)
     m
   }

@@ -20,15 +20,18 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   * blocking — batch mutators should surface contention, not queue
   * invisibly behind it).
   *
-  * ATOMICITY CAVEAT: create-if-absent is atomic on HDFS and local
-  * filesystems (the namenode / kernel arbitrates), which is what this
-  * lock's mutual exclusion rests on. Object-store connectors (s3a, gs,
-  * abfs, wasb, oss, cos) historically implement it as check-then-put —
-  * two racing writers can BOTH "acquire". On those schemes the lock
-  * degrades to advisory: acquire logs a loud warning once per scheme,
-  * and deployments needing hard exclusion there should front mutations
-  * with an external coordinator (or a connector with true conditional
-  * writes, e.g. S3 If-None-Match) instead of this file lock.
+  * ATOMICITY: the create-if-absent goes through the session's
+  * [[CommitArbiter]] (`spark.graft.commit.arbiter`). The default
+  * `atomic` arbiter rests on the filesystem's own primitives — atomic
+  * on HDFS and local (the namenode / kernel arbitrates), CHECK-THEN-PUT
+  * on object-store connectors (s3a, gs, abfs, wasb, oss, cos), where
+  * two racing writers can BOTH "acquire" and the lock degrades to
+  * advisory (acquire logs a loud warning once per scheme). On those
+  * stores configure the `conditional` arbiter (If-None-Match puts,
+  * S3A >= Hadoop 3.4.2 or an [[AtomicCommit]] shim) — the lock then
+  * stays a hard mutex, and [[Manifest.commit]]'s version flip goes
+  * through the same arbiter as the backstop. CommitArbiterSpec proves
+  * exactly-one-winner under an injected non-atomic filesystem.
   *
   * Liveness is the lock file's MODIFICATION TIME, not its content: a
   * holder's daemon heartbeat bumps the mtime (atomic `setTimes` — no
@@ -76,13 +79,14 @@ object WriteLock {
                       staleMs: Long = DefaultStaleMs)(body: => A): A = {
     val p = new Path(tableDir, FileName)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    warnIfNonAtomicCreate(fs, p)
+    val arbiter = CommitArbiter.resolve(spark)
+    warnIfNonAtomicCreate(arbiter, fs, p)
     val token = UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + waitMs
     var acquired = false
     while (!acquired) {
       try {
-        acquire(fs, p, token, op, staleMs, retried = false)
+        acquire(arbiter, fs, p, token, op, staleMs, retried = false)
         acquired = true
       } catch {
         case e: StoreException
@@ -101,21 +105,19 @@ object WriteLock {
     }
   }
 
-  /** Schemes whose Hadoop connectors implement create-if-absent as
-    * check-then-put rather than an atomic primitive (see class doc). */
-  private val NonAtomicCreateSchemes =
-    Set("s3a", "s3", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
-
   private val warnedSchemes = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def warnIfNonAtomicCreate(fs: FileSystem, p: Path): Unit = {
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
-    if (NonAtomicCreateSchemes.contains(scheme) && warnedSchemes.add(scheme))
+  private def warnIfNonAtomicCreate(arbiter: CommitArbiter, fs: FileSystem,
+                                    p: Path): Unit = {
+    val scheme = CommitArbiter.schemeOf(fs)
+    if (!arbiter.atomicOn(fs) && warnedSchemes.add(scheme))
       System.err.println(
         s"[graft] WARNING: filesystem scheme '$scheme' does not guarantee atomic " +
         s"create-if-absent; the write lock at $p is ADVISORY on this storage — " +
-        "two racing writers may both acquire it. Use an external coordinator " +
-        "for hard mutual exclusion on object stores.")
+        "two racing writers may both acquire it. Configure " +
+        s"${CommitArbiter.Conf}=conditional (If-None-Match puts; S3A on " +
+        "Hadoop >= 3.4.2, or an AtomicCommit connector shim) for hard " +
+        "mutual exclusion on object stores.")
   }
 
   private def lockJson(token: String, op: String): String =
@@ -128,73 +130,22 @@ object WriteLock {
     try Some(System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime)
     catch { case _: Exception => None }
 
-  /** Atomic create-if-absent of the lock file with `body` as content;
-    * true when WE created it, false on contention.
-    *
-    * The `file` scheme CANNOT go through `fs.create(p, overwrite =
-    * false)`: Hadoop's ChecksumFileSystem/RawLocalFileSystem implement
-    * the no-overwrite flag as exists-then-create — two racing writers
-    * (e.g. two threads of one driver, or two drivers on a shared NFS
-    * mount) can BOTH pass the exists check, both "acquire", and then
-    * silently overwrite each other's manifest commits (POSIX rename
-    * replaces an existing target without error — the lost-commit shape
-    * ConcurrentAppendSpec reproduces). java.io.File.createNewFile is
-    * O_CREAT|O_EXCL, kernel-arbitrated — exactly one winner.
-    *
-    * A failure writing the body (disk full, stream error) deletes the
-    * just-created file before rethrowing — our own fresh-but-torn lock
-    * must not block every writer (us included) for the full TTL. */
-  private def createAtomically(fs: FileSystem, p: Path,
-                               body: Array[Byte]): Boolean = {
-    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
-    if (scheme == "file") {
-      val f = new java.io.File(p.toUri.getPath)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      if (!f.createNewFile()) false
-      else {
-        // raw write bypasses Hadoop's checksum; a stale `.crc` from an
-        // fs.create-written lock (older code) would fail fs.open reads
-        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
-        try {
-          val out = new java.io.FileOutputStream(f)
-          try out.write(body) finally out.close()
-        } catch {
-          case e: Throwable =>
-            try { f.delete(); () } catch { case _: Exception => () }
-            throw e
-        }
-        true
-      }
-    } else {
-      val out =
-        try fs.create(p, false)
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
-          case _: java.nio.file.FileAlreadyExistsException => null
-          // some FileSystems surface the lost race as a plain
-          // IOException; treat it as contention only when the lock
-          // file is actually there, otherwise it is a real FS error
-          case _: java.io.IOException if fs.exists(p) => null
-        }
-      if (out == null) false
-      else {
-        try {
-          try out.write(body)
-          finally out.close()
-        } catch {
-          case e: Throwable =>
-            try fs.delete(p, false) catch { case _: Exception => () }
-            throw e
-        }
-        true
-      }
-    }
-  }
-
-  private def acquire(fs: FileSystem, p: Path, token: String, op: String,
+  /** Create-if-absent of the lock file through the session's
+    * [[CommitArbiter]] — content is COMPLETE before the name exists
+    * (never a torn lock body), and one-winner arbitration is the
+    * arbiter's contract (kernel hardlink on `file` — a bare
+    * `fs.create(p, overwrite = false)` would NOT do there: Hadoop's
+    * local filesystems implement the no-overwrite flag as
+    * exists-then-create, so two racing writers could both "acquire"
+    * and silently overwrite each other's manifest commits, the
+    * lost-commit shape ConcurrentAppendSpec reproduces; namenode
+    * rename on HDFS; conditional PUT under the `conditional`
+    * arbiter). */
+  private def acquire(arbiter: CommitArbiter, fs: FileSystem, p: Path,
+                      token: String, op: String,
                       staleMs: Long, retried: Boolean): Unit = {
     val created =
-      createAtomically(fs, p, lockJson(token, op).getBytes("UTF-8"))
+      arbiter.putIfAbsent(fs, p, lockJson(token, op).getBytes("UTF-8"))
     if (!created) {
       // liveness = mtime age (heartbeat-maintained); a vanished file
       // between the failed create and this check counts as fresh
@@ -217,7 +168,7 @@ object WriteLock {
       // crashed writer: break the lock; the create above arbitrates
       // the race between concurrent breakers
       fs.delete(p, false)
-      acquire(fs, p, token, op, staleMs, retried = true)
+      acquire(arbiter, fs, p, token, op, staleMs, retried = true)
     }
   }
 

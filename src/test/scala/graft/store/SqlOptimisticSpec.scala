@@ -112,6 +112,150 @@ class SqlOptimisticSpec extends SparkSpec {
     }
   }
 
+  private def causeChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).toSeq
+
+  test("an overlapping-bucket conflict AUTO-RETRIES inside the " +
+      "statement: one interference, three verb entries, no caller loop") {
+    val t = "t_sqlopt_autoretry"
+    KeyedTable.toSql(df((1L to 40L).map(i => (i, s"n$i", i * 1.0)): _*),
+      wh, t, pk = Seq("id"), buckets = 4)
+    withCat { cat =>
+      spark.sql(
+        s"ALTER TABLE $cat.$t SET TBLPROPERTIES('commit_mode'='optimistic')")
+      val entries = new java.util.concurrent.atomic.AtomicInteger(0)
+      var fired = false
+      KeyedTable.UpdateConcurrentHooks.betweenPhases = () => {
+        entries.incrementAndGet()
+        if (!fired) {
+          fired = true
+          // SAME keys → every staged bucket moves → the statement's
+          // first flip conflicts and must retry INTERNALLY
+          spark.sql(s"UPDATE $cat.$t SET bal = bal + 1000 WHERE id <= 40")
+        }
+      }
+      try spark.sql(s"UPDATE $cat.$t SET bal = bal + 1 WHERE id <= 40")
+      finally KeyedTable.UpdateConcurrentHooks.betweenPhases = () => ()
+      // attempt 1 + the interferer + attempt 2 — the retry happened
+      // inside the statement, and attempt 2 re-read the fresh state
+      assert(entries.get() == 3, s"verb entries: ${entries.get()}")
+      val got = KeyedTable.readSql(spark, wh, t).collect()
+        .map(r => r.getAs[Long]("id") -> r.getAs[Double]("bal")).toMap
+      (1L to 40L).foreach(i => assert(got(i) == i + 1001.0, s"key $i"))
+    }
+  }
+
+  test("retry exhaustion surfaces ConcurrentWriteException naming the " +
+      "dial; a bogus maxRetries value refuses loudly") {
+    val t = "t_sqlopt_exhaust"
+    KeyedTable.toSql(df((1L to 40L).map(i => (i, s"n$i", i * 1.0)): _*),
+      wh, t, pk = Seq("id"), buckets = 4)
+    withCat { cat =>
+      spark.sql(
+        s"ALTER TABLE $cat.$t SET TBLPROPERTIES('commit_mode'='optimistic')")
+      spark.conf.set(KeyedTable.SqlMaxRetriesConf, "1")
+      // interfere on EVERY attempt of the statement under test (the
+      // guard keeps the interferer's own verb entry from recursing)
+      val inHook = new java.util.concurrent.atomic.AtomicBoolean(false)
+      KeyedTable.UpdateConcurrentHooks.betweenPhases = () =>
+        if (inHook.compareAndSet(false, true))
+          try spark.sql(
+            s"UPDATE $cat.$t SET bal = bal + 1000 WHERE id <= 40"): Unit
+          finally inHook.set(false)
+      try {
+        val e = intercept[Exception] {
+          spark.sql(s"UPDATE $cat.$t SET bal = bal + 1 WHERE id <= 40")
+        }
+        assert(causeChain(e).exists(x =>
+          x.isInstanceOf[ConcurrentWriteException] &&
+          x.getMessage.contains(KeyedTable.SqlMaxRetriesConf)), e.toString)
+      } finally {
+        KeyedTable.UpdateConcurrentHooks.betweenPhases = () => ()
+        spark.conf.unset(KeyedTable.SqlMaxRetriesConf)
+      }
+      spark.conf.set(KeyedTable.SqlMaxRetriesConf, "many")
+      try {
+        val e2 = intercept[Exception] {
+          spark.sql(s"UPDATE $cat.$t SET bal = bal + 1 WHERE id <= 40")
+        }
+        assert(causeChain(e2).exists(x => x.getMessage != null &&
+          x.getMessage.contains("positive integer")), e2.toString)
+      } finally spark.conf.unset(KeyedTable.SqlMaxRetriesConf)
+    }
+  }
+
+  test("optimistic BY SOURCE merge is write-serializable by default (a " +
+      "racing insert into an untouched bucket survives the sync); the " +
+      "strict dial restores the locked contract via re-pinned retry") {
+    // probe the key→bucket map on a twin (same pk hash + bucket count)
+    KeyedTable.toSql(df((1L to 200L).map(i => (i, s"n$i", i * 1.0)): _*),
+      wh, "t_sqlopt_probe", pk = Seq("id"), buckets = 4)
+    val bucketOf = spark.read
+      .parquet(KeyedTable.dataDir(wh, "t_sqlopt_probe"))
+      .select(col("id"), col(KeyedTable.BucketCol))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val keep = (1L to 200L).filter(bucketOf(_) != 3).take(12)
+    val ghost = (1L to 200L).find(bucketOf(_) == 3).get
+    assert(keep.nonEmpty)
+
+    def run(name: String, strict: Boolean): Map[Long, Double] = withCat {
+      cat =>
+        KeyedTable.toSql(df(keep.map(i => (i, s"n$i", i * 1.0)): _*),
+          wh, name, pk = Seq("id"), buckets = 4)
+        spark.sql(s"ALTER TABLE $cat.$name " +
+          "SET TBLPROPERTIES('commit_mode'='optimistic')")
+        // feed = EVERY current key (no BY-SOURCE rows at plan time) —
+        // touched buckets exclude the ghost's
+        df(keep.map(i => (i, s"n$i", i + 0.5)): _*)
+          .createOrReplaceTempView(s"${name}_feed")
+        if (strict)
+          spark.conf.set(graft.plans.GraftSqlDml.BySourceStrictConf, "true")
+        var fired = false
+        KeyedTable.MergeConcurrentHooks.betweenPhases = () =>
+          if (!fired) {
+            fired = true
+            // lands in bucket 3 — untouched by the staged merge
+            spark.sql(s"INSERT INTO $cat.$name " +
+              s"VALUES ($ghost, 'ghost', -1.0, NULL)")
+          }
+        try spark.sql(s"""
+          MERGE INTO $cat.$name AS t USING ${name}_feed AS s ON t.id = s.id
+          WHEN MATCHED THEN UPDATE SET bal = s.bal
+          WHEN NOT MATCHED BY SOURCE THEN DELETE
+        """)
+        finally {
+          KeyedTable.MergeConcurrentHooks.betweenPhases = () => ()
+          if (strict)
+            spark.conf.unset(graft.plans.GraftSqlDml.BySourceStrictConf)
+        }
+        KeyedTable.readSql(spark, wh, name).collect()
+          .map(r => r.getAs[Long]("id") -> r.getAs[Double]("bal")).toMap
+    }
+
+    // default: write-serializable — the ghost was not in the pinned
+    // routing set and its bucket window never moved for the merge, so
+    // the full-snapshot sync did NOT delete it (the documented anomaly)
+    val relaxed = run("t_sqlopt_ws", strict = false)
+    assert(relaxed.get(ghost).contains(-1.0), s"got $relaxed")
+    keep.foreach(i => assert(relaxed(i) == i + 0.5))
+
+    // strict: ANY version movement aborts the flip; the statement's
+    // auto-retry re-pins routing, sees the ghost, and the sync deletes
+    // it — the locked path's strict-serializable outcome
+    val strictGot = run("t_sqlopt_strict", strict = true)
+    assert(!strictGot.contains(ghost), s"got $strictGot")
+    keep.foreach(i => assert(strictGot(i) == i + 0.5))
+
+    // bogus dial value refuses loudly
+    spark.conf.set(graft.plans.GraftSqlDml.BySourceStrictConf, "yolo")
+    try {
+      val e = intercept[Exception] {
+        graft.plans.GraftSqlDml.bySourceStrict(spark)
+      }
+      assert(e.getMessage.contains("true/false"))
+    } finally spark.conf.unset(graft.plans.GraftSqlDml.BySourceStrictConf)
+  }
+
   test("CREATE TABLE accepts commit_mode; bad values refuse loudly") {
     withCat { cat =>
       spark.sql(s"""CREATE TABLE $cat.t_sqlopt_create (k BIGINT, v STRING)
@@ -123,6 +267,15 @@ class SqlOptimisticSpec extends SparkSpec {
         KeyedTable.setCommitMode(spark, wh, "t_sqlopt_create", "yolo")
       }
       assert(e.getMessage.contains("commit_mode"), e.getMessage)
+      // all-or-nothing CREATE: a bogus commit_mode fails BEFORE the
+      // table exists (same contract as the other property validations)
+      val e2 = intercept[Exception] {
+        spark.sql(s"""CREATE TABLE $cat.t_sqlopt_badmode (k BIGINT)
+          TBLPROPERTIES('primary_key'='k', 'commit_mode'='yolo')""")
+      }
+      assert(e2.getMessage.contains("commit_mode"), e2.getMessage)
+      assert(!TableMeta.exists(spark,
+        KeyedTable.tableDir(wh, "t_sqlopt_badmode")))
     }
   }
 
