@@ -1631,6 +1631,46 @@ object PbQueries {
     }
   }
 
+  /** #11bg (`pb_rename_column`): metadata-only `ALTER TABLE … RENAME
+    * COLUMN` via the logical→physical name map — files keep their
+    * creation-time physical names forever, so the rename moves ZERO
+    * bytes at any scale and pushdown/stats/time-travel stay intact.
+    * The row exercises the whole lifecycle across the rename: SQL
+    * ALTER, a partial-column upsert ON the renamed column, a SQL
+    * UPDATE through the catalog, a predicate delete OVER the renamed
+    * column, and the final read — against an oracle replaying the
+    * same arithmetic on the original name. */
+  private val renameN = new java.util.concurrent.atomic.AtomicLong()
+  def renameColumnQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val cat = s"graft_gate_rn${renameN.incrementAndGet()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.store.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      val customer = Tables.customer(spark, sfDir)
+      KeyedTable.toSql(customer, wh, "customer", pk = Seq("c_custkey"),
+        buckets = 8)
+      spark.sql(s"ALTER TABLE $cat.customer RENAME COLUMN c_acctbal TO balance")
+      // partial upsert ON the renamed column (files stay physical)
+      KeyedTable.toSql(
+        customer.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"),
+            (col("c_acctbal") + 100.0).as("balance")),
+        wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Upsert)
+      // SQL UPDATE through the catalog, logical name in the SET
+      spark.sql(s"UPDATE $cat.customer SET c_mktsegment = 'RENAMED' " +
+        "WHERE c_custkey % 5 = 0")
+      // predicate delete OVER the renamed column
+      KeyedTable.delete(spark, wh, "customer",
+        col("balance") < 0.0 && col("c_custkey") % 3 === 0)
+      KeyedTable.readSql(spark, wh, "customer")
+    } finally {
+      spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
+      spark.conf.unset(s"spark.sql.catalog.$cat")
+    }
+  }
+
   /** #11bf (`pb_manifest_segments`): format-4 SEGMENTED manifests —
     * the whole lifecycle (create, partial-column upsert, predicate
     * delete with its DVs, shifted append) runs with the segment
@@ -1903,6 +1943,7 @@ object PbQueries {
     "pb_maintenance_concurrent" -> maintenanceConcurrentQ,
     "pb_sql_optimistic" -> sqlOptimisticQ,
     "pb_manifest_segments" -> manifestSegmentsQ,
+    "pb_rename_column" -> renameColumnQ,
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
@@ -2197,6 +2238,21 @@ object PbQueries {
              c_acctbal + (c_custkey % 4) * 100.0 AS c_acctbal,
              c_mktsegment
       FROM customer WHERE c_custkey > 10
+    """.trim,
+    // rename lifecycle replay on the ORIGINAL column name: %7 balances
+    // bumped (partial upsert on the renamed column), %5 segments
+    // relabeled (SQL UPDATE), then negative-balance %3 keys deleted
+    // (predicate over the renamed column, post-upsert values)
+    "pb_rename_column" -> """
+      SELECT c_custkey, c_name, c_nationkey,
+             CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                  ELSE c_acctbal END AS balance,
+             CASE WHEN c_custkey % 5 = 0 THEN 'RENAMED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      WHERE NOT ((CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END) < 0
+                 AND c_custkey % 3 = 0)
     """.trim,
     // segmented-manifest lifecycle replay: %7 balances bumped (partial
     // upsert), %11 deleted, shifted %89 copies appended (deletes run

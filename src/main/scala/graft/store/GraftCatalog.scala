@@ -317,15 +317,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       writeShape = org.apache.spark.sql.types.StructType(structFields))
   }
 
-  /** SQL DDL surface for the two schema evolutions the store defines —
-    * `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` (metadata-only,
-    * forced nullable, tombstoned names rejected) and
+  /** SQL DDL surface for the three schema evolutions the store defines
+    * — `ALTER TABLE graft.t ADD COLUMNS (c TYPE, …)` (metadata-only,
+    * forced nullable, tombstoned names rejected),
     * `ALTER TABLE graft.t DROP COLUMN c` (metadata-only with the
-    * resurrection tombstone) — lowered onto [[KeyedTable.addColumns]]
-    * / [[KeyedTable.dropColumns]]: identical locks, validation, and
-    * semantics as the programmatic calls. Everything else (renames,
-    * type changes, nested fields, property sets) is rejected loudly:
-    * those would silently break live files' physical layout. */
+    * resurrection tombstone), and
+    * `ALTER TABLE graft.t RENAME COLUMN a TO b` (metadata-only via the
+    * logical→physical name map; PK renames refused) — lowered onto
+    * [[KeyedTable.addColumns]] / [[KeyedTable.dropColumns]] /
+    * [[KeyedTable.renameColumn]]: identical locks, validation, and
+    * semantics as the programmatic calls. Everything else (type
+    * changes, nested fields, arbitrary property sets) is rejected
+    * loudly: those would silently break live files' physical layout. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val sch = schemaOf(ident.namespace()).getOrElse(
       throw new NoSuchTableException(ident))
@@ -346,6 +349,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val drops = changes.collect { case d: TableChange.DeleteColumn =>
       topLevel(d.fieldNames, "DROP COLUMN")
+    }
+    val renames = changes.collect { case r: TableChange.RenameColumn =>
+      topLevel(r.fieldNames, "RENAME COLUMN") -> r.newName
     }
     val checkAdds = changes.collect { case a: TableChange.AddConstraint =>
       a.constraint() match {
@@ -396,18 +402,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val other = changes.filterNot(c =>
       c.isInstanceOf[TableChange.AddColumn] ||
         c.isInstanceOf[TableChange.DeleteColumn] ||
+        c.isInstanceOf[TableChange.RenameColumn] ||
         c.isInstanceOf[TableChange.AddConstraint] ||
         c.isInstanceOf[TableChange.DropConstraint] ||
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])
     if (other.nonEmpty)
       throw new UnsupportedOperationException(
-        "only ADD COLUMNS, DROP COLUMN, ADD/DROP CONSTRAINT (CHECK), " +
-        "and SET/UNSET TBLPROPERTIES('changelog', 'commit_mode') are " +
-        s"supported on graft tables " +
+        "only ADD COLUMNS, DROP COLUMN, RENAME COLUMN, ADD/DROP " +
+        "CONSTRAINT (CHECK), and SET/UNSET TBLPROPERTIES('changelog', " +
+        "'commit_mode') are supported on graft tables " +
         s"(got ${other.map(_.getClass.getSimpleName).mkString(", ")})")
     if (adds.nonEmpty)
       KeyedTable.addColumns(spark, warehouse, ident.name(), adds.toSeq, sch)
+    renames.foreach { case (from, to) =>
+      KeyedTable.renameColumn(spark, warehouse, ident.name(), from, to, sch)
+    }
     if (drops.nonEmpty)
       KeyedTable.dropColumns(spark, warehouse, ident.name(), drops.toSeq, sch)
     checkAdds.foreach { case (n, e) =>

@@ -110,6 +110,12 @@ private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
   private val dataSchema = StructType(
     meta.schema.fields.filter(f => inputSchema.fieldNames.contains(f.name)))
 
+  /** Same fields under their PHYSICAL names — what the staged parquet
+    * must carry (see [[TableMeta.renames]]); row binding stays on the
+    * logical [[dataSchema]], and field order is identical. */
+  private val fileSchema = StructType(
+    dataSchema.fields.map(f => f.copy(name = meta.physName(f.name))))
+
   // bucket count pinned at query start; a rebucket racing the stream
   // is detected at every commit and fails the epoch loudly
   private val buckets: Int =
@@ -123,10 +129,10 @@ private[store] class KeyedStreamingWrite(meta: TableMeta, tableDir: String,
     val spark = SparkSession.active
     val (owf, conf) =
       org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-        .writerFactory(spark, dataSchema)
+        .writerFactory(spark, fileSchema)
     new KeyedStreamWriterFactory(owf,
       org.apache.spark.sql.GraftBridge.broadcastConf(spark.sparkContext, conf),
-      inputSchema, dataSchema, meta.pk, buckets, stagingRoot)
+      inputSchema, dataSchema, fileSchema, meta.pk, buckets, stagingRoot)
   }
 
   override def commit(epochId: Long,
@@ -165,13 +171,14 @@ private[store] class KeyedStreamWriterFactory(
     owf: OutputWriterFactory,
     conf: Broadcast[SerializableConfiguration],
     inputSchema: StructType, dataSchema: StructType,
+    fileSchema: StructType,
     pk: Seq[String], buckets: Int, stagingRoot: String)
     extends StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new KeyedStreamDataWriter(owf, conf.value.value, inputSchema,
-      dataSchema, pk, buckets, s"$stagingRoot/epoch=$epochId",
+      dataSchema, fileSchema, pk, buckets, s"$stagingRoot/epoch=$epochId",
       partitionId, taskId)
 }
 
@@ -183,6 +190,7 @@ private[store] class KeyedStreamDataWriter(
     owf: OutputWriterFactory,
     conf: org.apache.hadoop.conf.Configuration,
     inputSchema: StructType, dataSchema: StructType,
+    fileSchema: StructType,
     pk: Seq[String], buckets: Int, epochDir: String,
     partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
@@ -216,7 +224,7 @@ private[store] class KeyedStreamDataWriter(
         new TaskID(new JobID("graft-stream", 0), TaskType.MAP, partitionId),
         (taskId % Int.MaxValue).toInt)
       written += s"${KeyedTable.BucketCol}=$b/$name"
-      owf.newInstance(path.toString, dataSchema,
+      owf.newInstance(path.toString, fileSchema,
         new TaskAttemptContextImpl(conf, attempt))
     })
 

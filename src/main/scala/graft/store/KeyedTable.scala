@@ -514,6 +514,14 @@ object KeyedTable {
         s"column(s) ${resurrected.mkString(", ")} were dropped and their " +
         "physical data may still be live; rebucket or zorderCompact the " +
         "table first to re-add the name safely")
+    val physTaken = meta.renames.collect {
+      case (l, p) if newCols.exists(_.name == p) => s"$p (renamed to $l)"
+    }
+    if (physTaken.nonEmpty)
+      throw new StoreException(
+        s"column name(s) ${physTaken.mkString(", ")} are the PHYSICAL " +
+        "names of renamed columns — live files carry their bytes under " +
+        "that name; pick a different name")
     val evolved = StructType(meta.schema.fields ++ newCols.map(_.copy(nullable = true)))
 
     val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
@@ -598,11 +606,14 @@ object KeyedTable {
   }
 
   /** The columns a commit records per-file stats for: leading PK plus
-    * the configured [[TableMeta.statsCols]], schema-present only. */
+    * the configured [[TableMeta.statsCols]], schema-present only.
+    * Emitted under PHYSICAL names — that is what staged parquet footers
+    * carry and what manifest stat entries are keyed by (scan pruning
+    * translates its pushed logical columns the same way). */
   private def statColsTypedOf(meta: TableMeta): Seq[(String, DataType)] =
     (meta.pk.headOption.toSeq ++ meta.statsCols).distinct
       .filter(meta.schema.fieldNames.contains)
-      .map(c => c -> meta.schema(c).dataType)
+      .map(c => meta.physName(c) -> meta.schema(c).dataType)
 
   /** Footer stats of every staged parquet file under `staging`,
     * collected OUTSIDE the lock — the rename into the live bucket dirs
@@ -1009,10 +1020,13 @@ object KeyedTable {
       // rows and exits at the ledger check again harmlessly
       if (touched.isEmpty) return
       val (wh, ref) = refOf(tblDir)
-      val withBucketField = StructType(meta0.schema.fields :+
+      // executors staged under PHYSICAL names (KeyedStreamingWrite's
+      // fileSchema); alias back to the logical schema for the driver-
+      // side joins and checks
+      val withBucketField = StructType(meta0.physSchema.fields :+
         StructField(BucketCol, IntegerType, nullable = true))
-      val staged = spark.read.option("basePath", staging)
-        .schema(withBucketField).parquet(staging)
+      val staged = toLogical(spark.read.option("basePath", staging)
+        .schema(withBucketField).parquet(staging), meta0)
       val dups = staged.groupBy(meta0.pk.map(col): _*)
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         .limit(5).select(meta0.pk.map(col): _*).collect()
@@ -1404,6 +1418,29 @@ object KeyedTable {
                           mf: Option[Manifest]): DataFrame =
     readRawPos(spark, warehouse, table, meta, mf, withPos = false)
 
+  /** RENAME COLUMN boundary, write side: alias every renamed LOGICAL
+    * column to its PHYSICAL file name just before a staged data write
+    * — live files speak physical forever (see [[TableMeta.renames]]).
+    * Identity (the same DataFrame, zero plan nodes) on tables without
+    * renames, i.e. everywhere until the first rename. Columns outside
+    * the map (pb_bucket, _graft_file/pos, changelog images) pass
+    * through untouched. */
+  private def toPhys(df: DataFrame, meta: TableMeta): DataFrame =
+    if (meta.renames.isEmpty) df
+    else df.select(df.columns.map(c =>
+      col(c).as(meta.renames.getOrElse(c, c))).toIndexedSeq: _*)
+
+  /** RENAME COLUMN boundary, read side: alias physical file names back
+    * to the logical schema — the inverse of [[toPhys]], applied once
+    * per raw read. */
+  private def toLogical(df: DataFrame, meta: TableMeta): DataFrame =
+    if (meta.renames.isEmpty) df
+    else {
+      val p2l = meta.renames.map(_.swap)
+      df.select(df.columns.map(c =>
+        col(c).as(p2l.getOrElse(c, c))).toIndexedSeq: _*)
+    }
+
   /** The raw read, optionally exposing each row's physical identity
     * ([[FileCol]], [[PosCol]] — parquet file name + row ordinal via
     * `_metadata.row_index`), and ALWAYS applying the snapshot's delete
@@ -1414,10 +1451,14 @@ object KeyedTable {
                          table: String, meta: TableMeta,
                          mf: Option[Manifest],
                          withPos: Boolean): DataFrame = {
+    // files carry PHYSICAL names: scan with the physical schema, then
+    // toLogical (below) aliases the frame back — renames cost one
+    // projection, and parquet row-group pruning keeps working
     val withBucketField = StructType(
-      meta.schema.fields :+ StructField(BucketCol, IntegerType, nullable = true))
+      meta.physSchema.fields :+
+        StructField(BucketCol, IntegerType, nullable = true))
     val data = dataDir(warehouse, table)
-    mf match {
+    toLogical(mf match {
       case Some(m) =>
         val paths = m.absolutePaths(data)
         val dvPaths = m.dvPaths(data)
@@ -1466,7 +1507,7 @@ object KeyedTable {
           throw new StoreException(
             "position-exposing read requires a manifest snapshot")
         spark.read.schema(withBucketField).parquet(data)
-    }
+    }, meta)
   }
 
   private def append(df: DataFrame, warehouse: String, table: String,
@@ -1546,7 +1587,7 @@ object KeyedTable {
       val f = fs(spark, dir)
       try {
         try {
-          clusterByBucket(newB, base.buckets, meta.pk)
+          toPhys(clusterByBucket(newB, base.buckets, meta.pk), meta)
             .write.partitionBy(BucketCol).parquet(staging)
           commitStaged(spark, f, dir, data, staging, touched, "append",
             base, base.buckets, meta, add = true, streamEpoch = txn)
@@ -1723,7 +1764,7 @@ object KeyedTable {
       val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
       try {
         // the expensive job — OUTSIDE the lock
-        clusterByBucket(newB, base0.buckets, metaUsed.pk)
+        toPhys(clusterByBucket(newB, base0.buckets, metaUsed.pk), metaUsed)
           .write.partitionBy(BucketCol).parquet(staging)
         val preStats = stageFileStats(spark, f, staging,
           statColsTypedOf(metaUsed))
@@ -1955,7 +1996,7 @@ object KeyedTable {
       val staging = s"$dir/.staging-upsertc-${UUID.randomUUID()}"
       try {
         // the expensive merge job — OUTSIDE the lock
-        clusterByBucket(out, base0.buckets, meta0.pk)
+        toPhys(clusterByBucket(out, base0.buckets, meta0.pk), meta0)
           .write.partitionBy(BucketCol).parquet(staging)
         val preStats = stageFileStats(spark, f, staging,
           statColsTypedOf(meta0))
@@ -2145,11 +2186,12 @@ object KeyedTable {
             .repartition(touched.size, col(BucketCol))
             .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
             .write.partitionBy(BucketCol).parquet(dvStaging)
-          posFrame
+          toPhys(posFrame
             .select(meta0.schema.fieldNames.toSeq
               .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
             .repartition(touched.size, col(BucketCol))
-            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*),
+            meta0)
             .write.partitionBy(BucketCol).parquet(staging)
         } finally posFrame.unpersist()
       } else {
@@ -2157,10 +2199,11 @@ object KeyedTable {
           (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
            else col(c)).as(c)
         } :+ col(BucketCol)
-        raw.filter(col(BucketCol).isin(touched: _*))
+        toPhys(raw.filter(col(BucketCol).isin(touched: _*))
           .select(rewritten: _*)
           .repartition(touched.size, col(BucketCol))
-          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*),
+          meta0)
           .write.partitionBy(BucketCol).parquet(staging)
       }
       // post-image staging has the same bucket layout in BOTH modes —
@@ -2404,7 +2447,7 @@ object KeyedTable {
       val staging = s"$dir/.staging-mergec-${UUID.randomUUID()}"
       try {
         // the expensive merge job — OUTSIDE the lock
-        clusterByBucket(out, base0.buckets, meta0.pk)
+        toPhys(clusterByBucket(out, base0.buckets, meta0.pk), meta0)
           .write.partitionBy(BucketCol).parquet(staging)
         val preStats = stageFileStats(spark, f, staging,
           statColsTypedOf(meta0))
@@ -2573,10 +2616,11 @@ object KeyedTable {
           .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
           .write.partitionBy(BucketCol).parquet(staging)
       } else {
-        raw.filter(col(BucketCol).isin(touched: _*))
+        toPhys(raw.filter(col(BucketCol).isin(touched: _*))
           .filter(!coalesce(where, lit(false)))
           .repartition(touched.size, col(BucketCol))
-          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*),
+          meta0)
           .write.partitionBy(BucketCol).parquet(staging)
       }
       val preStats =
@@ -2828,13 +2872,14 @@ object KeyedTable {
               .repartition(touched.size, col(BucketCol))
               .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
               .write.partitionBy(BucketCol).parquet(dvStaging)
-            j.filter(!del)
+            toPhys(j.filter(!del)
               .select(meta.pk.map(col) ++ nonPk.toSeq.map { c =>
                 (if (incomingCols.contains(c)) col(s"n.$c")
                  else col(s"o.$c")).as(c)
               } :+ col(s"n.$BucketCol").as(BucketCol): _*)
               .repartition(touched.size, col(BucketCol))
-              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+              meta)
               .write.partitionBy(BucketCol).parquet(dataStaging)
             commitStagedMorMut(spark, f, dir, data, dataStaging,
               dvStaging, touched, "upsert", base, meta)
@@ -2845,7 +2890,7 @@ object KeyedTable {
         } else {
           val staging = s"$dir/.staging-${UUID.randomUUID()}"
           try {
-            clusterByBucket(out, base.buckets, meta.pk)
+            toPhys(clusterByBucket(out, base.buckets, meta.pk), meta)
               .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
             // removeMissing on the merge path: a touched bucket whose rows
             // ALL tombstoned has no staged replacement and leaves the
@@ -3104,10 +3149,11 @@ object KeyedTable {
       val f = fs(spark, dir)
       val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
       try {
-        readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
+        toPhys(readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
           .filter(col(BucketCol).isin(crowded: _*))
           .repartition(crowded.size, col(BucketCol))
-          .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+          .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+          meta)
           .write.partitionBy(BucketCol).parquet(staging)
         commitStaged(spark, f, dir, data, staging, crowded, "compact",
           base, base.buckets, meta)
@@ -3139,10 +3185,11 @@ object KeyedTable {
       val staging = s"$dir/.staging-compact-${UUID.randomUUID()}"
       try {
         // the rewrite job — OUTSIDE the lock
-        readRawWith(spark, warehouse, tableName, meta0, manifestOf(base0))
+        toPhys(readRawWith(spark, warehouse, tableName, meta0, manifestOf(base0))
           .filter(col(BucketCol).isin(crowded: _*))
           .repartition(crowded.size, col(BucketCol))
-          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+          .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*),
+          meta0)
           .write.partitionBy(BucketCol).parquet(staging)
         // footer stats of the staged files too — the flip must stay a
         // flip even when every bucket was crowded
@@ -3386,10 +3433,10 @@ object KeyedTable {
         val staging = s"$dir/.staging-zorder-${UUID.randomUUID()}"
         try {
           // the sort + rewrite job — OUTSIDE the lock
-          val writer = raw.withColumn("_z", z)
+          val writer = toPhys(raw.withColumn("_z", z)
             .repartition(base0.buckets, col(BucketCol))
             .sortWithinPartitions(col(BucketCol), col("_z"))
-            .drop("_z")
+            .drop("_z"), meta0)
             .write.partitionBy(BucketCol)
           parquetBlockBytes.fold(writer)(n =>
             writer.option("parquet.block.size", n.toString))
@@ -3528,10 +3575,11 @@ object KeyedTable {
             } else {
               // copy-on-write: NULL predicate rows are NOT matches —
               // keep them (a bare !where would silently drop them)
-              raw.filter(col(BucketCol).isin(touched: _*))
+              toPhys(raw.filter(col(BucketCol).isin(touched: _*))
                 .filter(!coalesce(where, lit(false)))
                 .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                meta)
                 .write.partitionBy(BucketCol).parquet(staging)
               // removeMissing: a bucket whose rows ALL matched has no
               // staged replacement — it leaves the new snapshot entirely
@@ -3651,11 +3699,12 @@ object KeyedTable {
                 .repartition(touched.size, col(BucketCol))
                 .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
                 .write.partitionBy(BucketCol).parquet(dvStaging)
-              posFrame
+              toPhys(posFrame
                 .select(meta.schema.fieldNames.toSeq
                   .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
                 .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                meta)
                 .write.partitionBy(BucketCol).parquet(dataStaging)
               commitStagedMorMut(spark, f, dir, data, dataStaging,
                 dvStaging, touched, "update", base, meta)
@@ -3671,10 +3720,11 @@ object KeyedTable {
                 (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
                  else col(c)).as(c)
               } :+ col(BucketCol)
-              raw.filter(col(BucketCol).isin(touched: _*))
+              toPhys(raw.filter(col(BucketCol).isin(touched: _*))
                 .select(rewritten: _*)
                 .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                meta)
                 .write.partitionBy(BucketCol).parquet(staging)
               commitStaged(spark, f, dir, data, staging, touched, "update",
                 base, base.buckets, meta)
@@ -3725,7 +3775,93 @@ object KeyedTable {
       TableMeta.write(spark, dir, meta.copy(
         schema = StructType(meta.schema.fields.filterNot(f => cols.contains(f.name))),
         statsCols = meta.statsCols.filterNot(cols.contains),
-        dropped = (meta.dropped ++ cols).distinct))
+        // tombstone the PHYSICAL name — that is what live files carry
+        // (dropping a renamed column must block re-adding its physical
+        // name, not its display name, which is safe to reuse)
+        dropped = (meta.dropped ++ cols.map(meta.physName)).distinct,
+        renames = meta.renames -- cols))
+    }
+  }
+
+  /** Metadata-only column RENAME (`ALTER TABLE … RENAME COLUMN`): the
+    * logical schema takes the new name, and [[TableMeta.renames]]
+    * remembers the column's PHYSICAL name — fixed at creation, never
+    * changed — so not one data byte moves and every snapshot (time
+    * travel, incremental reads, branches sharing the data dir) keeps
+    * resolving. Readers alias physical→logical in one projection;
+    * writers alias back at staging; manifest stats and parquet
+    * pushdown stay keyed physical throughout. The field-ID-free form
+    * of Iceberg's rename.
+    *
+    * Refused shapes, each a real hazard:
+    *  - PK columns: the bucket layout, manifest leading-PK stats, and
+    *    every co-bucketed join key on them;
+    *  - a target name already in the schema, or tombstoned in
+    *    [[TableMeta.dropped]] (pre-drop physical bytes may be live), or
+    *    serving as another column's physical name;
+    *  - a column referenced by a CHECK constraint (the stored predicate
+    *    SQL would silently stop resolving — drop and re-add the check
+    *    with the new name);
+    *  - a non-clean target name (same rule as every created column).
+    *
+    * Historical `t$changelog` batches keep their capture-time column
+    * names (the change stream is immutable history); batches captured
+    * after the rename use the new names. */
+  def renameColumn(spark: SparkSession, warehouse0: String,
+                   tableName: String, from: String, to: String,
+                   schema: Option[String] = None): Unit = {
+    val warehouse = schemaDir(warehouse0, schema)
+    val dir = tableDir(warehouse, tableName)
+    if (Names.cleanName(to) != to)
+      throw new StoreException(
+        s"bad column name '$to': renamed columns follow the same " +
+        s"clean-name rule as created ones (try '${Names.cleanName(to)}')")
+    WriteLock.withLock(spark, dir, s"renameColumn($from -> $to)") {
+      val meta = TableMeta.read(spark, dir)
+      if (!meta.schema.fieldNames.contains(from))
+        throw new StoreException(
+          s"cannot rename $from: not in table schema " +
+          s"${meta.schema.fieldNames.toSeq}")
+      if (meta.pk.contains(from))
+        throw new StoreException(
+          s"cannot rename primary-key column $from: the bucket layout, " +
+          "manifest stats, and co-bucketed joins key on it — create a " +
+          "new table (or add a renamed twin column) instead")
+      if (from == to) return
+      if (meta.schema.fieldNames.contains(to))
+        throw new StoreException(s"cannot rename $from to $to: $to is " +
+          "already in the table schema")
+      if (meta.dropped.contains(to))
+        throw new StoreException(
+          s"cannot rename $from to $to: $to was dropped and its physical " +
+          "data may still be live; rebucket or zorderCompact the table " +
+          "first to reuse the name safely")
+      meta.renames.find { case (l, p) => p == to && l != from }.foreach {
+        case (l, p) => throw new StoreException(
+          s"cannot rename $from to $to: $p is the physical name of " +
+          s"renamed column $l — live files carry its bytes under it")
+      }
+      val referencing = meta.checks.filter { case (_, e) =>
+        try spark.sessionState.sqlParser.parseExpression(e).collect {
+          case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+            a.nameParts.head
+        }.contains(from)
+        catch { case scala.util.control.NonFatal(_) => true } // unparsable: be safe
+      }
+      if (referencing.nonEmpty)
+        throw new StoreException(
+          s"cannot rename $from: CHECK constraint(s) " +
+          s"${referencing.keys.toSeq.sorted.mkString(", ")} reference it " +
+          "— drop the check(s), rename, and re-add them with the new name")
+      val phys = meta.physName(from)
+      TableMeta.write(spark, dir, meta.copy(
+        schema = StructType(meta.schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f)),
+        statsCols = meta.statsCols.map(c => if (c == from) to else c),
+        // identity entries never persist: renaming back to the physical
+        // name leaves the table rename-free again
+        renames = (meta.renames - from) ++
+          (if (to == phys) Map.empty[String, String] else Map(to -> phys))))
     }
   }
 
@@ -3753,6 +3889,11 @@ object KeyedTable {
             s"column ${f.name} was dropped and its physical data may " +
             "still be live; rebucket or zorderCompact the table first " +
             "to re-add the name safely")
+        meta.renames.find(_._2 == f.name).foreach { case (l, p) =>
+          throw new StoreException(
+            s"cannot add $p: it is the physical name of renamed " +
+            s"column $l — live files carry its bytes under that name")
+        }
       }
       TableMeta.write(spark, dir, meta.copy(
         schema = StructType(meta.schema.fields ++
@@ -4035,12 +4176,13 @@ object KeyedTable {
         val staging = s"$dir/.staging-rebucket-${UUID.randomUUID()}"
         try {
           // the full shuffle + rewrite — OUTSIDE the lock
-          withBucket(
+          toPhys(withBucket(
               readRawWith(spark, warehouse, tableName, meta0, Some(base0))
                 .drop(BucketCol),
               meta0.pk, newBuckets)
             .repartition(newBuckets, col(BucketCol))
-            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*)
+            .sortWithinPartitions((BucketCol +: meta0.pk).map(col): _*),
+            meta0)
             .write.partitionBy(BucketCol).parquet(staging)
           // a rebucket stages EVERY row — its footer stats must not be
           // paid inside the flip (see stageFileStats)
@@ -4101,12 +4243,13 @@ object KeyedTable {
     val f = fs(spark, dir)
     val staging = s"$dir/.staging-rebucket-${UUID.randomUUID()}"
     try {
-      withBucket(
+      toPhys(withBucket(
           readRawWith(spark, warehouse, tableName, meta, manifestOf(base))
             .drop(BucketCol),
           meta.pk, newBuckets)
         .repartition(newBuckets, col(BucketCol))
-        .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*)
+        .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+        meta)
         .write.partitionBy(BucketCol).parquet(staging)
       // ONE snapshot flip switches both the file set and the bucket
       // count (the manifest carries `buckets`), so no reader can ever

@@ -103,6 +103,45 @@ object KeyedTableSource {
       .option("warehouse", warehouse).option("table", table)
       .option("version", version.toString).load()
 
+  /** `s` with fields under their PHYSICAL names ([[TableMeta.renames]])
+    * — what parquet readers must request from live files. */
+  private[store] def physStruct(s: StructType, meta: TableMeta): StructType =
+    if (meta.renames.isEmpty) s
+    else StructType(s.fields.map(f => f.copy(name = meta.physName(f.name))))
+
+  /** Rewrite a pushed source Filter's column references
+    * logical→physical. None = an unrecognized shape referencing a
+    * renamed column — dropped from pushdown; every filter here is an IO
+    * optimization only (Spark re-evaluates residuals on the scan's
+    * rows), so dropping is always safe. */
+  private[store] def physFilter(f: Filter,
+                                phys: String => String): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    f match {
+      case f if f.references.forall(c => phys(c) == c) => Some(f)
+      case EqualTo(c, v) => Some(EqualTo(phys(c), v))
+      case EqualNullSafe(c, v) => Some(EqualNullSafe(phys(c), v))
+      case GreaterThan(c, v) => Some(GreaterThan(phys(c), v))
+      case GreaterThanOrEqual(c, v) => Some(GreaterThanOrEqual(phys(c), v))
+      case LessThan(c, v) => Some(LessThan(phys(c), v))
+      case LessThanOrEqual(c, v) => Some(LessThanOrEqual(phys(c), v))
+      case In(c, vs) => Some(In(phys(c), vs))
+      case IsNull(c) => Some(IsNull(phys(c)))
+      case IsNotNull(c) => Some(IsNotNull(phys(c)))
+      case StringStartsWith(c, v) => Some(StringStartsWith(phys(c), v))
+      case StringEndsWith(c, v) => Some(StringEndsWith(phys(c), v))
+      case StringContains(c, v) => Some(StringContains(phys(c), v))
+      case And(l, r) =>
+        for { a <- physFilter(l, phys); b <- physFilter(r, phys) }
+          yield And(a, b)
+      case Or(l, r) =>
+        for { a <- physFilter(l, phys); b <- physFilter(r, phys) }
+          yield Or(a, b)
+      case Not(c) => physFilter(c, phys).map(Not)
+      case _ => None
+    }
+  }
+
   /** (warehouse, tableName, pk) when `t` is a keyed-table DSv2 handle —
     * how graft's SQL DML rule recognizes its own tables inside a plan
     * (dataDir is always `<warehouse>/<table>/data`). */
@@ -633,11 +672,14 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
           Some(c -> (Some(sorted.head): Option[Any], Some(sorted.last): Option[Any]))
         } else None
       case _ => None
-    }
+      // manifest stat entries are keyed by PHYSICAL column names (what
+      // the parquet footers carry) — translate renamed logical columns
+    }.map { case (c, b) => meta.physName(c) -> b }
   }
 
   /** Does this file's recorded stats (leading-PK or extra-column) admit
-    * every pushed bound? */
+    * every pushed bound? (Bound keys are physical; the PK is never
+    * renamable, so its logical and physical names coincide.) */
   private def fileMayMatch(mfF: ManifestFile): Boolean =
     statFileBounds.forall { case (c, (lo, hi)) =>
       if (meta.pk.headOption.contains(c)) mfF.mayOverlap(lo, hi)
@@ -718,10 +760,15 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // the FILES carry physical names: request physical columns from
+    // parquet (schemas are name-swapped, field order identical, so the
+    // positional rows bind to the scan's logical readSchema untouched)
     def mk(filters: Array[Filter]) =
       org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-        .readerFactory(SparkSession.active, meta.schema, readDataSchema,
-          readPartitionSchema, filters)
+        .readerFactory(SparkSession.active, meta.physSchema,
+          KeyedTableSource.physStruct(readDataSchema, meta),
+          readPartitionSchema, filters.flatMap(
+            KeyedTableSource.physFilter(_, meta.physName)))
     if (mf.forall(_.dvs.isEmpty)) mk(dataFilters)
     // masked files read through the no-filter delegate (the ordinal
     // counter must see every row); clean files keep row-group pruning.
@@ -898,7 +945,7 @@ private[store] object FooterAgg {
             rowCount += block.getRowCount
             needCols.foreach { c =>
               val chunk = block.getColumns.asScala
-                .find(_.getPath.toDotString == c)
+                .find(_.getPath.toDotString == meta.physName(c))
                 .getOrElse(throw new IllegalStateException(s"no chunk for $c"))
               val s = chunk.getStatistics
               if (s == null || !s.isNumNullsSet)

@@ -264,10 +264,15 @@ private[store] class KeyedMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // files carry PHYSICAL names (TableMeta.renames): request physical
+    // columns from parquet; the positional rows bind to the scan's
+    // logical readSchema untouched (same field order)
     def mk(filters: Array[Filter]) =
       org.apache.spark.sql.execution.datasources.parquet.GraftParquetSupport
-        .readerFactory(spark, meta.schema, readDataSchema,
-          readPartitionSchema, filters)
+        .readerFactory(spark, meta.physSchema,
+          KeyedTableSource.physStruct(readDataSchema, meta),
+          readPartitionSchema, filters.flatMap(
+            KeyedTableSource.physFilter(_, meta.physName)))
     // the masked initial batch needs the DV-aware factory; incremental
     // windows carry no masks and pass through it untouched
     new DvMaskReaderFactory(mk(dataFilters), mk(Array.empty),

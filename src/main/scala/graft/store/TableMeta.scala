@@ -60,6 +60,18 @@ import org.json4s.jackson.JsonMethods.{compact, render}
   *   re-validation at a brief flip, ConcurrentWriteException →
   *   retry the statement. Default false: fail-fast lock contention,
   *   the conservative single-writer contract. */
+/** @param renames LOGICAL → PHYSICAL column-name map from
+  *   `KeyedTable.renameColumn` (ALTER TABLE … RENAME COLUMN). The
+  *   physical name is fixed at column CREATION and never changes —
+  *   live files, staged files, manifest stat keys, and parquet
+  *   pushdown all speak physical forever — so a rename is pure
+  *   metadata: `schema` carries the new logical name, this map
+  *   remembers where the bytes live. Readers alias physical→logical
+  *   in one projection; writers alias logical→physical at staging.
+  *   Identity entries never appear (renaming back to the physical
+  *   name drops the entry). The field-ID-free form of Iceberg's
+  *   rename: time travel, incremental reads, and old snapshots keep
+  *   working because the bytes' names never moved. */
 final case class TableMeta(
     pk: Seq[String],
     buckets: Int,
@@ -70,7 +82,17 @@ final case class TableMeta(
     statsCols: Seq[String] = Nil,
     dropped: Seq[String] = Nil,
     checks: Map[String, String] = Map.empty,
-    optimisticDml: Boolean = false) {
+    optimisticDml: Boolean = false,
+    renames: Map[String, String] = Map.empty) {
+
+  /** The parquet-file name of logical column `c`. */
+  def physName(c: String): String = renames.getOrElse(c, c)
+
+  /** `schema` with every field under its PHYSICAL name — what the
+    * bytes in live files are actually called. */
+  def physSchema: StructType =
+    if (renames.isEmpty) schema
+    else StructType(schema.fields.map(f => f.copy(name = physName(f.name))))
 
   def toJson: String = compact(render(JObject(
     "pk" -> JArray(pk.map(JString(_)).toList) ::
@@ -90,6 +112,10 @@ final case class TableMeta(
      (if (checks.nonEmpty)
         List("checks" -> (JObject(checks.toList.sortBy(_._1).map {
           case (n, e) => n -> (JString(e): JValue) }): JValue))
+      else Nil) ++
+     (if (renames.nonEmpty)
+        List("renames" -> (JObject(renames.toList.sortBy(_._1).map {
+          case (l, p) => l -> (JString(p): JValue) }): JValue))
       else Nil)))))
 }
 
@@ -135,11 +161,15 @@ object TableMeta {
       case JBool(b) => b
       case _ => false
     }
+    val rn = (j \ "renames") match {
+      case JObject(xs) => xs.collect { case (l, JString(p)) => l -> p }.toMap
+      case _ => Map.empty[String, String]
+    }
     TableMeta(
       pks.map { case JString(x) => x; case o => o.toString },
       buckets.toInt, auto,
       DataType.fromJson(schemaJson).asInstanceOf[StructType],
-      maxIdx, cl, sc, dr, ck, od)
+      maxIdx, cl, sc, dr, ck, od, rn)
   }
 
   def path(tableDir: String): Path = new Path(tableDir, FileName)

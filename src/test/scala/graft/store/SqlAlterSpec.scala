@@ -65,7 +65,8 @@ class SqlAlterSpec extends SparkSpec {
     }
   }
 
-  test("refused shapes: NOT NULL adds, renames, PK drops, nested fields") {
+  test("refused shapes: NOT NULL adds, PK drops and renames, nested " +
+      "fields; value-column renames now SUPPORTED (RenameColumnSpec)") {
     val t = "t_alter_refuse"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"), buckets = 2)
     withCat { cat =>
@@ -73,10 +74,13 @@ class SqlAlterSpec extends SparkSpec {
         spark.sql(s"ALTER TABLE $cat.$t ADD COLUMNS (x DOUBLE NOT NULL)")
       }
       assert(nn.getMessage.contains("must be nullable"))
-      val rn = intercept[Exception] {
-        spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN name TO nm")
+      // value-column renames lower onto KeyedTable.renameColumn
+      spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN name TO nm")
+      assert(KeyedTable.readSql(spark, wh, t).columns.contains("nm"))
+      val rnPk = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.$t RENAME COLUMN id TO k")
       }
-      assert(rn.getMessage.contains("only ADD COLUMNS, DROP COLUMN"))
+      assert(rnPk.getMessage.contains("primary-key"))
       val pk = intercept[Exception] {
         spark.sql(s"ALTER TABLE $cat.$t DROP COLUMN id")
       }
