@@ -201,6 +201,17 @@ private[store] object GraftProcedures {
       (sp, wh, r) => {
         val (t, sch) = split(str(r, 0))
         Catalog.renameTable(sp, wh, t, str(r, 1), sch); Seq(true)
+      }),
+    ProcDef("rename_column",
+      "rename a column: metadata-only via the logical->physical name " +
+      "map (zero data bytes move; PK renames refused)",
+      Seq(in("table", StringType), in("from", StringType),
+        in("to", StringType)),
+      out("renamed" -> BooleanType),
+      (sp, wh, r) => {
+        val (t, sch) = split(str(r, 0))
+        KeyedTable.renameColumn(sp, wh, t, str(r, 1), str(r, 2), sch)
+        Seq(true)
       }))
 
   private val byName: Map[String, ProcDef] = defs.map(d => d.name -> d).toMap

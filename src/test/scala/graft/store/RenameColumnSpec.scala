@@ -187,6 +187,11 @@ class RenameColumnSpec extends SparkSpec {
       val mx = spark.sql(s"SELECT max(id), count(score) FROM $cat.$t")
         .collect().head
       assert(mx.getLong(0) == 39L && mx.getLong(1) == 38L)
+      // the CALL surface lowers onto the same primitive
+      spark.sql(
+        s"CALL $cat.system.rename_column('$t', 'score', 'rating')")
+      assert(KeyedTable.readSql(spark, wh, t).columns.contains("rating"))
+      assertPhysOnly(t, "rating", "v")
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
       spark.conf.unset(s"spark.sql.catalog.$cat")
