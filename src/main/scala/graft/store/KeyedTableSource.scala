@@ -192,6 +192,11 @@ private[store] class KeyedBatchTable(val meta: TableMeta, dataDir: String,
       if (meta.optimisticDml) "optimistic" else "locked")
     if (meta.statsCols.nonEmpty)
       m.put("stats_columns", meta.statsCols.mkString(","))
+    // observability for renames: logical<-physical pairs, so an
+    // operator can see where a column's bytes actually live
+    if (meta.renames.nonEmpty)
+      m.put("renamed_columns", meta.renames.toSeq.sorted
+        .map { case (l, p) => s"$l<-$p" }.mkString(","))
     mf.foreach(s => m.put("current_version", s.version.toString))
     m
   }

@@ -192,6 +192,10 @@ class RenameColumnSpec extends SparkSpec {
         s"CALL $cat.system.rename_column('$t', 'score', 'rating')")
       assert(KeyedTable.readSql(spark, wh, t).columns.contains("rating"))
       assertPhysOnly(t, "rating", "v")
+      // SHOW TBLPROPERTIES surfaces where the bytes live
+      val props = spark.sql(s"SHOW TBLPROPERTIES $cat.$t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(props.get("renamed_columns").contains("rating<-v"), props)
     } finally {
       spark.conf.unset(s"spark.sql.catalog.$cat.warehouse")
       spark.conf.unset(s"spark.sql.catalog.$cat")
