@@ -84,6 +84,20 @@ class CommitArbiterSpec extends SparkSpec {
     assert(readBytes(p) == s"writer-$w")
   }
 
+  test("arbiter conf: FQCN loads a custom arbiter class; bogus values " +
+       "refuse loudly naming the conf") {
+    spark.conf.set(CommitArbiter.Conf, classOf[FsAtomicArbiter].getName)
+    try assert(CommitArbiter.resolve(spark).isInstanceOf[FsAtomicArbiter])
+    finally spark.conf.unset(CommitArbiter.Conf)
+    spark.conf.set(CommitArbiter.Conf, "no.such.Arbiter")
+    try {
+      val e = intercept[StoreException](CommitArbiter.resolve(spark))
+      assert(e.getMessage.contains(CommitArbiter.Conf), e.getMessage)
+    } finally spark.conf.unset(CommitArbiter.Conf)
+    // default resolution
+    assert(CommitArbiter.resolve(spark).name == "atomic")
+  }
+
   test("conditional arbiter refuses progressive-visibility filesystems " +
        "(use 'atomic' there)") {
     val local = fsOf(s"file:///tmp")
