@@ -65,6 +65,18 @@ trait CommitArbiter {
 object CommitArbiter {
   val Conf = "spark.graft.commit.arbiter"
 
+  /** Explicit operator attestation that the object-store connector
+    * honors `create(path, overwrite = false)` as a TRUE conditional PUT
+    * (If-None-Match at close) even though it does not advertise the
+    * capability — the escape hatch for connectors that implement the
+    * semantics but predate the capability key. Without this, the
+    * `conditional` arbiter refuses a connector that neither implements
+    * [[AtomicCommit]] nor reports
+    * [[ConditionalCreateArbiter.CapabilityKey]]: silently degrading to
+    * check-then-act while claiming a hard guarantee is the one failure
+    * mode an arbiter must never have. */
+  val TrustedConf = "spark.graft.commit.conditional.trusted"
+
   /** Schemes whose Hadoop connectors implement create-if-absent and
     * rename as check-then-act rather than an atomic primitive. */
   val NonAtomicSchemes: Set[String] =
@@ -72,13 +84,17 @@ object CommitArbiter {
       "cos")
 
   private val atomic = new FsAtomicArbiter
-  private val conditional = new ConditionalCreateArbiter
+  private val conditional = new ConditionalCreateArbiter(trusted = false)
+  private val conditionalTrusted = new ConditionalCreateArbiter(trusted = true)
   private val custom = new ConcurrentHashMap[String, CommitArbiter]()
 
   def resolve(spark: SparkSession): CommitArbiter =
     spark.conf.get(Conf, "atomic") match {
       case "atomic" => atomic
-      case "conditional" => conditional
+      case "conditional" =>
+        if (spark.conf.get(TrustedConf, "false").trim.equalsIgnoreCase("true"))
+          conditionalTrusted
+        else conditional
       case fqcn =>
         custom.computeIfAbsent(fqcn, c =>
           try Class.forName(c).getDeclaredConstructor().newInstance()
@@ -190,11 +206,37 @@ final class FsAtomicArbiter extends CommitArbiter {
   * them. Only an explicit FileAlreadyExists maps to "lost" — any other
   * IO failure rethrows loudly rather than guessing (misreading a
   * network error as contention could double-apply a mutation on
-  * retry). */
-final class ConditionalCreateArbiter extends CommitArbiter {
+  * retry).
+  *
+  * The raw-create path is GUARDED: before trusting
+  * `create(overwrite = false)` as a conditional PUT, the connector must
+  * either advertise [[ConditionalCreateArbiter.CapabilityKey]] through
+  * `hasPathCapability` (S3A does from the Hadoop release that added
+  * conditional writes) or the operator must attest it via
+  * `spark.graft.commit.conditional.trusted=true`. A connector that does
+  * neither — an older Hadoop, conditional creates disabled — implements
+  * the no-overwrite flag as exists-check + unconditional PUT: the
+  * arbiter would silently be advisory while `atomicOn` reports a hard
+  * guarantee, which is exactly the lie this guard refuses to tell.
+  * [[atomicOn]] mirrors the same three-way test, so on an unverifiable
+  * connector the caller gets a loud refusal from `putIfAbsent` and the
+  * write lock's advisory warning from `atomicOn`, never silence. */
+final class ConditionalCreateArbiter(trusted: Boolean) extends CommitArbiter {
+  import ConditionalCreateArbiter.CapabilityKey
+
   override def name: String = "conditional"
 
-  override def atomicOn(fs: FileSystem): Boolean = true
+  override def atomicOn(fs: FileSystem): Boolean = fs match {
+    case _: AtomicCommit => true
+    case _ => trusted || advertisesConditionalCreate(fs, new Path("/"))
+  }
+
+  /** `hasPathCapability` probe, never trusted to not throw (connector
+    * shims may reject unknown keys loudly): any failure reads as "not
+    * advertised". */
+  private def advertisesConditionalCreate(fs: FileSystem, p: Path): Boolean =
+    try fs.hasPathCapability(p, CapabilityKey)
+    catch { case NonFatal(_) => false }
 
   override def putIfAbsent(fs: FileSystem, path: Path,
                            body: Array[Byte]): Boolean = fs match {
@@ -207,6 +249,16 @@ final class ConditionalCreateArbiter extends CommitArbiter {
           "arbiter needs whole-object-at-close visibility (object stores) " +
           "or an AtomicCommit filesystem; use 'atomic' on " +
           "local/HDFS-like storage, where it is both correct and cheaper")
+      if (!trusted && !advertisesConditionalCreate(fs, path))
+        throw new StoreException(
+          s"${CommitArbiter.Conf}=conditional on scheme '$scheme': the " +
+          s"connector does not advertise '$CapabilityKey' (conditional " +
+          "create), so create(overwrite=false) may be exists-check + " +
+          "unconditional PUT — a commit through it would be ADVISORY " +
+          "while claiming exactly-one-winner. Upgrade the connector to " +
+          "one with conditional-write support, wrap it in an " +
+          "AtomicCommit shim, or attest the semantics explicitly with " +
+          s"${CommitArbiter.TrustedConf}=true")
       var out: org.apache.hadoop.fs.FSDataOutputStream = null
       try {
         out = fs.create(path, false)
@@ -221,4 +273,14 @@ final class ConditionalCreateArbiter extends CommitArbiter {
         if (out != null) { try out.close() catch { case _: Exception => () } }
       }
   }
+}
+
+object ConditionalCreateArbiter {
+  /** Hadoop's capability key for create-with-conditional-overwrite
+    * (`Options.CreateFileOptionKeys.FS_OPTION_CREATE_CONDITIONAL_OVERWRITE`,
+    * shipped in 3.4.2 with the S3A conditional-write support) — the
+    * string is inlined so the arbiter still loads against older Hadoop
+    * client jars, where no connector advertises it and the guard
+    * correctly refuses. */
+  val CapabilityKey = "fs.option.create.conditional.overwrite"
 }

@@ -624,7 +624,16 @@ object Manifest {
     * .vacuum]] reaps those with the manifests. `m0.segs` is ignored
     * on input and recomputed: segment references never transfer
     * across directories (branch fork/publish re-segments in the
-    * target chain). */
+    * target chain).
+    *
+    * GUARD-RAIL for every new mutation verb: (a) any create-if-absent
+    * or version flip MUST route through `CommitArbiter.putIfAbsent` —
+    * never a raw create/rename (CommitArbiterSpec's racy-filesystem
+    * races are the template; a raw primitive silently reintroduces the
+    * lost-commit hazard on object stores); and (b) footer stats MUST be
+    * pre-collected OUTSIDE the lock (`KeyedTable.stageFileStats` /
+    * `preStats`) — in-lock footer IO turns the brief flip into a writer
+    * outage proportional to the staged file count. */
   def commit(spark: SparkSession, tableDir: String, m0: Manifest): Manifest = {
     // stamp the commit wall-clock once, here (the mtime-independent
     // timestamp history/$history surface; atTimestamp keeps using the

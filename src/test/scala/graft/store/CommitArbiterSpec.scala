@@ -60,7 +60,7 @@ class CommitArbiterSpec extends SparkSpec {
        "winner's content intact") {
     val f = fsOf(wh)
     val p = new Path(s"$wh/race/commit.json")
-    val arb = new ConditionalCreateArbiter
+    val arb = new ConditionalCreateArbiter(trusted = false)
     val pool = Executors.newFixedThreadPool(8)
     val start = new CountDownLatch(1)
     val wins = new AtomicInteger(0)
@@ -102,10 +102,60 @@ class CommitArbiterSpec extends SparkSpec {
        "(use 'atomic' there)") {
     val local = fsOf(s"file:///tmp")
     val e = intercept[StoreException] {
-      new ConditionalCreateArbiter()
+      new ConditionalCreateArbiter(trusted = false)
         .putIfAbsent(local, new Path("file:///tmp/never.json"), Array[Byte]())
     }
     assert(e.getMessage.contains("atomic"))
+  }
+
+  test("conditional arbiter VERIFIES the primitive: an object-store " +
+       "connector that neither implements AtomicCommit nor advertises " +
+       "the conditional-create capability is refused loudly, never " +
+       "silently advisory") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.cos.impl", classOf[UnverifiedObjectStoreFs].getName)
+    val local = Files.createTempDirectory("graft-unverified").toString
+    val f = fsOf(s"cos://$local")
+    val arb = new ConditionalCreateArbiter(trusted = false)
+    // the guard refuses BEFORE any create is attempted…
+    val e = intercept[StoreException] {
+      arb.putIfAbsent(f, new Path(s"cos://$local/commit.json"),
+        "x".getBytes("UTF-8"))
+    }
+    assert(e.getMessage.contains(ConditionalCreateArbiter.CapabilityKey),
+      e.getMessage)
+    assert(e.getMessage.contains(CommitArbiter.TrustedConf), e.getMessage)
+    assert(!f.exists(new Path(s"cos://$local/commit.json")))
+    // …and atomicOn mirrors it: no hard-guarantee claim on an
+    // unverifiable connector (the write lock would warn, not stay silent)
+    assert(!arb.atomicOn(f))
+
+    // a connector ADVERTISING the capability passes the guard (the
+    // create below is RawLocal exists-then-create — fine single-threaded,
+    // the point here is the gate, not the race)
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.oss.impl", classOf[AdvertisingObjectStoreFs].getName)
+    val g = fsOf(s"oss://$local")
+    assert(arb.atomicOn(g))
+    assert(arb.putIfAbsent(g, new Path(s"oss://$local/commit.json"),
+      "y".getBytes("UTF-8")))
+    assert(readBytes(new Path(s"oss://$local/commit.json")) == "y")
+
+    // the explicit operator attestation also passes the guard, and
+    // resolve() routes the conf to the trusted instance
+    val trusted = new ConditionalCreateArbiter(trusted = true)
+    assert(trusted.atomicOn(f))
+    assert(trusted.putIfAbsent(f, new Path(s"cos://$local/commit2.json"),
+      "z".getBytes("UTF-8")))
+    spark.conf.set(CommitArbiter.Conf, "conditional")
+    spark.conf.set(CommitArbiter.TrustedConf, "true")
+    try assert(CommitArbiter.resolve(spark).atomicOn(f))
+    finally {
+      spark.conf.unset(CommitArbiter.Conf)
+      spark.conf.unset(CommitArbiter.TrustedConf)
+    }
+    // an AtomicCommit filesystem needs no capability nor attestation
+    assert(arb.atomicOn(fsOf(wh)))
   }
 
   test("write lock on a racy filesystem: ADVISORY under the default " +

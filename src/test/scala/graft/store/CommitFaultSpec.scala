@@ -183,4 +183,50 @@ class CommitFaultSpec extends SparkSpec {
     KeyedTable.vacuum(spark, wh, t, olderThanMs = 0L): Unit
     assert(rowsOf(t) == base)
   }
+
+  test("meta publish rename fails -> OLD meta intact and readable, the " +
+       "edit aborts loudly, no truncated/partial meta ever exists") {
+    val t = freshTable("t_meta_fail")
+    val dir = s"$wh/$t"
+    val before = TableMeta.read(spark, dir)
+    assert(before.statsCols.isEmpty)
+    // arm exactly the meta publish rename (.tmp-meta-* -> _graft_meta.json);
+    // on this scheme the FileContext overwrite fallback has no binding
+    // either, so the write must abort with the previous meta untouched
+    val e = intercept[StoreException] {
+      FaultyFileSystem.armed(".tmp-meta-", TableMeta.FileName) {
+        KeyedTable.setStatsColumns(spark, wh, t, Seq("v"))
+      }
+    }
+    assert(e.getMessage.contains("PREVIOUS metadata is intact"), e.getMessage)
+    // the old meta is byte-complete: a fresh parse sees the pre-edit state
+    assert(TableMeta.read(spark, dir).statsCols.isEmpty)
+    assert(rowsOf(t) == base) // and the table still reads end-to-end
+    // no staged-temp debris left behind by the aborted publish
+    val f = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!f.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.startsWith(".tmp-meta-")))
+    // not poisoned: the same edit succeeds once renames work again
+    KeyedTable.setStatsColumns(spark, wh, t, Seq("v"))
+    assert(TableMeta.read(spark, dir).statsCols == Seq("v"))
+  }
+
+  test("meta publish: tmp-stage write fails -> old meta untouched " +
+       "(the truncate-in-place shape is structurally gone)") {
+    val t = freshTable("t_meta_stage_fail")
+    val dir = s"$wh/$t"
+    val metaPath = TableMeta.path(dir)
+    val f = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytesBefore = f.getFileStatus(metaPath).getLen
+    // even while a (failing) edit is in flight, the live meta file is
+    // never opened for write: its length/content cannot regress
+    intercept[StoreException] {
+      FaultyFileSystem.armed(".tmp-meta-", TableMeta.FileName) {
+        KeyedTable.setChangelog(spark, wh, t, enabled = true)
+      }
+    }
+    assert(f.getFileStatus(metaPath).getLen == bytesBefore)
+    assert(!TableMeta.read(spark, dir).changelog)
+  }
 }
