@@ -1162,6 +1162,39 @@ object PbQueries {
       .drop(KeyedTable.BucketCol)
   }
 
+  /** #11bj (`pb_null_skip`): per-file NULL counts end-to-end — register
+    * a nullable stats column, append one slice where it is ALL NULL and
+    * one where it never is, then read back with a pushed `IS NOT NULL`:
+    * the planner file-skips the all-null files (their min/max bounds do
+    * not exist, so only the recorded counts can prune them) and the
+    * result still matches the oracle exactly. NullCountStatsSpec
+    * asserts the planned-file arithmetic; this row proves the pruned
+    * scan is not just smaller but RIGHT. */
+  def nullSkipQ(spark: SparkSession, sfDir: String): DataFrame = {
+    val wh = tempWarehouse()
+    val customer = Tables.customer(spark, sfDir)
+    def ab = when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))
+    // create: mixed nulls (files predate registration — no counts, kept)
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), ab.as("ab")),
+      wh, "customer", pk = Seq("c_custkey"))
+    KeyedTable.setStatsColumns(spark, wh, "customer", Seq("ab"))
+    // append A: ab ALL NULL → count == rows, no bounds
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 3 === 1)
+        .select(col("c_custkey"), lit(null).cast("double").as("ab")),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
+    // append B: ab never NULL → count == 0
+    KeyedTable.toSql(
+      customer.filter(col("c_custkey") % 3 === 2)
+        .select(col("c_custkey"), abs(col("c_acctbal")).as("ab")),
+      wh, "customer", pk = Seq("c_custkey"), how = WriteMode.Append)
+    KeyedTableSource.read(spark, wh, "customer")
+      .filter(col("ab").isNotNull)
+      .drop(KeyedTable.BucketCol)
+  }
+
   /** #11r (`pb_zorder`): Z-order clustering is a pure layout rewrite —
     * create, zorderCompact on THREE columns (o_custkey, o_totalprice,
     * o_orderkey — the n-ary Morton interleave), read back EVERYTHING:
@@ -1947,6 +1980,7 @@ object PbQueries {
     "pb_merge" -> mergeQ,
     "pb_merge_mor" -> mergeMorQ,
     "pb_stats_skip" -> statsSkip,
+    "pb_null_skip" -> nullSkipQ,
     "pb_sql_update" -> sqlUpdate,
     "pb_sql_merge" -> sqlMerge,
     "pb_sql_merge_upd" -> sqlMergeUpdOnly,
@@ -2290,6 +2324,15 @@ object PbQueries {
     """.trim,
     "pb_stats_skip" ->
       "SELECT * FROM orders WHERE o_totalprice >= 300000.0",
+    "pb_null_skip" -> """
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN
+                    CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END
+                  ELSE abs(c_acctbal) END AS ab
+      FROM customer
+      WHERE c_custkey % 3 <> 1
+        AND NOT (c_custkey % 3 = 0 AND c_acctbal < 0)
+    """.trim,
     "pb_rename" -> "SELECT * FROM customer",
     // broadcast join vs a selective dim: the result is the oracle; the
     // runtime bucket pruning is the execution-time IO win

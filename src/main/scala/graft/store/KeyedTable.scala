@@ -427,8 +427,8 @@ object KeyedTable {
         }, Seq(pkCols.head -> schema(pkCols.head).dataType))
       val v0Files = listed.map { case (b, fls) =>
         b -> fls.map { mfF =>
-          val (rows, stats) = footer(new Path(data, s"$BucketCol=$b/${mfF.name}"))
-          mfF.copy(rows = rows, stats = stats.get(pkCols.head))
+          val fstat = footer(new Path(data, s"$BucketCol=$b/${mfF.name}"))
+          mfF.copy(rows = fstat.rows, stats = fstat.cols.get(pkCols.head))
         }
       }
       Manifest.commit(spark, dir,
@@ -592,13 +592,22 @@ object KeyedTable {
       val t = new Thread(r, "graft-footer-stats"); t.setDaemon(true); t
     })
 
+  /** One parquet footer's recorded numbers: row count, per-column
+    * min/max bounds, per-column NULL counts — everything one block walk
+    * yields, carried together so every commit path records the full
+    * [[ManifestFile]] statistics from the same single footer open. */
+  private[store] final case class FileFooter(
+      rows: Option[Long],
+      cols: Map[String, ColStats],
+      nulls: Map[String, Long])
+
   /** [[pkFileStats]] over many files on [[statsPool]]. */
   private def pkFileStatsAll(conf: org.apache.hadoop.conf.Configuration,
                              files: Seq[Path], cols: Seq[(String, DataType)])
-      : Map[Path, (Option[Long], Map[String, ColStats])] = {
+      : Map[Path, FileFooter] = {
     import scala.jdk.CollectionConverters._
     val tasks = files.map { p =>
-      new java.util.concurrent.Callable[(Path, (Option[Long], Map[String, ColStats]))] {
+      new java.util.concurrent.Callable[(Path, FileFooter)] {
         override def call() = p -> pkFileStats(conf, p, cols)
       }
     }
@@ -609,7 +618,11 @@ object KeyedTable {
     * the configured [[TableMeta.statsCols]], schema-present only.
     * Emitted under PHYSICAL names — that is what staged parquet footers
     * carry and what manifest stat entries are keyed by (scan pruning
-    * translates its pushed logical columns the same way). */
+    * translates its pushed logical columns the same way). ORDER
+    * CONTRACT: the leading element is the PK when present —
+    * [[pkFileStats]] records NULL counts for every element AFTER it
+    * (the PK is non-null by construction; a count of zero per file
+    * forever would be manifest bytes buying nothing). */
   private def statColsTypedOf(meta: TableMeta): Seq[(String, DataType)] =
     (meta.pk.headOption.toSeq ++ meta.statsCols).distinct
       .filter(meta.schema.fieldNames.contains)
@@ -631,7 +644,7 @@ object KeyedTable {
   private def stageFileStats(spark: SparkSession, f: FileSystem,
                              staging: String,
                              cols: Seq[(String, DataType)])
-      : Map[(Int, String), (Option[Long], Map[String, ColStats])] = {
+      : Map[(Int, String), FileFooter] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val root = new Path(staging)
     if (!f.exists(root)) Map.empty
@@ -659,20 +672,27 @@ object KeyedTable {
     case _ => false
   }
 
-  /** Row count + per-column min/max of one just-written parquet file,
-    * from ONE footer read — the leading PK plus every configured
-    * [[TableMeta.statsCols]] column, all from the same block walk.
-    * Stats are normalized to the manifest's storable types (Long /
-    * Double / String); a column with a non-stat-friendly type or any
-    * missing block statistic is simply absent from the result — pruning
-    * then keeps the file. Strings are safe here (unlike the footer
-    * AGGREGATE pushdown) because a truncated parquet string bound is
-    * still a valid BOUND — file skipping needs containment, not exact
-    * extrema. */
+  /** Row count + per-column min/max + per-column NULL counts of one
+    * just-written parquet file, from ONE footer read — the leading PK
+    * plus every configured [[TableMeta.statsCols]] column, all from the
+    * same block walk. Stats are normalized to the manifest's storable
+    * types (Long / Double / String); a column with a non-stat-friendly
+    * type or any missing block statistic is simply absent from the
+    * result — pruning then keeps the file. Strings are safe here
+    * (unlike the footer AGGREGATE pushdown) because a truncated parquet
+    * string bound is still a valid BOUND — file skipping needs
+    * containment, not exact extrema. NULL counts are summed across
+    * blocks for the non-leading columns ([[statColsTypedOf]]'s order
+    * contract) and recorded only when every block sets them — an ALL-
+    * NULL file thus still gets its count (it has no min/max at all),
+    * which is precisely what lets a pushed `IS NOT NULL` skip it. */
   private def pkFileStats(conf: org.apache.hadoop.conf.Configuration,
                           file: Path, cols: Seq[(String, DataType)])
-      : (Option[Long], Map[String, ColStats]) = {
+      : FileFooter = {
     val tracked = cols.collect { case (c, t) if statStorable(t) => c }
+    val nullTracked = cols.drop(1).collect {
+      case (c, t) if statStorable(t) => c
+    }
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -695,15 +715,19 @@ object KeyedTable {
         val mn = scala.collection.mutable.Map.empty[String, Any]
         val mx = scala.collection.mutable.Map.empty[String, Any]
         val ok = scala.collection.mutable.Map.from(tracked.map(_ -> true))
+        val nulls = scala.collection.mutable.Map.from(nullTracked.map(_ -> 0L))
+        val nullsOk = scala.collection.mutable.Map.from(nullTracked.map(_ -> true))
         var rows = 0L
         reader.getFooter.getBlocks.forEach { bl =>
           rows += bl.getRowCount
-          if (ok.valuesIterator.exists(identity)) {
+          if (ok.valuesIterator.exists(identity) ||
+              nullsOk.valuesIterator.exists(identity)) {
             val chunks = scala.collection.mutable.Map
               .empty[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
             bl.getColumns.forEach { c =>
               val n = c.getPath.toDotString
-              if (ok.getOrElse(n, false)) chunks(n) = c
+              if (ok.getOrElse(n, false) || nullsOk.getOrElse(n, false))
+                chunks(n) = c
             }
             tracked.foreach { c =>
               if (ok(c)) {
@@ -717,14 +741,29 @@ object KeyedTable {
                 }
               }
             }
+            // null counts are INDEPENDENT of min/max validity: an
+            // all-null chunk has no bounds but a definite count
+            nullTracked.foreach { c =>
+              if (nullsOk(c)) {
+                val s = chunks.get(c).map(_.getStatistics).orNull
+                if (s == null || !s.isNumNullsSet) nullsOk(c) = false
+                else nulls(c) += s.getNumNulls
+              }
+            }
           }
         }
-        (Some(rows),
+        FileFooter(Some(rows),
           tracked.collect {
             case c if ok(c) && mn.contains(c) => c -> ColStats(mn(c), mx(c))
+          }.toMap,
+          nullTracked.collect {
+            case c if nullsOk(c) => c -> nulls(c)
           }.toMap)
       } finally reader.close()
-    } catch { case scala.util.control.NonFatal(_) => (None, Map.empty) }
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        FileFooter(None, Map.empty, Map.empty)
+    }
   }
 
   /** Materialize a changelog batch to `.staging-changelog-*` (the
@@ -804,7 +843,7 @@ object KeyedTable {
                            removeMissing: Boolean = false,
                            streamEpoch: Option[(String, Long)] = None,
                            preStats: Option[Map[(Int, String),
-                             (Option[Long], Map[String, ColStats])]] = None)
+                             FileFooter]] = None)
       : Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
@@ -845,8 +884,8 @@ object KeyedTable {
     // renames preserve content) skip the in-lock read entirely.
     def stagedNameOf(dst: Path): String =
       dst.getName.stripPrefix(s"$commitId-")
-    val pre: Map[Path, (Option[Long], Map[String, ColStats])] =
-      preStats.fold(Map.empty[Path, (Option[Long], Map[String, ColStats])]) {
+    val pre: Map[Path, FileFooter] =
+      preStats.fold(Map.empty[Path, FileFooter]) {
         ps =>
           movedByBucket.iterator.flatMap { case (b, fls) =>
             fls.flatMap { case (dst, _) =>
@@ -859,10 +898,11 @@ object KeyedTable {
         .filterNot(pre.contains).toSeq, statColsTyped)
     val staged: Map[Int, Seq[ManifestFile]] = movedByBucket.map {
       case (b, fls) => b -> fls.map { case (dst, len) =>
-        val (rows, colStats) = footer(dst)
-        ManifestFile(dst.getName, len, rows,
-          statCol.flatMap(colStats.get),
-          statCol.fold(colStats)(colStats - _))
+        val fstat = footer(dst)
+        ManifestFile(dst.getName, len, fstat.rows,
+          statCol.flatMap(fstat.cols.get),
+          statCol.fold(fstat.cols)(fstat.cols - _),
+          fstat.nulls)
       }
     }
     val newFiles: Map[Int, Seq[ManifestFile]] =
@@ -943,7 +983,7 @@ object KeyedTable {
     val newDvs: Map[Int, Seq[ManifestFile]] =
       base.dvs ++ movedByBucket.map { case (b, fls) =>
         b -> (base.dvs.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
-          ManifestFile(dst.getName, len, footer(dst)._1)
+          ManifestFile(dst.getName, len, footer(dst).rows)
         })
       }
     val mf = Manifest(base.version + 1, base.buckets, base.files,
@@ -1302,14 +1342,11 @@ object KeyedTable {
                                  base: Manifest, meta: TableMeta,
                                  streamEpoch: Option[(String, Long)] = None,
                                  preStats: Option[Map[(Int, String),
-                                   (Option[Long], Map[String, ColStats])]] = None)
+                                   FileFooter]] = None)
       : Manifest = {
     val conf = spark.sparkContext.hadoopConfiguration
     val statCol = meta.pk.headOption
-    val statColsTyped: Seq[(String, DataType)] =
-      (statCol.toSeq ++ meta.statsCols).distinct
-        .filter(meta.schema.fieldNames.contains)
-        .map(c => c -> meta.schema(c).dataType)
+    val statColsTyped: Seq[(String, DataType)] = statColsTypedOf(meta)
     val commitId = UUID.randomUUID().toString.take(8)
     val moved = scala.collection.mutable.ArrayBuffer.empty[Path]
     def abort(msg: String): Nothing = {
@@ -1348,8 +1385,8 @@ object KeyedTable {
     // caller staged them (see [[stageFileStats]]); DV position files
     // stay in-lock — delta-sized, and the upsert-mode sink RE-DERIVES
     // them inside the lock on a window conflict
-    val pre: Map[Path, (Option[Long], Map[String, ColStats])] =
-      preStats.fold(Map.empty[Path, (Option[Long], Map[String, ColStats])]) {
+    val pre: Map[Path, FileFooter] =
+      preStats.fold(Map.empty[Path, FileFooter]) {
         ps =>
           dataMoved.iterator.flatMap { case (b, fls) =>
             fls.flatMap { case (dst, _) =>
@@ -1366,16 +1403,17 @@ object KeyedTable {
     val newFiles: Map[Int, Seq[ManifestFile]] =
       base.files ++ dataMoved.map { case (b, fls) =>
         b -> (base.files.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
-          val (rows, colStats) = footer(dst)
-          ManifestFile(dst.getName, len, rows,
-            statCol.flatMap(colStats.get),
-            statCol.fold(colStats)(colStats - _))
+          val fstat = footer(dst)
+          ManifestFile(dst.getName, len, fstat.rows,
+            statCol.flatMap(fstat.cols.get),
+            statCol.fold(fstat.cols)(fstat.cols - _),
+            fstat.nulls)
         })
       }
     val newDvs: Map[Int, Seq[ManifestFile]] =
       base.dvs ++ dvMoved.map { case (b, fls) =>
         b -> (base.dvs.getOrElse(b, Nil) ++ fls.map { case (dst, len) =>
-          ManifestFile(dst.getName, len, dvFooter(dst)._1)
+          ManifestFile(dst.getName, len, dvFooter(dst).rows)
         })
       }
     val mf = Manifest(base.version + 1, base.buckets, newFiles,
@@ -2624,7 +2662,7 @@ object KeyedTable {
           .write.partitionBy(BucketCol).parquet(staging)
       }
       val preStats =
-        if (mor) Map.empty[(Int, String), (Option[Long], Map[String, ColStats])]
+        if (mor) Map.empty[(Int, String), FileFooter]
         else stageFileStats(spark, f, staging, statColsTypedOf(meta0))
       DeleteConcurrentHooks.betweenPhases()
 
@@ -2934,57 +2972,82 @@ object KeyedTable {
                   schema: Option[String] = None): DataFrame = {
     val warehouse = schemaDir(warehouse0, schema)
     val dir = tableDir(warehouse, tableName)
+    val rows = bucketHealthRows(spark, dir, dataDir(warehouse, tableName))
+      .map { case (b, nf, nr, ng, bytes, _, _) => (b, nf, nr, ng, bytes) }
+    import spark.implicits._
+    rows.toDF("bucket", "n_files", "n_rows", "n_row_groups", "bytes")
+  }
+
+  /** The bucket-health numbers behind [[bucketStats]] AND the
+    * `t$buckets` metadata table — one tuple per bucket:
+    * (bucket, n_files, n_rows, n_row_groups, bytes, dv_files, dv_rows).
+    * `n_rows` counts DATA-file rows (live rows = n_rows − dv_rows;
+    * both are surfaced so a dashboard can compute either). Manifest
+    * n_files/bytes/dv arithmetic is zero-IO; row/row-group geometry
+    * reads exactly the LIVE files' footers on the driver stats pool —
+    * never superseded files awaiting vacuum, never data bytes. */
+  private[store] def bucketHealthRows(spark: SparkSession, dir: String,
+                                      data0: String)
+      : Seq[(Int, Long, Long, Long, Long, Long, Long)] = {
     val meta = TableMeta.read(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
-    val data = new Path(dataDir(warehouse, tableName))
+    val data = new Path(data0)
     val f = fs(spark, dir)
-    def footerOf(p: Path): (Long, Long) = { // (rows, rowGroups)
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getFooter.getBlocks
-        var rows = 0L
-        blocks.forEach(bl => rows += bl.getRowCount)
-        (rows, blocks.size().toLong)
-      } finally reader.close()
+    def footersOf(ps: Seq[Path]): (Long, Long) = { // (rows, rowGroups)
+      import scala.jdk.CollectionConverters._
+      val tasks = ps.map { p =>
+        new java.util.concurrent.Callable[(Long, Long)] {
+          override def call() = {
+            val in =
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+            val reader =
+              org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            try {
+              val blocks = reader.getFooter.getBlocks
+              var rows = 0L
+              blocks.forEach(bl => rows += bl.getRowCount)
+              (rows, blocks.size().toLong)
+            } finally reader.close()
+          }
+        }
+      }
+      statsPool.invokeAll(tasks.asJava).asScala.map(_.get())
+        .foldLeft((0L, 0L)) { case ((r, g), (r2, g2)) => (r + r2, g + g2) }
     }
     val mf = Manifest.current(spark, dir)
-    val (nBuckets, byBucket): (Int, Map[Int, (Long, Long, Long, Long)]) =
+    val (nBuckets, byBucket)
+        : (Int, Map[Int, (Long, Long, Long, Long, Long, Long)]) =
       mf match {
         case Some(m) =>
-          // n_files/bytes straight from the snapshot (zero listings);
-          // row/row-group geometry still needs the footers — of exactly
-          // the LIVE files, never superseded ones awaiting vacuum
+          // n_files/bytes/DV arithmetic straight from the snapshot
+          // (zero listings); row-group geometry from pooled footer reads
           (m.buckets, m.files.map { case (b, fls) =>
-            var rows = 0L; var groups = 0L
-            fls.foreach { mfF =>
-              val (r, g) = footerOf(new Path(data, s"$BucketCol=$b/${mfF.name}"))
-              rows += r; groups += g
-            }
-            b -> ((fls.size.toLong, rows, groups, fls.map(_.len).sum))
+            val (rows, groups) = footersOf(
+              fls.map(mfF => new Path(data, s"$BucketCol=$b/${mfF.name}")))
+            val dvl = if (fls.isEmpty) Nil else m.dvs.getOrElse(b, Nil)
+            b -> ((fls.size.toLong, rows, groups, fls.map(_.len).sum,
+              dvl.size.toLong, dvl.flatMap(_.rows).sum))
           })
         case None =>
           (meta.buckets,
-            if (!f.exists(data)) Map.empty[Int, (Long, Long, Long, Long)]
+            if (!f.exists(data))
+              Map.empty[Int, (Long, Long, Long, Long, Long, Long)]
             else f.listStatus(data)
               .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$BucketCol="))
               .map { d =>
                 val b = d.getPath.getName.stripPrefix(s"$BucketCol=").toInt
                 val files = f.listStatus(d.getPath)
                   .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-                var rows = 0L; var groups = 0L
-                files.foreach { st =>
-                  val (r, g) = footerOf(st.getPath); rows += r; groups += g
-                }
-                b -> ((files.length.toLong, rows, groups, files.map(_.getLen).sum))
+                val (rows, groups) = footersOf(files.toSeq.map(_.getPath))
+                b -> ((files.length.toLong, rows, groups,
+                  files.map(_.getLen).sum, 0L, 0L))
               }.toMap)
       }
-    val rows = (0 until nBuckets).map { b =>
-      val (nf, nr, ng, bytes) = byBucket.getOrElse(b, (0L, 0L, 0L, 0L))
-      (b, nf, nr, ng, bytes)
+    (0 until nBuckets).map { b =>
+      val (nf, nr, ng, bytes, dvf, dvr) =
+        byBucket.getOrElse(b, (0L, 0L, 0L, 0L, 0L, 0L))
+      (b, nf, nr, ng, bytes, dvf, dvr)
     }
-    import spark.implicits._
-    rows.toDF("bucket", "n_files", "n_rows", "n_row_groups", "bytes")
   }
 
   /** Test-only interleave seam for [[vacuum]]: invoked between the

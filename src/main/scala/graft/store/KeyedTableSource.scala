@@ -682,13 +682,35 @@ private[store] class KeyedScan(meta: TableMeta, dataDir: String,
     }.map { case (c, b) => meta.physName(c) -> b }
   }
 
-  /** Does this file's recorded stats (leading-PK or extra-column) admit
-    * every pushed bound? (Bound keys are physical; the PK is never
-    * renamable, so its logical and physical names coincide.) */
+  /** Pushed NULLNESS constraints over the tracked stat columns —
+    * (physical column, wantNull): `IS NULL` skips files whose recorded
+    * null count is zero; `IS NOT NULL` skips ALL-NULL files (count ==
+    * row count) — the files min/max bounds can never prune, because an
+    * all-null column chunk has no bounds at all. Spark pushes
+    * `IsNotNull(c)` alongside every comparison on `c`, so an ingest
+    * whose early files predate a column (all-NULL there) file-skips on
+    * ANY predicate over it, not just explicit nullness queries. */
+  private lazy val nullFileBounds: Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.sources.{IsNotNull, IsNull}
+    val tracked: Set[String] =
+      meta.pk.headOption.toSet ++ meta.statsCols
+    pushed.toSeq.collect {
+      case IsNull(c) if tracked(c) => meta.physName(c) -> true
+      case IsNotNull(c) if tracked(c) => meta.physName(c) -> false
+    }
+  }
+
+  /** Does this file's recorded stats (leading-PK or extra-column
+    * bounds, per-column null counts) admit every pushed constraint?
+    * (Stat keys are physical; the PK is never renamable, so its
+    * logical and physical names coincide.) */
   private def fileMayMatch(mfF: ManifestFile): Boolean =
     statFileBounds.forall { case (c, (lo, hi)) =>
       if (meta.pk.headOption.contains(c)) mfF.mayOverlap(lo, hi)
       else mfF.mayOverlapOn(c, lo, hi)
+    } &&
+    nullFileBounds.forall { case (c, wantNull) =>
+      mfF.mayMatchNull(c, wantNull)
     }
 
   /** Per-bucket delete-vector sidecar PATHS, straight from the manifest

@@ -30,10 +30,19 @@ final case class ColStats(min: Any, max: Any)
   * clustering pay off at the FILE level, not just row groups). Row
   * count and all stats come from the same one footer read each commit
   * already pays per new file. */
+/** @param nulls per-column NULL counts for the tracked stat columns
+  *   (leading PK + [[TableMeta.statsCols]]), from the same one footer
+  *   read as min/max — the Iceberg column-metrics model's third number.
+  *   What min/max cannot express: a pushed `IS NULL` skips files whose
+  *   count is 0, a pushed `IS NOT NULL` skips files that are ALL null
+  *   (which also have NO min/max entry, so range bounds alone could
+  *   never prune them). Absent entries (legacy files, unset parquet
+  *   null counts) are never pruned on. */
 final case class ManifestFile(name: String, len: Long,
                               rows: Option[Long] = None,
                               stats: Option[ColStats] = None,
-                              extra: Map[String, ColStats] = Map.empty) {
+                              extra: Map[String, ColStats] = Map.empty,
+                              nulls: Map[String, Long] = Map.empty) {
   /** Could this file hold a leading-PK value in [lo, hi]? (null bound =
     * unbounded; files without stats or uncomparable bounds are always
     * kept — pruning is an IO reduction, never a correctness surface.) */
@@ -44,6 +53,17 @@ final case class ManifestFile(name: String, len: Long,
     * the column joined [[TableMeta.statsCols]] have no entry → kept. */
   def mayOverlapOn(c: String, lo: Option[Any], hi: Option[Any]): Boolean =
     Manifest.overlaps(extra.get(c), lo, hi)
+
+  /** Could this file hold a row where column `c` IS (`wantNull` true) /
+    * IS NOT (false) null? Conservative: no recorded count (or no row
+    * count for the all-null test) keeps the file. */
+  def mayMatchNull(c: String, wantNull: Boolean): Boolean =
+    nulls.get(c) match {
+      case None => true
+      case Some(n) =>
+        if (wantNull) n > 0L
+        else rows.forall(r => n < r)
+    }
 }
 
 /** A versioned SNAPSHOT of a keyed table's physical layout: the bucket
@@ -186,25 +206,33 @@ object Manifest {
     * [name, len, rows] | [name, len, rows, min, max] (stats imply
     * rows — same footer) | [name, len, rows, min|null, max|null,
     * {col: [min, max], …}] (extra per-column stats; leading slots
-    * JNull when absent). Shared by the inline manifest form, the DV
-    * lists (whose entries never carry stats, so they encode to the
-    * historical [name, len, rows] shape unchanged), and the format-4
-    * segment files. */
+    * JNull when absent) | [name, len, rows, min|null, max|null,
+    * {col: [min, max], …}, {col: nulls, …}] (per-column null counts;
+    * the extras slot encodes `{}` when only null counts exist — an
+    * all-null stat column has a count but no bounds). Shared by the
+    * inline manifest form, the DV lists (whose entries never carry
+    * stats, so they encode to the historical [name, len, rows] shape
+    * unchanged), and the format-4 segment files. */
   private[store] def fileEntryJson(f: ManifestFile): JValue = {
     val base = List(JString(f.name), JInt(f.len)) ++
       f.rows.map(r => JInt(r): JValue).toList
     val lead = f.stats match {
       case Some(ColStats(mn, mx)) =>
         List(statJson(mn), statJson(mx))
-      case None if f.extra.nonEmpty => List(JNull, JNull)
+      case None if f.extra.nonEmpty || f.nulls.nonEmpty => List(JNull, JNull)
       case None => Nil
     }
     val ext =
-      if (f.extra.isEmpty) Nil
+      if (f.extra.isEmpty && f.nulls.isEmpty) Nil
       else List(JObject(f.extra.toList.sortBy(_._1).map { case (c, s) =>
         c -> (JArray(List(statJson(s.min), statJson(s.max))): JValue)
       }): JValue)
-    JArray(base ++ lead ++ ext)
+    val nc =
+      if (f.nulls.isEmpty) Nil
+      else List(JObject(f.nulls.toList.sortBy(_._1).map { case (c, n) =>
+        c -> (JInt(n): JValue)
+      }): JValue)
+    JArray(base ++ lead ++ ext ++ nc)
   }
 
   /** [[fileEntryJson]]'s decoder (all arities). */
@@ -222,6 +250,14 @@ object Manifest {
       }.toMap
       case bad => throw new StoreException(s"bad extra stats: $bad")
     }
+    def nullCounts(o: JValue): Map[String, Long] = o match {
+      case JObject(cs) => cs.map {
+        case (c, JInt(n)) => c -> n.toLong
+        case (c, bad) =>
+          throw new StoreException(s"bad null count for $c: $bad")
+      }.toMap
+      case bad => throw new StoreException(s"bad null counts: $bad")
+    }
     j match {
       case JArray(List(JString(n), JInt(l))) =>
         ManifestFile(n, l.toLong)
@@ -232,6 +268,9 @@ object Manifest {
       case JArray(List(JString(n), JInt(l), JInt(r), mn, mx, ext)) =>
         ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx),
           extras(ext))
+      case JArray(List(JString(n), JInt(l), JInt(r), mn, mx, ext, nc)) =>
+        ManifestFile(n, l.toLong, Some(r.toLong), lead(mn, mx),
+          extras(ext), nullCounts(nc))
       case o => throw new StoreException(s"bad manifest file entry: $o")
     }
   }

@@ -36,6 +36,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *    accumulated, how old each batch is, and the current expiry
   *    floor (constant per row; 0 = never expired). Empty when the
   *    table has no changelog.
+  *  - `t$buckets`: the per-bucket layout-health report (#11n) as SQL —
+  *    one row per bucket: (bucket, n_files, n_rows, n_row_groups,
+  *    bytes, dv_files, dv_rows). `n_rows` counts data-file rows; live
+  *    rows = n_rows − dv_rows. The observability a SQL-only operator
+  *    needs to drive `CALL graft.system.compact` / `rebucket` from a
+  *    dashboard: small-file accumulation, row-group geometry, and
+  *    tombstone pressure per bucket, priced at footer metadata only
+  *    (this one kind opens live files' FOOTERS for the row-group
+  *    numbers — still zero data bytes).
   *
   * Read-only by construction (no SupportsWrite); rows are computed
   * when the scan is BUILT, so each query sees one consistent listing.
@@ -43,7 +52,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[store] object MetaTables {
   private val Kinds =
     Set("history", "tags", "files", "checks", "branches", "streams",
-      "changelog")
+      "changelog", "buckets")
 
   /** `name$kind` → (base table name, kind), for known kinds only —
     * anything else is a normal (possibly weird) table name. */
@@ -89,6 +98,14 @@ private[store] object MetaTables {
       StructField("bytes", LongType, nullable = false),
       StructField("ts_ms", LongType, nullable = false),
       StructField("floor", LongType, nullable = false)))
+    case "buckets" => StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("n_row_groups", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("dv_files", LongType, nullable = false),
+      StructField("dv_rows", LongType, nullable = false)))
   }
 
   private def rowsOf(spark: SparkSession, tableDir: String,
@@ -151,6 +168,14 @@ private[store] object MetaTables {
       KeyedTable.changelogBatchStats(spark, tableDir).map {
         case (b, n, bytes, ts, floor) =>
           new GenericInternalRow(Array[Any](b, n, bytes, ts, floor))
+            : InternalRow
+      }.toArray
+    case "buckets" =>
+      val (wh, ref) = KeyedTable.refOf(tableDir)
+      KeyedTable.bucketHealthRows(spark, tableDir,
+        KeyedTable.dataDir(wh, ref)).map {
+        case (b, nf, nr, ng, bytes, dvf, dvr) =>
+          new GenericInternalRow(Array[Any](b, nf, nr, ng, bytes, dvf, dvr))
             : InternalRow
       }.toArray
   }

@@ -104,6 +104,47 @@ class MetaTablesSpec extends SparkSpec {
     }
   }
 
+  test("t$buckets surfaces the per-bucket layout-health report " +
+       "(files, rows, row groups, bytes, DV pressure) through SQL") {
+    val t = "t_meta_buckets"
+    KeyedTable.toSql(df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0),
+      (4L, "d", 4.0)), wh, t, pk = Seq("id"), buckets = 2)
+    KeyedTable.toSql(df((5L, "e", 5.0), (6L, "f", 6.0)), wh, t,
+      pk = Seq("id"), how = WriteMode.Append)
+    import org.apache.spark.sql.functions.col
+    val deleted = KeyedTable.delete(spark, wh, t, col("id") === 2L,
+      mode = DeleteMode.MergeOnRead)
+    assert(deleted == 1L)
+    val m = Manifest.current(spark, s"$wh/$t").get
+    assert(m.dvs.nonEmpty, "fixture must actually have delete vectors")
+    withCat { cat =>
+      val rows = spark.sql(
+        s"SELECT bucket, n_files, n_rows, n_row_groups, bytes, dv_files, " +
+        s"dv_rows FROM $cat.`$t" + "$buckets` ORDER BY bucket")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), r.getLong(6)))
+      // ALWAYS one row per bucket (empty buckets report zeros)
+      assert(rows.map(_._1).toSeq == (0 until m.buckets))
+      // file counts and bytes agree with the manifest, per bucket
+      rows.foreach { case (b, nf, _, ng, bytes, dvf, dvr) =>
+        val fls = m.files.getOrElse(b, Nil)
+        assert(nf == fls.size.toLong)
+        assert(bytes == fls.map(_.len).sum)
+        assert(ng >= nf) // every file has at least one row group
+        assert(dvf == m.dvs.getOrElse(b, Nil).size.toLong)
+        assert(dvr == m.dvs.getOrElse(b, Nil).flatMap(_.rows).sum)
+      }
+      // data rows (pre-mask) sum to 6; live rows = n_rows - dv_rows = 5
+      assert(rows.map(_._3).sum == 6L)
+      assert(rows.map(r => r._3 - r._7).sum ==
+        KeyedTable.readSql(spark, wh, t).count())
+      // the row the dashboard would act on: the DV'd bucket shows
+      // tombstone pressure
+      assert(rows.map(_._7).sum == 1L)
+    }
+  }
+
   test("t$changelog lists surviving CDC batches with the expiry floor") {
     val t = "t_meta_cl"
     KeyedTable.toSql(df((1L, "a", 1.0)), wh, t, pk = Seq("id"))
