@@ -912,6 +912,16 @@ object PbQueries {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.store.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // This row's cost is TRIGGER SCHEDULING, not data volume (sf1/sf0.1
+    // slope ~1.0×): the windowed aggregate emits a few hundred groups,
+    // but every micro-batch commits one state-store delta + checkpoint
+    // write PER shuffle partition, and the seed agg shuffles the same
+    // few hundred rows. Pin the row to 8 partitions (state partitioning
+    // fixed at first run by the fresh checkpoint) so measured work
+    // dominates scheduling; restore the session conf either way.
+    val shufBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val events = Tables.events(spark, sfDir)
     // seed: one event type's windows with poisoned counts — proof the
     // upsert epochs REPLACE matched keys rather than appending
@@ -948,6 +958,7 @@ object PbQueries {
     require(out.filter(col("n_events") < 0).isEmpty,
       "poisoned seed rows must be overwritten by the update stream")
     out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", shufBefore)
   }
 
   /** #11au (`pb_wap_cdc`): write-audit-publish COMPOSES with
