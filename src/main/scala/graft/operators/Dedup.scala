@@ -656,21 +656,43 @@ object Dedup {
     * chunk-salt it exactly like the gap-repair family
     * ([[AsOf.ffillSalted]]) — islands can't cross a chunk boundary
     * that duplicated windows don't span. */
+  /** The stride-1 window-hash fanout shared by [[duplicateSpans]] and
+    * [[duplicateSpansCut]]: (id, pos, h1, h2) — one row per w-char
+    * window, keyed by the 128-bit content hash pair
+    * ([[graft.functions.expr.WindowHashPairs]]). */
+  private def spanWindowHashes(docs: DataFrame, idCol: String,
+                               textCol: String, w: Int): DataFrame =
+    docs.filter(length(col(textCol)) >= w)
+      .select(col(idCol).as("id"),
+        posexplode(org.apache.spark.sql.GraftBridge.column(
+          graft.functions.expr.WindowHashPairs(
+            org.apache.spark.sql.GraftBridge.expression(col(textCol)), w)))
+          .as(Seq("pos", "h")))
+      .select(col("id"), col("pos"),
+        col("h.h1").as("h1"), col("h.h2").as("h2"))
+
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
                      w: Int = 40, minOccurrences: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs.filter(length(col(textCol)) >= w)
-      .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), length(col(textCol)) - w),
-          i => md5(col(textCol).substr(i + lit(1), lit(w))))).as(Seq("pos", "h")))
-    // corpus-wide occurrence count as a window over the hash: ONE
-    // computation of the window rows and one exchange, instead of an
-    // aggregate + semi-join pair that recomputes the whole stride-1
-    // hash fanout for each side
-    val dupPos = wins
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("h"))))
+    // 128-bit numeric window hashes (one codegen'd pass per doc) in
+    // place of md5-hex strings: the fanout's exchange keys drop from
+    // 32-byte strings to two longs, and no interpreted HOF lambda runs
+    // per window. Hash VALUES never reach the output — only equality
+    // classes — so spans are unchanged (the oracle replays md5).
+    val wins = spanWindowHashes(docs, idCol, textCol, w)
+    // corpus-wide occurrence count as a HASH AGGREGATE (map-side
+    // partial, no sort) instead of a count-over-window: the old form
+    // sorted the ENTIRE stride-1 fanout by hash; this one sorts
+    // nothing, and only the duplicated classes' (tiny) hash set comes
+    // back — AQE picks broadcast when it fits, falling back to a
+    // narrow two-long-key shuffle join when a pathological corpus
+    // makes the dup set large. The fanout is computed twice (both
+    // join inputs), which the cheap hash makes a bargain vs the sort.
+    val dupH = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minOccurrences)
-      .drop("n")
+      .select(col("h1"), col("h2"))
+    val dupPos = wins.join(dupH, Seq("h1", "h2")).select(col("id"), col("pos"))
     // consecutive duplicated positions share (pos - rank): one island
     // per maximal run, merged by a bounded per-doc aggregate
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -698,13 +720,21 @@ object Dedup {
   def duplicateSpansCut(docs: DataFrame, idCol: String, textCol: String,
                         w: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val wins = docs.filter(length(col(textCol)) >= w)
-      .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), length(col(textCol)) - w),
-          i => md5(col(textCol).substr(i + lit(1), lit(w))))).as(Seq("pos", "h")))
+    // same numeric-hash fanout + dup-class pre-filter as
+    // [[duplicateSpans]]: the canonical-occurrence rank only matters
+    // inside classes of size >= 2 (singletons rank 1 and are dropped),
+    // so the ranking window sorts ONLY the joined dup subset instead
+    // of the whole stride-1 fanout. Rank values are unchanged: the
+    // join keeps every occurrence of each surviving class.
+    val wins = spanWindowHashes(docs, idCol, textCol, w)
+    val dupH = wins.groupBy(col("h1"), col("h2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("h1"), col("h2"))
     // rank occurrences of each window corpus-wide; rank 1 = canonical
-    val cut = wins.withColumn("rn", row_number().over(
-        Window.partitionBy(col("h")).orderBy(col("id"), col("pos"))))
+    val cut = wins.join(dupH, Seq("h1", "h2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("h1"), col("h2")).orderBy(col("id"), col("pos"))))
       .filter(col("rn") > 1)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
     val spans = cut.withColumn("grp", col("pos") - row_number().over(byDoc))

@@ -643,29 +643,32 @@ object Knn {
     import org.apache.spark.sql.types.DecimalType
     import graft.functions.Rounding.portableRoundDouble
     val spark = embs.sparkSession
-    val dec = DecimalType(18, 6)
-    // decimal-pin each element ONCE per vector, then fan out only the
-    // upper triangle (j ≥ i, via a positional slice) — half the
-    // products of the naive dim² outer fanout and no per-pair casts.
-    // The vector is sliced to `dim` elements FIRST: a longer embedding
-    // would otherwise emit positions ≥ dim and blow the dim×dim Gram
-    // indexing on the driver
-    val withDec = embs.select(
-      transform(slice(col(vecCol), 1, dim), x => x.cast("double").cast(dec)).as("dv"))
-    val ij = withDec
-      .select(posexplode(col("dv")).as(Seq("i", "di")), col("dv"))
-      .select(col("i"), col("di"),
-        posexplode(slice(col("dv"), col("i") + lit(1), lit(dim)))
-          .as(Seq("off", "dj")))
-      .select(col("i"), (col("i") + col("off")).as("j"),
-        (col("di") * col("dj")).as("p"))
-    val cells = ij.groupBy(col("i"), col("j")).agg(sum(col("p")).as("g"))
-      .collect() // bounded by dim² — never data-sized
+    // The whole upper-triangle Gram as ONE native aggregate
+    // ([[graft.functions.expr.GramUpperTriangle]] — numerically
+    // identical to the old decimal-pin + double-posexplode + per-cell
+    // decimal `sum`, proven in its scaladoc): per vector a tight
+    // long-arithmetic loop replaces 2·dim²/2 generated rows and dim²/2
+    // BigDecimal multiplies, and the exchange carries one ~33 KB state
+    // blob per task instead of dim² grouped Decimal cells.
+    val gramRow = embs.select(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.functions.expr.GramUpperTriangle(
+          org.apache.spark.sql.GraftBridge.expression(col(vecCol)), dim)
+          .toAggregateExpression()).as("g"))
+      .head() // bounded by dim² — never data-sized
+    val flat = gramRow.getSeq[java.math.BigDecimal](0)
     val G = Array.fill(dim, dim)(java.math.BigDecimal.ZERO)
-    cells.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      G(i)(j) = r.getDecimal(2)
-      G(j)(i) = r.getDecimal(2) // Gram is symmetric; mirror the triangle
+    var fi = 0
+    var fk = 0
+    while (fi < dim) {
+      var fj = fi
+      while (fj < dim) {
+        G(fi)(fj) = flat(fk)
+        G(fj)(fi) = flat(fk) // Gram is symmetric; mirror the triangle
+        fj += 1
+        fk += 1
+      }
+      fi += 1
     }
     var v = Array.fill(dim)(java.math.BigDecimal.ONE)
     var lambda = 0.0
@@ -703,20 +706,28 @@ object Knn {
     * loading, prune the extremes, or use as a 1-D embedding). */
   def projectTopComponent(embs: DataFrame, idCol: String, vecCol: String,
                           dim: Int = 64, iters: Int = 40): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     import graft.functions.Rounding.portableRound
-    val dec = DecimalType(18, 6)
+    // The learned direction is a dim-length driver-side vector (the
+    // loadings frame topSingularVector returns IS a local relation), so
+    // the apply side is one narrow codegen'd exact-decimal dot per row
+    // ([[graft.functions.expr.DecimalDotFixed]] — numerically identical
+    // to the old posexplode + broadcast-join + decimal sum, proven in
+    // its scaladoc) instead of a 64×-row fanout through an exchange.
     val loadings = topSingularVector(embs, vecCol, dim, iters)
-      .select(col("dim"), col("loading").cast(DecimalType(8, 6)).as("v"))
-    val el = embs.select(col(idCol).as("id"),
-        posexplode(col(vecCol)).as(Seq("d", "xf")))
-      .select(col("id"), col("d").cast("long").as("dim"),
-        col("xf").cast("double").cast(dec).as("x"))
-    el.join(broadcast(loadings), "dim")
-      .groupBy(col("id"))
-      .agg(sum(col("x") * col("v")).as("s"))
-      .select(col("id").as(idCol),
-        portableRound(col("s").cast("double"), 4).as("score"))
+      .select(col("dim"), col("loading")).collect()
+      .map(r => r.getLong(0).toInt -> r.getDouble(1)).toMap
+    val weights = Array.tabulate(dim) { i =>
+      val v = java.math.BigDecimal.valueOf(loadings.getOrElse(i, 0.0))
+        .setScale(6, java.math.RoundingMode.HALF_UP)
+      if (v.precision > 8) Long.MinValue // the (8,6) cast's null
+      else v.unscaledValue().longValue()
+    }
+    embs.select(col(idCol),
+      portableRound(
+        org.apache.spark.sql.GraftBridge.column(
+          graft.functions.expr.DecimalDotFixed(
+            org.apache.spark.sql.GraftBridge.expression(col(vecCol)), weights))
+          .cast("double"), 4).as("score"))
   }
 
   def centroidOutliers(embs: DataFrame, idCol: String, vecCol: String,
