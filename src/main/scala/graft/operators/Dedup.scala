@@ -680,19 +680,38 @@ object Dedup {
     // per window. Hash VALUES never reach the output — only equality
     // classes — so spans are unchanged (the oracle replays md5).
     val wins = spanWindowHashes(docs, idCol, textCol, w)
-    // corpus-wide occurrence count as a HASH AGGREGATE (map-side
-    // partial, no sort) instead of a count-over-window: the old form
-    // sorted the ENTIRE stride-1 fanout by hash; this one sorts
-    // nothing, and only the duplicated classes' (tiny) hash set comes
-    // back — AQE picks broadcast when it fits, falling back to a
-    // narrow two-long-key shuffle join when a pathological corpus
-    // makes the dup set large. The fanout is computed twice (both
-    // join inputs), which the cheap hash makes a bargain vs the sort.
-    val dupH = wins.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minOccurrences)
-      .select(col("h1"), col("h2"))
-    val dupPos = wins.join(dupH, Seq("h1", "h2")).select(col("id"), col("pos"))
+    // corpus-wide occurrence count as a window over the hash pair: ONE
+    // computation of the fanout and one exchange. The measured
+    // alternative (hash-aggregate the dup classes, join the fanout
+    // against them) wins only when duplication is rare — under heavy
+    // replication (the sf1 sweep corpus is 10× copied text; a crawl
+    // looks the same) the dup set is EVERY distinct window, the join
+    // side outgrows broadcast, and the fallback sort-merge join pays
+    // the same full-fanout sort PLUS a second fanout computation
+    // (sf1: 51.9 s vs 12 s for this form). The sort's keys are two
+    // longs, not 32-byte md5 strings — that swap alone is the win
+    // (sf1 fanout: 27.3 s md5 → 2.4 s).
+    // occurrence test as STREAMING window functions: count() over an
+    // unordered partition buffers every partition's rows (measured
+    // 17.6 s vs 7.2 s at sf1 against the running-frame rank the _cut
+    // twin uses); row_number + lead run in one streaming pass over the
+    // same sort. For the ubiquitous minOccurrences = 2, "class size
+    // >= 2" is exactly "this row has a predecessor or a successor";
+    // the general k (no caller passes one today) keeps the counting
+    // window.
+    val byClass = Window.partitionBy(col("h1"), col("h2"))
+      .orderBy(col("id"), col("pos"))
+    val dupPos = (
+      if (minOccurrences <= 2)
+        wins.withColumn("_rn", row_number().over(byClass))
+          .withColumn("_nx", lead(col("pos"), 1).over(byClass))
+          .filter(col("_rn") > (minOccurrences - 1).max(0)
+            || col("_nx").isNotNull)
+      else
+        wins.withColumn("n", count(lit(1)).over(
+            Window.partitionBy(col("h1"), col("h2"))))
+          .filter(col("n") >= minOccurrences)
+      ).select(col("id"), col("pos"))
     // consecutive duplicated positions share (pos - rank): one island
     // per maximal run, merged by a bounded per-doc aggregate
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
@@ -720,20 +739,13 @@ object Dedup {
   def duplicateSpansCut(docs: DataFrame, idCol: String, textCol: String,
                         w: Int = 40): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // same numeric-hash fanout + dup-class pre-filter as
-    // [[duplicateSpans]]: the canonical-occurrence rank only matters
-    // inside classes of size >= 2 (singletons rank 1 and are dropped),
-    // so the ranking window sorts ONLY the joined dup subset instead
-    // of the whole stride-1 fanout. Rank values are unchanged: the
-    // join keeps every occurrence of each surviving class.
+    // same numeric-hash fanout as [[duplicateSpans]] (and the same
+    // measured rejection of the aggregate+join pre-filter — see the
+    // comment there): ONE fanout, one exchange, rank window keyed by
+    // two longs instead of a 32-byte md5 string
     val wins = spanWindowHashes(docs, idCol, textCol, w)
-    val dupH = wins.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-      .select(col("h1"), col("h2"))
     // rank occurrences of each window corpus-wide; rank 1 = canonical
-    val cut = wins.join(dupH, Seq("h1", "h2"))
-      .withColumn("rn", row_number().over(
+    val cut = wins.withColumn("rn", row_number().over(
         Window.partitionBy(col("h1"), col("h2")).orderBy(col("id"), col("pos"))))
       .filter(col("rn") > 1)
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))

@@ -317,6 +317,16 @@ object KeyedTable {
     r.getSeq[Int](3).toSeq
   }
 
+  /** Label the Spark jobs `body` launches (UI/listener observability —
+    * a multi-action store verb is unreadable as anonymous job ids).
+    * Thread-local, restored after, so concurrent writers keep their own
+    * labels. */
+  private[store] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(null)
+  }
+
   private def create(df0: DataFrame, warehouse: String, tableName: String,
                      pk: Seq[String], autoIndex: Boolean, buckets: Int,
                      validate: Boolean, inferBool: Boolean = false,
@@ -357,8 +367,10 @@ object KeyedTable {
     // the whole table, and nothing upstream is recomputed.
     val staging = s"$dir/.staging-create-${UUID.randomUUID()}"
     try {
-      clusterByBucket(withBucket(ordered, pkCols, buckets), buckets, pkCols)
-        .write.partitionBy(BucketCol).parquet(staging)
+      labeled(spark, s"graft-create $tableName: staging write") {
+        clusterByBucket(withBucket(ordered, pkCols, buckets), buckets, pkCols)
+          .write.partitionBy(BucketCol).parquet(staging)
+      }
       val staged = spark.read.schema(
           StructType(ordered.schema.fields :+
             StructField(BucketCol, IntegerType, nullable = true)))
@@ -383,7 +395,9 @@ object KeyedTable {
       val toBool: Set[String] =
         if (allAggs.isEmpty) Set.empty
         else {
-          val r = staged.agg(allAggs.head, allAggs.tail.toIndexedSeq: _*).head()
+          val r = labeled(spark, s"graft-create $tableName: pk/bool validation") {
+            staged.agg(allAggs.head, allAggs.tail.toIndexedSeq: _*).head()
+          }
           if (wantPk) {
             val nulls = r.getLong(0); val total = r.getLong(1); val distinct = r.getLong(2)
             if (nulls > 0)
