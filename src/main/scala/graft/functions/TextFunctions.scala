@@ -85,6 +85,33 @@ object TextFunctions {
         transform(slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
           x => x.cast("string"))))
 
+  /** Packed NUMERIC LSH band keys: same banding as [[lshBandKeys]] but
+    * each band key is two longs instead of a "v1|v2|v3|v4" string —
+    * INJECTIVE (signature entries are universal-hash values < p ≈ 2³⁰,
+    * so `v1·p + v2 < p² < 2⁶³` packs two per long losslessly; absent
+    * slots pad with −1, below every packed value), so two docs share a
+    * packed key iff they share the string key — identical candidate
+    * buckets, identical downstream pairs. What it buys at the wide
+    * step: the (band, key) exchange, rank window and bucket self-join
+    * compare 17 bytes of fixed-width ints instead of variable-length
+    * strings, and no per-row string assembly runs in the banding
+    * projection. Returns array<struct<k1,k2>>; `rowsPerBand ≤ 4`
+    * (every graft call site uses 16/4 = 4). */
+  def lshBandKeysPacked(signature: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 4,
+      s"lshBandKeysPacked packs at most 4 rows per band, got $rowsPerBand")
+    val p = lit(MinhashPrime)
+    transform(sequence(lit(0), lit(bands - 1)), b => {
+      def at(j: Int): Column =
+        element_at(signature, (b * lit(rowsPerBand) + lit(j)).cast("int"))
+      def pack(j1: Int): Column =
+        if (rowsPerBand >= j1 + 1) at(j1) * p + at(j1 + 1)
+        else if (rowsPerBand >= j1) at(j1)
+        else lit(-1L)
+      struct(pack(1).as("k1"), pack(3).as("k2"))
+    })
+  }
+
   /** Jaccard similarity of two distinct-element arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -142,6 +142,26 @@ object Dedup {
   private[operators] def shingled(docs: DataFrame, idCol: String, textCol: String, n: Int) =
     docs.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("shingles"))
 
+  /** Packed banded rows (id, band, k1, k2) over a [[shingled]] frame —
+    * the numeric-key banding every batch LSH path shares
+    * ([[graft.functions.TextFunctions.lshBandKeysPacked]]).
+    *
+    * The signature MUST be materialized as its own column first: the
+    * packing lambda reads it through `element_at` 2·bands times, and a
+    * non-attribute child would be INLINED into every read — 16
+    * recomputations of the full minhash fold per row (measured 11.6 s
+    * vs 1.9 s at sf1; the same quadratic-by-reevaluation trap
+    * documented at [[graft.functions.expr.WinnowFingerprints]]).
+    * CollapseProject keeps the split: a multi-referenced non-trivial
+    * alias is never collapsed into its consumers. */
+  private def bandedPacked(sh: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    sh.select(col("id"), minhashSignature(col("shingles"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeysPacked(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "k")))
+      .select(col("id"), col("band"),
+        col("k.k1").as("k1"), col("k.k2").as("k2"))
+
   /** #24 n-gram Jaccard near-dup pairs: candidate pairs share ≥1
     * shingle (inverted-index join — the only shuffle is on the shingle
     * string); pairs are then verified with exact Jaccard ≥ `threshold`.
@@ -362,23 +382,24 @@ object Dedup {
                               extra: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ranked = banded.withColumn("_r",
-      row_number().over(Window.partitionBy(col("band"), col("key")).orderBy(col("id"))))
+      row_number().over(
+        Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col("id"))))
     val core = ranked.filter(col("_r") <= maxBucket)
     val corePairs = core.as("a").join(core.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+        col("a.band") === col("b.band") && col("a.k1") === col("b.k1") &&
+          col("a.k2") === col("b.k2") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a") +: col("b.id").as("id_b") +:
         extra.flatMap(c => Seq(col(s"a.$c").as(s"a_$c"), col(s"b.$c").as(s"b_$c"))): _*)
     // overflow → exactly one star edge to the bucket's min-id hub (the
     // rank-1 row; hub id < member id by the rank ordering), carrying the
     // hub's extras via a one-row-per-bucket equi-join
     val hubRows = ranked.filter(col("_r") === 1)
-      .select(col("band") +: col("key") +: col("id").as("id_a") +:
+      .select(col("band") +: col("k1") +: col("k2") +: col("id").as("id_a") +:
         extra.map(c => col(c).as(s"a_$c")): _*)
     val starPairs = ranked.filter(col("_r") > maxBucket)
-      .select(col("band") +: col("key") +: col("id").as("id_b") +:
+      .select(col("band") +: col("k1") +: col("k2") +: col("id").as("id_b") +:
         extra.map(c => col(c).as(s"b_$c")): _*)
-      .join(hubRows, Seq("band", "key"))
+      .join(hubRows, Seq("band", "k1", "k2"))
       .select(col("id_a") +: col("id_b") +:
         extra.flatMap(c => Seq(col(s"a_$c"), col(s"b_$c"))): _*)
     corePairs.unionByName(starPairs)
@@ -397,7 +418,7 @@ object Dedup {
                              maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     seenBanded.withColumn("_r", row_number().over(
-        Window.partitionBy(col("band"), col("key")).orderBy(col(idAs))))
+        Window.partitionBy(col("band"), col("k1"), col("k2")).orderBy(col(idAs))))
       .filter(col("_r") <= maxBucket).drop("_r")
   }
 
@@ -439,16 +460,16 @@ object Dedup {
                       threshold: Double = 0.5,
                       maxBucket: Int = 64,
                       maxPairsPerId: Int = Int.MaxValue): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val sh = shingled(docs, idCol, textCol, n)
     // band keys travel WITHOUT the shingle arrays: the candidate join
-    // shuffles only (id, band, key) — at 100 TB the shingle sets are the
-    // bulk of the row, and re-deriving them from the (narrow, codegen'd)
-    // scan for the verify join is far cheaper than pushing bands×|set|
-    // copies through the exchange.
-    val banded = sh.select(col("id"),
-      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
-        .as(Seq("band", "key")))
+    // shuffles only (id, band, k1, k2) — at 100 TB the shingle sets are
+    // the bulk of the row, and re-deriving them from the (narrow,
+    // codegen'd) scan for the verify join is far cheaper than pushing
+    // bands×|set| copies through the exchange. Keys are the PACKED
+    // numeric form ([[lshBandKeysPacked]] — injective, so buckets and
+    // pairs are identical to the string-keyed banding the oracle
+    // replays): the exchange/rank/self-join compare fixed-width longs.
+    val banded = bandedPacked(sh, numHashes, bands)
     val cand = cappedBandPairs(banded, maxBucket, Nil)
       .dropDuplicates("id_a", "id_b")
     val verified = cand
@@ -496,18 +517,14 @@ object Dedup {
                             n: Int = 5, numHashes: Int = 16, bands: Int = 4,
                             threshold: Double = 0.5,
                             maxBucket: Int = 64): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    def banded(df: DataFrame, as: String) = {
-      val sh = shingled(df, idCol, textCol, n)
-      sh.select(col("id").as(as),
-        posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes), bands, rowsPerBand))
-          .as(Seq("band", "key")))
-    }
+    def banded(df: DataFrame, as: String) =
+      bandedPacked(shingled(df, idCol, textCol, n), numHashes, bands)
+        .withColumnRenamed("id", as)
     val shNew = shingled(incoming, idCol, textCol, n)
     val shSeen = shingled(seen, idCol, textCol, n)
     val cand = banded(incoming, "id_new")
       .join(capSeenBuckets(banded(seen, "id_seen"), "id_seen", maxBucket),
-        Seq("band", "key"))
+        Seq("band", "k1", "k2"))
       .select(col("id_new"), col("id_seen"))
       .dropDuplicates("id_new", "id_seen")
     val verified = cand
@@ -539,9 +556,7 @@ object Dedup {
                      n: Int = 5, numHashes: Int = 16,
                      bands: Int = 4): (DataFrame, DataFrame) = {
     val sh = shingled(seen, idCol, textCol, n)
-    val bandRows = sh.select(col("id"),
-      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
-        bands, numHashes / bands)).as(Seq("band", "key")))
+    val bandRows = bandedPacked(sh, numHashes, bands)
     val shingleRows = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     (bandRows, shingleRows)
   }
@@ -567,14 +582,14 @@ object Dedup {
                                      maxBucket: Int = 64): DataFrame = {
     import graft.functions.Rounding.portableRound
     val shNew = shingled(incoming, idCol, textCol, n)
-    val newBands = shNew.select(col("id").as("id_new"),
-      posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
-        bands, numHashes / bands)).as(Seq("band", "key")))
+    val newBands = bandedPacked(shNew, numHashes, bands)
+      .withColumnRenamed("id", "id_new")
     val cand = newBands
       .join(capSeenBuckets(
-          seenBands.select(col("id").as("id_seen"), col("band"), col("key")),
+          seenBands.select(col("id").as("id_seen"), col("band"),
+            col("k1"), col("k2")),
           "id_seen", maxBucket),
-        Seq("band", "key"))
+        Seq("band", "k1", "k2"))
       .select(col("id_new"), col("id_seen"))
       .dropDuplicates("id_new", "id_seen")
     val newEx = shNew.select(col("id").as("id_new"),
@@ -624,7 +639,10 @@ object Dedup {
     val sigs = docs.select(col(idCol).as("id"), sigFn(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       explode(simhashBands(col("sig"), bands)).as("b"))
-      .select(col("id"), col("sig"), col("b.band").as("band"), col("b.key").as("key"))
+      // cappedBandPairs keys on two longs (the minhash family's packed
+      // form); simhash slices are single longs — k2 pads constant
+      .select(col("id"), col("sig"), col("b.band").as("band"),
+        col("b.key").as("k1"), lit(-1L).as("k2"))
     // same bucket cap as the MinHash family: a slice shared by k
     // near-identical docs emits star edges beyond `maxBucket` instead of
     // k²/2 pairs; the hamming verify sees both sides' signatures either way

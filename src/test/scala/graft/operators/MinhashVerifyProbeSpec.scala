@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.functions.TextFunctions.{jaccard, lshBandKeys, minhashSignature}
+import graft.functions.TextFunctions.{jaccard, lshBandKeysPacked, minhashSignature}
 
 /** MEASUREMENT probe (opt-in: `SPARK_GRAFT_MEASURE=1`), not a
   * correctness test — it compares the two candidate-VERIFY strategies
@@ -41,8 +41,9 @@ class MinhashVerifyProbeSpec extends SparkSpec {
     def inverted(): Long = {
       val sh = Dedup.shingled(docs, "doc_id", "text", n)
       val banded = sh.select(col("id"),
-        posexplode(lshBandKeys(minhashSignature(col("shingles"), numHashes),
-          bands, rowsPerBand)).as(Seq("band", "key")))
+        posexplode(lshBandKeysPacked(minhashSignature(col("shingles"), numHashes),
+          bands, rowsPerBand)).as(Seq("band", "k")))
+        .select(col("id"), col("band"), col("k.k1").as("k1"), col("k.k2").as("k2"))
       val cand = Dedup.cappedBandPairs(banded, maxBucket, Nil)
         .dropDuplicates("id_a", "id_b")
       val inv = sh.select(col("id"), explode(col("shingles")).as("s"))
