@@ -1865,13 +1865,17 @@ object Analytics {
     val tot = cr.agg(sum(col("rev")).as("t"))
     val qs = (1 until shards).map(_.toDouble / shards)
     val edges = cr.agg(
-      percentile_approx(col("rev").cast("double"), typedlit(qs), lit(10000))
+      // accuracy 1000 (the ExactRank precedent): edges only shard, so
+      // sketch error costs balance, never a row
+      percentile_approx(col("rev").cast("double"), typedlit(qs), lit(1000))
         .as("_edges"))
     // descending sort order ⇒ shard id grows as revenue falls; any
     // monotone-in-value assignment is correct (edges only shard)
     val sharded = cr.crossJoin(broadcast(edges))
       .withColumn("_shard",
-        size(filter(col("_edges"), e => col("rev").cast("double") <= e)))
+        graft.functions.expr.ArrayCountCompare.of(
+          col("_edges"), col("rev").cast("double"),
+          countGreater = true, includeEqual = true))
       .drop("_edges")
     val counts = sharded.groupBy(col("_shard"))
       .agg(sum(col("rev")).as("s")).collect()

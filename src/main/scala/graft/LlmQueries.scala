@@ -304,9 +304,13 @@ object LlmQueries {
         nTokens(col("text")).as("n_tokens"))
     val qs = (1 until shards).map(_.toDouble / shards)
     val edges = base.groupBy(col("pack_group")).agg(
-      percentile_approx(col("doc_id"), typedLit(qs), lit(10000)).as("_edges"))
+      // double edges for the codegen shard probe; long→double is
+      // monotone and edges only shard, so offsets stay exact
+      percentile_approx(col("doc_id").cast("double"), typedLit(qs), lit(1000))
+        .as("_edges"))
     val withShard = base.join(broadcast(edges), Seq("pack_group"))
-      .withColumn("_shard", size(filter(col("_edges"), e => col("doc_id") > e)))
+      .withColumn("_shard", graft.functions.expr.ArrayCountCompare.of(
+        col("_edges"), col("doc_id").cast("double"), countGreater = false))
       .drop("_edges")
     val sums = withShard.groupBy(col("pack_group"), col("_shard"))
       .agg(sum(col("n_tokens")).as("t")).collect()

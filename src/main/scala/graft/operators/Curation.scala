@@ -83,7 +83,8 @@ object Curation {
     // shard 0 = highest quality: count of edges strictly above the value
     // is monotone non-decreasing as quality falls (ties share a shard)
     val withShard = base.join(broadcast(edges), Seq("source"))
-      .withColumn("_shard", size(filter(col("_edges"), e => col("quality") < e)))
+      .withColumn("_shard", graft.functions.expr.ArrayCountCompare.of(
+        col("_edges"), col("quality"), countGreater = true))
       .drop("_edges")
     val sums = withShard.groupBy(col("source"), col("_shard"))
       .agg(sum(col("n_tokens")).as("t")).collect()

@@ -67,7 +67,13 @@ object ExactRank {
     // error costs a sliver of balance, never exactness — and the
     // sketch merge is ~10x cheaper than the old accuracy-10000 one
     val edgesAgg = df.groupBy(col(groupCol)).agg(
-      percentile_approx(col(valueCol), typedlit(qs), lit(1000)).as("_graft_edges"))
+      // double-cast so the edge array is array<double> for the codegen
+      // shard probe below; long→double is monotone and both the
+      // counting and ranking jobs read the SAME collected literals, so
+      // the shard function stays pure/monotone/consistent — exactness
+      // is untouched (edges only shard)
+      percentile_approx(col(valueCol).cast("double"), typedlit(qs), lit(1000))
+        .as("_graft_edges"))
     val edgeRows = edgesAgg.collect()
     require(edgeRows.length * shards <= 65536,
       s"${edgeRows.length} groups x $shards shards — grouped ExactRank targets few-group " +
@@ -75,8 +81,14 @@ object ExactRank {
     val edges = broadcast(spark.createDataFrame(
       spark.sparkContext.parallelize(edgeRows.toIndexedSeq, 1), edgesAgg.schema))
     val withShard = df.join(edges, Seq(groupCol))
+      // codegen'd edge count (graft.functions.expr.ArrayCountCompare):
+      // the composed size(filter(...)) runs its lambda interpreted —
+      // |edges| interpreted comparisons per row, measured as the bulk
+      // of every rank pass at bench scale
       .withColumn(ShardCol,
-        size(filter(col("_graft_edges"), e => col(valueCol) > e)))
+        graft.functions.expr.ArrayCountCompare.of(
+          col("_graft_edges"), col(valueCol).cast("double"),
+          countGreater = false))
       .drop("_graft_edges")
     // Exact (group, shard) counts → within-group offsets, all LAZY: the
     // aggregate is ≤ groups×shards rows, the cumulative offset is a
