@@ -42,6 +42,24 @@ object BoolInference {
         count(when(isOne, 1)).as(s"${f.name}!ones"))
     }
 
+  /** [[decode]] against the named-metric map an `observe()` of
+    * [[aggColumns]] returns (KeyedTable.create fuses the inference
+    * into the staging write's own job — zero extra passes). */
+  private[store] def decodeMap(schema: StructType,
+                               m: Map[String, Any]): Map[String, Option[Boolean]] = {
+    val decided = candidatesOf(schema).map { f =>
+      val n = m(s"${f.name}!n").asInstanceOf[Long]
+      val zeros = m(s"${f.name}!zeros").asInstanceOf[Long]
+      val ones = m(s"${f.name}!ones").asInstanceOf[Long]
+      val verdict: Option[Boolean] =
+        if (n == 0) None
+        else if (f.dataType == BooleanType) Some(true)
+        else Some(zeros + ones == n && zeros > 0 && ones > 0)
+      f.name -> verdict
+    }.toMap
+    schema.fieldNames.map(c => c -> decided.getOrElse(c, Some(false))).toMap
+  }
+
   /** Reads the [[aggColumns]] counters back out of `r` starting at
     * field `offset`; verdicts for every column of `schema`. */
   private[store] def decode(schema: StructType, r: Row,

@@ -67,6 +67,10 @@ object KeyedTable {
   /** Internal hash-bucket partition column. */
   val BucketCol = "pb_bucket"
 
+  /** Transient adjacent-duplicate flag used by create's observe()-fused
+    * PK validation (never written: dropped before the parquet sink). */
+  private val PkDupCol = "_graft_pkdup"
+
   /** Changelog subdirectory name (sibling of `data/`, never touched by
     * vacuum, invisible to the bucket reader). Retention is its own
     * explicit call — [[expireChangelog]] — because snapshot expiry and
@@ -323,8 +327,33 @@ object KeyedTable {
     * labels. */
   private[store] def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
     val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription(desc)
-    try body finally sc.setJobDescription(null)
+    try body finally sc.setJobDescription(prev)
+  }
+
+  /** Run two INDEPENDENT pieces of driver code — each typically one
+    * Spark action — concurrently (optimization guide §2.6: a verb's
+    * sequential actions leave the cluster idle through each job's tail
+    * and each scheduling wave; overlapping them hides both). A fresh
+    * thread per call so Spark's inheritable thread-locals (job
+    * description/group) propagate. Error precedence matches the old
+    * sequential order: `a`'s failure wins when both fail. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    @volatile var ra: Either[Throwable, A] = null
+    val t = new Thread(() => {
+      ra = try Right(a) catch { case e: Throwable => Left(e) }
+    }, "graft-parallel-action")
+    t.setDaemon(true)
+    t.start()
+    val rb = try Right(b) catch { case e: Throwable => Left(e) }
+    t.join()
+    (ra, rb) match {
+      case (Right(x), Right(y)) => (x, y)
+      case (Left(ea), Left(eb)) => ea.addSuppressed(eb); throw ea
+      case (Left(ea), _) => throw ea
+      case (_, Left(eb)) => throw eb
+    }
   }
 
   private def create(df0: DataFrame, warehouse: String, tableName: String,
@@ -362,44 +391,56 @@ object KeyedTable {
     // The input may be an arbitrarily expensive pipeline, so it runs
     // exactly ONCE: one bucket-partitioned staging write. PK validation
     // and {0,1}→bool inference (reference helpers.py:35, applied on
-    // create) then run as column-pruned scans of the staged parquet —
-    // at 100 TB those read only the PK / numeric columns' pages, not
-    // the whole table, and nothing upstream is recomputed.
+    // create) ride the SAME job as observe() metrics — zero extra
+    // scheduling waves and zero re-reads of the staged parquet.
+    // Uniqueness without count_distinct (observe() rejects DISTINCT
+    // aggregates): clusterByBucket already hash-partitions by bucket
+    // and sorts by (bucket, pk) — equal PKs are ADJACENT — so a
+    // lag()-window duplicate flag over the very same exchange+sort
+    // (no new Exchange, no new Sort) gives distinct = total − dups
+    // exactly.
     val staging = s"$dir/.staging-create-${UUID.randomUUID()}"
     try {
-      labeled(spark, s"graft-create $tableName: staging write") {
-        clusterByBucket(withBucket(ordered, pkCols, buckets), buckets, pkCols)
-          .write.partitionBy(BucketCol).parquet(staging)
-      }
-      val staged = spark.read.schema(
-          StructType(ordered.schema.fields :+
-            StructField(BucketCol, IntegerType, nullable = true)))
-        .parquet(staging)
-      // PK validation and bool inference are both single aggregation
-      // passes over the staged parquet — FUSE them into one job: at
-      // 100 TB that is one scheduling wave and one decode of the
-      // PK+numeric pages instead of two.
       val wantPk = validate && !autoIndex
-      val boolSchema = StructType(staged.schema.fields.filterNot(_.name == BucketCol))
+      val boolSchema = StructType(ordered.schema.fields)
       val boolAggs = if (inferBool) BoolInference.aggColumns(boolSchema) else Nil
+      val clustered = clusterByBucket(withBucket(ordered, pkCols, buckets), buckets, pkCols)
+      val flagged =
+        if (!wantPk) clustered
+        else {
+          val pkStruct = struct(pkCols.map(col): _*)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(BucketCol)).orderBy(pkCols.map(col): _*)
+          clustered.withColumn(PkDupCol, pkStruct <=> lag(pkStruct, 1).over(w))
+        }
       val pkAggs: Seq[Column] =
         if (!wantPk) Nil
         else {
           val keyNullCond = pkCols.map(col(_).isNull).reduce(_ || _)
           Seq(
-            coalesce(sum(when(keyNullCond, 1L).otherwise(0L)), lit(0L)),
-            count(lit(1)),
-            count_distinct(struct(pkCols.map(col): _*)))
+            coalesce(sum(when(keyNullCond, 1L).otherwise(0L)), lit(0L)).as("pk!nulls"),
+            count(lit(1)).as("pk!total"),
+            coalesce(sum(when(col(PkDupCol), 1L).otherwise(0L)), lit(0L)).as("pk!dups"))
         }
       val allAggs = pkAggs ++ boolAggs
-      val toBool: Set[String] =
-        if (allAggs.isEmpty) Set.empty
-        else {
-          val r = labeled(spark, s"graft-create $tableName: pk/bool validation") {
-            staged.agg(allAggs.head, allAggs.tail.toIndexedSeq: _*).head()
-          }
+      val obs = if (allAggs.isEmpty) None
+                else Some(org.apache.spark.sql.Observation())
+      val toWrite = {
+        val o = obs.map(ob => flagged.observe(ob, allAggs.head, allAggs.tail.toIndexedSeq: _*))
+          .getOrElse(flagged)
+        if (wantPk) o.drop(PkDupCol) else o
+      }
+      labeled(spark, s"graft-create $tableName: staging write + validation") {
+        toWrite.write.partitionBy(BucketCol).parquet(staging)
+      }
+      val toBool: Set[String] = obs match {
+        case None => Set.empty
+        case Some(ob) =>
+          val m = ob.get
           if (wantPk) {
-            val nulls = r.getLong(0); val total = r.getLong(1); val distinct = r.getLong(2)
+            val nulls = m("pk!nulls").asInstanceOf[Long]
+            val total = m("pk!total").asInstanceOf[Long]
+            val distinct = total - m("pk!dups").asInstanceOf[Long]
             if (nulls > 0)
               throw new StoreException(s"PK has $nulls NULL values and cannot be used (reference: sql.py:119)")
             if (distinct != total)
@@ -407,13 +448,12 @@ object KeyedTable {
                 s"PK is not unique: $total rows, $distinct distinct keys (reference: sql.py:97)")
           }
           if (inferBool)
-            BoolInference.decode(boolSchema, r, if (wantPk) 3 else 0).collect {
+            BoolInference.decodeMap(boolSchema, m).collect {
               case (c, Some(true)) if !pkCols.contains(c) &&
                 ordered.schema(c).dataType != BooleanType => c
             }.toSet
           else Set.empty
-        }
-
+      }
       val schema = StructType(ordered.schema.fields.map { fl =>
         val dt = if (toBool.contains(fl.name)) BooleanType else fl.dataType
         if (pkCols.contains(fl.name)) fl.copy(dataType = dt, nullable = false)
@@ -426,6 +466,10 @@ object KeyedTable {
       } else {
         // bool columns flip type: one columnar rewrite of the staged
         // files (still cheaper than re-running the input pipeline)
+        val staged = spark.read.schema(
+            StructType(ordered.schema.fields :+
+              StructField(BucketCol, IntegerType, nullable = true)))
+          .parquet(staging)
         val casted = toBool.foldLeft(staged)((d, c) => d.withColumn(c, col(c) =!= 0))
         casted.repartition(buckets, col(BucketCol))
           .write.partitionBy(BucketCol).parquet(data.toString)
@@ -1610,37 +1654,46 @@ object KeyedTable {
       // pipeline is computed once; one fused job answers the PK check
       // and the touched-bucket set off the cache
       val touched = validateAndTouched(newB, meta.pk, validate && !meta.autoIndex)
-      if (!meta.autoIndex) {
-        val old = readRawWith(spark, warehouse, table, meta, manifestOf(base))
-          .filter(col(BucketCol).isin(touched: _*))
-        val overlap = newB.join(old, meta.pk, "left_semi").limit(5)
-          .select(meta.pk.map(col): _*).collect()
-        if (overlap.nonEmpty)
-          throw new StoreException(
-            s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
-            "(reference: sql.py:264 append raises on repeated index)")
-      }
-      // Changelog batch: all inserts (every row is new by the overlap
-      // contract); staged before the data commit, renamed in only after
-      // it — same ordering as upsert's batches
-      val clCommit: Option[(Path, Path)] = if (changelog) {
-        val nonPk = evolved.fieldNames.filterNot(meta.pk.contains).toSeq
-        val images = nonPk.flatMap { c =>
-          Seq(lit(null).cast(evolved(c).dataType).as(s"old_$c"),
-            col(c).as(s"new_$c"))
-        }
-        val changes = newB
-          .select(meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)
-        Some(stageChangelogBatch(spark, dir, changes))
-      } else None
       // staged write + ADDITIVE manifest commit: the new files extend
-      // the touched buckets' lists; nothing live is replaced
+      // the touched buckets' lists; nothing live is replaced.
+      // The PK-overlap probe and the (optional) changelog batch read
+      // only the live snapshot + the cached delta — independent of the
+      // staging write, so the three jobs overlap (guide §2.6); any
+      // failure aborts before the commit flips anything, exactly as
+      // the sequential order did.
       val staging = s"$dir/.staging-append-${UUID.randomUUID()}"
       val f = fs(spark, dir)
+      var clCommit: Option[(Path, Path)] = None
       try {
         try {
-          toPhys(clusterByBucket(newB, base.buckets, meta.pk), meta)
-            .write.partitionBy(BucketCol).parquet(staging)
+          inParallel(
+            {
+              if (!meta.autoIndex) {
+                val old = readRawWith(spark, warehouse, table, meta, manifestOf(base))
+                  .filter(col(BucketCol).isin(touched: _*))
+                val overlap = newB.join(old, meta.pk, "left_semi").limit(5)
+                  .select(meta.pk.map(col): _*).collect()
+                if (overlap.nonEmpty)
+                  throw new StoreException(
+                    s"Append would overwrite existing PKs, e.g. ${overlap.mkString(", ")} " +
+                    "(reference: sql.py:264 append raises on repeated index)")
+              }
+              // Changelog batch: all inserts (every row is new by the
+              // overlap contract); staged before the data commit,
+              // renamed in only after it — same ordering as upsert's
+              if (changelog) {
+                val nonPk = evolved.fieldNames.filterNot(meta.pk.contains).toSeq
+                val images = nonPk.flatMap { c =>
+                  Seq(lit(null).cast(evolved(c).dataType).as(s"old_$c"),
+                    col(c).as(s"new_$c"))
+                }
+                val changes = newB
+                  .select(meta.pk.map(col) ++ (lit("insert").as("op") +: images): _*)
+                clCommit = Some(stageChangelogBatch(spark, dir, changes))
+              }
+            },
+            toPhys(clusterByBucket(newB, base.buckets, meta.pk), meta)
+              .write.partitionBy(BucketCol).parquet(staging))
           commitStaged(spark, f, dir, data, staging, touched, "append",
             base, base.buckets, meta, add = true, streamEpoch = txn)
         } finally f.delete(new Path(staging), true)
@@ -2850,11 +2903,14 @@ object KeyedTable {
           merged.as(c)
         } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol")).as(BucketCol): _*)
 
-      // Changelog batch: materialize to staging BEFORE the swap (the
-      // classification join needs the pre-image), commit by rename only
-      // AFTER the swap — an upsert that fails mid-commit leaves no
-      // batch directory claiming changes that never landed.
-      val clCommit: Option[(Path, Path)] = if (changelog) {
+      // Changelog batch: materialized to staging BEFORE the swap (the
+      // classification join needs the pre-image), committed by rename
+      // only AFTER the swap — an upsert that fails mid-commit leaves no
+      // batch directory claiming changes that never landed. The staging
+      // job itself is INDEPENDENT of the data staging write (both read
+      // the live snapshot + the cached delta), so the two writes run
+      // concurrently below (guide §2.6).
+      def stageChangelog(): Option[(Path, Path)] = if (!changelog) None else {
         val valueCols = incomingCols.toSeq.filterNot(meta.pk.contains).sorted
         val changedCond = valueCols
           .map(c => !(col(s"n.$c") <=> col(s"o.$c")))
@@ -2875,12 +2931,16 @@ object KeyedTable {
               .when(changedCond, lit("update"))
               .otherwise(lit("unchanged")).as("op") +: images): _*)
         Some(stageChangelogBatch(spark, dir, changes))
-      } else None
+      }
 
-      // merge reports what it did (one delta-sized job, merge path only)
-      val stats: (Long, Long, Long) =
-        if (!tombstoned) (0L, 0L, 0L)
-        else {
+      // merge reports what it did. A DEDICATED delta-sized join job is
+      // paid only when the Auto merge-on-read decision needs the
+      // matched count BEFORE the write path is chosen; under an
+      // explicit mode the same three counters ride the staging write
+      // as observe() metrics — one fewer join of the touched buckets.
+      val newRow = col("n._graft_new").isNotNull
+      val statsEarly: Option[(Long, Long, Long)] =
+        if (tombstoned && mode == DeleteMode.Auto && manifestOf(base).isDefined) {
           val r = marked.as("n")
             .join(oldTouched.as("o"), meta.pk.toIndexedSeq, "left")
             .agg(
@@ -2888,8 +2948,19 @@ object KeyedTable {
               coalesce(sum(when(!del && presentOld, 1L).otherwise(0L)), lit(0L)),
               coalesce(sum(when(del && presentOld, 1L).otherwise(0L)), lit(0L)))
             .head()
-          (r.getLong(0), r.getLong(1), r.getLong(2))
-        }
+          Some((r.getLong(0), r.getLong(1), r.getLong(2)))
+        } else None
+      val statsObs: Option[org.apache.spark.sql.Observation] =
+        if (tombstoned && statsEarly.isEmpty)
+          Some(org.apache.spark.sql.Observation())
+        else None
+      def observeStats(j: DataFrame): DataFrame = statsObs match {
+        case None => j
+        case Some(ob) => j.observe(ob,
+          coalesce(sum(when(newRow && !del && !presentOld, 1L).otherwise(0L)), lit(0L)).as("ins"),
+          coalesce(sum(when(newRow && !del && presentOld, 1L).otherwise(0L)), lit(0L)).as("upd"),
+          coalesce(sum(when(del && presentOld, 1L).otherwise(0L)), lit(0L)).as("del"))
+      }
 
       // merge-on-read eligibility (merge path only): the matched rows
       // — updates and tombstones — decompose into position deletes +
@@ -2897,12 +2968,13 @@ object KeyedTable {
       // shared Auto arithmetic compares |updated + deleted| against
       // the touched buckets' live rows.
       val mor = tombstoned && morDecision(manifestOf(base), mode, touched,
-        stats._2 + stats._3, "merge", table)
+        statsEarly.map(s => s._2 + s._3).getOrElse(0L), "merge", table)
 
       // Commit: write to staging, move the staged files in, flip the
       // manifest — one atomic snapshot publish; readers of the
       // previous snapshot are undisturbed.
       val f = fs(spark, dir)
+      var clCommit: Option[(Path, Path)] = None
       try {
         if (mor) {
           // delta-driven: one LEFT join of the (delta-sized) change
@@ -2910,40 +2982,68 @@ object KeyedTable {
           // every matched old row's position tombstones; every
           // surviving delta row (update post-image or insert) lands in
           // a NEW file of its bucket. Untouched rows never move.
+          // The join output is delta-sized — persisted, so the DV and
+          // post-image writes both consume ONE compute of it instead
+          // of re-running the join per write (§5 reuse).
           val oldPos = readRawPos(spark, warehouse, table,
               meta.copy(schema = evolved), manifestOf(base), withPos = true)
             .filter(col(BucketCol).isin(touched: _*))
           val j = marked.as("n")
             .join(oldPos.as("o"), meta.pk.toIndexedSeq, "left")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           val dvStaging = s"$dir/.staging-merge-dv-${UUID.randomUUID()}"
           val dataStaging = s"$dir/.staging-merge-${UUID.randomUUID()}"
           try {
-            j.filter(presentOld)
-              .select(col(s"o.$BucketCol").as(BucketCol),
-                col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
-              .repartition(touched.size, col(BucketCol))
-              .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
-              .write.partitionBy(BucketCol).parquet(dvStaging)
-            toPhys(j.filter(!del)
-              .select(meta.pk.map(col) ++ nonPk.toSeq.map { c =>
-                (if (incomingCols.contains(c)) col(s"n.$c")
-                 else col(s"o.$c")).as(c)
-              } :+ col(s"n.$BucketCol").as(BucketCol): _*)
-              .repartition(touched.size, col(BucketCol))
-              .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
-              meta)
-              .write.partitionBy(BucketCol).parquet(dataStaging)
+            inParallel(
+              { clCommit = stageChangelog() },
+              {
+                observeStats(j).filter(presentOld)
+                  .select(col(s"o.$BucketCol").as(BucketCol),
+                    col(s"o.$FileCol").as("file"), col(s"o.$PosCol").as("pos"))
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                  .write.partitionBy(BucketCol).parquet(dvStaging)
+                toPhys(j.filter(!del)
+                  .select(meta.pk.map(col) ++ nonPk.toSeq.map { c =>
+                    (if (incomingCols.contains(c)) col(s"n.$c")
+                     else col(s"o.$c")).as(c)
+                  } :+ col(s"n.$BucketCol").as(BucketCol): _*)
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                  meta)
+                  .write.partitionBy(BucketCol).parquet(dataStaging)
+              })
             commitStagedMorMut(spark, f, dir, data, dataStaging,
               dvStaging, touched, "upsert", base, meta)
           } finally {
+            j.unpersist()
             f.delete(new Path(dvStaging), true)
             f.delete(new Path(dataStaging), true)
           }
         } else {
+          val outObs =
+            if (statsObs.isEmpty) out
+            else {
+              // same projection/filter as `out`, with the observe node
+              // between the join and the tombstone filter so all three
+              // counters see every joined row
+              val joined = observeStats(
+                oldTouched.as("o").join(marked.as("n"), meta.pk.toIndexedSeq, "full_outer"))
+              joined.filter(!del)
+                .select(meta.pk.map(col) ++ nonPk.map { c =>
+                  val merged =
+                    if (incomingCols.contains(c))
+                      when(col("n._graft_new").isNotNull, col(s"n.$c")).otherwise(col(s"o.$c"))
+                    else col(s"o.$c")
+                  merged.as(c)
+                } :+ coalesce(col(s"n.$BucketCol"), col(s"o.$BucketCol")).as(BucketCol): _*)
+            }
           val staging = s"$dir/.staging-${UUID.randomUUID()}"
           try {
-            toPhys(clusterByBucket(out, base.buckets, meta.pk), meta)
-              .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging)
+            inParallel(
+              { clCommit = stageChangelog() },
+              toPhys(clusterByBucket(outObs, base.buckets, meta.pk), meta)
+                .write.partitionBy(BucketCol).mode(SaveMode.Overwrite).parquet(staging))
             // removeMissing on the merge path: a touched bucket whose rows
             // ALL tombstoned has no staged replacement and leaves the
             // snapshot (the delete semantics); plain upserts always stage
@@ -2962,6 +3062,13 @@ object KeyedTable {
         clCommit.foreach { case (src, _) => f.delete(src, true) }
       val meta2 = meta.copy(schema = evolved, changelog = changelog)
       if (meta2 != meta) TableMeta.write(spark, dir, meta2)
+      val stats: (Long, Long, Long) =
+        if (!tombstoned) (0L, 0L, 0L)
+        else statsEarly.getOrElse {
+          val m = statsObs.get.get
+          (m("ins").asInstanceOf[Long], m("upd").asInstanceOf[Long],
+            m("del").asInstanceOf[Long])
+        }
       stats
     } finally newB.unpersist()
   }
@@ -3621,7 +3728,10 @@ object KeyedTable {
         // new_* all NULL; same commit ordering as upsert's batches
         // (staged on the pre-image, renamed in only after the data
         // commit — a failed delete leaves no phantom batch).
-        val clCommit: Option[(Path, Path)] = if (cdc) {
+        // the changelog batch reads the same live snapshot the staging
+        // write does — the two jobs are independent and overlap (§2.6)
+        var clCommit: Option[(Path, Path)] = None
+        def stageCl(): Unit = if (cdc) {
           val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains)
           val images = nonPk.toSeq.flatMap { c =>
             Seq(col(c).as(s"old_$c"),
@@ -3629,8 +3739,8 @@ object KeyedTable {
           }
           val changes = raw.filter(where)
             .select(meta.pk.map(col) ++ (lit("delete").as("op") +: images): _*)
-          Some(stageChangelogBatch(spark, dir, changes))
-        } else None
+          clCommit = Some(stageChangelogBatch(spark, dir, changes))
+        }
         val staging = s"$dir/.staging-delete-${UUID.randomUUID()}"
         try {
           try {
@@ -3640,24 +3750,26 @@ object KeyedTable {
               // by (file, pos) so the sidecar compresses and scans
               // well. The scan re-applies existing DVs (readRawPos),
               // so positions are never tombstoned twice.
-              readRawPos(spark, warehouse, tableName, meta,
-                  manifestOf(base), withPos = true)
-                .filter(coalesce(where, lit(false)))
-                .select(col(BucketCol), col(FileCol).as("file"),
-                  col(PosCol).as("pos"))
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
-                .write.partitionBy(BucketCol).parquet(staging)
+              inParallel({ stageCl() },
+                readRawPos(spark, warehouse, tableName, meta,
+                    manifestOf(base), withPos = true)
+                  .filter(coalesce(where, lit(false)))
+                  .select(col(BucketCol), col(FileCol).as("file"),
+                    col(PosCol).as("pos"))
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                  .write.partitionBy(BucketCol).parquet(staging))
               commitStagedDvs(spark, f, dir, data, staging, touched, base)
             } else {
               // copy-on-write: NULL predicate rows are NOT matches —
               // keep them (a bare !where would silently drop them)
-              toPhys(raw.filter(col(BucketCol).isin(touched: _*))
-                .filter(!coalesce(where, lit(false)))
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
-                meta)
-                .write.partitionBy(BucketCol).parquet(staging)
+              inParallel({ stageCl() },
+                toPhys(raw.filter(col(BucketCol).isin(touched: _*))
+                  .filter(!coalesce(where, lit(false)))
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                  meta)
+                  .write.partitionBy(BucketCol).parquet(staging))
               // removeMissing: a bucket whose rows ALL matched has no
               // staged replacement — it leaves the new snapshot entirely
               commitStaged(spark, f, dir, data, staging, touched, "delete",
@@ -3735,7 +3847,10 @@ object KeyedTable {
         // the typed post-image of column c on a matched row
         def newVal(c: String): Column =
           set.get(c).map(_.cast(meta.schema(c).dataType)).getOrElse(col(c))
-        val clCommit: Option[(Path, Path)] = if (cdc) {
+        // the changelog batch reads the same live pre-image the staging
+        // writes do — independent jobs, overlapped below (§2.6)
+        var clCommit: Option[(Path, Path)] = None
+        def stageCl(): Unit = if (cdc) {
           val nonPk = meta.schema.fieldNames.filterNot(meta.pk.contains).toSeq
           val changedCond = set.keys.toSeq.sorted
             .map(c => !(newVal(c) <=> col(c)))
@@ -3747,8 +3862,8 @@ object KeyedTable {
             .select(meta.pk.map(col) ++ (
               when(changedCond, lit("update"))
                 .otherwise(lit("unchanged")).as("op") +: images): _*)
-          Some(stageChangelogBatch(spark, dir, changes))
-        } else None
+          clCommit = Some(stageChangelogBatch(spark, dir, changes))
+        }
         // the check sees the POST-image of every matched row (one agg
         // job bounded by the matched set), before anything stages
         enforceChecks(
@@ -3770,19 +3885,21 @@ object KeyedTable {
             val dvStaging = s"$dir/.staging-update-dv-${UUID.randomUUID()}"
             val dataStaging = s"$dir/.staging-update-${UUID.randomUUID()}"
             try {
-              posFrame
-                .select(col(BucketCol), col(FileCol).as("file"),
-                  col(PosCol).as("pos"))
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
-                .write.partitionBy(BucketCol).parquet(dvStaging)
-              toPhys(posFrame
-                .select(meta.schema.fieldNames.toSeq
-                  .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
-                meta)
-                .write.partitionBy(BucketCol).parquet(dataStaging)
+              inParallel({ stageCl() }, {
+                posFrame
+                  .select(col(BucketCol), col(FileCol).as("file"),
+                    col(PosCol).as("pos"))
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions(col(BucketCol), col("file"), col("pos"))
+                  .write.partitionBy(BucketCol).parquet(dvStaging)
+                toPhys(posFrame
+                  .select(meta.schema.fieldNames.toSeq
+                    .map(c => newVal(c).as(c)) :+ col(BucketCol): _*)
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                  meta)
+                  .write.partitionBy(BucketCol).parquet(dataStaging)
+              })
               commitStagedMorMut(spark, f, dir, data, dataStaging,
                 dvStaging, touched, "update", base, meta)
             } finally {
@@ -3797,12 +3914,13 @@ object KeyedTable {
                 (if (set.contains(c)) when(matched, newVal(c)).otherwise(col(c))
                  else col(c)).as(c)
               } :+ col(BucketCol)
-              toPhys(raw.filter(col(BucketCol).isin(touched: _*))
-                .select(rewritten: _*)
-                .repartition(touched.size, col(BucketCol))
-                .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
-                meta)
-                .write.partitionBy(BucketCol).parquet(staging)
+              inParallel({ stageCl() },
+                toPhys(raw.filter(col(BucketCol).isin(touched: _*))
+                  .select(rewritten: _*)
+                  .repartition(touched.size, col(BucketCol))
+                  .sortWithinPartitions((BucketCol +: meta.pk).map(col): _*),
+                  meta)
+                  .write.partitionBy(BucketCol).parquet(staging))
               commitStaged(spark, f, dir, data, staging, touched, "update",
                 base, base.buckets, meta)
             } finally f.delete(new Path(staging), true)
