@@ -69,6 +69,27 @@ object Bench {
     val total = r2(results.map(_._2).sum)
     val sfShort = java.nio.file.Paths.get(sfDir).getFileName.toString
     println(s"""{"queries":$qs,"sf":"$sfShort","metric":"total","value":$total,"unit":"sec"}""")
+    // Per-query visibility for a tail-limited capture (the driver keeps
+    // only the last ~2000 chars of stdout, which truncates the big line
+    // above): re-emit the per-query map as SHORT self-describing chunks,
+    // each a complete JSON object under 1500 chars. Any tail window that
+    // catches the end of the run sees whole chunks it can reassemble.
+    locally {
+      val entries = results.map { case (k, v) => "\"" + k + "\":" + r2(v) }
+      val chunks = scala.collection.mutable.ArrayBuffer.empty[List[String]]
+      var cur = List.empty[String]; var len = 0
+      entries.foreach { e =>
+        if (len + e.length > 1300 && cur.nonEmpty) {
+          chunks += cur.reverse; cur = Nil; len = 0
+        }
+        cur = e :: cur; len += e.length + 1
+      }
+      if (cur.nonEmpty) chunks += cur.reverse
+      val n = chunks.size
+      chunks.zipWithIndex.foreach { case (es, i) =>
+        println(s"""{"queries_part":${i + 1},"of":$n,"sf":"$sfShort","q":{${es.mkString(",")}}}""")
+      }
+    }
     // the full line above is ~the tail-capture size; repeat the headline
     // WITHOUT the per-query map so the capture always ends with one
     // complete, parseable JSON summary even if the big line truncates

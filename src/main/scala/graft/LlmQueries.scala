@@ -697,11 +697,24 @@ object LlmQueries {
     val incoming = all.filter(col("doc_id") % 5 === 0)
     val seen = all.filter(col("doc_id") % 5 =!= 0)
     val (bandRows, shingleRows) = Dedup.lshIndexTables(seen, "doc_id", "text")
-    graft.store.KeyedTable.toSql(
-      bandRows.withColumn("band", col("band").cast("long")),
-      wh, "lsh_bands", pk = Seq("id", "band"))
-    graft.store.KeyedTable.toSql(shingleRows, wh, "lsh_shingles",
-      pk = Seq("id", "shingle"))
+    // the two index tables are independent (different dirs, different
+    // locks) and both read the checkpointed shingle frame — their
+    // creates overlap (optimization guide §2.6), so one table's commit
+    // tail backfills with the other's write tasks
+    locally {
+      @volatile var err: Throwable = null
+      val t = new Thread(() => {
+        try graft.store.KeyedTable.toSql(
+          bandRows.withColumn("band", col("band").cast("long")),
+          wh, "lsh_bands", pk = Seq("id", "band"))
+        catch { case e: Throwable => err = e }
+      }, "graft-lshidx-bands")
+      t.setDaemon(true); t.start()
+      graft.store.KeyedTable.toSql(shingleRows, wh, "lsh_shingles",
+        pk = Seq("id", "shingle"))
+      t.join()
+      if (err != null) throw err
+    }
     Dedup.incrementalMinhashLshFromIndex(incoming,
       graft.store.KeyedTable.readSql(s, wh, "lsh_bands")
         .withColumn("band", col("band").cast("int")),

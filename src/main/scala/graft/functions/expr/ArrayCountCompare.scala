@@ -25,9 +25,11 @@ import org.apache.spark.sql.types._
   * Null semantics mirror the composed form exactly: a NULL array →
   * NULL (`size(null)`); a NULL probe value → 0 (the lambda yields NULL
   * for every element, `filter` keeps none); NULL elements are never
-  * counted. Comparison is double `<`/`>` — the same implicit
-  * widening the composed `v > e` binary comparison performs (callers
-  * cast the probe to double).
+  * counted. Comparison is Spark's double ordering
+  * (SQLOrderingUtil.compareDoubles: NaN largest, -0.0 == 0.0) — the
+  * same semantics the composed `v > e` BinaryComparison uses, so NaN
+  * values shard consistently with the ranking windows downstream
+  * (callers cast the probe to double; long→double is monotone).
   */
 case class ArrayCountCompare(left: Expression, right: Expression,
                              countGreater: Boolean,
@@ -101,7 +103,16 @@ object ArrayCountCompare {
       org.apache.spark.sql.GraftBridge.expression(v),
       countGreater, includeEqual))
 
-  /** Static entry point shared by eval and generated code. */
+  /** Static entry point shared by eval and generated code.
+    *
+    * Comparison runs through Spark's own double ordering
+    * (SQLOrderingUtil.compareDoubles — NaN greater than everything,
+    * -0.0 == 0.0), NOT raw Java `<`/`>`: the composed
+    * `size(filter(arr, e => v > e))` form this expression replaces
+    * compares through the same ordering, so a NaN probe or edge ranks
+    * identically here and in the ranking window that consumes the
+    * shard — raw Java comparison would silently send NaN rows to
+    * shard 0 while the window sorts them last. */
   def count(arr: ArrayData, v: Double, countGreater: Boolean,
             includeEqual: Boolean): Int = {
     val n = arr.numElements()
@@ -109,10 +120,11 @@ object ArrayCountCompare {
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val e = arr.getDouble(i)
+        val cmp = org.apache.spark.sql.catalyst.util.SQLOrderingUtil
+          .compareDoubles(v, arr.getDouble(i))
         val hit =
-          if (countGreater) { if (includeEqual) v <= e else v < e }
-          else { if (includeEqual) v >= e else v > e }
+          if (countGreater) { if (includeEqual) cmp <= 0 else cmp < 0 }
+          else { if (includeEqual) cmp >= 0 else cmp > 0 }
         if (hit) c += 1
       }
       i += 1

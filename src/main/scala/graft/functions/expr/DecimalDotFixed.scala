@@ -101,7 +101,9 @@ object DecimalDotFixed {
     val s = BigInteger.valueOf(hi).shiftLeft(64)
       .add(new BigInteger(java.lang.Long.toUnsignedString(lo)))
     val d = Decimal(new JBigDecimal(s, 12))
-    d.changePrecision(38, 12)
-    d
+    // overflow of DECIMAL(38,12) → null, matching the composed
+    // explode+sum form's overflow behavior (never emit a Decimal that
+    // violates its declared precision)
+    if (d.changePrecision(38, 12)) d else null
   }
 }

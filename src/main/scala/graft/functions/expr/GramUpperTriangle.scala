@@ -132,8 +132,10 @@ case class GramUpperTriangle(
       val s = BigInteger.valueOf(hi).shiftLeft(64)
         .add(new BigInteger(java.lang.Long.toUnsignedString(lo)))
       val d = Decimal(new JBigDecimal(s, 12))
-      d.changePrecision(38, 12)
-      out(c) = d
+      // a 128-bit sum CAN exceed DECIMAL(38,12) capacity (2^127 ≈
+      // 1.7e38 > 1e38): emit null on overflow like the composed
+      // decimal sum would, never a precision-violating Decimal
+      out(c) = if (d.changePrecision(38, 12)) d else null
       c += 1
     }
     new GenericArrayData(out)

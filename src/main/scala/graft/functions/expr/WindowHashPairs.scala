@@ -67,7 +67,14 @@ case class WindowHashPairs(child: Expression, w: Int)
 object WindowHashPairs {
 
   // Two fixed, distinct seeds give two independent 64-bit hashes per
-  // window; a cross-window clash needs BOTH to collide.
+  // window; a cross-window clash needs BOTH to collide. Caveat: that
+  // 2^-128 estimate assumes random inputs — XXH64 is non-cryptographic
+  // with known seed-independent collision structure, so an ADVERSARIAL
+  // corpus (crafted crawl text) can construct windows that collide
+  // under both seeds at once, falsely merging span classes where the
+  // md5-based oracle form would not. For hostile inputs swap Seed2's
+  // hash for a structurally different function (e.g. Murmur3-128);
+  // for organic/crawl-scale data the two-seed form stands.
   private val Seed1 = 42L
   private val Seed2 = 0x9e3779b97f4a7c15L
 

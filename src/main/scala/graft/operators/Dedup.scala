@@ -555,7 +555,11 @@ object Dedup {
   def lshIndexTables(seen: DataFrame, idCol: String, textCol: String,
                      n: Int = 5, numHashes: Int = 16,
                      bands: Int = 4): (DataFrame, DataFrame) = {
-    val sh = shingled(seen, idCol, textCol, n)
+    // both index frames read the shingling of the FULL seen corpus —
+    // checkpoint it so tokenize+slide+distinct runs once, not once per
+    // downstream table write (§5 reuse; the ContextCleaner reclaims the
+    // blocks with the frames)
+    val sh = shingled(seen, idCol, textCol, n).localCheckpoint()
     val bandRows = bandedPacked(sh, numHashes, bands)
     val shingleRows = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     (bandRows, shingleRows)
@@ -712,24 +716,28 @@ object Dedup {
     // occurrence test as STREAMING window functions: count() over an
     // unordered partition buffers every partition's rows (measured
     // 17.6 s vs 7.2 s at sf1 against the running-frame rank the _cut
-    // twin uses); row_number + lead run in one streaming pass over the
-    // same sort. For the ubiquitous minOccurrences = 2, "class size
-    // >= 2" is exactly "this row has a predecessor or a successor";
-    // the general k (no caller passes one today) keeps the counting
-    // window.
+    // twin uses); fixed-offset lag/lead probes run in one streaming
+    // pass over the same sort. General k: a row's class has >= k
+    // members iff for SOME split i + (k-1-i) of its k-1 required
+    // neighbors, lag(pos, i) and lead(pos, k-1-i) both exist — k
+    // offset probes over ONE ordered pass, no counting window for any
+    // minOccurrences (k = 2 reduces to "has a predecessor or a
+    // successor", the prior fast path; cross-checked against the
+    // brute-force counter for k = 2 and 3 in DuplicateSpansSpec).
     val byClass = Window.partitionBy(col("h1"), col("h2"))
       .orderBy(col("id"), col("pos"))
-    val dupPos = (
-      if (minOccurrences <= 2)
-        wins.withColumn("_rn", row_number().over(byClass))
-          .withColumn("_nx", lead(col("pos"), 1).over(byClass))
-          .filter(col("_rn") > (minOccurrences - 1).max(0)
-            || col("_nx").isNotNull)
-      else
-        wins.withColumn("n", count(lit(1)).over(
-            Window.partitionBy(col("h1"), col("h2"))))
-          .filter(col("n") >= minOccurrences)
-      ).select(col("id"), col("pos"))
+    val k = minOccurrences.max(1)
+    val hasClassOfK = (0 until k).map { i =>
+      val before =
+        if (i == 0) lit(true)
+        else lag(col("pos"), i).over(byClass).isNotNull
+      val after =
+        if (k - 1 - i == 0) lit(true)
+        else lead(col("pos"), k - 1 - i).over(byClass).isNotNull
+      before && after
+    }.reduce(_ || _)
+    val dupPos = wins.withColumn("_dup", hasClassOfK)
+      .filter(col("_dup")).select(col("id"), col("pos"))
     // consecutive duplicated positions share (pos - rank): one island
     // per maximal run, merged by a bounded per-doc aggregate
     val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-import graft.functions.TextFunctions.{lshBandKeys, minhashSignature, wordShingles}
+import graft.functions.TextFunctions.{minhashSignature, wordShingles}
 
 /** SURVEY.md §2 #34b: streaming MinHash-LSH near-dup candidate
   * generation — the streaming twin of the batch LSH stage
@@ -60,18 +60,28 @@ object StreamingNearDup {
     val rowsPerBand = numHashes / bands
     val spark = docs.sparkSession
     import spark.implicits._
+    // packed numeric band keys (same banding as the batch family since
+    // r20 — injective, so buckets are identical to the string form):
+    // the shuffle to state and the state-store keys carry two longs
+    // instead of a "v1|v2|v3|v4" string, and no per-row string assembly
+    // runs in the banding projection. NOTE: this changes the typed
+    // state KEY schema — a checkpoint written by the string-keyed form
+    // cannot resume into this one (start a fresh checkpoint; the graft
+    // specs and gate always do).
     val banded = docs
       .select(col(idCol).cast("long").as("id"),
         minhashSignature(wordShingles(col(textCol), n), numHashes).as("sig"))
       .select(col("id"), col("sig"),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
-          .as(Seq("band", "key")))
-      .as[(Long, Seq[Long], Int, String)]
+        posexplode(graft.functions.TextFunctions.lshBandKeysPacked(
+          col("sig"), bands, rowsPerBand)).as(Seq("band", "key")))
+      .select(col("id"), col("sig"), col("band"),
+        col("key.k1").as("k1"), col("key.k2").as("k2"))
+      .as[(Long, Seq[Long], Int, Long, Long)]
     banded
-      .groupByKey(r => (r._3, r._4))
+      .groupByKey(r => (r._3, r._4, r._5))
       .flatMapGroupsWithState[BucketState, Candidate](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (bk: (Int, String), it: Iterator[(Long, Seq[Long], Int, String)],
+        (bk: (Int, Long, Long), it: Iterator[(Long, Seq[Long], Int, Long, Long)],
          state: GroupState[BucketState]) =>
           val st = state.getOption.getOrElse(BucketState(Vector.empty, Vector.empty))
           var ids = st.ids
@@ -84,7 +94,7 @@ object StreamingNearDup {
           }
           // in-batch id order: emission is deterministic however the
           // micro-batch sliced the stream
-          for ((id, sig, _, _) <- it.toArray.sortBy(_._1)) {
+          for ((id, sig, _, _, _) <- it.toArray.sortBy(_._1)) {
             if (!ids.contains(id)) { // idempotent under source replay
               ids.iterator.zip(sigs.iterator).foreach { case (sid, ssig) =>
                 out += Candidate(math.min(id, sid), math.max(id, sid),

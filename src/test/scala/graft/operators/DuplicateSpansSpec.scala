@@ -49,7 +49,7 @@ class DuplicateSpansSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0L, 1.0)), "unique doc untouched")
   }
 
-  test("randomized cross-check against a brute-force reference (100 corpora)") {
+  test("randomized cross-check against a brute-force reference (100 corpora, k = 2 and 3)") {
     val rnd = new scala.util.Random(421)
     val w = 8
     (1 to 100).foreach { trial =>
@@ -58,25 +58,31 @@ class DuplicateSpansSpec extends SparkSpec {
         id -> (0 until (10 + rnd.nextInt(30))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
       }
       // brute force: every w-window string, count occurrences, mark
-      // duplicated positions, merge consecutive runs
+      // positions duplicated at each threshold, merge consecutive runs
       val wins = docs.flatMap { case (id, t) =>
         (0 to t.length - w).map(p => (id, p, t.substring(p, p + w)))
       }
       val counts = wins.groupBy(_._3).view.mapValues(_.size).toMap
-      val expected = docs.flatMap { case (id, t) =>
-        val dup = (0 to t.length - w).filter(p => counts(t.substring(p, p + w)) >= 2)
-        // islands of consecutive positions
-        dup.foldLeft(List.empty[(Int, Int)]) {
-          case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
-          case (acc, p) => (p, p) :: acc
-        }.map { case (s0, e0) => (id, s0.toLong, (e0 + w).toLong) }
-      }.toSet
-      val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
-          "doc_id", "text", w = w)
-        .as[(Long, Long, Long, Long)].collect()
-        .map(t => (t._1, t._2, t._3)).toSet
-      assert(got == expected,
-        s"trial $trial: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)} docs=$docs")
+      // the streaming lag/lead occurrence test must agree with the
+      // counting reference for the default k = 2 AND a general k — 3
+      // exercises the middle-row case (a row with one neighbor on each
+      // side) that a naive "rank > k-1 OR lead(k-1) exists" form misses
+      Seq(2, 3).foreach { k =>
+        val expected = docs.flatMap { case (id, t) =>
+          val dup = (0 to t.length - w).filter(p => counts(t.substring(p, p + w)) >= k)
+          // islands of consecutive positions
+          dup.foldLeft(List.empty[(Int, Int)]) {
+            case ((s0, e0) :: rest, p) if p == e0 + 1 => (s0, p) :: rest
+            case (acc, p) => (p, p) :: acc
+          }.map { case (s0, e0) => (id, s0.toLong, (e0 + w).toLong) }
+        }.toSet
+        val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"),
+            "doc_id", "text", w = w, minOccurrences = k)
+          .as[(Long, Long, Long, Long)].collect()
+          .map(t => (t._1, t._2, t._3)).toSet
+        assert(got == expected,
+          s"trial $trial k=$k: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)} docs=$docs")
+      }
     }
   }
 
