@@ -472,6 +472,17 @@ object Dedup {
     val banded = bandedPacked(sh, numHashes, bands)
     val cand = cappedBandPairs(banded, maxBucket, Nil)
       .dropDuplicates("id_a", "id_b")
+    // MEASURED AND REJECTED (r21, evidence in OPTIMIZATION_r21.md §4):
+    // checkpointing the candidate pairs and shingling only CANDIDATE
+    // docs for the verify joins (semi-join prefilter of the two sh
+    // reads) is regime-fragile — under crawl-style replication (the
+    // sf1 sweep corpus; every doc has copies) the candidate id set IS
+    // the corpus, so the prefilter saves nothing and its checkpoint +
+    // semi-join overhead REGRESSES every family row (sf1 medians:
+    // dedup_minhash_lsh 6.18→6.90, corpus_clean 8.45→10.66,
+    // dedup_cluster_best 6.97→8.46). The two full-corpus shingle
+    // recomputes below stay: recompute-from-the-narrow-scan is the
+    // regime-robust form (same verdict as the spans pre-filter, r20).
     val verified = cand
       .join(sh.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
